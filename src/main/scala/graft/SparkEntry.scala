@@ -13,7 +13,7 @@ import graft.{queries => Q}
 object SparkEntry {
 
   def groups: Seq[QueryGroup] = Seq(
-    Q.Relational)
+    Q.Relational, Q.Joins, Q.SetOps, Q.Subqueries, Q.OverWindows, Q.GroupingSets)
 
   lazy val allQueries: Seq[GQuery] = {
     val qs = groups.flatMap(_.queries)

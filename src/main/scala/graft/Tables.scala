@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -14,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is INT64 TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects by default; read nanos as long and convert to micros
+    // (the data is µs-precision, so the truncation is lossless).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000").cast(LongType)))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view (for spark.sql surfaces). */
   def registerAll(spark: SparkSession, dir: String): Unit =
