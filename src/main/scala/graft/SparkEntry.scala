@@ -13,7 +13,8 @@ import graft.{queries => Q}
 object SparkEntry {
 
   def groups: Seq[QueryGroup] = Seq(
-    Q.Relational, Q.Joins, Q.SetOps, Q.Subqueries, Q.OverWindows, Q.GroupingSets)
+    Q.Relational, Q.Joins, Q.SetOps, Q.Subqueries, Q.OverWindows, Q.GroupingSets,
+    Q.Functions, Q.GroupWindows)
 
   lazy val allQueries: Seq[GQuery] = {
     val qs = groups.flatMap(_.queries)

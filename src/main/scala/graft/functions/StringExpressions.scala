@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime helpers for the codegen'd string expressions below.
+  * Kept as a plain object so generated code can call them statically.
+  *
+  * Semantics follow the reference's scalar function gaps relative to
+  * Spark (SURVEY.md §2.8): IS_ALPHA / IS_DECIMAL / IS_DIGIT and
+  * SPLIT_INDEX from
+  * flink-table-runtime-blink/.../functions/SqlFunctionUtils.java.
+  */
+object GraftStrings {
+  def isAlpha(s: UTF8String): Boolean = {
+    val str = s.toString
+    str.nonEmpty && str.forall(Character.isLetter)
+  }
+
+  def isDigit(s: UTF8String): Boolean = {
+    val str = s.toString
+    str.nonEmpty && str.forall(c => c >= '0' && c <= '9')
+  }
+
+  private val decimalRe = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$".r
+
+  def isDecimal(s: UTF8String): Boolean =
+    decimalRe.findFirstIn(s.toString).isDefined
+
+  /** 0-based split element, null when index is out of range. */
+  def splitIndex(s: UTF8String, sep: UTF8String, idx: Int): UTF8String = {
+    if (idx < 0) return null
+    val parts = s.toString.split(java.util.regex.Pattern.quote(sep.toString), -1)
+    if (idx < parts.length) UTF8String.fromString(parts(idx)) else null
+  }
+}
+
+abstract class StringPredicate extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  protected def helper: String
+  override protected def nullSafeEval(v: Any): Any = evalImpl(v.asInstanceOf[UTF8String])
+  protected def evalImpl(s: UTF8String): Boolean
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftStrings.$helper($c)")
+}
+
+/** IS_ALPHA(s) — true iff s is non-empty and all-letters. */
+case class IsAlpha(child: Expression) extends StringPredicate {
+  override protected def helper = "isAlpha"
+  override protected def evalImpl(s: UTF8String): Boolean = GraftStrings.isAlpha(s)
+  override protected def withNewChildInternal(c: Expression): IsAlpha = copy(c)
+}
+
+/** IS_DIGIT(s) — true iff s is non-empty and all-digits. */
+case class IsDigit(child: Expression) extends StringPredicate {
+  override protected def helper = "isDigit"
+  override protected def evalImpl(s: UTF8String): Boolean = GraftStrings.isDigit(s)
+  override protected def withNewChildInternal(c: Expression): IsDigit = copy(c)
+}
+
+/** IS_DECIMAL(s) — true iff s parses as a plain decimal number. */
+case class IsDecimal(child: Expression) extends StringPredicate {
+  override protected def helper = "isDecimal"
+  override protected def evalImpl(s: UTF8String): Boolean = GraftStrings.isDecimal(s)
+  override protected def withNewChildInternal(c: Expression): IsDecimal = copy(c)
+}
+
+/** SPLIT_INDEX(s, sep, i) — 0-based element of the split, or null. */
+case class SplitIndex(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any, sep: Any, idx: Any): Any =
+    GraftStrings.splitIndex(s.asInstanceOf[UTF8String], sep.asInstanceOf[UTF8String],
+      idx.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""${ev.value} = graft.functions.GraftStrings.splitIndex($a, $b, $c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+    code
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SplitIndex = copy(f, s, t)
+}
+
+/** Column-API + SQL registration facade for the gap functions. */
+object GraftFunctions {
+  def is_alpha(c: Column): Column = column(IsAlpha(expression(c)))
+  def is_digit(c: Column): Column = column(IsDigit(expression(c)))
+  def is_decimal(c: Column): Column = column(IsDecimal(expression(c)))
+  def split_index(c: Column, sep: Column, i: Column): Column =
+    column(SplitIndex(expression(c), expression(sep), expression(i)))
+
+  /** Register SQL names (the reference's FlinkSqlOperatorTable gaps). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("is_alpha", es => IsAlpha(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_digit", es => IsDigit(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_decimal", es => IsDecimal(es.head), "built-in")
+    reg.createOrReplaceTempFunction("split_index",
+      es => SplitIndex(es(0), es(1), es(2)), "built-in")
+  }
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function parity (SURVEY.md §2.8 — FlinkSqlOperatorTable /
+  * BuiltInFunctionDefinitions): string, math, temporal, conditional,
+  * collection, JSON and hash batteries, plus the reference's functions
+  * Spark lacks (IS_ALPHA / IS_DIGIT / IS_DECIMAL / SPLIT_INDEX) as
+  * native codegen'd Catalyst expressions.
+  *
+  * Each query evaluates a battery per row (whole-stage codegen, no
+  * UDF boxing) over a bounded slice, with a DuckDB-equivalent oracle.
+  */
+object Functions extends QueryGroup {
+
+  override def queries = Seq(
+
+    q("f1_string",
+      """SELECT p_partkey,
+        |  length(p_name) AS len,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substr(p_name, 2, 5) AS sub,
+        |  concat_ws('-', p_brand, p_type) AS cat,
+        |  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+        |  trim('  ' || p_name || '  ') AS trm,
+        |  replace(p_type, ' ', '_') AS repl,
+        |  reverse(p_name) AS rev,
+        |  strpos(p_name, 'a') AS pos,
+        |  split_part(p_name, ' ', 2) AS spl,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS rex,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS rrep,
+        |  ascii(p_brand) AS asc_c, chr(65 + p_size % 26) AS chr_c,
+        |  repeat('ab', p_size % 3) AS rept,
+        |  translate(p_name, 'ae', 'XY') AS trans,
+        |  left(p_name, 4) AS l4, right(p_name, 4) AS r4
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("part").filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          length(col("p_name")).as("len"),
+          upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 2, 5).as("sub"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("cat"),
+          lpad(col("p_brand"), 12, "*").as("lp"), rpad(col("p_brand"), 12, "*").as("rp"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trm"),
+          regexp_replace(col("p_type"), " ", "_").as("repl"),
+          reverse(col("p_name")).as("rev"),
+          instr(col("p_name"), "a").as("pos"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("spl"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("rex"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("rrep"),
+          ascii(col("p_brand")).as("asc_c"), chr(lit(65) + col("p_size") % 26).as("chr_c"),
+          repeat(lit("ab"), (col("p_size") % 3).cast(IntegerType)).as("rept"),
+          translate(col("p_name"), "ae", "XY").as("trans"),
+          substring(col("p_name"), 1, 4).as("l4"),
+          expr("right(p_name, 4)").as("r4"))
+        .orderBy("p_partkey")
+    },
+
+    q("f2_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS a,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  round(l_extendedprice, 1) AS rnd,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  round(exp(l_discount), 6) AS ex,
+        |  round(ln(l_extendedprice), 6) AS lg,
+        |  round(log10(l_extendedprice), 6) AS lg10,
+        |  round(power(l_quantity, 2), 1) AS pw,
+        |  mod(CAST(l_quantity AS BIGINT), 7) AS md,
+        |  CAST(sign(l_quantity - 25) AS INT) AS sg,
+        |  round(sin(l_discount), 6) AS sn,
+        |  round(atan2(l_quantity, l_extendedprice), 6) AS at2,
+        |  round(degrees(l_discount), 6) AS dg,
+        |  greatest(l_quantity, l_discount * 100) AS gr,
+        |  least(l_quantity, l_discount * 100) AS ls,
+        |  l_orderkey & 255 AS band, l_orderkey | 256 AS bor, xor(l_orderkey, 85) AS bxor
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir)("lineitem").filter(col("l_orderkey") <= 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("a"),
+          ceil(col("l_extendedprice")).cast(LongType).as("ce"),
+          floor(col("l_extendedprice")).cast(LongType).as("fl"),
+          round(col("l_extendedprice"), 1).as("rnd"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          round(log(col("l_extendedprice")), 6).as("lg"),
+          round(log10(col("l_extendedprice")), 6).as("lg10"),
+          round(pow(col("l_quantity"), 2), 1).as("pw"),
+          (col("l_quantity").cast(LongType) % 7).as("md"),
+          signum(col("l_quantity") - 25).cast(IntegerType).as("sg"),
+          round(sin(col("l_discount")), 6).as("sn"),
+          round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("at2"),
+          round(degrees(col("l_discount")), 6).as("dg"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_quantity"), col("l_discount") * 100).as("ls"),
+          expr("l_orderkey & 255").as("band"),
+          expr("l_orderkey | 256").as("bor"),
+          expr("l_orderkey ^ 85").as("bxor"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    q("f3_temporal",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q, dayofyear(o_orderdate) AS doy,
+        |  weekofyear(o_orderdate) AS woy,
+        |  (dayofweek(o_orderdate) % 7) + 1 AS dow,
+        |  hour(o_orderdate) AS hh, minute(o_orderdate) AS mi, second(o_orderdate) AS ss,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders").filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"), dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          hour(col("o_orderdate")).as("hh"), minute(col("o_orderdate")).as("mi"),
+          second(col("o_orderdate")).as("ss"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mon_start"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("fmt"),
+          unix_timestamp(col("o_orderdate")).as("unix_s"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+          last_day(col("o_orderdate").cast(DateType)).as("eom"),
+          datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    q("f4_conditional",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS bucket,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '<masked>') AS seg,
+        |  CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS bal_null,
+        |  CASE WHEN c_nationkey IS DISTINCT FROM 3 THEN 1 ELSE 0 END AS not_n3,
+        |  greatest(c_acctbal, 0) AS floor0,
+        |  if(c_acctbal > 0, 'pos', 'neg') AS sgn
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("customer").filter(col("c_custkey") <= 500)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "debt").when(col("c_acctbal") < 5000, "mid")
+            .otherwise("rich").as("bucket"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<masked>")).as("seg"),
+          when(col("c_acctbal").isNull, 1).otherwise(0).as("bal_null"),
+          when(!(col("c_nationkey") <=> lit(3)), 1).otherwise(0).as("not_n3"),
+          greatest(col("c_acctbal"), lit(0)).as("floor0"),
+          when(col("c_acctbal") > 0, "pos").otherwise("neg").as("sgn"))
+        .orderBy("c_custkey")
+    },
+
+    q("f5_array",
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), ' ') AS first3,
+        |  array_to_string(list_slice(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), 1, 5), ',') AS vocab5,
+        |  CAST(list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS INT) AS has_spark
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, dir)("documents").filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          array_join(slice(toks, 1, 3), " ").as("first3"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",").as("vocab5"),
+          array_contains(toks, "spark").cast(IntegerType).as("has_spark"))
+        .orderBy("doc_id")
+    },
+
+    // UNNEST / Correlate (SURVEY §2.2): explode tokens → global counts.
+    q("f6_unnest",
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents WHERE doc_id < 50)
+        |GROUP BY token
+        |ORDER BY token""".stripMargin) { (s, dir) =>
+      t(s, dir)("documents").filter(col("doc_id") < 50)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    },
+
+    // posexplode / WITH ORDINALITY.
+    q("f7_posexplode",
+      """SELECT doc_id, CAST(g.i AS INT) AS pos, toks[CAST(g.i AS INT)] AS token
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 10) d
+        |JOIN range(1, 10000) g(i) ON g.i <= len(toks)
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir)("documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    },
+
+    q("f8_hash_json",
+      """SELECT event_id,
+        |  md5(props) AS h_md5,
+        |  sha256(props) AS h_sha,
+        |  lower(hex(event_type)) AS h_hex,
+        |  to_base64(encode(event_type)) AS h_b64,
+        |  bin(event_id) AS h_bin,
+        |  json_extract_string(props, '$.k') AS json_k
+        |FROM events WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          md5(col("props").cast(BinaryType)).as("h_md5"),
+          sha2(col("props").cast(BinaryType), 256).as("h_sha"),
+          lower(hex(col("event_type"))).as("h_hex"),
+          base64(col("event_type").cast(BinaryType)).as("h_b64"),
+          bin(col("event_id")).as("h_bin"),
+          get_json_object(col("props"), "$.k").as("json_k"))
+        .orderBy("event_id")
+    },
+
+    // The reference's gap functions as native Catalyst expressions
+    // (IS_ALPHA / IS_DIGIT / IS_DECIMAL / SPLIT_INDEX — SURVEY §2.8).
+    q("f9_flink_gaps",
+      """SELECT p_partkey,
+        |  CAST(regexp_matches(p_type, '^[A-Za-z]+$') AS INT) AS alpha_type,
+        |  CAST(CASE WHEN len(string_split(p_brand, '#')) > 1
+        |       THEN regexp_matches(string_split(p_brand, '#')[2], '^[0-9]+$') ELSE 0 END AS INT) AS digit_id,
+        |  CAST(regexp_matches(CAST(p_retailprice AS VARCHAR), '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$') AS INT) AS dec_price,
+        |  CASE WHEN len(string_split(p_name, ' ')) > 1 THEN string_split(p_name, ' ')[2] END AS name_part1
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import GraftFunctions._
+      GraftFunctions.register(s)
+      t(s, dir)("part").filter(col("p_partkey") <= 300)
+        .select(
+          col("p_partkey"),
+          is_alpha(col("p_type")).cast(IntegerType).as("alpha_type"),
+          coalesce(is_digit(split_index(col("p_brand"), lit("#"), lit(1))), lit(false))
+            .cast(IntegerType).as("digit_id"),
+          is_decimal(col("p_retailprice").cast(StringType)).cast(IntegerType).as("dec_price"),
+          split_index(col("p_name"), lit(" "), lit(1)).as("name_part1"))
+        .orderBy("p_partkey")
+    })
+}

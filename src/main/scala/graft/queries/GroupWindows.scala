@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.operators.{Dedup, SimpleCEP}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time group windows, deduplication, and CEP over the `events`
+  * table (SURVEY.md §2.4 window agg, §2.6 dedup, §2.9 MATCH_RECOGNIZE).
+  *
+  * Batch forms here share semantics with the streaming operators (the
+  * streaming variants with watermarks live in graft.streaming and are
+  * exercised by ScalaTest harnesses); the driver's oracle checks the
+  * window assignment logic itself.
+  */
+object GroupWindows extends QueryGroup {
+
+  private val dec18_2 = DecimalType(18, 2)
+
+  override def queries = Seq(
+
+    // TUMBLE(1 hour) — window() group agg; window start/end exposed
+    // like TUMBLE_START/TUMBLE_END (SURVEY §2.8 aux functions).
+    q("gw1_tumble",
+      """SELECT date_trunc('hour', ts) AS wstart,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+        .select(
+          col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // HOP(size 1 hour, slide 30 min) — each event lands in 2 windows.
+    q("gw2_hop",
+      """SELECT tb - to_seconds(k * 1800) AS wstart,
+        |  tb - to_seconds(k * 1800) + INTERVAL 1 HOUR AS wend,
+        |  count(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |  unnest([0, 1]) AS u(k)
+        |GROUP BY 1, 2
+        |ORDER BY wstart""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"), col("n"))
+        .orderBy("wstart")
+    },
+
+    // SESSION(gap 30 min) per user — merging session windows
+    // (MergingWindowSet.java:254 semantics). Oracle: gaps-and-islands.
+    q("gw3_session",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // Dedup keep-first per (user, event_type) by event time
+    // (DeduplicateKeepFirstRowFunction.java:64 semantics, batch form).
+    q("dd1_dedup_first",
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      Dedup.keepFirst(t(s, dir)("events"), Seq("user_id", "event_type"), "ts", "event_id")
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    },
+
+    // Dedup keep-last (update-stream semantics folded to final state).
+    q("dd2_dedup_last",
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      Dedup.keepLast(t(s, dir)("events"), Seq("user_id", "event_type"), "ts", "event_id")
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    },
+
+    // CEP: signup followedBy purchase within 2h, earliest match per
+    // signup (MATCH_RECOGNIZE ... PATTERN (A B) semantics, batch).
+    q("cep1_followed_by",
+      """SELECT user_id, a_id, a_ts, b_id, b_ts FROM (
+        |  SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts,
+        |         b.event_id AS b_id, b.ts AS b_ts,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id ORDER BY b.ts, b.event_id) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'signup') a
+        |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR)
+        |WHERE rn = 1
+        |ORDER BY user_id, a_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir)("events")
+      SimpleCEP.followedBy(
+        a = e.filter(col("event_type") === "signup"),
+        b = e.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", timeCol = "ts", idCol = "event_id",
+        withinSeconds = 7200)
+        .orderBy("user_id", "a_id")
+    })
+}
