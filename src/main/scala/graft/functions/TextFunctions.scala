@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for the large-scale training-data
+  * pipeline operators (dedup, language-ID, quality scoring,
+  * fingerprinting). All pure Column expressions — whole-stage codegen,
+  * no UDFs — and each has an exact DuckDB-SQL equivalent so results
+  * are oracle-checkable bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word 2-gram shingles: t[i] + " " + t[i+1], 1-based positions.
+    * (Spark's sequence(1, 0) counts DOWN, so guard the 1-token case.) */
+  def bigramShingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Deterministic 32-bit token hash: first 8 hex chars of md5 as uint. */
+  def hash32(token: Column): Column =
+    conv(substring(md5(token.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+
+  /** MinHash value for one seed: min md5("seed:shingle") over shingles.
+    * (Lexicographic min over hex strings — identical in any engine.) */
+  def minHash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles,
+      s => md5(concat(lit(s"$seed:"), s).cast(BinaryType))))
+
+  /** Normalized-document fingerprint (md5 of ws-collapsed text). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " ").cast(BinaryType))
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: opaque binary payloads + typed metadata,
+  * decoded/feature-extracted in batched partition passes.
+  *
+  * The Spark-side plumbing is real (binary columns, typed Dataset,
+  * mapPartitions batch shape — the Scala analog of `mapInPandas`); the
+  * actual media decode is STUBBED with a deterministic fake (this
+  * container ships no image/audio codecs): "width/height" are derived
+  * from the first payload bytes, so results are reproducible and
+  * oracle-checkable.
+  */
+object Multimodal {
+
+  case class BinaryDoc(doc_id: Long, payload: Array[Byte], media_type: String)
+  case class DecodedDoc(doc_id: Long, media_type: String, n_bytes: Int,
+                        head_byte: Int, content_md5: String,
+                        fake_width: Int, fake_height: Int)
+
+  /** Attach a binary payload column (UTF-8 bytes of text — stands in
+    * for image/audio bytes) plus metadata. */
+  def toBinaryTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("image/fake").as("media_type"))
+
+  /** Batched "decode": one pass per partition, streaming the iterator
+    * (no per-row task overhead, no full-partition materialization) —
+    * the shape a real codec UDF needs at 100 TB. */
+  def decode(spark: SparkSession, binTable: DataFrame): Dataset[DecodedDoc] = {
+    import spark.implicits._
+    binTable.as[BinaryDoc].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { d =>
+        val b = d.payload
+        val digest = md.clone().asInstanceOf[java.security.MessageDigest]
+        digest.update(b)
+        val hex = digest.digest().map("%02x".format(_)).mkString
+        DecodedDoc(
+          doc_id = d.doc_id,
+          media_type = d.media_type,
+          n_bytes = b.length,
+          head_byte = if (b.nonEmpty) b(0) & 0xff else -1,
+          content_md5 = hex,
+          fake_width = 1 + (if (b.nonEmpty) (b(0) & 0xff) % 64 else 0),
+          fake_height = 1 + (if (b.length > 1) (b(1) & 0xff) % 64 else 0))
+      }
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan
+  * the corpus once — embarrassingly parallel, no shuffle on the
+  * corpus). Scale path: sign-random-projection LSH bucketing so
+  * candidate generation joins only within buckets (the 100 TB plan:
+  * bucket-partitioned self-join instead of O(n²) cross join).
+  *
+  * All math is Column-expression only (codegen'd `aggregate`/
+  * `zip_with` folds — deterministic left-to-right summation), no UDFs.
+  */
+object Similarity {
+
+  /** Σ a_i·b_i as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, cos) — cos rounded to 6dp
+    * and ranked with an id tiebreak for cross-engine determinism. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim) from md5
+    * parity — reproducible in any engine, no RNG state. */
+  private def planeComponent(plane: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"$plane:"), i.cast(StringType)).cast(BinaryType)), 1, 8),
+      16, 10).cast(LongType) % 2) * 2 - 1
+
+  /** Near-duplicate pairs by cosine ≥ threshold, candidates generated
+    * only within sign-LSH buckets (scale path) — returns
+    * (id_a, id_b, cos). */
+  def lshNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+                  numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
+    val withBucket = vectors.select(col(idCol), col(vecCol),
+      bucketExpr(col(vecCol), numPlanes, dims).as("_bucket"))
+    val a = withBucket.select(col("_bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = withBucket.select(col("_bucket").as("_bucket_b"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"))
+    a.join(b, col("_bucket") === col("_bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_va"), col("_vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** numPlanes-bit sign-projection bucket as a single expression. */
+  def bucketExpr(vec: Column, numPlanes: Int, dims: Int): Column =
+    (0 until numPlanes).map { p =>
+      val comp = transform(sequence(lit(0), lit(dims - 1)),
+        i => planeComponent(p, i).cast(DoubleType))
+      val proj = aggregate(zip_with(vec, comp, (x, c) => x.cast(DoubleType) * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d):
+  * brute-force cosine top-k as the correctness baseline, and
+  * sign-random-projection LSH bucketing as the 100 TB scale path
+  * (bucket-partitioned self-join, never O(n²)).
+  */
+object SimilarityQ extends QueryGroup {
+
+  /** DuckDB fragments: dot products / norms via a constant range join
+    * (positional list arithmetic, double precision end-to-end). */
+  private val normSql =
+    """nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(embedding[CAST(g.i AS INT)] AS DOUBLE))) AS nrm
+      |        FROM embeddings JOIN range(1, 65) g(i) ON true GROUP BY vec_id)""".stripMargin
+
+  override def queries = Seq(
+
+    // Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
+    q("v1_knn_brute",
+      s"""WITH $normSql,
+         |d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        sum(CAST(q.embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(g.i AS INT)] AS DOUBLE)) AS dp
+         |      FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |      JOIN range(1, 65) g(i) ON true
+         |      GROUP BY 1, 2),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    round(dp / (a.nrm * b.nrm), 6) AS cos
+         |  FROM d JOIN nrm a ON a.vec_id = query_id JOIN nrm b ON b.vec_id = neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir)("embeddings")
+      Similarity.bruteForceKnn(
+          queries = emb.filter(col("vec_id") < 5), corpus = emb,
+          idCol = "vec_id", vecCol = "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    },
+
+    // Sign-LSH (4 planes): bucket histogram — validates the bucketing
+    // expression end-to-end (the scale-path candidate generator).
+    q("v2_lsh_buckets",
+      """WITH comp AS (
+        |  SELECT p.p, CAST(g.i AS INT) AS i,
+        |    (CAST('0x' || substr(md5(p.p || ':' || CAST(g.i - 1 AS INT)), 1, 8) AS BIGINT) % 2) * 2 - 1 AS c
+        |  FROM range(0, 4) p(p) CROSS JOIN range(1, 65) g(i)),
+        |proj AS (
+        |  SELECT e.vec_id, comp.p,
+        |    sum(CAST(e.embedding[comp.i] AS DOUBLE) * comp.c) AS pr
+        |  FROM embeddings e JOIN comp ON true
+        |  GROUP BY 1, 2),
+        |buck AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id)
+        |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        |FROM buck GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir)("embeddings")
+        .select(col("vec_id"),
+          Similarity.bucketExpr(col("embedding"), numPlanes = 4, dims = 64).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+        .orderBy("bucket")
+    },
+
+    // LSH-bucketed near-dup candidates verified by cosine ≥ 0.35 —
+    // brute force only within buckets.
+    q("v3_lsh_neardup",
+      s"""WITH comp AS (
+         |  SELECT p.p, CAST(g.i AS INT) AS i,
+         |    (CAST('0x' || substr(md5(p.p || ':' || CAST(g.i - 1 AS INT)), 1, 8) AS BIGINT) % 2) * 2 - 1 AS c
+         |  FROM range(0, 4) p(p) CROSS JOIN range(1, 65) g(i)),
+         |proj AS (
+         |  SELECT e.vec_id, comp.p, sum(CAST(e.embedding[comp.i] AS DOUBLE) * comp.c) AS pr
+         |  FROM embeddings e JOIN comp ON true GROUP BY 1, 2),
+         |buck AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |$normSql,
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |d AS (SELECT id_a, id_b,
+         |        sum(CAST(ea.embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(eb.embedding[CAST(g.i AS INT)] AS DOUBLE)) AS dp
+         |      FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+         |      JOIN embeddings eb ON eb.vec_id = id_b
+         |      JOIN range(1, 65) g(i) ON true
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(dp / (a.nrm * b.nrm), 6) AS cos
+         |FROM d JOIN nrm a ON a.vec_id = id_a JOIN nrm b ON b.vec_id = id_b
+         |WHERE round(dp / (a.nrm * b.nrm), 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.lshNearDups(t(s, dir)("embeddings"), "vec_id", "embedding",
+          numPlanes = 4, dims = 64, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    })
+}

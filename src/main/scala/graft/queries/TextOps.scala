@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.functions.TextFunctions._
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline text operators over `documents`:
+  * exact dedup, fingerprinting, token statistics, quality scoring,
+  * language-ID, n-gram Jaccard near-dup, MinHash-LSH near-dup, and
+  * SimHash near-dup — every one oracle-checked against the identical
+  * formula in DuckDB SQL.
+  */
+object TextOps extends QueryGroup {
+
+  /** DuckDB fragments shared by the oracles. */
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private val bigramsSql =
+    s"list_transform(generate_series(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1])"
+  private def mhSql(k: Int) =
+    s"list_min(list_transform(list_distinct($bigramsSql), s -> md5('$k:' || s)))"
+
+  override def queries = Seq(
+
+    // Exact dedup: hash-groupBy on content digest (one shuffle).
+    q("x1_exact_dedup",
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin) { (s, dir) =>
+      TextDedup.exact(t(s, dir)("documents"), "doc_id", "text")
+        .orderBy("digest")
+    },
+
+    // Normalized-content fingerprint per doc.
+    q("x2_fingerprint",
+      s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Token statistics: counts, type-token ratio, mean token length.
+    q("x3_token_stats",
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_unique,
+         |  round(len(list_distinct($toksSql)) * 1.0 / len($toksSql), 6) AS ttr,
+         |  round(list_sum(list_transform($toksSql, x -> len(x))) * 1.0 / len($toksSql), 6) AS mean_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = tokens(col("text"))
+      t(s, dir)("documents")
+        .select(
+          col("doc_id"),
+          size(tk).as("n_tokens"),
+          size(array_distinct(tk)).as("n_unique"),
+          round(size(array_distinct(tk)).cast(DoubleType) / size(tk), 6).as("ttr"),
+          round(aggregate(transform(tk, x => length(x)), lit(0),
+            (acc, x) => acc + x).cast(DoubleType) / size(tk), 6).as("mean_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio, digit ratio, mean-length-based
+    // heuristic score (deterministic arithmetic in both engines).
+    q("x4_quality",
+      s"""SELECT doc_id,
+         |  round(len(list_filter($toksSql, x -> x IN ('the', 'a'))) * 1.0 / len($toksSql), 6) AS stop_ratio,
+         |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 6) AS digit_ratio,
+         |  round(0.5 * (len(list_distinct($toksSql)) * 1.0 / len($toksSql))
+         |      + 0.5 * least(len($toksSql) / 100.0, 1.0), 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = tokens(col("text"))
+      t(s, dir)("documents")
+        .select(
+          col("doc_id"),
+          round(size(filter(tk, x => x.isin("the", "a"))).cast(DoubleType) / size(tk), 6)
+            .as("stop_ratio"),
+          round(length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+            length(col("text")), 6).as("digit_ratio"),
+          round(size(array_distinct(tk)).cast(DoubleType) / size(tk) * 0.5 +
+            least(size(tk).cast(DoubleType) / 100.0, lit(1.0)) * 0.5, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // N-gram-marker language ID with deterministic tiebreak.
+    q("x5_lang_id",
+      s"""SELECT doc_id,
+         |  len(list_filter($toksSql, x -> x IN ('the', 'a'))) AS c_en,
+         |  len(list_filter($toksSql, x -> x IN ('spark', 'vector'))) AS c_tech,
+         |  len(list_filter($toksSql, x -> x IN ('data', 'table', 'row'))) AS c_db,
+         |  CASE
+         |    WHEN len(list_filter($toksSql, x -> x IN ('the', 'a'))) >= len(list_filter($toksSql, x -> x IN ('spark', 'vector')))
+         |     AND len(list_filter($toksSql, x -> x IN ('the', 'a'))) >= len(list_filter($toksSql, x -> x IN ('data', 'table', 'row'))) THEN 'en'
+         |    WHEN len(list_filter($toksSql, x -> x IN ('spark', 'vector'))) >= len(list_filter($toksSql, x -> x IN ('data', 'table', 'row'))) THEN 'tech'
+         |    ELSE 'db' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = tokens(col("text"))
+      val cEn = size(filter(tk, x => x.isin("the", "a")))
+      val cTech = size(filter(tk, x => x.isin("spark", "vector")))
+      val cDb = size(filter(tk, x => x.isin("data", "table", "row")))
+      t(s, dir)("documents")
+        .select(
+          col("doc_id"),
+          cEn.as("c_en"), cTech.as("c_tech"), cDb.as("c_db"),
+          when(cEn >= cTech && cEn >= cDb, "en")
+            .when(cTech >= cDb, "tech")
+            .otherwise("db").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Exact bigram-Jaccard near-dups within a blocking key (source).
+    q("x6_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, source, list_distinct($bigramsSql) AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        len(list_intersect(a.sh, b.sh)) AS i,
+         |        len(a.sh) AS na, len(b.sh) AS nb
+         |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+         |FROM p WHERE i * 1.0 / (na + nb - i) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir)("documents")
+      val a = docs.select(col("doc_id").as("id_a"), col("source").as("_src"))
+      val b = docs.select(col("doc_id").as("id_b"), col("source").as("_src_b"))
+      val pairs = a.join(b, col("_src") === col("_src_b") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      TextDedup.jaccard(pairs, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.05)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash(8) + LSH(2 bands × 4) near-dup pipeline, verified ≥ 0.2.
+    q("x7_minhash_lsh",
+      s"""WITH sig AS (SELECT doc_id,
+         |    ${(0 until 8).map(k => s"${mhSql(k)} AS h$k").mkString(", ")}
+         |  FROM documents),
+         |bb AS (
+         |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |              AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, list_distinct($bigramsSql) AS sh FROM documents),
+         |j AS (SELECT id_a, id_b,
+         |        len(list_intersect(ta.sh, tb.sh)) AS i, len(ta.sh) AS na, len(tb.sh) AS nb
+         |      FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+         |FROM j WHERE i * 1.0 / (na + nb - i) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      TextDedup.minHashNearDups(t(s, dir)("documents"), "doc_id", "text",
+          numHashes = 8, bands = 2, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // 32-bit SimHash signature per document.
+    q("x8_simhash",
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
+         |bits AS (
+         |  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.simHash(t(s, dir)("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-dups (hamming ≤ 8) within source blocks.
+    q("x9_simhash_neardup",
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
+         |bits AS (
+         |  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+         |  GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |blk AS (SELECT d.doc_id, d.source, sig.simhash FROM documents d JOIN sig ON d.doc_id = sig.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM blk a JOIN blk b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      TextDedup.simHashNearDups(t(s, dir)("documents"), "doc_id", "text",
+          blockCol = "source", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    })
+}
