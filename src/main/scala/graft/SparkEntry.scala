@@ -14,7 +14,8 @@ object SparkEntry {
 
   def groups: Seq[QueryGroup] = Seq(
     Q.Relational, Q.Joins, Q.SetOps, Q.Subqueries, Q.OverWindows, Q.GroupingSets,
-    Q.Functions, Q.GroupWindows, Q.TextOps, Q.SimilarityQ, Q.MultimodalQ)
+    Q.Functions, Q.GroupWindows, Q.TextOps, Q.SimilarityQ, Q.MultimodalQ,
+    Q.Streaming)
 
   lazy val allQueries: Seq[GQuery] = {
     val qs = groups.flatMap(_.queries)

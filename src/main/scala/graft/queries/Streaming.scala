@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface, executed as REAL streaming queries
+  * inside the correctness gate: each query reads the events parquet
+  * through `readStream`, runs through watermarks / stateful operators /
+  * memory sink, and the collected output is oracle-checked against
+  * batch SQL (the bounded-input streaming result is deterministic).
+  *
+  * Watermark bookkeeping mirrored in the oracles: Spark's watermark is
+  * floor(max event-time millis) − delay, so SQL computes
+  * (epoch_ms(max ts) − delay_ms) and compares in microseconds.
+  */
+object Streaming extends QueryGroup {
+
+  private val dec18_2 = DecimalType(18, 2)
+
+  /** events as an unbounded stream (nanos read as long → micros). */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast(LongType)))
+  }
+
+  private def asGEvents(s: SparkSession, dir: String) = {
+    import s.implicits._
+    eventStream(s, dir).select(
+        col("user_id").as("key"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").as("id"),
+        col("event_type").as("kind"),
+        col("value"))
+      .as[GEvent]
+  }
+
+  override def queries = Seq(
+
+    // Streaming tumbling-window agg, complete mode (StreamExecGroup-
+    // WindowAggregate semantics on a bounded stream).
+    q("st1_stream_tumble",
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+      StreamRunner.toTable(s, agg, OutputMode.Complete, "st1_out")
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // Streaming unbounded group agg in update mode; the update
+    // changelog is folded to final state (single bounded batch →
+    // last update per key = batch aggregate).
+    q("st2_stream_groupagg",
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+      val updates = StreamRunner.toTable(s, agg, OutputMode.Update, "st2_out")
+      graft.operators.Dedup.keepLast(
+          updates.withColumn("_seq", monotonically_increasing_id()),
+          Seq("user_id"), "_seq", "_seq")
+        .select("user_id", "n", "total")
+        .orderBy("user_id")
+    },
+
+    // Stream-stream interval join with watermarks on both sides
+    // (Spark's native implementation of StreamExecIntervalJoin).
+    q("st3_stream_interval_join",
+      """SELECT a.event_id AS signup_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'signup' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY signup_id, purchase_id""".stripMargin) { (s, dir) =>
+      val a = eventStream(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("u1"),
+          col("ts").as("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+      val b = eventStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u2"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = a.join(b,
+        col("u1") === col("u2") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      StreamRunner.toTable(s, joined, OutputMode.Append, "st3_out")
+        .select("signup_id", "purchase_id")
+        .orderBy("signup_id", "purchase_id")
+    },
+
+    // Streaming top-3 per user by value (custom stateful operator);
+    // changelog folded to the final revision per key.
+    q("st4_stream_topn",
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emits = StreamingTopN(s, asGEvents(s, dir), n = 3)
+      val table = StreamRunner.toTable(s, emits.toDF(), OutputMode.Update, "st4_out")
+      // re-alias one side: self-joining the memory-sink view reuses
+      // the same attribute ids and trips conflicting-reference checks.
+      val lastSeq = table.groupBy(col("key")).agg(max("emitSeq").as("emitSeq"))
+        .select(col("key").as("_k"), col("emitSeq").as("_s"))
+      table.join(lastSeq, col("key") === col("_k") && col("emitSeq") === col("_s"))
+        .select(col("key").as("user_id"), col("rank"), col("id").as("event_id"),
+          col("value"))
+        .orderBy("user_id", "rank")
+    },
+
+    // Streaming as-of join: each mature purchase joined to the latest
+    // signup at-or-before it (TemporalRowTimeJoinOperator semantics;
+    // maturity = Spark watermark, mirrored exactly in the oracle).
+    q("st5_stream_asof",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |sg AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |       WHERE event_type = 'signup'),
+        |m AS (SELECT p.user_id, p.event_id AS purchase_id, sg.event_id AS s_id,
+        |        row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |                           ORDER BY sg.ts_us DESC, sg.event_id DESC) AS rn
+        |      FROM p LEFT JOIN sg ON sg.user_id = p.user_id AND sg.ts_us <= p.ts_us)
+        |SELECT m.user_id, purchase_id, coalesce(s_id, -1) AS signup_id
+        |FROM m, wm
+        |WHERE rn = 1 AND EXISTS (SELECT 1 FROM p WHERE p.event_id = purchase_id AND p.ts_us <= wm.wm_us)
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingAsOfJoin(s,
+        left = ev.filter(_.kind == "purchase"),
+        right = ev.filter(_.kind == "signup"),
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st5_out")
+        .select(col("key").as("user_id"), col("leftId").as("purchase_id"),
+          col("rightId").as("signup_id"))
+        .orderBy("purchase_id")
+    },
+
+    // Streaming CEP: signup followedBy purchase within 2h; B-side
+    // maturity = watermark (mirrored in the oracle).
+    q("st6_stream_cep",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |a AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'signup'),
+        |b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |        row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |                           ORDER BY b.ts_us, b.event_id) AS rn
+        |      FROM a JOIN b ON a.user_id = b.user_id
+        |        AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 7200000000
+        |      JOIN wm ON b.ts_us <= wm.wm_us)
+        |SELECT user_id, a_id, b_id FROM m WHERE rn = 1
+        |ORDER BY user_id, a_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = StreamingCEP(s, asGEvents(s, dir), aKind = "signup",
+        bKind = "purchase", withinMicros = 7200L * 1000000L,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st6_out")
+        .select(col("key").as("user_id"), col("aId").as("a_id"), col("bId").as("b_id"))
+        .orderBy("user_id", "a_id")
+    })
+}

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Canonical keyed event shape used by the stateful streaming
+  * operators (micros since epoch for event time — exact arithmetic in
+  * state, converted to TimestampType at the edges). */
+case class GEvent(key: Long, tsMicros: Long, id: Long, kind: String, value: Double)
+
+/** Emitted by StreamingTopN: full top-n snapshot per state revision;
+  * `emitSeq` is the per-key revision — folding to max(emitSeq) yields
+  * the final ranking (the changelog-fold convention for Spark's
+  * missing per-row RowKind, SURVEY.md §7.2). */
+case class TopNEmit(key: Long, rank: Int, id: Long, value: Double, emitSeq: Long)
+
+case class AsOfEmit(key: Long, leftId: Long, leftTsMicros: Long,
+                    rightId: Long, rightTsMicros: Long, matched: Boolean)
+
+case class CepEmit(key: Long, aId: Long, aTsMicros: Long, bId: Long, bTsMicros: Long)
+
+/** Streaming Top-N (SURVEY.md §2.6 — StreamExecRank's
+  * AppendOnlyTopNFunction.java:48 semantics): per-key sorted buffer in
+  * keyed state; emits a revised top-n snapshot whenever it changes.
+  * State is bounded at n entries per key by construction.
+  */
+object StreamingTopN {
+  case class State(seq: Long, top: List[(Double, Long)])
+
+  def apply(spark: SparkSession, ds: Dataset[GEvent], n: Int): Dataset[TopNEmit] = {
+    import spark.implicits._
+    ds.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(0L, Nil))
+        var top = cur.top
+        rows.foreach { r =>
+          top = ((r.value, r.id) :: top)
+            .sortBy { case (v, id) => (-v, id) }.take(n)
+        }
+        if (top != cur.top) {
+          val ns = State(cur.seq + 1, top)
+          state.update(ns)
+          top.zipWithIndex.iterator.map { case ((v, id), i) =>
+            TopNEmit(key, i + 1, id, v, ns.seq)
+          }
+        } else Iterator.empty
+    }
+  }
+}
+
+/** Streaming as-of (temporal) join — TemporalRowTimeJoinOperator.java:70
+  * semantics: buffer both sides in keyed state; when the watermark
+  * passes a left row's time, join it to the latest right version at or
+  * before it; prune right history to (latest ≤ watermark) + newer —
+  * bounded state, watermark-driven cleanup.
+  *
+  * Late-data rule: rows older than the watermark are dropped by Spark
+  * before reaching the operator (EventTimeTimeout path) — identical to
+  * the reference's late-record handling at the watermark boundary.
+  */
+object StreamingAsOfJoin {
+  case class State(rights: List[(Long, Long)], lefts: List[(Long, Long)])
+
+  def apply(spark: SparkSession, left: Dataset[GEvent], right: Dataset[GEvent],
+            watermarkDelay: String = "10 minutes"): Dataset[AsOfEmit] = {
+    import spark.implicits._
+    val tagged = left.map(e => e.copy(kind = "L"))
+      .union(right.map(e => e.copy(kind = "R")))
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(Nil, Nil))
+        var rights = cur.rights
+        var lefts = cur.lefts
+        rows.foreach { e =>
+          if (e.kind == "R") rights = (e.tsMicros, e.id) :: rights
+          else lefts = (e.tsMicros, e.id) :: lefts
+        }
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (mature, pending) = lefts.partition(_._1 <= wmMicros)
+        val out = mature.sortBy(l => (l._1, l._2)).map { case (lts, lid) =>
+          val m = rights.filter(_._1 <= lts)
+          if (m.isEmpty) AsOfEmit(key, lid, lts, -1L, -1L, matched = false)
+          else {
+            val best = m.maxBy(r => (r._1, r._2))
+            AsOfEmit(key, lid, lts, best._2, best._1, matched = true)
+          }
+        }
+        // prune: latest right ≤ watermark is still joinable to future
+        // lefts (ts > wm); anything older is dead state.
+        val (oldR, newR) = rights.partition(_._1 <= wmMicros)
+        val keptR = if (oldR.isEmpty) newR
+                    else oldR.maxBy(r => (r._1, r._2)) :: newR
+        state.update(State(keptR, pending))
+        // event-time timeout so pending lefts flush on the no-data
+        // micro-batch after the watermark advances past them.
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
+/** Streaming CEP "A followedBy B within T" (SURVEY.md §2.9 —
+  * flink-cep NFA semantics for the relaxed-contiguity two-step
+  * pattern): pending A's wait in keyed state; B's are buffered until
+  * the watermark, then matched in event-time order; each A emits its
+  * earliest B; expired A's are dropped (state bounded by the window).
+  */
+object StreamingCEP {
+  case class State(as: List[(Long, Long)], bs: List[(Long, Long)])
+
+  def apply(spark: SparkSession, events: Dataset[GEvent], aKind: String,
+            bKind: String, withinMicros: Long,
+            watermarkDelay: String = "10 minutes"): Dataset[CepEmit] = {
+    import spark.implicits._
+    val tagged = events.filter(e => e.kind == aKind || e.kind == bKind)
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(Nil, Nil))
+        var as = cur.as
+        var bs = cur.bs
+        rows.foreach { e =>
+          if (e.kind == aKind) as = (e.tsMicros, e.id) :: as
+          else bs = (e.tsMicros, e.id) :: bs
+        }
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (matureB, pendingB) = bs.partition(_._1 <= wmMicros)
+        var matchedAs = Set.empty[(Long, Long)]
+        val out = scala.collection.mutable.ListBuffer.empty[CepEmit]
+        matureB.sortBy(b => (b._1, b._2)).foreach { case (bts, bid) =>
+          as.filter { case (ats, _) =>
+            bts > ats && bts <= ats + withinMicros
+          }.sortBy(a => (a._1, a._2)).foreach { a =>
+            if (!matchedAs(a)) {
+              matchedAs += a
+              out += CepEmit(key, a._2, a._1, bid, bts)
+            }
+          }
+        }
+        // drop matched A's and A's whose window fully expired
+        val keptA = as.filterNot(matchedAs)
+          .filter { case (ats, _) => ats + withinMicros > wmMicros }
+        state.update(State(keptA, pendingB))
+        if (pendingB.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
+/** Run a (bounded) streaming query to a named in-memory sink and
+  * return the collected table — the MemoryStream/parquet harness used
+  * by both the specs and the oracle-checked st* queries. */
+object StreamRunner {
+  def toTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
+              name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, SimpleCEP}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch operator unit tests over small inline fixtures (the
+  * reference's TestData.scala style — FIXTURES.md §2). */
+class BatchOpsSpec extends AnyFunSuite {
+  lazy val spark = StreamHarness.spark
+
+  private def events = {
+    import spark.implicits._
+    Seq(
+      // (user, tsSec, id, type)
+      (1L, 100L, 1L, "signup"), (1L, 150L, 2L, "purchase"),
+      (1L, 200L, 3L, "signup"), (1L, 210L, 4L, "purchase"),
+      (1L, 9999L, 5L, "purchase"),
+      (2L, 50L, 6L, "purchase"), (2L, 60L, 7L, "signup"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+  }
+
+  test("AsOfJoin.batch matches latest right <= left time, null otherwise") {
+    val got = AsOfJoin.batch(
+      left = events.filter(col("event_type") === "purchase"),
+      right = events.filter(col("event_type") === "signup"),
+      keyCol = "user_id", timeCol = "ts", tieBreakCol = "event_id")
+      .select(col("event_id"), col("_asof_event_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got(2L).contains(1L))
+    assert(got(4L).contains(3L))
+    assert(got(5L).contains(3L))
+    assert(got(6L).isEmpty)   // purchase before any signup
+  }
+
+  test("Dedup keepFirst / keepLast") {
+    val first = Dedup.keepFirst(events, Seq("user_id", "event_type"), "ts", "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 2L, 6L, 7L))
+    val last = Dedup.keepLast(events, Seq("user_id", "event_type"), "ts", "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(last == Set(3L, 5L, 6L, 7L))
+  }
+
+  test("SimpleCEP.followedBy finds earliest B within window") {
+    val got = SimpleCEP.followedBy(
+      a = events.filter(col("event_type") === "signup"),
+      b = events.filter(col("event_type") === "purchase"),
+      keyCol = "user_id", timeCol = "ts", idCol = "event_id",
+      withinSeconds = 60)
+      .select("a_id", "b_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == Set(1L -> 2L, 3L -> 4L)) // id5 outside window; user2 B precedes A
+  }
+
+  test("SparkEntry smoke: entry() returns rows; names are consistent") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

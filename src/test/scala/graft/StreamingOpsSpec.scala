@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Harness tests for the custom stateful streaming operators —
+  * multi-batch, out-of-order arrivals, watermark-driven flush; the
+  * paths the (single-batch) driver oracle can't exercise.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  import StreamHarness.{spark, ev}
+
+  test("StreamingTopN keeps a bounded sorted buffer and re-emits on change") {
+    val batches = Seq(
+      Seq(ev(1, 10, 100, value = 5.0), ev(1, 11, 101, value = 9.0)),
+      Seq(ev(1, 12, 102, value = 7.0)),   // enters top-3
+      Seq(ev(1, 13, 103, value = 1.0)),   // below top-3 → no emission
+      Seq(ev(1, 14, 104, value = 8.0)))   // evicts 5.0
+    val out = StreamHarness.run(batches, OutputMode.Update, "topn_spec") { ds =>
+      StreamingTopN(spark, ds, n = 3).toDF()
+    }
+    val finalSeq = out.agg(max("emitSeq")).head.getLong(0)
+    val finalTop = out.filter(col("emitSeq") === finalSeq)
+      .orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    assert(finalTop == Seq(101, 104, 102)) // 9.0, 8.0, 7.0
+    // batch 3 (value 1.0) must not have produced a new revision:
+    // revisions = batch1, batch2, batch4.
+    assert(finalSeq == 3)
+  }
+
+  test("StreamingAsOfJoin matches each mature left to latest right <= t") {
+    // NB: rows older than the watermark are dropped by Spark before
+    // reaching the operator (same as the reference's late-data rule),
+    // so every batch's events sit at/above the prior watermark.
+    val batches = Seq(
+      Seq(ev(1, 100, 1, kind = "R"), ev(1, 200, 2, kind = "R")),
+      // wm=190: L@195 pending until wm passes; R@240 is a newer version
+      Seq(ev(1, 195, 10, kind = "L"), ev(1, 250, 11, kind = "L"),
+          ev(1, 240, 3, kind = "R")),
+      Seq(ev(2, 10000, 99, kind = "L")))  // advances watermark past all
+    val out = StreamHarness.run(batches, OutputMode.Append, "asof_spec") { ds =>
+      StreamingAsOfJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder),
+        watermarkDelay = "10 seconds").toDF()
+    }
+    val got = out.select("leftId", "rightId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 1L)   // left@195 → right@100 (R@200/240 are newer)
+    assert(got(11L) == 3L)   // left@250 → right@240 (latest version ≤ 250)
+  }
+
+  test("StreamingCEP emits earliest B per A within the window") {
+    val batches = Seq(
+      Seq(ev(1, 100, 1, kind = "A"), ev(1, 110, 2, kind = "B"),
+          ev(1, 120, 3, kind = "B"), ev(1, 500, 4, kind = "A")),
+      Seq(ev(1, 9000, 9, kind = "A")))  // advances watermark
+    val out = StreamHarness.run(batches, OutputMode.Append, "cep_spec") { ds =>
+      StreamingCEP(spark, ds, aKind = "A", bKind = "B",
+        withinMicros = 60L * 1000000L, watermarkDelay = "1 second").toDF()
+    }
+    val pairs = out.select("aId", "bId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(pairs == Seq(1L -> 2L)) // earliest B only; A@500 has no B in window
+  }
+
+  test("streaming dedup keep-first equals batch dedup") {
+    val batches = Seq(
+      Seq(ev(1, 10, 1, kind = "k1"), ev(1, 20, 2, kind = "k1"), ev(2, 15, 3, kind = "k1")),
+      Seq(ev(1, 30, 4, kind = "k1"), ev(2, 5, 5, kind = "k2")))
+    val out = StreamHarness.run(batches, OutputMode.Append, "dedup_spec") { ds =>
+      ds.withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicates("key", "kind")
+    }
+    // first-arrival per (key, kind): ids 1, 3, 5
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("streaming windowed agg (update) converges to batch result") {
+    val batches = Seq(
+      Seq(ev(1, 10, 1, value = 1.0), ev(1, 70, 2, value = 2.0)),
+      Seq(ev(1, 20, 3, value = 4.0)))
+    val out = StreamHarness.run(batches, OutputMode.Update, "wagg_spec") { ds =>
+      ds.withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 minute"), col("key"))
+        .agg(sum("value").as("v"), count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("key"), col("v"), col("n"))
+    }
+    // fold updates: last revision per (ws, key)
+    val last = operators.Dedup.keepLast(
+      out.withColumn("_seq", monotonically_increasing_id()), Seq("ws", "key"), "_seq", "_seq")
+    val got = last.select("v").orderBy("ws").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(5.0, 2.0)) // window[0,60): 1+4; window[60,120): 2
+  }
+}
