@@ -15,15 +15,20 @@ object TextFunctions {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word 2-gram shingles: t[i] + " " + t[i+1], 1-based positions.
+  /** Word 2-gram shingles from an already-materialized token-array
+    * column. IMPORTANT: pass a projected column (`.select(tokens(text)
+    * as "_toks")` first) — inlining `split()` here re-evaluates the
+    * split per element_at, turning shingling O(tokens²) per row.
     * (Spark's sequence(1, 0) counts DOWN, so guard the 1-token case.) */
-  def bigramShingles(text: Column): Column = {
-    val t = tokens(text)
+  def bigramShinglesFromTokens(t: Column): Column =
     when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Convenience form over raw text — fine for small inputs/tests;
+    * hot paths should pre-project tokens (see above). */
+  def bigramShingles(text: Column): Column = bigramShinglesFromTokens(tokens(text))
 
   /** Deterministic 32-bit token hash: first 8 hex chars of md5 as uint. */
   def hash32(token: Column): Column =

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms on (vertices, edges) DataFrames — the capability
+  * analog of the reference's Gelly library (SURVEY.md §2.11,
+  * flink-libraries/flink-gelly: pregel/scatter-gather loops).
+  *
+  * Spark shape: a driver-side iteration loop over DataFrames, each
+  * step one message-passing join + aggregate (Pregel superstep). Fixed
+  * iteration counts keep results deterministic and oracle-checkable;
+  * each step is persisted so the lineage (and plan size) stays flat —
+  * the pattern that survives 100+ supersteps on a cluster.
+  */
+object GraphOps {
+
+  /** Min-label propagation, `iterations` supersteps.
+    * `edges` must be (src, dst); treated as directed messages — pass a
+    * bidirectional edge set for undirected semantics. Self-loops are
+    * added automatically so a node always keeps its own label.
+    * Returns (node, label): after enough iterations label = component
+    * minimum (connected components).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // localCheckpoint (eager) materializes AND truncates lineage —
+      // plain persist keeps the ever-growing logical plan and the
+      // optimizer cost per superstep grows superlinearly.
+      val next = labels.join(e, labels("node") === e("src"))
+        .groupBy(col("dst").as("node_n"))
+        .agg(min("label").as("label"))
+        .withColumnRenamed("node_n", "node")
+        .localCheckpoint(true)
+      labels = next
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** PageRank with damping d, fixed `iterations` supersteps over a
+    * directed edge list; dangling nodes redistribute implicitly via
+    * the (1-d)/N floor only (simple variant, deterministic). */
+  def pageRank(nodes: DataFrame, edgesIn: DataFrame, d: Double,
+               iterations: Int): DataFrame = {
+    val edges = edgesIn.persist()
+    val n = nodes.count().toDouble
+    // deg derives from edges — rename its key so the deg⋈edges double
+    // use of `src` doesn't trip the ambiguous-self-join check.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("_degkey"), col("deg")).persist()
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = pr
+        .join(deg, pr("node") === col("_degkey"))
+        .join(edges, pr("node") === edges("src"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum("c").as("in_sum"))
+      // eager localCheckpoint: materialize + truncate lineage (see
+      // labelPropagation note).
+      val next = pr.select(col("node"))
+        .join(contrib, pr("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      pr = next
+    }
+    deg.unpersist()
+    pr
+  }
+}

@@ -44,11 +44,19 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Deterministic ±1 hyperplane component for (plane, dim) from md5
-    * parity — reproducible in any engine, no RNG state. */
-  private def planeComponent(plane: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"$plane:"), i.cast(StringType)).cast(BinaryType)), 1, 8),
-      16, 10).cast(LongType) % 2) * 2 - 1
+  /** Deterministic ±1 hyperplane components from md5 parity —
+    * reproducible in any engine (the oracle recomputes them in SQL),
+    * no RNG state. Computed once on the driver and embedded as a
+    * literal array: they are constants, and building them as
+    * per-row expressions costs dims·planes md5 calls per row. */
+  private def planeVector(plane: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val hex = md.digest(s"$plane:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      ((java.lang.Long.parseLong(hex, 16) % 2) * 2 - 1).toDouble
+    }
+  }
 
   /** Near-duplicate pairs by cosine ≥ threshold, candidates generated
     * only within sign-LSH buckets (scale path) — returns
@@ -69,8 +77,7 @@ object Similarity {
   /** numPlanes-bit sign-projection bucket as a single expression. */
   def bucketExpr(vec: Column, numPlanes: Int, dims: Int): Column =
     (0 until numPlanes).map { p =>
-      val comp = transform(sequence(lit(0), lit(dims - 1)),
-        i => planeComponent(p, i).cast(DoubleType))
+      val comp = typedLit(planeVector(p, dims))
       val proj = aggregate(zip_with(vec, comp, (x, c) => x.cast(DoubleType) * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)

@@ -38,8 +38,10 @@ object TextDedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(bigramShingles(col(textCol)))).as("_sh"))
+    val sh = docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("_id"),
+        explode(array_distinct(bigramShinglesFromTokens(col("_toks")))).as("_sh"))
     val aggs = (0 until numHashes).map(k =>
       min(md5(concat(lit(s"$k:"), col("_sh")).cast(BinaryType))).as(s"h$k"))
     sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
@@ -73,8 +75,10 @@ object TextDedup {
     * and recomputing the tokenization per probe dominates otherwise. */
   def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
               textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(bigramShingles(col(textCol)))).as("_sh"))
+    val sh = docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("_id"),
+        explode(array_distinct(bigramShinglesFromTokens(col("_toks")))).as("_sh"))
       .persist()
     sh.count() // materialize before the multi-probe joins below
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))

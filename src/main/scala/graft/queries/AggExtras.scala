@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.QueryGroup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregate-function parity extras (SURVEY.md §2.4 aggfunctions):
+  * ordered LISTAGG, multiset COLLECT, exact percentiles/median, and
+  * sketch aggregates (rows-only — no DuckDB equivalent of Spark's HLL
+  * bit-for-bit).
+  */
+object AggExtras extends QueryGroup {
+
+  override def queries = Seq(
+
+    // LISTAGG with deterministic order (ListAggWithRetractAggFunction
+    // analog; order fixed by sorting — the reference's LISTAGG has no
+    // ordering guarantee, ours is strictly stronger).
+    q("a1_listagg",
+      """SELECT s_nationkey,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("supplier")
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("s_nationkey")
+    },
+
+    // Multiset COLLECT (element → count), rendered sorted for
+    // engine-neutral comparison (MULTISET → MapType per SURVEY §1.2).
+    q("a2_collect_multiset",
+      """SELECT o_orderstatus,
+        |  string_agg(pc, ',' ORDER BY pc) AS multiset
+        |FROM (SELECT o_orderstatus, o_orderpriority || ':' || count(*) AS pc
+        |      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          concat(col("o_orderpriority"), lit(":"), col("n")).as("pc"))
+        .groupBy("o_orderstatus")
+        .agg(array_join(array_sort(collect_list(col("pc"))), ",").as("multiset"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Exact percentiles / median (interpolating) per group.
+    q("a3_percentiles",
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+        |  round(median(c_acctbal), 6) AS med
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir)("customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90"),
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("med"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Sketches: HLL distinct + approximate quantiles — algorithms are
+    // engine-specific, so this is a rows-only entry; the spec bounds
+    // are asserted in BatchOpsSpec instead.
+    qRowsOnly("a4_approx_sketches") { (s, dir) =>
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    })
+}

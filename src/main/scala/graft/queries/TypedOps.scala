@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.operators.{Changelog, LookupJoin}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed Dataset / DataSet-API capability parity (SURVEY.md §2.11):
+  * mapPartitions, groupByKey+reduceGroups, cogroup — plus the
+  * changelog fold/unfold convention and the lookup join.
+  */
+object TypedOps extends QueryGroup {
+
+  case class Li(l_orderkey: Long, l_quantity: Double, l_extendedprice: Double)
+  case class Ord(o_custkey: Long, o_orderkey: Long, o_totalprice: Double)
+
+  override def queries = Seq(
+
+    // mapPartitions (DataSet.mapPartition:239): per-partition streaming
+    // pass computing derived values — no driver collect, no shuffle.
+    q("ty1_mappartitions",
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity * 2 + 1 AS BIGINT)) AS BIGINT) AS derived
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir)("lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice").as[Li]
+        .mapPartitions(it => it.map(l => (l.l_orderkey, (l.l_quantity * 2 + 1).toLong)))
+        .toDF("l_orderkey", "d")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), sum("d").as("derived"))
+        .orderBy("l_orderkey")
+    },
+
+    // groupByKey + reduceGroups (DataSet.reduce:448): max order per
+    // customer by (totalprice, orderkey).
+    q("ty2_reduce_groups",
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir)("orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice").as[Ord]
+        .groupByKey(_.o_custkey)
+        .reduceGroups((a: Ord, b: Ord) =>
+          if (a.o_totalprice > b.o_totalprice ||
+              (a.o_totalprice == b.o_totalprice && a.o_orderkey >= b.o_orderkey)) a else b)
+        .map(_._2)
+        .toDF()
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+        .orderBy("o_custkey")
+    },
+
+    // cogroup (DataSet.coGroup:1033): customers × their orders in one
+    // pass, including order-less customers.
+    q("ty3_cogroup",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir)("customer").select(col("c_custkey")).as[Long]
+      val ords = t(s, dir)("orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice").as[Ord]
+      cust.groupByKey(identity)
+        .cogroup(ords.groupByKey(_.o_custkey)) { (k, cs, os) =>
+          if (cs.isEmpty) Iterator.empty
+          else {
+            val l = os.toSeq
+            Iterator((k, l.size.toLong,
+              BigDecimal(l.map(o => BigDecimal(o.o_totalprice).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toString)))
+          }
+        }
+        .toDF("c_custkey", "n_orders", "spend")
+        .select(col("c_custkey"), col("n_orders"),
+          col("spend").cast(DecimalType(38, 2)).as("spend"))
+        .orderBy("c_custkey")
+    },
+
+    // Changelog round-trip: unfold per-user event versions into a
+    // retract stream (+I/-U/+U), fold back to final state; outputs the
+    // net version plus changelog cardinality (2·versions − 1).
+    q("ty4_changelog_roundtrip",
+      """WITH v AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_id AS final_event, value AS final_value,
+        |  2 * n_versions - 1 AS n_changelog_rows
+        |FROM v WHERE rn = n_versions
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val versions = t(s, dir)("events")
+        .select("user_id", "event_id", "value")
+      val log = Changelog.unfold(versions, Seq("user_id"), "event_id").persist()
+      val counts = log.groupBy("user_id").agg(count(lit(1)).as("n_changelog_rows"))
+      Changelog.fold(log, Seq("user_id"), "event_id")
+        .join(counts, "user_id")
+        .select(col("user_id"), col("event_id").as("final_event"),
+          col("value").as("final_value"), col("n_changelog_rows"))
+        .orderBy("user_id")
+    },
+
+    // Lookup join through a broadcast dimension snapshot.
+    q("ty5_lookup_join",
+      """SELECT l_orderkey, l_linenumber, p.p_brand AS brand
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      LookupJoin.broadcastLookup(s,
+          facts = t(s, dir)("lineitem").filter(col("l_orderkey") <= 500),
+          factKey = "l_partkey",
+          dim = t(s, dir)("part"), dimKey = "p_partkey", dimValue = "p_brand",
+          outCol = "brand")
+        .select("l_orderkey", "l_linenumber", "brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+}
