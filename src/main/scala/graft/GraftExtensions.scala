@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{IsAlpha, IsDecimal, IsDigit, SplitIndex}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension hook: makes the engine's extra SQL functions
+  * available in ANY session built with
+  * `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions` — the Spark-idiomatic
+  * analog of the reference's module/function-catalog registration
+  * (FlinkSqlOperatorTable, SURVEY.md §2.8).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("is_alpha"),
+      new ExpressionInfo(classOf[IsAlpha].getName, "is_alpha"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => IsAlpha(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("is_digit"),
+      new ExpressionInfo(classOf[IsDigit].getName, "is_digit"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => IsDigit(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("is_decimal"),
+      new ExpressionInfo(classOf[IsDecimal].getName, "is_decimal"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => IsDecimal(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("split_index"),
+      new ExpressionInfo(classOf[SplitIndex].getName, "split_index"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SplitIndex(es(0), es(1), es(2))))
+  }
+}

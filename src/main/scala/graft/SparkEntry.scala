@@ -15,7 +15,7 @@ object SparkEntry {
   def groups: Seq[QueryGroup] = Seq(
     Q.Relational, Q.Joins, Q.SetOps, Q.Subqueries, Q.OverWindows, Q.GroupingSets,
     Q.Functions, Q.GroupWindows, Q.TextOps, Q.SimilarityQ, Q.MultimodalQ,
-    Q.Streaming, Q.Graphs, Q.AggExtras, Q.TypedOps)
+    Q.Streaming, Q.Graphs, Q.AggExtras, Q.TypedOps, Q.TpchLike)
 
   lazy val allQueries: Seq[GQuery] = {
     val qs = groups.flatMap(_.queries)

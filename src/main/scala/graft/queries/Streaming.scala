@@ -126,6 +126,33 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "rank")
     },
 
+    // Streaming session windows (merging windows, MergingWindowSet
+    // semantics) — gap 30 min per user, complete mode.
+    q("st7_stream_session",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamRunner.toTable(s, agg, OutputMode.Complete, "st7_out")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Streaming as-of join: each mature purchase joined to the latest
     // signup at-or-before it (TemporalRowTimeJoinOperator semantics;
     // maturity = Spark watermark, mirrored exactly in the oracle).

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.operators.SimpleCEP
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TPC-H-flavored analytical queries over the driver's star schema
+  * (adapted to its column subset) + a multi-step CEP chain — the
+  * "whole-query" shapes that exercise join ordering, broadcast
+  * selection, and two-phase aggregation together.
+  */
+object TpchLike extends QueryGroup {
+
+  private val dec18_2 = DecimalType(18, 2)
+  private val dec4_2  = DecimalType(4, 2)
+
+  private def rev = col("l_extendedprice").cast(dec18_2) *
+    (lit(1) - col("l_discount").cast(dec4_2))
+
+  override def queries = Seq(
+
+    // TPC-H Q5-flavored: revenue by nation for one region and year.
+    q("h1_local_supplier_volume",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer")
+      val o = t(s, dir)("orders").filter(year(col("o_orderdate")) === 1996)
+      val l = t(s, dir)("lineitem")
+      val sup = t(s, dir)("supplier")
+      val n = t(s, dir)("nation")
+      val r = t(s, dir)("region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(rev).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q14-flavored: promo revenue share per month of 1996.
+    q("h2_promo_share",
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |        ELSE 0 END) AS DECIMAL(38,4)) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS total_rev
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE year(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem").filter(year(col("l_shipdate")) === 1996)
+      val p = t(s, dir)("part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
+            .cast(DecimalType(38, 4)).as("promo_rev"),
+          sum(rev).cast(DecimalType(38, 4)).as("total_rev"))
+        .orderBy("month")
+    },
+
+    // TPC-H Q4-flavored: priority distribution of orders having at
+    // least one high-quantity line (semi join + agg).
+    q("h3_order_priority",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = t(s, dir)("orders").filter(year(col("o_orderdate")) === 1997)
+      val l = t(s, dir)("lineitem").filter(col("l_quantity") >= 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Three-step CEP chain: signup → first purchase → first error
+    // after it, all within 6h of the signup (PATTERN (A B C) with
+    // relaxed contiguity; composition of two followedBy steps).
+    q("cep2_three_step",
+      """WITH ab AS (
+        |  SELECT user_id, a_id, a_ts, b_id, b_ts FROM (
+        |    SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts,
+        |           b.event_id AS b_id, b.ts AS b_ts,
+        |      row_number() OVER (PARTITION BY a.user_id, a.event_id ORDER BY b.ts, b.event_id) AS rn
+        |    FROM (SELECT * FROM events WHERE event_type = 'signup') a
+        |    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |      ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR)
+        |  WHERE rn = 1),
+        |abc AS (
+        |  SELECT user_id, a_id, b_id, c_id FROM (
+        |    SELECT ab.user_id, ab.a_id, ab.b_id, c.event_id AS c_id,
+        |      row_number() OVER (PARTITION BY ab.user_id, ab.b_id ORDER BY c.ts, c.event_id) AS rn
+        |    FROM ab JOIN (SELECT * FROM events WHERE event_type = 'error') c
+        |      ON ab.user_id = c.user_id AND c.ts > ab.b_ts AND c.ts <= ab.a_ts + INTERVAL 6 HOUR)
+        |  WHERE rn = 1)
+        |SELECT user_id, a_id, b_id, c_id FROM abc
+        |ORDER BY user_id, a_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir)("events")
+      val ab = SimpleCEP.followedBy(
+          a = e.filter(col("event_type") === "signup"),
+          b = e.filter(col("event_type") === "purchase"),
+          keyCol = "user_id", timeCol = "ts", idCol = "event_id",
+          withinSeconds = 21600)
+        .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+      // step 2: first error after the matched purchase, still within
+      // 6h of the signup — dedup per (user, b) with remaining budget.
+      val c = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("_cu"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "b_id").orderBy(col("c_ts").asc, col("c_id").asc)
+      ab.join(c, col("user_id") === col("_cu") &&
+          col("c_ts") > col("b_ts") &&
+          col("c_ts") <= col("a_ts") + expr("INTERVAL 6 HOUR"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("user_id", "a_id", "b_id", "c_id")
+        .orderBy("user_id", "a_id")
+    })
+}

@@ -8,4 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' function registrations to an
+    * EXISTING session (builder extensions only apply to new sessions). */
+  def applyFunctionExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions: the 100 TB posture is checked here, not
+  * eyeballed — filters/projection reach the parquet scan, small dims
+  * broadcast, bucketed co-located joins don't shuffle, hot paths stay
+  * inside WholeStageCodegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = StreamHarness.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection are pushed into the parquet scan") {
+    val df = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned:\n$scan")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val q = SparkEntry.queries("j7_broadcast_lookup")(spark, dir)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("aggregation plans two-phase (partial before shuffle)") {
+    val q = SparkEntry.queries("q1_agg")(spark, dir)
+    val plan = planOf(q)
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair (WSCG spans only materialize post-AQE, so
+    // they are not asserted on the pre-execution plan string)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("sort-limit plans TakeOrderedAndProject, not a global sort") {
+    val q = SparkEntry.queries("q4_sort_limit")(spark, dir)
+    assert(planOf(q).contains("TakeOrderedAndProject"), planOf(q))
+  }
+
+  test("rank<=N filter plans WindowGroupLimit (per-partition top-n)") {
+    val q = SparkEntry.queries("w7_topn_per_group")(spark, dir)
+    assert(planOf(q).contains("WindowGroupLimit"), planOf(q))
+  }
+
+  test("bucketed tables co-locate the join (no Exchange)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // stale managed-table dirs survive DROP if a previous run died
+    import scala.reflect.io.Directory
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      new Directory(new java.io.File(s"spark-warehouse/$t")).deleteRecursively()
+    }
+    Tables(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // disable auto-broadcast so the bucketed (co-located) path is the
+    // one under test — at real scale both sides are too big to ship.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(spark, dir, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("status") === "F")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(status"), scan)
+  }
+}
