@@ -32,11 +32,15 @@ object Similarity {
     * and ranked with an id tiebreak for cross-engine determinism. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // norms are per-vector, not per-pair: compute once on each side
+    // (3× fewer flops in the pair loop; same fold order → same values).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("_qv"), col("_cv")), 6).as("cos"))
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -64,13 +68,16 @@ object Similarity {
   def lshNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                   numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
     val withBucket = vectors.select(col(idCol), col(vecCol),
-      bucketExpr(col(vecCol), numPlanes, dims).as("_bucket"))
-    val a = withBucket.select(col("_bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+      bucketExpr(col(vecCol), numPlanes, dims).as("_bucket"),
+      norm(col(vecCol)).as("_n"))
+      .persist()
+    val a = withBucket.select(col("_bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_n").as("_na"))
     val b = withBucket.select(col("_bucket").as("_bucket_b"), col(idCol).as("id_b"),
-      col(vecCol).as("_vb"))
+      col(vecCol).as("_vb"), col("_n").as("_nb"))
     a.join(b, col("_bucket") === col("_bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("_va"), col("_vb")), 6).as("cos"))
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

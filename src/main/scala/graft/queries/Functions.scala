@@ -231,6 +231,37 @@ object Functions extends QueryGroup {
         .orderBy("event_id")
     },
 
+    // OVERLAY / PARSE_URL / STR_TO_MAP / LEVENSHTEIN — reference
+    // functions without direct DuckDB twins; oracles emulate them.
+    q("f10_string_gaps",
+      """SELECT doc_id,
+        |  substr(lang, 1, 0) || 'XX' || substr(lang, 3) AS ovl,
+        |  regexp_extract('https://' || source || '.example.com/d/' || doc_id || '?lang=' || lang,
+        |                 '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract('https://' || source || '.example.com/d/' || doc_id || '?lang=' || lang,
+        |                 '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract('https://' || source || '.example.com/d/' || doc_id || '?lang=' || lang,
+        |                 '\?(.*)$', 1) AS query,
+        |  lang AS m_lang, source AS m_src,
+        |  levenshtein(lang, 'en') AS lev
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.com/d/"),
+        col("doc_id"), lit("?lang="), col("lang"))
+      val m = expr("str_to_map(concat('lang=', lang, '&src=', source), '&', '=')")
+      t(s, dir)("documents").filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          overlay(col("lang"), lit("XX"), lit(1), lit(2)).as("ovl"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY")).as("query"),
+          element_at(m, "lang").as("m_lang"),
+          element_at(m, "src").as("m_src"),
+          levenshtein(col("lang"), lit("en")).as("lev"))
+        .orderBy("doc_id")
+    },
+
     // The reference's gap functions as native Catalyst expressions
     // (IS_ALPHA / IS_DIGIT / IS_DECIMAL / SPLIT_INDEX — SURVEY §2.8).
     q("f9_flink_gaps",

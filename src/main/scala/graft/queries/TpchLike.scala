@@ -105,7 +105,7 @@ object TpchLike extends QueryGroup {
         |abc AS (
         |  SELECT user_id, a_id, b_id, c_id FROM (
         |    SELECT ab.user_id, ab.a_id, ab.b_id, c.event_id AS c_id,
-        |      row_number() OVER (PARTITION BY ab.user_id, ab.b_id ORDER BY c.ts, c.event_id) AS rn
+        |      row_number() OVER (PARTITION BY ab.user_id, ab.a_id ORDER BY c.ts, c.event_id) AS rn
         |    FROM ab JOIN (SELECT * FROM events WHERE event_type = 'error') c
         |      ON ab.user_id = c.user_id AND c.ts > ab.b_ts AND c.ts <= ab.a_ts + INTERVAL 6 HOUR)
         |  WHERE rn = 1)
@@ -122,8 +122,10 @@ object TpchLike extends QueryGroup {
       // 6h of the signup — dedup per (user, b) with remaining budget.
       val c = e.filter(col("event_type") === "error")
         .select(col("user_id").as("_cu"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      // partition per signup chain (two signups can share a purchase;
+      // per-b partitioning would tie-break the a_id arbitrarily)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id", "b_id").orderBy(col("c_ts").asc, col("c_id").asc)
+        .partitionBy("user_id", "a_id").orderBy(col("c_ts").asc, col("c_id").asc)
       ab.join(c, col("user_id") === col("_cu") &&
           col("c_ts") > col("b_ts") &&
           col("c_ts") <= col("a_ts") + expr("INTERVAL 6 HOUR"))

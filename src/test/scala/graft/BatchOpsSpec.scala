@@ -54,6 +54,15 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(got == Set(1L -> 2L, 3L -> 4L)) // id5 outside window; user2 B precedes A
   }
 
+  test("approx sketches stay within tolerance of exact answers") {
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val r = li.agg(
+      org.apache.spark.sql.functions.approx_count_distinct(col("l_partkey")).as("apx"),
+      countDistinct(col("l_partkey")).as("exact")).head
+    val (apx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(apx - exact) / exact < 0.1, s"approx $apx vs exact $exact")
+  }
+
   test("SparkEntry smoke: entry() returns rows; names are consistent") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -79,6 +79,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("foreachBatch enriches each micro-batch with a dim snapshot (broadcast-state analog)") {
+    // SURVEY §2.9 connect/broadcast-state → per-micro-batch join in
+    // foreachBatch against a (refreshable) dimension table.
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("key", "tier")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val input = StreamHarness.mkStream()
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.GEvent], _: Long) =>
+        batch.toDF().join(org.apache.spark.sql.functions.broadcast(dim), "key")
+          .select("id", "tier").collect()
+          .foreach(r => sink.add(r.getLong(0) -> r.getString(1)))
+      }
+      .start()
+    input.addData(Seq(ev(1, 10, 100), ev(2, 20, 200), ev(3, 30, 300)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(1, 40, 101)))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.toSet == Set(100L -> "gold", 200L -> "silver", 101L -> "gold"))
+  }
+
   test("streaming windowed agg (update) converges to batch result") {
     val batches = Seq(
       Seq(ev(1, 10, 1, value = 1.0), ev(1, 70, 2, value = 2.0)),
