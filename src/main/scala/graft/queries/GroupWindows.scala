@@ -112,6 +112,28 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "event_type")
     },
 
+    // Count window (SURVEY §2.9 CountTumblingWindowAssigner): blocks
+    // of 10 events per user in event-time order.
+    q("gw4_count_window",
+      """WITH r AS (SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(floor((rn - 1) / 10.0) AS INT) AS wid,
+        |  count(*) AS n, min(ts) AS w_first, max(ts) AS w_last,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM r GROUP BY 1, 2
+        |ORDER BY user_id, wid""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir)("events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("wid", floor((col("rn") - 1) / 10.0).cast(IntegerType))
+        .groupBy("user_id", "wid")
+        .agg(count(lit(1)).as("n"), min("ts").as("w_first"), max("ts").as("w_last"),
+          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+        .orderBy("user_id", "wid")
+    },
+
     // CEP: signup followedBy purchase within 2h, earliest match per
     // signup (MATCH_RECOGNIZE ... PATTERN (A B) semantics, batch).
     q("cep1_followed_by",

@@ -182,6 +182,46 @@ object Streaming extends QueryGroup {
         .orderBy("purchase_id")
     },
 
+    // Streaming OVER aggregation: per-user ROWS 3 PRECEDING..CURRENT
+    // sum in event-time order, emitted at watermark maturity.
+    q("st8_stream_over",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS frame_sum,
+        |  least(CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT), 4) AS n_in_frame
+        |FROM events, wm WHERE epoch_us(ts) <= wm.wm_us
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = StreamingOverAgg(s, asGEvents(s, dir), kPreceding = 3,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st8_out")
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("frameSum").cast(DecimalType(38, 2)).as("frame_sum"),
+          col("nInFrame").as("n_in_frame"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Unbounded stream-stream join (no time bound — symmetric hash in
+    // state; Spark's native join can't express this without a bound).
+    q("st9_stream_join_unbounded",
+      """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        |ORDER BY a.user_id, signup_id, purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingSymmetricJoin(s,
+        left = ev.filter(_.kind == "signup"),
+        right = ev.filter(_.kind == "purchase"))
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st9_out")
+        .select(col("key").as("user_id"), col("leftId").as("signup_id"),
+          col("rightId").as("purchase_id"))
+        .orderBy("user_id", "signup_id", "purchase_id")
+    },
+
     // Streaming CEP: signup followedBy purchase within 2h; B-side
     // maturity = watermark (mirrored in the oracle).
     q("st6_stream_cep",

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class OverEmit(key: Long, id: Long, tsMicros: Long, frameSum: BigDecimal, nInFrame: Int)
+
+/** Streaming OVER aggregation (SURVEY.md §2.5 —
+  * RowTimeRowsBoundedPrecedingFunction.java semantics): per-key
+  * ROWS BETWEEN k PRECEDING AND CURRENT ROW aggregate in event-time
+  * order, emitted when the row's time passes the watermark.
+  *
+  * State is bounded: the last k matured rows (the frame tail) plus
+  * the not-yet-mature buffer — watermark-driven cleanup, no unbounded
+  * history. Sums are computed in BigDecimal(scale 2) so emission is
+  * exact and order-independent (oracle-comparable).
+  */
+object StreamingOverAgg {
+  case class State(history: List[(Long, Long, Double)],
+                   pending: List[(Long, Long, Double)])
+
+  def apply(spark: SparkSession, events: Dataset[GEvent], kPreceding: Int,
+            watermarkDelay: String = "1 minute"): Dataset[OverEmit] = {
+    import spark.implicits._
+    val tagged = events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(Nil, Nil))
+        var pending = cur.pending
+        rows.foreach(e => pending = (e.tsMicros, e.id, e.value) :: pending)
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (mature, stillPending) = pending.partition(_._1 <= wmMicros)
+        var history = cur.history
+        val out = mature.sortBy(r => (r._1, r._2)).map { case (ts, id, v) =>
+          history = ((ts, id, v) :: history).take(kPreceding + 1)
+          val sum = history.map(h => BigDecimal(h._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          OverEmit(key, id, ts, sum, history.size)
+        }
+        state.update(State(history, stillPending))
+        if (stillPending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
+case class JoinEmit(key: Long, leftId: Long, rightId: Long)
+
+/** Unbounded stream-stream equi-join (SURVEY.md §2.3 —
+  * StreamingJoinOperator.java:36 semantics, inner variant): symmetric
+  * hash in keyed state. Each arriving row joins the full buffered
+  * opposite side and is then buffered itself — no watermark bound on
+  * matching (that is the point: Spark's native stream-stream join
+  * requires a time bound; the reference's does not).
+  *
+  * State grows with the inputs; production deployments bound it with
+  * idle-state retention (the reference's
+  * ExecutionConfigOptions#IDLE_STATE_RETENTION) — a TTL sweep on
+  * tsMicros can be added to the state update without changing the
+  * emission logic.
+  */
+object StreamingSymmetricJoin {
+  case class State(lefts: List[Long], rights: List[Long])
+
+  def apply(spark: SparkSession, left: Dataset[GEvent],
+            right: Dataset[GEvent]): Dataset[JoinEmit] = {
+    import spark.implicits._
+    val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        var st = state.getOption.getOrElse(State(Nil, Nil))
+        val out = scala.collection.mutable.ListBuffer.empty[JoinEmit]
+        // process in deterministic order within the batch
+        rows.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          if (e.kind == "L") {
+            st.rights.foreach(r => out += JoinEmit(key, e.id, r))
+            st = st.copy(lefts = e.id :: st.lefts)
+          } else {
+            st.lefts.foreach(l => out += JoinEmit(key, l, e.id))
+            st = st.copy(rights = e.id :: st.rights)
+          }
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+}

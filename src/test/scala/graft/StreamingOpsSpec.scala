@@ -66,6 +66,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(pairs == Seq(1L -> 2L)) // earliest B only; A@500 has no B in window
   }
 
+  test("StreamingOverAgg carries the frame tail across batches") {
+    val batches = Seq(
+      Seq(ev(1, 10, 1, value = 1.0), ev(1, 20, 2, value = 2.0), ev(1, 30, 3, value = 4.0)),
+      Seq(ev(1, 100, 4, value = 8.0)),     // matures 1..3 (wm=30-? with 10s delay → 20)
+      Seq(ev(1, 1000, 5, value = 16.0)),   // advances watermark past 100
+      Seq(ev(2, 99999, 9, value = 0.0)))   // flush everything else
+    val out = StreamHarness.run(batches, OutputMode.Append, "over_spec") { ds =>
+      StreamingOverAgg(spark, ds, kPreceding = 2, watermarkDelay = "10 seconds").toDF()
+    }
+    val sums = out.filter(col("key") === 1).orderBy("id")
+      .select("frameSum").collect().map(_.getDecimal(0).doubleValue()).toSeq
+    // frames (k=2): [1], [1,2], [1,2,4], [2,4,8], [4,8,16]
+    assert(sums == Seq(1.0, 3.0, 7.0, 14.0, 28.0))
+  }
+
+  test("StreamingSymmetricJoin emits pairs across batches without a time bound") {
+    val batches = Seq(
+      Seq(ev(1, 10, 1, kind = "L"), ev(1, 20, 100, kind = "R")),
+      Seq(ev(1, 99999, 2, kind = "L")),  // joins R buffered long ago
+      Seq(ev(1, 30, 101, kind = "R")))   // late R still joins all L's
+    val out = StreamHarness.run(batches, OutputMode.Append, "symjoin_spec") { ds =>
+      StreamingSymmetricJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder)).toDF()
+    }
+    val pairs = out.select("leftId", "rightId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs == Set(1L -> 100L, 2L -> 100L, 1L -> 101L, 2L -> 101L))
+  }
+
   test("streaming dedup keep-first equals batch dedup") {
     val batches = Seq(
       Seq(ev(1, 10, 1, kind = "k1"), ev(1, 20, 2, kind = "k1"), ev(2, 15, 3, kind = "k1")),
