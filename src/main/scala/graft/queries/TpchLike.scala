@@ -89,6 +89,43 @@ object TpchLike extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    // CEP with quantifiers: signup → click+ → purchase within 6h
+    // (PatternNFA; OneOrMore reports the click count per match).
+    q("cep3_pattern_quantifier",
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |ab AS (SELECT * FROM (
+        |  SELECT a.user_id, a.a_id, a.a_us, b.event_id AS b_id, b.ts_us AS b_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id ORDER BY b.ts_us, b.event_id) AS rn
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND b.ts_us > a.a_us AND b.ts_us <= a.a_us + 21600000000) WHERE rn = 1),
+        |abc AS (SELECT * FROM (
+        |  SELECT ab.user_id, ab.a_id, ab.a_us, ab.b_id, c.event_id AS c_id, c.ts_us AS c_us,
+        |    row_number() OVER (PARTITION BY ab.user_id, ab.a_id ORDER BY c.ts_us, c.event_id) AS rn
+        |  FROM ab JOIN c ON ab.user_id = c.user_id
+        |    AND c.ts_us > ab.b_us AND c.ts_us <= ab.a_us + 21600000000) WHERE rn = 1),
+        |cnt AS (SELECT abc.user_id, abc.a_id, count(*) AS n
+        |  FROM abc JOIN b ON abc.user_id = b.user_id
+        |    AND b.ts_us > abc.a_us AND b.ts_us < abc.c_us
+        |  GROUP BY 1, 2)
+        |SELECT abc.user_id AS key, abc.a_id AS anchor_id, abc.c_id AS end_id,
+        |  abc.a_id || ',' || abc.b_id || ',' || abc.c_id AS chain,
+        |  'clicks:' || cnt.n AS counts
+        |FROM abc JOIN cnt ON abc.user_id = cnt.user_id AND abc.a_id = cnt.a_id
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA._
+      val ev = t(s, dir)("events").select(
+        col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").as("id"), col("event_type").as("kind"))
+      run(s, ev, Seq(
+          Step("signup", "signup"),
+          Step("clicks", "click", OneOrMore),
+          Step("purchase", "purchase")),
+        withinMicros = 21600L * 1000000L)
+        .orderBy("key", "anchor_id")
+    },
+
     // Three-step CEP chain: signup → first purchase → first error
     // after it, all within 6h of the signup (PATTERN (A B C) with
     // relaxed contiguity; composition of two followedBy steps).

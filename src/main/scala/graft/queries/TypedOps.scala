@@ -11,6 +11,8 @@ import org.apache.spark.sql.types._
   */
 object TypedOps extends QueryGroup {
 
+  private val dec18_2 = DecimalType(18, 2)
+
   case class Li(l_orderkey: Long, l_quantity: Double, l_extendedprice: Double)
   case class Ord(o_custkey: Long, o_orderkey: Long, o_totalprice: Double)
 
@@ -102,6 +104,38 @@ object TypedOps extends QueryGroup {
         .select(col("user_id"), col("event_id").as("final_event"),
           col("value").as("final_value"), col("n_changelog_rows"))
         .orderBy("user_id")
+    },
+
+    // Retract-consuming aggregation: SUM over a changelog nets out
+    // -U rows (GroupAggFunction retraction handling, SURVEY §2.4) —
+    // the folded total equals the sum of each key's final version.
+    q("ty6_retract_sum",
+      """WITH v AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nv
+        |  FROM events)
+        |SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS net_total,
+        |  count(*) AS n_keys
+        |FROM v WHERE rn = nv""".stripMargin) { (s, dir) =>
+      val versions = t(s, dir)("events").select("user_id", "event_id", "value")
+      val log = graft.operators.Changelog.unfold(versions, Seq("user_id"), "event_id")
+      val signed = log.withColumn("_sign",
+        when(col("_change_kind").isin("+I", "+U"), 1).otherwise(-1))
+      signed.agg(
+        sum(col("value").cast(dec18_2) * col("_sign")).cast(DecimalType(38, 2)).as("net_total"),
+        (sum(col("_sign"))).cast(LongType).as("n_keys"))
+    },
+
+    // Salted two-phase aggregation (skew split): identical result to a
+    // direct groupBy, hot keys fanned over 8 reducers first.
+    q("ty7_salted_agg",
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.SkewJoin.saltedSumCount(
+          t(s, dir)("events"), "event_type", col("value").cast(dec18_2), salts = 8)
+        .select(col("event_type"), col("total").cast(DecimalType(38, 2)).as("total"), col("n"))
+        .orderBy("event_type")
     },
 
     // Lookup join through a broadcast dimension snapshot.

@@ -54,6 +54,22 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(got == Set(1L -> 2L, 3L -> 4L)) // id5 outside window; user2 B precedes A
   }
 
+  test("PatternNFA binds earliest chain and counts OneOrMore events") {
+    import graft.operators.PatternNFA._
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "C"), (1L, 50L, 5L, "B"), (1L, 60L, 6L, "C"),
+      (2L, 10L, 7L, "B"), (2L, 20L, 8L, "C")) // no anchor → no match
+      .toDF("key", "tsMicros", "id", "kind")
+    val got = graft.operators.PatternNFA.run(spark, ev, Seq(
+        Step("a", "A"), Step("bs", "B", OneOrMore), Step("c", "C")),
+      withinMicros = 100L)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain"),
+        r.getAs[String]("counts"))).toSeq
+    assert(got == Seq((1L, "1,2,4", "bs:2"))) // B@50 is after C-binding → not counted
+  }
+
   test("approx sketches stay within tolerance of exact answers") {
     val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
     val r = li.agg(
