@@ -231,6 +231,34 @@ object Functions extends QueryGroup {
         .orderBy("event_id")
     },
 
+    // JSON parse + map functions: from_json typed extraction, map
+    // keys/values/concat (MULTISET/MAP surface, SURVEY §1.2).
+    q("f11_json_map",
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INT) AS k_typed,
+        |  CAST(props->>'$.k' AS INT) * 2 AS k2,
+        |  'k,lang' AS mkeys,
+        |  (props->>'$.k') || ',' || lang AS mvals
+        |FROM (SELECT e.event_id, e.props, d.lang
+        |      FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id
+        |      WHERE e.event_id < 300)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir)("events").filter(col("event_id") < 300)
+      val d = t(s, dir)("documents")
+      val joined = e.join(broadcast(d), e("event_id") % 500 === d("doc_id"))
+      val parsed = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+      val m = map_concat(
+        expr("map('k', get_json_object(props, '$.k'))"),
+        expr("map('lang', lang)"))
+      joined.select(
+          col("event_id"),
+          parsed.getField("k").as("k_typed"),
+          (parsed.getField("k") * 2).as("k2"),
+          array_join(array_sort(map_keys(m)), ",").as("mkeys"),
+          concat(element_at(m, "k"), lit(","), element_at(m, "lang")).as("mvals"))
+        .orderBy("event_id")
+    },
+
     // OVERLAY / PARSE_URL / STR_TO_MAP / LEVENSHTEIN — reference
     // functions without direct DuckDB twins; oracles emulate them.
     q("f10_string_gaps",

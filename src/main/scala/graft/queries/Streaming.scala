@@ -182,6 +182,20 @@ object Streaming extends QueryGroup {
         .orderBy("purchase_id")
     },
 
+    // Streaming hopping windows (1h size / 30m slide), complete mode.
+    q("st10_stream_hop",
+      """SELECT tb - to_seconds(k * 1800) AS wstart, count(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |  unnest([0, 1]) AS u(k)
+        |GROUP BY 1 ORDER BY wstart""".stripMargin) { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      StreamRunner.toTable(s, agg, OutputMode.Complete, "st10_out")
+        .select(col("window.start").as("wstart"), col("n"))
+        .orderBy("wstart")
+    },
+
     // Streaming OVER aggregation: per-user ROWS 3 PRECEDING..CURRENT
     // sum in event-time order, emitted at watermark maturity.
     q("st8_stream_over",

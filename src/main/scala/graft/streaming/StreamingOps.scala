@@ -165,8 +165,15 @@ object StreamRunner {
   def toTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
               name: String): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // state-store count is fixed at first run from shuffle.partitions;
+    // a handful of partitions is right for these bounded drives (each
+    // store carries init/commit overhead per micro-batch).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

@@ -65,10 +65,13 @@ case class JoinEmit(key: Long, leftId: Long, rightId: Long)
   * emission logic.
   */
 object StreamingSymmetricJoin {
-  case class State(lefts: List[Long], rights: List[Long])
+  case class State(lefts: List[(Long, Long)], rights: List[(Long, Long)])
 
-  def apply(spark: SparkSession, left: Dataset[GEvent],
-            right: Dataset[GEvent]): Dataset[JoinEmit] = {
+  /** idleRetentionMicros: rows older than (max event time seen in the
+    * key's state − retention) are evicted before matching — the
+    * reference's IDLE_STATE_RETENTION knob; Long.MaxValue = keep all. */
+  def apply(spark: SparkSession, left: Dataset[GEvent], right: Dataset[GEvent],
+            idleRetentionMicros: Long = Long.MaxValue): Dataset[JoinEmit] = {
     import spark.implicits._
     val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
     tagged.groupByKey(_.key).flatMapGroupsWithState(
@@ -76,15 +79,26 @@ object StreamingSymmetricJoin {
       (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
         var st = state.getOption.getOrElse(State(Nil, Nil))
         val out = scala.collection.mutable.ListBuffer.empty[JoinEmit]
+        var maxTs = (st.lefts ++ st.rights).map(_._1).foldLeft(Long.MinValue)(_ max _)
         // process in deterministic order within the batch
         rows.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          maxTs = maxTs max e.tsMicros
+          val floor = if (idleRetentionMicros == Long.MaxValue) Long.MinValue
+                      else maxTs - idleRetentionMicros
           if (e.kind == "L") {
-            st.rights.foreach(r => out += JoinEmit(key, e.id, r))
-            st = st.copy(lefts = e.id :: st.lefts)
+            st.rights.foreach { case (ts, r) =>
+              if (ts >= floor) out += JoinEmit(key, e.id, r) }
+            st = st.copy(lefts = (e.tsMicros, e.id) :: st.lefts)
           } else {
-            st.lefts.foreach(l => out += JoinEmit(key, l, e.id))
-            st = st.copy(rights = e.id :: st.rights)
+            st.lefts.foreach { case (ts, l) =>
+              if (ts >= floor) out += JoinEmit(key, l, e.id) }
+            st = st.copy(rights = (e.tsMicros, e.id) :: st.rights)
           }
+        }
+        // evict dead state so it stays bounded under retention
+        if (idleRetentionMicros != Long.MaxValue) {
+          val floor = maxTs - idleRetentionMicros
+          st = State(st.lefts.filter(_._1 >= floor), st.rights.filter(_._1 >= floor))
         }
         state.update(st)
         out.iterator
