@@ -81,6 +81,44 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF-style clustering: centroids initialized from fixed seed
+    * vector ids, `iterations` Lloyd steps with all arithmetic rounded
+    * to 6dp per step (so the assignment is reproducible in any
+    * engine), then each vector assigned to its nearest centroid by
+    * (rounded cosine desc, centroid id) — the coarse quantizer of an
+    * IVF index. Returns (idCol, cluster). At scale: centroids are a
+    * broadcast table; assignment is one scan; search probes only the
+    * query's cluster. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                seedIds: Seq[Long], iterations: Int): DataFrame = {
+    var centroids: DataFrame = vectors
+      .filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).as("_cid"), transform(col(vecCol),
+        x => round(x.cast(DoubleType), 6)).as("_cv"))
+    def assign(v: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("_cos").desc, col("_cid").asc)
+      v.crossJoin(broadcast(centroids))
+        .select(col(idCol), col(vecCol), col("_cid"),
+          round(cosine(col(vecCol), col("_cv")), 6).as("_cos"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(idCol), col(vecCol), col("_cid").as("cluster"))
+    }
+    for (_ <- 1 to iterations) {
+      val assigned = assign(vectors)
+      centroids = assigned
+        .select(col("cluster").as("_cid"), posexplode(col(vecCol)))
+        .groupBy("_cid", "pos")
+        .agg(round(avg(col("col").cast(DoubleType)), 6).as("_m"))
+        .groupBy("_cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pairs"))
+        .select(col("_cid"), transform(col("_pairs"), p => p.getField("_m")).as("_cv"))
+        .localCheckpoint(true)
+    }
+    assign(vectors).select(col(idCol), col("cluster"))
+  }
+
   /** numPlanes-bit sign-projection bucket as a single expression. */
   def bucketExpr(vec: Column, numPlanes: Int, dims: Int): Column =
     (0 until numPlanes).map { p =>

@@ -290,6 +290,63 @@ object Functions extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // CAST / TRY_CAST semantics battery (SURVEY §1.2 type system).
+    // Documented delta mirrored in the oracle: Spark casts double→int
+    // by TRUNCATION, DuckDB by rounding — oracle uses trunc().
+    q("f12_casts",
+      """SELECT o_orderkey,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS d2l,
+        |  CAST(o_totalprice AS VARCHAR) AS d2s,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS rt_int,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS ts2s,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS dec2d,
+        |  CAST(o_orderkey % 2 = 0 AS INT) AS b2i
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders").filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").cast(LongType).as("d2l"),
+          col("o_totalprice").cast(StringType).as("d2s"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+          col("o_orderkey").cast(StringType).cast(IntegerType).as("rt_int"),
+          col("o_orderdate").cast(DateType).cast(StringType).as("ts2s"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("dec2d"),
+          (col("o_orderkey") % 2 === 0).cast(IntegerType).as("b2i"))
+        .orderBy("o_orderkey")
+    },
+
+    // Trig/hyperbolic battery (hyperbolics emulated via exp in the
+    // oracle — DuckDB lacks sinh/cosh/tanh).
+    q("f13_trig",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(tan(l_discount), 6) AS tn,
+        |  round(cot(l_discount + 0.01), 6) AS ct,
+        |  round(asin(l_discount), 6) AS asn,
+        |  round(acos(l_discount), 6) AS acs,
+        |  round(atan(l_quantity), 6) AS atn,
+        |  round(cbrt(l_quantity), 6) AS cbr,
+        |  round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS snh,
+        |  round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS csh,
+        |  round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS tnh
+        |FROM lineitem WHERE l_orderkey <= 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir)("lineitem").filter(col("l_orderkey") <= 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(tan(col("l_discount")), 6).as("tn"),
+          round(expr("cot(l_discount + 0.01)"), 6).as("ct"),
+          round(asin(col("l_discount")), 6).as("asn"),
+          round(acos(col("l_discount")), 6).as("acs"),
+          round(atan(col("l_quantity")), 6).as("atn"),
+          round(cbrt(col("l_quantity")), 6).as("cbr"),
+          round(sinh(col("l_discount")), 6).as("snh"),
+          round(cosh(col("l_discount")), 6).as("csh"),
+          round(tanh(col("l_discount")), 6).as("tnh"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // The reference's gap functions as native Catalyst expressions
     // (IS_ALPHA / IS_DIGIT / IS_DECIMAL / SPLIT_INDEX — SURVEY §2.8).
     q("f9_flink_gaps",

@@ -17,7 +17,54 @@ object SimilarityQ extends QueryGroup {
     """nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(embedding[CAST(g.i AS INT)] AS DOUBLE))) AS nrm
       |        FROM embeddings JOIN range(1, 65) g(i) ON true GROUP BY vec_id)""".stripMargin
 
+  /** Generated DuckDB oracle for the IVF coarse quantizer: unrolled
+    * Lloyd iterations, all arithmetic rounded to 6dp like the Spark
+    * implementation. */
+  private def ivfOracle(seedIds: Seq[Long], iterations: Int): String = {
+    def pair(c: String) =
+      s"""SELECT e.vec_id, c.cid,
+         |  round(sum(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * c.cv[CAST(g.i AS INT)])
+         |    / (sqrt(sum(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE)))
+         |       * sqrt(sum(c.cv[CAST(g.i AS INT)] * c.cv[CAST(g.i AS INT)]))), 6) AS cos
+         |FROM embeddings e, $c c, range(1, 65) g(i)
+         |GROUP BY e.vec_id, c.cid""".stripMargin
+    def assign(p: String) =
+      s"""SELECT vec_id, cid AS cluster FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |  FROM $p) WHERE rn = 1""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cv
+         |  FROM embeddings WHERE vec_id IN (${seedIds.mkString(",")})),
+         |""".stripMargin)
+    for (k <- 0 until iterations) {
+      sb.append(s"p$k AS (${pair(s"c$k")}),\n")
+      sb.append(s"a$k AS (${assign(s"p$k")}),\n")
+      sb.append(
+        s"""m$k AS (
+           |  SELECT a.cluster AS cid, CAST(g.i AS INT) AS i,
+           |    round(avg(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE)), 6) AS m
+           |  FROM a$k a JOIN embeddings e USING (vec_id), range(1, 65) g(i)
+           |  GROUP BY 1, 2),
+           |c${k + 1} AS (SELECT cid, list(m ORDER BY i) AS cv FROM m$k GROUP BY cid),
+           |""".stripMargin)
+    }
+    sb.append(s"pf AS (${pair(s"c$iterations")}),\n")
+    sb.append(s"af AS (${assign("pf")})\n")
+    sb.append("SELECT vec_id, cluster FROM af ORDER BY vec_id")
+    sb.toString
+  }
+
   override def queries = Seq(
+
+    // IVF coarse quantizer (the ANN scale path beyond LSH): fixed-seed
+    // k-means, 2 Lloyd iterations, full assignment oracle-checked.
+    q("v4_ivf_assign", ivfOracle(seedIds = 0L to 7L, iterations = 2)) { (s, dir) =>
+      Similarity.ivfAssign(t(s, dir)("embeddings"), "vec_id", "embedding",
+          seedIds = 0L to 7L, iterations = 2)
+        .orderBy("vec_id")
+    },
 
     // Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
     q("v1_knn_brute",
