@@ -208,6 +208,28 @@ object Joins extends QueryGroup {
         .orderBy("signup_id", "purchase_id")
     },
 
+    // Outer interval join: every signup, null-padded when no purchase
+    // follows within the hour (TimeIntervalJoin outer variant).
+    q("j12_interval_outer",
+      """SELECT a.event_id AS signup_id, b.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY signup_id, purchase_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = t(s, dir)("events")
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("u1"), col("ts").as("a_ts"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u2"), col("ts").as("b_ts"))
+      a.join(b,
+          col("u1") === col("u2") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .select("signup_id", "purchase_id")
+        .orderBy(col("signup_id"), asc_nulls_first("purchase_id"))
+    },
+
     // As-of (temporal) join, batch form — for each purchase, the most
     // recent signup of the same user at-or-before it. Implemented
     // scale-first: union both sides, ONE window sort per user (linear,

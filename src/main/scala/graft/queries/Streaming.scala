@@ -182,6 +182,47 @@ object Streaming extends QueryGroup {
         .orderBy("purchase_id")
     },
 
+    // Streaming LEFT OUTER interval join: matches emit on arrival;
+    // unmatched signups emit null-padded once the watermark passes
+    // their whole join window (Spark's state-eviction rule, mirrored
+    // in the oracle).
+    q("st11_stream_interval_outer",
+      """WITH wm AS (
+        |  SELECT (least(
+        |    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'signup'),
+        |    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'))
+        |    - 60000) * 1000 AS wm_us),
+        |a AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT a.event_id AS signup_id, b.event_id AS purchase_id
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND b.ts_us >= a.ts_us AND b.ts_us <= a.ts_us + 3600000000),
+        |unmatched AS (
+        |  SELECT a.event_id AS signup_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM a, wm
+        |  WHERE a.ts_us + 3600000000 < wm.wm_us
+        |    AND NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+        |      AND b.ts_us >= a.ts_us AND b.ts_us <= a.ts_us + 3600000000))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY signup_id, purchase_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val a = eventStream(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("u1"),
+          col("ts").as("a_ts"))
+        .withWatermark("a_ts", "1 minute")
+      val b = eventStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u2"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 minute")
+      val joined = a.join(b,
+        col("u1") === col("u2") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"), "leftOuter")
+      StreamRunner.toTable(s, joined, OutputMode.Append, "st11_out")
+        .select("signup_id", "purchase_id")
+        .orderBy(col("signup_id"), asc_nulls_first("purchase_id"))
+    },
+
     // Streaming hopping windows (1h size / 30m slide), complete mode.
     q("st10_stream_hop",
       """SELECT tb - to_seconds(k * 1800) AS wstart, count(*) AS n
