@@ -152,6 +152,57 @@ object TextOps extends QueryGroup {
         .orderBy("id_a", "id_b")
     },
 
+    // End-to-end dedup clustering: MinHash-LSH near-dup pairs →
+    // connected components → canonical doc per cluster. The full
+    // "dedup 100 TB of documents" composition: LSH candidates (never
+    // O(n²)), verified pairs, then 5 label-propagation supersteps.
+    q("x10_dedup_clusters",
+      s"""WITH sig AS (SELECT doc_id,
+         |    ${(0 until 8).map(k => s"${mhSql(k)} AS h$k").mkString(", ")}
+         |  FROM documents),
+         |bb AS (
+         |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |              AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, list_distinct($bigramsSql) AS sh FROM documents),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      len(list_intersect(ta.sh, tb.sh)) AS i, len(ta.sh) AS na, len(tb.sh) AS nb
+         |    FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |lbl AS (
+         |  WITH RECURSIVE r AS (
+         |    SELECT 0 AS it, doc_id AS node, doc_id AS label FROM documents
+         |    UNION ALL
+         |    SELECT it + 1, node, label FROM (
+         |      SELECT r.it AS it, e.dst AS node, min(r.label) AS label
+         |      FROM r JOIN edges e ON e.src = r.node
+         |      WHERE r.it < 5 GROUP BY r.it, e.dst))
+         |  SELECT node, label FROM r WHERE it = 5)
+         |SELECT node AS doc_id, label AS canonical_id,
+         |  count(*) OVER (PARTITION BY label) AS cluster_size
+         |FROM lbl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir)("documents")
+      val pairs = TextDedup.minHashNearDups(docs, "doc_id", "text",
+        numHashes = 8, bands = 2, threshold = 0.2).select("id_a", "id_b")
+      val nodes = docs.select(col("doc_id").as("node"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.GraphOps.labelPropagation(nodes, edges, iterations = 5)
+        .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("canonical_id")))
+        .orderBy("doc_id")
+    },
+
     // 32-bit SimHash signature per document.
     q("x8_simhash",
       s"""WITH tok AS (

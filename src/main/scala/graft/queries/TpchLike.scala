@@ -89,6 +89,76 @@ object TpchLike extends QueryGroup {
         .orderBy("o_orderpriority")
     },
 
+    // TPC-H Q10-flavored: top customers by returned revenue.
+    q("h4_returned_revenue",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer")
+      val o = t(s, dir)("orders")
+      val l = t(s, dir)("lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir)("nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(rev).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q18-flavored: orders whose total quantity exceeds 320.
+    q("h5_large_orders",
+      """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 320) big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir)("lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 320)
+      val o = t(s, dir)("orders")
+      val c = t(s, dir)("customer")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(dec18_2).as("totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q2-flavored: per part, the shipping supplier with minimum
+    // account balance (correlated min over a join).
+    q("h6_min_cost_supplier",
+      """SELECT p_partkey, s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+        |FROM (SELECT l.l_partkey AS p_partkey, s.s_suppkey, s.s_acctbal,
+        |        row_number() OVER (PARTITION BY l.l_partkey
+        |                           ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        |      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+        |WHERE rn = 1 AND p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val pairs = t(s, dir)("lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val sup = t(s, dir)("supplier")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_partkey").orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+      pairs.join(broadcast(sup), pairs("l_suppkey") === sup("s_suppkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("l_partkey") <= 500)
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_acctbal").cast(dec18_2).as("acctbal"))
+        .orderBy("p_partkey")
+    },
+
     // CEP with quantifiers: signup → click+ → purchase within 6h
     // (PatternNFA; OneOrMore reports the click count per match).
     q("cep3_pattern_quantifier",

@@ -109,6 +109,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("dropDuplicatesWithinWatermark dedups within the watermark horizon") {
+    val batches = Seq(
+      Seq(ev(1, 10, 1, kind = "k1"), ev(1, 15, 2, kind = "k1")),  // dup within horizon
+      Seq(ev(2, 5000, 9, kind = "k1")),  // advances watermark → expires key1 state
+      Seq(ev(1, 10000, 3, kind = "k1"))) // same key re-emitted after expiry
+    val out = StreamHarness.run(batches, OutputMode.Append, "ddww_spec") { ds =>
+      ds.withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "30 seconds")
+        .dropDuplicatesWithinWatermark("key", "kind")
+    }
+    val ids = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // id2 deduped (same key within horizon); id3 re-emitted only
+    // because the watermark expired the key's state in between
+    assert(ids == Seq(1L, 3L, 9L))
+  }
+
   test("foreachBatch enriches each micro-batch with a dim snapshot (broadcast-state analog)") {
     // SURVEY §2.9 connect/broadcast-state → per-micro-batch join in
     // foreachBatch against a (refreshable) dimension table.
