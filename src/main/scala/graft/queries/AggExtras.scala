@@ -63,6 +63,28 @@ object AggExtras extends QueryGroup {
         .orderBy("c_mktsegment")
     },
 
+    // Typed UDAF (Aggregator): FIRST/LAST_VALUE with explicit order —
+    // registered for SQL and exercised through it (SURVEY §2.10).
+    q("a5_first_last_by_order",
+      """WITH o AS (SELECT user_id, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT f.user_id, f.value AS first_v, l.value AS last_v
+        |FROM (SELECT user_id, value FROM o WHERE rf = 1) f
+        |JOIN (SELECT user_id, value FROM o WHERE rl = 1) l USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.OrderedAggregators._
+      s.udf.register("first_by", udaf(new FirstValueByOrder))
+      s.udf.register("last_by", udaf(new LastValueByOrder))
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT user_id,
+          |  first_by(value, unix_micros(ts), event_id) AS first_v,
+          |  last_by(value, unix_micros(ts), event_id) AS last_v
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    },
+
     // Sketches: HLL distinct + approximate quantiles — algorithms are
     // engine-specific, so this is a rows-only entry; the spec bounds
     // are asserted in BatchOpsSpec instead.

@@ -203,6 +203,53 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // Full corpus-selection pipeline: dedup clusters → keep canonical
+    // docs only → quality gate → language gate. The composition a
+    // training-data pipeline runs end-to-end over 100 TB.
+    q("x11_corpus_select",
+      s"""WITH sig AS (SELECT doc_id,
+         |    ${(0 until 8).map(k => s"${mhSql(k)} AS h$k").mkString(", ")}
+         |  FROM documents),
+         |bb AS (
+         |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |              AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, list_distinct($bigramsSql) AS sh FROM documents),
+         |dups AS (
+         |  SELECT id_b AS doc_id FROM (
+         |    SELECT id_a, id_b,
+         |      len(list_intersect(ta.sh, tb.sh)) AS i, len(ta.sh) AS na, len(tb.sh) AS nb
+         |    FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.2),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(0.5 * (len(list_distinct($toksSql)) * 1.0 / len($toksSql))
+         |        + 0.5 * least(len($toksSql) / 100.0, 1.0), 6) AS q
+         |  FROM documents)
+         |SELECT d.doc_id, q.q AS quality
+         |FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+         |  AND q.q >= 0.7
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir)("documents")
+      // near-dup pairs: drop the higher doc_id of each verified pair
+      val dups = TextDedup.minHashNearDups(docs, "doc_id", "text",
+          numHashes = 8, bands = 2, threshold = 0.2)
+        .select(col("id_b").as("doc_id")).distinct()
+      val tk = tokens(col("text"))
+      val quality = docs.select(col("doc_id"),
+        round(size(array_distinct(tk)).cast("double") / size(tk) * 0.5 +
+          least(size(tk).cast("double") / 100.0, lit(1.0)) * 0.5, 6).as("quality"))
+      docs.join(dups, Seq("doc_id"), "left_anti")
+        .join(quality, "doc_id")
+        .filter(col("quality") >= 0.7)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    },
+
     // 32-bit SimHash signature per document.
     q("x8_simhash",
       s"""WITH tok AS (

@@ -35,6 +35,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getString(1) == "b")
   }
 
+  test("CREATE TABLE ... USING parquet DDL facade reads the testdata") {
+    spark.sql("DROP TABLE IF EXISTS ddl_nation")
+    spark.sql(
+      s"""CREATE TABLE ddl_nation USING parquet
+         |OPTIONS (path '$dir/nation.parquet')""".stripMargin)
+    try {
+      assert(spark.sql("SELECT count(*) FROM ddl_nation").head.getLong(0) == 25)
+      assert(spark.sql("SELECT n_name FROM ddl_nation WHERE n_nationkey = 0").head.getString(0).nonEmpty)
+    } finally spark.sql("DROP TABLE ddl_nation")
+  }
+
   test("streaming file sink writes exactly-once parquet output") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_chk").toString
