@@ -44,6 +44,46 @@ object GraphOps {
     labels
   }
 
+  /** Delta iteration (SURVEY.md §2.9 — DataSet.iterateDelta:1234):
+    * min-label propagation where only CHANGED labels (the workset)
+    * send messages each superstep, with early termination when the
+    * workset empties — the Flink delta-iteration optimization that
+    * makes late supersteps touch only the frontier. Converges to the
+    * same fixpoint as full propagation.
+    */
+  def labelPropagationDelta(nodes: DataFrame, edges: DataFrame,
+                            maxIterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    var solution = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var workset = solution
+    var i = 0
+    var worksetSize = workset.count()
+    while (i < maxIterations && worksetSize > 0) {
+      // messages only from changed vertices
+      val msgs = workset.join(e, workset("node") === e("src"))
+        .groupBy(col("dst").as("m_node"))
+        .agg(min("label").as("m_label"))
+      val joined = solution.join(msgs, solution("node") === col("m_node"), "left")
+        .select(col("node"), col("label"), col("m_label"))
+        .localCheckpoint(true)
+      val next = joined
+        .select(col("node"),
+          when(col("m_label") < col("label"), col("m_label"))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+      workset = joined
+        .filter(col("m_label") < col("label"))
+        .select(col("node"), col("m_label").as("label"))
+        .localCheckpoint(true)
+      worksetSize = workset.count()
+      solution = next
+      i += 1
+    }
+    e.unpersist()
+    solution
+  }
+
   /** PageRank with damping d, fixed `iterations` supersteps over a
     * directed edge list; dangling nodes redistribute implicitly via
     * the (1-d)/N floor only (simple variant, deterministic). */

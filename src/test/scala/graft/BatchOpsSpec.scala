@@ -54,6 +54,40 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(got == Set(1L -> 2L, 3L -> 4L)) // id5 outside window; user2 B precedes A
   }
 
+  test("AsyncLookup.orderedWait keeps input order with bounded in-flight requests") {
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = graft.operators.AsyncLookup.orderedWait((1 to 50).iterator, capacity = 4, { (i: Int) =>
+      Future {
+        val cur = inFlight.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, cur))
+        Thread.sleep((i % 3).toLong)
+        inFlight.decrementAndGet()
+        i * 10
+      }
+    }).toSeq
+    assert(out == (1 to 50).map(i => i -> i * 10))
+    assert(maxSeen.get() <= 4)
+  }
+
+  test("delta iteration converges to the full label-propagation fixpoint") {
+    import spark.implicits._
+    // two chains + an isolate: 1-2-3-4, 10-11, 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val nodes = (Seq(20L) ++ pairs.flatMap(p => Seq(p._1, p._2))).distinct.toDF("node")
+    val edges = (pairs ++ pairs.map(_.swap) ++
+      (Seq(20L) ++ pairs.flatMap(p => Seq(p._1, p._2))).distinct.map(n => (n, n)))
+      .toDF("src", "dst")
+    val full = graft.operators.GraphOps.labelPropagation(nodes, edges, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = graft.operators.GraphOps.labelPropagationDelta(nodes, edges, maxIterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == full)
+    assert(delta(4L) == 1L && delta(11L) == 10L && delta(20L) == 20L)
+  }
+
   test("PatternNFA binds earliest chain and counts OneOrMore events") {
     import graft.operators.PatternNFA._
     import spark.implicits._
