@@ -148,6 +148,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sink.asScala.toSet == Set(100L -> "gold", 200L -> "silver", 101L -> "gold"))
   }
 
+  test("late-data side output: foreachBatch splits on-time vs late rows") {
+    // SURVEY §2.9 allowedLateness/sideOutputLateData analog: Spark
+    // drops late rows inside watermarked stateful ops, so the side
+    // channel is a foreachBatch filter against the previous watermark.
+    import org.apache.spark.sql.Dataset
+    val onTime = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val late = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var lastWmMicros = 0L
+    val input = StreamHarness.mkStream()
+    val q = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val wm = lastWmMicros
+        batch.collect().foreach { r =>
+          val tsM = r.getAs[Long]("tsMicros")
+          if (tsM < wm) late.add(r.getAs[Long]("id")) else onTime.add(r.getAs[Long]("id"))
+        }
+      }
+      .start()
+    def advance(b: Seq[graft.streaming.GEvent]): Unit = {
+      input.addData(b); q.processAllAvailable()
+      // mirror Spark's watermark for the next batch
+      val mx = b.map(_.tsMicros).max / 1000
+      lastWmMicros = math.max(lastWmMicros, (mx - 10000) * 1000)
+    }
+    advance(Seq(ev(1, 100, 1)))
+    advance(Seq(ev(1, 200, 2), ev(1, 50, 3)))  // id3 far below watermark (90s)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(onTime.asScala.toSet == Set(1L, 2L))
+    assert(late.asScala.toSet == Set(3L))
+  }
+
   test("streaming windowed agg (update) converges to batch result") {
     val batches = Seq(
       Seq(ev(1, 10, 1, value = 1.0), ev(1, 70, 2, value = 2.0)),
