@@ -148,6 +148,49 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sink.asScala.toSet == Set(100L -> "gold", 200L -> "silver", 101L -> "gold"))
   }
 
+  test("streaming agg runs on the RocksDB state store provider") {
+    // the 100 TB state backend (RocksDBKeyedStateBackend analog).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = StreamHarness.run(
+        Seq(Seq(ev(1, 10, 1, value = 2.0), ev(1, 20, 2, value = 3.0)),
+            Seq(ev(1, 30, 3, value = 5.0))),
+        OutputMode.Update, "rocks_spec") { ds =>
+        ds.groupBy("key").agg(sum("value").as("v"), count(lit(1)).as("n"))
+      }
+      val last = operators.Dedup.keepLast(
+        out.withColumn("_seq", monotonically_increasing_id()), Seq("key"), "_seq", "_seq")
+      assert(last.select("v").head.getDouble(0) == 10.0) // state carried across batches
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming query resumes from checkpoint with state intact") {
+    import org.apache.spark.sql.streaming.Trigger
+    val chk = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    spark.catalog.dropTempView("resume_spec")
+    val input = StreamHarness.mkStream()
+    def start() = input.toDS()
+      .groupBy("key").agg(sum("value").as("v"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", chk)
+      .format("memory").queryName("resume_spec").start()
+    val q1 = start()
+    input.addData(Seq(ev(1, 10, 1, value = 4.0)))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint; prior state must survive
+    val q2 = start()
+    input.addData(Seq(ev(1, 20, 2, value = 6.0)))
+    q2.processAllAvailable(); q2.stop()
+    val v = spark.table("resume_spec").filter(col("key") === 1)
+      .orderBy(col("v").desc).select("v").head.getDouble(0)
+    assert(v == 10.0) // 4.0 from before the restart + 6.0 after
+  }
+
   test("late-data side output: foreachBatch splits on-time vs late rows") {
     // SURVEY §2.9 allowedLateness/sideOutputLateData analog: Spark
     // drops late rows inside watermarked stateful ops, so the side
