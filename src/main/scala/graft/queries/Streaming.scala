@@ -258,6 +258,27 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // Streaming RANGE-frame OVER: per-user 30-minute trailing sum.
+    q("st12_stream_range_over",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS frame_sum,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS INT) AS n_in_frame
+        |FROM events, wm WHERE epoch_us(ts) <= wm.wm_us
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = StreamingRangeOverAgg(s, asGEvents(s, dir),
+        rangeMicros = 1800L * 1000000L, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st12_out")
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("frameSum").cast(DecimalType(38, 2)).as("frame_sum"),
+          col("nInFrame").as("n_in_frame"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Unbounded stream-stream join (no time bound — symmetric hash in
     // state; Spark's native join can't express this without a bound).
     q("st9_stream_join_unbounded",

@@ -49,6 +49,48 @@ object StreamingOverAgg {
   }
 }
 
+/** RANGE-frame variant (RowTimeRangeBoundedPrecedingFunction.java
+  * semantics): per-key sum over events in [t − range, t], emitted at
+  * watermark maturity; history pruned to the range window → bounded
+  * state. Same-timestamp peers are summed in (ts, id) processing
+  * order — a peer with a higher id is not yet visible to a lower-id
+  * row at the identical timestamp (SQL RANGE frames include all
+  * peers; identical-timestamp keys don't occur in the driver data).
+  */
+object StreamingRangeOverAgg {
+  case class State(history: List[(Long, Long, Double)],
+                   pending: List[(Long, Long, Double)])
+
+  def apply(spark: SparkSession, events: Dataset[GEvent], rangeMicros: Long,
+            watermarkDelay: String = "1 minute"): Dataset[OverEmit] = {
+    import spark.implicits._
+    val tagged = events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(Nil, Nil))
+        var pending = cur.pending
+        rows.foreach(e => pending = (e.tsMicros, e.id, e.value) :: pending)
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (mature, stillPending) = pending.partition(_._1 <= wmMicros)
+        var history = cur.history
+        val out = mature.sortBy(r => (r._1, r._2)).map { case (ts, id, v) =>
+          history = ((ts, id, v) :: history).filter(_._1 >= ts - rangeMicros)
+          val inFrame = history.filter(h => h._1 >= ts - rangeMicros && h._1 <= ts)
+          val sum = inFrame.map(h => BigDecimal(h._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          OverEmit(key, id, ts, sum, inFrame.size)
+        }
+        state.update(State(history, stillPending))
+        if (stillPending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
 case class JoinEmit(key: Long, leftId: Long, rightId: Long)
 
 /** Unbounded stream-stream equi-join (SURVEY.md §2.3 —
