@@ -30,6 +30,8 @@ object PatternNFA {
   sealed trait Quant
   case object One extends Quant
   case object OneOrMore extends Quant
+  /** Exactly n successive earliest occurrences (Pattern.times(n)). */
+  final case class Times(n: Int) extends Quant
 
   /** One pattern step: match events whose kind equals `kind`. */
   final case class Step(name: String, kind: String, quant: Quant = One)
@@ -40,9 +42,14 @@ object PatternNFA {
   /** events: (key, tsMicros, id, kind) rows. One output row per
     * anchor that completes the pattern: binding-chain ids and
     * OneOrMore counts as deterministic strings. */
-  def run(spark: SparkSession, events: DataFrame, steps: Seq[Step],
+  def run(spark: SparkSession, events: DataFrame, stepsIn: Seq[Step],
           withinMicros: Long): DataFrame = {
     import spark.implicits._
+    // Times(n) expands to n successive One bindings of the same kind.
+    val steps = stepsIn.flatMap {
+      case Step(nm, k, Times(n)) => (1 to n).map(i => Step(s"$nm$i", k, One))
+      case s => Seq(s)
+    }
     require(steps.nonEmpty && steps.head.quant == One,
       "first step must be quantifier One (anchor)")
     val ds = events.select(
