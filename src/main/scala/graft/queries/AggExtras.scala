@@ -85,6 +85,56 @@ object AggExtras extends QueryGroup {
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     },
 
+    // Table aggregate (UDTAGG, SURVEY §2.4 GroupTableAggFunction):
+    // emit top-2 rows per group from one aggregate — Aggregator-style
+    // collect → sort → slice → explode.
+    q("a6_table_agg",
+      """SELECT s_nationkey, rank, s_suppkey, CAST(bal AS DECIMAL(18,2)) AS bal FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal AS bal,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rank
+        |  FROM supplier)
+        |WHERE rank <= 2
+        |ORDER BY s_nationkey, rank""".stripMargin) { (s, dir) =>
+      t(s, dir)("supplier")
+        .groupBy("s_nationkey")
+        .agg(slice(reverse(array_sort(collect_list(
+          struct(col("s_acctbal"), (lit(Long.MaxValue) - col("s_suppkey")).as("_inv"),
+            col("s_suppkey"))))), 1, 2).as("top2"))
+        .select(col("s_nationkey"), posexplode(col("top2")))
+        .select(col("s_nationkey"), (col("pos") + 1).as("rank"),
+          col("col.s_suppkey").as("s_suppkey"),
+          col("col.s_acctbal").cast(DecimalType(18, 2)).as("bal"))
+        .orderBy("s_nationkey", "rank")
+    },
+
+    // Window ratio-to-report: each nation's share of its region's
+    // customer balance (agg + window over agg).
+    q("a7_ratio_to_report",
+      """WITH nb AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |  CAST(bal AS DECIMAL(38,2)) AS bal,
+        |  round(CAST(bal AS DOUBLE) / CAST(sum(bal) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+        |FROM nb ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer")
+      val n = t(s, dir)("nation")
+      val r = t(s, dir)("region")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal"))
+        .select(col("r_name"), col("n_name"),
+          col("bal").cast(DecimalType(38, 2)).as("bal"),
+          round(col("bal").cast("double") / sum(col("bal")).over(w).cast("double"), 6)
+            .as("share"))
+        .orderBy("r_name", "n_name")
+    },
+
     // Sketches: HLL distinct + approximate quantiles — algorithms are
     // engine-specific, so this is a rows-only entry; the spec bounds
     // are asserted in BatchOpsSpec instead.

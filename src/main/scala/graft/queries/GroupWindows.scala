@@ -134,6 +134,38 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "wid")
     },
 
+    // Sessionized journeys: ordered event-type path per session — the
+    // sessionize→sequence shape of user-journey / funnel analysis.
+    q("gw5_session_journeys",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          min("ts").as("session_start"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("journey"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "journey", "n_events")
+        .orderBy("user_id", "session_start")
+    },
+
     // CEP: signup followedBy purchase within 2h, earliest match per
     // signup (MATCH_RECOGNIZE ... PATTERN (A B) semantics, batch).
     q("cep1_followed_by",

@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(q).contains("WindowGroupLimit"), planOf(q))
   }
 
+  test("minhash signatures plan map-side partial aggregation") {
+    val plan = planOf(graft.operators.TextDedup.minHashSignatures(
+      Tables(spark, dir, "documents"), "doc_id", "text", numHashes = 4))
+    assert(plan.contains("partial_min"), s"expected partial aggregation:\n$plan")
+  }
+
   test("bucketed tables co-locate the join (no Exchange)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
