@@ -230,6 +230,39 @@ object Joins extends QueryGroup {
         .orderBy(col("signup_id"), asc_nulls_first("purchase_id"))
     },
 
+    // Null semantics battery: null-producing outer join, null-safe
+    // equality (<=>), count(*) vs count(col) (nullData fixtures
+    // semantics, SURVEY §5).
+    q("j13_null_semantics",
+      """WITH lo AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_totalprice > 300000 THEN o_custkey END AS maybe_cust
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |agg AS (
+        |  SELECT maybe_cust, count(*) AS n_all, count(maybe_cust) AS n_nonnull
+        |  FROM lo GROUP BY maybe_cust)
+        |SELECT a.maybe_cust IS NULL AS is_null_group,
+        |  count(*) AS n_groups,
+        |  CAST(sum(a.n_all) AS BIGINT) AS rows_all,
+        |  CAST(sum(a.n_nonnull) AS BIGINT) AS rows_nonnull,
+        |  CAST(sum(CASE WHEN a.maybe_cust IS NOT DISTINCT FROM b.maybe_cust THEN 1 ELSE 0 END) AS BIGINT) AS selfmatch
+        |FROM agg a JOIN agg b ON a.maybe_cust IS NOT DISTINCT FROM b.maybe_cust
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val lo = t(s, dir)("orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, col("o_custkey")).as("maybe_cust"))
+      val agg = lo.groupBy("maybe_cust")
+        .agg(count(lit(1)).as("n_all"), count(col("maybe_cust")).as("n_nonnull"))
+      val a = agg.select(col("maybe_cust").as("mc_a"), col("n_all"), col("n_nonnull"))
+      val b = agg.select(col("maybe_cust").as("mc_b"))
+      a.join(b, col("mc_a") <=> col("mc_b"))
+        .groupBy(col("mc_a").isNull.as("is_null_group"))
+        .agg(count(lit(1)).as("n_groups"), sum("n_all").as("rows_all"),
+          sum("n_nonnull").as("rows_nonnull"),
+          sum(when(col("mc_a") <=> col("mc_b"), 1).otherwise(0)).as("selfmatch"))
+        .orderBy("is_null_group")
+    },
+
     // As-of (temporal) join, batch form — for each purchase, the most
     // recent signup of the same user at-or-before it. Implemented
     // scale-first: union both sides, ONE window sort per user (linear,

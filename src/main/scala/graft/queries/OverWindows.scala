@@ -144,6 +144,26 @@ object OverWindows extends QueryGroup {
         .orderBy("s_nationkey", "s_suppkey")
     },
 
+    // UNBOUNDED FOLLOWING frame: remaining-revenue-from-here per
+    // supplier (Range/RowUnboundedFollowingOverFrame analog).
+    q("w8_unbounded_following",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DECIMAL(38,2)) AS remaining
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir)("lineitem").filter(col("l_suppkey") <= 3)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_extendedprice").cast(dec18_2)).over(w)
+            .cast(DecimalType(38, 2)).as("remaining"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
     // Top-N per group: row_number + filter — the shape the reference's
     // FlinkLogicalRankRule recognizes into its Rank operator
     // (BatchExecRank, SURVEY §2.6).
