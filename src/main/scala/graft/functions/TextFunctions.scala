@@ -34,12 +34,6 @@ object TextFunctions {
   def hash32(token: Column): Column =
     conv(substring(md5(token.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
 
-  /** MinHash value for one seed: min md5("seed:shingle") over shingles.
-    * (Lexicographic min over hex strings — identical in any engine.) */
-  def minHash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles,
-      s => md5(concat(lit(s"$seed:"), s).cast(BinaryType))))
-
   /** Normalized-document fingerprint (md5 of ws-collapsed text). */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " ").cast(BinaryType))

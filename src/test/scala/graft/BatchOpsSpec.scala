@@ -104,6 +104,32 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "1,2,4", "bs:2"))) // B@50 is after C-binding → not counted
   }
 
+  test("PatternNFA includes matches exactly at the within-horizon boundary") {
+    import graft.operators.PatternNFA._
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 1L, "A"), (1L, 100L, 2L, "B"),   // B exactly at deadline
+      (2L, 0L, 3L, "A"), (2L, 101L, 4L, "B"))   // B one past deadline
+      .toDF("key", "tsMicros", "id", "kind")
+    val got = graft.operators.PatternNFA.run(spark, ev,
+        Seq(Step("a", "A"), Step("b", "B")), withinMicros = 100L)
+      .select("key").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L)) // inclusive at the boundary, exclusive past it
+  }
+
+  test("Changelog unfold/fold round-trips to final versions") {
+    import spark.implicits._
+    val versions = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (2L, 5L, 7.0))
+      .toDF("k", "seq", "v")
+    val log = graft.operators.Changelog.unfold(versions, Seq("k"), "seq")
+    val kinds = log.groupBy("_change_kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("+I" -> 2, "+U" -> 2, "-U" -> 2)) // 2 keys, 4 versions
+    val fin = graft.operators.Changelog.fold(log, Seq("k"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fin == Map(1L -> 30.0, 2L -> 7.0))
+  }
+
   test("approx sketches stay within tolerance of exact answers") {
     val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
     val r = li.agg(
