@@ -4,21 +4,50 @@
 Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`,
 run `python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out`.
 
-For each query: load the Spark parquet result, run the oracle SQL in
-DuckDB over the testdata parquet, sort columns by name, sort rows,
-compare values exactly; for float columns report max abs diff too.
+Mirrors the DRIVER's compare, which hash-matches STRING renderings:
+the Spark parquet is read back raw (a decimal column renders
+scale-padded, e.g. Decimal('284019.50')), while the oracle's DuckDB
+values come back as float64 (e.g. 284019.5). So:
+  - spark side: values exactly as read from parquet (no normalization);
+  - oracle side: decimal.Decimal -> float (the driver's pandas path);
+  - sort columns by name, rows by rendered tuple, compare str() cells.
+A decimal column surviving on the spark side is reported as REPR-RISK
+even when the values happen to match at this scale (trailing zeros are
+data-dependent — such a query passes by luck and flakes at other SFs).
 """
-import sys, os, json, glob
+import sys, os, json, glob, decimal
 import duckdb
-import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def normalize(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+
+def render(v):
+    return str(v)
+
+
+def fetch(con, sql, oracle_side):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    decimal_cols = set()
+    out = []
+    for r in rows:
+        vals = []
+        for c, v in zip(cols, r):
+            if isinstance(v, decimal.Decimal):
+                decimal_cols.add(c)
+                if oracle_side:
+                    v = float(v)
+            vals.append(v)
+        out.append(vals)
+    # driver sorts columns by name before hashing
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    rendered = [[render(r[i]) for i in order] for r in out]
+    rendered.sort()
+    return cols_sorted, rendered, decimal_cols
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -26,42 +55,33 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    risky = []
     for name in sorted(oracle):
         res_dir = os.path.join(out_dir, name)
-        files = glob.glob(os.path.join(res_dir, "*.parquet"))
-        if not files:
+        if not glob.glob(os.path.join(res_dir, "*.parquet")):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-            exp = con.execute(oracle[name]).df()
+            gc, gr, gdec = fetch(
+                con, f"SELECT * FROM '{res_dir}/*.parquet'", oracle_side=False)
+            ec, er, _ = fetch(con, oracle[name], oracle_side=True)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        g, e = normalize(got), normalize(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
-            n_fail += 1; continue
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
-        ok = True
-        for c in g.columns:
-            a, b = g[c], e[c]
-            try:
-                same = a.equals(b) or (a.astype(str) == b.astype(str)).all()
-            except Exception:
-                same = False
-            if not same:
-                try:
-                    import numpy as np
-                    d = (pd.to_numeric(a) - pd.to_numeric(b)).abs().max()
-                    print(f"FAIL {name}: col {c} differs, max abs diff={d}")
-                except Exception:
-                    diff_idx = (a.astype(str) != b.astype(str))
-                    i = diff_idx[diff_idx].index[0]
-                    print(f"FAIL {name}: col {c} differs, e.g. row {i}: {a[i]!r} vs {b[i]!r}")
-                ok = False
-        if ok:
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        if gdec:
+            risky.append((name, sorted(gdec)))
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs {ec}"); n_fail += 1; continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rows {len(gr)} vs {len(er)}"); n_fail += 1; continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            if a != b:
+                bad = (i, a, b); break
+        if bad is None:
+            print(f"PASS {name} ({len(gr)} rows)"); n_pass += 1
         else:
+            i, a, b = bad
+            diffs = [(c, x, y) for c, x, y in zip(gc, a, b) if x != y]
+            print(f"FAIL {name}: row {i} differs: {diffs[:3]}")
             n_fail += 1
     # rows-only queries (no oracle): just check output exists and >0 rows
     for d in sorted(os.listdir(out_dir)):
@@ -75,8 +95,11 @@ def main(sf_dir, out_dir):
                 else: n_fail += 1
             except Exception as ex:
                 print(f"FAIL {d} (rows-only): {ex}"); n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    for name, cols in risky:
+        print(f"REPR-RISK {name}: spark output still decimal: {cols}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(risky)} repr-risk")
+    return 1 if (n_fail or risky) else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

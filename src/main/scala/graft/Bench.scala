@@ -30,7 +30,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver scrapes stdout for one JSON line; sbt noise can bury or
+    // truncate it, so persist the line to a file too and make the JSON
+    // the very last thing printed after the session is fully stopped.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

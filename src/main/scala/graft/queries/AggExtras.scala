@@ -117,7 +117,7 @@ object AggExtras extends QueryGroup {
         |  JOIN region r ON n.n_regionkey = r.r_regionkey
         |  GROUP BY r_name, n_name)
         |SELECT r_name, n_name,
-        |  CAST(bal AS DECIMAL(38,2)) AS bal,
+        |  CAST(bal AS DOUBLE) AS bal,
         |  round(CAST(bal AS DOUBLE) / CAST(sum(bal) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
         |FROM nb ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
       val c = t(s, dir)("customer")
@@ -129,7 +129,7 @@ object AggExtras extends QueryGroup {
         .groupBy("r_name", "n_name")
         .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal"))
         .select(col("r_name"), col("n_name"),
-          col("bal").cast(DecimalType(38, 2)).as("bal"),
+          col("bal").cast(DoubleType).as("bal"),
           round(col("bal").cast("double") / sum(col("bal")).over(w).cast("double"), 6)
             .as("share"))
         .orderBy("r_name", "n_name")

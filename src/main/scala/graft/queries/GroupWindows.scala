@@ -25,7 +25,7 @@ object GroupWindows extends QueryGroup {
       """SELECT date_trunc('hour', ts) AS wstart,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
         |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
@@ -33,7 +33,7 @@ object GroupWindows extends QueryGroup {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
         .select(
           col("window.start").as("wstart"), col("window.end").as("wend"),
           col("event_type"), col("n"), col("total"))
@@ -120,7 +120,7 @@ object GroupWindows extends QueryGroup {
         |  FROM events)
         |SELECT user_id, CAST(floor((rn - 1) / 10.0) AS INT) AS wid,
         |  count(*) AS n, min(ts) AS w_first, max(ts) AS w_last,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM r GROUP BY 1, 2
         |ORDER BY user_id, wid""".stripMargin) { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -130,7 +130,7 @@ object GroupWindows extends QueryGroup {
         .withColumn("wid", floor((col("rn") - 1) / 10.0).cast(IntegerType))
         .groupBy("user_id", "wid")
         .agg(count(lit(1)).as("n"), min("ts").as("w_first"), max("ts").as("w_last"),
-          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
         .orderBy("user_id", "wid")
     },
 

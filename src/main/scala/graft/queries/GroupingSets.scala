@@ -19,7 +19,7 @@ object GroupingSets extends QueryGroup {
     q("g1_rollup",
       """SELECT coalesce(n_name, '<all>') AS nation, coalesce(c_mktsegment, '<all>') AS segment,
         |  CAST(grouping(n_name) AS INT) AS g_nation, CAST(grouping(c_mktsegment) AS INT) AS g_segment,
-        |  count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+        |  count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)
         |ORDER BY g_nation, g_segment, nation, segment""".stripMargin) { (s, dir) =>
@@ -31,7 +31,7 @@ object GroupingSets extends QueryGroup {
       s.sql(
         """SELECT coalesce(n_name, '<all>') AS nation, coalesce(c_mktsegment, '<all>') AS segment,
           |  CAST(grouping(n_name) AS INT) AS g_nation, CAST(grouping(c_mktsegment) AS INT) AS g_segment,
-          |  count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          |  count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
           |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
           |GROUP BY ROLLUP (n_name, c_mktsegment)
           |ORDER BY g_nation, g_segment, nation, segment""".stripMargin)

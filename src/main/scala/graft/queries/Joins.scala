@@ -29,7 +29,7 @@ object Joins extends QueryGroup {
     // broadcast for customer (small side) — revenue per order.
     q("j1_inner_join",
       """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  CAST(o.o_orderdate AS DATE) AS orderdate
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -45,7 +45,7 @@ object Joins extends QueryGroup {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast(dec18_2) * (lit(1) - col("l_discount").cast(dec4_2)))
-          .cast(DecimalType(38, 4)).as("revenue"))
+          .cast(DoubleType).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast(DateType).as("orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(20)
@@ -54,7 +54,7 @@ object Joins extends QueryGroup {
     // LEFT OUTER: every customer, order count + spend (0 for no orders).
     q("j2_left_outer",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c_custkey
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
@@ -64,7 +64,7 @@ object Joins extends QueryGroup {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(col("o_totalprice").cast(dec18_2)), lit(0)).cast(DecimalType(38, 2)).as("spend"))
+          coalesce(sum(col("o_totalprice").cast(dec18_2)), lit(0)).cast(DoubleType).as("spend"))
         .orderBy("c_custkey")
     },
 
@@ -137,7 +137,7 @@ object Joins extends QueryGroup {
     // lookup join → broadcast snapshot of the dimension table).
     q("j7_broadcast_lookup",
       """SELECT n_name, r_name, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -151,7 +151,7 @@ object Joins extends QueryGroup {
         .groupBy("n_name", "r_name")
         .agg(
           count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast(dec18_2)).cast(DecimalType(38, 2)).as("total_bal"))
+          sum(col("c_acctbal").cast(dec18_2)).cast(DoubleType).as("total_bal"))
         .orderBy("n_name", "r_name")
     },
 

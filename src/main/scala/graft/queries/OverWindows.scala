@@ -25,7 +25,7 @@ object OverWindows extends QueryGroup {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_rev
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
@@ -35,7 +35,7 @@ object OverWindows extends QueryGroup {
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_extendedprice").cast(dec18_2)).over(w)
-            .cast(DecimalType(38, 2)).as("running_rev"))
+            .cast(DoubleType).as("running_rev"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
 
@@ -150,7 +150,7 @@ object OverWindows extends QueryGroup {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DECIMAL(38,2)) AS remaining
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS remaining
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
@@ -160,7 +160,7 @@ object OverWindows extends QueryGroup {
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_extendedprice").cast(dec18_2)).over(w)
-            .cast(DecimalType(38, 2)).as("remaining"))
+            .cast(DoubleType).as("remaining"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
 

@@ -26,9 +26,9 @@ object Relational extends QueryGroup {
     q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -45,9 +45,9 @@ object Relational extends QueryGroup {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
-          sum(price * (lit(1) - disc)).cast(DecimalType(38, 4)).as("sum_disc_price"),
-          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(DecimalType(38, 6)).as("sum_charge"),
+          sum(price).cast(DoubleType).as("sum_base_price"),
+          sum(price * (lit(1) - disc)).cast(DoubleType).as("sum_disc_price"),
+          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast(DoubleType).as("sum_charge"),
           (sum("l_quantity") / count(lit(1))).as("avg_qty"),
           (sum(price).cast(DoubleType) / count(lit(1))).as("avg_price"),
           (sum(disc).cast(DoubleType) / count(lit(1))).as("avg_disc"),
@@ -60,7 +60,7 @@ object Relational extends QueryGroup {
     // filter + column pruning pushed to the parquet scan.
     q("q2_calc",
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS net_price,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price,
         |  CAST(l_quantity AS BIGINT) AS qty,
         |  upper(l_returnflag) AS flag
         |FROM lineitem
@@ -71,7 +71,7 @@ object Relational extends QueryGroup {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice").cast(dec18_2) * (lit(1) - col("l_discount").cast(dec4_2)))
-            .cast(DecimalType(38, 4)).as("net_price"),
+            .cast(DoubleType).as("net_price"),
           col("l_quantity").cast(LongType).as("qty"),
           upper(col("l_returnflag")).as("flag"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -82,13 +82,13 @@ object Relational extends QueryGroup {
     q("q3_global_agg",
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem""".stripMargin) { (s, dir) =>
       t(s, dir)("lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(col("l_extendedprice").cast(dec18_2)).cast(DecimalType(38, 2)).as("total_price"),
+        sum(col("l_extendedprice").cast(dec18_2)).cast(DoubleType).as("total_price"),
         min("l_shipdate").as("min_ship"),
         max("l_shipdate").as("max_ship"))
     },
@@ -131,7 +131,7 @@ object Relational extends QueryGroup {
     q("q6_agg_funcs",
       """SELECT c_mktsegment,
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  round(stddev_samp(c_acctbal), 4) AS sd_bal,
         |  round(var_samp(c_acctbal), 4) AS var_bal,
         |  min_by(c_name, c_custkey) AS first_name,
@@ -144,7 +144,7 @@ object Relational extends QueryGroup {
         .agg(
           min("c_acctbal").as("min_bal"),
           max("c_acctbal").as("max_bal"),
-          sum(col("c_acctbal").cast(dec18_2)).cast(DecimalType(38, 2)).as("sum_bal"),
+          sum(col("c_acctbal").cast(dec18_2)).cast(DoubleType).as("sum_bal"),
           round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
           round(var_samp(col("c_acctbal")), 4).as("var_bal"),
           min_by(col("c_name"), col("c_custkey")).as("first_name"),

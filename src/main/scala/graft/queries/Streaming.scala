@@ -48,12 +48,12 @@ object Streaming extends QueryGroup {
     // WindowAggregate semantics on a bounded stream).
     q("st1_stream_tumble",
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
       val agg = eventStream(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
       StreamRunner.toTable(s, agg, OutputMode.Complete, "st1_out")
         .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
         .orderBy("wstart", "event_type")
@@ -64,12 +64,12 @@ object Streaming extends QueryGroup {
     // last update per key = batch aggregate).
     q("st2_stream_groupagg",
       """SELECT user_id, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       val agg = eventStream(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec18_2)).cast(DecimalType(38, 2)).as("total"))
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
       val updates = StreamRunner.toTable(s, agg, OutputMode.Update, "st2_out")
       graft.operators.Dedup.keepLast(
           updates.withColumn("_seq", monotonically_increasing_id()),
@@ -244,7 +244,7 @@ object Streaming extends QueryGroup {
         |SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS frame_sum,
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum,
         |  least(CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT), 4) AS n_in_frame
         |FROM events, wm WHERE epoch_us(ts) <= wm.wm_us
         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
@@ -253,7 +253,7 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st8_out")
         .select(col("key").as("user_id"), col("id").as("event_id"),
-          col("frameSum").cast(DecimalType(38, 2)).as("frame_sum"),
+          col("frameSum").cast(DoubleType).as("frame_sum"),
           col("nInFrame").as("n_in_frame"))
         .orderBy("user_id", "event_id")
     },
@@ -264,7 +264,7 @@ object Streaming extends QueryGroup {
         |SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
         |    OVER (PARTITION BY user_id ORDER BY ts
-        |          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS frame_sum,
+        |          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum,
         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
         |          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS INT) AS n_in_frame
         |FROM events, wm WHERE epoch_us(ts) <= wm.wm_us
@@ -274,7 +274,7 @@ object Streaming extends QueryGroup {
         rangeMicros = 1800L * 1000000L, watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st12_out")
         .select(col("key").as("user_id"), col("id").as("event_id"),
-          col("frameSum").cast(DecimalType(38, 2)).as("frame_sum"),
+          col("frameSum").cast(DoubleType).as("frame_sum"),
           col("nInFrame").as("n_in_frame"))
         .orderBy("user_id", "event_id")
     },

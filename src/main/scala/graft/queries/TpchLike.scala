@@ -23,7 +23,7 @@ object TpchLike extends QueryGroup {
     // TPC-H Q5-flavored: revenue by nation for one region and year.
     q("h1_local_supplier_volume",
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -46,7 +46,7 @@ object TpchLike extends QueryGroup {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(rev).cast(DecimalType(38, 4)).as("revenue"))
+        .agg(sum(rev).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -55,8 +55,8 @@ object TpchLike extends QueryGroup {
       """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
         |  CAST(sum(CASE WHEN p_type = 'PROMO'
         |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-        |        ELSE 0 END) AS DECIMAL(38,4)) AS promo_rev,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS total_rev
+        |        ELSE 0 END) AS DOUBLE) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE year(l_shipdate) = 1996
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
@@ -66,8 +66,8 @@ object TpchLike extends QueryGroup {
         .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"))
         .agg(
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
-            .cast(DecimalType(38, 4)).as("promo_rev"),
-          sum(rev).cast(DecimalType(38, 4)).as("total_rev"))
+            .cast(DoubleType).as("promo_rev"),
+          sum(rev).cast(DoubleType).as("total_rev"))
         .orderBy("month")
     },
 
@@ -92,7 +92,7 @@ object TpchLike extends QueryGroup {
     // TPC-H Q10-flavored: top customers by returned revenue.
     q("h4_returned_revenue",
       """SELECT c_custkey, c_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -109,7 +109,7 @@ object TpchLike extends QueryGroup {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(sum(rev).cast(DecimalType(38, 4)).as("revenue"))
+        .agg(sum(rev).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },

@@ -61,7 +61,7 @@ object TypedOps extends QueryGroup {
     // pass, including order-less customers.
     q("ty3_cogroup",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -79,7 +79,7 @@ object TypedOps extends QueryGroup {
         }
         .toDF("c_custkey", "n_orders", "spend")
         .select(col("c_custkey"), col("n_orders"),
-          col("spend").cast(DecimalType(38, 2)).as("spend"))
+          col("spend").cast(DoubleType).as("spend"))
         .orderBy("c_custkey")
     },
 
@@ -114,7 +114,7 @@ object TypedOps extends QueryGroup {
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS nv
         |  FROM events)
-        |SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS net_total,
+        |SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS net_total,
         |  count(*) AS n_keys
         |FROM v WHERE rn = nv""".stripMargin) { (s, dir) =>
       val versions = t(s, dir)("events").select("user_id", "event_id", "value")
@@ -122,7 +122,7 @@ object TypedOps extends QueryGroup {
       val signed = log.withColumn("_sign",
         when(col("_change_kind").isin("+I", "+U"), 1).otherwise(-1))
       signed.agg(
-        sum(col("value").cast(dec18_2) * col("_sign")).cast(DecimalType(38, 2)).as("net_total"),
+        sum(col("value").cast(dec18_2) * col("_sign")).cast(DoubleType).as("net_total"),
         (sum(col("_sign"))).cast(LongType).as("n_keys"))
     },
 
@@ -130,11 +130,11 @@ object TypedOps extends QueryGroup {
     // direct groupBy, hot keys fanned over 8 reducers first.
     q("ty7_salted_agg",
       """SELECT event_type,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total, count(*) AS n
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       graft.operators.SkewJoin.saltedSumCount(
           t(s, dir)("events"), "event_type", col("value").cast(dec18_2), salts = 8)
-        .select(col("event_type"), col("total").cast(DecimalType(38, 2)).as("total"), col("n"))
+        .select(col("event_type"), col("total").cast(DoubleType).as("total"), col("n"))
         .orderBy("event_type")
     },
 
