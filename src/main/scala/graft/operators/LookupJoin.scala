@@ -5,28 +5,29 @@ import org.apache.spark.sql.functions._
 
 /** Lookup join (SURVEY.md §2.3 — StreamExecLookupJoin /
   * LookupJoinRunner.java:34): enrich a fact stream by per-row point
-  * lookups into an external dimension table, with a per-executor
-  * cache.
+  * lookups into a dimension table.
   *
-  * Spark shape: for dimensions that fit in memory, snapshot+broadcast
-  * (zero network per row, the planner's BroadcastHashJoin equivalent
-  * but through an explicit lookup function — the pattern a JDBC/HBase
-  * connector plugs into). The `lookup` closure stands where a
-  * connection pool + LRU cache would sit; here it is a broadcast map,
-  * keeping the driver contract deterministic and testable.
+  * Spark shape: a left BroadcastHashJoin. The dimension is hashed once
+  * per executor by the broadcast exchange (no driver materialization,
+  * no UDF serialization, codegen'd probe), which is exactly the
+  * per-executor cache the reference's lookup runner maintains — and it
+  * scales to fat dimensions that would OOM a driver-side collect().
   */
 object LookupJoin {
 
   /** Enrich `facts` with `dimValue` looked up by `factKey` from the
-    * (small) `dim` table's key/value columns. Missing keys → null. */
+    * (small) `dim` table's key/value columns. Missing keys → null.
+    * Duplicate dim keys are collapsed to one value (point-lookup
+    * contract), keeping left-row multiplicity exactly 1:1.
+    */
   def broadcastLookup(spark: SparkSession, facts: DataFrame, factKey: String,
                       dim: DataFrame, dimKey: String, dimValue: String,
                       outCol: String): DataFrame = {
-    val snapshot: Map[Long, String] = dim
-      .select(col(dimKey).cast("long"), col(dimValue).cast("string"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val bc = spark.sparkContext.broadcast(snapshot)
-    val lookupUdf = udf((k: Long) => bc.value.get(k))
-    facts.withColumn(outCol, lookupUdf(col(factKey).cast("long")))
+    val side = dim
+      .groupBy(col(dimKey).cast("long").as("__lk_key"))
+      .agg(first(col(dimValue).cast("string")).as(outCol))
+    facts
+      .join(broadcast(side), col(factKey).cast("long") === col("__lk_key"), "left")
+      .drop("__lk_key")
   }
 }

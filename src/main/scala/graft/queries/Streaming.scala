@@ -71,9 +71,11 @@ object Streaming extends QueryGroup {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
       val updates = StreamRunner.toTable(s, agg, OutputMode.Update, "st2_out")
-      graft.operators.Dedup.keepLast(
-          updates.withColumn("_seq", monotonically_increasing_id()),
-          Seq("user_id"), "_seq", "_seq")
+      // Last update per key, sequenced by the count column: per-key
+      // counts are strictly increasing across update emissions, so max(n)
+      // identifies the final revision without relying on sink row order
+      // (which is not contractual across micro-batches).
+      graft.operators.Dedup.keepLast(updates, Seq("user_id"), "n", "n")
         .select("user_id", "n", "total")
         .orderBy("user_id")
     },

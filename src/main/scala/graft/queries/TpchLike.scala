@@ -159,6 +159,228 @@ object TpchLike extends QueryGroup {
         .orderBy("p_partkey")
     },
 
+    // TPC-H Q7-flavored: volume shipped between two nation pairs by
+    // ship year (two-way nation self-join with a disjunctive pair
+    // predicate; lineitem⋈orders⋈customer shuffle, dims broadcast).
+    q("h7_volume_shipping",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val c = t(s, dir)("customer")
+      val sup = t(s, dir)("supplier")
+      val n1 = t(s, dir)("nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir)("nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(n1), col("n1_key") === sup("s_nationkey"))
+        .join(broadcast(n2), col("n2_key") === c("c_nationkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8-flavored: one supplier nation's market share within a
+    // customer region, per order year (agg-of-agg as a conditional
+    // numerator over the same grouped sum — a single pass).
+    q("h8_market_share",
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |        ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val c = t(s, dir)("customer")
+      val sup = t(s, dir)("supplier")
+      val n1 = t(s, dir)("nation").select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = t(s, dir)("nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val r = t(s, dir)("region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n1), col("n1_key") === c("c_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === col("n1_region"))
+        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(n2), col("n2_key") === sup("s_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0)))
+            .cast(DoubleType) / sum(rev).cast(DoubleType)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9-flavored: profit (revenue minus retail cost of the
+    // shipped quantity) by supplier nation and ship year, for one part
+    // family — all money math in DECIMAL until the final projection.
+    q("h9_product_profit",
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val p = t(s, dir)("part").filter(col("p_name").like("%gear%"))
+      val sup = t(s, dir)("supplier")
+      val n = t(s, dir)("nation")
+      val cost = col("p_retailprice").cast(dec18_2) *
+        col("l_quantity").cast(DecimalType(9, 2))
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(n), n("n_nationkey") === sup("s_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(rev - cost).cast(DoubleType).as("profit"))
+        .orderBy("nation", "o_year")
+    },
+
+    // TPC-H Q17-flavored: revenue from small-quantity lines of one
+    // brand, against each part's own average quantity (correlated
+    // scalar aggregate → per-part agg then join; single global row).
+    q("h10_small_qty_revenue",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                            WHERE l2.l_partkey = p.p_partkey)""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val p = t(s, dir)("part").filter(col("p_brand") === "Brand#1")
+      // correlated scalar agg decorrelated by hand: per-part avg once,
+      // then an equi-join — the rewrite Catalyst/the reference's
+      // RewriteCorrelatedScalarSubquery would produce.
+      val avgQty = l.groupBy(col("l_partkey").as("aq_key"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .join(avgQty, col("aq_key") === l("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(dec18_2)).cast(DoubleType) / 7.0)
+          .as("avg_yearly"))
+    },
+
+    // TPC-H Q20-flavored: suppliers who shipped an excess quantity of
+    // some part family in one year (nested grouped HAVING feeding an
+    // IN → semi join).
+    q("h11_excess_suppliers",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 50)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem").filter(year(col("l_shipdate")) === 1996)
+      val p = t(s, dir)("part").filter(col("p_name").like("%red%"))
+      val sup = t(s, dir)("supplier")
+      val excess = l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum("l_quantity").as("qty"))
+        .filter(col("qty") > 50)
+        .select("l_suppkey")
+      sup.join(excess, sup("s_suppkey") === excess("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q21-flavored: suppliers who were the ONLY late shipper in
+    // a multi-supplier order (late = shipped >60 days after the order
+    // date) — the double-correlated EXISTS + NOT EXISTS shape, as a
+    // semi join then an anti join on the order key.
+    q("h12_waiting_suppliers",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val sup = t(s, dir)("supplier")
+      val l1 = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select(col("l_orderkey").as("w_orderkey"), col("l_suppkey").as("w_suppkey"),
+          col("o_orderdate").as("w_orderdate"))
+      val l2 = l.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
+      val l3 = l.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"),
+        col("l_shipdate").as("d3_ship"))
+      l1.join(l2, col("w_orderkey") === col("o2_key") &&
+          col("w_suppkey") =!= col("s2_key"), "left_semi")
+        .join(l3, col("w_orderkey") === col("o3_key") &&
+          col("w_suppkey") =!= col("s3_key") &&
+          col("d3_ship") > col("w_orderdate") + expr("INTERVAL 60 DAY"), "left_anti")
+        .join(broadcast(sup), sup("s_suppkey") === col("w_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-H Q22-flavored: well-funded customers gone quiet — balance
+    // above the positive-balance average (scalar subquery) and no
+    // recent orders (anti join), grouped by market segment.
+    q("h13_quiet_customers",
+      """SELECT c_mktsegment AS seg, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY seg""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer")
+      val o = t(s, dir)("orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast(DateType))
+      // scalar subquery: exact decimal sum / count, one deterministic
+      // IEEE division — then broadcast the single-row result.
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(dec18_2)).cast(DoubleType) / count(lit(1)))
+          .as("avg_bal"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec18_2)).cast(DoubleType).as("totacctbal"))
+        .orderBy("seg")
+    },
+
     // CEP with quantifiers: signup → click+ → purchase within 6h
     // (PatternNFA; OneOrMore reports the click count per match).
     q("cep3_pattern_quantifier",
