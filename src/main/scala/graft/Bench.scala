@@ -19,7 +19,15 @@ object Bench {
     SparkEntry.entry(spark).count()
     // two timed runs per query, report the min — first-run codegen/JIT
     // noise otherwise dominates sub-second queries.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=x6_ngram_jaccard,x9_simhash_neardup → time just
+    // those queries (iteration aid; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -75,12 +75,21 @@ object TextDedup {
     * and recomputing the tokenization per probe dominates otherwise. */
   def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
               textCol: String): DataFrame = {
-    val sh = docs
+    val sh = shingleTable(docs, idCol, textCol).persist()
+    sh.count() // materialize before the multi-probe joins below
+    jaccardOnShingles(pairs, sh)
+  }
+
+  /** (doc, distinct bigram shingle) posting table. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
       .select(col("_id"),
         explode(array_distinct(bigramShinglesFromTokens(col("_toks")))).as("_sh"))
-      .persist()
-    sh.count() // materialize before the multi-probe joins below
+
+  /** Exact Jaccard for given pairs over an (already materialized)
+    * shingle table — probed three times (both pair sides + sizes). */
+  def jaccardOnShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     // Composite equi-join on (id_b, shingle) — keeps the probe linear
     // in |pairs|·|shingles per doc|; joining on id_b alone and
@@ -127,18 +136,114 @@ object TextDedup {
       .agg(sum(expr("shiftleft(_sgn, CAST(_bit AS INT))")).as("simhash"))
       .select(col("_id").as(idCol), col("simhash"))
 
-  /** SimHash near-dup pairs within a blocking column (hamming ≤ k). */
+  /** SimHash near-dup pairs within a blocking column (hamming ≤ k).
+    *
+    * Hamming-LSH candidate generation: the 32-bit signature is split
+    * into (k+1) chunks; by pigeonhole, two signatures within hamming k
+    * agree EXACTLY on at least one chunk, so an equi-join on
+    * (block, chunk_id, chunk_value) is an exact candidate generator —
+    * no all-pairs join anywhere in the plan, and false positives are
+    * removed by the bit_count verify. Pruning power grows with chunk
+    * width: at production settings (64-bit signatures, hamming ≤ 3,
+    * 16-bit chunks) each band prunes by ~2^16; here 32/(k+1)-bit
+    * chunks keep the same exactness guarantee at toy scale.
+    */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, maxHamming: Int): DataFrame = {
     val sigs = simHash(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(blockCol)), idCol)
-    val a = sigs.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
-      col("simhash").as("sh_a"))
-    val b = sigs.select(col(blockCol).as("_blk_b"), col(idCol).as("id_b"),
-      col("simhash").as("sh_b"))
-    a.join(b, col("_blk") === col("_blk_b") && col("id_a") < col("id_b"))
+    val nChunks = maxHamming + 1
+    val base = 32 / nChunks
+    val extra = 32 % nChunks
+    val widths = (0 until nChunks).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { i =>
+      struct(lit(i).as("ck"),
+        expr(s"(simhash >> ${offsets(i)}) & ${(1L << widths(i)) - 1}").as("cv"))
+    }
+    val postings = sigs
+      .select(col(idCol).as("_id"), col(blockCol).as("_blk"),
+        col("simhash").as("_sig"), explode(array(chunkCols: _*)).as("_c"))
+      .select(col("_id"), col("_blk"), col("_sig"),
+        col("_c.ck").as("_ck"), col("_c.cv").as("_cv"))
+    val a = postings.select(col("_blk"), col("_ck"), col("_cv"),
+      col("_id").as("id_a"), col("_sig").as("sh_a"))
+    val b = postings.select(col("_blk").as("_blk_b"), col("_ck").as("_ck_b"),
+      col("_cv").as("_cv_b"), col("_id").as("id_b"), col("_sig").as("sh_b"))
+    a.join(b, col("_blk") === col("_blk_b") && col("_ck") === col("_ck_b") &&
+        col("_cv") === col("_cv_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(expr("sh_a ^ sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact Jaccard near-dup pairs within a blocking column, WITHOUT an
+    * all-pairs self-join: candidate pairs come from an inverted shingle
+    * index restricted to each document's AllPairs filter prefix.
+    *
+    * Under any global canonical shingle order, two sets with
+    * J(A,B) ≥ t must share a shingle inside their length
+    * (|X| − ⌈t·|X|⌉ + 1) prefixes (Bayardo et al., WWW'07) — so the
+    * (block, prefix-shingle) equi-join is an exact candidate generator
+    * and the verify step restores exact Jaccard semantics. Candidate
+    * cost is Σ df² over prefix shingles instead of Σ block², and the
+    * prefix shrinks linearly as the threshold rises (at production
+    * thresholds ~0.8 only ~20% of each posting list is indexed).
+    */
+  def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, threshold: Double): DataFrame = {
+    val blocks = docs.select(col(idCol).as("_id"), col(blockCol).as("_blk"))
+    val sh = shingleTable(docs, idCol, textCol).join(blocks, "_id").persist()
+    sh.count() // one tokenization pass shared by index and verify
+    if (threshold >= 0.5) jaccardNearDupsPrefix(sh, threshold)
+    else {
+      // Low-threshold path: the posting-list self-join IS the verify.
+      // Intersection sizes fall directly out of aggregating the
+      // (block, shingle) equi-join — one shuffle with map-side partial
+      // counts — so no distinct-candidates pass and no re-probe of the
+      // shingle table per pair. Cost is Σ df² over postings (never
+      // block²·|shingles|), the exact-similarity-join lower bound when
+      // most co-shingle pairs must be scored anyway.
+      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+      val inter = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
+        .join(sh.select(col("_blk").as("_blk_b"), col("_sh").as("_sh_b"),
+            col("_id").as("id_b")),
+          col("_blk") === col("_blk_b") && col("_sh") === col("_sh_b") &&
+            col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+      inter
+        .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+        .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("_inter").cast(DoubleType) /
+            (col("_na") + col("_nb") - col("_inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+  }
+
+  /** High-threshold path: AllPairs prefix filtering. Under any global
+    * canonical shingle order, J(A,B) ≥ t forces a shared shingle inside
+    * the length (|X| − ⌈t·|X|⌉ + 1) prefixes (Bayardo et al., WWW'07),
+    * so indexing only prefixes shrinks the self-join input by ~t per
+    * doc (at t=0.8, 5× fewer postings ⇒ ~25× fewer join rows) at the
+    * price of an exact re-verify of the surviving candidates. */
+  private def jaccardNearDupsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(md5(col("_sh").cast(BinaryType)))
+    val prefix = sh
+      .withColumn("_pos", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id")))
+      .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select("_id", "_blk", "_sh")
+    val cands = prefix.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
+      .join(prefix.select(col("_blk").as("_blk_b"), col("_sh").as("_sh_b"),
+          col("_id").as("id_b")),
+        col("_blk") === col("_blk_b") && col("_sh") === col("_sh_b") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardOnShingles(cands, sh.select("_id", "_sh"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -118,13 +118,8 @@ object TextOps extends QueryGroup {
          |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
          |FROM p WHERE i * 1.0 / (na + nb - i) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir)("documents")
-      val a = docs.select(col("doc_id").as("id_a"), col("source").as("_src"))
-      val b = docs.select(col("doc_id").as("id_b"), col("source").as("_src_b"))
-      val pairs = a.join(b, col("_src") === col("_src_b") && col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      TextDedup.jaccard(pairs, docs, "doc_id", "text")
-        .filter(col("jaccard") >= 0.05)
+      TextDedup.jaccardNearDups(t(s, dir)("documents"), "doc_id", "text",
+          blockCol = "source", threshold = 0.05)
         .orderBy("id_a", "id_b")
     },
 
