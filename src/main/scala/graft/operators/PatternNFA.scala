@@ -3,35 +3,63 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** CEP pattern matching with quantifiers (SURVEY.md §2.9 —
-  * flink-cep Pattern algebra: Pattern.java:155-477
-  * where/times/oneOrMore/within).
+/** CEP pattern matching with the full quantifier algebra (SURVEY.md
+  * §2.9 — flink-cep Pattern algebra: Pattern.java:155-477
+  * where/times/timesOrMore/oneOrMore/optional/until/consecutive/
+  * allowCombinations/notFollowedBy, NFA skip strategies in
+  * AfterMatchSkipStrategy.java).
   *
-  * Algebra (round 1): a sequence of steps over event kinds with
-  * quantifiers {One, OneOrMore}, relaxed contiguity between steps
-  * (followedBy), a `within` horizon anchored at the first step, and
-  * AFTER MATCH SKIP TO NEXT ROW (every anchor event is offered a
-  * match — same convention as the followedBy operators, which keeps
-  * results deterministic and SQL-expressible).
+  * Determinism convention (kept so every query stays oracle-checkable):
+  * matches are selected EARLIEST-FIRST — each step binds the earliest
+  * eligible event (by (ts, id) order) such that the REMAINDER of the
+  * pattern can still complete (regex-style backtracking for Optional /
+  * TimesRange). One match per anchor under SkipToNextRow; under
+  * SkipPastLastEvent an anchor is only offered if it starts strictly
+  * after the previous emitted match's last event (greedy
+  * interval-scheduling, the reference's SKIP_PAST_LAST_EVENT).
   *
-  * Matching rule: each step binds to the EARLIEST event of its kind
-  * strictly after the previous binding (by (ts, id) order) and within
-  * the horizon. A OneOrMore step additionally reports how many events
-  * of its kind fall strictly between its neighbors' bindings (≥ 1 by
-  * construction; horizon-bounded for a trailing OneOrMore).
+  * Step semantics:
+  *  - One: earliest eligible event of the kind.
+  *  - Optional: binds the earliest eligible event if the rest still
+  *    completes after it, else binds nothing (greedy-with-backtrack).
+  *  - OneOrMore(until): first element binds like One; the loop then
+  *    absorbs every event of the kind before the next step's binding,
+  *    the horizon, and (if `until` is set) the first until-kind event
+  *    after the previous binding — Pattern.java:219 `until` stops the
+  *    loop the moment the stop condition fires.
+  *  - Times(n, consecutive=false): n successive earliest bindings
+  *    (relaxed contiguity). consecutive=true additionally requires the
+  *    n events to be ADJACENT in the per-key event sequence (strict
+  *    contiguity: any intervening event of any kind kills the run —
+  *    Pattern.java consecutive()).
+  *  - TimesRange(lo, hi): greedy — binds the LARGEST k in [lo, hi]
+  *    successive earliest events for which the remainder completes.
+  *  - Not: no event of the kind strictly between the neighboring
+  *    bindings (notFollowedBy); a trailing Not checks the interval up
+  *    to the horizon deadline.
   *
   * Execution: one shuffle on the key, per-key event-time sort, linear
-  * NFA scan — the keyed-state access pattern of the streaming variant
-  * (graft.streaming.StreamingCEP implements the 2-step case
-  * incrementally).
+  * scan with bounded backtracking — the keyed-state access pattern of
+  * the streaming variant (graft.streaming.StreamingCEP implements the
+  * 2-step case incrementally).
   */
 object PatternNFA {
 
   sealed trait Quant
   case object One extends Quant
-  case object OneOrMore extends Quant
-  /** Exactly n successive earliest occurrences (Pattern.times(n)). */
-  final case class Times(n: Int) extends Quant
+  case object Optional extends Quant
+  /** Not = notFollowedBy: forbids the kind between neighbor bindings. */
+  case object Not extends Quant
+  final case class OneOrMore(untilKind: Option[String] = None) extends Quant
+  /** Exactly n successive occurrences (Pattern.times(n)); consecutive
+    * requires strict contiguity in the event sequence. */
+  final case class Times(n: Int, consecutive: Boolean = false) extends Quant
+  /** Between lo and hi occurrences, greedy (Pattern.times(from, to)). */
+  final case class TimesRange(lo: Int, hi: Int) extends Quant
+
+  sealed trait AfterMatch
+  case object SkipToNextRow extends AfterMatch
+  case object SkipPastLastEvent extends AfterMatch
 
   /** One pattern step: match events whose kind equals `kind`. */
   final case class Step(name: String, kind: String, quant: Quant = One)
@@ -39,55 +67,196 @@ object PatternNFA {
   final case class PMatch(key: Long, anchor_id: Long, end_id: Long,
                           chain: String, counts: String)
 
+  private final case class Ev(ts: Long, id: Long, kind: String, idx: Int)
+
   /** events: (key, tsMicros, id, kind) rows. One output row per
-    * anchor that completes the pattern: binding-chain ids and
-    * OneOrMore counts as deterministic strings. */
-  def run(spark: SparkSession, events: DataFrame, stepsIn: Seq[Step],
-          withinMicros: Long): DataFrame = {
+    * emitted match: binding-chain ids and loop counts as deterministic
+    * strings. */
+  def run(spark: SparkSession, events: DataFrame, steps: Seq[Step],
+          withinMicros: Long,
+          afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
     import spark.implicits._
-    // Times(n) expands to n successive One bindings of the same kind.
-    val steps = stepsIn.flatMap {
-      case Step(nm, k, Times(n)) => (1 to n).map(i => Step(s"$nm$i", k, One))
-      case s => Seq(s)
-    }
     require(steps.nonEmpty && steps.head.quant == One,
       "first step must be quantifier One (anchor)")
-    val ds = events.select(
-      col("key").cast("long"), col("tsMicros").cast("long"),
-      col("id").cast("long"), col("kind").cast("string"))
-      .as[(Long, Long, Long, String)]
+    val ds = toEvents(spark, events)
 
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val evs = it.map(e => (e._2, e._3, e._4)).toVector.sortBy(e => (e._1, e._2))
+      val evs = sortKey(it)
       val out = Vector.newBuilder[PMatch]
-      evs.indices.foreach { a =>
-        if (evs(a)._3 == steps.head.kind) {
-          val deadline = evs(a)._1 + withinMicros
-          // bind each subsequent step to the earliest eligible event
-          var bindings = Vector(a)
-          var ok = true
-          steps.drop(1).foreach { st =>
-            if (ok) {
-              val prevTs = evs(bindings.last)._1
-              val j = evs.indexWhere(e => e._3 == st.kind && e._1 > prevTs &&
-                e._1 <= deadline, bindings.last + 1)
-              if (j < 0) ok = false else bindings :+= j
-            }
-          }
-          if (ok) {
-            val counts = steps.zipWithIndex.collect {
-              case (st, i) if st.quant == OneOrMore =>
-                val lo = evs(bindings(i - 1))._1
-                val hi = if (i + 1 < bindings.size) evs(bindings(i + 1))._1 else deadline + 1
-                val n = evs.count(e => e._3 == st.kind && e._1 > lo && e._1 < hi)
-                s"${st.name}:$n"
-            }.mkString(",")
-            out += PMatch(key, evs(a)._2, evs(bindings.last)._2,
-              bindings.map(b => evs(b)._2).mkString(","), counts)
+      var minAnchorIdx = 0
+      evs.foreach { a =>
+        if (a.kind == steps.head.kind && a.idx >= minAnchorIdx) {
+          val deadline = a.ts + withinMicros
+          matchFrom(evs, steps.drop(1), a, deadline).foreach { rest =>
+            val bindings = Vector(Vector(a)) ++ rest
+            out += emit(key, steps, bindings, evs, deadline)
+            if (afterMatch == SkipPastLastEvent)
+              minAnchorIdx = bindings.flatten.map(_.idx).max + 1
           }
         }
       }
       out.result().iterator
     }.toDF()
+  }
+
+  /** allowCombinations for a single loop step (Pattern.java
+    * allowCombinations()): pattern A → B×times(combinations) → C emits
+    * ONE MATCH PER COMBINATION of loop events between the anchor's
+    * neighbors, not just the successive-earliest run. Exposed for
+    * n = 2 (pairs) — the shape that demonstrates the semantics while
+    * keeping output cardinality C(k,2)-bounded. */
+  def runCombinationsPairs(spark: SparkSession, events: DataFrame,
+                           anchorKind: String, loopKind: String,
+                           endKind: String, withinMicros: Long): DataFrame = {
+    import spark.implicits._
+    val ds = toEvents(spark, events)
+    ds.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val evs = sortKey(it)
+      val out = Vector.newBuilder[PMatch]
+      evs.foreach { a =>
+        if (a.kind == anchorKind) {
+          val deadline = a.ts + withinMicros
+          // end binds earliest-first AFTER at least two loop events.
+          val loops = evs.filter(e => e.kind == loopKind && e.ts > a.ts &&
+            e.ts <= deadline)
+          val end = evs.find(e => e.kind == endKind && e.ts <= deadline &&
+            loops.size >= 2 && e.ts > loops(1).ts)
+          end.foreach { c =>
+            val inWin = loops.filter(_.ts < c.ts)
+            for (i <- inWin.indices; j <- (i + 1) until inWin.size)
+              out += PMatch(key, a.id, c.id,
+                s"${a.id},${inWin(i).id},${inWin(j).id},${c.id}", "")
+          }
+        }
+      }
+      out.result().iterator
+    }.toDF()
+  }
+
+  private def toEvents(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    events.select(
+      col("key").cast("long"), col("tsMicros").cast("long"),
+      col("id").cast("long"), col("kind").cast("string"))
+      .as[(Long, Long, Long, String)]
+  }
+
+  private def sortKey(it: Iterator[(Long, Long, Long, String)]): Vector[Ev] =
+    it.map(e => (e._2, e._3, e._4)).toVector.sortBy(e => (e._1, e._2))
+      .zipWithIndex.map { case ((ts, id, k), i) => Ev(ts, id, k, i) }
+
+  /** Bind `steps` after `prev`, earliest-first with backtracking.
+    * Returns one Vector[Ev] of bound events per step (empty Vector for
+    * an unbound Optional / a satisfied Not). */
+  private def matchFrom(evs: Vector[Ev], steps: Seq[Step], prev: Ev,
+                        deadline: Long): Option[Vector[Vector[Ev]]] = {
+    if (steps.isEmpty) return Some(Vector.empty)
+    val st = steps.head
+    def eligible(from: Int, kind: String): Iterator[Ev] =
+      evs.iterator.drop(from).filter(e => e.kind == kind &&
+        e.ts > prev.ts && e.ts <= deadline)
+    def noneBetween(kind: String, loTs: Long, hiTs: Long): Boolean =
+      !evs.exists(e => e.kind == kind && e.ts > loTs && e.ts < hiTs)
+
+    st.quant match {
+      case One =>
+        eligible(prev.idx + 1, st.kind).flatMap { e =>
+          matchFrom(evs, steps.tail, e, deadline).map(Vector(Vector(e)) ++ _)
+        }.nextOption()
+
+      case Optional =>
+        val bound = eligible(prev.idx + 1, st.kind).flatMap { e =>
+          matchFrom(evs, steps.tail, e, deadline).map(Vector(Vector(e)) ++ _)
+        }.nextOption()
+        bound.orElse(
+          matchFrom(evs, steps.tail, prev, deadline).map(Vector(Vector.empty[Ev]) ++ _))
+
+      case Not =>
+        // bind the remainder first, then check the forbidden interval
+        matchFrom(evs, steps.tail, prev, deadline).flatMap { rest =>
+          val hiTs = rest.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
+          if (noneBetween(st.kind, prev.ts, hiTs))
+            Some(Vector(Vector.empty[Ev]) ++ rest)
+          else None
+        }
+
+      case OneOrMore(untilKind) =>
+        eligible(prev.idx + 1, st.kind).flatMap { first =>
+          val stopTs = untilKind.flatMap(uk =>
+            evs.find(e => e.kind == uk && e.ts > prev.ts).map(_.ts))
+          if (stopTs.exists(_ <= first.ts)) None
+          else matchFrom(evs, steps.tail, first, deadline).map { rest =>
+            val hiTs = math.min(
+              rest.flatten.headOption.map(_.ts).getOrElse(deadline + 1),
+              stopTs.getOrElse(Long.MaxValue))
+            val loop = evs.filter(e => e.kind == st.kind && e.ts > prev.ts &&
+              e.ts < hiTs && e.ts <= deadline)
+            Vector(if (loop.isEmpty) Vector(first) else loop) ++ rest
+          }
+        }.nextOption()
+
+      case Times(n, consecutive) =>
+        if (!consecutive) bindSuccessive(evs, st.kind, prev, deadline, n)
+          .flatMap { run =>
+            matchFrom(evs, steps.tail, run.last, deadline).map(Vector(run) ++ _)
+          }
+        else {
+          // strict contiguity: earliest run of n ADJACENT events
+          val starts = eligible(prev.idx + 1, st.kind)
+          starts.flatMap { s =>
+            val run = (0 until n).map(i =>
+              evs.lift(s.idx + i).filter(e => e.kind == st.kind &&
+                e.ts <= deadline))
+            if (run.forall(_.isDefined)) {
+              val bound = run.flatten.toVector
+              matchFrom(evs, steps.tail, bound.last, deadline)
+                .map(Vector(bound) ++ _)
+            } else None
+          }.nextOption()
+        }
+
+      case TimesRange(lo, hi) =>
+        // greedy: largest k whose remainder still completes
+        (hi to lo by -1).iterator.flatMap { k =>
+          bindSuccessive(evs, st.kind, prev, deadline, k).flatMap { run =>
+            matchFrom(evs, steps.tail, run.last, deadline).map(Vector(run) ++ _)
+          }
+        }.nextOption()
+    }
+  }
+
+  /** Earliest n successive events of `kind` after prev (relaxed). */
+  private def bindSuccessive(evs: Vector[Ev], kind: String, prev: Ev,
+                             deadline: Long, n: Int): Option[Vector[Ev]] = {
+    var cur = prev
+    val out = Vector.newBuilder[Ev]
+    var i = 0
+    while (i < n) {
+      val nxt = evs.iterator.drop(cur.idx + 1).find(e => e.kind == kind &&
+        e.ts > cur.ts && e.ts <= deadline)
+      nxt match {
+        case Some(e) => out += e; cur = e; i += 1
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Chain convention (kept from round 1 so oracles stay in plain SQL):
+    * each step contributes its bound ids; a OneOrMore loop contributes
+    * only its FIRST element (the loop membership is summarized in
+    * `counts` instead); unbound Optional / Not steps contribute
+    * nothing. */
+  private def emit(key: Long, steps: Seq[Step], bindings: Vector[Vector[Ev]],
+                   evs: Vector[Ev], deadline: Long): PMatch = {
+    val chain = steps.zip(bindings).flatMap {
+      case (st, b) if st.quant.isInstanceOf[OneOrMore] => b.take(1).map(_.id)
+      case (_, b) => b.map(_.id)
+    }
+    val counts = steps.zip(bindings).collect {
+      case (st, b) if st.quant.isInstanceOf[OneOrMore] =>
+        s"${st.name}:${b.size}"
+    }.mkString(",")
+    PMatch(key, chain.head, chain.last, chain.mkString(","), counts)
   }
 }

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.QueryGroup
+import graft.operators.PatternNFA
+import graft.operators.PatternNFA._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The rest of the CEP pattern algebra (SURVEY.md §2.9 — flink-cep
+  * Pattern.java:155-477): optional, notFollowedBy, until, times(from,
+  * to), consecutive, allowCombinations, and the AFTER MATCH SKIP PAST
+  * LAST EVENT strategy. Every query is oracle-checked against SQL that
+  * encodes the same earliest-first NFA semantics (LATERAL earliest
+  * bindings; a recursive CTE for the skip strategy's greedy scan).
+  */
+object CepExtras extends QueryGroup {
+
+  private val H2 = 7200000000L   // 2 hours in µs
+  private val H6 = 21600000000L  // 6 hours in µs
+  private val H72 = 259200000000L // 72 hours in µs — multi-click patterns need a
+                                  // wide horizon at this event density to be non-vacuous
+
+  /** Shared oracle prelude: per-user event sequence with ts in µs and
+    * the (ts, id) sequence number the NFA scan orders by. */
+  private val evSql =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
+      |      FROM ev WHERE event_type = 'signup')""".stripMargin
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events").select(
+      col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+      col("event_id").as("id"), col("event_type").as("kind"))
+
+  override def queries = Seq(
+
+    // optional: signup → click? → purchase within 2h. The optional
+    // click binds greedily (earliest click for which a purchase still
+    // follows), else the pattern completes without it.
+    q("cep5_optional",
+      s"""WITH $evSql,
+        |wcp AS (
+        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |ap AS (
+        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
+        |UNION ALL
+        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
+        |FROM ap WHERE NOT EXISTS (SELECT 1 FROM wcp
+        |  WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("click", "click", Optional),
+          Step("purchase", "purchase")),
+        withinMicros = H2)
+        .orderBy("key", "anchor_id")
+    },
+
+    // notFollowedBy: signup → purchase within 2h with NO error strictly
+    // between the two bindings.
+    q("cep6_not_followed",
+      s"""WITH $evSql
+        |SELECT a.user_id AS key, a.a_id AS anchor_id, p.event_id AS end_id,
+        |  a.a_id || ',' || p.event_id AS chain, '' AS counts
+        |FROM a
+        |JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |  WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
+        |WHERE NOT EXISTS (SELECT 1 FROM ev e
+        |  WHERE e.user_id = a.user_id AND e.event_type = 'error'
+        |    AND e.ts_us > a.a_us AND e.ts_us < p.ts_us)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("noerr", "error", Not),
+          Step("purchase", "purchase")),
+        withinMicros = H2)
+        .orderBy("key", "anchor_id")
+    },
+
+    // until: signup → click+ (stopping at the first error) → purchase
+    // within 6h; the loop count only absorbs clicks before the stop
+    // event (Pattern.java:219).
+    q("cep7_until",
+      s"""WITH $evSql,
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.event_id AS c_id, c.ts_us AS c_us,
+        |    p.event_id AS p_id, p.ts_us AS p_us,
+        |    (SELECT min(e.ts_us) FROM ev e
+        |     WHERE e.user_id = a.user_id AND e.event_type = 'error'
+        |       AND e.ts_us > a.a_us) AS err_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H6
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT m.user_id AS key, m.a_id AS anchor_id, m.p_id AS end_id,
+        |  m.a_id || ',' || m.c_id || ',' || m.p_id AS chain,
+        |  'clicks:' || (SELECT count(*) FROM ev e
+        |    WHERE e.user_id = m.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > m.a_us AND e.ts_us <= m.a_us + $H6
+        |      AND e.ts_us < least(m.p_us, coalesce(m.err_us, 9223372036854775807))) AS counts
+        |FROM m WHERE m.err_us IS NULL OR m.err_us > m.c_us
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("clicks", "click", OneOrMore(untilKind = Some("error"))),
+          Step("purchase", "purchase")),
+        withinMicros = H6)
+        .orderBy("key", "anchor_id")
+    },
+
+    // times(2,3) greedy: signup → 2..3 successive clicks (as many as
+    // still let a purchase follow) → purchase, within 6h.
+    q("cep8_times_range",
+      s"""WITH $evSql,
+        |m AS (
+        |  SELECT a.user_id, a.a_id, b1.event_id AS b1_id, b2.event_id AS b2_id,
+        |    b3.event_id AS b3_id, p3.event_id AS p3_id, p2.event_id AS p2_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b3 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b3.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p3 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true)
+        |SELECT user_id AS key, a_id AS anchor_id,
+        |  CASE WHEN b3_id IS NOT NULL AND p3_id IS NOT NULL THEN p3_id ELSE p2_id END AS end_id,
+        |  CASE WHEN b3_id IS NOT NULL AND p3_id IS NOT NULL
+        |    THEN a_id || ',' || b1_id || ',' || b2_id || ',' || b3_id || ',' || p3_id
+        |    ELSE a_id || ',' || b1_id || ',' || b2_id || ',' || p2_id END AS chain,
+        |  '' AS counts
+        |FROM m
+        |WHERE (b3_id IS NOT NULL AND p3_id IS NOT NULL) OR p2_id IS NOT NULL
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("clicks", "click", TimesRange(2, 3)),
+          Step("purchase", "purchase")),
+        withinMicros = H72)
+        .orderBy("key", "anchor_id")
+    },
+
+    // times(2).consecutive(): the two clicks must be ADJACENT in the
+    // per-user event sequence (strict contiguity — any intervening
+    // event of any kind breaks the run).
+    q("cep9_consecutive",
+      s"""WITH $evSql,
+        |m AS (
+        |  SELECT a.user_id, a.a_id, cc.c1_id, cc.c2_id, cc.c2_us
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e1.event_id AS c1_id, e2.event_id AS c2_id, e2.ts_us AS c2_us
+        |    FROM ev e1 JOIN ev e2
+        |      ON e2.user_id = e1.user_id AND e2.rn = e1.rn + 1
+        |    WHERE e1.user_id = a.user_id
+        |      AND e1.event_type = 'click' AND e2.event_type = 'click'
+        |      AND e1.ts_us > a.a_us AND e1.ts_us <= a.a_us + $H72
+        |      AND e2.ts_us <= a.a_us + $H72
+        |    ORDER BY e1.ts_us, e1.event_id LIMIT 1) cc ON true
+        |  WHERE true)
+        |SELECT m.user_id AS key, m.a_id AS anchor_id, p.event_id AS end_id,
+        |  m.a_id || ',' || m.c1_id || ',' || m.c2_id || ',' || p.event_id AS chain,
+        |  '' AS counts
+        |FROM m
+        |JOIN LATERAL (SELECT e.event_id FROM ev e
+        |  WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
+        |    AND e.ts_us > m.c2_us AND e.ts_us <= (SELECT a2.a_us + $H72 FROM a a2
+        |      WHERE a2.user_id = m.user_id AND a2.a_id = m.a_id)
+        |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("clicks", "click", Times(2, consecutive = true)),
+          Step("purchase", "purchase")),
+        withinMicros = H72)
+        .orderBy("key", "anchor_id")
+    },
+
+    // allowCombinations: signup → click×2 (EVERY pair, not just the
+    // successive-earliest run) → purchase within 6h; one match row per
+    // combination.
+    q("cep10_combinations",
+      s"""WITH $evSql,
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c2.ts_us AS c2_us, p.event_id AS p_id,
+        |    p.ts_us AS p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1 OFFSET 1) c2 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT m.user_id AS key, m.a_id AS anchor_id, m.p_id AS end_id,
+        |  m.a_id || ',' || x.event_id || ',' || y.event_id || ',' || m.p_id AS chain,
+        |  '' AS counts
+        |FROM m
+        |JOIN ev x ON x.user_id = m.user_id AND x.event_type = 'click'
+        |  AND x.ts_us > m.a_us AND x.ts_us < m.p_us AND x.ts_us <= m.a_us + $H72
+        |JOIN ev y ON y.user_id = m.user_id AND y.event_type = 'click'
+        |  AND y.ts_us > m.a_us AND y.ts_us < m.p_us AND y.ts_us <= m.a_us + $H72
+        |  AND (y.ts_us > x.ts_us OR (y.ts_us = x.ts_us AND y.event_id > x.event_id))
+        |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
+      PatternNFA.runCombinationsPairs(s, events(s, dir),
+          anchorKind = "signup", loopKind = "click", endKind = "purchase",
+          withinMicros = H72)
+        .orderBy("key", "anchor_id", "chain")
+    },
+
+    // AFTER MATCH SKIP PAST LAST EVENT: signup → purchase within 6h,
+    // anchors re-armed only past the previous match's last event —
+    // greedy non-overlapping scan, mirrored by a recursive CTE.
+    q("cep11_skip_past_last",
+      s"""WITH RECURSIVE $evSql,
+        |cand AS (
+        |  SELECT a.user_id, a.a_id, a.a_rn, p.event_id AS p_id, p.rn AS p_rn
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.rn FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |rec AS (
+        |  SELECT user_id, a_id, a_rn, p_id, p_rn FROM (
+        |    SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY a_rn) AS pick
+        |    FROM cand c) WHERE pick = 1
+        |  UNION ALL
+        |  SELECT user_id, a_id, a_rn, p_id, p_rn FROM (
+        |    SELECT c.user_id, c.a_id, c.a_rn, c.p_id, c.p_rn,
+        |      row_number() OVER (PARTITION BY c.user_id ORDER BY c.a_rn) AS pick
+        |    FROM cand c JOIN rec r ON c.user_id = r.user_id AND c.a_rn > r.p_rn)
+        |  WHERE pick = 1)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || p_id AS chain, '' AS counts
+        |FROM rec ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("purchase", "purchase")),
+        withinMicros = H6,
+        afterMatch = SkipPastLastEvent)
+        .orderBy("key", "anchor_id")
+    })
+}

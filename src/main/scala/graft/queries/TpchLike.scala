@@ -412,7 +412,7 @@ object TpchLike extends QueryGroup {
         col("event_id").as("id"), col("event_type").as("kind"))
       run(s, ev, Seq(
           Step("signup", "signup"),
-          Step("clicks", "click", OneOrMore),
+          Step("clicks", "click", OneOrMore()),
           Step("purchase", "purchase")),
         withinMicros = 21600L * 1000000L)
         .orderBy("key", "anchor_id")

@@ -97,7 +97,7 @@ class BatchOpsSpec extends AnyFunSuite {
       (2L, 10L, 7L, "B"), (2L, 20L, 8L, "C")) // no anchor → no match
       .toDF("key", "tsMicros", "id", "kind")
     val got = graft.operators.PatternNFA.run(spark, ev, Seq(
-        Step("a", "A"), Step("bs", "B", OneOrMore), Step("c", "C")),
+        Step("a", "A"), Step("bs", "B", OneOrMore()), Step("c", "C")),
       withinMicros = 100L)
       .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain"),
         r.getAs[String]("counts"))).toSeq
@@ -115,6 +115,67 @@ class BatchOpsSpec extends AnyFunSuite {
         Seq(Step("a", "A"), Step("b", "B")), withinMicros = 100L)
       .select("key").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L)) // inclusive at the boundary, exclusive past it
+  }
+
+  test("PatternNFA full algebra: optional, not, until, timesRange, consecutive, skip") {
+    import graft.operators.PatternNFA._
+    import spark.implicits._
+    def run(ev: Seq[(Long, Long, Long, String)], steps: Seq[Step],
+            within: Long = 1000L, am: AfterMatch = SkipToNextRow) =
+      graft.operators.PatternNFA.run(spark,
+          ev.toDF("key", "tsMicros", "id", "kind"), steps, within, am)
+        .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
+        .toSeq.sorted
+
+    // Optional binds when the remainder completes, backtracks when not
+    val opt = Seq(Step("a", "A"), Step("b", "B", Optional), Step("c", "C"))
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "C")), opt)
+      == Seq(("1,2,3", "")))
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "C"), (1L, 20L, 3L, "B")), opt)
+      == Seq(("1,2", ""))) // B after the only C → drop the optional
+
+    // Not forbids the kind between neighbors; trailing Not scans to horizon
+    val not = Seq(Step("a", "A"), Step("e", "E", Not), Step("c", "C"))
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "E"), (1L, 10L, 3L, "C")), not)
+      == Seq.empty)
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 3L, "C"), (1L, 15L, 4L, "E")), not)
+      == Seq(("1,3", "")))
+
+    // until stops the loop at the first stop-kind event
+    val until = Seq(Step("a", "A"),
+      Step("bs", "B", OneOrMore(untilKind = Some("S"))), Step("c", "C"))
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "S"),
+        (1L, 30L, 4L, "B"), (1L, 40L, 5L, "C")), until)
+      == Seq(("1,2,5", "bs:1"))) // B@30 is past the stop → not absorbed
+
+    // TimesRange(1,3) is greedy but backtracks to keep the tail feasible
+    val tr = Seq(Step("a", "A"), Step("bs", "B", TimesRange(1, 3)), Step("c", "C"))
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "B"),
+        (1L, 30L, 4L, "C"), (1L, 40L, 5L, "B")), tr)
+      == Seq(("1,2,3,4", ""))) // binds 2 Bs (3rd B is after C)
+
+    // consecutive requires adjacency in the event sequence
+    val cons = Seq(Step("a", "A"), Step("bs", "B", Times(2, consecutive = true)),
+      Step("c", "C"))
+    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 15L, 9L, "X"),
+        (1L, 20L, 3L, "B"), (1L, 25L, 6L, "B"), (1L, 30L, 4L, "C")), cons)
+      == Seq(("1,3,6,4", ""))) // X breaks the first run; 3,6 are adjacent
+
+    // SkipPastLastEvent re-arms only past the previous match's end
+    val two = Seq(Step("a", "A"), Step("c", "C"))
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "A"), (1L, 10L, 3L, "C"),
+      (1L, 20L, 4L, "A"), (1L, 30L, 5L, "C"))
+    assert(run(ev, two) == Seq(("1,3", ""), ("2,3", ""), ("4,5", "")))
+    assert(run(ev, two, am = SkipPastLastEvent) == Seq(("1,3", ""), ("4,5", "")))
+
+    // allowCombinations emits every loop pair
+    val comb = graft.operators.PatternNFA.runCombinationsPairs(spark,
+        Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "B"),
+          (1L, 30L, 6L, "B"), (1L, 40L, 4L, "C"))
+          .toDF("key", "tsMicros", "id", "kind"),
+        "A", "B", "C", withinMicros = 1000L)
+      .collect().map(_.getAs[String]("chain")).toSeq.sorted
+    assert(comb == Seq("1,2,3,4", "1,2,6,4", "1,3,6,4"))
   }
 
   test("Changelog unfold/fold round-trips to final versions") {
