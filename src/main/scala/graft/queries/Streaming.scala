@@ -300,6 +300,56 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "signup_id", "purchase_id")
     },
 
+    // Streaming temporal sort (RowTimeSortOperator.java:43): buffered
+    // rows released in (event-time, id) order as the watermark passes
+    // them; emit_seq is the per-user watermark-ordered position.
+    q("st13_stream_sort",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS emit_seq
+        |FROM events, wm WHERE epoch_us(ts) <= wm.wm_us
+        |ORDER BY user_id, emit_seq""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = StreamingTemporalSort(s, asGEvents(s, dir),
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st13_out")
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("emitSeq").as("emit_seq"))
+        .orderBy("user_id", "emit_seq")
+    },
+
+    // Early/on-time/late window firing with allowed lateness
+    // (WindowEmitStrategy.scala:33-40): hourly count per event type;
+    // every open window previews an EARLY fire (batch 1, watermark
+    // still 0), then fires ON TIME once the true watermark passes its
+    // end. The 10-minute lateness budget rides on the declared
+    // watermark (11 min = 1 min delay + 10 min lateness), so the true
+    // watermark in the oracle is max(ts) − 1 min.
+    q("st14_late_fire",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |counts AS (SELECT event_type, date_trunc('hour', ts) AS wstart, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, wstart, 'early' AS phase, 0 AS fire_seq, n FROM counts
+        |UNION ALL
+        |SELECT c.event_type, c.wstart, 'ontime', 1, c.n FROM counts c, wm
+        |WHERE epoch_us(c.wstart + INTERVAL 1 HOUR) <= wm.wm_us
+        |ORDER BY event_type, wstart, fire_seq""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = eventStream(s, dir).select(
+          col("event_type").as("key"), unix_micros(col("ts")).as("tsMicros"),
+          col("event_id").as("id"))
+        .as[WEvent]
+      val out = StreamingLateFireWindow(s, ev,
+        windowMicros = 3600000000L,
+        watermarkDelayWithLateness = "11 minutes",
+        latenessMicros = 600000000L)
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st14_out")
+        .select(col("key").as("event_type"),
+          timestamp_micros(col("wstartMicros")).as("wstart"),
+          col("phase"), col("fireSeq").as("fire_seq"), col("n"))
+        .orderBy("event_type", "wstart", "fire_seq")
+    },
+
     // Streaming CEP: signup followedBy purchase within 2h; B-side
     // maturity = watermark (mirrored in the oracle).
     q("st6_stream_cep",

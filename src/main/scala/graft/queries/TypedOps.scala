@@ -126,6 +126,31 @@ object TypedOps extends QueryGroup {
         (sum(col("_sign"))).cast(LongType).as("n_keys"))
     },
 
+    // Retract-consuming MIN/MAX/FIRST/LAST/LISTAGG
+    // (MinWithRetractAggFunction.java and siblings): the changelog at
+    // (user, event_type) granularity retracts every superseded version,
+    // so the per-user aggregate runs over each type's SURVIVING value —
+    // a retraction of the current min/max must expose the next-best,
+    // which the multiset netting provides.
+    q("ty8_retract_minmax",
+      """WITH v AS (SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS nv
+        |  FROM events),
+        |s AS (SELECT user_id, event_type, event_id, value FROM v WHERE rn = nv)
+        |SELECT user_id, count(*) AS n_rows,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  min_by(value, event_id) AS first_v, max_by(value, event_id) AS last_v,
+        |  string_agg(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), ',' ORDER BY event_id) AS vals
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val versions = t(s, dir)("events")
+        .select("user_id", "event_type", "event_id", "value")
+      val log = Changelog.unfold(versions, Seq("user_id", "event_type"), "event_id")
+      graft.operators.RetractAgg.minMaxFirstLastListAgg(
+          log, Seq("user_id"), "value", "event_id")
+        .orderBy("user_id")
+    },
+
     // Salted two-phase aggregation (skew split): identical result to a
     // direct groupBy, hot keys fanned over 8 reducers first.
     q("ty7_salted_agg",

@@ -226,6 +226,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(late.asScala.toSet == Set(3L))
   }
 
+  test("late-fire window: early → ontime → late re-fire, too-late dropped") {
+    import graft.streaming.{StreamingLateFireWindow, WEvent}
+    val spark = StreamHarness.spark
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WEvent]
+    spark.catalog.dropTempView("latefire_spec")
+    // 60s windows; declared watermark 70s = 10s delay + 60s lateness
+    val out = StreamingLateFireWindow(spark, input.toDS(),
+      windowMicros = 60000000L, watermarkDelayWithLateness = "70 seconds",
+      latenessMicros = 60000000L)
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("latefire_spec").start()
+    def push(evs: WEvent*): Unit = { input.addData(evs); q.processAllAvailable() }
+    def we(tSec: Long, id: Long) = WEvent("k", tSec * 1000000L, id)
+    try {
+      push(we(10, 1), we(20, 2))  // window A=[0,60): early preview
+      push(we(125, 3))            // C=[120,180) early; true-wm 60 → A ontime
+      push(we(58, 4))             // late for A, within lateness → late re-fire
+      push(we(300, 5))            // D early; wm jump matures C (ontime)
+      push(we(58, 6))             // beyond lateness now → dropped by Spark
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("latefire_spec")
+      .collect()
+      .map(r => (r.getAs[Long]("wstartMicros") / 1000000L,
+        r.getAs[String]("phase"), r.getAs[Int]("fireSeq"), r.getAs[Long]("n")))
+      .toSet
+    assert(got == Set(
+      (0L, "early", 0, 2L), (0L, "ontime", 1, 2L), (0L, "late", 2, 3L),
+      (120L, "early", 0, 1L), (120L, "ontime", 1, 1L),
+      (300L, "early", 0, 1L)))
+  }
+
+  test("temporal sort releases buffered rows in event-time order at the watermark") {
+    import graft.streaming.StreamingTemporalSort
+    val out = StreamHarness.run(
+        Seq(Seq(ev(1, 100, 1), ev(1, 50, 2)), Seq(ev(1, 300, 3))),
+        OutputMode.Append, "tsort_spec") { ds =>
+      StreamingTemporalSort(StreamHarness.spark, ds, "1 minute").toDF()
+    }
+    val got = out.orderBy("emitSeq").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("emitSeq"))).toSeq
+    // watermark reaches 240s: ids 2 (t=50) then 1 (t=100) release in
+    // event-time order despite arrival order; t=300 stays buffered.
+    assert(got == Seq((2L, 1L), (1L, 2L)))
+  }
+
   test("streaming windowed agg (update) converges to batch result") {
     val batches = Seq(
       Seq(ev(1, 10, 1, value = 1.0), ev(1, 70, 2, value = 2.0)),
