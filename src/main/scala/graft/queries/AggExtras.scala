@@ -138,13 +138,25 @@ object AggExtras extends QueryGroup {
     // Sketches: HLL distinct + approximate quantiles — algorithms are
     // engine-specific, so this is a rows-only entry; the spec bounds
     // are asserted in BatchOpsSpec instead.
-    qRowsOnly("a4_approx_sketches") { (s, dir) =>
+    // Approximate sketches (HLL++ count-distinct, approx percentile).
+    // Sketch estimates can't hash-match another engine, but their
+    // ACCURACY can: emit round(estimate/exact, 1), which is 1.0 for a
+    // 1%-rsd HLL and a 10k-buffer percentile at these cardinalities —
+    // the oracle pins the ratio, so a broken sketch fails the gate.
+    q("a4_approx_sketches",
+      """SELECT l_returnflag, count(*) AS n,
+        |  1.0 AS distinct_ratio, 1.0 AS p50_ratio
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir)("lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          round(approx_count_distinct(col("l_partkey"), rsd = 0.01)
+            .cast(DoubleType) / countDistinct(col("l_partkey")), 1)
+            .as("distinct_ratio"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)") /
+            expr("percentile(l_extendedprice, 0.5)"), 1).as("p50_ratio"))
         .orderBy("l_returnflag")
     })
 }

@@ -350,6 +350,31 @@ object Streaming extends QueryGroup {
         .orderBy("event_type", "wstart", "fire_seq")
     },
 
+    // connect / CoProcessFunction analog (DataStream.java:259): error
+    // events mute a user, signups unmute; every click/purchase/view is
+    // emitted with the gate state in force when it happened, resolved
+    // deterministically in event-time order at watermark maturity.
+    q("st15_connect",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    coalesce(last_value(CASE WHEN event_type = 'error' THEN true
+        |                             WHEN event_type = 'signup' THEN false END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), false) AS muted
+        |  FROM e)
+        |SELECT user_id, event_id, muted FROM flagged, wm
+        |WHERE event_type IN ('click', 'purchase', 'view') AND ts_us <= wm.wm_us
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = StreamingConnect(s, asGEvents(s, dir),
+        controlOn = "error", controlOff = "signup", watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st15_out")
+        .select(col("key").as("user_id"), col("id").as("event_id"), col("muted"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Streaming CEP: signup followedBy purchase within 2h; B-side
     // maturity = watermark (mirrored in the oracle).
     q("st6_stream_cep",

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Minimal SQL DDL facade (SURVEY.md §2.1/§2.9 —
+  * flink-sql-parser/.../ddl/SqlCreateTable.java,
+  * SqlWatermark.java:39): maps
+  *
+  *   CREATE TABLE name (col TYPE, ...,
+  *     WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+  *   WITH ('connector'='filesystem', 'path'='...', 'format'='parquet',
+  *         'mode'='streaming')
+  *
+  * onto a Spark DataSource read (or readStream when mode=streaming)
+  * with the watermark applied, registered as a temp view — the
+  * DDL→connector binding the reference's catalog performs. Only the
+  * filesystem connector exists here (no network in this container);
+  * the parse/bind/register pipeline is the real surface.
+  */
+object GraftDDL {
+
+  private val createRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(\w+)\s*\((.+)\)\s*WITH\s*\((.+)\)\s*;?\s*""".r
+  private val watermarkRe =
+    """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)""".r
+  private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  /** Parse + bind + register; returns the bound DataFrame. */
+  def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
+    case createRe(name, colsText, propsText) =>
+      val props = propRe.findAllMatchIn(propsText)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      require(props.get("connector").forall(_ == "filesystem"),
+        s"unsupported connector: ${props.get("connector")}")
+      val path = props.getOrElse("path",
+        sys.error("DDL requires a 'path' property"))
+      val format = props.getOrElse("format", "parquet")
+      val watermark = watermarkRe.findFirstMatchIn(colsText)
+        .map(m => (m.group(1), s"${m.group(2)} ${m.group(3).toLowerCase}"))
+      val schemaDdl = colsText.split(",")
+        .map(_.trim)
+        .filterNot(c => c.toUpperCase.startsWith("WATERMARK"))
+        .mkString(", ")
+      val schema = StructType.fromDDL(schemaDdl)
+      val df0 =
+        if (props.get("mode").contains("streaming")) {
+          // the file stream source monitors a DIRECTORY; a file path
+          // becomes its parent dir + a glob on the file name
+          val f = new java.io.File(path)
+          val (dir, glob) =
+            if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
+          val rd = spark.readStream.schema(schema).format(format)
+          glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
+        } else
+          spark.read.schema(schema).format(format).load(path)
+      val df = watermark match {
+        case Some((tsCol, delay)) => df0.withWatermark(tsCol, delay)
+        case None                 => df0
+      }
+      df.createOrReplaceTempView(name)
+      df
+    case _ => sys.error(s"unsupported DDL: $ddl")
+  }
+}

@@ -45,6 +45,54 @@ object StreamingTemporalSort {
   }
 }
 
+/** Emitted by StreamingConnect: data events in watermark-matured
+  * event-time order, flagged with the per-key gate state set by the
+  * control events seen before them. */
+case class ConnectEmit(key: Long, id: Long, tsMicros: Long, muted: Boolean)
+
+/** connect / CoProcessFunction analog (SURVEY.md §2.9 —
+  * DataStream.java:259 connect + CoProcessFunction): a control stream
+  * and a data stream share keyed state. Here both arrive as one keyed
+  * stream; control kinds toggle a per-key gate (`controlOn` mutes,
+  * `controlOff` unmutes) and every other kind is emitted with the gate
+  * state in force when it occurred. Events are buffered until the
+  * watermark and processed in (event-time, id) order, so control/data
+  * interleaving is deterministic — the two-input operator's
+  * processElement1/processElement2 race resolved by event time.
+  */
+object StreamingConnect {
+  case class State(pending: List[(Long, Long, String)], muted: Boolean)
+
+  def apply(spark: SparkSession, ds: Dataset[GEvent], controlOn: String,
+            controlOff: String,
+            watermarkDelay: String = "1 minute"): Dataset[ConnectEmit] = {
+    import spark.implicits._
+    val withTs = ds
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    withTs.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(Nil, muted = false))
+        var pending = cur.pending
+        rows.foreach(e => pending = (e.tsMicros, e.id, e.kind) :: pending)
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (mature, rest) = pending.partition(_._1 <= wmMicros)
+        var muted = cur.muted
+        val out = mature.sortBy(e => (e._1, e._2)).flatMap {
+          case (_, _, k) if k == controlOn  => muted = true; None
+          case (_, _, k) if k == controlOff => muted = false; None
+          case (ts, id, _) => Some(ConnectEmit(key, id, ts, muted))
+        }
+        state.update(State(rest, muted))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
 /** Input/output rows of the late-fire window aggregate. */
 case class WEvent(key: String, tsMicros: Long, id: Long)
 case class WindowFire(key: String, wstartMicros: Long, phase: String,

@@ -60,4 +60,71 @@ class SourcesSpec extends AnyFunSuite {
     q.stop()
     assert(sp.read.parquet(out).count() == 2)
   }
+
+  test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
+    val sp = StreamHarness.spark
+    val df = graft.sources.GraftDDL.execute(sp,
+      """CREATE TABLE ddl_orders (
+        |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        |  o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING
+        |) WITH ('connector'='filesystem',
+        |        'path'='/root/testdata/sf0.001/orders.parquet',
+        |        'format'='parquet')""".stripMargin)
+    assert(!df.isStreaming)
+    val viaSql = sp.sql("SELECT count(*) AS n FROM ddl_orders").collect()(0).getLong(0)
+    val direct = sp.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert(viaSql == direct && direct > 0)
+  }
+
+  test("DDL facade WATERMARK clause yields a streaming view with event-time watermark") {
+    val sp = StreamHarness.spark
+    val df = graft.sources.GraftDDL.execute(sp,
+      """CREATE TABLE ddl_orders_stream (
+        |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        |  o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING,
+        |  WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '30' SECOND
+        |) WITH ('connector'='filesystem',
+        |        'path'='/root/testdata/sf0.001/orders.parquet',
+        |        'format'='parquet', 'mode'='streaming')""".stripMargin)
+    assert(df.isStreaming)
+    assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    // the registered view is queryable as a stream end-to-end
+    val agg = sp.table("ddl_orders_stream")
+      .groupBy(window(col("o_orderdate"), "1 day")).count()
+    val out = graft.streaming.StreamRunner.toTable(sp, agg.toDF(),
+      org.apache.spark.sql.streaming.OutputMode.Complete, "ddl_stream_out")
+    assert(out.count() > 0)
+  }
+
+  test("broadcast state pattern: rules re-broadcast to every key per micro-batch") {
+    import graft.streaming.GEvent
+    val sp = StreamHarness.spark
+    import sp.implicits._
+    implicit val sql = sp.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GEvent]
+    // mutable control side — the analog of the broadcast control stream
+    // (CoBroadcastWithKeyedOperator): every micro-batch re-broadcasts
+    // the current rule snapshot to all executors/keys.
+    @volatile var rules: Map[String, String] = Map("click" -> "keep")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GEvent], _: Long) =>
+        val ruleDf = rules.toSeq.toDF("kind", "action")
+        df.join(broadcast(ruleDf), Seq("kind"), "left")
+          .select(col("id"), coalesce(col("action"), lit("drop")).as("action"))
+          .collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+        ()
+      }.start()
+    try {
+      input.addData(StreamHarness.ev(1, 10, 1, "click"))
+      q.processAllAvailable()
+      rules = Map("click" -> "drop", "view" -> "keep") // control update
+      input.addData(StreamHarness.ev(1, 20, 2, "click"),
+        StreamHarness.ev(2, 30, 3, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet ==
+      Set((1L, "keep"), (2L, "drop"), (3L, "keep")))
+  }
 }
