@@ -17,7 +17,8 @@ object SparkEntry {
   def groups: Seq[QueryGroup] = Seq(
     Q.Relational, Q.Joins, Q.SetOps, Q.Subqueries, Q.OverWindows, Q.GroupingSets,
     Q.Functions, Q.GroupWindows, Q.TextOps, Q.SimilarityQ, Q.MultimodalQ,
-    Q.Streaming, Q.Graphs, Q.AggExtras, Q.TypedOps, Q.TpchLike, Q.CepExtras)
+    Q.Streaming, Q.Graphs, Q.AggExtras, Q.TypedOps, Q.TpchLike, Q.CepExtras,
+    Q.DsLike)
 
   lazy val allQueries: Seq[GQuery] = {
     val qs = groups.flatMap(_.queries)

@@ -248,6 +248,49 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id", "chain")
     },
 
+    // MATCH_RECOGNIZE SQL surface (StreamExecMatch.scala:68): the
+    // clause text compiles onto PatternNFA; semantics (and oracle)
+    // identical to cep5's optional pattern — the SQL facade is the
+    // thing under test.
+    q("mr1_match_recognize",
+      s"""WITH $evSql,
+        |wcp AS (
+        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |ap AS (
+        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
+        |UNION ALL
+        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
+        |FROM ap WHERE NOT EXISTS (SELECT 1 FROM wcp
+        |  WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      graft.operators.MatchRecognize.run(s, events(s, dir),
+          """MATCH_RECOGNIZE (
+            |  PARTITION BY key ORDER BY ts
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A C? P)
+            |  WITHIN INTERVAL '2' HOUR
+            |  DEFINE A AS kind = 'signup', C AS kind = 'click',
+            |         P AS kind = 'purchase'
+            |)""".stripMargin)
+        .orderBy("key", "anchor_id")
+    },
+
     // AFTER MATCH SKIP PAST LAST EVENT: signup → purchase within 6h,
     // anchors re-armed only past the previous match's last event —
     // greedy non-overlapping scan, mirrored by a recursive CTE.

@@ -44,17 +44,24 @@ object Streaming extends QueryGroup {
 
   override def queries = Seq(
 
-    // Streaming tumbling-window agg, complete mode (StreamExecGroup-
-    // WindowAggregate semantics on a bounded stream).
+    // Streaming tumbling-window agg, APPEND mode: a window emits once,
+    // when the watermark passes its end, and its state is dropped —
+    // the bounded-state form that survives an unbounded stream
+    // (StreamExecGroupWindowAggregate semantics).
     q("st1_stream_tumble",
-      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT wstart, event_type, n, total FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2), wm
+        |WHERE epoch_us(wstart + INTERVAL 1 HOUR) <= wm.wm_us
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
       val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
-      StreamRunner.toTable(s, agg, OutputMode.Complete, "st1_out")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st1_out")
         .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
         .orderBy("wstart", "event_type")
     },
@@ -129,9 +136,12 @@ object Streaming extends QueryGroup {
     },
 
     // Streaming session windows (merging windows, MergingWindowSet
-    // semantics) — gap 30 min per user, complete mode.
+    // semantics) — gap 30 min per user, APPEND mode: a session emits
+    // once the watermark passes its end (last event + gap) and its
+    // merge state is evicted.
     q("st7_stream_session",
-      """WITH marked AS (
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |marked AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
@@ -142,14 +152,17 @@ object Streaming extends QueryGroup {
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
-        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-        |FROM sess GROUP BY user_id, sid
+        |SELECT user_id, session_start, n_events FROM (
+        |  SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us
+        |  FROM sess GROUP BY user_id, sid), wm
+        |WHERE session_end_us <= wm.wm_us
         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
       val agg = eventStream(s, dir)
         .withWatermark("ts", "1 minute")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-      StreamRunner.toTable(s, agg, OutputMode.Complete, "st7_out")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st7_out")
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
@@ -225,16 +238,24 @@ object Streaming extends QueryGroup {
         .orderBy(col("signup_id"), asc_nulls_first("purchase_id"))
     },
 
-    // Streaming hopping windows (1h size / 30m slide), complete mode.
+    // Streaming hopping windows (1h size / 30m slide), APPEND mode:
+    // each hop emits at watermark passage and its state is evicted
+    // (complete mode would retain every window ever seen — unbounded
+    // state on a real stream).
     q("st10_stream_hop",
-      """SELECT tb - to_seconds(k * 1800) AS wstart, count(*) AS n
-        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
-        |  unnest([0, 1]) AS u(k)
-        |GROUP BY 1 ORDER BY wstart""".stripMargin) { (s, dir) =>
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT wstart, n FROM (
+        |  SELECT tb - to_seconds(k * 1800) AS wstart, count(*) AS n
+        |  FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |    unnest([0, 1]) AS u(k)
+        |  GROUP BY 1), wm
+        |WHERE epoch_us(wstart + INTERVAL 1 HOUR) <= wm.wm_us
+        |ORDER BY wstart""".stripMargin) { (s, dir) =>
       val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"))
-      StreamRunner.toTable(s, agg, OutputMode.Complete, "st10_out")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st10_out")
         .select(col("window.start").as("wstart"), col("n"))
         .orderBy("wstart")
     },

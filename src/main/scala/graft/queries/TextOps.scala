@@ -171,17 +171,15 @@ object TextOps extends QueryGroup {
          |  WHERE i * 1.0 / (na + nb - i) >= 0.2),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs
-         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
          |lbl AS (
+         |  -- propagate min labels to CONVERGENCE (not a fixed superstep
+         |  -- count): min reachable id = the component's canonical id
          |  WITH RECURSIVE r AS (
-         |    SELECT 0 AS it, doc_id AS node, doc_id AS label FROM documents
-         |    UNION ALL
-         |    SELECT it + 1, node, label FROM (
-         |      SELECT r.it AS it, e.dst AS node, min(r.label) AS label
-         |      FROM r JOIN edges e ON e.src = r.node
-         |      WHERE r.it < 5 GROUP BY r.it, e.dst))
-         |  SELECT node, label FROM r WHERE it = 5)
+         |    SELECT doc_id AS node, doc_id AS label FROM documents
+         |    UNION
+         |    SELECT e.dst AS node, r.label FROM r JOIN edges e ON e.src = r.node)
+         |  SELECT node, min(label) AS label FROM r GROUP BY node)
          |SELECT node AS doc_id, label AS canonical_id,
          |  count(*) OVER (PARTITION BY label) AS cluster_size
          |FROM lbl ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -191,7 +189,10 @@ object TextOps extends QueryGroup {
       val nodes = docs.select(col("doc_id").as("node"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      graft.operators.GraphOps.labelPropagation(nodes, edges, iterations = 5)
+      // early-terminating delta iteration: stops as soon as a superstep
+      // changes no label — the form that survives deep graphs where a
+      // fixed superstep count under-converges.
+      graft.operators.GraphOps.labelPropagationDelta(nodes, edges, maxIterations = 50)
         .select(col("node").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("canonical_id")))

@@ -178,6 +178,29 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(comb == Seq("1,2,3,4", "1,2,6,4", "1,3,6,4"))
   }
 
+  test("MatchRecognize compiles the clause grammar onto the NFA algebra") {
+    import graft.operators.{MatchRecognize, PatternNFA}
+    import PatternNFA._
+    val c = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY key ORDER BY ts
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+ C? D{2} E{1,3})
+        |  WITHIN INTERVAL '30' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c',
+        |         D AS kind = 'd', E AS kind = 'e'
+        |)""".stripMargin)
+    assert(c.steps == Seq(
+      Step("A", "a", One), Step("B", "b", OneOrMore()),
+      Step("C", "c", Optional), Step("D", "d", Times(2)),
+      Step("E", "e", TimesRange(1, 3))))
+    assert(c.withinMicros == 30L * 60000000L)
+    assert(c.afterMatch == SkipPastLastEvent)
+    intercept[RuntimeException] {
+      MatchRecognize.compile("MATCH_RECOGNIZE (PATTERN (A) DEFINE A AS kind = 'a')")
+    } // WITHIN required
+  }
+
   test("Changelog unfold/fold round-trips to final versions") {
     import spark.implicits._
     val versions = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (2L, 5L, 7.0))
