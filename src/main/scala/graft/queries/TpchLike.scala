@@ -381,6 +381,198 @@ object TpchLike extends QueryGroup {
         .orderBy("seg")
     },
 
+    // TPC-H Q3-flavored: shipping-priority top 10 — unshipped-revenue
+    // per order for one market segment (3-way join, agg, sort-limit).
+    q("h14_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1996-07-01'
+        |  AND l.l_shipdate > DATE '1996-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir)("orders")
+        .filter(col("o_orderdate") < lit("1996-07-01").cast(DateType))
+      val l = t(s, dir)("lineitem")
+        .filter(col("l_shipdate") > lit("1996-07-01").cast(DateType))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(rev).cast(DoubleType).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q6-flavored: forecast-revenue change — pure scan +
+    // filter + single global agg, the pushdown showcase (no join).
+    q("h15_forecast_revenue",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir)("lineitem")
+        .filter(year(col("l_shipdate")) === 1996 &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec18_2) *
+            col("l_discount").cast(dec4_2))
+          .cast(DoubleType).as("revenue"))
+    },
+
+    // TPC-H Q11-flavored: important parts — per-part value vs a
+    // fraction of the GLOBAL total (agg-of-agg + scalar subquery).
+    // Accumulation stays DECIMAL on both sides so the threshold
+    // comparison is exact and order-independent.
+    q("h16_important_parts",
+      """WITH pv AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS vd
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(vd AS DOUBLE) AS value
+        |FROM pv
+        |WHERE CAST(vd AS DOUBLE) > (SELECT CAST(sum(vd) AS DOUBLE) * 1.5 / count(*) FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin) { (s, dir) =>
+      val pv = t(s, dir)("lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(dec18_2)).as("vd"))
+      // 1.5× the average per-part value: selective at every SF (a fixed
+      // fraction of the total is not, since part count scales with SF).
+      val threshold = pv
+        .agg((sum("vd").cast(DoubleType) * 1.5 / count(lit(1))).as("threshold"))
+      pv.join(broadcast(threshold))
+        .filter(col("vd").cast(DoubleType) > col("threshold"))
+        .select(col("l_partkey"), col("vd").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q12-flavored: late-shipped lines per line status, counting
+    // high- vs low-priority orders with conditional aggregation
+    // (l_linestatus stands in for the schema's missing l_shipmode).
+    q("h17_late_by_status",
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE year(l.l_shipdate) = 1997
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val o = t(s, dir)("orders")
+      val l = t(s, dir)("lineitem").filter(year(col("l_shipdate")) === 1997)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q13-flavored: customer order-count distribution — LEFT
+    // join with an extra join-side predicate, then a second aggregate
+    // over the first (histogram of counts).
+    q("h18_custsale_distribution",
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |            FROM customer c LEFT JOIN orders o
+        |              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |            GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer")
+      val o = t(s, dir)("orders").filter(col("o_orderpriority") =!= "5-LOW")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15-flavored: top supplier — a revenue view computed once
+    // and referenced twice (group rows + scalar MAX over it); the
+    // equality is DECIMAL-exact on both sides. Catalyst's
+    // ReuseExchange dedups the repeated subplan; at cluster scale
+    // the view is one shuffle reused by both consumers.
+    q("h19_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(DateType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(DateType))
+      val revenue = l.groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(rev).as("total_rev"))
+      val top = revenue.agg(max("total_rev").as("max_rev"))
+      val sup = t(s, dir)("supplier")
+      revenue.join(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(sup), col("supplier_no") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16-flavored: supplier count by part attributes — the
+    // part/supplier bridge distilled from lineitem (no partsupp in
+    // this schema), a NOT IN exclusion subquery, and COUNT DISTINCT.
+    q("h20_supplier_by_part",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_type, p_size""".stripMargin) { (s, dir) =>
+      val ps = t(s, dir)("lineitem").select("l_partkey", "l_suppkey").distinct()
+      val p = t(s, dir)("part").filter(
+        col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+      val bad = t(s, dir)("supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      ps.join(bad, ps("l_suppkey") === bad("s_suppkey"), "left_anti")
+        .join(broadcast(p), ps("l_partkey") === p("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q19-flavored: disjunctive multi-attribute predicates over
+    // the join — three OR'd brand/size/quantity bands collapsing to
+    // one global revenue figure.
+    q("h21_disjunctive_revenue",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val p = t(s, dir)("part")
+      val band = (
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(1, 21)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 25) &&
+          l("l_quantity").between(10, 30)) ||
+        (p("p_brand") === "Brand#4" && p("p_size").between(1, 35) &&
+          l("l_quantity").between(20, 40)))
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey") && band)
+        .agg(sum(rev).cast(DoubleType).as("revenue"))
+    },
+
     // CEP with quantifiers: signup → click+ → purchase within 6h
     // (PatternNFA; OneOrMore reports the click count per match).
     q("cep3_pattern_quantifier",
