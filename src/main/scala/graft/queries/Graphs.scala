@@ -53,8 +53,11 @@ object Graphs extends QueryGroup {
         .union(e0.select(col("p"))).distinct()
       val edges = e0.select(col("c").as("src"), col("p").as("dst"))
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
-      GraphOps.labelPropagation(nodes, edges, iterations = 6)
-        .groupBy(col("label").as("component"))
+      val lbl = GraphOps.labelPropagation(nodes, edges, iterations = 6)
+      // labelPropagation's result is eagerly localCheckpointed, so the
+      // edge cache can be released before the (lazy) final aggregate.
+      e0.unpersist()
+      lbl.groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
         .orderBy("component")
     },
@@ -86,8 +89,9 @@ object Graphs extends QueryGroup {
         .union(e0.select(col("p"))).distinct()
       val edges = e0.select(col("c").as("src"), col("p").as("dst"))
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
-      GraphOps.pageRank(nodes, edges, d = 0.85, iterations = 5)
-        .select(col("node"), round(col("pr"), 8).as("rank"))
+      val pr = GraphOps.pageRank(nodes, edges, d = 0.85, iterations = 5)
+      e0.unpersist() // result is checkpointed; see gr1
+      pr.select(col("node"), round(col("pr"), 8).as("rank"))
         .orderBy("node")
     })
 }
