@@ -118,5 +118,177 @@ object DsLike extends QueryGroup {
         .filter(col("best_rank") <= 10 || col("worst_rank") <= 10)
         .select("l_partkey", "qty", "best_rank", "worst_rank")
         .orderBy("l_partkey")
+    },
+
+    // TPC-DS Q88-flavored: one-row dashboard of conditional counts —
+    // four quantity bands × high-priority flag folded in a single
+    // scan (eight concurrent COUNTs in the reference's shape).
+    q("d5_band_counts",
+      """SELECT
+        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS b1,
+        |  sum(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS b2,
+        |  sum(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN 1 ELSE 0 END) AS b3,
+        |  sum(CASE WHEN l_quantity BETWEEN 36 AND 50 THEN 1 ELSE 0 END) AS b4,
+        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 10 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS b1_urgent,
+        |  sum(CASE WHEN l_quantity BETWEEN 11 AND 20 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS b2_urgent
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_linestatus = 'F'""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem").filter(col("l_linestatus") === "F")
+      val o = t(s, dir)("orders")
+      def band(lo: Int, hi: Int) = col("l_quantity").between(lo, hi)
+      val urgent = col("o_orderpriority") === "1-URGENT"
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(
+          sum(when(band(1, 10), 1L).otherwise(0L)).as("b1"),
+          sum(when(band(11, 20), 1L).otherwise(0L)).as("b2"),
+          sum(when(band(21, 35), 1L).otherwise(0L)).as("b3"),
+          sum(when(band(36, 50), 1L).otherwise(0L)).as("b4"),
+          sum(when(band(1, 10) && urgent, 1L).otherwise(0L)).as("b1_urgent"),
+          sum(when(band(11, 20) && urgent, 1L).otherwise(0L)).as("b2_urgent"))
+    },
+
+    // TPC-DS Q34/Q73-flavored: frequent buyers — grouped HAVING band
+    // on order count, joined back to the dimension for detail rows.
+    q("d6_frequent_buyers",
+      """WITH cnt AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '5-LOW'
+        |  GROUP BY o_custkey
+        |  HAVING count(*) BETWEEN 10 AND 14)
+        |SELECT c_custkey, c_name, n
+        |FROM customer JOIN cnt ON c_custkey = o_custkey
+        |ORDER BY n DESC, c_custkey""".stripMargin) { (s, dir) =>
+      val cnt = t(s, dir)("orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(10, 14))
+      val c = t(s, dir)("customer")
+      c.join(cnt, c("c_custkey") === cnt("o_custkey"))
+        .select("c_custkey", "c_name", "n")
+        .orderBy(col("n").desc, col("c_custkey"))
+    },
+
+    // TPC-DS Q49-flavored: worst return ratios per part type —
+    // integer-valued quantity sums (exact in double), DENSE_RANK over
+    // the ratio.
+    q("d7_return_ratio_rank",
+      """WITH r AS (
+        |  SELECT p_type,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret_qty,
+        |    sum(l_quantity) AS tot_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY p_type)
+        |SELECT p_type, round(ret_qty / tot_qty, 6) AS ratio,
+        |  dense_rank() OVER (ORDER BY ret_qty / tot_qty DESC, p_type) AS rnk
+        |FROM r ORDER BY rnk, p_type""".stripMargin) { (s, dir) =>
+      val l = t(s, dir)("lineitem")
+      val p = t(s, dir)("part")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy((col("ret_qty") / col("tot_qty")).desc, col("p_type"))
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .groupBy("p_type")
+        .agg(
+          sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0d))
+            .as("ret_qty"),
+          sum("l_quantity").as("tot_qty"))
+        .withColumn("rnk", dense_rank().over(w))
+        .select(col("p_type"), round(col("ret_qty") / col("tot_qty"), 6).as("ratio"),
+          col("rnk"))
+        .orderBy("rnk", "p_type")
+    },
+
+    // TPC-DS Q36-flavored: profit ROLLUP over the region→nation
+    // hierarchy with a RANK within each rollup level (window over
+    // grouping flags). SQL surface: DSL rollup over a join trips the
+    // ambiguous-self-join detector (same as g1).
+    q("d8_margin_rollup_rank",
+      """SELECT coalesce(r_name, '<all>') AS region, coalesce(n_name, '<all>') AS nation,
+        |  CAST(grouping(n_name) AS INT) AS g_n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev,
+        |  rank() OVER (PARTITION BY grouping(n_name), r_name
+        |               ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, n_name) AS rnk
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_n, region, rnk, nation""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT coalesce(r_name, '<all>') AS region, coalesce(n_name, '<all>') AS nation,
+          |  CAST(grouping(n_name) AS INT) AS g_n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev,
+          |  rank() OVER (PARTITION BY grouping(n_name), r_name
+          |               ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, n_name) AS rnk
+          |FROM lineitem
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN nation ON n_nationkey = c_nationkey
+          |JOIN region ON r_regionkey = n_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY g_n, region, rnk, nation""".stripMargin)
+    },
+
+    // TPC-DS Q51-flavored: running totals of two channels FULL OUTER
+    // joined by month, reporting months where the returns cumulative
+    // overtakes a fraction of the sales cumulative. DECIMAL running
+    // sums keep the window exact and order-independent.
+    q("d9_cumulative_cross",
+      """WITH a AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |b AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+        |  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.m, b.m) AS m,
+        |    sum(coalesce(a.amt, 0)) OVER (ORDER BY coalesce(a.m, b.m)) AS ret_cum,
+        |    sum(coalesce(b.amt, 0)) OVER (ORDER BY coalesce(a.m, b.m)) AS sales_cum
+        |  FROM a FULL OUTER JOIN b ON a.m = b.m)
+        |SELECT m, CAST(ret_cum AS DOUBLE) AS ret_cum, CAST(sales_cum AS DOUBLE) AS sales_cum
+        |FROM j WHERE ret_cum > 0.30 * sales_cum
+        |ORDER BY m""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      def monthly(cond: org.apache.spark.sql.Column) = li.filter(cond)
+        .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("m"))
+        .agg(sum(col("l_extendedprice").cast(dec18_2)).as("amt"))
+      val a = monthly(col("l_returnflag") === "R")
+        .select(col("m").as("am"), col("amt").as("ret_amt"))
+      val b = monthly(col("l_returnflag") =!= "R")
+        .select(col("m").as("bm"), col("amt").as("sales_amt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("m").rowsBetween(Long.MinValue, 0)
+      a.join(b, col("am") === col("bm"), "full_outer")
+        .select(coalesce(col("am"), col("bm")).as("m"),
+          coalesce(col("ret_amt"), lit(0)).as("ra"),
+          coalesce(col("sales_amt"), lit(0)).as("sa"))
+        .withColumn("ret_cum", sum("ra").over(w))
+        .withColumn("sales_cum", sum("sa").over(w))
+        .filter(col("ret_cum") > lit(0.30) * col("sales_cum"))
+        .select(col("m"), col("ret_cum").cast(DoubleType).as("ret_cum"),
+          col("sales_cum").cast(DoubleType).as("sales_cum"))
+        .orderBy("m")
+    },
+
+    // TPC-DS Q90-flavored: morning/afternoon activity ratio — two
+    // time-band counts from one scan, emitted as a single-row ratio.
+    q("d10_ampm_ratio",
+      """SELECT CAST(sum(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / sum(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS am_pm_ratio,
+        |  sum(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS am_count,
+        |  sum(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS pm_count
+        |FROM events""".stripMargin) { (s, dir) =>
+      val am = hour(col("ts")).between(6, 11)
+      val pm = hour(col("ts")).between(12, 17)
+      t(s, dir)("events")
+        .agg(
+          (sum(when(am, 1L).otherwise(0L)).cast(DoubleType) /
+            sum(when(pm, 1L).otherwise(0L))).as("am_pm_ratio"),
+          sum(when(am, 1L).otherwise(0L)).as("am_count"),
+          sum(when(pm, 1L).otherwise(0L)).as("pm_count"))
     })
 }
