@@ -101,10 +101,13 @@ object DsLike extends QueryGroup {
         |SELECT l_partkey, qty, best_rank, worst_rank FROM ranked
         |WHERE best_rank <= 10 OR worst_rank <= 10
         |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      // persist: pa feeds the scalar average and the ranked probe; the
+      // exchange is not auto-reused across the consumers (see h16).
       val pa = t(s, dir)("lineitem")
         .groupBy("l_partkey")
         .agg(sum(col("l_quantity").cast(DecimalType(9, 2)))
           .cast(DoubleType).as("qty"))
+        .persist()
       val avgAll = pa.agg(
         (sum(col("qty").cast(dec18_2)).cast(DoubleType) / count(lit(1))).as("a"))
       val wBest = org.apache.spark.sql.expressions.Window
