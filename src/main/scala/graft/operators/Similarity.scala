@@ -90,7 +90,15 @@ object Similarity {
     * broadcast table; assignment is one scan; search probes only the
     * query's cluster. */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                seedIds: Seq[Long], iterations: Int): DataFrame = {
+                seedIds: Seq[Long], iterations: Int): DataFrame =
+    ivfFit(vectors, idCol, vecCol, seedIds, iterations)._1
+
+  /** Fit the coarse quantizer and return BOTH outputs of the offline
+    * phase of an IVF index: (assignments(idCol, cluster),
+    * centroids(_cid, _cv)). At scale assignments are written
+    * partitioned by cluster; centroids are a broadcast table. */
+  def ivfFit(vectors: DataFrame, idCol: String, vecCol: String,
+             seedIds: Seq[Long], iterations: Int): (DataFrame, DataFrame) = {
     var centroids: DataFrame = vectors
       .filter(col(idCol).isin(seedIds: _*))
       .select(col(idCol).as("_cid"), transform(col(vecCol),
@@ -116,7 +124,48 @@ object Similarity {
         .select(col("_cid"), transform(col("_pairs"), p => p.getField("_m")).as("_cv"))
         .localCheckpoint(true)
     }
-    assign(vectors).select(col(idCol), col("cluster"))
+    (assign(vectors).select(col(idCol), col("cluster")), centroids)
+  }
+
+  /** IVF top-k search — the ANN query path over a fitted coarse
+    * quantizer: each query probes only its `nProbe` nearest centroids
+    * (cosine, 6dp-rounded, centroid-id tiebreak) and brute-forces the
+    * members of those clusters. Output matches [[bruteForceKnn]]:
+    * (query_id, rank, neighbor_id, cos).
+    *
+    * Scale shape: centroids and the (query × nProbe) probe table are
+    * broadcast; the corpus is scanned ONCE, joined to probes on the
+    * cluster id — cost is |corpus ∩ probed clusters|, never O(|Q|·n).
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, seedIds: Seq[Long], iterations: Int,
+                nProbe: Int, k: Int): DataFrame = {
+    val (assignments, centroids) =
+      ivfFit(corpus, idCol, vecCol, seedIds, iterations)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("_pcos").desc, col("_cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_cid"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("_pcos"))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_cid"))
+    val corpusA = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
+        norm(col(vecCol)).as("_nn"))
+      .join(assignments.select(col(idCol).as("neighbor_id"), col("cluster")),
+        "neighbor_id")
+    val scored = corpusA.join(broadcast(probes),
+        col("cluster") === col("_cid") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("_qv"), col("_nv")) / (col("_qn") * col("_nn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** numPlanes-bit sign-projection bucket as a single expression. */

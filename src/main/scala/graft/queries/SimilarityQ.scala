@@ -20,7 +20,40 @@ object SimilarityQ extends QueryGroup {
   /** Generated DuckDB oracle for the IVF coarse quantizer: unrolled
     * Lloyd iterations, all arithmetic rounded to 6dp like the Spark
     * implementation. */
-  private def ivfOracle(seedIds: Seq[Long], iterations: Int): String = {
+  private def ivfOracle(seedIds: Seq[Long], iterations: Int): String =
+    ivfPrefix(seedIds, iterations) +
+      "\nSELECT vec_id, cluster FROM af ORDER BY vec_id"
+
+  /** Generated oracle for IVF top-k search: the fit prefix, then probe
+    * selection from the final-centroid cosines (pf), cluster-member
+    * candidates, and exact re-scoring — mirroring
+    * `Similarity.ivfSearch` CTE for CTE. */
+  private def ivfSearchOracle(seedIds: Seq[Long], iterations: Int,
+                              nProbe: Int, k: Int): String =
+    ivfPrefix(seedIds, iterations) + s""",
+      |$normSql,
+      |qp AS (SELECT vec_id AS query_id, cid, cos,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |       FROM pf WHERE vec_id < 5),
+      |probes AS (SELECT query_id, cid FROM qp WHERE rn <= $nProbe),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |         FROM probes p JOIN af a ON a.cluster = p.cid AND a.vec_id <> p.query_id),
+      |d AS (SELECT c.query_id, c.neighbor_id,
+      |        sum(CAST(q.embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(n.embedding[CAST(g.i AS INT)] AS DOUBLE)) AS dp
+      |      FROM cand c
+      |      JOIN embeddings q ON q.vec_id = c.query_id
+      |      JOIN embeddings n ON n.vec_id = c.neighbor_id
+      |      JOIN range(1, 65) g(i) ON true
+      |      GROUP BY 1, 2),
+      |scored AS (SELECT query_id, neighbor_id, round(dp / (a.nrm * b.nrm), 6) AS cos
+      |  FROM d JOIN nrm a ON a.vec_id = query_id JOIN nrm b ON b.vec_id = neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k
+      |ORDER BY query_id, rank""".stripMargin
+
+  private def ivfPrefix(seedIds: Seq[Long], iterations: Int): String = {
     def pair(c: String) =
       s"""SELECT e.vec_id, c.cid,
          |  round(sum(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * c.cv[CAST(g.i AS INT)])
@@ -51,8 +84,7 @@ object SimilarityQ extends QueryGroup {
            |""".stripMargin)
     }
     sb.append(s"pf AS (${pair(s"c$iterations")}),\n")
-    sb.append(s"af AS (${assign("pf")})\n")
-    sb.append("SELECT vec_id, cluster FROM af ORDER BY vec_id")
+    sb.append(s"af AS (${assign("pf")})")
     sb.toString
   }
 
@@ -64,6 +96,21 @@ object SimilarityQ extends QueryGroup {
       Similarity.ivfAssign(t(s, dir)("embeddings"), "vec_id", "embedding",
           seedIds = 0L to 7L, iterations = 2)
         .orderBy("vec_id")
+    },
+
+    // IVF top-k SEARCH: probe the 2 nearest of 8 coarse clusters per
+    // query, exact re-score only cluster members — the ANN query path
+    // (assignment above is the offline fit). Same output contract as
+    // the brute-force baseline v1.
+    q("v5_ivf_search",
+      ivfSearchOracle(seedIds = 0L to 7L, iterations = 2, nProbe = 2, k = 3)) {
+      (s, dir) =>
+        val emb = t(s, dir)("embeddings")
+        Similarity.ivfSearch(
+            corpus = emb, queries = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding",
+            seedIds = 0L to 7L, iterations = 2, nProbe = 2, k = 3)
+          .orderBy("query_id", "rank")
     },
 
     // Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
