@@ -37,4 +37,18 @@ object TextFunctions {
   /** Normalized-document fingerprint (md5 of ws-collapsed text). */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " ").cast(BinaryType))
+
+  /** BPE-ish subword tokens: letter runs, digit runs, punctuation
+    * runs (whitespace dropped) — the merge-free skeleton of a GPT-2
+    * style pre-tokenizer, deterministic in any regex engine. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0))
+
+  /** Order-sensitive Rabin–Karp rolling fingerprint over the token
+    * stream: fold (acc·31 + hash32(token)) mod 2³², so ws-equal but
+    * reordered documents fingerprint differently (unlike
+    * [[fingerprint]], which normalizes). Pure codegen'd fold. */
+  def rollingHash(toks: Column): Column =
+    aggregate(transform(toks, t => hash32(t)), lit(0L),
+      (acc, x) => pmod(acc * lit(31L) + x, lit(4294967296L)))
 }

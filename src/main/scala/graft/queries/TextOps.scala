@@ -40,6 +40,41 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // Order-sensitive rolling-hash fingerprint (Rabin–Karp over the
+    // token stream): detects reorder edits that the normalized md5
+    // fingerprint (x2) is blind to.
+    q("x12_rolling_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($toksSql, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 4294967296) AS roll_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("documents")
+        .select(col("doc_id"), rollingHash(tokens(col("text"))).as("roll_fp"))
+        .orderBy("doc_id")
+    },
+
+    // BPE-ish token counting: letter/digit/punctuation runs (the
+    // merge-free pre-tokenizer skeleton) next to whitespace tokens —
+    // the fertility ratio is the standard tokenizer-cost estimate.
+    q("x13_bpe_tokens",
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe,
+         |  len($toksSql) AS n_ws,
+         |  round(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) * 1.0
+         |        / len($toksSql), 6) AS fertility
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bpe = bpeTokens(col("text"))
+      val ws = tokens(col("text"))
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          size(bpe).as("n_bpe"),
+          size(ws).as("n_ws"),
+          round(size(bpe).cast(DoubleType) / size(ws), 6).as("fertility"))
+        .orderBy("doc_id")
+    },
+
     // Token statistics: counts, type-token ratio, mean token length.
     q("x3_token_stats",
       s"""SELECT doc_id,
