@@ -28,4 +28,27 @@ object SkewJoin {
       .groupBy(col(key))
       .agg(sum("_psum").as("total"), sum("_pcnt").as("n"))
   }
+
+  /** Salted equi-join for a skewed fact side when the dim side is too
+    * big to broadcast outright but small enough to replicate `salts`
+    * times: each fact row gets a deterministic salt from `saltExpr`
+    * (any expression over fact columns — NOT the join key, which is
+    * the skewed one), the dim side is exploded once per salt value,
+    * and the shuffle keys become (key, salt) — a hot key now lands on
+    * `salts` reducers instead of one. Row-identical to
+    * `fact.join(dim, factKey === dimKey)`.
+    *
+    * This is the manual form for when AQE skew-join can't help
+    * (e.g. the skew is in a shuffled hash join under a stateful op).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, saltExpr: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(saltExpr, lit(salts)))
+    val repDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    saltedFact.join(repDim,
+        saltedFact(factKey) === repDim(dimKey) &&
+          saltedFact("_salt") === repDim("_salt"))
+      .drop("_salt")
+  }
 }

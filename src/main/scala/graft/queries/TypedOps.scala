@@ -204,6 +204,24 @@ object TypedOps extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // Salted equi-join (skew split on the join key): identical rows to
+    // the plain join, each hot part key fanned over 8 (key, salt)
+    // reducers; dim side replicated ×8 instead of broadcast.
+    q("ty10_salted_join",
+      """SELECT p_type, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, dir) =>
+      graft.operators.SkewJoin.saltedJoin(
+          fact = t(s, dir)("lineitem"), dim = t(s, dir)("part"),
+          factKey = "l_partkey", dimKey = "p_partkey",
+          saltExpr = hash(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(dec18_2)).cast(DoubleType).as("amount"))
+        .orderBy("p_type")
+    },
+
     // Lookup join through a broadcast dimension snapshot.
     q("ty5_lookup_join",
       """SELECT l_orderkey, l_linenumber, p.p_brand AS brand
