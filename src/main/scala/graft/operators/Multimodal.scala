@@ -28,6 +28,46 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("image/fake").as("media_type"))
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Batched frame sampling — the 1→N explode shape of video decode:
+    * the payload is treated as a stream of fixed-size frames
+    * (`frameChars` bytes each, ASCII text standing in for frame
+    * data), and every `stride`-th frame is emitted with its digest.
+    * Streams the partition iterator; never materializes a whole
+    * partition of frames. */
+  def frameSample(spark: SparkSession, binTable: DataFrame,
+                  frameChars: Int, stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    binTable.as[BinaryDoc].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { d =>
+        val s = new String(d.payload, java.nio.charset.StandardCharsets.UTF_8)
+        s.grouped(frameChars).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 =>
+            val digest = md.clone().asInstanceOf[java.security.MessageDigest]
+            digest.update(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            FrameRow(d.doc_id, i,
+              digest.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Aspect-preserving resize of the decoded (fake) dimensions into a
+    * maxSide×maxSide box — pure integer Column math (codegen'd), the
+    * metadata half of a real resize whose pixel work would live in a
+    * frameSample-shaped batched pass. */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val mx = greatest(col("fake_width"), col("fake_height"))
+    decoded.select(
+      col("doc_id"), col("fake_width"), col("fake_height"),
+      greatest(lit(1), floor(col("fake_width") * maxSide / mx).cast("int"))
+        .as("out_width"),
+      greatest(lit(1), floor(col("fake_height") * maxSide / mx).cast("int"))
+        .as("out_height"))
+  }
+
   /** Batched "decode": one pass per partition, streaming the iterator
     * (no per-row task overhead, no full-partition materialization) —
     * the shape a real codec UDF needs at 100 TB. */

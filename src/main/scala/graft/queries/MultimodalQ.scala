@@ -29,5 +29,42 @@ object MultimodalQ extends QueryGroup {
         .select("doc_id", "media_type", "n_bytes", "head_byte", "content_md5",
           "fake_width", "fake_height")
         .orderBy("doc_id")
+    },
+
+    // Frame sampling: payload as a stream of 32-byte frames, every 2nd
+    // frame emitted with its digest (the 1→N video-decode shape).
+    q("mm2_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM f WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.frameSample(s,
+          Multimodal.toBinaryTable(t(s, dir)("documents")),
+          frameChars = 32, stride = 2)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Aspect-preserving resize metadata into a 32×32 box (integer
+    // math; the pixel half of a real resize stays in frameSample's
+    // batched pass).
+    q("mm3_resize",
+      """SELECT doc_id,
+        |  1 + ascii(substr(text, 1, 1)) % 64 AS fake_width,
+        |  1 + ascii(substr(text, 2, 1)) % 64 AS fake_height,
+        |  greatest(1, CAST(floor((1 + ascii(substr(text, 1, 1)) % 64) * 32.0
+        |    / greatest(1 + ascii(substr(text, 1, 1)) % 64, 1 + ascii(substr(text, 2, 1)) % 64)) AS INT)) AS out_width,
+        |  greatest(1, CAST(floor((1 + ascii(substr(text, 2, 1)) % 64) * 32.0
+        |    / greatest(1 + ascii(substr(text, 1, 1)) % 64, 1 + ascii(substr(text, 2, 1)) % 64)) AS INT)) AS out_height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.resizeMeta(
+          Multimodal.decode(s,
+            Multimodal.toBinaryTable(t(s, dir)("documents"))).toDF(),
+          maxSide = 32)
+        .orderBy("doc_id")
     })
 }

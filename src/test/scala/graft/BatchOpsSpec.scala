@@ -227,4 +227,52 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("ivfSearch recall@3 vs brute force stays useful at nProbe=2/8") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", k = 3))
+    val approx = pairs(Similarity.ivfSearch(emb, q, "vec_id", "embedding",
+      seedIds = 0L to 7L, iterations = 2, nProbe = 2, k = 3))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nProbe=2 of 8 coarse cells: recall must beat random cell choice
+    // by a wide margin (empirically ~0.7+ on this data; 0.5 is the
+    // regression floor, not the target).
+    assert(recall >= 0.5, s"IVF recall@3 degraded: $recall")
+  }
+
+  test("saltedJoin is row-identical to the plain join and fans the dim by salts") {
+    import graft.operators.SkewJoin
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val p = Tables(spark, "/root/testdata/sf0.001", "part")
+    val salted = SkewJoin.saltedJoin(li, p, "l_partkey", "p_partkey",
+      saltExpr = hash(col("l_orderkey"), col("l_linenumber")), salts = 8)
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+    // multiset identity (not just count): salting must neither drop
+    // nor duplicate any joined row.
+    val cols = plain.columns.map(col).toIndexedSeq
+    assert(salted.select(cols: _*).exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted.select(cols: _*)).count() == 0)
+  }
+
+  test("bpeTokens and rollingHash handle edge-case text deterministically") {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, world! 42"),
+      (2L, "world! Hello, 42"), // reordered: same multiset, different order
+      (3L, "Hello, world! 42") // exact copy of 1
+    ).toDF("id", "text")
+      .select(col("id"), size(bpeTokens(col("text"))).as("nb"),
+        rollingHash(tokens(col("text"))).as("rh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    val byId = df.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 5) // Hello , world ! 42 → letter/punct/digit runs
+    assert(byId(1L)._3 == byId(3L)._3, "identical text must fingerprint equal")
+    assert(byId(1L)._3 != byId(2L)._3, "reordered text must fingerprint differently")
+  }
 }
