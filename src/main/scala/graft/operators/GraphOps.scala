@@ -64,6 +64,9 @@ object GraphOps {
       val msgs = workset.join(e, workset("node") === e("src"))
         .groupBy(col("dst").as("m_node"))
         .agg(min("label").as("m_label"))
+      // one checkpoint per superstep: `joined` is materialized with
+      // truncated lineage; `next` and `workset` are cheap narrow
+      // projections of it and need no materialization of their own.
       val joined = solution.join(msgs, solution("node") === col("m_node"), "left")
         .select(col("node"), col("label"), col("m_label"))
         .localCheckpoint(true)
@@ -71,11 +74,9 @@ object GraphOps {
         .select(col("node"),
           when(col("m_label") < col("label"), col("m_label"))
             .otherwise(col("label")).as("label"))
-        .localCheckpoint(true)
       workset = joined
         .filter(col("m_label") < col("label"))
         .select(col("node"), col("m_label").as("label"))
-        .localCheckpoint(true)
       worksetSize = workset.count()
       solution = next
       i += 1
