@@ -277,6 +277,91 @@ object DsLike extends QueryGroup {
         .orderBy("m")
     },
 
+    // TPC-DS Q10/Q35-flavored: customers active in EITHER of two
+    // channels (OR of two EXISTS — union of semi-join key sets) with
+    // conditional counts per segment.
+    q("d11_multi_channel_exists",
+      """SELECT c_mktsegment, count(*) AS n_active,
+        |  sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1997)
+        |   OR EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+        |                AND year(l.l_shipdate) = 1997)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("customer")
+      val o = t(s, dir)("orders")
+      val l = t(s, dir)("lineitem")
+      // OR of two EXISTS = semi join against the UNION of the key sets
+      // (each set deduplicated by the union distinct — one shuffle).
+      val k1 = o.filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey").as("ck"))
+      val k2 = l.filter(col("l_returnflag") === "R" &&
+          year(col("l_shipdate")) === 1997)
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("ck"))
+      c.join(k1.union(k2).distinct(), c("c_custkey") === col("ck"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("c_acctbal") > 5000, 1L).otherwise(0L)).as("n_rich"))
+        .orderBy("c_mktsegment")
+    },
+
+    // TPC-DS Q54-flavored: customer lifetime-value histogram — exact
+    // DECIMAL totals bucketized by integer floor division.
+    q("d12_value_histogram",
+      """WITH ct AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |            FROM orders GROUP BY o_custkey)
+        |SELECT CAST(floor(CAST(tot AS DOUBLE) / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM ct GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(dec18_2)).as("tot"))
+        .groupBy(floor(col("tot").cast(DoubleType) / 50000).cast(LongType)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // TPC-DS Q47-flavored: brand-months whose revenue deviates >20%
+    // above the brand's overall monthly mean. The mean comparison is
+    // done in EXACT integer/decimal arithmetic (rev·cnt·5 > tot·6 ⟺
+    // rev > 1.2·tot/cnt) so no engine-dependent double summation
+    // enters the predicate.
+    q("d13_deviating_months",
+      """WITH m AS (
+        |  SELECT p_brand, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mo,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT p_brand, mo, rev,
+        |    sum(rev) OVER (PARTITION BY p_brand) AS tot,
+        |    count(*) OVER (PARTITION BY p_brand) AS cnt
+        |  FROM m)
+        |SELECT p_brand, mo, CAST(rev AS DOUBLE) AS rev
+        |FROM w WHERE rev * cnt * 5 > tot * 6
+        |ORDER BY p_brand, mo""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val p = t(s, dir)("part")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+      li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+        .groupBy(col("p_brand"),
+          date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("mo"))
+        .agg(sum(col("l_extendedprice").cast(dec18_2)).as("rev"))
+        .withColumn("tot", sum("rev").over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("rev") * col("cnt") * 5 > col("tot") * 6)
+        .select(col("p_brand"), col("mo"), col("rev").cast(DoubleType).as("rev"))
+        .orderBy("p_brand", "mo")
+    },
+
     // TPC-DS Q90-flavored: morning/afternoon activity ratio — two
     // time-band counts from one scan, emitted as a single-row ratio.
     q("d10_ampm_ratio",

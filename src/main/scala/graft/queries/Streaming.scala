@@ -260,6 +260,28 @@ object Streaming extends QueryGroup {
         .orderBy("wstart")
     },
 
+    // Streaming per-window DISTINCT-user count. COUNT(DISTINCT) is
+    // unsupported inside streaming aggregation, so this is the
+    // canonical two-stage form: dropDuplicates on (user, window) —
+    // whose state the watermark evicts once the window closes — then
+    // an ordinary windowed count over the deduplicated stream.
+    q("st16_stream_distinct",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT wstart, n_users FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1), wm
+        |WHERE epoch_us(wstart + INTERVAL 1 HOUR) <= wm.wm_us
+        |ORDER BY wstart""".stripMargin) { (s, dir) =>
+      val dedup = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
+        .select(col("ts"), col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .dropDuplicates("user_id", "w")
+      val agg = dedup.groupBy(col("w")).agg(count(lit(1)).as("n_users"))
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st16_out")
+        .select(col("w.start").as("wstart"), col("n_users"))
+        .orderBy("wstart")
+    },
+
     // Streaming OVER aggregation: per-user ROWS 3 PRECEDING..CURRENT
     // sum in event-time order, emitted at watermark maturity.
     q("st8_stream_over",
