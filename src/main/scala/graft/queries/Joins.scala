@@ -124,10 +124,14 @@ object Joins extends QueryGroup {
     q("j6_anti_join",
       """SELECT p_partkey, p_name
         |FROM part p
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey
+        |                    AND year(l.l_shipdate) = 1996)
         |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      // scoped to one shipment year so the anti join keeps a non-empty
+      // result at every SF (every part ships at least once overall).
       val p = t(s, dir)("part")
-      val l = t(s, dir)("lineitem")
+      val l = t(s, dir)("lineitem").filter(year(col("l_shipdate")) === 1996)
       p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")

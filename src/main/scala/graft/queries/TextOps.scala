@@ -263,7 +263,8 @@ object TextOps extends QueryGroup {
          |SELECT d.doc_id, q.q AS quality
          |FROM documents d JOIN quality q ON d.doc_id = q.doc_id
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
-         |  AND q.q >= 0.7
+         |  AND q.q >= 0.6
+         |  AND d.lang = 'en'
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir)("documents")
       // near-dup pairs: drop the higher doc_id of each verified pair
@@ -274,9 +275,13 @@ object TextOps extends QueryGroup {
       val quality = docs.select(col("doc_id"),
         round(size(array_distinct(tk)).cast("double") / size(tk) * 0.5 +
           least(size(tk).cast("double") / 100.0, lit(1.0)) * 0.5, 6).as("quality"))
-      docs.join(dups, Seq("doc_id"), "left_anti")
+      // gates: declared-language filter, quality floor (0.6 keeps a
+      // selective but NON-EMPTY set at every SF — 0.7 is above this
+      // corpus's max score and would make the check vacuous), dedup.
+      docs.filter(col("lang") === "en")
+        .join(dups, Seq("doc_id"), "left_anti")
         .join(quality, "doc_id")
-        .filter(col("quality") >= 0.7)
+        .filter(col("quality") >= 0.6)
         .select("doc_id", "quality")
         .orderBy("doc_id")
     },

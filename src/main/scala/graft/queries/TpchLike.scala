@@ -630,17 +630,17 @@ object TpchLike extends QueryGroup {
         |  SELECT a.user_id, a.a_id, a.a_us, b.event_id AS b1_id, b.ts_us AS b1_us,
         |    row_number() OVER (PARTITION BY a.user_id, a.a_id ORDER BY b.ts_us, b.event_id) AS rn
         |  FROM a JOIN b ON a.user_id = b.user_id
-        |    AND b.ts_us > a.a_us AND b.ts_us <= a.a_us + 21600000000) WHERE rn = 1),
+        |    AND b.ts_us > a.a_us AND b.ts_us <= a.a_us + 86400000000) WHERE rn = 1),
         |s2 AS (SELECT * FROM (
         |  SELECT s1.user_id, s1.a_id, s1.a_us, s1.b1_id, b.event_id AS b2_id, b.ts_us AS b2_us,
         |    row_number() OVER (PARTITION BY s1.user_id, s1.a_id ORDER BY b.ts_us, b.event_id) AS rn
         |  FROM s1 JOIN b ON s1.user_id = b.user_id
-        |    AND b.ts_us > s1.b1_us AND b.ts_us <= s1.a_us + 21600000000) WHERE rn = 1),
+        |    AND b.ts_us > s1.b1_us AND b.ts_us <= s1.a_us + 86400000000) WHERE rn = 1),
         |s3 AS (SELECT * FROM (
         |  SELECT s2.user_id, s2.a_id, s2.b1_id, s2.b2_id, c.event_id AS c_id,
         |    row_number() OVER (PARTITION BY s2.user_id, s2.a_id ORDER BY c.ts_us, c.event_id) AS rn
         |  FROM s2 JOIN c ON s2.user_id = c.user_id
-        |    AND c.ts_us > s2.b2_us AND c.ts_us <= s2.a_us + 21600000000) WHERE rn = 1)
+        |    AND c.ts_us > s2.b2_us AND c.ts_us <= s2.a_us + 86400000000) WHERE rn = 1)
         |SELECT user_id AS key, a_id AS anchor_id, c_id AS end_id,
         |  a_id || ',' || b1_id || ',' || b2_id || ',' || c_id AS chain,
         |  '' AS counts
@@ -653,7 +653,7 @@ object TpchLike extends QueryGroup {
           Step("signup", "signup"),
           Step("click", "click", Times(2)),
           Step("purchase", "purchase")),
-        withinMicros = 21600L * 1000000L)
+        withinMicros = 86400L * 1000000L)
         .orderBy("key", "anchor_id")
     },
 
