@@ -362,6 +362,65 @@ object DsLike extends QueryGroup {
         .orderBy("p_brand", "mo")
     },
 
+    // TPC-DS Q78-flavored: per-customer cross-channel ratio — FULL
+    // OUTER join of two grouped channels (returned vs kept revenue),
+    // COALESCE'd, with an exact-decimal ratio gate (ret·5 > kept ⟺
+    // ratio > 0.2 without dividing).
+    q("d14_channel_ratio",
+      """WITH r AS (SELECT o_custkey AS ck, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+        |           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |           WHERE l_returnflag = 'R' GROUP BY 1),
+        |k AS (SELECT o_custkey AS ck, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |      WHERE l_returnflag <> 'R' GROUP BY 1)
+        |SELECT coalesce(r.ck, k.ck) AS c_custkey,
+        |  CAST(coalesce(r.amt, 0) AS DOUBLE) AS ret_amt,
+        |  CAST(coalesce(k.amt, 0) AS DOUBLE) AS kept_amt
+        |FROM r FULL OUTER JOIN k ON r.ck = k.ck
+        |WHERE coalesce(r.amt, 0) * 5 > coalesce(k.amt, 0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      def chan(cond: org.apache.spark.sql.Column, as: String) =
+        li.filter(cond).join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_custkey").as(s"${as}_ck"))
+          .agg(sum(col("l_extendedprice").cast(dec18_2)).as(s"${as}_amt"))
+      val r = chan(col("l_returnflag") === "R", "r")
+      val k = chan(col("l_returnflag") =!= "R", "k")
+      r.join(k, col("r_ck") === col("k_ck"), "full_outer")
+        .select(coalesce(col("r_ck"), col("k_ck")).as("c_custkey"),
+          coalesce(col("r_amt"), lit(0)).as("ra"),
+          coalesce(col("k_amt"), lit(0)).as("ka"))
+        .filter(col("ra") * 5 > col("ka"))
+        .select(col("c_custkey"), col("ra").cast(DoubleType).as("ret_amt"),
+          col("ka").cast(DoubleType).as("kept_amt"))
+        .orderBy("c_custkey")
+    },
+
+    // TPC-DS Q39-flavored: high-variance parts — the variance/mean
+    // gate evaluated in EXACT integer arithmetic on integer-valued
+    // quantities (n·Σx² − (Σx)² > 9·n·Σx, i.e. population variance >
+    // 9×mean — above the ~8 natural ratio of this corpus, so the
+    // gate keeps roughly the volatile quartile) with no
+    // engine-dependent floating summation deciding membership.
+    q("d15_volatile_parts",
+      """WITH s AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, n, sx, sxx
+        |FROM s WHERE n >= 5 AND n * sxx - sx * sx > 9 * n * sx
+        |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      val qi = col("l_quantity").cast(LongType)
+      t(s, dir)("lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum(qi).as("sx"), sum(qi * qi).as("sxx"))
+        .filter(col("n") >= 5 &&
+          col("n") * col("sxx") - col("sx") * col("sx") > col("n") * col("sx") * 9)
+        .orderBy("l_partkey")
+    },
+
     // TPC-DS Q90-flavored: morning/afternoon activity ratio — two
     // time-band counts from one scan, emitted as a single-row ratio.
     q("d10_ampm_ratio",
