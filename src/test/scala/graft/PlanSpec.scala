@@ -95,4 +95,28 @@ class PlanSpec extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PartitionFilters: [isnotnull(status"), scan)
   }
+
+  test("no unintended cartesian/nested-loop join anywhere in the batch corpus") {
+    // Every non-equi or cross join in the library must be on this
+    // list with a reason; anything new is a scale regression (an
+    // accidental O(n·m) join that a 100 TB fact table cannot survive).
+    val allowed = Map(
+      "j8_cross_join" -> "intentional CROSS JOIN demo (5×5 regions)",
+      "d4_above_avg_rank" -> "single-row scalar-average broadcast",
+      "h13_quiet_customers" -> "single-row scalar-subquery broadcast",
+      "h16_important_parts" -> "single-row global-threshold broadcast",
+      "v1_knn_brute" -> "brute-force KNN baseline (broadcast query side)",
+      "v4_ivf_assign" -> "broadcast-centroid crossJoin (k rows)",
+      "v5_ivf_search" -> "broadcast-centroid crossJoin (k rows)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (bad.nonEmpty && !allowed.contains(name)) Some(s"$name: ${bad.mkString(",")}")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
