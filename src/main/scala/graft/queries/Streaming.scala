@@ -282,6 +282,37 @@ object Streaming extends QueryGroup {
         .orderBy("wstart")
     },
 
+    // CHAINED stateful aggregation (multi-stateful pipeline): hourly
+    // counts (stage 1, append on hour close) roll into daily
+    // total/max/hour-count (stage 2, grouped on window_time of the
+    // hour window, append on day close) — two watermark-driven
+    // stateful operators in ONE streaming query.
+    q("st17_stream_chained",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |closed_h AS (SELECT * FROM hourly, wm
+        |             WHERE epoch_us(h + INTERVAL 1 HOUR) <= wm_us),
+        |daily AS (SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS dstart,
+        |            sum(n) AS total, max(n) AS max_hour, count(*) AS n_hours
+        |          FROM closed_h GROUP BY 1)
+        |SELECT dstart, total, max_hour, n_hours FROM daily, wm
+        |WHERE epoch_us(dstart + INTERVAL 1 DAY) <= wm_us
+        |ORDER BY dstart""".stripMargin) { (s, dir) =>
+      val hourly = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val daily = hourly
+        .groupBy(window(window_time(col("window")), "1 day"))
+        .agg(sum("n").as("total"), max("n").as("max_hour"),
+          count(lit(1)).as("n_hours"))
+      StreamRunner.toTable(s, daily, OutputMode.Append, "st17_out")
+        .select(col("window.start").as("dstart"), col("total"),
+          col("max_hour"), col("n_hours"))
+        .orderBy("dstart")
+    },
+
     // Streaming OVER aggregation: per-user ROWS 3 PRECEDING..CURRENT
     // sum in event-time order, emitted at watermark maturity.
     q("st8_stream_over",
