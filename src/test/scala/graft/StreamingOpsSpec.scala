@@ -291,4 +291,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     val got = last.select("v").orderBy("ws").collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(5.0, 2.0)) // window[0,60): 1+4; window[60,120): 2
   }
+
+  test("one pipeline definition runs in BOTH batch and streaming mode (unified runtime)") {
+    // The reference's central promise: the same declarative transform
+    // executes as a bounded batch job or an unbounded stream. Here the
+    // identical function is applied to a batch read and a readStream;
+    // the streaming (append) result must equal the batch result
+    // restricted to watermark-closed windows.
+    import org.apache.spark.sql.DataFrame
+    def pipeline(events: DataFrame): DataFrame =
+      events.withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val dir = "/root/testdata/sf0.001"
+    val batch = pipeline(Tables(spark, dir, "events"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast("long")))
+    val q = pipeline(streamIn).writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("unified_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("unified_spec")
+    val wmUs = Tables(spark, dir, "events")
+      .agg((unix_micros(max(col("ts"))) - 60L * 1000000L).as("wm")).head.getLong(0)
+    val closedBatch = batch.filter(
+      unix_micros(col("ws") + expr("INTERVAL 6 HOUR")) <= wmUs)
+    assert(streamed.exceptAll(closedBatch).isEmpty &&
+      closedBatch.exceptAll(streamed).isEmpty,
+      "batch and streaming runs of the same pipeline disagree")
+  }
 }
