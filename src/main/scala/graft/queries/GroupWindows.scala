@@ -166,6 +166,34 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "session_start")
     },
 
+    // Count-evictor window agg (the reference's CountEvictor.of(3)
+    // attached to a time window): the hourly aggregate sees only the
+    // LAST 3 events of each (user, window) pane — expressed as a
+    // ranked retain-filter before the pane aggregation.
+    q("gw6_count_evictor",
+      """WITH r AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS w, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, w AS wstart,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS last3_sum,
+        |  count(*) AS n_total
+        |FROM r GROUP BY user_id, w
+        |ORDER BY user_id, wstart""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir)("events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("wstart"))
+        .agg(
+          sum(when(col("rn") <= 3, col("value").cast(dec18_2)).otherwise(lit(0)))
+            .cast(DoubleType).as("last3_sum"),
+          count(lit(1)).as("n_total"))
+        .orderBy("user_id", "wstart")
+    },
+
     // CEP: signup followedBy purchase within 2h, earliest match per
     // signup (MATCH_RECOGNIZE ... PATTERN (A B) semantics, batch).
     q("cep1_followed_by",
