@@ -286,6 +286,31 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // Deterministic hash-based train/val split (90/10), stratified
+    // report by language — the reproducible-at-any-scale alternative
+    // to RNG sampling: membership is a pure function of doc_id, so
+    // re-runs, retries, and cluster re-partitioning cannot move a
+    // document across the split boundary.
+    q("x14_hash_split",
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 9
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n
+        |FROM s GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      t(s, dir)("documents")
+        .select(col("lang"),
+          when(conv(substring(md5(col("doc_id").cast(StringType)
+              .cast(BinaryType)), 1, 8), 16, 10)
+              .cast(LongType) % 10 < 9, "train")
+            .otherwise("val").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
     // 32-bit SimHash signature per document.
     q("x8_simhash",
       s"""WITH tok AS (
