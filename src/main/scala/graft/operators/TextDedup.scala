@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,14 +27,23 @@ object TextDedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Largest 32-bit prime — modulus of the per-permutation LCG mix. */
+  val MinHashP = 4294967291L
+
+  /** MinHash permutation k applied to a 32-bit base hash: the
+    * classical (a·h + b) mod p universal-hash family, with (a, b)
+    * derived deterministically from k so any engine reproduces them. */
+  def minHashMix(h: Column, k: Int): Column =
+    pmod(h * (2L * k + 1) + (k.toLong * 2654435761L) % MinHashP, lit(MinHashP))
+
   /** Per-doc MinHash signature columns h0..h{n-1} over bigram shingles.
     *
-    * Shape: explode distinct shingles → flat projection of the k seed
-    * hashes → ONE groupBy(doc) with k min() aggregates. Map-side
-    * partial aggregation collapses each partition to one row per doc
-    * before the shuffle — the form that survives a 100× scale-up
-    * (vs. per-row nested array transforms, which also defeat reuse
-    * under self-joins).
+    * Shape: explode distinct shingles → one digest per shingle →
+    * ONE groupBy(doc) with k min(mix_k) aggregates. Map-side partial
+    * aggregation collapses each partition to one row per doc before
+    * the shuffle — the form that survives a 100× scale-up (vs.
+    * per-row nested array transforms, which also defeat reuse under
+    * self-joins).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame = {
@@ -42,19 +51,25 @@ object TextDedup {
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
       .select(col("_id"),
         explode(array_distinct(bigramShinglesFromTokens(col("_toks")))).as("_sh"))
+    // ONE digest per shingle, then numHashes cheap integer mixes — not
+    // numHashes digests: md5 dominates the signature cost otherwise.
+    val base = sh.select(col("_id"), hash32(col("_sh")).as("_h"))
     val aggs = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("_sh")).cast(BinaryType))).as(s"h$k"))
-    sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+      min(minHashMix(col("_h"), k)).as(s"h$k"))
+    base.groupBy("_id").agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("_id", idCol)
   }
 
   /** LSH band buckets: rows (id, band, bucket). bands × rowsPerBand
-    * must equal the signature width. */
+    * must equal the signature width. The bucket key is the plain
+    * ':'-joined band slice — it is already a join key; hashing it
+    * again would only burn cycles. */
   def lshBuckets(sigs: DataFrame, idCol: String, bands: Int,
                  rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(hs: _*).cast(BinaryType)).as("bucket"))
+      val hs = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast(StringType))
+      struct(lit(b).as("band"), concat_ws(":", hs: _*).as("bucket"))
     }
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

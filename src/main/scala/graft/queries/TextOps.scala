@@ -19,7 +19,7 @@ object TextOps extends QueryGroup {
   private val bigramsSql =
     s"list_transform(generate_series(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1])"
   private def mhSql(k: Int) =
-    s"list_min(list_transform(list_distinct($bigramsSql), s -> md5('$k:' || s)))"
+    s"list_min(list_transform(list_distinct($bigramsSql), s -> (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) * ${2 * k + 1} + ${(k.toLong * 2654435761L) % 4294967291L}) % 4294967291))"
 
   override def queries = Seq(
 
@@ -164,9 +164,9 @@ object TextOps extends QueryGroup {
          |    ${(0 until 8).map(k => s"${mhSql(k)} AS h$k").mkString(", ")}
          |  FROM documents),
          |bb AS (
-         |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+         |  SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || ':' || h1 || ':' || h2 || ':' || h3 AS bucket FROM sig
          |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+         |  SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || ':' || h5 || ':' || h6 || ':' || h7 AS bucket FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
          |              AND a.doc_id < b.doc_id),
@@ -191,9 +191,9 @@ object TextOps extends QueryGroup {
          |    ${(0 until 8).map(k => s"${mhSql(k)} AS h$k").mkString(", ")}
          |  FROM documents),
          |bb AS (
-         |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+         |  SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || ':' || h1 || ':' || h2 || ':' || h3 AS bucket FROM sig
          |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+         |  SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || ':' || h5 || ':' || h6 || ':' || h7 AS bucket FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
          |              AND a.doc_id < b.doc_id),
@@ -242,9 +242,9 @@ object TextOps extends QueryGroup {
          |    ${(0 until 8).map(k => s"${mhSql(k)} AS h$k").mkString(", ")}
          |  FROM documents),
          |bb AS (
-         |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+         |  SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || ':' || h1 || ':' || h2 || ':' || h3 AS bucket FROM sig
          |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bucket FROM sig),
+         |  SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || ':' || h5 || ':' || h6 || ':' || h7 AS bucket FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
          |              AND a.doc_id < b.doc_id),
