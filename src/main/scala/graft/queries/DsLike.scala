@@ -421,6 +421,54 @@ object DsLike extends QueryGroup {
         .orderBy("l_partkey")
     },
 
+    // TPC-DS Q66-flavored: monthly PIVOT report — months become
+    // columns via Spark's native RelationalGroupedDataset.pivot (one
+    // pass; the CASE-sum form the reference plans is what pivot
+    // compiles to).
+    q("d16_monthly_pivot",
+      """SELECT p_brand,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 1 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS m01,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 2 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS m02,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 3 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS m03,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 4 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS m04
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 4
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+        .filter(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")) <= 4)
+      val p = t(s, dir)("part")
+      li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+        .groupBy("p_brand")
+        .pivot(month(col("l_shipdate")), Seq(1, 2, 3, 4))
+        .agg(sum(col("l_extendedprice").cast(dec18_2)))
+        .select(col("p_brand") +:
+          (1 to 4).map(m => coalesce(col(s"$m").cast(DoubleType), lit(0.0))
+            .as(f"m$m%02d")): _*)
+        .orderBy("p_brand")
+    },
+
+    // UNPIVOT (the inverse reshape): a wide conditional aggregate
+    // unfolded back to (key, band, n) rows — Spark's stack()
+    // generator vs DuckDB's UNPIVOT clause.
+    q("d17_band_unpivot",
+      """WITH w AS (SELECT l_returnflag,
+        |    sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_band,
+        |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS high_band
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, band, n
+        |FROM w UNPIVOT (n FOR band IN (low_band, high_band))
+        |ORDER BY l_returnflag, band""".stripMargin) { (s, dir) =>
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_quantity") <= 25, 1L).otherwise(0L)).as("low_band"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("high_band"))
+        .selectExpr("l_returnflag",
+          "stack(2, 'low_band', low_band, 'high_band', high_band) AS (band, n)")
+        .orderBy("l_returnflag", "band")
+    },
+
     // TPC-DS Q90-flavored: morning/afternoon activity ratio — two
     // time-band counts from one scan, emitted as a single-row ratio.
     q("d10_ampm_ratio",
