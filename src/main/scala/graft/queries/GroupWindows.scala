@@ -166,6 +166,37 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "session_start")
     },
 
+    // Session window with DYNAMIC per-event gap (the reference's
+    // EventTimeSessionWindows.withDynamicGap): purchases hold the
+    // session open 60 min, everything else 30 — the gap is a column
+    // expression, and merge semantics are running-max of (ts + gap).
+    q("gw7_dynamic_session",
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+        |         ELSE INTERVAL 30 MINUTE END AS gap
+        |  FROM events),
+        |m AS (SELECT *, max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+        |s AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END AS brk FROM m),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts + gap) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      val gap = when(col("event_type") === "purchase", "1 hour")
+        .otherwise("30 minutes")
+      t(s, dir)("events")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Count-evictor window agg (the reference's CountEvictor.of(3)
     // attached to a time window): the hourly aggregate sees only the
     // LAST 3 events of each (user, window) pane — expressed as a
