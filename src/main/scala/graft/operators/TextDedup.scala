@@ -46,11 +46,14 @@ object TextDedup {
     * self-joins).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
-      .select(col("_id"),
-        explode(array_distinct(bigramShinglesFromTokens(col("_toks")))).as("_sh"))
+                        numHashes: Int): DataFrame =
+    signaturesFromShingles(shingleTable(docs, idCol, textCol), idCol, numHashes)
+
+  /** Signatures from an (optionally already persisted) shingle table —
+    * lets one tokenize+explode pass feed both the signature and the
+    * exact-verification phases of the near-dup pipeline. */
+  def signaturesFromShingles(sh: DataFrame, idCol: String,
+                             numHashes: Int): DataFrame = {
     // ONE digest per shingle, then numHashes cheap integer mixes — not
     // numHashes digests: md5 dominates the signature cost otherwise.
     val base = sh.select(col("_id"), hash32(col("_sh")).as("_h"))
@@ -128,13 +131,18 @@ object TextDedup {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
+    // ONE persisted shingle table feeds both signatures and the exact
+    // verification (tokenize+explode is the pipeline's widest scan —
+    // doing it twice doubled the dominant cost).
+    val sh = shingleTable(docs, idCol, textCol).persist()
+    sh.count() // materialize before the multi-consumer fan-out
     // persist: the bucket table is self-joined (both sides would
     // otherwise recompute the whole signature pipeline).
-    val buckets = lshBuckets(minHashSignatures(docs, idCol, textCol, numHashes),
+    val buckets = lshBuckets(signaturesFromShingles(sh, idCol, numHashes),
       idCol, bands, numHashes / bands).persist()
     buckets.count() // materialize once; self-join probes the cache
     val pairs = candidatePairs(buckets, idCol)
-    jaccard(pairs, docs, idCol, textCol).filter(col("jaccard") >= threshold)
+    jaccardOnShingles(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash per doc over whitespace tokens (with multiplicity):
