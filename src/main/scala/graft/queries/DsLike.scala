@@ -469,6 +469,66 @@ object DsLike extends QueryGroup {
         .orderBy("l_returnflag", "band")
     },
 
+    // TPC-DS Q59-flavored: weekly revenue joined to the SAME week one
+    // year earlier — period comparison as a self-join on a time
+    // offset (the join-based sibling of d2's LAG form).
+    q("d18_weekly_yoy_join",
+      """WITH w AS (
+        |  SELECT year(l_shipdate) AS yr, weekofyear(l_shipdate) AS wk,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT a.wk AS wk, CAST(a.rev AS DOUBLE) AS rev,
+        |  CAST(b.rev AS DOUBLE) AS prev_year_rev,
+        |  round(CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 6) AS ratio
+        |FROM w a JOIN w b ON b.yr = a.yr - 1 AND b.wk = a.wk
+        |WHERE a.yr = 1997
+        |ORDER BY wk""".stripMargin) { (s, dir) =>
+      val w = t(s, dir)("lineitem")
+        .groupBy(year(col("l_shipdate")).as("yr"),
+          weekofyear(col("l_shipdate")).as("wk"))
+        .agg(sum(col("l_extendedprice").cast(dec18_2)).as("rev"))
+        .persist() // consumed twice (both sides of the offset self-join)
+      val a = w.filter(col("yr") === 1997)
+        .select(col("wk"), col("rev").as("arev"))
+      val b = w.filter(col("yr") === 1996)
+        .select(col("wk").as("bwk"), col("rev").as("brev"))
+      a.join(b, col("wk") === col("bwk"))
+        .select(col("wk"), col("arev").cast(DoubleType).as("rev"),
+          col("brev").cast(DoubleType).as("prev_year_rev"),
+          round(col("arev").cast(DoubleType) / col("brev").cast(DoubleType), 6)
+            .as("ratio"))
+        .orderBy("wk")
+    },
+
+    // TPC-DS Q65-flavored: parts earning under HALF their brand's
+    // average part revenue — a mixed-granularity agg-of-agg join
+    // (per-part revenue vs per-brand average), gated in exact decimal
+    // arithmetic (rev·cnt·2 < tot ⟺ rev < avg/2).
+    q("d19_below_brand_avg",
+      """WITH pr AS (
+        |  SELECT p_brand, l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |ba AS (SELECT p_brand, sum(rev) AS tot, count(*) AS cnt FROM pr GROUP BY 1)
+        |SELECT pr.p_brand, l_partkey, CAST(rev AS DOUBLE) AS rev
+        |FROM pr JOIN ba ON pr.p_brand = ba.p_brand
+        |WHERE rev * cnt * 2 < tot
+        |ORDER BY pr.p_brand, l_partkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val p = t(s, dir)("part")
+      val pr = li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(sum(col("l_extendedprice").cast(dec18_2)).as("rev"))
+        .persist() // consumed twice (brand rollup + probe side)
+      val ba = pr.groupBy(col("p_brand").as("b_brand"))
+        .agg(sum("rev").as("tot"), count(lit(1)).as("cnt"))
+      pr.join(broadcast(ba), col("p_brand") === col("b_brand"))
+        .filter(col("rev") * col("cnt") * 2 < col("tot"))
+        .select(col("p_brand"), col("l_partkey"),
+          col("rev").cast(DoubleType).as("rev"))
+        .orderBy("p_brand", "l_partkey")
+    },
+
     // TPC-DS Q90-flavored: morning/afternoon activity ratio — two
     // time-band counts from one scan, emitted as a single-row ratio.
     q("d10_ampm_ratio",
