@@ -27,6 +27,12 @@ def render(v):
 
 
 def fetch(con, sql, oracle_side):
+    # The driver materializes the oracle through pandas, where DuckDB's
+    # HUGEINT (the result type of sum(INTEGER/BIGINT)) lands as float64
+    # and renders '1.0' while Spark's BIGINT renders '1'. Mirror that:
+    # flag HUGEINT columns so an un-cast integer sum fails locally too.
+    hugeint_cols = [str(t) == "HUGEINT" for t in con.sql(sql).types] \
+        if oracle_side else []
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
@@ -34,11 +40,13 @@ def fetch(con, sql, oracle_side):
     out = []
     for r in rows:
         vals = []
-        for c, v in zip(cols, r):
+        for i, (c, v) in enumerate(zip(cols, r)):
             if isinstance(v, decimal.Decimal):
                 decimal_cols.add(c)
                 if oracle_side:
                     v = float(v)
+            elif oracle_side and v is not None and hugeint_cols and hugeint_cols[i]:
+                v = float(v)
             vals.append(v)
         out.append(vals)
     # driver sorts columns by name before hashing

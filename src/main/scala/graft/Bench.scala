@@ -46,16 +46,32 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full per-query detail goes to a file; the stdout line must stay
+    // SHORT. The driver keeps only the last ~2000 chars of output
+    // ("tail"), so a 173-query JSON line gets its opening brace cut off
+    // and parses as null (this is exactly what happened to BENCH_r01/
+    // r02). Print headline queries only — one per operator family,
+    // including the heaviest (LSH dedup, graph iterations, streaming
+    // joins) — rounded to 3 decimals, keeping the line well under 1.5k.
+    val headline = Vector(
+      "q1_agg", "h1_local_supplier_volume", "h8_market_share",
+      "h9_product_profit", "h21_disjunctive_revenue", "d1_channel_rollup",
+      "j1_inner_join", "j11_asof_join", "w1_rows_running",
+      "gw3_session", "sub4_exists_correlated", "gr1_connected_components",
+      "x6_ngram_jaccard", "x7_minhash_lsh", "x10_dedup_clusters",
+      "v1_knn_brute", "v3_lsh_neardup", "cep1_followed_by",
+      "st1_stream_tumble", "st9_stream_join_unbounded", "ty3_cogroup")
+    val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
+      .mkString("{", ",", ",\"n_queries\":" + results.size + "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver scrapes stdout for one JSON line; sbt noise can bury or
-    // truncate it, so persist the line to a file too and make the JSON
-    // the very last thing printed after the session is fully stopped.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      java.nio.file.Paths.get("bench_out.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""" + "\n")
     spark.stop()
     System.out.flush()
     println(json)

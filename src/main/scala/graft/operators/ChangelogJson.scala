@@ -27,12 +27,17 @@ object ChangelogJson {
       StructField("old", ArrayType(rowSchema))))
     def tag(rows: Column, kind: String): Column =
       transform(rows, r => struct(r.as("_r"), lit(kind).as("_k")))
+    // UPDATE is explicit and null-safe: a missing "old" array must not
+    // null out the +U rows (concat is NULL-propagating), and unknown
+    // envelope types (canal also emits CREATE/ALTER/QUERY…) fall to
+    // NULL and are dropped by the explode — not misparsed as updates.
     df.select(from_json(col(jsonCol), envelope).as("_e"))
       .select(explode(
         when(col("_e.type") === "INSERT", tag(col("_e.data"), "+I"))
           .when(col("_e.type") === "DELETE", tag(col("_e.data"), "-D"))
-          .otherwise(concat(
-            tag(col("_e.old"), "-U"), tag(col("_e.data"), "+U"))))
+          .when(col("_e.type") === "UPDATE", concat(
+            coalesce(tag(col("_e.old"), "-U"), array()),
+            coalesce(tag(col("_e.data"), "+U"), array()))))
         .as("_p"))
       .select(col("_p._r.*"), col("_p._k").as("_change_kind"))
   }

@@ -117,8 +117,9 @@ object GraphOps {
         .localCheckpoint(true)
       pr = next
     }
+    // edges is caller-owned (we never persisted it) — only release the
+    // degree-folded copy we created here.
     edgesW.unpersist()
-    edges.unpersist()
     pr
   }
 }

@@ -21,12 +21,22 @@ object SkewJoin {
     * reducers. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
                      salts: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val salt = fresh(df.columns, "_salt")
+    val salted = df.withColumn(salt, pmod(hash(monotonically_increasing_id()), lit(salts)))
     salted
-      .groupBy(col(key), col("_salt"))
+      .groupBy(col(key), col(salt))
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum("_psum").as("total"), sum("_pcnt").as("n"))
+  }
+
+  /** Internal-column name that cannot collide with user columns: if the
+    * preferred name is taken, suffix a counter until it is free. Keeps
+    * the documented row-identity guarantee even when the input already
+    * carries a `_salt` column. */
+  private def fresh(existing: Array[String], base: String): String = {
+    if (!existing.contains(base)) base
+    else Iterator.from(0).map(i => s"$base$i").find(!existing.contains(_)).get
   }
 
   /** Salted equi-join for a skewed fact side when the dim side is too
@@ -43,12 +53,13 @@ object SkewJoin {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, saltExpr: Column, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt", pmod(saltExpr, lit(salts)))
-    val repDim = dim.withColumn("_salt",
+    val salt = fresh(fact.columns ++ dim.columns, "_salt")
+    val saltedFact = fact.withColumn(salt, pmod(saltExpr, lit(salts)))
+    val repDim = dim.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     saltedFact.join(repDim,
         saltedFact(factKey) === repDim(dimKey) &&
-          saltedFact("_salt") === repDim("_salt"))
-      .drop("_salt")
+          saltedFact(salt) === repDim(salt))
+      .drop(salt)
   }
 }

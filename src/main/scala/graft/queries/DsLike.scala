@@ -128,12 +128,12 @@ object DsLike extends QueryGroup {
     // scan (eight concurrent COUNTs in the reference's shape).
     q("d5_band_counts",
       """SELECT
-        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS b1,
-        |  sum(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS b2,
-        |  sum(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN 1 ELSE 0 END) AS b3,
-        |  sum(CASE WHEN l_quantity BETWEEN 36 AND 50 THEN 1 ELSE 0 END) AS b4,
-        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 10 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS b1_urgent,
-        |  sum(CASE WHEN l_quantity BETWEEN 11 AND 20 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS b2_urgent
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 36 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 10 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS b1_urgent,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 11 AND 20 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS b2_urgent
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |WHERE l.l_linestatus = 'F'""".stripMargin) { (s, dir) =>
       val l = t(s, dir)("lineitem").filter(col("l_linestatus") === "F")
@@ -282,7 +282,7 @@ object DsLike extends QueryGroup {
     // conditional counts per segment.
     q("d11_multi_channel_exists",
       """SELECT c_mktsegment, count(*) AS n_active,
-        |  sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich
+        |  CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
@@ -406,8 +406,8 @@ object DsLike extends QueryGroup {
     q("d15_volatile_parts",
       """WITH s AS (
         |  SELECT l_partkey, count(*) AS n,
-        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
-        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT l_partkey, n, sx, sxx
         |FROM s WHERE n >= 5 AND n * sxx - sx * sx > 9 * n * sx
@@ -453,8 +453,8 @@ object DsLike extends QueryGroup {
     // generator vs DuckDB's UNPIVOT clause.
     q("d17_band_unpivot",
       """WITH w AS (SELECT l_returnflag,
-        |    sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_band,
-        |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS high_band
+        |    CAST(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_band,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_band
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, band, n
         |FROM w UNPIVOT (n FOR band IN (low_band, high_band))
@@ -534,8 +534,8 @@ object DsLike extends QueryGroup {
     q("d10_ampm_ratio",
       """SELECT CAST(sum(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS DOUBLE)
         |     / sum(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS am_pm_ratio,
-        |  sum(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS am_count,
-        |  sum(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS pm_count
+        |  CAST(sum(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS am_count,
+        |  CAST(sum(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS pm_count
         |FROM events""".stripMargin) { (s, dir) =>
       val am = hour(col("ts")).between(6, 11)
       val pm = hour(col("ts")).between(12, 17)

@@ -294,7 +294,7 @@ object Streaming extends QueryGroup {
         |closed_h AS (SELECT * FROM hourly, wm
         |             WHERE epoch_us(h + INTERVAL 1 HOUR) <= wm_us),
         |daily AS (SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS dstart,
-        |            sum(n) AS total, max(n) AS max_hour, count(*) AS n_hours
+        |            CAST(sum(n) AS BIGINT) AS total, max(n) AS max_hour, count(*) AS n_hours
         |          FROM closed_h GROUP BY 1)
         |SELECT dstart, total, max_hour, n_hours FROM daily, wm
         |WHERE epoch_us(dstart + INTERVAL 1 DAY) <= wm_us

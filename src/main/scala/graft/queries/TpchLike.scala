@@ -462,8 +462,8 @@ object TpchLike extends QueryGroup {
     // (l_linestatus stands in for the schema's missing l_shipmode).
     q("h17_late_by_status",
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE year(l.l_shipdate) = 1997
         |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
