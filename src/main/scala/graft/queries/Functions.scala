@@ -369,5 +369,35 @@ object Functions extends QueryGroup {
           is_decimal(col("p_retailprice").cast(StringType)).cast(IntegerType).as("dec_price"),
           split_index(col("p_name"), lit(" "), lit(1)).as("name_part1"))
         .orderBy("p_partkey")
+    },
+
+    // ROW type surface (the reference's ROW<...> constructor, nested
+    // field access, and ARRAY<ROW> — SURVEY §2.8): per customer the
+    // order history is folded into a date-sorted array of structs,
+    // then first/last elements are accessed by position and field.
+    // Struct comparison sorts lexicographically by field order, so
+    // (date, orderkey, price) structs sort exactly like the oracle's
+    // ORDER BY o_orderdate, o_orderkey.
+    q("f14_row_type",
+      """WITH a AS (
+        |  SELECT o_custkey,
+        |    list(struct_pack(d := o_orderdate, k := o_orderkey, p := o_totalprice)
+        |         ORDER BY o_orderdate, o_orderkey) AS arr
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, len(arr) AS n_orders,
+        |  arr[1].d AS first_date, arr[1].p AS first_price,
+        |  arr[-1].d AS last_date, arr[-1].p AS last_price
+        |FROM a ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir)("orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(
+          col("o_orderdate").as("d"), col("o_orderkey").as("k"),
+          col("o_totalprice").as("p")))).as("arr"))
+      a.select(col("o_custkey"), size(col("arr")).as("n_orders"),
+          element_at(col("arr"), 1).getField("d").as("first_date"),
+          element_at(col("arr"), 1).getField("p").as("first_price"),
+          element_at(col("arr"), -1).getField("d").as("last_date"),
+          element_at(col("arr"), -1).getField("p").as("last_price"))
+        .orderBy("o_custkey")
     })
 }

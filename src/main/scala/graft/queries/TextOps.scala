@@ -348,5 +348,77 @@ object TextOps extends QueryGroup {
       TextDedup.simHashNearDups(t(s, dir)("documents"), "doc_id", "text",
           blockCol = "source", maxHamming = 8)
         .orderBy("id_a", "id_b")
+    },
+
+    // TF-IDF: top-3 terms per document. tf and df are computed with
+    // ONE explode pass (the tf table is persisted and feeds both the
+    // document-frequency rollup and the scoring join); the vocabulary
+    // join runs shuffled on term — at corpus scale the vocab is far
+    // too big to broadcast. Ranking uses the ROUNDED score so the
+    // tiebreak (term asc) is decided identically in both engines.
+    q("x15_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, tf.term AS term,
+         |         round(tf * ln(n * 1.0 / df), 6) AS score
+         |       FROM tf JOIN df ON tf.term = df.term, n)
+         |SELECT doc_id, term, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir)("documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist() // feeds both the df rollup and the scoring join
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = t(s, dir)("documents").agg(count(lit(1)).as("n"))
+      val sc = tf.join(dfT, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n") * 1.0 / col("df")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "score")
+        .orderBy("doc_id", "term")
+    },
+
+    // Heavy hitters: corpus-wide most frequent tokens. Two-phase hash
+    // aggregation (map-side partial combine collapses each partition
+    // to its local vocabulary before the shuffle), then a global
+    // TakeOrdered — never a driver-side collect of the full vocab.
+    q("x16_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS n FROM tok GROUP BY token
+         |ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir)("documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+
+    // Stratified sampling: per-language keep-fractions decided by a
+    // deterministic content hash — reproducible on any engine and any
+    // partitioning, no RNG state. Downsamples the dominant language
+    // (en → 20%) while keeping half of everything else — the standard
+    // corpus-rebalancing move before training-data mixing.
+    q("x17_stratified_sample",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h
+        |  FROM documents)
+        |SELECT doc_id, lang FROM s
+        |WHERE h < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val h = conv(substring(md5(col("doc_id").cast(StringType)
+          .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % 100
+      t(s, dir)("documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .filter(col("h") < when(col("lang") === "en", 20).otherwise(50))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
 }

@@ -106,6 +106,7 @@ class PlanSpec extends AnyFunSuite {
       "h13_quiet_customers" -> "single-row scalar-subquery broadcast",
       "h16_important_parts" -> "single-row global-threshold broadcast",
       "v1_knn_brute" -> "brute-force KNN baseline (broadcast query side)",
+      "x15_tfidf" -> "single-row corpus-size broadcast (idf denominator)",
       "v4_ivf_assign" -> "broadcast-centroid crossJoin (k rows)",
       "v5_ivf_search" -> "broadcast-centroid crossJoin (k rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
