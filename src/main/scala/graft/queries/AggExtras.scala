@@ -158,5 +158,28 @@ object AggExtras extends QueryGroup {
           round(expr("approx_percentile(l_extendedprice, 0.5, 10000)") /
             expr("percentile(l_extendedprice, 0.5)"), 1).as("p50_ratio"))
         .orderBy("l_returnflag")
+    },
+
+    // Bivariate statistics battery (CORR / COVAR / linear-regression
+    // aggregates — the reference's planner aggfunctions beyond q6's
+    // univariate set): quantity-vs-price relationship per return flag.
+    q("a8_stats_agg",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covs_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covp_qp"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"))
+        .orderBy("l_returnflag")
     })
 }

@@ -545,5 +545,64 @@ object DsLike extends QueryGroup {
             sum(when(pm, 1L).otherwise(0L))).as("am_pm_ratio"),
           sum(when(am, 1L).otherwise(0L)).as("am_count"),
           sum(when(pm, 1L).otherwise(0L)).as("pm_count"))
+    },
+
+    // TPC-DS Q97-flavored: channel-overlap counts — customers ordering
+    // only high-priority, only low-priority, or in both channels. Two
+    // deduplicated key sets FULL OUTER joined, then one-row counts —
+    // the set-overlap report shape (never a fact-to-fact join).
+    q("d20_channel_overlap",
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT','2-HIGH')),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW'))
+        |SELECT
+        |  CAST(sum(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_high,
+        |  CAST(sum(CASE WHEN a.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_low,
+        |  CAST(sum(CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS both_ch
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir)("orders")
+      val a = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey").as("ck_a")).distinct()
+      val b = o.filter(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"))
+        .select(col("o_custkey").as("ck_b")).distinct()
+      a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+        .agg(
+          sum(when(col("ck_b").isNull, 1L).otherwise(0L)).as("only_high"),
+          sum(when(col("ck_a").isNull, 1L).otherwise(0L)).as("only_low"),
+          sum(when(col("ck_a").isNotNull && col("ck_b").isNotNull, 1L)
+            .otherwise(0L)).as("both_ch"))
+    },
+
+    // TPC-DS Q51-flavored: two channels' daily counts folded to one
+    // row per day, then RUNNING totals compared — the days where the
+    // click channel's cumulative count overtakes the view channel's.
+    q("d21_cumulative_compare",
+      """WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |             count(*) AS n
+        |           FROM events WHERE event_type IN ('click','view') GROUP BY 1, 2),
+        |p AS (SELECT d,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN n ELSE 0 END) AS BIGINT) AS cn,
+        |        CAST(sum(CASE WHEN event_type = 'view' THEN n ELSE 0 END) AS BIGINT) AS vn
+        |      FROM c GROUP BY d),
+        |r AS (SELECT d,
+        |        CAST(sum(cn) OVER (ORDER BY d) AS BIGINT) AS click_cum,
+        |        CAST(sum(vn) OVER (ORDER BY d) AS BIGINT) AS view_cum
+        |      FROM p)
+        |SELECT d, click_cum, view_cum FROM r
+        |WHERE click_cum > view_cum ORDER BY d""".stripMargin) { (s, dir) =>
+      val c = t(s, dir)("events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val p = c.groupBy("d").agg(
+        sum(when(col("event_type") === "click", col("n")).otherwise(0L)).as("cn"),
+        sum(when(col("event_type") === "view", col("n")).otherwise(0L)).as("vn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      p.select(col("d"),
+          sum("cn").over(w).as("click_cum"), sum("vn").over(w).as("view_cum"))
+        .filter(col("click_cum") > col("view_cum"))
+        .orderBy("d")
     })
 }

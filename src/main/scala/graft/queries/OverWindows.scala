@@ -184,5 +184,28 @@ object OverWindows extends QueryGroup {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("n_nationkey", "rn")
+    },
+
+    // Distribution window functions (PERCENT_RANK / CUME_DIST / NTILE
+    // — the reference's WindowAggregate rank-function battery,
+    // SURVEY §2.5): rank position normalized to [0,1] and quartile
+    // assignment per nation. Exact rational arithmetic in both
+    // engines (rank/count ratios), rounded for the rendered compare.
+    q("w9_distribution_funcs",
+      """SELECT s_nationkey, s_suppkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(s, dir)("supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("s_nationkey", "s_suppkey")
     })
 }
