@@ -112,6 +112,35 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "event_type")
     },
 
+    // CUMULATE windows (the reference's cumulative/early-fire window
+    // family): within each day, expanding windows [day, day+6h),
+    // [day, day+12h), [day, day+18h), [day, day+24h). Spark-first
+    // shape: each event EXPLODES into the windows that contain it
+    // (k = floor(hour/6)+1 .. 4) and one groupBy does the rest —
+    // linear work per event, never a time-range join against a
+    // generated window table.
+    q("gw8_cumulate",
+      """WITH x AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, value,
+        |    unnest(generate_series(CAST(floor(hour(ts) / 6) AS INT) + 1, 4)) AS k
+        |  FROM events)
+        |SELECT wstart, wstart + to_hours(6 * k) AS wend, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x GROUP BY wstart, k
+        |ORDER BY wstart, wend""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .select(date_trunc("day", col("ts")).as("wstart"), col("value"),
+          explode(sequence(
+            (floor(hour(col("ts")) / 6) + 1).cast(IntegerType), lit(4))).as("k"))
+        .groupBy("wstart", "k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
+        .select(col("wstart"),
+          (col("wstart") + expr("make_interval(0, 0, 0, 0, 6 * k)")).as("wend"),
+          col("n"), col("total"))
+        .orderBy("wstart", "wend")
+    },
+
     // Count window (SURVEY §2.9 CountTumblingWindowAssigner): blocks
     // of 10 events per user in event-time order.
     q("gw4_count_window",

@@ -287,5 +287,32 @@ object Joins extends QueryGroup {
           col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
           col("_asof_ts").as("signup_ts"), col("_asof_event_id").as("signup_id"))
         .orderBy("purchase_id")
+    },
+
+    // Window join (the reference's DataStream join(...).window(tumble)
+    // — JoinedStreams.java / WindowJoin example): views joined to
+    // purchases of the same user landing in the SAME 1-hour tumbling
+    // window. Spark-first: the window assignment becomes part of the
+    // equi-join key — (user, window) — so the plan is a plain shuffled
+    // hash join on a composite key, never a time-range probe.
+    q("j14_window_join",
+      """SELECT v.user_id, date_trunc('hour', v.ts) AS wstart,
+        |  v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND date_trunc('hour', v.ts) = date_trunc('hour', p.ts)
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir)("events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("wstart"),
+          col("event_id").as("view_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          date_trunc("hour", col("ts")).as("p_w"),
+          col("event_id").as("purchase_id"))
+      v.join(p, col("user_id") === col("p_user") && col("wstart") === col("p_w"))
+        .select("user_id", "wstart", "view_id", "purchase_id")
+        .orderBy("view_id", "purchase_id")
     })
 }

@@ -472,5 +472,36 @@ object Streaming extends QueryGroup {
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st6_out")
         .select(col("key").as("user_id"), col("aId").as("a_id"), col("bId").as("b_id"))
         .orderBy("user_id", "a_id")
+    },
+
+    // Streaming WINDOW JOIN (DataStream join(...).window(tumble) —
+    // the reference's JoinedStreams/WindowJoin): two streams joined on
+    // (user, same 1-hour tumbling window). The window struct is part
+    // of the stream-stream equi-join key, which also gives Spark the
+    // state-cleanup bound (state for a window drops once the watermark
+    // passes it). Inner join ⇒ matches emit as soon as both sides
+    // arrive; the oracle is the plain windowed equi-join.
+    q("st18_window_join",
+      """SELECT v.user_id, date_trunc('hour', v.ts) AS wstart,
+        |  v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND date_trunc('hour', v.ts) = date_trunc('hour', p.ts)
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val v = eventStream(s, dir).filter(col("event_type") === "view")
+        .withWatermark("ts", "1 minute")
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"),
+          col("event_id").as("view_id"))
+      val p = eventStream(s, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 minute")
+        .select(col("user_id").as("p_user"), window(col("ts"), "1 hour").as("p_w"),
+          col("event_id").as("purchase_id"))
+      val joined = v.join(p,
+        col("user_id") === col("p_user") && col("w") === col("p_w"))
+      StreamRunner.toTable(s, joined, OutputMode.Append, "st18_out")
+        .select(col("user_id"), col("w.start").as("wstart"),
+          col("view_id"), col("purchase_id"))
+        .orderBy("view_id", "purchase_id")
     })
 }
