@@ -41,4 +41,30 @@ object ChangelogJson {
         .as("_p"))
       .select(col("_p._r.*"), col("_p._k").as("_change_kind"))
   }
+
+  /** Debezium-style CDC envelope (the reference's debezium-json format
+    * sibling of canal, flink-formats/flink-json/.../debezium/
+    * DebeziumJsonDeserializationSchema.java): {"op": "c"|"r"|"u"|"d",
+    * "before": row|null, "after": row|null} — note SINGLE rows, not
+    * arrays. c/r → +I(after); u → -U(before) then +U(after);
+    * d → -D(before). Unknown ops fall to NULL and are dropped; a null
+    * before/after half of an update contributes no row rather than
+    * nulling the other half out. */
+  def parseDebezium(df: DataFrame, jsonCol: String,
+                    rowSchema: StructType): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("op", StringType),
+      StructField("before", rowSchema),
+      StructField("after", rowSchema)))
+    def tag1(row: Column, kind: String): Column =
+      when(row.isNotNull, struct(row.as("_r"), lit(kind).as("_k")))
+    df.select(from_json(col(jsonCol), envelope).as("_e"))
+      .select(explode(filter(
+        when(col("_e.op").isin("c", "r"), array(tag1(col("_e.after"), "+I")))
+          .when(col("_e.op") === "d", array(tag1(col("_e.before"), "-D")))
+          .when(col("_e.op") === "u", array(
+            tag1(col("_e.before"), "-U"), tag1(col("_e.after"), "+U"))),
+        x => x.isNotNull)).as("_p"))
+      .select(col("_p._r.*"), col("_p._k").as("_change_kind"))
+  }
 }

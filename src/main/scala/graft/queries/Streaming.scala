@@ -503,5 +503,37 @@ object Streaming extends QueryGroup {
         .select(col("user_id"), col("w.start").as("wstart"),
           col("view_id"), col("purchase_id"))
         .orderBy("view_id", "purchase_id")
+    },
+
+    // End-to-end SQL DDL pipeline: CREATE TABLE ... WITH ('mode'=
+    // 'streaming') + WATERMARK FOR clause (SqlCreateTable/SqlWatermark
+    // surface) binds a watermarked file stream, and the registered
+    // view feeds a daily tumbling aggregate in append mode — the
+    // DDL→connector→watermark→window path the reference's catalog
+    // drives, oracle-checked rather than spec-only.
+    q("st19_ddl_pipeline",
+      """WITH wm AS (SELECT (epoch_ms(max(o_orderdate)) - 86400000) * 1000 AS wm_us
+        |            FROM orders),
+        |d AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS wstart,
+        |        count(*) AS n,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |      FROM orders GROUP BY 1)
+        |SELECT wstart, n, total FROM d, wm
+        |WHERE epoch_us(wstart + INTERVAL 1 DAY) <= wm.wm_us
+        |ORDER BY wstart""".stripMargin) { (s, dir) =>
+      graft.sources.GraftDDL.execute(s,
+        s"""CREATE TABLE ddl_orders_pipeline (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING,
+           |  WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '1' DAY
+           |) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet',
+           |        'format'='parquet', 'mode'='streaming')""".stripMargin)
+      val agg = s.table("ddl_orders_pipeline")
+        .groupBy(window(col("o_orderdate"), "1 day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec18_2)).cast(DoubleType).as("total"))
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st19_out")
+        .select(col("window.start").as("wstart"), col("n"), col("total"))
+        .orderBy("wstart")
     })
 }
