@@ -194,5 +194,35 @@ object SimilarityQ extends QueryGroup {
       Similarity.lshNearDups(t(s, dir)("embeddings"), "vec_id", "embedding",
           numPlanes = 4, dims = 64, threshold = 0.35)
         .orderBy("id_a", "id_b")
+    },
+
+    // Symmetric int8 quantization of the embedding column (the
+    // compression step before shipping vectors to an ANN index):
+    // per-vector scale = 127/max|x|, code = floor(x·scale), plus the
+    // dequantization error that decides whether int8 is acceptable.
+    // Pure Column-expression folds over the array — no UDF, stays in
+    // codegen, and the per-row arithmetic is order-deterministic in
+    // both engines (sequential left-to-right fold).
+    q("v6_int8_quantize",
+      """WITH s AS (SELECT vec_id, embedding,
+        |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+        |  FROM embeddings)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * sc) / sc)))
+        |    / len(embedding), 6) AS mean_abs_err
+        |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = transform(col("embedding"), x => x.cast("double"))
+      val sc = lit(127.0) / array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      t(s, dir)("embeddings")
+        .select(col("vec_id"), col("embedding"), sc.as("sc"))
+        .select(col("vec_id"), round(col("sc"), 6).as("scale"),
+          round(aggregate(
+              transform(col("embedding"),
+                x => abs(x.cast("double") - floor(x.cast("double") * col("sc")) / col("sc"))),
+              lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6)
+            .as("mean_abs_err"))
+        .orderBy("vec_id")
     })
 }

@@ -420,5 +420,28 @@ object TextOps extends QueryGroup {
         .filter(col("h") < when(col("lang") === "en", 20).otherwise(50))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Text normalization (the canonicalization pass before dedup /
+    // fingerprinting): lowercase, strip non-alphanumerics, collapse
+    // whitespace — emitted as digest + length stats so the whole
+    // normalized string is checked without shipping it.
+    q("x18_normalize",
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                        ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_digest, length(norm) AS n_chars,
+        |  len(string_split(norm, ' ')) AS n_tokens
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      t(s, dir)("documents")
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          md5(col("norm").cast(BinaryType)).as("norm_digest"),
+          length(col("norm")).as("n_chars"),
+          size(split(col("norm"), " ")).as("n_tokens"))
+        .orderBy("doc_id")
     })
 }
