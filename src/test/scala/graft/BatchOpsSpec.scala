@@ -214,6 +214,32 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(fin == Map(1L -> 30.0, 2L -> 7.0))
   }
 
+  test("CDC parsers: unknown envelope types dropped, null halves null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    // canal: unknown type dropped; UPDATE with missing "old" keeps +U
+    val canal = Seq(
+      """{"type":"INSERT","data":[{"k":1,"v":10.0}]}""",
+      """{"type":"ALTER","data":[{"k":9,"v":9.0}]}""",
+      """{"type":"UPDATE","data":[{"k":1,"v":20.0}]}""").toDF("msg")
+    val c = graft.operators.ChangelogJson.parse(canal, "msg", rowSchema)
+      .select("_change_kind", "k").as[(String, Long)].collect().toSet
+    assert(c == Set(("+I", 1L), ("+U", 1L))) // no ALTER row, no null -U row
+    // debezium: c/u/d/r ops; unknown op dropped; delete uses before
+    val dbz = Seq(
+      """{"op":"c","after":{"k":1,"v":10.0}}""",
+      """{"op":"u","before":{"k":1,"v":10.0},"after":{"k":1,"v":20.0}}""",
+      """{"op":"d","before":{"k":1,"v":20.0}}""",
+      """{"op":"r","after":{"k":2,"v":5.0}}""",
+      """{"op":"t","after":{"k":7,"v":7.0}}""").toDF("msg")
+    val d = graft.operators.ChangelogJson.parseDebezium(dbz, "msg", rowSchema)
+      .select("_change_kind", "k", "v").as[(String, Long, Double)].collect()
+    assert(d.toSet == Set(("+I", 1L, 10.0), ("-U", 1L, 10.0),
+      ("+U", 1L, 20.0), ("-D", 1L, 20.0), ("+I", 2L, 5.0)))
+  }
+
   test("approx sketches stay within tolerance of exact answers") {
     val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
     val r = li.agg(
