@@ -54,6 +54,34 @@ object Multimodal {
     }
   }
 
+  case class ChunkRow(doc_id: Long, chunk_idx: Int, off: Int, n_chars: Int,
+                      chunk_md5: String)
+
+  /** Overlapping-window audio chunking — the STFT/feature-extraction
+    * shape of audio decode: the payload is sliced into `chunkChars`
+    * windows every `hopChars` (hop < chunk ⇒ overlap), each emitted
+    * with its digest. Streams the partition iterator like
+    * [[frameSample]]; a real codec would decode PCM in the same
+    * batched pass. */
+  def audioChunks(spark: SparkSession, binTable: DataFrame,
+                  chunkChars: Int, hopChars: Int): Dataset[ChunkRow] = {
+    import spark.implicits._
+    binTable.as[BinaryDoc].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { d =>
+        val s = new String(d.payload, java.nio.charset.StandardCharsets.UTF_8)
+        Iterator.from(0).map(_ * hopChars).takeWhile(_ < s.length).zipWithIndex
+          .map { case (off, i) =>
+            val chunk = s.substring(off, math.min(off + chunkChars, s.length))
+            val digest = md.clone().asInstanceOf[java.security.MessageDigest]
+            digest.update(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ChunkRow(d.doc_id, i, off, chunk.length,
+              digest.digest().map("%02x".format(_)).mkString)
+          }
+      }
+    }
+  }
+
   /** Aspect-preserving resize of the decoded (fake) dimensions into a
     * maxSide×maxSide box — pure integer Column math (codegen'd), the
     * metadata half of a real resize whose pixel work would live in a

@@ -66,5 +66,24 @@ object MultimodalQ extends QueryGroup {
             Multimodal.toBinaryTable(t(s, dir)("documents"))).toDF(),
           maxSide = 32)
         .orderBy("doc_id")
+    },
+
+    // Overlapping audio windows: 64-byte chunks every 48 bytes (25%
+    // overlap — the STFT hop shape); 1→N batched pass per partition.
+    q("mm4_audio_chunks",
+      """WITH o AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(floor((length(text) - 1) / 48.0) AS BIGINT))) AS i
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(i * 48 AS INT) AS off,
+        |  least(64, length(text) - CAST(i * 48 AS INT)) AS n_chars,
+        |  md5(substr(text, CAST(i * 48 + 1 AS INT), 64)) AS chunk_md5
+        |FROM o ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Multimodal.audioChunks(s,
+          Multimodal.toBinaryTable(t(s, dir)("documents")),
+          chunkChars = 64, hopChars = 48)
+        .toDF()
+        .orderBy("doc_id", "chunk_idx")
     })
 }
