@@ -117,9 +117,11 @@ object GraphOps {
         .localCheckpoint(true)
       pr = next
     }
-    // edges is caller-owned (we never persisted it) — only release the
-    // degree-folded copy we created here.
+    // release both blocks THIS function pinned (the persisted copy of
+    // edgesIn and the degree-folded table); the caller's own persists
+    // remain the caller's to manage.
     edgesW.unpersist()
+    edges.unpersist()
     pr
   }
 }

@@ -106,6 +106,22 @@ object Relational extends QueryGroup {
         .limit(25)
     },
 
+    // ORDER BY ... OFFSET ... FETCH (the reference's SortLimit with
+    // non-zero offset — Sort.fetch/offset): page 2 of the price
+    // ranking. Spark plans offset+limit into the same global
+    // TakeOrdered boundary — no full sort.
+    q("q7_sort_limit_offset",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25 OFFSET 25""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(25)
+        .limit(25)
+    },
+
     // Multiple DISTINCT aggregates → Catalyst Expand + 2-phase agg
     // (reference splits via SplitAggregateRule, SURVEY §2.4).
     q("q5_distinct_agg",
