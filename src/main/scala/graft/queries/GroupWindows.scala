@@ -141,6 +141,46 @@ object GroupWindows extends QueryGroup {
         .orderBy("wstart", "wend")
     },
 
+    // SLIDING count window (CountSlidingWindowAssigner analog): per
+    // user, windows of 10 events every 5 in event-time order — each
+    // row explodes into the (≤2) windows containing it, only complete
+    // windows emit. Linear per row (windows-per-row = size/slide is a
+    // constant), one groupBy — same shape at any scale.
+    q("gw9_sliding_count_window",
+      """WITH r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nrows
+        |  FROM events),
+        |x AS (SELECT user_id, value, nrows,
+        |    unnest(generate_series(
+        |      greatest(0, CAST(ceil((rn - 10) / 5.0) AS BIGINT)),
+        |      CAST(floor((rn - 1) / 5.0) AS BIGINT))) AS wid
+        |  FROM r)
+        |SELECT user_id, CAST(wid AS INT) AS wid, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x WHERE wid * 5 + 10 <= nrows
+        |GROUP BY user_id, wid HAVING count(*) = 10
+        |ORDER BY user_id, wid""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      t(s, dir)("events")
+        .select(col("user_id"), col("value"),
+          row_number().over(w).as("rn"), count(lit(1)).over(cw).as("nrows"))
+        .select(col("user_id"), col("value"), col("nrows"),
+          explode(sequence(
+            greatest(lit(0L), ceil((col("rn") - 10) / 5.0).cast(LongType)),
+            floor((col("rn") - 1) / 5.0).cast(LongType))).as("wid"))
+        .filter(col("wid") * 5 + 10 <= col("nrows"))
+        .groupBy("user_id", "wid")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
+        .filter(col("n") === 10)
+        .select(col("user_id"), col("wid").cast(IntegerType).as("wid"),
+          col("n"), col("total"))
+        .orderBy("user_id", "wid")
+    },
+
     // Count window (SURVEY §2.9 CountTumblingWindowAssigner): blocks
     // of 10 events per user in event-time order.
     q("gw4_count_window",

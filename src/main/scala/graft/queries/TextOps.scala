@@ -422,6 +422,37 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // Corpus n-gram language-model scoring (pseudo-perplexity): fit
+    // bigram/unigram counts over the WHOLE corpus (two-phase agg —
+    // model fitting is itself a distributed aggregation), then score
+    // each document by its mean bigram log-probability
+    // ln(c(w1,w2)/c(w1)). The low scorers are the incoherent docs —
+    // the standard LM-based quality gate of a training-data pipeline.
+    q("x19_lm_perplexity",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+         |bg AS (SELECT doc_id, unnest($bigramsSql) AS b FROM documents),
+         |bgc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+         |sc AS (SELECT bg.doc_id, ln(cb * 1.0 / cu) AS lp
+         |       FROM bg JOIN bgc ON bg.b = bgc.b
+         |       JOIN uni ON uni.w = string_split(bg.b, ' ')[1])
+         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir)("documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("cu"))
+      val bg = docs.select(col("doc_id"),
+        explode(bigramShinglesFromTokens(tokens(col("text")))).as("b"))
+        .persist() // feeds model fit AND scoring probe
+      val bgc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      bg.join(bgc, "b")
+        .join(uni, split(col("b"), " ").getItem(0) === col("w"))
+        .select(col("doc_id"), log(col("cb") * 1.0 / col("cu")).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+
     // Text normalization (the canonicalization pass before dedup /
     // fingerprinting): lowercase, strip non-alphanumerics, collapse
     // whitespace — emitted as digest + length stats so the whole
