@@ -535,5 +535,39 @@ object Streaming extends QueryGroup {
       StreamRunner.toTable(s, agg, OutputMode.Append, "st19_out")
         .select(col("window.start").as("wstart"), col("n"), col("total"))
         .orderBy("wstart")
+    },
+
+    // Streaming CUMULATE windows (gw8's streaming sibling): each event
+    // explodes into its containing expanding windows; the window END
+    // becomes the event-time column, so ordinary append-mode tumbling
+    // aggregation over wend gives exactly the cumulate emission — a
+    // window's partial emits once its end passes the watermark, state
+    // dropped after.
+    q("st20_stream_cumulate",
+      """WITH wm AS (SELECT (epoch_ms(CAST(date_trunc('day', max(ts)) AS TIMESTAMP)
+        |                    + to_hours(24)) - 60000) * 1000 AS wm_us FROM events),
+        |x AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, value,
+        |        unnest(generate_series(CAST(floor(hour(ts) / 6) AS INT) + 1, 4)) AS k
+        |      FROM events),
+        |a AS (SELECT wstart, wstart + to_hours(6 * k) AS wend, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |      FROM x GROUP BY wstart, k)
+        |SELECT wstart, wend, n, total FROM a, wm
+        |WHERE epoch_us(wend + to_hours(6)) <= wm_us
+        |ORDER BY wstart, wend""".stripMargin) { (s, dir) =>
+      val x = eventStream(s, dir)
+        .select(date_trunc("day", col("ts")).as("wstart"), col("value"),
+          explode(sequence(
+            (floor(hour(col("ts")) / 6) + 1).cast(IntegerType), lit(4))).as("k"))
+        .select(col("wstart"), col("value"),
+          (col("wstart") + expr("make_interval(0, 0, 0, 0, 6 * k)")).as("wend"))
+        .withWatermark("wend", "1 minute")
+      val agg = x.groupBy(window(col("wend"), "6 hours"), col("wstart"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("total"))
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st20_out")
+        .select(col("wstart"), col("window.start").as("wend"),
+          col("n"), col("total"))
+        .orderBy("wstart", "wend")
     })
 }
