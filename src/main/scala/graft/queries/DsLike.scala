@@ -61,7 +61,7 @@ object DsLike extends QueryGroup {
         .partitionBy("p_brand").orderBy("yr")
       val li = t(s, dir)("lineitem")
       val p = t(s, dir)("part")
-      li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+      li.join(p, p("p_partkey") === li("l_partkey"))
         .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
         .agg(sum(rev).cast(DoubleType).as("amount"))
         .withColumn("prev_amount", lag(col("amount"), 1).over(w))
@@ -189,7 +189,7 @@ object DsLike extends QueryGroup {
       val p = t(s, dir)("part")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy((col("ret_qty") / col("tot_qty")).desc, col("p_type"))
-      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+      l.join(p, p("p_partkey") === l("l_partkey"))
         .groupBy("p_type")
         .agg(
           sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0d))
@@ -351,7 +351,7 @@ object DsLike extends QueryGroup {
       val li = t(s, dir)("lineitem")
       val p = t(s, dir)("part")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
-      li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+      li.join(p, p("p_partkey") === li("l_partkey"))
         .groupBy(col("p_brand"),
           date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("mo"))
         .agg(sum(col("l_extendedprice").cast(dec18_2)).as("rev"))
@@ -438,7 +438,7 @@ object DsLike extends QueryGroup {
       val li = t(s, dir)("lineitem")
         .filter(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")) <= 4)
       val p = t(s, dir)("part")
-      li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+      li.join(p, p("p_partkey") === li("l_partkey"))
         .groupBy("p_brand")
         .pivot(month(col("l_shipdate")), Seq(1, 2, 3, 4))
         .agg(sum(col("l_extendedprice").cast(dec18_2)))
@@ -516,7 +516,7 @@ object DsLike extends QueryGroup {
         |ORDER BY pr.p_brand, l_partkey""".stripMargin) { (s, dir) =>
       val li = t(s, dir)("lineitem")
       val p = t(s, dir)("part")
-      val pr = li.join(broadcast(p), p("p_partkey") === li("l_partkey"))
+      val pr = li.join(p, p("p_partkey") === li("l_partkey"))
         .groupBy("p_brand", "l_partkey")
         .agg(sum(col("l_extendedprice").cast(dec18_2)).as("rev"))
         .persist() // consumed twice (brand rollup + probe side)

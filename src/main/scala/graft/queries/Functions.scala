@@ -245,7 +245,7 @@ object Functions extends QueryGroup {
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir)("events").filter(col("event_id") < 300)
       val d = t(s, dir)("documents")
-      val joined = e.join(broadcast(d), e("event_id") % 500 === d("doc_id"))
+      val joined = e.join(d, e("event_id") % 500 === d("doc_id"))
       val parsed = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
       val m = map_concat(
         expr("map('k', get_json_object(props, '$.k'))"),

@@ -25,8 +25,8 @@ object Joins extends QueryGroup {
 
   override def queries = Seq(
 
-    // TPC-H Q3-flavored 3-way join: shuffle join on the big pair,
-    // broadcast for customer (small side) — revenue per order.
+    // TPC-H Q3-flavored 3-way join: shuffle join on the big pair;
+    // customer scales with SF, so strategy is left to AQE/stats.
     q("j1_inner_join",
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -42,7 +42,7 @@ object Joins extends QueryGroup {
         .filter(col("o_orderdate") < lit("1995-03-15 00:00:00").cast(TimestampType))
       val l = t(s, dir)("lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast(dec18_2) * (lit(1) - col("l_discount").cast(dec4_2)))
           .cast(DoubleType).as("revenue"))
@@ -173,8 +173,10 @@ object Joins extends QueryGroup {
         .orderBy("from_region", "to_region")
     },
 
-    // Theta (non-equi) join → BroadcastNestedLoopJoin: supplier pairs
-    // in the same nation with strictly increasing acctbal.
+    // Theta join: supplier pairs in the same nation with strictly
+    // increasing acctbal. The equi component (nationkey) lets Spark
+    // hash/sort-merge partition; the acctbal theta rides as a join
+    // filter — no broadcast pin needed on the SF-scaling side.
     q("j9_theta_join",
       """SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2
         |FROM supplier a JOIN supplier b
@@ -184,7 +186,7 @@ object Joins extends QueryGroup {
         col("s_suppkey").as("sk1"), col("s_nationkey").as("nk1"), col("s_acctbal").as("bal1"))
       val b = t(s, dir)("supplier").select(
         col("s_suppkey").as("sk2"), col("s_nationkey").as("nk2"), col("s_acctbal").as("bal2"))
-      a.join(broadcast(b), col("nk1") === col("nk2") && col("bal1") < col("bal2"))
+      a.join(b, col("nk1") === col("nk2") && col("bal1") < col("bal2"))
         .select("sk1", "sk2")
         .orderBy("sk1", "sk2")
     },

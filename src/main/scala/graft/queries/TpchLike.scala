@@ -39,9 +39,11 @@ object TpchLike extends QueryGroup {
       val sup = t(s, dir)("supplier")
       val n = t(s, dir)("nation")
       val r = t(s, dir)("region").filter(col("r_name") === "ASIA")
+      // customer/supplier scale with SF — no forced broadcast; AQE +
+      // autoBroadcastJoinThreshold pick the strategy per actual size.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sup),
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup,
           l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -62,7 +64,7 @@ object TpchLike extends QueryGroup {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val l = t(s, dir)("lineitem").filter(year(col("l_shipdate")) === 1996)
       val p = t(s, dir)("part")
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"))
         .agg(
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
@@ -151,7 +153,7 @@ object TpchLike extends QueryGroup {
       val sup = t(s, dir)("supplier")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("l_partkey").orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
-      pairs.join(broadcast(sup), pairs("l_suppkey") === sup("s_suppkey"))
+      pairs.join(sup, pairs("l_suppkey") === sup("s_suppkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("l_partkey") <= 500)
         .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
@@ -186,7 +188,7 @@ object TpchLike extends QueryGroup {
         col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, c("c_custkey") === o("o_custkey"))
-        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey"))
         .join(broadcast(n1), col("n1_key") === sup("s_nationkey"))
         .join(broadcast(n2), col("n2_key") === c("c_nationkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -228,7 +230,7 @@ object TpchLike extends QueryGroup {
         .join(c, c("c_custkey") === o("o_custkey"))
         .join(broadcast(n1), col("n1_key") === c("c_nationkey"))
         .join(broadcast(r), r("r_regionkey") === col("n1_region"))
-        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey"))
         .join(broadcast(n2), col("n2_key") === sup("s_nationkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0)))
@@ -256,8 +258,8 @@ object TpchLike extends QueryGroup {
       val n = t(s, dir)("nation")
       val cost = col("p_retailprice").cast(dec18_2) *
         col("l_quantity").cast(DecimalType(9, 2))
-      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
-        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+      l.join(p, p("p_partkey") === l("l_partkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey"))
         .join(broadcast(n), n("n_nationkey") === sup("s_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
         .agg(sum(rev - cost).cast(DoubleType).as("profit"))
@@ -280,7 +282,7 @@ object TpchLike extends QueryGroup {
       // RewriteCorrelatedScalarSubquery would produce.
       val avgQty = l.groupBy(col("l_partkey").as("aq_key"))
         .agg(avg("l_quantity").as("avg_qty"))
-      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+      l.join(p, p("p_partkey") === l("l_partkey"))
         .join(avgQty, col("aq_key") === l("l_partkey"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg((sum(col("l_extendedprice").cast(dec18_2)).cast(DoubleType) / 7.0)
@@ -301,7 +303,7 @@ object TpchLike extends QueryGroup {
       val l = t(s, dir)("lineitem").filter(year(col("l_shipdate")) === 1996)
       val p = t(s, dir)("part").filter(col("p_name").like("%red%"))
       val sup = t(s, dir)("supplier")
-      val excess = l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+      val excess = l.join(p, p("p_partkey") === l("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum("l_quantity").as("qty"))
         .filter(col("qty") > 50)
@@ -345,7 +347,7 @@ object TpchLike extends QueryGroup {
         .join(l3, col("w_orderkey") === col("o3_key") &&
           col("w_suppkey") =!= col("s3_key") &&
           col("d3_ship") > col("w_orderdate") + expr("INTERVAL 60 DAY"), "left_anti")
-        .join(broadcast(sup), sup("s_suppkey") === col("w_suppkey"))
+        .join(sup, sup("s_suppkey") === col("w_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
@@ -402,7 +404,7 @@ object TpchLike extends QueryGroup {
       val l = t(s, dir)("lineitem")
         .filter(col("l_shipdate") > lit("1996-07-01").cast(DateType))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(rev).cast(DoubleType).as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -531,7 +533,7 @@ object TpchLike extends QueryGroup {
       val sup = t(s, dir)("supplier")
       revenue.join(broadcast(top))
         .filter(col("total_rev") === col("max_rev"))
-        .join(broadcast(sup), col("supplier_no") === sup("s_suppkey"))
+        .join(sup, col("supplier_no") === sup("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("total_rev").cast(DoubleType).as("total_revenue"))
         .orderBy("s_suppkey")
@@ -556,7 +558,7 @@ object TpchLike extends QueryGroup {
       val bad = t(s, dir)("supplier").filter(col("s_acctbal") < 0)
         .select("s_suppkey")
       ps.join(bad, ps("l_suppkey") === bad("s_suppkey"), "left_anti")
-        .join(broadcast(p), ps("l_partkey") === p("p_partkey"))
+        .join(p, ps("l_partkey") === p("p_partkey"))
         .groupBy("p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
@@ -580,7 +582,7 @@ object TpchLike extends QueryGroup {
           l("l_quantity").between(10, 30)) ||
         (p("p_brand") === "Brand#4" && p("p_size").between(1, 35) &&
           l("l_quantity").between(20, 40)))
-      l.join(broadcast(p), p("p_partkey") === l("l_partkey") && band)
+      l.join(p, p("p_partkey") === l("l_partkey") && band)
         .agg(sum(rev).cast(DoubleType).as("revenue"))
     },
 

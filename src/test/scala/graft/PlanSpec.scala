@@ -96,6 +96,40 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(status"), scan)
   }
 
+  test("no broadcast() hint pins a table that scales with SF") {
+    // A forced broadcast of customer/supplier/part/orders/lineitem/
+    // events/documents/embeddings is a 100 TB scale-killer: those
+    // tables grow linearly with SF, and a pinned BroadcastExchange
+    // OOMs the driver at SF where the threshold/AQE path would have
+    // shuffled. Hints are legal only on fixed-cardinality inputs
+    // (nation/region) or on subtrees that provably reduce cardinality
+    // (Aggregate / Limit) before the exchange.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+    val allowed = Map(
+      "ty5_lookup_join" -> "lookup-join contract: dim snapshot must fit in memory",
+      "v1_knn_brute" -> "query set bounded by contract (handful of query vectors)",
+      "v5_ivf_search" -> "probe table = query set × nProbe, bounded by contract")
+    // leaf identity by column signature — robust to plan-string format
+    val scalingCols = Set("c_custkey", "s_suppkey", "p_partkey", "o_orderkey",
+      "l_orderkey", "event_id", "doc_id", "embedding")
+    def reducesCardinality(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: GlobalLimit => true
+      case _ => false
+    }
+    def scansScaling(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists(_.output.map(_.name).exists(scalingCols))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if name.startsWith("st") || allowed.contains(name) => None
+      case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if scansScaling(h.child) && !reducesCardinality(h.child) => h
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast of SF-scaling table in: ${offenders.mkString(", ")}")
+  }
+
   test("no unintended cartesian/nested-loop join anywhere in the batch corpus") {
     // Every non-equi or cross join in the library must be on this
     // list with a reason; anything new is a scale regression (an
