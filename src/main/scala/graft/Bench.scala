@@ -63,8 +63,8 @@ object Bench {
       "x6_ngram_jaccard", "x7_minhash_lsh", "x10_dedup_clusters",
       "v1_knn_brute", "v3_lsh_neardup", "cep1_followed_by",
       "st1_stream_tumble", "st9_stream_join_unbounded", "ty3_cogroup")
-    val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
-      .mkString("{", ",", ",\"n_queries\":" + results.size + "}")
+    val qs = (headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
+      :+ ("\"n_queries\":" + results.size)).mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

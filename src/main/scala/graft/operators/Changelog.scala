@@ -16,21 +16,25 @@ object Changelog {
 
   /** Unfold versions (keyCols, seqCol orders versions) into a retract
     * changelog: first version → +I; each later version v → (-U of
-    * v-1, +U of v). Output = input columns + `_change_kind`. */
+    * v-1, +U of v). Output = input columns + `_change_kind`.
+    *
+    * Single pass: one window (row_number + lead computed in the same
+    * sort), each row emits its change kinds as an array, one explode
+    * — the input is scanned and shuffled exactly once, vs the naive
+    * three filtered branches + union (3× scan, 3× window sort).
+    */
   def unfold(versions: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
-    val withRn = versions.withColumn("_rn", row_number().over(w))
-    val inserts = withRn.filter(col("_rn") === 1)
-      .withColumn("_change_kind", lit("+I"))
-    val updates = withRn.filter(col("_rn") > 1)
-      .withColumn("_change_kind", lit("+U"))
-    val retracts = withRn
-      .withColumn("_next_rn",
-        lead(col("_rn"), 1).over(w))
-      .filter(col("_next_rn").isNotNull)
-      .drop("_next_rn")
-      .withColumn("_change_kind", lit("-U"))
-    inserts.unionByName(updates).unionByName(retracts).drop("_rn")
+    versions
+      .withColumn("_rn", row_number().over(w))
+      // lead over a literal marks every non-last version — those are
+      // retracted when their successor arrives.
+      .withColumn("_has_next", lead(lit(1), 1).over(w).isNotNull)
+      .withColumn("_change_kind", explode(concat(
+        array(when(col("_rn") === 1, lit("+I")).otherwise(lit("+U"))),
+        when(col("_has_next"), array(lit("-U")))
+          .otherwise(typedLit(Seq.empty[String])))))
+      .drop("_rn", "_has_next")
   }
 
   /** Fold a changelog to final state: net out -U/-D rows, keep the

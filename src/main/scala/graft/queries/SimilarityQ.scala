@@ -212,7 +212,6 @@ object SimilarityQ extends QueryGroup {
         |    x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * sc) / sc)))
         |    / len(embedding), 6) AS mean_abs_err
         |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val e = transform(col("embedding"), x => x.cast("double"))
       val sc = lit(127.0) / array_max(transform(col("embedding"),
         x => abs(x.cast("double"))))
       t(s, dir)("embeddings")
