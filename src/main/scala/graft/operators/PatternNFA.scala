@@ -67,7 +67,14 @@ object PatternNFA {
   final case class PMatch(key: Long, anchor_id: Long, end_id: Long,
                           chain: String, counts: String)
 
-  private final case class Ev(ts: Long, id: Long, kind: String, idx: Int)
+  /** Internal step over a variable bit index: a row matches step i iff
+    * bit i of its satisfaction mask is set (general predicates; kind
+    * equality is the special case `kind = 'literal'`). */
+  private final case class IStep(name: String, bit: Int, quant: Quant,
+                                 untilBit: Option[Int])
+
+  private final case class Ev(ts: Long, id: Long, sat: Long, idx: Int)
+  @inline private def hasBit(e: Ev, i: Int): Boolean = (e.sat & (1L << i)) != 0
 
   /** events: (key, tsMicros, id, kind) rows. One output row per
     * emitted match: binding-chain ids and loop counts as deterministic
@@ -75,21 +82,60 @@ object PatternNFA {
   def run(spark: SparkSession, events: DataFrame, steps: Seq[Step],
           withinMicros: Long,
           afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
+    // kind-equality surface compiles onto the predicate NFA: one
+    // variable per distinct kind (incl. OneOrMore until-kinds).
+    val kinds = (steps.map(_.kind) ++ steps.collect {
+      case Step(_, _, OneOrMore(Some(uk))) => uk
+    }).distinct
+    runPredicates(spark, events, steps,
+      kinds.map(k => k -> (col("kind") === lit(k))), withinMicros, afterMatch)
+  }
+
+  /** General row-pattern matching: each variable in `varPreds` is an
+    * arbitrary boolean Column over the event row (the reference
+    * compiles DEFINE predicates the same way —
+    * flink-table-planner-blink/.../codegen/MatchCodeGenerator.scala).
+    * Predicates are evaluated ONCE per event into a bitmask column
+    * (codegen'd, before the shuffle — the NFA scan then only tests
+    * bits), so predicate cost is map-side and per-event, not
+    * per-(event × backtrack-visit). `steps` reference variables by
+    * `kind` = variable name; max 64 variables. */
+  def runPredicates(spark: SparkSession, events: DataFrame, steps: Seq[Step],
+                    varPreds: Seq[(String, org.apache.spark.sql.Column)],
+                    withinMicros: Long,
+                    afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
     import spark.implicits._
     require(steps.nonEmpty && steps.head.quant == One,
       "first step must be quantifier One (anchor)")
-    val ds = toEvents(spark, events)
+    require(varPreds.size <= 64, "at most 64 pattern variables")
+    val bitOf = varPreds.map(_._1).zipWithIndex.toMap
+    def bitFor(k: String): Int = bitOf.getOrElse(k,
+      sys.error(s"step references undefined pattern variable $k"))
+    val isteps = steps.map { st =>
+      val untilBit = st.quant match {
+        case OneOrMore(Some(uk)) => Some(bitFor(uk))
+        case _ => None
+      }
+      IStep(st.name, bitFor(st.kind), st.quant, untilBit)
+    }
+    val satCol = varPreds.zipWithIndex.map { case ((_, p), i) =>
+      when(p, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ds = events.select(
+        col("key").cast("long"), col("tsMicros").cast("long"),
+        col("id").cast("long"), satCol.cast("long").as("_sat"))
+      .as[(Long, Long, Long, Long)]
 
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       val evs = sortKey(it)
       val out = Vector.newBuilder[PMatch]
       var minAnchorIdx = 0
       evs.foreach { a =>
-        if (a.kind == steps.head.kind && a.idx >= minAnchorIdx) {
+        if (hasBit(a, isteps.head.bit) && a.idx >= minAnchorIdx) {
           val deadline = a.ts + withinMicros
-          matchFrom(evs, steps.drop(1), a, deadline).foreach { rest =>
+          matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
             val bindings = Vector(Vector(a)) ++ rest
-            out += emit(key, steps, bindings, evs, deadline)
+            out += emit(key, isteps, bindings, evs, deadline)
             if (afterMatch == SkipPastLastEvent)
               minAnchorIdx = bindings.flatten.map(_.idx).max + 1
           }
@@ -109,17 +155,24 @@ object PatternNFA {
                            anchorKind: String, loopKind: String,
                            endKind: String, withinMicros: Long): DataFrame = {
     import spark.implicits._
-    val ds = toEvents(spark, events)
+    // bits: 0 = anchor, 1 = loop, 2 = end
+    val sat = Seq(anchorKind, loopKind, endKind).zipWithIndex.map {
+      case (k, i) => when(col("kind") === lit(k), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ds = events.select(
+        col("key").cast("long"), col("tsMicros").cast("long"),
+        col("id").cast("long"), sat.cast("long").as("_sat"))
+      .as[(Long, Long, Long, Long)]
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       val evs = sortKey(it)
       val out = Vector.newBuilder[PMatch]
       evs.foreach { a =>
-        if (a.kind == anchorKind) {
+        if (hasBit(a, 0)) {
           val deadline = a.ts + withinMicros
           // end binds earliest-first AFTER at least two loop events.
-          val loops = evs.filter(e => e.kind == loopKind && e.ts > a.ts &&
+          val loops = evs.filter(e => hasBit(e, 1) && e.ts > a.ts &&
             e.ts <= deadline)
-          val end = evs.find(e => e.kind == endKind && e.ts <= deadline &&
+          val end = evs.find(e => hasBit(e, 2) && e.ts <= deadline &&
             loops.size >= 2 && e.ts > loops(1).ts)
           end.foreach { c =>
             val inWin = loops.filter(_.ts < c.ts)
@@ -133,39 +186,31 @@ object PatternNFA {
     }.toDF()
   }
 
-  private def toEvents(spark: SparkSession, events: DataFrame) = {
-    import spark.implicits._
-    events.select(
-      col("key").cast("long"), col("tsMicros").cast("long"),
-      col("id").cast("long"), col("kind").cast("string"))
-      .as[(Long, Long, Long, String)]
-  }
-
-  private def sortKey(it: Iterator[(Long, Long, Long, String)]): Vector[Ev] =
+  private def sortKey(it: Iterator[(Long, Long, Long, Long)]): Vector[Ev] =
     it.map(e => (e._2, e._3, e._4)).toVector.sortBy(e => (e._1, e._2))
-      .zipWithIndex.map { case ((ts, id, k), i) => Ev(ts, id, k, i) }
+      .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
 
   /** Bind `steps` after `prev`, earliest-first with backtracking.
     * Returns one Vector[Ev] of bound events per step (empty Vector for
     * an unbound Optional / a satisfied Not). */
-  private def matchFrom(evs: Vector[Ev], steps: Seq[Step], prev: Ev,
+  private def matchFrom(evs: Vector[Ev], steps: Seq[IStep], prev: Ev,
                         deadline: Long): Option[Vector[Vector[Ev]]] = {
     if (steps.isEmpty) return Some(Vector.empty)
     val st = steps.head
-    def eligible(from: Int, kind: String): Iterator[Ev] =
-      evs.iterator.drop(from).filter(e => e.kind == kind &&
+    def eligible(from: Int, bit: Int): Iterator[Ev] =
+      evs.iterator.drop(from).filter(e => hasBit(e, bit) &&
         e.ts > prev.ts && e.ts <= deadline)
-    def noneBetween(kind: String, loTs: Long, hiTs: Long): Boolean =
-      !evs.exists(e => e.kind == kind && e.ts > loTs && e.ts < hiTs)
+    def noneBetween(bit: Int, loTs: Long, hiTs: Long): Boolean =
+      !evs.exists(e => hasBit(e, bit) && e.ts > loTs && e.ts < hiTs)
 
     st.quant match {
       case One =>
-        eligible(prev.idx + 1, st.kind).flatMap { e =>
+        eligible(prev.idx + 1, st.bit).flatMap { e =>
           matchFrom(evs, steps.tail, e, deadline).map(Vector(Vector(e)) ++ _)
         }.nextOption()
 
       case Optional =>
-        val bound = eligible(prev.idx + 1, st.kind).flatMap { e =>
+        val bound = eligible(prev.idx + 1, st.bit).flatMap { e =>
           matchFrom(evs, steps.tail, e, deadline).map(Vector(Vector(e)) ++ _)
         }.nextOption()
         bound.orElse(
@@ -175,37 +220,37 @@ object PatternNFA {
         // bind the remainder first, then check the forbidden interval
         matchFrom(evs, steps.tail, prev, deadline).flatMap { rest =>
           val hiTs = rest.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
-          if (noneBetween(st.kind, prev.ts, hiTs))
+          if (noneBetween(st.bit, prev.ts, hiTs))
             Some(Vector(Vector.empty[Ev]) ++ rest)
           else None
         }
 
-      case OneOrMore(untilKind) =>
-        eligible(prev.idx + 1, st.kind).flatMap { first =>
-          val stopTs = untilKind.flatMap(uk =>
-            evs.find(e => e.kind == uk && e.ts > prev.ts).map(_.ts))
+      case OneOrMore(_) =>
+        eligible(prev.idx + 1, st.bit).flatMap { first =>
+          val stopTs = st.untilBit.flatMap(ub =>
+            evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
           if (stopTs.exists(_ <= first.ts)) None
           else matchFrom(evs, steps.tail, first, deadline).map { rest =>
             val hiTs = math.min(
               rest.flatten.headOption.map(_.ts).getOrElse(deadline + 1),
               stopTs.getOrElse(Long.MaxValue))
-            val loop = evs.filter(e => e.kind == st.kind && e.ts > prev.ts &&
+            val loop = evs.filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
               e.ts < hiTs && e.ts <= deadline)
             Vector(if (loop.isEmpty) Vector(first) else loop) ++ rest
           }
         }.nextOption()
 
       case Times(n, consecutive) =>
-        if (!consecutive) bindSuccessive(evs, st.kind, prev, deadline, n)
+        if (!consecutive) bindSuccessive(evs, st.bit, prev, deadline, n)
           .flatMap { run =>
             matchFrom(evs, steps.tail, run.last, deadline).map(Vector(run) ++ _)
           }
         else {
           // strict contiguity: earliest run of n ADJACENT events
-          val starts = eligible(prev.idx + 1, st.kind)
+          val starts = eligible(prev.idx + 1, st.bit)
           starts.flatMap { s =>
             val run = (0 until n).map(i =>
-              evs.lift(s.idx + i).filter(e => e.kind == st.kind &&
+              evs.lift(s.idx + i).filter(e => hasBit(e, st.bit) &&
                 e.ts <= deadline))
             if (run.forall(_.isDefined)) {
               val bound = run.flatten.toVector
@@ -218,21 +263,21 @@ object PatternNFA {
       case TimesRange(lo, hi) =>
         // greedy: largest k whose remainder still completes
         (hi to lo by -1).iterator.flatMap { k =>
-          bindSuccessive(evs, st.kind, prev, deadline, k).flatMap { run =>
+          bindSuccessive(evs, st.bit, prev, deadline, k).flatMap { run =>
             matchFrom(evs, steps.tail, run.last, deadline).map(Vector(run) ++ _)
           }
         }.nextOption()
     }
   }
 
-  /** Earliest n successive events of `kind` after prev (relaxed). */
-  private def bindSuccessive(evs: Vector[Ev], kind: String, prev: Ev,
+  /** Earliest n successive events matching `bit` after prev (relaxed). */
+  private def bindSuccessive(evs: Vector[Ev], bit: Int, prev: Ev,
                              deadline: Long, n: Int): Option[Vector[Ev]] = {
     var cur = prev
     val out = Vector.newBuilder[Ev]
     var i = 0
     while (i < n) {
-      val nxt = evs.iterator.drop(cur.idx + 1).find(e => e.kind == kind &&
+      val nxt = evs.iterator.drop(cur.idx + 1).find(e => hasBit(e, bit) &&
         e.ts > cur.ts && e.ts <= deadline)
       nxt match {
         case Some(e) => out += e; cur = e; i += 1
@@ -247,7 +292,7 @@ object PatternNFA {
     * only its FIRST element (the loop membership is summarized in
     * `counts` instead); unbound Optional / Not steps contribute
     * nothing. */
-  private def emit(key: Long, steps: Seq[Step], bindings: Vector[Vector[Ev]],
+  private def emit(key: Long, steps: Seq[IStep], bindings: Vector[Vector[Ev]],
                    evs: Vector[Ev], deadline: Long): PMatch = {
     val chain = steps.zip(bindings).flatMap {
       case (st, b) if st.quant.isInstanceOf[OneOrMore] => b.take(1).map(_.id)

@@ -291,6 +291,42 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id")
     },
 
+    // MATCH_RECOGNIZE with a GENERAL (non-literal) DEFINE predicate
+    // (MatchCodeGenerator.scala compiles arbitrary per-variable
+    // conditions; Pattern.java:155 where()): the purchase step
+    // requires value > 100, evaluated into the NFA's pre-shuffle
+    // bitmask — any boolean SQL expression over the event row works.
+    q("mr2_match_define_predicate",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup')
+        |SELECT a.user_id AS key, a.a_id AS anchor_id, p.event_id AS end_id,
+        |  a.a_id || ',' || p.event_id AS chain, '' AS counts
+        |FROM a
+        |JOIN LATERAL (SELECT e.event_id FROM ev e
+        |  WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |    AND e.value > 100
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      graft.operators.MatchRecognize.run(s,
+          t(s, dir)("events").select(
+            col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("id"), col("event_type").as("kind"),
+            col("value")),
+          """MATCH_RECOGNIZE (
+            |  PARTITION BY key ORDER BY ts
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A P)
+            |  WITHIN INTERVAL '6' HOUR
+            |  DEFINE A AS kind = 'signup',
+            |         P AS kind = 'purchase' AND value > 100
+            |)""".stripMargin)
+        .orderBy("key", "anchor_id")
+    },
+
     // AFTER MATCH SKIP PAST LAST EVENT: signup → purchase within 6h,
     // anchors re-armed only past the previous match's last event —
     // greedy non-overlapping scan, mirrored by a recursive CTE.

@@ -191,14 +191,35 @@ class BatchOpsSpec extends AnyFunSuite {
         |         D AS kind = 'd', E AS kind = 'e'
         |)""".stripMargin)
     assert(c.steps == Seq(
-      Step("A", "a", One), Step("B", "b", OneOrMore()),
-      Step("C", "c", Optional), Step("D", "d", Times(2)),
-      Step("E", "e", TimesRange(1, 3))))
+      Step("A", "A", One), Step("B", "B", OneOrMore()),
+      Step("C", "C", Optional), Step("D", "D", Times(2)),
+      Step("E", "E", TimesRange(1, 3))))
+    assert(c.defines == Seq(
+      "A" -> "kind = 'a'", "B" -> "kind = 'b'", "C" -> "kind = 'c'",
+      "D" -> "kind = 'd'", "E" -> "kind = 'e'"))
     assert(c.withinMicros == 30L * 60000000L)
     assert(c.afterMatch == SkipPastLastEvent)
     intercept[RuntimeException] {
       MatchRecognize.compile("MATCH_RECOGNIZE (PATTERN (A) DEFINE A AS kind = 'a')")
     } // WITHIN required
+  }
+
+  test("MATCH_RECOGNIZE DEFINE accepts arbitrary boolean predicates") {
+    import spark.implicits._
+    import graft.operators.MatchRecognize
+    // v > 50 only matched by event 3; predicate references a non-kind
+    // column and composes AND/comparison — the general DEFINE surface.
+    val events = Seq(
+      (1L, 100L, 1L, "a", 10.0), (1L, 200L, 2L, "b", 20.0),
+      (1L, 300L, 3L, "b", 80.0), (2L, 100L, 4L, "a", 99.0))
+      .toDF("key", "tsMicros", "id", "kind", "v")
+    val out = MatchRecognize.run(spark, events,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B) WITHIN INTERVAL '1' SECOND
+        |  DEFINE A AS kind = 'a', B AS kind = 'b' AND v > 50
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain")))
+    assert(out.toSeq == Seq((1L, "1,3"))) // b@20.0 skipped, key 2 no B
   }
 
   test("Changelog unfold/fold round-trips to final versions") {
