@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** How each superstep's result is materialized (lineage truncation
+    * is mandatory either way — without it the logical plan grows per
+    * superstep and optimization cost goes superlinear):
+    *
+    *  - `dir = None` (default): eager `localCheckpoint` — executor
+    *    block storage, no replication. Fast, right for local / interactive.
+    *  - `dir = Some(path)`: every `every`-th superstep writes a RELIABLE
+    *    `checkpoint()` to the directory (HDFS/object store on a real
+    *    cluster), localCheckpoint in between. On a 1000-executor
+    *    cluster a lost executor then costs at most `every` supersteps
+    *    of recompute instead of aborting the whole iteration — the
+    *    durability/throughput trade the reference makes with
+    *    checkpoint intervals on iterative jobs.
+    */
+  case class IterationCheckpointing(dir: Option[String] = None, every: Int = 5)
+
+  private def materialize(df: DataFrame, step: Int,
+                          ckpt: IterationCheckpointing): DataFrame =
+    ckpt.dir match {
+      case Some(d) if step % ckpt.every == 0 =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Min-label propagation, `iterations` supersteps.
     * `edges` must be (src, dst); treated as directed messages — pass a
     * bidirectional edge set for undirected semantics. Self-loops are
@@ -22,22 +48,22 @@ object GraphOps {
     * Returns (node, label): after enough iterations label = component
     * minimum (connected components).
     */
-  def labelPropagation(nodes: DataFrame, edges: DataFrame,
-                       iterations: Int): DataFrame = {
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iterations: Int,
+                       ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .persist()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      // localCheckpoint (eager) materializes AND truncates lineage —
-      // plain persist keeps the ever-growing logical plan and the
-      // optimizer cost per superstep grows superlinearly.
-      val next = labels.join(e, labels("node") === e("src"))
-        .groupBy(col("dst").as("node_n"))
-        .agg(min("label").as("label"))
-        .withColumnRenamed("node_n", "node")
-        .localCheckpoint(true)
+    var labels = materialize(
+      nodes.select(col("node"), col("node").as("label")), 0, ckpt)
+    for (i <- 1 to iterations) {
+      // eager materialization truncates lineage — plain persist keeps
+      // the ever-growing logical plan and the optimizer cost per
+      // superstep grows superlinearly.
+      val next = materialize(
+        labels.join(e, labels("node") === e("src"))
+          .groupBy(col("dst").as("node_n"))
+          .agg(min("label").as("label"))
+          .withColumnRenamed("node_n", "node"), i, ckpt)
       labels = next
     }
     e.unpersist()
@@ -51,11 +77,11 @@ object GraphOps {
     * makes late supersteps touch only the frontier. Converges to the
     * same fixpoint as full propagation.
     */
-  def labelPropagationDelta(nodes: DataFrame, edges: DataFrame,
-                            maxIterations: Int): DataFrame = {
+  def labelPropagationDelta(nodes: DataFrame, edges: DataFrame, maxIterations: Int,
+                            ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
-    var solution = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    var solution = materialize(
+      nodes.select(col("node"), col("node").as("label")), 0, ckpt)
     var workset = solution
     var i = 0
     var worksetSize = workset.count()
@@ -67,9 +93,9 @@ object GraphOps {
       // one checkpoint per superstep: `joined` is materialized with
       // truncated lineage; `next` and `workset` are cheap narrow
       // projections of it and need no materialization of their own.
-      val joined = solution.join(msgs, solution("node") === col("m_node"), "left")
-        .select(col("node"), col("label"), col("m_label"))
-        .localCheckpoint(true)
+      val joined = materialize(
+        solution.join(msgs, solution("node") === col("m_node"), "left")
+          .select(col("node"), col("label"), col("m_label")), i + 1, ckpt)
       val next = joined
         .select(col("node"),
           when(col("m_label") < col("label"), col("m_label"))
@@ -88,9 +114,13 @@ object GraphOps {
   /** PageRank with damping d, fixed `iterations` supersteps over a
     * directed edge list; dangling nodes redistribute implicitly via
     * the (1-d)/N floor only (simple variant, deterministic). */
-  def pageRank(nodes: DataFrame, edgesIn: DataFrame, d: Double,
-               iterations: Int): DataFrame = {
-    val edges = edgesIn.persist()
+  def pageRank(nodes: DataFrame, edgesIn: DataFrame, d: Double, iterations: Int,
+               ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
+    // persist an internal PROJECTION of the input, not the input plan
+    // itself: Spark's cache is keyed by plan and not ref-counted, so
+    // unpersisting the caller's exact plan below would silently drop a
+    // cache the caller still holds.
+    val edges = edgesIn.select(col("src"), col("dst")).persist()
     val n = nodes.count().toDouble
     // deg derives from edges — rename its key so the deg⋈edges double
     // use of `src` doesn't trip the ambiguous-self-join check.
@@ -102,19 +132,21 @@ object GraphOps {
     // iteration, at every scale.
     val edgesW = edges.join(deg, edges("src") === col("_degkey"))
       .select(col("src"), col("dst"), col("deg")).persist()
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var pr = materialize(
+      nodes.select(col("node"), lit(1.0 / n).as("pr")), 0, ckpt)
+    for (i <- 1 to iterations) {
       val contrib = pr
         .join(edgesW, pr("node") === edgesW("src"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum("c").as("in_sum"))
-      // eager localCheckpoint: materialize + truncate lineage (see
+      // eager materialization: truncate lineage every superstep (see
       // labelPropagation note).
-      val next = pr.select(col("node"))
-        .join(contrib, pr("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      val next = materialize(
+        pr.select(col("node"))
+          .join(contrib, pr("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0))).as("pr")),
+        i, ckpt)
       pr = next
     }
     // release both blocks THIS function pinned (the persisted copy of

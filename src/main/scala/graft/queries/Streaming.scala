@@ -197,6 +197,36 @@ object Streaming extends QueryGroup {
         .orderBy("purchase_id")
     },
 
+    // Processing-time temporal join: each purchase enriches against
+    // the LATEST signup version at arrival (no watermark wait, state =
+    // one version per key — TemporalProcessTimeJoinOperator semantics).
+    // The bounded in-order feed makes arrival order = (ts, id) order,
+    // so the oracle is "latest signup strictly before the purchase in
+    // (ts, id) order"; unlike st5 every purchase emits (no maturity).
+    q("st21_proctime_temporal",
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |sg AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |       WHERE event_type = 'signup'),
+        |m AS (SELECT p.user_id, p.event_id AS purchase_id, sg.event_id AS s_id,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY sg.ts_us DESC, sg.event_id DESC) AS rn
+        |      FROM p LEFT JOIN sg ON sg.user_id = p.user_id
+        |        AND (sg.ts_us < p.ts_us OR (sg.ts_us = p.ts_us AND sg.event_id < p.event_id)))
+        |SELECT user_id, purchase_id, coalesce(s_id, -1) AS signup_id
+        |FROM m WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingProcTimeTemporalJoin(s,
+        left = ev.filter(_.kind == "purchase"),
+        right = ev.filter(_.kind == "signup"))
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st21_out")
+        .select(col("key").as("user_id"), col("leftId").as("purchase_id"),
+          col("rightId").as("signup_id"))
+        .orderBy("purchase_id")
+    },
+
     // Streaming LEFT OUTER interval join: matches emit on arrival;
     // unmatched signups emit null-padded once the watermark passes
     // their whole join window (Spark's state-eviction rule, mirrored

@@ -27,13 +27,28 @@ object GraftDDL {
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
+  /** Parse a CREATE TABLE with `'connector'='kafka'` and return the
+    * Spark kafka reader options it binds to (KafkaDynamicSource.java:37
+    * analog). The option map is what `readStream.format("kafka")` would
+    * receive on a cluster with the connector jar; in this container
+    * (no jar, no broker) the binding stops here — spec-locked in
+    * SourcesSpec. */
+  def kafkaSourceOptions(ddl: String): Map[String, String] = ddl match {
+    case createRe(_, _, propsText) =>
+      val props = propRe.findAllMatchIn(propsText)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      KafkaConnector.sourceOptions(props)
+    case _ => sys.error(s"unsupported DDL: $ddl")
+  }
+
   /** Parse + bind + register; returns the bound DataFrame. */
   def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
     case createRe(name, colsText, propsText) =>
       val props = propRe.findAllMatchIn(propsText)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       require(props.get("connector").forall(_ == "filesystem"),
-        s"unsupported connector: ${props.get("connector")}")
+        s"unsupported connector here: ${props.get("connector")} " +
+          "(kafka binds via kafkaSourceOptions; no broker in this container)")
       val path = props.getOrElse("path",
         sys.error("DDL requires a 'path' property"))
       val format = props.getOrElse("format", "parquet")

@@ -28,24 +28,56 @@ case class CepEmit(key: Long, aId: Long, aTsMicros: Long, bId: Long, bTsMicros: 
 object StreamingTopN {
   case class State(seq: Long, top: List[(Double, Long)])
 
-  def apply(spark: SparkSession, ds: Dataset[GEvent], n: Int): Dataset[TopNEmit] = {
+  /** idleRetentionMicros bounds state by KEY liveness (the reference's
+    * ExecutionConfigOptions idle-state-retention): a key receiving no
+    * rows for the retention interval past the watermark is evicted via
+    * EventTimeTimeout — without it, per-key state is bounded at n rows
+    * but the key set itself grows without bound. Long.MaxValue (the
+    * default) keeps the original no-timeout behavior for feeds with
+    * fixed key cardinality. */
+  def apply(spark: SparkSession, ds: Dataset[GEvent], n: Int,
+            idleRetentionMicros: Long = Long.MaxValue,
+            watermarkDelay: String = "10 seconds"): Dataset[TopNEmit] = {
     import spark.implicits._
-    ds.groupByKey(_.key).flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    val ttl = idleRetentionMicros != Long.MaxValue
+    // EventTimeTimeout needs a watermarked input; the no-TTL path must
+    // not impose one (st4 feeds an unwatermarked stream).
+    val src = if (ttl)
+      ds.withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", watermarkDelay).as[GEvent]
+    else ds
+    val timeoutConf =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Update, timeoutConf) {
       (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
-        val cur = state.getOption.getOrElse(State(0L, Nil))
-        var top = cur.top
-        rows.foreach { r =>
-          top = ((r.value, r.id) :: top)
-            .sortBy { case (v, id) => (-v, id) }.take(n)
-        }
-        if (top != cur.top) {
-          val ns = State(cur.seq + 1, top)
-          state.update(ns)
-          top.zipWithIndex.iterator.map { case ((v, id), i) =>
-            TopNEmit(key, i + 1, id, v, ns.seq)
+        if (ttl && state.hasTimedOut) {
+          state.remove() // idle past retention: drop the key's buffer
+          Iterator.empty
+        } else {
+          val cur = state.getOption.getOrElse(State(0L, Nil))
+          var top = cur.top
+          var lastActivityMicros = Long.MinValue
+          rows.foreach { r =>
+            lastActivityMicros = lastActivityMicros max r.tsMicros
+            top = ((r.value, r.id) :: top)
+              .sortBy { case (v, id) => (-v, id) }.take(n)
           }
-        } else Iterator.empty
+          val changed = top != cur.top
+          val ns = if (changed) State(cur.seq + 1, top) else cur
+          if (changed) state.update(ns)
+          if (ttl && state.exists) {
+            // evict when the watermark passes last activity + retention
+            // (must stay above the current watermark to be settable)
+            val fireMs = (lastActivityMicros / 1000L) + (idleRetentionMicros / 1000L)
+            state.setTimeoutTimestamp(fireMs max (state.getCurrentWatermarkMs() + 1))
+          }
+          if (changed)
+            top.zipWithIndex.iterator.map { case ((v, id), i) =>
+              TopNEmit(key, i + 1, id, v, ns.seq)
+            }
+          else Iterator.empty
+        }
     }
   }
 }
@@ -101,6 +133,46 @@ object StreamingAsOfJoin {
         // micro-batch after the watermark advances past them.
         if (pending.nonEmpty)
           state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
+/** Processing-time temporal join (SURVEY.md §2.3 —
+  * TemporalProcessTimeJoinOperator.java:38 semantics): the right side
+  * is a versioned table of which ONLY the latest version per key is
+  * kept in state (each arriving right row replaces its predecessor —
+  * no history, unlike the rowtime variant's buffered versions); each
+  * arriving left row joins the version current AT ARRIVAL and emits
+  * immediately — no watermark wait. This is the common streaming
+  * dim-enrichment shape: state is one row per key, bounded by key
+  * cardinality, not by time.
+  *
+  * Arrival order within a micro-batch is made deterministic by
+  * processing rows in (tsMicros, id) order, so on an in-order feed
+  * the result is oracle-checkable; across batches the semantics are
+  * pure arrival order, exactly like the reference's proctime join.
+  */
+object StreamingProcTimeTemporalJoin {
+  case class Version(tsMicros: Long, id: Long)
+
+  def apply(spark: SparkSession, left: Dataset[GEvent],
+            right: Dataset[GEvent]): Dataset[AsOfEmit] = {
+    import spark.implicits._
+    val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[Version]) =>
+        var cur = state.getOption
+        val out = scala.collection.mutable.ListBuffer.empty[AsOfEmit]
+        rows.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          if (e.kind == "R") cur = Some(Version(e.tsMicros, e.id))
+          else out += (cur match {
+            case Some(v) => AsOfEmit(key, e.id, e.tsMicros, v.id, v.tsMicros, matched = true)
+            case None    => AsOfEmit(key, e.id, e.tsMicros, -1L, -1L, matched = false)
+          })
+        }
+        cur.foreach(state.update)
         out.iterator
     }
   }

@@ -88,6 +88,32 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(delta(4L) == 1L && delta(11L) == 10L && delta(20L) == 20L)
   }
 
+  test("graph iteration under RELIABLE checkpointing matches the local-checkpoint result") {
+    // the cluster posture: localCheckpoint blocks die with their
+    // executor; a reliable checkpoint dir bounds recompute to `every`
+    // supersteps. Same fixpoint either way.
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val nodes = (Seq(20L) ++ pairs.flatMap(p => Seq(p._1, p._2))).distinct.toDF("node")
+    val edges = (pairs ++ pairs.map(_.swap) ++
+      (Seq(20L) ++ pairs.flatMap(p => Seq(p._1, p._2))).distinct.map(n => (n, n)))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = GraphOps.IterationCheckpointing(Some(dir), every = 2)
+    val reliable = GraphOps.labelPropagation(nodes, edges, iterations = 6, ckpt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // reliable checkpoint files actually landed in the directory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no reliable checkpoint written under $dir")
+    val pr = GraphOps.pageRank(nodes, edges.filter(col("src") =!= col("dst")),
+      d = 0.85, iterations = 3, ckpt = ckpt)
+    assert(pr.count() == 7)
+  }
+
   test("PatternNFA binds earliest chain and counts OneOrMore events") {
     import graft.operators.PatternNFA._
     import spark.implicits._

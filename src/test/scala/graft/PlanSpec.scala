@@ -96,6 +96,38 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(status"), scan)
   }
 
+  test("ANALYZE-fed statistics reach the optimizer and reorder a multi-join (CBO)") {
+    // TpcdsStatsProvider.java:47 analog: catalog stats + CBO replace
+    // hand-placed hints — the planner measures, the optimizer decides.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    graft.sources.WarehouseStats.register(spark, dir,
+      Seq("nation", "customer", "orders"))
+    graft.sources.WarehouseStats.withCbo(spark) {
+      // exact table stats landed in the catalog (rowCount reaches plan
+      // stats only under CBO; without ANALYZE it would be None)
+      val nationCount = spark.table("g_nation")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(nationCount.contains(BigInt(25)), s"nation stats: $nationCount")
+      // declared WORST order: fact ⋈ fact first, selective dim last
+      val q = spark.table("g_orders")
+        .join(spark.table("g_customer"), col("o_custkey") === col("c_custkey"))
+        .join(spark.table("g_nation").filter(col("n_name") === "FRANCE"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("c_name"), col("n_name"))
+      val optimized = q.queryExecution.optimizedPlan
+      // stats flow through the whole join tree (None without ANALYZE)
+      assert(optimized.stats.rowCount.isDefined,
+        "no rowCount on the join — stats not feeding the optimizer")
+      // cost-based reorder: the innermost join must pair customer with
+      // the FILTERED nation (25→1 rows), pushing the big orders table
+      // to the outermost join — not the declared orders-first order.
+      val innermost = optimized.collect { case j: Join => j }.last
+      val innerCols = innermost.output.map(_.name).toSet
+      assert(innerCols.contains("n_nationkey") && !innerCols.contains("o_orderkey"),
+        s"join not reordered by stats; innermost join outputs: $innerCols")
+    }
+  }
+
   test("no broadcast() hint pins a table that scales with SF") {
     // A forced broadcast of customer/supplier/part/orders/lineitem/
     // events/documents/embeddings is a 100 TB scale-killer: those

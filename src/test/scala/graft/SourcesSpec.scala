@@ -96,6 +96,60 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("kafka DDL options translate to Spark's kafka reader options") {
+    // KafkaDynamicSource.java:37 option surface → spark kafka DSv2
+    // options; pure binding (no broker/jar in this container).
+    val opts = graft.sources.GraftDDL.kafkaSourceOptions(
+      """CREATE TABLE k_events (user_id BIGINT, v DOUBLE)
+        |WITH ('connector'='kafka',
+        |      'topic'='events;events_dlq',
+        |      'properties.bootstrap.servers'='broker1:9092,broker2:9092',
+        |      'properties.group.id'='graft',
+        |      'scan.startup.mode'='earliest-offset')""".stripMargin)
+    assert(opts == Map(
+      "subscribe" -> "events,events_dlq",
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "kafka.group.id" -> "graft",
+      "startingOffsets" -> "earliest"))
+  }
+
+  test("kafka startup modes: timestamp, specific-offsets, pattern; group-offsets rejected") {
+    import graft.sources.KafkaConnector
+    val base = Map("connector" -> "kafka",
+      "properties.bootstrap.servers" -> "b:9092")
+    val ts = KafkaConnector.sourceOptions(base ++ Map(
+      "topic" -> "t", "scan.startup.mode" -> "timestamp",
+      "scan.startup.timestamp-millis" -> "1700000000000"))
+    assert(ts("startingTimestamp") == "1700000000000")
+    val specific = KafkaConnector.sourceOptions(base ++ Map(
+      "topic" -> "t", "scan.startup.mode" -> "specific-offsets",
+      "scan.startup.specific-offsets" -> "partition:0,offset:42;partition:1,offset:300"))
+    assert(specific("startingOffsets") == """{"t":{"0":42,"1":300}}""")
+    val pat = KafkaConnector.sourceOptions(base ++ Map(
+      "topic-pattern" -> "events_.*", "scan.startup.mode" -> "latest-offset"))
+    assert(pat("subscribePattern") == "events_.*" && pat("startingOffsets") == "latest")
+    // Spark owns offsets in its checkpoint — group-offsets must fail
+    // loudly, not silently rebind to a different semantics.
+    intercept[RuntimeException] {
+      KafkaConnector.sourceOptions(base ++ Map("topic" -> "t"))
+    }
+    val sink = KafkaConnector.sinkOptions(base ++ Map("topic" -> "out"))
+    assert(sink == Map("kafka.bootstrap.servers" -> "b:9092", "topic" -> "out"))
+  }
+
+  test("avro format is absent from this distribution (documented gap)") {
+    // SURVEY §2.1: flink-avro has no analog here — /opt/spark/jars
+    // ships avro-core but NOT spark-avro, so the data source cannot
+    // register. This spec pins the de-scope rationale: if the jar ever
+    // appears, this test fails and the round-trip above gains "avro".
+    val e = intercept[Throwable] {
+      Tables(spark, dir, "nation").write
+        .mode("overwrite").format("avro")
+        .save(java.nio.file.Files.createTempDirectory("graft_avro").toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("avro"))
+  }
+
   test("broadcast state pattern: rules re-broadcast to every key per micro-batch") {
     import graft.streaming.GEvent
     val sp = StreamHarness.spark

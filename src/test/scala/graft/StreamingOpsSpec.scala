@@ -52,6 +52,60 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got(11L) == 3L)   // left@250 → right@240 (latest version ≤ 250)
   }
 
+  test("StreamingTopN idle-state retention evicts keys the watermark left behind") {
+    // retention 60s, watermark delay 0: key 1 goes idle at t=10, the
+    // watermark jumps to t=1000 on key 2's traffic → key 1's buffer
+    // must be evicted (numRowsTotal drops) and a later key-1 row must
+    // start a FRESH buffer (old top-n values gone).
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("topn_ttl_spec")
+    val out = StreamingTopN(spark, input.toDS(), n = 3,
+      idleRetentionMicros = 60L * 1000000L, watermarkDelay = "0 seconds")
+    val q = out.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("topn_ttl_spec").start()
+    def push(evs: graft.streaming.GEvent*): Unit = {
+      input.addData(evs); q.processAllAvailable()
+    }
+    try {
+      push(ev(1, 10, 1, value = 5.0))      // key 1 buffered
+      push(ev(2, 1000, 2, value = 7.0))    // watermark → 1000s
+      push(ev(2, 1001, 3, value = 1.0))    // timeout pass evicts key 1
+      push(ev(1, 1005, 9, value = 1.0))    // key 1 returns after eviction
+    } finally q.stop()
+    val stateTotals = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    assert(stateTotals.max == 2, s"expected 2 live keys at peak: $stateTotals")
+    assert(stateTotals.last <= 2 && stateTotals.contains(1L),
+      s"idle key never evicted: $stateTotals")
+    // fresh buffer: id 9 re-enters at rank 1 / revision 1 — the old
+    // 5.0 entry would have pushed it to rank 2 had state survived.
+    val reborn = spark.table("topn_ttl_spec")
+      .filter(col("key") === 1 && col("id") === 9).collect()
+    assert(reborn.length == 1)
+    assert(reborn.head.getAs[Int]("rank") == 1)
+    assert(reborn.head.getAs[Long]("emitSeq") == 1L)
+  }
+
+  test("StreamingProcTimeTemporalJoin joins the latest version AT ARRIVAL and replaces state") {
+    val batches = Seq(
+      Seq(ev(1, 100, 1, kind = "R"), ev(1, 150, 10, kind = "L")),
+      // new right version replaces id=1 (single-version state)
+      Seq(ev(1, 200, 2, kind = "R"), ev(1, 250, 11, kind = "L")),
+      // proctime semantics: this left's EVENT time (50) predates both
+      // right versions, but it arrives now → joins the CURRENT version
+      // (id=2). The rowtime as-of join would have matched nothing.
+      Seq(ev(1, 50, 12, kind = "L")),
+      Seq(ev(2, 10, 13, kind = "L")))  // no version for key 2 → unmatched
+    val out = StreamHarness.run(batches, OutputMode.Append, "proctime_spec") { ds =>
+      StreamingProcTimeTemporalJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder)).toDF()
+    }
+    val got = out.select("leftId", "rightId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 2L, 12L -> 2L, 13L -> -1L))
+  }
+
   test("StreamingCEP emits earliest B per A within the window") {
     val batches = Seq(
       Seq(ev(1, 100, 1, kind = "A"), ev(1, 110, 2, kind = "B"),
