@@ -150,6 +150,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(pairs == Set(1L -> 100L, 2L -> 100L, 1L -> 101L, 2L -> 101L))
   }
 
+  test("StreamingSymmetricJoin idle retention evicts stale rows from the match buffer") {
+    // same topology as the unbounded test, but with a 60s retention:
+    // the L@10s row must be evicted once the key sees t=99999, so the
+    // late R@30s joins ONLY the recent left — bounded state under
+    // unbounded key lifetimes (ExecutionConfigOptions idle-state
+    // retention semantics).
+    val batches = Seq(
+      Seq(ev(1, 10, 1, kind = "L"), ev(1, 20, 100, kind = "R")),
+      Seq(ev(1, 99999, 2, kind = "L")),   // evicts everything idle > 60s
+      Seq(ev(1, 99970, 101, kind = "R"))) // within retention of maxTs
+    val out = StreamHarness.run(batches, OutputMode.Append, "symjoin_ttl_spec") { ds =>
+      StreamingSymmetricJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder),
+        idleRetentionMicros = 60L * 1000000L).toDF()
+    }
+    val pairs = out.select("leftId", "rightId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // 1↔100 match in batch 1 (both fresh); the late R@99970 joins only
+    // L@99999 — L@10 and R@100's buffered copies were evicted.
+    assert(pairs == Set(1L -> 100L, 2L -> 101L))
+  }
+
   test("streaming dedup keep-first equals batch dedup") {
     val batches = Seq(
       Seq(ev(1, 10, 1, kind = "k1"), ev(1, 20, 2, kind = "k1"), ev(2, 15, 3, kind = "k1")),
