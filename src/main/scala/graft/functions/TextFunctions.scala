@@ -30,6 +30,16 @@ object TextFunctions {
     * hot paths should pre-project tokens (see above). */
   def bigramShingles(text: Column): Column = bigramShinglesFromTokens(tokens(text))
 
+  /** Word n-gram shingles from a pre-projected token array (same
+    * materialization caveat as [[bigramShinglesFromTokens]]). Used by
+    * the contamination screen, where published LM pipelines compare
+    * held-out benchmarks against training text on word n-grams. */
+  def nGramShinglesFromTokens(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** Deterministic 32-bit token hash: first 8 hex chars of md5 as uint. */
   def hash32(token: Column): Column =
     conv(substring(md5(token.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)

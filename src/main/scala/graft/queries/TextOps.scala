@@ -474,5 +474,86 @@ object TextOps extends QueryGroup {
           length(col("norm")).as("n_chars"),
           size(split(col("norm"), " ")).as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Per-source document cap (the per-domain cap of web-scale corpus
+    // curation: no single domain may dominate the training mix). Keep
+    // the k largest docs per source — rank ≤ k plans WindowGroupLimit,
+    // so each partition pre-limits BEFORE the shuffle: the full corpus
+    // is never globally sorted at any scale.
+    q("x20_source_cap",
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 15
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir)("documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "doc_id")
+    },
+
+    // Benchmark decontamination screen (the published-LM-pipeline
+    // n-gram overlap check): docs sharing any word 5-gram with the
+    // held-out set (here: doc_id % 20 = 0) are flagged with their
+    // shared-shingle count. Shape at scale: per-doc DISTINCT shingles
+    // explode → equi-join against the (much smaller, aggregated)
+    // benchmark shingle set → count per doc. One shuffle on the
+    // shingle key, never doc×doc.
+    q("x21_decontaminate",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+        |SELECT sh.doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (s)
+        |WHERE sh.doc_id % 20 <> 0
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir)("documents")
+        .select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(nGramShinglesFromTokens(col("_toks"), 5))).as("s"))
+      val bench = sh.filter(col("doc_id") % 20 === 0).select("s").distinct()
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .join(bench, "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition filter (Gopher-style quality gate): fraction of
+    // repeated word bigrams per document; high-repetition docs are
+    // boilerplate/spam candidates. Map-only column expressions —
+    // no shuffle at all until the final presentation sort.
+    q("x22_repetition_filter",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1]) AS bi
+        |  FROM toks),
+        |r AS (SELECT doc_id,
+        |    round(1.0 - len(list_distinct(bi)) * 1.0 / len(bi), 6) AS dup_ratio
+        |  FROM b WHERE len(bi) > 0)
+        |SELECT doc_id, dup_ratio,
+        |  CASE WHEN dup_ratio <= 0.05 THEN 'kept' ELSE 'filtered' END AS status
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bi = bigramShinglesFromTokens(col("_toks"))
+      t(s, dir)("documents")
+        .select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), bi.as("_bi"))
+        .filter(size(col("_bi")) > 0)
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("_bi"))).cast(DoubleType) /
+            size(col("_bi")), 6).as("dup_ratio"))
+        .withColumn("status",
+          when(col("dup_ratio") <= 0.05, "kept").otherwise("filtered"))
+        .orderBy("doc_id")
     })
 }
