@@ -239,9 +239,13 @@ object StreamRunner {
     spark.catalog.dropTempView(name)
     // state-store count is fixed at first run from shuffle.partitions;
     // a handful of partitions is right for these bounded drives (each
-    // store carries init/commit overhead per micro-batch).
+    // store carries init/commit overhead per micro-batch: measured
+    // 15.0s → 9.4s over st3/st8/st16/st18 going 8 → 4 at sf0.1; 2 is
+    // flat-to-worse, so 4 keeps parallelism). Harness-only knob — a
+    // production deployment sizes partitions to key cardinality.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
