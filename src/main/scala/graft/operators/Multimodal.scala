@@ -96,6 +96,27 @@ object Multimodal {
         .as("out_height"))
   }
 
+  case class FeatureRow(doc_id: Long, features: Seq[Long], dom_bin: Long)
+
+  /** Deterministic fake feature extraction — a byte-value histogram
+    * per payload (`bins` equal-width bins over 0..255): the batched
+    * mapPartitions shape of a real embedding/feature model over media
+    * bytes (model inference would replace the histogram loop in the
+    * same partition pass, emitting float vectors for the ANN family).
+    * Counts are exact integers, so the vector is oracle-checkable
+    * bit-for-bit. */
+  def featureExtract(spark: SparkSession, binTable: DataFrame,
+                     bins: Int = 16): Dataset[FeatureRow] = {
+    import spark.implicits._
+    binTable.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        val hist = new Array[Long](bins)
+        d.payload.foreach { b => hist(((b & 0xff) * bins) / 256) += 1 }
+        FeatureRow(d.doc_id, hist.toSeq, hist.indexOf(hist.max).toLong)
+      }
+    }
+  }
+
   /** Batched "decode": one pass per partition, streaming the iterator
     * (no per-row task overhead, no full-partition materialization) —
     * the shape a real codec UDF needs at 100 TB. */

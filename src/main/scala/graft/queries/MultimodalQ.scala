@@ -85,5 +85,23 @@ object MultimodalQ extends QueryGroup {
           chunkChars = 64, hopChars = 48)
         .toDF()
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Feature extraction: 16-bin byte-value histogram per payload —
+    // the batched model-inference shape (a real extractor would emit
+    // float embeddings for the v* ANN family in the same pass).
+    // Integer counts keep the vector bit-exact across engines.
+    q("mm5_features",
+      """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |h AS (SELECT doc_id, list_transform(generate_series(0, 15),
+        |        b -> CAST(len(list_filter(cs, c -> ascii(c) // 16 = b)) AS BIGINT)) AS features
+        |      FROM ch)
+        |SELECT doc_id, features,
+        |  CAST(list_position(features, list_max(features)) - 1 AS BIGINT) AS dom_bin
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.featureExtract(s,
+          Multimodal.toBinaryTable(t(s, dir)("documents")), bins = 16)
+        .toDF()
+        .orderBy("doc_id")
     })
 }
