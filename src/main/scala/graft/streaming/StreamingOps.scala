@@ -93,10 +93,18 @@ object StreamingTopN {
   * the reference's late-record handling at the watermark boundary.
   */
 object StreamingAsOfJoin {
-  case class State(rights: List[(Long, Long)], lefts: List[(Long, Long)])
+  case class State(rights: List[(Long, Long)], lefts: List[(Long, Long)],
+                   lastActivityMicros: Long = Long.MinValue)
 
+  /** idleRetentionMicros: once the watermark passes a key's last
+    * arrival by this much, the key's residual state (the buffered
+    * latest right version) is evicted — the reference's idle-state
+    * retention. As there, an eviction trades memory for correctness
+    * on very-late lefts: they join as unmatched instead of the
+    * evicted version. Long.MaxValue (default) never evicts. */
   def apply(spark: SparkSession, left: Dataset[GEvent], right: Dataset[GEvent],
-            watermarkDelay: String = "10 minutes"): Dataset[AsOfEmit] = {
+            watermarkDelay: String = "10 minutes",
+            idleRetentionMicros: Long = Long.MaxValue): Dataset[AsOfEmit] = {
     import spark.implicits._
     val tagged = left.map(e => e.copy(kind = "L"))
       .union(right.map(e => e.copy(kind = "R")))
@@ -109,7 +117,9 @@ object StreamingAsOfJoin {
         val cur = state.getOption.getOrElse(State(Nil, Nil))
         var rights = cur.rights
         var lefts = cur.lefts
+        var lastAct = cur.lastActivityMicros
         rows.foreach { e =>
+          lastAct = lastAct max e.tsMicros
           if (e.kind == "R") rights = (e.tsMicros, e.id) :: rights
           else lefts = (e.tsMicros, e.id) :: lefts
         }
@@ -128,11 +138,23 @@ object StreamingAsOfJoin {
         val (oldR, newR) = rights.partition(_._1 <= wmMicros)
         val keptR = if (oldR.isEmpty) newR
                     else oldR.maxBy(r => (r._1, r._2)) :: newR
-        state.update(State(keptR, pending))
-        // event-time timeout so pending lefts flush on the no-data
-        // micro-batch after the watermark advances past them.
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        val idleEvicted = idleRetentionMicros != Long.MaxValue &&
+          lastAct != Long.MinValue && wmMicros >= lastAct + idleRetentionMicros
+        if (pending.isEmpty && (keptR.isEmpty || idleEvicted)) {
+          // nothing semantically live (or idle past retention): free
+          // the key's entry instead of parking an empty/stale record.
+          if (state.exists) state.remove()
+        } else {
+          state.update(State(keptR, pending, lastAct))
+          // event-time timeout: flush pending lefts on the next no-data
+          // micro-batch, or fire at the idle-retention horizon.
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          else if (idleRetentionMicros != Long.MaxValue)
+            state.setTimeoutTimestamp(
+              ((lastAct + idleRetentionMicros) / 1000L + 1)
+                max (state.getCurrentWatermarkMs() + 1))
+        }
         out.iterator
     }
   }
@@ -222,9 +244,21 @@ object StreamingCEP {
         // drop matched A's and A's whose window fully expired
         val keptA = as.filterNot(matchedAs)
           .filter { case (ats, _) => ats + withinMicros > wmMicros }
-        state.update(State(keptA, pendingB))
-        if (pendingB.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if (keptA.isEmpty && pendingB.isEmpty) {
+          // key completed its lifecycle — free the entry rather than
+          // parking an empty record forever (idle-state hygiene).
+          if (state.exists) state.remove()
+        } else {
+          state.update(State(keptA, pendingB))
+          if (pendingB.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          else
+            // keptA dies at its window bound: fire then to clean up
+            // even if the key never sees traffic again.
+            state.setTimeoutTimestamp(
+              ((keptA.map(_._1).max + withinMicros) / 1000L + 1)
+                max (state.getCurrentWatermarkMs() + 1))
+        }
         out.iterator
     }
   }

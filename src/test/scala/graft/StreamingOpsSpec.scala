@@ -150,6 +150,67 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(pairs == Set(1L -> 100L, 2L -> 100L, 1L -> 101L, 2L -> 101L))
   }
 
+  test("StreamingAsOfJoin idle retention evicts a key's residual version state") {
+    // key 1 buffers a right version at t=100 and then goes idle; once
+    // the watermark passes t=160 (60s retention) the entry is removed,
+    // so a much-later left on key 1 joins UNMATCHED — the documented
+    // idle-state-retention trade. Without retention it would match id 1.
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("asof_ttl_spec")
+    val out = StreamingAsOfJoin(spark,
+      left = input.toDS().filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+      right = input.toDS().filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder),
+      watermarkDelay = "10 seconds", idleRetentionMicros = 60L * 1000000L)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_ttl_spec").start()
+    def push(evs: graft.streaming.GEvent*): Unit = { input.addData(evs); q.processAllAvailable() }
+    try {
+      push(ev(1, 100, 1, kind = "R"))     // version buffered, key 1 idle from here
+      push(ev(2, 1000, 10, kind = "L"))   // watermark → 990s
+      push(ev(2, 1001, 11, kind = "L"))   // timeout pass evicts key 1
+      push(ev(1, 1200, 12, kind = "L"))   // key 1 returns after eviction
+      push(ev(2, 1400, 13, kind = "L"))   // watermark → 1390
+      push(ev(2, 1500, 14, kind = "L"))   // batch at wm 1390 flushes L@1200
+      q.processAllAvailable()             // let the timeout no-data batch run
+    } finally q.stop()
+    val got = spark.table("asof_ttl_spec")
+      .select("leftId", "rightId", "matched").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(12L) == (-1L, false),
+      s"late left matched an evicted version: $got")
+    val totals = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    assert(totals.contains(1L) || totals.contains(0L),
+      s"state never shrank after eviction: $totals")
+  }
+
+  test("StreamingCEP frees a key's state entry once its pattern window expires") {
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("cep_gc_spec")
+    val out = StreamingCEP(spark, input.toDS(), aKind = "A", bKind = "B",
+      withinMicros = 60L * 1000000L, watermarkDelay = "1 second")
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cep_gc_spec").start()
+    def push(evs: graft.streaming.GEvent*): Unit = { input.addData(evs); q.processAllAvailable() }
+    try {
+      push(ev(1, 100, 1, kind = "A"), ev(1, 110, 2, kind = "B"))
+      push(ev(2, 1000, 9, kind = "A"))  // wm jump matures key 1 entirely
+      push(ev(2, 2000, 10, kind = "A")) // timeout pass collects key 1 AND key 2's expired A
+      push(ev(3, 4000, 11, kind = "A")) // next pass: key 2's A@2000 expired too
+      push(ev(3, 6000, 12, kind = "A"))
+    } finally q.stop()
+    // the match still emitted...
+    val pairs = spark.table("cep_gc_spec").select("aId", "bId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs == Set(1L -> 2L))
+    // ...and completed/expired keys release their entries: the state
+    // row count must DROP at some point (never monotone-growing).
+    val totals = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    assert(totals.zip(totals.tail).exists { case (a, b) => b < a },
+      s"state never shrank: $totals")
+  }
+
   test("StreamingSymmetricJoin idle retention evicts stale rows from the match buffer") {
     // same topology as the unbounded test, but with a 60s retention:
     // the L@10s row must be evicted once the key sees t=99999, so the
