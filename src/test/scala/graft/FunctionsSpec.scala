@@ -37,6 +37,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(evalOne(split_index(lit("a..b"), lit("."), lit(1))) == "")
   }
 
+  test("nGramShingles: n-gram construction and short-input edge") {
+    import graft.functions.TextFunctions
+    def sh(text: String, n: Int): Seq[String] = {
+      import spark.implicits._
+      Seq(text).toDF("t")
+        .select(TextFunctions.tokens(col("t")).as("_toks"))
+        .select(TextFunctions.nGramShinglesFromTokens(col("_toks"), n).as("s"))
+        .head.getSeq[String](0)
+    }
+    assert(sh("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(sh("a b c d", 2) == Seq("a b", "b c", "c d"))
+    assert(sh("a b", 3) == Seq.empty)   // fewer tokens than n → empty, not error
+    assert(sh("a", 5) == Seq.empty)
+  }
+
   test("SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -50,6 +50,9 @@ class PlanSpec extends AnyFunSuite {
   test("rank<=N filter plans WindowGroupLimit (per-partition top-n)") {
     val q = SparkEntry.queries("w7_topn_per_group")(spark, dir)
     assert(planOf(q).contains("WindowGroupLimit"), planOf(q))
+    // the per-source corpus cap claims the same pre-limit shape
+    val cap = SparkEntry.queries("x20_source_cap")(spark, dir)
+    assert(planOf(cap).contains("WindowGroupLimit"), planOf(cap))
   }
 
   test("minhash signatures plan map-side partial aggregation") {
