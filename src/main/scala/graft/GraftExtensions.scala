@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // threshold-gated broadcast (OptimizerConfigOptions.java:53 analog):
+    // strip hints whose estimated build side cannot safely ship.
+    e.injectOptimizerRule(_ => graft.plans.GateBroadcastHints)
     e.injectFunction((
       FunctionIdentifier("is_alpha"),
       new ExpressionInfo(classOf[IsAlpha].getName, "is_alpha"),

@@ -131,6 +131,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("GateBroadcastHints strips oversized pinned broadcasts, keeps small ones") {
+    // runtime enforcement of the no-pinned-broadcast policy for USER
+    // queries (the PlanSpec scan below covers only this library's):
+    // the reference gates broadcast by threshold, never by author
+    // assertion (OptimizerConfigOptions.java:53).
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val prevExtra = spark.experimental.extraOptimizations
+    spark.conf.set("spark.graft.maxPinnedBroadcastBytes", "50000")
+    spark.experimental.extraOptimizations = prevExtra :+ graft.plans.GateBroadcastHints
+    try {
+      def broadcastHints(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case j: Join => Seq(j.hint.leftHint, j.hint.rightHint).flatten
+            .filter(_.strategy.contains(BROADCAST))
+        }.flatten
+      // lineitem (~115 KB estimated) over the 50 KB cap → hint stripped
+      val big = Tables(spark, dir, "orders").join(
+        broadcast(Tables(spark, dir, "lineitem")),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(broadcastHints(big).isEmpty, "oversized pin survived the gate")
+      // with auto-broadcast off, the stripped pin must NOT broadcast
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val replanned = Tables(spark, dir, "orders").join(
+          broadcast(Tables(spark, dir, "lineitem")),
+          col("o_orderkey") === col("l_orderkey"))
+        assert(planOf(replanned).contains("SortMergeJoin"), planOf(replanned))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      // nation (~3 KB) under the cap → pin honored
+      val small = Tables(spark, dir, "customer").join(
+        broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      assert(broadcastHints(small).nonEmpty, "legitimate small pin was stripped")
+      assert(planOf(small).contains("BroadcastHashJoin"), planOf(small))
+    } finally {
+      spark.experimental.extraOptimizations = prevExtra
+      spark.conf.unset("spark.graft.maxPinnedBroadcastBytes")
+    }
+  }
+
   test("no broadcast() hint pins a table that scales with SF") {
     // A forced broadcast of customer/supplier/part/orders/lineitem/
     // events/documents/embeddings is a 100 TB scale-killer: those
