@@ -137,6 +137,65 @@ class SourcesSpec extends AnyFunSuite {
     assert(sink == Map("kafka.bootstrap.servers" -> "b:9092", "topic" -> "out"))
   }
 
+  test("upsert sink pattern: foreachBatch merges Update-mode output by primary key") {
+    // JdbcDynamicTableSink upsert-mode / kafka-upsert analog: an
+    // Update-mode aggregate emits only CHANGED keys per micro-batch;
+    // the sink MERGEs them into a keyed store. Untouched keys persist,
+    // re-emitted keys overwrite — the changelog-to-external-store
+    // contract without a per-row RowKind.
+    val sp = StreamHarness.spark
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val input = StreamHarness.mkStream()
+    val q = input.toDS()
+      .groupBy("key").agg(sum("value").as("total"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r =>
+          store.put(r.getAs[Long]("key"), r.getAs[Double]("total"))) // MERGE ON key
+        ()
+      }.start()
+    try {
+      input.addData(StreamHarness.ev(1, 10, 1, value = 2.0),
+        StreamHarness.ev(2, 20, 2, value = 5.0))
+      q.processAllAvailable()
+      input.addData(StreamHarness.ev(1, 30, 3, value = 3.0)) // only key 1 re-emits
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(store.asScala == scala.collection.mutable.Map(1L -> 5.0, 2L -> 5.0))
+  }
+
+  test("jdbc DDL options translate to Spark's jdbc reader/writer options") {
+    import graft.sources.JdbcConnector
+    val src = JdbcConnector.sourceOptions(Map(
+      "connector" -> "jdbc",
+      "url" -> "jdbc:postgresql://db:5432/warehouse",
+      "table-name" -> "orders",
+      "username" -> "graft", "password" -> "secret",
+      "scan.partition.column" -> "o_orderkey",
+      "scan.partition.num" -> "32",
+      "scan.partition.lower-bound" -> "0",
+      "scan.partition.upper-bound" -> "1500000",
+      "scan.fetch-size" -> "10000"))
+    assert(src == Map(
+      "url" -> "jdbc:postgresql://db:5432/warehouse",
+      "dbtable" -> "orders", "user" -> "graft", "password" -> "secret",
+      "partitionColumn" -> "o_orderkey", "numPartitions" -> "32",
+      "lowerBound" -> "0", "upperBound" -> "1500000",
+      "fetchsize" -> "10000"))
+    // partial partition spec must fail loudly (both engines all-or-nothing)
+    intercept[IllegalArgumentException] {
+      JdbcConnector.sourceOptions(Map("connector" -> "jdbc",
+        "url" -> "jdbc:h2:mem:x", "table-name" -> "t",
+        "scan.partition.column" -> "k"))
+    }
+    val sink = JdbcConnector.sinkOptions(Map("connector" -> "jdbc",
+      "url" -> "jdbc:h2:mem:x", "table-name" -> "t",
+      "sink.buffer-flush.max-rows" -> "500"))
+    assert(sink == Map("url" -> "jdbc:h2:mem:x", "dbtable" -> "t",
+      "batchsize" -> "500"))
+  }
+
   test("avro format is absent from this distribution (documented gap)") {
     // SURVEY §2.1: flink-avro has no analog here — /opt/spark/jars
     // ships avro-core but NOT spark-avro, so the data source cannot
