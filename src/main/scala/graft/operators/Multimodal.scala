@@ -98,20 +98,28 @@ object Multimodal {
 
   case class FeatureRow(doc_id: Long, features: Seq[Long], dom_bin: Long)
 
-  /** Deterministic fake feature extraction — a byte-value histogram
-    * per payload (`bins` equal-width bins over 0..255): the batched
-    * mapPartitions shape of a real embedding/feature model over media
-    * bytes (model inference would replace the histogram loop in the
-    * same partition pass, emitting float vectors for the ANN family).
-    * Counts are exact integers, so the vector is oracle-checkable
-    * bit-for-bit. */
+  /** Deterministic fake feature extraction — a codepoint-value
+    * histogram per payload (`bins` equal-width bins over 0..255,
+    * codepoints ≥256 ignored): the batched mapPartitions shape of a
+    * real embedding/feature model over media bytes (model inference
+    * would replace the histogram loop in the same partition pass,
+    * emitting float vectors for the ANN family; a raw-byte histogram
+    * is the same loop over `d.payload` directly). Binning per decoded
+    * codepoint rather than per UTF-8 byte keeps the vector bit-exact
+    * against a SQL oracle (`ascii(c) // 16`) on any text, not just
+    * ASCII. Counts are exact integers, so the vector is
+    * oracle-checkable bit-for-bit. */
   def featureExtract(spark: SparkSession, binTable: DataFrame,
                      bins: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._
     binTable.as[BinaryDoc].mapPartitions { it =>
       it.map { d =>
+        val s = new String(d.payload, java.nio.charset.StandardCharsets.UTF_8)
         val hist = new Array[Long](bins)
-        d.payload.foreach { b => hist(((b & 0xff) * bins) / 256) += 1 }
+        s.foreach { c =>
+          val cp = c.toInt
+          if (cp < 256) hist((cp * bins) / 256) += 1
+        }
         FeatureRow(d.doc_id, hist.toSeq, hist.indexOf(hist.max).toLong)
       }
     }

@@ -87,21 +87,28 @@ object MultimodalQ extends QueryGroup {
         .orderBy("doc_id", "chunk_idx")
     },
 
-    // Feature extraction: 16-bin byte-value histogram per payload —
-    // the batched model-inference shape (a real extractor would emit
+    // Feature extraction: 16-bin codepoint-value histogram per payload
+    // — the batched model-inference shape (a real extractor would emit
     // float embeddings for the v* ANN family in the same pass).
-    // Integer counts keep the vector bit-exact across engines.
+    // Integer counts keep the vector bit-exact across engines; the
+    // vector is rendered as a ':'-joined string so the driver's
+    // row-sorting comparator can hash it (raw list columns are
+    // unsortable in pandas).
     q("mm5_features",
       """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
         |h AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |        b -> CAST(len(list_filter(cs, c -> ascii(c) // 16 = b)) AS BIGINT)) AS features
+        |        b -> CAST(len(list_filter(cs, c -> ascii(c) // 16 = b)) AS BIGINT)) AS fv
         |      FROM ch)
-        |SELECT doc_id, features,
-        |  CAST(list_position(features, list_max(features)) - 1 AS BIGINT) AS dom_bin
+        |SELECT doc_id, array_to_string(fv, ':') AS features,
+        |  CAST(list_position(fv, list_max(fv)) - 1 AS BIGINT) AS dom_bin
         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal.featureExtract(s,
           Multimodal.toBinaryTable(t(s, dir)("documents")), bins = 16)
         .toDF()
+        .select(col("doc_id"),
+          concat_ws(":", transform(col("features"), _.cast("string")))
+            .as("features"),
+          col("dom_bin"))
         .orderBy("doc_id")
     })
 }
