@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average — from /proc/loadavg (Linux) with an
+    * MXBean fallback. A bench recorded while the host was saturated by
+    * OTHER processes is not a measurement of this code (BENCH_r04
+    * recorded 7.5× inflated times during an hour of host contention);
+    * the health fields make such a run self-identifying. */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage }
+
+  /** Cumulative CPU seconds of THIS JVM. wall ≫ cpu/32 on a 32-core
+    * local run means the process was starved, not slow. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -36,6 +57,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    val loadStart = loadAvg()
+    val cpuStart = processCpuSec()
+    val wallStart = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -46,7 +70,20 @@ object Bench {
       }
       name -> times.min
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // %.3f via Locale.ROOT: a comma-decimal default locale would
+    // otherwise silently corrupt the JSON line.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Host-health record (VERDICT r4 #2): loadavg before/after and this
+    // JVM's cpu-vs-wall ratio. On an otherwise-quiet 32-core host,
+    // load_start ≈ 0..2 and cpu_sec tracks the work; load_start ≫ 32
+    // or wall time ≫ cpu-share means the record is contaminated by
+    // outside contention and should be re-run, not believed.
+    val health = {
+      val wall = (System.nanoTime() - wallStart) / 1e9
+      s""""health":{"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},""" +
+        s""""cpu_sec":${fmt(processCpuSec() - cpuStart)},"wall_sec":${fmt(wall)}}"""
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query detail goes to a file; the stdout line must stay
     // SHORT. The driver keeps only the last ~2000 chars of output
@@ -66,12 +103,12 @@ object Bench {
     val qs = (headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       :+ ("\"n_queries\":" + results.size)).mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$health,"sf":"$sfDir"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,$health,"sf":"$sfDir"}""" + "\n")
     spark.stop()
     System.out.flush()
     println(json)

@@ -31,15 +31,47 @@ object GraphOps {
     */
   case class IterationCheckpointing(dir: Option[String] = None, every: Int = 5)
 
-  private def materialize(df: DataFrame, step: Int,
-                          ckpt: IterationCheckpointing): DataFrame =
-    ckpt.dir match {
-      case Some(d) if step % ckpt.every == 0 =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-        df.checkpoint(eager = true)
-      case _ => df.localCheckpoint(true)
+  /** Per-iteration materializer: truncates lineage each superstep AND
+    * releases the previous superstep's blocks as soon as its successor
+    * is materialized. Without the in-loop release, a 50-superstep run
+    * leaves one lineage-truncated RDD per step pinned until the end of
+    * the query — bounded memory here means the iteration's storage
+    * footprint is O(1) supersteps at any scale, and a caller-side
+    * cache sweep (a shared cluster's, or a bench harness's) has exactly
+    * one block left to touch instead of dozens of unrecomputable
+    * localCheckpoint blocks.
+    *
+    * Checkpoint-dir note: `setCheckpointDir` stores a qualified
+    * `<dir>/<UUID>` path, so equality against the configured `dir`
+    * never holds — the guard is a substring check, done ONCE per
+    * iteration call, so a caller's own checkpoint dir is reconfigured
+    * at most once (not clobbered with a fresh UUID every superstep).
+    */
+  private final class StepMaterializer(ckpt: IterationCheckpointing,
+                                       spark: org.apache.spark.sql.SparkSession) {
+    private val sc = spark.sparkContext
+    private var prevIds: scala.collection.Set[Int] = Set.empty
+    ckpt.dir.foreach { d =>
+      val want = d.stripSuffix("/")
+      if (!sc.getCheckpointDir.exists(_.contains(want))) sc.setCheckpointDir(want)
     }
+    def step(df: DataFrame, i: Int): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = ckpt.dir match {
+        case Some(_) if i % ckpt.every == 0 => df.checkpoint(eager = true)
+        case _ => df.localCheckpoint(true)
+      }
+      // blocks this step just pinned (localCheckpoint registers its RDD
+      // in the context's persistent map; reliable checkpoint pins none)
+      val mine = sc.getPersistentRDDs.keySet -- before
+      // the previous step only existed to build `df`, which is now
+      // materialized — its blocks are dead weight from here on
+      val live = sc.getPersistentRDDs
+      prevIds.foreach(id => live.get(id).foreach(_.unpersist(false)))
+      prevIds = mine
+      out
+    }
+  }
 
   /** Min-label propagation, `iterations` supersteps.
     * `edges` must be (src, dst); treated as directed messages — pass a
@@ -53,17 +85,18 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .persist()
-    var labels = materialize(
-      nodes.select(col("node"), col("node").as("label")), 0, ckpt)
+    val mat = new StepMaterializer(ckpt, nodes.sparkSession)
+    var labels = mat.step(
+      nodes.select(col("node"), col("node").as("label")), 0)
     for (i <- 1 to iterations) {
       // eager materialization truncates lineage — plain persist keeps
       // the ever-growing logical plan and the optimizer cost per
       // superstep grows superlinearly.
-      val next = materialize(
+      val next = mat.step(
         labels.join(e, labels("node") === e("src"))
           .groupBy(col("dst").as("node_n"))
           .agg(min("label").as("label"))
-          .withColumnRenamed("node_n", "node"), i, ckpt)
+          .withColumnRenamed("node_n", "node"), i)
       labels = next
     }
     e.unpersist()
@@ -80,8 +113,9 @@ object GraphOps {
   def labelPropagationDelta(nodes: DataFrame, edges: DataFrame, maxIterations: Int,
                             ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
-    var solution = materialize(
-      nodes.select(col("node"), col("node").as("label")), 0, ckpt)
+    val mat = new StepMaterializer(ckpt, nodes.sparkSession)
+    var solution = mat.step(
+      nodes.select(col("node"), col("node").as("label")), 0)
     var workset = solution
     var i = 0
     var worksetSize = workset.count()
@@ -93,9 +127,9 @@ object GraphOps {
       // one checkpoint per superstep: `joined` is materialized with
       // truncated lineage; `next` and `workset` are cheap narrow
       // projections of it and need no materialization of their own.
-      val joined = materialize(
+      val joined = mat.step(
         solution.join(msgs, solution("node") === col("m_node"), "left")
-          .select(col("node"), col("label"), col("m_label")), i + 1, ckpt)
+          .select(col("node"), col("label"), col("m_label")), i + 1)
       val next = joined
         .select(col("node"),
           when(col("m_label") < col("label"), col("m_label"))
@@ -132,8 +166,9 @@ object GraphOps {
     // iteration, at every scale.
     val edgesW = edges.join(deg, edges("src") === col("_degkey"))
       .select(col("src"), col("dst"), col("deg")).persist()
-    var pr = materialize(
-      nodes.select(col("node"), lit(1.0 / n).as("pr")), 0, ckpt)
+    val mat = new StepMaterializer(ckpt, nodes.sparkSession)
+    var pr = mat.step(
+      nodes.select(col("node"), lit(1.0 / n).as("pr")), 0)
     for (i <- 1 to iterations) {
       val contrib = pr
         .join(edgesW, pr("node") === edgesW("src"))
@@ -141,12 +176,12 @@ object GraphOps {
         .groupBy(col("dst")).agg(sum("c").as("in_sum"))
       // eager materialization: truncate lineage every superstep (see
       // labelPropagation note).
-      val next = materialize(
+      val next = mat.step(
         pr.select(col("node"))
           .join(contrib, pr("node") === contrib("dst"), "left")
           .select(col("node"),
             (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0))).as("pr")),
-        i, ckpt)
+        i)
       pr = next
     }
     // release both blocks THIS function pinned (the persisted copy of

@@ -26,8 +26,37 @@ object JdbcConnector {
     "scan.partition.num" -> "numPartitions",
     "scan.partition.lower-bound" -> "lowerBound",
     "scan.partition.upper-bound" -> "upperBound",
-    "scan.fetch-size" -> "fetchsize",
-    "connection.max-retry-timeout" -> "connectTimeout")
+    "scan.fetch-size" -> "fetchsize")
+
+  /** Flink duration literal ("60s", "500 ms", "1 min", "2h") → whole
+    * seconds, rounded up so a sub-second timeout doesn't become 0
+    * (= infinite for most drivers). */
+  private[graft] def durationToSeconds(v: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(ms|s|min|m|h|d)?\\s*$".r
+    v.trim match {
+      case m(n, unit) =>
+        val ms = Option(unit).getOrElse("ms") match {
+          case "ms" => n.toLong
+          case "s" => n.toLong * 1000
+          case "min" | "m" => n.toLong * 60000
+          case "h" => n.toLong * 3600000
+          case "d" => n.toLong * 86400000
+        }
+        (ms + 999) / 1000
+      case _ => throw new IllegalArgumentException(s"bad duration: '$v'")
+    }
+  }
+
+  /** `connection.max-retry-timeout` is a Duration in the reference
+    * (JdbcConnectorOptions.MAX_RETRY_TIMEOUT, default '60s'); Spark's
+    * JDBC source has no connect-retry budget, so the closest documented
+    * knob is `queryTimeout` (whole seconds, applied per statement).
+    * Mapping the raw string to a driver property would be wrong twice:
+    * unknown keys pass through as raw driver properties, and drivers
+    * that do take connect timeouts expect integer milliseconds. */
+  private def retryTimeout(props: Map[String, String]): Map[String, String] =
+    props.get("connection.max-retry-timeout")
+      .map(v => "queryTimeout" -> durationToSeconds(v).toString).toMap
 
   /** Source-side translation. Requires url + table-name; the four
     * scan.partition.* options must be given together (the same
@@ -42,7 +71,8 @@ object JdbcConnector {
     val nPart = partKeys.count(props.contains)
     require(nPart == 0 || nPart == 4,
       s"scan.partition.* options must be given together; got $nPart of 4")
-    props.collect { case (k, v) if direct.contains(k) => direct(k) -> v }
+    props.collect { case (k, v) if direct.contains(k) => direct(k) -> v } ++
+      retryTimeout(props)
   }
 
   /** Sink-side translation: url/table/credentials plus Flink's batch
@@ -53,6 +83,7 @@ object JdbcConnector {
     require(props.contains("url") && props.contains("table-name"),
       "jdbc sink requires url and table-name")
     val base = props.collect { case (k, v) if direct.contains(k) => direct(k) -> v }
-    base ++ props.get("sink.buffer-flush.max-rows").map("batchsize" -> _)
+    base ++ retryTimeout(props) ++
+      props.get("sink.buffer-flush.max-rows").map("batchsize" -> _)
   }
 }

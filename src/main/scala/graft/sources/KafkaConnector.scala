@@ -16,8 +16,17 @@ package graft.sources
 object KafkaConnector {
 
   /** Flink `'partition:0,offset:42;partition:1,offset:300'` →
-    * Spark `{"<topic>":{"0":42,"1":300}}` (startingOffsets JSON). */
+    * Spark `{"<topic>":{"0":42,"1":300}}` (startingOffsets JSON).
+    * `topic` must be a SINGLE topic: the reference rejects
+    * specific-offsets against a topic list too (the offsets spec has
+    * no per-topic qualifier), and a raw `a;b` interpolated as the JSON
+    * key would produce an offsets map for a topic that doesn't exist.
+    * Partition/offset values must be numeric — they are interpolated
+    * into JSON unquoted. */
   private def specificOffsetsJson(topic: String, spec: String): String = {
+    require(!topic.contains(";"),
+      s"scan.startup.mode=specific-offsets requires a single topic, got list: '$topic'")
+    val num = "^-?\\d+$".r
     val entries = spec.split(";").toSeq.map { part =>
       val kv = part.split(",").map(_.trim.split(":").map(_.trim))
         .map(a => a(0) -> a(1)).toMap
@@ -25,6 +34,8 @@ object KafkaConnector {
         sys.error(s"specific-offsets entry missing partition: $part"))
       val o = kv.getOrElse("offset",
         sys.error(s"specific-offsets entry missing offset: $part"))
+      require(num.matches(p) && num.matches(o),
+        s"specific-offsets partition/offset must be numeric: '$part'")
       s""""$p":$o"""
     }
     s"""{"$topic":{${entries.mkString(",")}}}"""

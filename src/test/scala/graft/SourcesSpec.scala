@@ -196,6 +196,43 @@ class SourcesSpec extends AnyFunSuite {
       "batchsize" -> "500"))
   }
 
+  test("jdbc connection.max-retry-timeout binds to queryTimeout in whole seconds") {
+    import graft.sources.JdbcConnector
+    // Flink's MAX_RETRY_TIMEOUT is a Duration; Spark's documented knob
+    // is queryTimeout (integer seconds). A raw pass-through would leak
+    // an unknown 'connectTimeout' driver property with a non-numeric
+    // value — this pins the converted form instead.
+    val src = JdbcConnector.sourceOptions(Map("connector" -> "jdbc",
+      "url" -> "jdbc:h2:mem:x", "table-name" -> "t",
+      "connection.max-retry-timeout" -> "60s"))
+    assert(src("queryTimeout") == "60")
+    assert(!src.contains("connectTimeout"))
+    assert(JdbcConnector.durationToSeconds("500 ms") == 1) // rounds UP, never 0
+    assert(JdbcConnector.durationToSeconds("2 min") == 120)
+    assert(JdbcConnector.durationToSeconds("60000") == 60) // unitless = ms (Flink default)
+    intercept[IllegalArgumentException] {
+      JdbcConnector.durationToSeconds("sixty seconds")
+    }
+  }
+
+  test("kafka specific-offsets: multi-topic list and non-numeric values rejected") {
+    import graft.sources.KafkaConnector
+    val base = Map("connector" -> "kafka",
+      "properties.bootstrap.servers" -> "b:9092",
+      "scan.startup.mode" -> "specific-offsets")
+    // a topic LIST has no valid offsets-JSON rendering (and the
+    // reference's validation rejects it too)
+    intercept[IllegalArgumentException] {
+      KafkaConnector.sourceOptions(base ++ Map("topic" -> "a;b",
+        "scan.startup.specific-offsets" -> "partition:0,offset:1"))
+    }
+    // partition/offset are interpolated into JSON unquoted — must be numeric
+    intercept[IllegalArgumentException] {
+      KafkaConnector.sourceOptions(base ++ Map("topic" -> "t",
+        "scan.startup.specific-offsets" -> "partition:0,offset:x"))
+    }
+  }
+
   test("avro format is absent from this distribution (documented gap)") {
     // SURVEY §2.1: flink-avro has no analog here — /opt/spark/jars
     // ships avro-core but NOT spark-avro, so the data source cannot
