@@ -67,6 +67,14 @@ object PatternNFA {
   final case class PMatch(key: Long, anchor_id: Long, end_id: Long,
                           chain: String, counts: String)
 
+  /** One row per (match, pattern variable, bound event) — the exploded
+    * form the MEASURES clause aggregates over. `match_no` is the
+    * 1-based per-key match sequence (SQL MATCH_NUMBER()); `pos` is the
+    * event's index in the per-key (ts, id) order, the ordering FIRST/
+    * LAST measures resolve against. */
+  final case class BindingRow(key: Long, match_no: Long, anchor_id: Long,
+                              var_name: String, event_id: Long, pos: Int)
+
   /** Internal step over a variable bit index: a row matches step i iff
     * bit i of its satisfaction mask is set (general predicates; kind
     * equality is the special case `kind = 'literal'`). */
@@ -105,6 +113,46 @@ object PatternNFA {
                     withinMicros: Long,
                     afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
     import spark.implicits._
+    val (isteps, ds) = prepare(events, steps, varPreds)
+    ds.groupByKey(_._1).flatMapGroups { (key, it) =>
+      scanKey(sortKey(it), isteps, withinMicros, afterMatch)
+        .map { case (bindings, _) => emit(key, isteps, bindings) }
+        .iterator
+    }.toDF()
+  }
+
+  /** [[runPredicates]] in exploded per-binding form: one [[BindingRow]]
+    * per (match, variable, bound event). Same scan, same determinism;
+    * this is the input shape of the MEASURES clause (the aggregates
+    * run as an ordinary distributed groupBy over it — see
+    * [[MatchRecognize]]). */
+  def runPredicatesBindings(spark: SparkSession, events: DataFrame,
+                            steps: Seq[Step],
+                            varPreds: Seq[(String, org.apache.spark.sql.Column)],
+                            withinMicros: Long,
+                            afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
+    import spark.implicits._
+    val (isteps, ds) = prepare(events, steps, varPreds)
+    ds.groupByKey(_._1).flatMapGroups { (key, it) =>
+      scanKey(sortKey(it), isteps, withinMicros, afterMatch)
+        .flatMap { case (bindings, matchNo) =>
+          val anchorId = bindings.head.head.id
+          isteps.zip(bindings).flatMap { case (st, bound) =>
+            bound.map(e =>
+              BindingRow(key, matchNo, anchorId, st.name, e.id, e.idx))
+          }
+        }.iterator
+    }.toDF()
+  }
+
+  /** Common front half of the two run shapes: validate, resolve steps
+    * onto variable bits, and project events down to the NFA's
+    * (key, ts, id, bitmask) dataset with predicates pre-evaluated
+    * map-side. */
+  private def prepare(events: DataFrame, steps: Seq[Step],
+                      varPreds: Seq[(String, org.apache.spark.sql.Column)])
+      : (Seq[IStep], org.apache.spark.sql.Dataset[(Long, Long, Long, Long)]) = {
+    import events.sparkSession.implicits._
     require(steps.nonEmpty && steps.head.quant == One,
       "first step must be quantifier One (anchor)")
     require(varPreds.size <= 64, "at most 64 pattern variables")
@@ -125,24 +173,31 @@ object PatternNFA {
         col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"))
       .as[(Long, Long, Long, Long)]
+    (isteps, ds)
+  }
 
-    ds.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val evs = sortKey(it)
-      val out = Vector.newBuilder[PMatch]
-      var minAnchorIdx = 0
-      evs.foreach { a =>
-        if (hasBit(a, isteps.head.bit) && a.idx >= minAnchorIdx) {
-          val deadline = a.ts + withinMicros
-          matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
-            val bindings = Vector(Vector(a)) ++ rest
-            out += emit(key, isteps, bindings, evs, deadline)
-            if (afterMatch == SkipPastLastEvent)
-              minAnchorIdx = bindings.flatten.map(_.idx).max + 1
-          }
+  /** Shared per-key scan: every emitted match as (per-step bindings,
+    * 1-based match number), anchors offered earliest-first under the
+    * given skip strategy. */
+  private def scanKey(evs: Vector[Ev], isteps: Seq[IStep],
+                      withinMicros: Long, afterMatch: AfterMatch)
+      : Vector[(Vector[Vector[Ev]], Long)] = {
+    val out = Vector.newBuilder[(Vector[Vector[Ev]], Long)]
+    var minAnchorIdx = 0
+    var matchNo = 0L
+    evs.foreach { a =>
+      if (hasBit(a, isteps.head.bit) && a.idx >= minAnchorIdx) {
+        val deadline = a.ts + withinMicros
+        matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
+          val bindings = Vector(Vector(a)) ++ rest
+          matchNo += 1
+          out += ((bindings, matchNo))
+          if (afterMatch == SkipPastLastEvent)
+            minAnchorIdx = bindings.flatten.map(_.idx).max + 1
         }
       }
-      out.result().iterator
-    }.toDF()
+    }
+    out.result()
   }
 
   /** allowCombinations for a single loop step (Pattern.java
@@ -292,8 +347,8 @@ object PatternNFA {
     * only its FIRST element (the loop membership is summarized in
     * `counts` instead); unbound Optional / Not steps contribute
     * nothing. */
-  private def emit(key: Long, steps: Seq[IStep], bindings: Vector[Vector[Ev]],
-                   evs: Vector[Ev], deadline: Long): PMatch = {
+  private def emit(key: Long, steps: Seq[IStep],
+                   bindings: Vector[Vector[Ev]]): PMatch = {
     val chain = steps.zip(bindings).flatMap {
       case (st, b) if st.quant.isInstanceOf[OneOrMore] => b.take(1).map(_.id)
       case (_, b) => b.map(_.id)

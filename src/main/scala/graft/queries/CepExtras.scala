@@ -358,5 +358,148 @@ object CepExtras extends QueryGroup {
         withinMicros = H6,
         afterMatch = SkipPastLastEvent)
         .orderBy("key", "anchor_id")
+    },
+
+    // MEASURES + ONE ROW PER MATCH (StreamExecMatch.scala:68 measures
+    // path, MatchCodeGenerator.scala): signup → click+ → purchase
+    // within 72h, one output row per match carrying per-variable
+    // FIRST/LAST/COUNT/AVG aggregates over the bound events plus
+    // MATCH_NUMBER(). Oracle: earliest-first bindings via LATERAL, the
+    // B+ loop = every click strictly between anchor and purchase.
+    q("mr3_measures",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |mm AS (
+        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq
+        |  FROM m),
+        |agg AS (
+        |  SELECT mm.user_id, mm.match_seq, mm.a_us, mm.p_id,
+        |    count(*) AS n_clicks,
+        |    round(avg(e.value), 6) AS avg_click_value,
+        |    max(e.ts_us) AS last_click_us
+        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
+        |    AND e.ts_us <= mm.a_us + $H72
+        |  GROUP BY ALL)
+        |SELECT agg.user_id AS key, agg.match_seq, agg.a_us AS start_us,
+        |  agg.n_clicks, agg.avg_click_value, agg.last_click_us,
+        |  pe.value AS purchase_value
+        |FROM agg JOIN ev pe ON pe.user_id = agg.user_id
+        |  AND pe.event_id = agg.p_id
+        |ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+      graft.operators.MatchRecognize.run(s,
+          t(s, dir)("events").select(
+            col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("id"), col("event_type").as("kind"),
+            col("value")),
+          """MATCH_RECOGNIZE (
+            |  PARTITION BY key ORDER BY ts
+            |  MEASURES MATCH_NUMBER() AS match_seq,
+            |           FIRST(A.tsMicros) AS start_us,
+            |           COUNT(B.id) AS n_clicks,
+            |           ROUND(AVG(B.value), 6) AS avg_click_value,
+            |           LAST(B.tsMicros) AS last_click_us,
+            |           P.value AS purchase_value
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+ P)
+            |  WITHIN INTERVAL '72' HOUR
+            |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+            |         P AS kind = 'purchase'
+            |)""".stripMargin)
+        .orderBy("key", "match_seq")
+    },
+
+    // ALL ROWS PER MATCH (SQL-standard batch extension one step past
+    // the reference, which restricts MATCH_RECOGNIZE to ONE ROW PER
+    // MATCH): same pattern, one output row per MATCHED EVENT tagged
+    // with its classifier (pattern variable) and the match's FINAL
+    // measures.
+    q("mr4_all_rows_per_match",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |mm AS (
+        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_no
+        |  FROM m),
+        |agg AS (
+        |  SELECT mm.user_id, mm.match_no, count(*) AS n_clicks
+        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
+        |    AND e.ts_us <= mm.a_us + $H72
+        |  GROUP BY ALL),
+        |rws AS (
+        |  SELECT user_id, match_no, 'A' AS classifier, a_id AS event_id
+        |  FROM mm
+        |  UNION ALL
+        |  SELECT mm.user_id, mm.match_no, 'B', e.event_id
+        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
+        |    AND e.ts_us <= mm.a_us + $H72
+        |  UNION ALL
+        |  SELECT user_id, match_no, 'P', p_id FROM mm)
+        |SELECT r.user_id AS key, r.match_no, r.classifier, r.event_id,
+        |  agg.n_clicks
+        |FROM rws r JOIN agg ON agg.user_id = r.user_id
+        |  AND agg.match_no = r.match_no
+        |ORDER BY key, r.match_no, classifier, event_id""".stripMargin) { (s, dir) =>
+      graft.operators.MatchRecognize.run(s,
+          t(s, dir)("events").select(
+            col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("id"), col("event_type").as("kind"),
+            col("value")),
+          """MATCH_RECOGNIZE (
+            |  PARTITION BY key ORDER BY ts
+            |  MEASURES COUNT(B.id) AS n_clicks
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+ P)
+            |  WITHIN INTERVAL '72' HOUR
+            |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+            |         P AS kind = 'purchase'
+            |)""".stripMargin)
+        .orderBy("key", "match_no", "classifier", "event_id")
     })
 }
