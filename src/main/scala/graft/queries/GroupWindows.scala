@@ -294,6 +294,84 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "wstart")
     },
 
+    // DeltaEvictor analog (flink-streaming-java/.../evictors/
+    // DeltaEvictor.java + EventTimeTrigger): at the window's event-time
+    // firing, evict every buffered element whose value differs from
+    // the window's LAST element (the one that closed it, by ts/id
+    // order) by more than the delta threshold; aggregate the kept set.
+    // One window-function pass + one groupBy — no self-join, scales as
+    // an ordinary windowed agg.
+    q("gw10_delta_evictor",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS w
+        |  FROM events),
+        |lastv AS (
+        |  SELECT user_id, w, value AS v_last FROM (
+        |    SELECT user_id, w, value,
+        |      row_number() OVER (PARTITION BY user_id, w
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1)
+        |SELECT e.user_id, e.w AS wstart, count(*) AS n_kept,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept,
+        |  round(any_value(l.v_last), 6) AS last_v
+        |FROM ev e JOIN lastv l ON l.user_id = e.user_id AND l.w = e.w
+        |WHERE abs(e.value - l.v_last) <= 50.0
+        |GROUP BY e.user_id, e.w
+        |ORDER BY e.user_id, wstart""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir)("events")
+        .withColumn("v_last", last(col("value")).over(w))
+        .filter(abs(col("value") - col("v_last")) <= 50.0)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("wstart"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("sum_kept"),
+          round(first(col("v_last")), 6).as("last_v"))
+        .orderBy("user_id", "wstart")
+    },
+
+    // ContinuousEventTimeTrigger analog (flink-streaming-java/.../
+    // triggers/ContinuousEventTimeTrigger.java): a 1-day event-time
+    // window that ALSO fires every 6 hours, each firing emitting the
+    // running aggregate over everything buffered so far. Batch form:
+    // per (key, day, 6h-slot) partial aggregates, then a running sum
+    // over slots inside the day — two shuffle-free window passes over
+    // one partial-agg shuffle.
+    q("gw11_continuous_trigger",
+      """WITH slots AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS w,
+        |    date_trunc('hour', ts) - to_seconds(3600 * (hour(ts) % 6)) AS slot,
+        |    count(*) AS n_slot,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v_slot
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, w AS wstart, slot AS fire_at,
+        |  CAST(sum(n_slot) OVER cum AS BIGINT) AS n_so_far,
+        |  CAST(sum(v_slot) OVER cum AS DOUBLE) AS sum_so_far
+        |FROM slots
+        |WINDOW cum AS (PARTITION BY user_id, w ORDER BY slot
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, wstart, fire_at""".stripMargin) { (s, dir) =>
+      val slot = date_trunc("hour", col("ts")) -
+        expr("make_interval(0, 0, 0, 0, hour(ts) % 6, 0, 0)")
+      val slots = t(s, dir)("events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("w"),
+          slot.as("slot"))
+        .agg(count(lit(1)).as("n_slot"),
+          sum(col("value").cast(dec18_2)).as("v_slot"))
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("w")).orderBy(col("slot"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      slots.select(col("user_id"), col("w").as("wstart"),
+          col("slot").as("fire_at"),
+          sum(col("n_slot")).over(cum).cast("long").as("n_so_far"),
+          sum(col("v_slot")).over(cum).cast(DoubleType).as("sum_so_far"))
+        .orderBy("user_id", "wstart", "fire_at")
+    },
+
     // CEP: signup followedBy purchase within 2h, earliest match per
     // signup (MATCH_RECOGNIZE ... PATTERN (A B) semantics, batch).
     q("cep1_followed_by",

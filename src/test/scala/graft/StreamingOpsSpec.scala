@@ -460,4 +460,64 @@ class StreamingOpsSpec extends AnyFunSuite {
       closedBatch.exceptAll(streamed).isEmpty,
       "batch and streaming runs of the same pipeline disagree")
   }
+
+  test("idle source stalls the union watermark; heartbeat rows un-stall it") {
+    // The reference has pluggable idleness detection
+    // (flink-core/.../eventtime/WatermarksWithIdleness.java): an input
+    // that stops producing is marked idle and excluded from the
+    // combined (min) watermark. Spark has no idleness hook — under the
+    // default multipleWatermarkPolicy=min, one stalled input holds the
+    // query watermark forever. This spec pins BOTH halves of the
+    // documented delta: (1) the stall happens; (2) the union-heartbeat
+    // workaround (synthetic watermark-advancing rows on the idle
+    // input, filtered out after watermark assignment) releases it.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val active = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GEvent]
+    val idle = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GEvent]
+    def wm(ds: org.apache.spark.sql.Dataset[GEvent]) =
+      ds.withColumn("et", timestamp_micros(col("tsMicros")))
+        .withWatermark("et", "0 seconds")
+    // Heartbeats advance event time but must carry no data. The filter
+    // that drops them has to sit ABOVE the watermark assignment in the
+    // OPTIMIZED plan: Catalyst pushes deterministic predicates through
+    // EventTimeWatermark (and constant-folds a vacuous reference like
+    // `et IS NULL` on a non-nullable column), and a pushed-down filter
+    // removes the heartbeat before the watermark stats collector ever
+    // sees it — silently re-creating the stall. Anchoring the
+    // predicate with a non-foldable comparison on the event-time
+    // column keeps it above the watermark node.
+    val q = wm(active.toDS()).union(wm(idle.toDS()))
+      .filter(col("kind") =!= "hb" ||
+        col("et") < lit("1900-01-01").cast("timestamp"))
+      .groupBy(window(col("et"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("idle_wm_spec").start()
+    try {
+      active.addData(ev(1, 5, 1), ev(1, 15, 2))
+      idle.addData(ev(2, 5, 3))
+      q.processAllAvailable()
+      // idle stream stops; active keeps advancing far past window ends
+      active.addData(ev(1, 25, 4), ev(1, 35, 5))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      // combined watermark = min(35s, 5s) = 5s → nothing can close
+      assert(spark.table("idle_wm_spec").isEmpty,
+        "windows closed although one union input's watermark is stalled")
+      // heartbeat on the idle input advances ITS watermark only; the
+      // row itself is filtered out before aggregation
+      idle.addData(GEvent(2, 40L * 1000000L, 99, "hb", 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("idle_wm_spec")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("ws").getTime / 1000,
+          r.getAs[Long]("n"))).toMap
+      // watermark = min(35, 40) = 35s → [0,10) and [10,20) and [20,30)
+      // close; the hb row contributes to no window
+      assert(rows == Map(0L -> 2L, 10L -> 1L, 20L -> 1L),
+        s"unexpected closed windows: $rows")
+    } finally q.stop()
+  }
 }
