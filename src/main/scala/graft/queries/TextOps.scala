@@ -555,5 +555,110 @@ object TextOps extends QueryGroup {
         .withColumn("status",
           when(col("dup_ratio") <= 0.05, "kept").otherwise("filtered"))
         .orderBy("doc_id")
+    },
+
+    // PII scrubbing (training-data hygiene pass): regex-redact emails
+    // and phone numbers, count what was removed. The synthetic corpus
+    // carries no PII, so both engines append a deterministic
+    // PII-bearing suffix derived from doc_id first — the redaction
+    // pipeline (chained regexp_replace + regexp counts, map-only,
+    // codegen'd, zero shuffles before the presentation sort) is the
+    // operator under test and is exactly what runs at 100 TB.
+    q("x23_pii_redact",
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing (GPT-style training-example assembly): docs are
+    // concatenated per source shard in doc_id order and the token
+    // stream is cut every 512 tokens, document boundaries crossed —
+    // each doc is assigned to the sequence where it STARTS. Shape at
+    // scale: one shuffle on the shard key, a running sum inside each
+    // shard, one groupBy — packing 100 TB is embarrassingly parallel
+    // across shards because sequences never span a shard boundary.
+    q("x24_sequence_packing",
+      """WITH toks AS (SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM toks)
+        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir)("documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .groupBy(col("source"), floor(col("cum_before") / 512).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "seq_id")
+    },
+
+    // Cross-document repeated-span detection (the exact-substring
+    // dedup screen of Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better"): every 8-token span occurrence (with
+    // multiplicity — positions matter) is checked against the corpus;
+    // spans appearing in ≥2 distinct docs are flagged and each doc
+    // reports its duplicated-span fraction. Shape at scale: explode →
+    // one shuffle on the span key (two-phase distinct-doc count
+    // absorbs boilerplate hot spans) → equi-join back — never doc×doc.
+    q("x25_span_dedup",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    list_transform(generate_series(1, len(t) - 7),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        |  FROM toks),
+        |g AS (SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh JOIN g USING (s) GROUP BY sh.doc_id)
+        |SELECT doc_id, n_spans, CAST(n_dup AS BIGINT) AS n_dup,
+        |  round(n_dup * 1.0 / n_spans, 6) AS dup_frac
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir)("documents")
+        .select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(nGramShinglesFromTokens(col("_toks"), 8)).as("s"))
+      val g = sh.groupBy("s").agg(countDistinct("doc_id").as("nd"))
+      sh.join(g, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          round(col("n_dup") * 1.0 / col("n_spans"), 6).as("dup_frac"))
+        .orderBy("doc_id")
     })
 }
