@@ -648,15 +648,21 @@ object TextOps extends QueryGroup {
         |SELECT doc_id, n_spans, CAST(n_dup AS BIGINT) AS n_dup,
         |  round(n_dup * 1.0 / n_spans, 6) AS dup_frac
         |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sh = t(s, dir)("documents")
+      // pre-aggregate to distinct (doc, span) pairs carrying the
+      // within-doc multiplicity: the span⋈span-stats join then moves
+      // distinct pairs instead of raw occurrences, and the docs-per-
+      // span count becomes a plain two-phase count (no distinct agg)
+      // — the form that absorbs boilerplate hot spans at 100 TB.
+      val occ = t(s, dir)("documents")
         .select(col("doc_id"), tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
           explode(nGramShinglesFromTokens(col("_toks"), 8)).as("s"))
-      val g = sh.groupBy("s").agg(countDistinct("doc_id").as("nd"))
-      sh.join(g, "s")
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("cnt"))
+      val g = occ.groupBy("s").agg(count(lit(1)).as("nd"))
+      occ.join(g, "s")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum("cnt").as("n_spans"),
+          sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           round(col("n_dup") * 1.0 / col("n_spans"), 6).as("dup_frac"))
         .orderBy("doc_id")

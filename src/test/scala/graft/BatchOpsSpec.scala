@@ -230,6 +230,48 @@ class BatchOpsSpec extends AnyFunSuite {
     } // WITHIN required
   }
 
+  test("MATCH_RECOGNIZE MEASURES grammar parses and validates") {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize.Measure
+    val c = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY key ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS mno, FIRST(A.ts) AS a0,
+        |           ROUND(AVG(B.v), 6) AS avg_v, COUNT(B.id) AS nb,
+        |           B.v AS last_v
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+)
+        |  WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b'
+        |)""".stripMargin)
+    assert(c.measures == Seq(
+      Measure("MATCH_NUMBER", "", "", None, "mno"),
+      Measure("FIRST", "A", "ts", None, "a0"),
+      Measure("AVG", "B", "v", Some(6), "avg_v"),
+      Measure("COUNT", "B", "id", None, "nb"),
+      Measure("LAST", "B", "v", None, "last_v"))) // bare VAR.col ≡ LAST
+    assert(c.allRows)
+    // measures referencing an undefined variable must fail loudly
+    intercept[RuntimeException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (MEASURES SUM(Z.v) AS s PATTERN (A)
+          |  WITHIN INTERVAL '1' MINUTE DEFINE A AS kind = 'a')""".stripMargin)
+    }
+    // duplicate aliases would produce an ambiguous output schema
+    intercept[IllegalArgumentException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (MEASURES COUNT(A.id) AS x, SUM(A.v) AS x
+          |  PATTERN (A) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS kind = 'a')""".stripMargin)
+    }
+    // ALL ROWS PER MATCH without MEASURES has no output contract here
+    intercept[RuntimeException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (ALL ROWS PER MATCH PATTERN (A)
+          |  WITHIN INTERVAL '1' MINUTE DEFINE A AS kind = 'a')""".stripMargin)
+    }
+  }
+
   test("MATCH_RECOGNIZE DEFINE accepts arbitrary boolean predicates") {
     import spark.implicits._
     import graft.operators.MatchRecognize
