@@ -55,6 +55,33 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(cap).contains("WindowGroupLimit"), planOf(cap))
   }
 
+  test("sequence packing shuffles on the shard key only (no single-partition window)") {
+    // x24's running sum must plan Exchange hashpartitioning(source),
+    // never Exchange SinglePartition — a global-order window would
+    // serialize the whole corpus through one task at 100 TB.
+    val q = SparkEntry.queries("x24_sequence_packing")(spark, dir)
+    val plan = planOf(q)
+    assert(plan.contains("Window"), plan)
+    val beforeSort = plan.split("TakeOrderedAndProject|Sort \\[source").head
+    assert(!beforeSort.contains("SinglePartition"),
+      s"packing window serializes to one partition:\n$plan")
+  }
+
+  test("delta evictor plans one window pass + groupBy, no self-join") {
+    val q = SparkEntry.queries("gw10_delta_evictor")(spark, dir)
+    val plan = planOf(q)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"gw10 should not join:\n$plan")
+  }
+
+  test("MEASURES path joins bindings back on (key,id) — no cartesian, two-phase agg") {
+    val q = SparkEntry.queries("mr3_measures")(spark, dir)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("minhash signatures plan map-side partial aggregation") {
     val plan = planOf(graft.operators.TextDedup.minHashSignatures(
       Tables(spark, dir, "documents"), "doc_id", "text", numHashes = 4))
