@@ -168,6 +168,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    * embeddings with the IVF coarse quantizer, then flag within each
+    * cluster every vector that has a SMALLER-id neighbor at cosine ≥
+    * `threshold` — the deterministic stand-in for the paper's
+    * keep-one-exemplar-per-ε-ball (the paper keeps a random exemplar;
+    * min-id keeps the same count reproducibly in any engine).
+    * Returns every input id: (idCol, cluster, n_close, status).
+    *
+    * Scale shape: centroids broadcast, assignment one scan; the pair
+    * generation is a self-join WITHIN clusters only (the whole point
+    * of clustering first — candidate count is Σ|cluster|², never n²),
+    * then one groupBy + one left join back. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    seedIds: Seq[Long], iterations: Int,
+                    threshold: Double): DataFrame = {
+    val (assigned, _) = ivfFit(vectors, idCol, vecCol, seedIds, iterations)
+    val wc = vectors.select(col(idCol), col(vecCol))
+      .join(assigned, idCol)
+      .select(col(idCol), col(vecCol), col("cluster"),
+        norm(col(vecCol)).as("_n"))
+      .persist() // both sides of the in-cluster self-join probe this
+    val a = wc.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_n").as("_na"))
+    val b = wc.select(col("cluster").as("_cb"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"), col("_n").as("_nb"))
+    val close = a.join(b, col("cluster") === col("_cb") && col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_b").agg(count(lit(1)).as("n_close"))
+    wc.select(col(idCol), col("cluster"))
+      .join(close.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        when(col("n_close").isNotNull, "dropped").otherwise("kept").as("status"))
+  }
+
   /** numPlanes-bit sign-projection bucket as a single expression. */
   def bucketExpr(vec: Column, numPlanes: Int, dims: Int): Column =
     (0 until numPlanes).map { p =>

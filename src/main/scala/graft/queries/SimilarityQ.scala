@@ -113,6 +113,36 @@ object SimilarityQ extends QueryGroup {
           .orderBy("query_id", "rank")
     },
 
+    // Semantic deduplication (SemDeDup, Abbas et al. 2023): IVF-
+    // cluster the embeddings, flag every vector with a smaller-id
+    // within-cluster neighbor at cosine ≥ 0.35 (deterministic min-id
+    // exemplar retention). Pairs are generated within clusters only —
+    // Σ|cluster|² candidates, never n² — which is the published recipe
+    // for embedding dedup at corpus scale.
+    q("v7_semantic_dedup",
+      ivfPrefix(seedIds = 0L to 7L, iterations = 2) + s""",
+        |$normSql,
+        |mem AS (SELECT a.vec_id, a.cluster FROM af a),
+        |pd AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |        sum(CAST(ex.embedding[CAST(g.i AS INT)] AS DOUBLE) * CAST(ey.embedding[CAST(g.i AS INT)] AS DOUBLE)) AS dp
+        |      FROM mem x JOIN mem y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |      JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |      JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |      JOIN range(1, 65) g(i) ON true
+        |      GROUP BY 1, 2),
+        |cls AS (SELECT id_b, count(*) AS n_close
+        |  FROM pd JOIN nrm a ON a.vec_id = id_a JOIN nrm b ON b.vec_id = id_b
+        |  WHERE round(dp / (a.nrm * b.nrm), 6) >= 0.35
+        |  GROUP BY id_b)
+        |SELECT m.vec_id, m.cluster, CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
+        |  CASE WHEN c.n_close IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+        |FROM mem m LEFT JOIN cls c ON c.id_b = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedup(t(s, dir)("embeddings"), "vec_id", "embedding",
+          seedIds = 0L to 7L, iterations = 2, threshold = 0.35)
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
     q("v1_knn_brute",
       s"""WITH $normSql,

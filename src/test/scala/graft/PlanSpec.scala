@@ -245,7 +245,8 @@ class PlanSpec extends AnyFunSuite {
       "v1_knn_brute" -> "brute-force KNN baseline (broadcast query side)",
       "x15_tfidf" -> "single-row corpus-size broadcast (idf denominator)",
       "v4_ivf_assign" -> "broadcast-centroid crossJoin (k rows)",
-      "v5_ivf_search" -> "broadcast-centroid crossJoin (k rows)")
+      "v5_ivf_search" -> "broadcast-centroid crossJoin (k rows)",
+      "v7_semantic_dedup" -> "broadcast-centroid crossJoin (k rows); dedup pairs themselves are a cluster equi-join")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
