@@ -179,7 +179,11 @@ object Similarity {
     * Scale shape: centroids broadcast, assignment one scan; the pair
     * generation is a self-join WITHIN clusters only (the whole point
     * of clustering first — candidate count is Σ|cluster|², never n²),
-    * then one groupBy + one left join back. */
+    * then one groupBy + one left join back. The Σ|cluster|² bound only
+    * holds if k GROWS with the corpus (SemDeDup uses ~10⁵ clusters at
+    * web scale) so per-cluster membership stays roughly constant —
+    * size `seedIds` to ~n/⟨target cluster size⟩, and the broadcast of
+    * k centroids stays small because each is one d-dim vector. */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     seedIds: Seq[Long], iterations: Int,
                     threshold: Double): DataFrame = {
