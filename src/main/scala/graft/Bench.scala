@@ -42,7 +42,7 @@ object Bench {
     // noise otherwise dominates sub-second queries.
     // SPARK_GRAFT_ONLY=x6_ngram_jaccard,x9_simhash_neardup → time just
     // those queries (iteration aid; the driver never sets it).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }

@@ -20,7 +20,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=ty8_retract_minmax → dump just those queries
     // (iteration aid; the driver never sets it).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
