@@ -9,6 +9,9 @@ import org.apache.spark.sql.types.StructType
   * SqlWatermark.java:39): maps
   *
   *   CREATE TABLE name (col TYPE, ...,
+  *     computed AS <sql expr>,          -- computed column (SqlCreateTable)
+  *     pt AS PROCTIME(),                -- proctime attribute
+  *     PRIMARY KEY (k) NOT ENFORCED,    -- upsert-sink key (parsed, exposed)
   *     WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
   *   WITH ('connector'='filesystem', 'path'='...', 'format'='parquet',
   *         'mode'='streaming')
@@ -26,6 +29,37 @@ object GraftDDL {
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val computedRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+  private val pkRe =
+    """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?$""".r
+
+  /** Split a column list on TOP-LEVEL commas only (CAST(x AS T),
+    * PROCTIME(), PRIMARY KEY (a, b) keep their internal commas). */
+  private def splitCols(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Primary key declared in the DDL (SqlTableConstraint; Flink
+    * requires NOT ENFORCED) — the MERGE key of the upsert-sink
+    * pattern (see SourcesSpec's foreachBatch upsert). Empty when the
+    * DDL declares none. */
+  def primaryKey(ddl: String): Seq[String] = ddl match {
+    case createRe(_, colsText, _) =>
+      splitCols(colsText).collectFirst {
+        case pkRe(cols, _) => cols.split(",").map(_.trim).toSeq
+      }.getOrElse(Seq.empty)
+    case _ => sys.error(s"unsupported DDL: $ddl")
+  }
 
   /** Parse a CREATE TABLE with `'connector'='kafka'` and return the
     * Spark kafka reader options it binds to (KafkaDynamicSource.java:37
@@ -54,11 +88,24 @@ object GraftDDL {
       val format = props.getOrElse("format", "parquet")
       val watermark = watermarkRe.findFirstMatchIn(colsText)
         .map(m => (m.group(1), s"${m.group(2)} ${m.group(3).toLowerCase}"))
-      val schemaDdl = colsText.split(",")
-        .map(_.trim)
+      val cols = splitCols(colsText)
         .filterNot(c => c.toUpperCase.startsWith("WATERMARK"))
-        .mkString(", ")
-      val schema = StructType.fromDDL(schemaDdl)
+        .filterNot(c => pkRe.findFirstIn(c).isDefined)
+      // computed columns (SqlCreateTable `name AS expr`): NOT part of
+      // the physical read schema — applied as projections after the
+      // load, in declaration order (later ones may reference earlier
+      // ones). PROCTIME() maps to current_timestamp(): the processing-
+      // time attribute is micro-batch evaluation time here, exactly
+      // the reference's proctime semantics one batch at a time.
+      val (computedCols, physicalCols) = cols.partition {
+        case computedRe(_, _) => true
+        case _ => false
+      }
+      val computed = computedCols.map { case computedRe(n, e) =>
+        n -> (if (e.trim.equalsIgnoreCase("PROCTIME()")) "current_timestamp()"
+              else e.trim)
+      }
+      val schema = StructType.fromDDL(physicalCols.mkString(", "))
       val df0 =
         if (props.get("mode").contains("streaming")) {
           // the file stream source monitors a DIRECTORY; a file path
@@ -70,9 +117,14 @@ object GraftDDL {
           glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
         } else
           spark.read.schema(schema).format(format).load(path)
+      // computed columns first: a WATERMARK may be declared on a
+      // computed rowtime (the reference's derived-rowtime pattern)
+      val df1 = computed.foldLeft(df0) { case (d, (n, e)) =>
+        d.withColumn(n, expr(e))
+      }
       val df = watermark match {
-        case Some((tsCol, delay)) => df0.withWatermark(tsCol, delay)
-        case None                 => df0
+        case Some((tsCol, delay)) => df1.withWatermark(tsCol, delay)
+        case None                 => df1
       }
       df.createOrReplaceTempView(name)
       df

@@ -61,6 +61,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(sp.read.parquet(out).count() == 2)
   }
 
+  test("DDL computed columns, PROCTIME(), and PRIMARY KEY parse and bind") {
+    val sp = StreamHarness.spark
+    val ddl =
+      """CREATE TABLE ddl_computed (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+        |  price_cents AS CAST(o_totalprice * 100 AS BIGINT),
+        |  order_day AS date_trunc('DAY', o_orderdate),
+        |  pt AS PROCTIME(),
+        |  PRIMARY KEY (o_orderkey) NOT ENFORCED
+        |) WITH ('connector'='filesystem',
+        |        'path'='/root/testdata/sf0.001/orders.parquet',
+        |        'format'='parquet')""".stripMargin
+    val df = graft.sources.GraftDDL.execute(sp, ddl)
+    // physical schema excludes computed/pk entries; computed columns
+    // are projections over it, in declaration order
+    assert(df.columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderdate",
+        "price_cents", "order_day", "pt"))
+    val r = sp.sql(
+      """SELECT o_totalprice, price_cents FROM ddl_computed
+        |WHERE CAST(o_totalprice * 100 AS BIGINT) <> price_cents""".stripMargin)
+    assert(r.isEmpty, "computed column diverges from its expression")
+    // proctime attribute is evaluation-time, not data-time
+    assert(df.schema("pt").dataType.typeName == "timestamp")
+    assert(graft.sources.GraftDDL.primaryKey(ddl) == Seq("o_orderkey"))
+  }
+
   test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
     val sp = StreamHarness.spark
     val df = graft.sources.GraftDDL.execute(sp,
