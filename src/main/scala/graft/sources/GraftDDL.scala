@@ -61,6 +61,36 @@ object GraftDDL {
     case _ => sys.error(s"unsupported DDL: $ddl")
   }
 
+  private val metadataRe =
+    """(?is)^(\w+)\s+\w+(?:\(\d+\))?\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?$""".r
+
+  /** Kafka connector metadata keys (ref KafkaDynamicSource.java
+    * ReadableMetadata) → the column of the same meaning on Spark's
+    * kafka DSv2 relation. */
+  private val kafkaMetadata = Map(
+    "timestamp" -> "timestamp",
+    "partition" -> "partition",
+    "offset" -> "offset",
+    "topic" -> "topic",
+    "headers" -> "headers")
+
+  /** METADATA column bindings of a kafka DDL (SqlCreateTable metadata
+    * columns, `ts TIMESTAMP(3) METADATA FROM 'timestamp'`, `off BIGINT
+    * METADATA VIRTUAL`): (declared name → Spark kafka column). The
+    * declared name defaults to the metadata key when FROM is absent;
+    * unknown keys fail loudly (the reference validates the same way).
+    * On a cluster these become `df.select(..., col(sparkCol).as(name))`
+    * over `readStream.format("kafka")`'s fixed relation schema. */
+  def kafkaMetadataColumns(ddl: String): Seq[(String, String)] = ddl match {
+    case createRe(_, colsText, _) =>
+      splitCols(colsText).collect { case metadataRe(name, from) =>
+        val key = Option(from).getOrElse(name).toLowerCase
+        name -> kafkaMetadata.getOrElse(key,
+          sys.error(s"unsupported kafka metadata key: '$key'"))
+      }
+    case _ => sys.error(s"unsupported DDL: $ddl")
+  }
+
   /** Parse a CREATE TABLE with `'connector'='kafka'` and return the
     * Spark kafka reader options it binds to (KafkaDynamicSource.java:37
     * analog). The option map is what `readStream.format("kafka")` would

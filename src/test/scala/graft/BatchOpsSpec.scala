@@ -272,6 +272,30 @@ class BatchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MEASURES over an unbound Optional variable: COUNT 0, value measures null") {
+    import spark.implicits._
+    import graft.operators.MatchRecognize
+    // key 1 matches with the optional B bound; key 2 without it —
+    // the SQL contract for a variable with no rows is COUNT = 0 and
+    // NULL for value measures (same as an empty aggregation group).
+    val events = Seq(
+      (1L, 100L, 1L, "a", 1.0), (1L, 200L, 2L, "b", 5.0), (1L, 300L, 3L, "c", 2.0),
+      (2L, 100L, 4L, "a", 3.0), (2L, 200L, 5L, "c", 4.0))
+      .toDF("key", "tsMicros", "id", "kind", "v")
+    val out = MatchRecognize.run(spark, events,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES COUNT(B.id) AS nb, SUM(B.v) AS sum_b, LAST(C.v) AS cv
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B? C) WITHIN INTERVAL '1' SECOND
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("nb"),
+        Option(r.get(r.fieldIndex("sum_b"))), r.getAs[Double]("cv"))).toSet
+    assert(out == Set(
+      (1L, 1L, Some(5.0), 2.0),
+      (2L, 0L, None, 4.0)))
+  }
+
   test("MATCH_RECOGNIZE DEFINE accepts arbitrary boolean predicates") {
     import spark.implicits._
     import graft.operators.MatchRecognize

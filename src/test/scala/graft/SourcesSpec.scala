@@ -88,6 +88,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.sources.GraftDDL.primaryKey(ddl) == Seq("o_orderkey"))
   }
 
+  test("kafka METADATA columns bind to the Spark kafka relation columns") {
+    import graft.sources.GraftDDL
+    val ddl =
+      """CREATE TABLE k (
+        |  user_id BIGINT, payload STRING,
+        |  ev_time TIMESTAMP(3) METADATA FROM 'timestamp',
+        |  part INT METADATA FROM 'partition' VIRTUAL,
+        |  offset BIGINT METADATA VIRTUAL
+        |) WITH ('connector'='kafka', 'topic'='t',
+        |        'properties.bootstrap.servers'='b:9092',
+        |        'scan.startup.mode'='earliest-offset')""".stripMargin
+    assert(GraftDDL.kafkaMetadataColumns(ddl) == Seq(
+      "ev_time" -> "timestamp", "part" -> "partition", "offset" -> "offset"))
+    // unknown metadata keys fail loudly, as the reference validates
+    intercept[RuntimeException] {
+      GraftDDL.kafkaMetadataColumns(
+        """CREATE TABLE k (x BIGINT METADATA FROM 'nope')
+          |WITH ('connector'='kafka')""".stripMargin)
+    }
+  }
+
   test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
     val sp = StreamHarness.spark
     val df = graft.sources.GraftDDL.execute(sp,
