@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-invariance properties: a distributed operator's RESULT
+  * must not depend on the physical layout of its input — partition
+  * count, partitioning key, or within-partition row order. This is
+  * the executable form of the "same answer on a 1000-executor
+  * cluster" claim: every layout below is one the shuffle planner
+  * could legitimately hand the operator at some scale.
+  *
+  * Each case runs the operator over (a) the input as read, (b) a
+  * round-robin repartition to a prime partition count, (c) a
+  * hash-repartition on a NON-key column with within-partition order
+  * scrambled by a deterministic sort on an unrelated expression —
+  * and requires bit-identical sorted output.
+  */
+class InvarianceSpec extends AnyFunSuite {
+  lazy val spark = StreamHarness.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Deterministically hostile layouts of the same dataset. */
+  private def layouts(df: DataFrame): Seq[DataFrame] = {
+    val scramble = abs(hash(df.columns.map(col).toIndexedSeq: _*))
+    Seq(
+      df,
+      df.repartition(7),
+      df.repartition(3, scramble % 3).sortWithinPartitions(scramble))
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def assertInvariant(name: String)(op: DataFrame => DataFrame)
+                             (input: DataFrame): Unit = {
+    val results = layouts(input).map(l => canon(op(l)))
+    assert(results(1) == results.head,
+      s"$name result changed under repartition(7)")
+    assert(results(2) == results.head,
+      s"$name result changed under non-key hash layout + scrambled order")
+  }
+
+  private def events: DataFrame =
+    Tables(spark, dir, "events").select(
+      col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+      col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+
+  test("PatternNFA match set is partition-invariant") {
+    assertInvariant("PatternNFA") { ev =>
+      PatternNFA.run(spark, ev, Seq(
+          PatternNFA.Step("signup", "signup"),
+          PatternNFA.Step("click", "click", PatternNFA.Optional),
+          PatternNFA.Step("purchase", "purchase")),
+        withinMicros = 7200000000L)
+    }(events)
+  }
+
+  test("MATCH_RECOGNIZE MEASURES output is partition-invariant") {
+    assertInvariant("MatchRecognize/MEASURES") { ev =>
+      MatchRecognize.run(spark, ev,
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS mno, COUNT(B.id) AS nb,
+          |           ROUND(AVG(B.value), 6) AS avg_b
+          |  ONE ROW PER MATCH
+          |  PATTERN (A B+ P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+          |         P AS kind = 'purchase')""".stripMargin)
+    }(events)
+  }
+
+  test("AsOfJoin.batch is partition-invariant on both sides") {
+    val left = events.filter(col("kind") === "purchase")
+    val right = events.filter(col("kind") === "click")
+      .select(col("key"), col("tsMicros"), col("id"))
+    // vary the layout of each side independently
+    layouts(left).zip(layouts(right)).zipWithIndex.foreach {
+      case ((l, r), i) =>
+        val out = canon(AsOfJoin.batch(l, r, "key", "tsMicros", "id"))
+        if (i == 0) assert(out.nonEmpty)
+        else assert(out == canon(AsOfJoin.batch(left, right, "key", "tsMicros", "id")),
+          s"AsOfJoin result changed under layout $i")
+    }
+  }
+
+  test("MinHash-LSH near-dup pair set is partition-invariant") {
+    assertInvariant("minHashNearDups") { docs =>
+      TextDedup.minHashNearDups(docs, "doc_id", "text",
+        numHashes = 8, bands = 2, threshold = 0.2)
+    }(Tables(spark, dir, "documents"))
+  }
+
+  test("delta-iteration connected components are partition-invariant") {
+    val docs = Tables(spark, dir, "documents")
+    assertInvariant("labelPropagationDelta") { d =>
+      val pairs = TextDedup.minHashNearDups(d, "doc_id", "text",
+        numHashes = 8, bands = 2, threshold = 0.2).select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      GraphOps.labelPropagationDelta(
+        d.select(col("doc_id").as("node")), edges, maxIterations = 50)
+    }(docs)
+  }
+}
