@@ -604,5 +604,72 @@ object DsLike extends QueryGroup {
           sum("cn").over(w).as("click_cum"), sum("vn").over(w).as("view_cum"))
         .filter(col("click_cum") > col("view_cum"))
         .orderBy("d")
+    },
+
+    // Relational DIVISION (the "bought in EVERY period" shape, TPC-DS
+    // Q-division flavor): customers with an order in every quarter
+    // that 1995 has orders in. The divisor cardinality is a 1-row
+    // aggregate broadcast against the per-customer distinct-quarter
+    // counts — division via count-match, no per-element anti-join
+    // cascade, one shuffle on the customer key.
+    q("d22_division",
+      """WITH o95 AS (SELECT o_custkey, quarter(o_orderdate) AS qq
+        |  FROM orders WHERE year(o_orderdate) = 1995),
+        |nq AS (SELECT count(DISTINCT qq) AS n FROM o95),
+        |c AS (SELECT o_custkey, count(DISTINCT qq) AS quarters
+        |      FROM o95 GROUP BY o_custkey)
+        |SELECT c.o_custkey AS custkey, c.quarters
+        |FROM c, nq WHERE c.quarters = nq.n
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val o95 = t(s, dir)("orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey"), quarter(col("o_orderdate")).as("qq"))
+      val nq = o95.agg(countDistinct("qq").as("n"))
+      o95.groupBy("o_custkey").agg(countDistinct("qq").as("quarters"))
+        .crossJoin(broadcast(nq))
+        .filter(col("quarters") === col("n"))
+        .select(col("o_custkey").as("custkey"), col("quarters"))
+        .orderBy("custkey")
+    },
+
+    // Ordered conversion FUNNEL: distinct users reaching each stage IN
+    // TEMPORAL ORDER (signup, then a click after it, then a purchase
+    // after that). Per-stage earliest-qualifying times via three keyed
+    // aggregations chained on user_id — every stage is one shuffle on
+    // the same key, no event-by-event state, the web-analytics report
+    // the reference's CEP examples compute.
+    q("d23_funnel",
+      """WITH s AS (SELECT user_id, min(ts) AS t_s FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_c
+        |      FROM events e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > s.t_s
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_p
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+        |      GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT 1 AS ord, 'signup' AS stage, count(*) AS n_users FROM s
+        |  UNION ALL SELECT 2, 'click_after_signup', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p)
+        |ORDER BY ord""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir)("events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t_s"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("t_s"))
+        .groupBy("user_id").agg(min("ts").as("t_c"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("t_c"))
+        .groupBy("user_id").agg(min("ts").as("t_p"))
+      def stage(d: org.apache.spark.sql.DataFrame, ord: Int, name: String) =
+        d.agg(count(lit(1)).as("n_users"))
+          .select(lit(ord).as("ord"), lit(name).as("stage"), col("n_users"))
+      stage(su, 1, "signup")
+        .unionAll(stage(cl, 2, "click_after_signup"))
+        .unionAll(stage(pu, 3, "purchase_after_click"))
+        .orderBy("ord")
+        .select("stage", "n_users")
     })
 }

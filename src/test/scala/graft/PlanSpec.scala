@@ -246,7 +246,8 @@ class PlanSpec extends AnyFunSuite {
       "x15_tfidf" -> "single-row corpus-size broadcast (idf denominator)",
       "v4_ivf_assign" -> "broadcast-centroid crossJoin (k rows)",
       "v5_ivf_search" -> "broadcast-centroid crossJoin (k rows)",
-      "v7_semantic_dedup" -> "broadcast-centroid crossJoin (k rows); dedup pairs themselves are a cluster equi-join")
+      "v7_semantic_dedup" -> "broadcast-centroid crossJoin (k rows); dedup pairs themselves are a cluster equi-join",
+      "d22_division" -> "single-row divisor-cardinality broadcast")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
