@@ -176,6 +176,56 @@ object PatternNFA {
     (isteps, ds)
   }
 
+  /** Incremental per-key scan for the STREAMING runtime
+    * ([[graft.streaming.StreamingMatchRecognize]]): run the identical
+    * NFA over a state buffer of (tsMicros, id, satMask) triples, but
+    * offer ONLY MATURE anchors — those whose whole window is final,
+    * i.e. anchor.ts + within <= watermark — so every emitted match is
+    * exactly what the batch scan would emit over the complete input
+    * (events with ts <= watermark can no longer arrive). `minStart` is
+    * the skip-past high-water mark carried in state: under
+    * SkipPastLastEvent, anchors at or before it are not offered;
+    * the updated mark is returned with the matches. */
+  private[graft] def matchesMature(
+      key: Long, triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
+      wmMicros: Long, minStart: Option[(Long, Long)])
+      : (Seq[PMatch], Option[(Long, Long)]) = {
+    val bitOf = varNames.zipWithIndex.toMap
+    val isteps = steps.map { st =>
+      val untilBit = st.quant match {
+        case OneOrMore(Some(uk)) => Some(bitOf(uk))
+        case _ => None
+      }
+      IStep(st.name, bitOf(st.kind), st.quant, untilBit)
+    }
+    val evs = triples.toVector.sortBy(t => (t._1, t._2))
+      .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
+    val out = Vector.newBuilder[PMatch]
+    var mark = minStart
+    def afterMark(e: Ev): Boolean = mark.forall { case (ts, id) =>
+      e.ts > ts || (e.ts == ts && e.id > id)
+    }
+    evs.foreach { a =>
+      if (hasBit(a, isteps.head.bit) && afterMark(a) &&
+          a.ts + withinMicros <= wmMicros) {
+        val deadline = a.ts + withinMicros
+        matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
+          val bindings = Vector(Vector(a)) ++ rest
+          out += emit(key, isteps, bindings)
+          // under SkipToNextRow no mark is needed: a mature anchor is
+          // evicted in the same invocation (maturity bound == eviction
+          // bound), so each is offered exactly once across invocations
+          if (afterMatch == SkipPastLastEvent) {
+            val lastEv = bindings.flatten.maxBy(e => (e.ts, e.id))
+            mark = Some((lastEv.ts, lastEv.id))
+          }
+        }
+      }
+    }
+    (out.result(), mark)
+  }
+
   /** Shared per-key scan: every emitted match as (per-step bindings,
     * 1-based match number), anchors offered earliest-first under the
     * given skip strategy. */

@@ -599,5 +599,55 @@ object Streaming extends QueryGroup {
         .select(col("wstart"), col("window.start").as("wend"),
           col("n"), col("total"))
         .orderBy("wstart", "wend")
+    },
+
+    // STREAMING MATCH_RECOGNIZE with a general pattern (A C? P): the
+    // batch clause compiles onto the incremental NFA
+    // (StreamingMatchRecognize): keyed state buffers one WITHIN of
+    // (ts, id, bitmask) triples; a match emits exactly when its
+    // anchor's window is final (anchor ts + within <= watermark), so
+    // the oracle is the batch NFA restricted to MATURE anchors at the
+    // bounded stream's final watermark.
+    q("st22_stream_match_recognize",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + 7200000000 <= wm.wm_us),
+        |wcp AS (
+        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + 7200000000
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |ap AS (
+        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
+        |UNION ALL
+        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
+        |FROM ap WHERE NOT EXISTS (SELECT 1 FROM wcp
+        |  WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A C? P) WITHIN INTERVAL '2' HOUR
+          |  DEFINE A AS kind = 'signup', C AS kind = 'click',
+          |         P AS kind = 'purchase')""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st22_out")
+        .orderBy("key", "anchor_id")
     })
 }

@@ -461,6 +461,59 @@ class StreamingOpsSpec extends AnyFunSuite {
       "batch and streaming runs of the same pipeline disagree")
   }
 
+  test("StreamingMatchRecognize emits the batch NFA's matches incrementally") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+        |         P AS kind = 'purchase')""".stripMargin
+    val batches = Seq(
+      Seq(ev(1, 10, 1, "signup"), ev(1, 20, 2, "click")),
+      Seq(ev(1, 30, 3, "click"), ev(1, 40, 4, "purchase"),
+        ev(2, 15, 5, "signup")),
+      // second (overlapping) anchor for key 1; key 2 never completes
+      Seq(ev(1, 35, 6, "signup"), ev(1, 50, 7, "click"),
+        ev(1, 55, 8, "purchase")),
+      Seq(ev(9, 300, 9, "flush"))) // advances the watermark past every deadline
+    val allEvents = batches.flatten
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("smr_spec")
+    val q = StreamingMatchRecognize(spark, input.toDS().toDF(), clause,
+        watermarkDelay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("smr_spec").start()
+    val progressive = scala.collection.mutable.ListBuffer.empty[Long]
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+        progressive += spark.table("smr_spec").count()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("smr_spec")
+      .collect().map(_.toString).sorted.toSeq
+    // ground truth: the batch facade over the complete input (every
+    // anchor's window is closed by the flush event's watermark)
+    val batch = graft.operators.MatchRecognize.run(spark,
+        allEvents.toDF("key", "tsMicros", "id", "kind", "value"), clause)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      s"streaming=$streamed\nbatch=$batch")
+    assert(streamed.nonEmpty)
+    // incrementality: the first match (anchor t=10, deadline t=70)
+    // must be out before the final flush batch — batch 3's watermark
+    // (55 - 10 = 45)... deadline 70 > 45, so it flushes at batch 4;
+    // what CAN be asserted without the flush is that nothing emits
+    // while every anchor is immature:
+    assert(progressive.take(2) == Seq(0L, 0L),
+      s"matches emitted before any anchor matured: $progressive")
+    assert(progressive.last == streamed.size.toLong)
+  }
+
   test("idle source stalls the union watermark; heartbeat rows un-stall it") {
     // The reference has pluggable idleness detection
     // (flink-core/.../eventtime/WatermarksWithIdleness.java): an input
