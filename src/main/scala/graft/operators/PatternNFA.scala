@@ -191,17 +191,45 @@ object PatternNFA {
       varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
       wmMicros: Long, minStart: Option[(Long, Long)])
       : (Seq[PMatch], Option[(Long, Long)]) = {
+    val (raw, mark) = matureBindings(triples, steps, varNames, withinMicros,
+      afterMatch, wmMicros, minStart)
+    val isteps = compileSteps(steps, varNames)
+    (raw.map { bindings => emit(key, isteps, bindings) }, mark)
+  }
+
+  /** [[matchesMature]] in raw-binding form for the streaming MEASURES
+    * path: per emitted match, the per-step bound events as (ts, id)
+    * pairs in sequence order. Same maturity/eviction/skip contract. */
+  private[graft] def matureBindingsRaw(
+      triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
+      wmMicros: Long, minStart: Option[(Long, Long)])
+      : (Seq[Seq[Seq[(Long, Long)]]], Option[(Long, Long)]) = {
+    val (raw, mark) = matureBindings(triples, steps, varNames, withinMicros,
+      afterMatch, wmMicros, minStart)
+    (raw.map(_.map(_.map(e => (e.ts, e.id)))), mark)
+  }
+
+  private def compileSteps(steps: Seq[Step], varNames: Seq[String]): Seq[IStep] = {
     val bitOf = varNames.zipWithIndex.toMap
-    val isteps = steps.map { st =>
+    steps.map { st =>
       val untilBit = st.quant match {
         case OneOrMore(Some(uk)) => Some(bitOf(uk))
         case _ => None
       }
       IStep(st.name, bitOf(st.kind), st.quant, untilBit)
     }
+  }
+
+  private def matureBindings(
+      triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
+      wmMicros: Long, minStart: Option[(Long, Long)])
+      : (Seq[Vector[Vector[Ev]]], Option[(Long, Long)]) = {
+    val isteps = compileSteps(steps, varNames)
     val evs = triples.toVector.sortBy(t => (t._1, t._2))
       .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
-    val out = Vector.newBuilder[PMatch]
+    val out = Vector.newBuilder[Vector[Vector[Ev]]]
     var mark = minStart
     def afterMark(e: Ev): Boolean = mark.forall { case (ts, id) =>
       e.ts > ts || (e.ts == ts && e.id > id)
@@ -212,7 +240,7 @@ object PatternNFA {
         val deadline = a.ts + withinMicros
         matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
           val bindings = Vector(Vector(a)) ++ rest
-          out += emit(key, isteps, bindings)
+          out += bindings
           // under SkipToNextRow no mark is needed: a mature anchor is
           // evicted in the same invocation (maturity bound == eviction
           // bound), so each is offered exactly once across invocations

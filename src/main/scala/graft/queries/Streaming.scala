@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
 object Streaming extends QueryGroup {
 
   private val dec18_2 = DecimalType(18, 2)
+  private val H72 = 259200000000L // 72 hours in µs (st23 pattern window)
 
   /** events as an unbounded stream (nanos read as long → micros). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
@@ -649,5 +650,73 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st22_out")
         .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING MATCH_RECOGNIZE **WITH MEASURES** — the reference's
+    // full streaming surface (StreamExecMatch: MEASURES + ONE ROW PER
+    // MATCH on an unbounded stream). Measure columns ride through
+    // keyed state (join-back is impossible against an unbounded
+    // stream); per-match aggregates fold at anchor maturity, and
+    // MATCH_NUMBER() is the per-key emitted-match sequence carried in
+    // state across micro-batches. Oracle: the batch measures oracle
+    // (mr3 shape) restricted to anchors mature at the bounded
+    // stream's final watermark.
+    q("st23_stream_mr_measures",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |mm AS (
+        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq
+        |  FROM m),
+        |agg AS (
+        |  SELECT mm.user_id, mm.match_seq, mm.p_id,
+        |    count(*) AS n_clicks,
+        |    round(avg(e.value), 6) AS avg_click_value,
+        |    max(e.ts_us) AS last_click_us
+        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
+        |    AND e.ts_us <= mm.a_us + $H72
+        |  GROUP BY ALL)
+        |SELECT agg.user_id AS key, agg.match_seq, agg.n_clicks,
+        |  agg.avg_click_value, agg.last_click_us, pe.value AS purchase_value
+        |FROM agg JOIN ev pe ON pe.user_id = agg.user_id
+        |  AND pe.event_id = agg.p_id
+        |ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize.measures(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           COUNT(B.id) AS n_clicks,
+          |           ROUND(AVG(B.value), 6) AS avg_click_value,
+          |           LAST(B.tsMicros) AS last_click_us,
+          |           P.value AS purchase_value
+          |  ONE ROW PER MATCH
+          |  PATTERN (A B+ P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+          |         P AS kind = 'purchase')""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out, OutputMode.Append, "st23_out")
+        .orderBy("key", "match_seq")
     })
 }

@@ -27,13 +27,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - AFTER MATCH SKIP PAST LAST ROW carries its high-water mark in
   *    state across micro-batches.
   *
-  * MEASURES is a batch-side feature (the reference restricts streaming
-  * MATCH_RECOGNIZE similarly); clauses with MEASURES are rejected here.
+  * MEASURES on streams (the reference supports exactly this: streaming
+  * MATCH_RECOGNIZE with MEASURES, ONE ROW PER MATCH only): see
+  * [[measures]] — the state additionally carries the measure columns'
+  * numeric values per event, and the per-match aggregates fold inside
+  * the state function at maturity (no join-back is possible against an
+  * unbounded stream, so the carried-column design replaces the batch
+  * path's equi-join).
   */
 object StreamingMatchRecognize {
 
   case class MRState(evs: List[(Long, Long, Long)],
                      markTs: Long, markId: Long, hasMark: Boolean)
+
+  case class MRMeasState(evs: List[(Long, Long, Long, Seq[Option[Double]])],
+                         markTs: Long, markId: Long, hasMark: Boolean,
+                         matchSeq: Long)
+
+  case class MeasuresEmit(key: Long, match_seq: Long,
+                          values: Seq[Option[Double]])
 
   /** events: (key, tsMicros, id, kind, ...) — extra columns visible to
     * DEFINE predicates, exactly like the batch facade. Output rows are
@@ -92,5 +104,127 @@ object StreamingMatchRecognize {
         }
         matches.iterator
     }
+  }
+
+  /** Streaming MATCH_RECOGNIZE WITH MEASURES (ONE ROW PER MATCH) —
+    * the reference's full streaming surface. Measure columns must be
+    * numeric (they are carried through keyed state as doubles; exact
+    * for integral values below 2^53, and integral-sourced FIRST/LAST/
+    * MIN/MAX re-emit as longs). Output: (key, one column per measure
+    * alias) — MATCH_NUMBER() is the per-key 1-based sequence of
+    * EMITTED matches, carried in state across micro-batches. */
+  def measures(spark: SparkSession, events: DataFrame, clause: String,
+               watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    val c = MatchRecognize.compile(clause)
+    require(c.measures.nonEmpty, "no MEASURES in clause — use apply()")
+    require(!c.allRows, "streaming MATCH_RECOGNIZE is ONE ROW PER MATCH only " +
+      "(the reference has the same restriction)")
+    val preds = c.defines.map { case (n, body) => n -> expr(body) }
+    val varNames = preds.map(_._1)
+    val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
+      when(p, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val measures = c.measures
+    val mcols = measures.filter(_.func != "MATCH_NUMBER").map(_.colName).distinct
+    val colIdx = mcols.zipWithIndex.toMap
+    val integralCol: Set[String] = mcols.filter { n =>
+      import org.apache.spark.sql.types._
+      events.schema(n).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }.toSet
+    val within = c.withinMicros
+    val steps = c.steps
+    val afterMatch = c.afterMatch
+    // step index each measure reads its bound events from (pattern
+    // variables are unique in this grammar)
+    val stepIdxOf: Map[String, Int] =
+      measures.filter(_.func != "MATCH_NUMBER").map(_.varName).distinct
+        .map(v => v -> steps.indexWhere(_.kind == v)).toMap
+
+    val ds = events
+      .withColumn("_et", timestamp_micros(col("tsMicros")))
+      .withWatermark("_et", watermarkDelay)
+      .select(col("key").cast("long"), col("tsMicros").cast("long"),
+        col("id").cast("long"), satCol.cast("long").as("_sat"),
+        array(mcols.map(n => col(n).cast("double")): _*).as("_mv"),
+        col("_et"))
+      .as[(Long, Long, Long, Long, Seq[Option[Double]], java.sql.Timestamp)]
+
+    val emitted = ds.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long,
+       rows: Iterator[(Long, Long, Long, Long, Seq[Option[Double]], java.sql.Timestamp)],
+       state: GroupState[MRMeasState]) =>
+        val cur = state.getOption.getOrElse(
+          MRMeasState(Nil, 0L, 0L, hasMark = false, matchSeq = 0L))
+        val buffered = rows.foldLeft(cur.evs) {
+          case (acc, (_, ts, id, sat, mv, _)) => (ts, id, sat, mv) :: acc
+        }
+        val wm = state.getCurrentWatermarkMs() * 1000L
+        val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
+        val triples = buffered.map { case (ts, id, sat, _) => (ts, id, sat) }
+        val mvalsOf = buffered.map { case (ts, id, _, mv) => (ts, id) -> mv }.toMap
+        val (rawMatches, mark) = PatternNFA.matureBindingsRaw(
+          triples, steps, varNames, within, afterMatch, wm, mark0)
+        var seq = cur.matchSeq
+        def fold(m: MatchRecognize.Measure,
+                 bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
+          if (m.func == "MATCH_NUMBER") return Some(seq.toDouble)
+          val bound = bindings(stepIdxOf(m.varName))
+          val vals = bound.flatMap(e => mvalsOf(e)(colIdx(m.colName)))
+          val raw = m.func match {
+            case "COUNT" => Some(vals.size.toDouble)
+            case _ if vals.isEmpty => None
+            case "FIRST" => Some(vals.head)
+            case "LAST" => Some(vals.last)
+            case "SUM" => Some(vals.sum)
+            case "AVG" => Some(vals.sum / vals.size)
+            case "MIN" => Some(vals.min)
+            case "MAX" => Some(vals.max)
+          }
+          (raw, m.roundTo) match {
+            case (Some(v), Some(n)) => Some(BigDecimal(v)
+              .setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            case _ => raw
+          }
+        }
+        val out = rawMatches.map { bindings =>
+          seq += 1
+          MeasuresEmit(key, seq, measures.map(m => fold(m, bindings)))
+        }
+        val kept = buffered.filter { case (ts, _, _, _) => ts + within > wm }
+        if (kept.isEmpty && seq == 0L) {
+          if (state.exists) state.remove()
+        } else {
+          // matchSeq must survive even with an empty buffer — a later
+          // match on this key continues the sequence
+          state.update(MRMeasState(kept,
+            mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
+            mark.isDefined, seq))
+          if (kept.nonEmpty) {
+            val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
+            state.setTimeoutTimestamp(
+              nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
+          }
+        }
+        out.iterator
+    }
+
+    // unpack the value array into named measure columns; integral-
+    // sourced positional measures re-emit as longs (exact below 2^53)
+    val named = measures.zipWithIndex.map { case (m, i) =>
+      val base = m.func match {
+        case "MATCH_NUMBER" => col("match_seq")
+        case "COUNT" => col("values")(i).cast("long")
+        case "FIRST" | "LAST" | "MIN" | "MAX" if integralCol(m.colName) =>
+          col("values")(i).cast("long")
+        case _ => col("values")(i)
+      }
+      base.as(m.alias)
+    }
+    emitted.toDF().select(col("key") +: named: _*)
   }
 }
