@@ -514,6 +514,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(progressive.last == streamed.size.toLong)
   }
 
+  test("streaming MEASURES equals the batch measures path once anchors mature") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS mno, COUNT(B.id) AS nb,
+        |           ROUND(AVG(B.value), 6) AS avg_b,
+        |           LAST(B.tsMicros) AS last_b_us, P.value AS p_value
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+        |         P AS kind = 'purchase')""".stripMargin
+    val batches = Seq(
+      Seq(ev(1, 10, 1, "signup"), ev(1, 20, 2, "click", value = 2.0)),
+      Seq(ev(1, 30, 3, "click", value = 4.0), ev(1, 40, 4, "purchase", value = 9.0)),
+      // second match for key 1 → MATCH_NUMBER continuity across batches
+      Seq(ev(1, 45, 5, "signup"), ev(1, 50, 6, "click", value = 8.0),
+        ev(1, 55, 7, "purchase", value = 1.5)),
+      Seq(ev(9, 300, 8, "flush")))
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("smrm_spec")
+    val q = StreamingMatchRecognize.measures(spark, input.toDS().toDF(), clause,
+        watermarkDelay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("smrm_spec").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("smrm_spec")
+      .select("key", "mno", "nb", "avg_b", "last_b_us", "p_value")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.MatchRecognize.run(spark,
+        batches.flatten.toDF("key", "tsMicros", "id", "kind", "value"), clause)
+      .select("key", "mno", "nb", "avg_b", "last_b_us", "p_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streaming=$streamed\nbatch=$batch")
+    assert(streamed.size == 2) // both key-1 matches, numbered 1 and 2
+  }
+
   test("idle source stalls the union watermark; heartbeat rows un-stall it") {
     // The reference has pluggable idleness detection
     // (flink-core/.../eventtime/WatermarksWithIdleness.java): an input
