@@ -105,6 +105,55 @@ object GraftDDL {
     case _ => sys.error(s"unsupported DDL: $ddl")
   }
 
+  private val insertRe =
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+)\s*;?\s*""".r
+  private val viewRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\s+.+)\s*;?\s*""".r
+
+  /** Sink bindings captured at CREATE TABLE time: table name →
+    * (path, format, declared schema, streaming?), consulted by INSERT. */
+  private val sinks = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, StructType, Boolean)]()
+
+  /** `INSERT INTO|OVERWRITE t SELECT ...` (SqlToOperationConverter's
+    * insert path): runs the query against the registered views and
+    * writes it through the target's filesystem binding — INTO appends,
+    * OVERWRITE replaces, the same two modes the reference's
+    * INSERT statements bind to. The target view is refreshed so
+    * subsequent reads observe the write. Returns the written rows. */
+  def executeInsert(spark: SparkSession, stmt: String): DataFrame = stmt match {
+    case insertRe(mode, name, query) =>
+      val (path, format, schema, streaming) =
+        Option(sinks.get(name.toLowerCase)).getOrElse(
+          sys.error(s"INSERT target '$name' has no CREATE TABLE binding"))
+      val df = spark.sql(query)
+      df.write.format(format)
+        .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+        .save(path)
+      // a batch view bound at CREATE time snapshotted the file listing
+      // of that moment — re-register so readers observe the write (a
+      // streaming target needs no refresh: the file stream source
+      // discovers new files by itself)
+      if (!streaming) {
+        spark.catalog.refreshByPath(path)
+        spark.read.schema(schema).format(format).load(path)
+          .createOrReplaceTempView(name)
+      }
+      df
+    case _ => sys.error(s"unsupported INSERT: $stmt")
+  }
+
+  /** `CREATE [TEMPORARY] VIEW v AS SELECT ...` (SqlCreateView):
+    * registers the query as a temp view over the already-registered
+    * tables. */
+  def executeView(spark: SparkSession, stmt: String): DataFrame = stmt match {
+    case viewRe(name, query) =>
+      val df = spark.sql(query)
+      df.createOrReplaceTempView(name)
+      df
+    case _ => sys.error(s"unsupported CREATE VIEW: $stmt")
+  }
+
   /** Parse + bind + register; returns the bound DataFrame. */
   def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
     case createRe(name, colsText, propsText) =>
@@ -157,6 +206,8 @@ object GraftDDL {
         case None                 => df1
       }
       df.createOrReplaceTempView(name)
+      sinks.put(name.toLowerCase,
+        (path, format, schema, props.get("mode").contains("streaming")))
       df
     case _ => sys.error(s"unsupported DDL: $ddl")
   }

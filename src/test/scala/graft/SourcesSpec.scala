@@ -109,6 +109,38 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO/OVERWRITE and CREATE VIEW execute against DDL-bound tables") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val out = java.nio.file.Files.createTempDirectory("ddl_sink").toString
+    GraftDDL.execute(sp,
+      """CREATE TABLE ins_src (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+        |) WITH ('connector'='filesystem',
+        |        'path'='/root/testdata/sf0.001/orders.parquet',
+        |        'format'='parquet')""".stripMargin)
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE ins_sink (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE
+        |) WITH ('connector'='filesystem', 'path'='$out',
+        |        'format'='parquet')""".stripMargin)
+    GraftDDL.executeView(sp,
+      "CREATE VIEW big_orders AS SELECT o_orderkey, o_totalprice FROM ins_src WHERE o_totalprice > 100000")
+    val expected = sp.table("big_orders").count()
+    assert(expected > 0)
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO ins_sink SELECT o_orderkey, o_totalprice FROM big_orders")
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO ins_sink SELECT o_orderkey, o_totalprice FROM big_orders")
+    assert(sp.table("ins_sink").count() == 2 * expected) // INTO appends
+    GraftDDL.executeInsert(sp,
+      "INSERT OVERWRITE ins_sink SELECT o_orderkey, o_totalprice FROM big_orders")
+    assert(sp.table("ins_sink").count() == expected) // OVERWRITE replaces
+    intercept[RuntimeException] {
+      GraftDDL.executeInsert(sp, "INSERT INTO nope SELECT 1 AS x")
+    }
+  }
+
   test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
     val sp = StreamHarness.spark
     val df = graft.sources.GraftDDL.execute(sp,
