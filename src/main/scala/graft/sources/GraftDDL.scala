@@ -143,6 +143,27 @@ object GraftDDL {
     case _ => sys.error(s"unsupported INSERT: $stmt")
   }
 
+  private val stmtSetRe =
+    """(?is)\s*(?:EXECUTE\s+)?(?:BEGIN\s+)?STATEMENT\s+SET\s*;?(.*?)(?:END)\s*;?\s*""".r
+
+  /** `[EXECUTE] [BEGIN] STATEMENT SET; INSERT ...; INSERT ...; END` —
+    * the reference's multi-sink statement set
+    * (SqlToOperationConverter statement-set path). Each INSERT runs
+    * through [[executeInsert]] in order. Delta vs the reference,
+    * documented: Flink's planner fuses the statements into one DAG so
+    * a shared source is scanned once; here each INSERT plans
+    * independently — pre-register a persisted view for the shared
+    * input when scan reuse matters. Returns per-statement written
+    * counts. */
+  def executeStatementSet(spark: SparkSession, stmt: String): Seq[Long] =
+    stmt match {
+      case stmtSetRe(body) =>
+        val inserts = body.split(";").map(_.trim).filter(_.nonEmpty)
+        require(inserts.nonEmpty, "empty STATEMENT SET")
+        inserts.toSeq.map(s => executeInsert(spark, s).count())
+      case _ => sys.error(s"unsupported STATEMENT SET: $stmt")
+    }
+
   /** `CREATE [TEMPORARY] VIEW v AS SELECT ...` (SqlCreateView):
     * registers the query as a temp view over the already-registered
     * tables. */

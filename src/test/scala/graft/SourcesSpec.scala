@@ -139,6 +139,20 @@ class SourcesSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       GraftDDL.executeInsert(sp, "INSERT INTO nope SELECT 1 AS x")
     }
+    // STATEMENT SET: both INSERTs execute in order against their
+    // bindings (multi-sink fan-out from one pipeline definition)
+    val out2 = java.nio.file.Files.createTempDirectory("ddl_sink2").toString
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE ins_sink2 (o_orderkey BIGINT)
+        |WITH ('connector'='filesystem', 'path'='$out2',
+        |      'format'='parquet')""".stripMargin)
+    val counts = GraftDDL.executeStatementSet(sp,
+      """EXECUTE STATEMENT SET;
+        |INSERT OVERWRITE ins_sink SELECT o_orderkey, o_totalprice FROM big_orders;
+        |INSERT INTO ins_sink2 SELECT o_orderkey FROM big_orders;
+        |END""".stripMargin)
+    assert(counts == Seq(expected, expected))
+    assert(sp.table("ins_sink2").count() == expected)
   }
 
   test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
