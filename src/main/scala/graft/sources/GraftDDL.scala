@@ -175,6 +175,33 @@ object GraftDDL {
     case _ => sys.error(s"unsupported CREATE VIEW: $stmt")
   }
 
+  private val explainRe =
+    """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(SELECT\s+.+)\s*;?\s*""".r
+  private val descRe = """(?is)\s*DESCRIBE\s+(\w+)\s*;?\s*""".r
+
+  /** `EXPLAIN [PLAN FOR] SELECT ...` (SqlRichExplain / the reference's
+    * EXPLAIN statement): the optimized + physical plan of the query
+    * against the registered views, as Spark's formatted explain. */
+  def executeExplain(spark: SparkSession, stmt: String): String = stmt match {
+    case explainRe(query) =>
+      spark.sql(query).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    case _ => sys.error(s"unsupported EXPLAIN: $stmt")
+  }
+
+  /** `DESCRIBE t` → (col_name, data_type, nullable) rows of the
+    * registered view (SqlRichDescribeTable analog). */
+  def executeDescribe(spark: SparkSession, stmt: String): Seq[(String, String, Boolean)] =
+    stmt match {
+      case descRe(name) => spark.table(name).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      case _ => sys.error(s"unsupported DESCRIBE: $stmt")
+    }
+
+  /** `SHOW TABLES` analog: every temp view currently registered. */
+  def showTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+
   /** Parse + bind + register; returns the bound DataFrame. */
   def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
     case createRe(name, colsText, propsText) =>

@@ -153,6 +153,13 @@ class SourcesSpec extends AnyFunSuite {
         |END""".stripMargin)
     assert(counts == Seq(expected, expected))
     assert(sp.table("ins_sink2").count() == expected)
+    // introspection statements over the registered catalog
+    val plan = GraftDDL.executeExplain(sp,
+      "EXPLAIN PLAN FOR SELECT count(*) FROM big_orders")
+    assert(plan.contains("Scan parquet") && plan.contains("HashAggregate"))
+    assert(GraftDDL.executeDescribe(sp, "DESCRIBE ins_sink2") ==
+      Seq(("o_orderkey", "bigint", true)))
+    assert(GraftDDL.showTables(sp).contains("ins_sink2"))
   }
 
   test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
