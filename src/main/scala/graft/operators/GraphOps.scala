@@ -56,14 +56,21 @@ object GraphOps {
       if (!sc.getCheckpointDir.exists(_.contains(want))) sc.setCheckpointDir(want)
     }
     def step(df: DataFrame, i: Int): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
       val out = ckpt.dir match {
         case Some(_) if i % ckpt.every == 0 => df.checkpoint(eager = true)
         case _ => df.localCheckpoint(true)
       }
-      // blocks this step just pinned (localCheckpoint registers its RDD
-      // in the context's persistent map; reliable checkpoint pins none)
-      val mine = sc.getPersistentRDDs.keySet -- before
+      // blocks this step just pinned: EXACTLY the RDD the localCheckpoint
+      // wrapped into the returned plan's LogicalRDD (a reliable
+      // checkpoint pins none). Diffing the whole persistent-RDD map
+      // before/after the materialization is wrong here: a loop-INVARIANT
+      // cache (the persisted edge table) builds+registers its buffer RDD
+      // lazily inside step 1's job, would land in the diff, and get
+      // unpersisted at step 2 — every later superstep then recomputes
+      // the edge join, defeating the persist.
+      val mine: Set[Int] = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
       // the previous step only existed to build `df`, which is now
       // materialized — its blocks are dead weight from here on
       val live = sc.getPersistentRDDs

@@ -135,7 +135,13 @@ object MatchRecognize {
           case (_, n, null)      => Times(n.toInt)
           case (_, lo, hi)       => TimesRange(lo.toInt, hi.toInt)
         }
-        Step(name, name.toUpperCase, quant)
+        // Normalize the step NAME (not just the kind) to the uppercase
+        // variable identity: BindingRow.var_name / the ALL ROWS
+        // classifier carry Step.name, and MEASURES compares against the
+        // uppercased Measure.varName — with a lowercase PATTERN variable
+        // the un-normalized name would make every FILTER match nothing
+        // and the measures silently return null/0.
+        Step(name.toUpperCase, name.toUpperCase, quant)
       }.toSeq
     val withinMicros = withinRe.findFirstMatchIn(clause).map { m =>
       val unit = m.group(2).toUpperCase match {

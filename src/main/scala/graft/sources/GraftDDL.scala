@@ -106,14 +106,58 @@ object GraftDDL {
   }
 
   private val insertRe =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+?)\s*;?\s*""".r
   private val viewRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\s+.+)\s*;?\s*""".r
 
-  /** Sink bindings captured at CREATE TABLE time: table name →
-    * (path, format, declared schema, streaming?), consulted by INSERT. */
-  private val sinks = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, StructType, Boolean)]()
+  /** The full CREATE TABLE binding, captured once and replayed on every
+    * re-registration: computed columns and the watermark are part of
+    * the table's identity, so a post-INSERT refresh must re-apply them
+    * (a bare `spark.read.load(path)` view would silently drop a
+    * computed PROCTIME or a WATERMARK after the first INSERT). */
+  private final case class Binding(path: String, format: String,
+                                   schema: StructType, streaming: Boolean,
+                                   computed: Seq[(String, String)],
+                                   watermark: Option[(String, String)])
+
+  /** Sink bindings captured at CREATE TABLE time, consulted by INSERT. */
+  private val sinks =
+    new java.util.concurrent.ConcurrentHashMap[String, Binding]()
+
+  /** Rowtime (version) column of a DDL-registered table: the column its
+    * WATERMARK was declared on — what `FOR SYSTEM_TIME AS OF` versions
+    * against (the reference reads the same attribute off its catalog). */
+  def rowtimeOf(table: String): Option[String] =
+    Option(sinks.get(table.toLowerCase)).flatMap(_.watermark.map(_._1))
+
+  /** Read the binding's source and register it as the temp view `name`
+    * — the single registration path shared by CREATE TABLE and the
+    * post-INSERT refresh, so both observe identical computed-column and
+    * watermark semantics. */
+  private def register(spark: SparkSession, name: String, b: Binding): DataFrame = {
+    val df0 =
+      if (b.streaming) {
+        // the file stream source monitors a DIRECTORY; a file path
+        // becomes its parent dir + a glob on the file name
+        val f = new java.io.File(b.path)
+        val (dir, glob) =
+          if (f.isFile) (f.getParent, Some(f.getName)) else (b.path, None)
+        val rd = spark.readStream.schema(b.schema).format(b.format)
+        glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
+      } else
+        spark.read.schema(b.schema).format(b.format).load(b.path)
+    // computed columns first: a WATERMARK may be declared on a
+    // computed rowtime (the reference's derived-rowtime pattern)
+    val df1 = b.computed.foldLeft(df0) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e))
+    }
+    val df = b.watermark match {
+      case Some((tsCol, delay)) => df1.withWatermark(tsCol, delay)
+      case None                 => df1
+    }
+    df.createOrReplaceTempView(name)
+    df
+  }
 
   /** `INSERT INTO|OVERWRITE t SELECT ...` (SqlToOperationConverter's
     * insert path): runs the query against the registered views and
@@ -123,44 +167,83 @@ object GraftDDL {
     * subsequent reads observe the write. Returns the written rows. */
   def executeInsert(spark: SparkSession, stmt: String): DataFrame = stmt match {
     case insertRe(mode, name, query) =>
-      val (path, format, schema, streaming) =
-        Option(sinks.get(name.toLowerCase)).getOrElse(
-          sys.error(s"INSERT target '$name' has no CREATE TABLE binding"))
+      val b = Option(sinks.get(name.toLowerCase)).getOrElse(
+        sys.error(s"INSERT target '$name' has no CREATE TABLE binding"))
       val df = spark.sql(query)
-      df.write.format(format)
+      df.write.format(b.format)
         .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
-        .save(path)
+        .save(b.path)
       // a batch view bound at CREATE time snapshotted the file listing
-      // of that moment — re-register so readers observe the write (a
-      // streaming target needs no refresh: the file stream source
-      // discovers new files by itself)
-      if (!streaming) {
-        spark.catalog.refreshByPath(path)
-        spark.read.schema(schema).format(format).load(path)
-          .createOrReplaceTempView(name)
+      // of that moment — re-register THROUGH THE FULL BINDING so readers
+      // observe the write without losing the table's computed columns or
+      // watermark (a streaming target needs no refresh: the file stream
+      // source discovers new files by itself)
+      if (!b.streaming) {
+        spark.catalog.refreshByPath(b.path)
+        register(spark, name, b)
       }
       df
     case _ => sys.error(s"unsupported INSERT: $stmt")
   }
 
+  // END must be delimited (a preceding ';' or whitespace): a lazy
+  // `(.*?)END` alone can bind to the 'end' inside an identifier or
+  // string literal (append_log, 'the end') when the tail happens to
+  // parse, truncating the body.
   private val stmtSetRe =
-    """(?is)\s*(?:EXECUTE\s+)?(?:BEGIN\s+)?STATEMENT\s+SET\s*;?(.*?)(?:END)\s*;?\s*""".r
+    """(?is)\s*(?:EXECUTE\s+)?(?:BEGIN\s+)?STATEMENT\s+SET\s*;?(.*?)(?:;|\s)END\s*;?\s*""".r
+
+  /** Split a statement-set body on ';' OUTSIDE string literals only —
+    * a literal like 'a;b' in an INSERT's SELECT must not split the
+    * statement. Single quotes with '' escaping (SQL standard). */
+  private def splitStatements(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    body.foreach {
+      case '\'' => inQuote = !inQuote; sb += '\''
+      case ';' if !inQuote => out += sb.toString.trim; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Source tables a SQL query references, by parsed plan (not text):
+    * the basis of statement-set scan sharing. */
+  private def referencedTables(spark: SparkSession, query: String): Seq[String] =
+    spark.sessionState.sqlParser.parsePlan(query).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier.last.toLowerCase
+    }
 
   /** `[EXECUTE] [BEGIN] STATEMENT SET; INSERT ...; INSERT ...; END` —
     * the reference's multi-sink statement set
     * (SqlToOperationConverter statement-set path). Each INSERT runs
-    * through [[executeInsert]] in order. Delta vs the reference,
-    * documented: Flink's planner fuses the statements into one DAG so
-    * a shared source is scanned once; here each INSERT plans
-    * independently — pre-register a persisted view for the shared
-    * input when scan reuse matters. Returns per-statement written
-    * counts. */
+    * through [[executeInsert]] in order. Scan sharing (the reference
+    * fuses the set into one DAG so a shared source is scanned once —
+    * StreamCommonSubGraphBasedOptimizer): any registered view referenced
+    * by ≥2 statements of the set is persisted for the duration of the
+    * set and unpersisted after, so the shared input is read from
+    * storage exactly once. Returns per-statement written counts. */
   def executeStatementSet(spark: SparkSession, stmt: String): Seq[Long] =
     stmt match {
       case stmtSetRe(body) =>
-        val inserts = body.split(";").map(_.trim).filter(_.nonEmpty)
+        val inserts = splitStatements(body)
         require(inserts.nonEmpty, "empty STATEMENT SET")
-        inserts.toSeq.map(s => executeInsert(spark, s).count())
+        val queries = inserts.map {
+          case insertRe(_, _, q) => q
+          case s => sys.error(s"unsupported statement in STATEMENT SET: $s")
+        }
+        val viewNames = spark.catalog.listTables().collect()
+          .map(_.name.toLowerCase).toSet
+        val shared = queries.flatMap(q =>
+            referencedTables(spark, q).distinct.filter(viewNames))
+          .groupBy(identity).collect { case (t, refs) if refs.size >= 2 => t }
+          .toSeq.sorted
+        val pinned = shared.map(t => spark.table(t).persist())
+        try inserts.map(s => executeInsert(spark, s).count())
+        finally pinned.foreach(_.unpersist())
       case _ => sys.error(s"unsupported STATEMENT SET: $stmt")
     }
 
@@ -177,15 +260,41 @@ object GraftDDL {
 
   private val explainRe =
     """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(SELECT\s+.+)\s*;?\s*""".r
+  private val explainInsertRe =
+    """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+)\s*;?\s*""".r
+  private val explainSetRe =
+    """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?((?:EXECUTE\s+)?(?:BEGIN\s+)?STATEMENT\s+SET.+)""".r
   private val descRe = """(?is)\s*DESCRIBE\s+(\w+)\s*;?\s*""".r
 
-  /** `EXPLAIN [PLAN FOR] SELECT ...` (SqlRichExplain / the reference's
-    * EXPLAIN statement): the optimized + physical plan of the query
-    * against the registered views, as Spark's formatted explain. */
+  private def formatted(spark: SparkSession, query: String): String =
+    spark.sql(query).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** `EXPLAIN [PLAN FOR] <stmt>` (SqlRichExplain — the reference's
+    * EXPLAIN covers DML, not just queries): for a SELECT, Spark's
+    * formatted optimized+physical plan against the registered views;
+    * for an INSERT, the same plan for its SELECT plus a sink header
+    * naming the bound target (path/format/mode); for a STATEMENT SET,
+    * one such section per member statement. Nothing executes and no
+    * file is written — explain is plan-only, like the reference. */
   def executeExplain(spark: SparkSession, stmt: String): String = stmt match {
-    case explainRe(query) =>
-      spark.sql(query).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    case explainInsertRe(mode, name, query) =>
+      val b = Option(sinks.get(name.toLowerCase)).getOrElse(
+        sys.error(s"EXPLAIN INSERT target '$name' has no CREATE TABLE binding"))
+      val sinkMode =
+        if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append"
+      s"== Sink ==\nInsert $name [path=${b.path}, format=${b.format}, " +
+        s"mode=$sinkMode]\n\n" + formatted(spark, query)
+    case explainSetRe(setText) => setText match {
+      case stmtSetRe(body) =>
+        splitStatements(body).map {
+          case insertRe(mode, name, query) =>
+            executeExplain(spark, s"EXPLAIN INSERT $mode $name $query")
+          case s => sys.error(s"unsupported statement in STATEMENT SET: $s")
+        }.mkString("\n")
+      case _ => sys.error(s"unsupported EXPLAIN STATEMENT SET: $setText")
+    }
+    case explainRe(query) => formatted(spark, query)
     case _ => sys.error(s"unsupported EXPLAIN: $stmt")
   }
 
@@ -233,30 +342,10 @@ object GraftDDL {
               else e.trim)
       }
       val schema = StructType.fromDDL(physicalCols.mkString(", "))
-      val df0 =
-        if (props.get("mode").contains("streaming")) {
-          // the file stream source monitors a DIRECTORY; a file path
-          // becomes its parent dir + a glob on the file name
-          val f = new java.io.File(path)
-          val (dir, glob) =
-            if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
-          val rd = spark.readStream.schema(schema).format(format)
-          glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
-        } else
-          spark.read.schema(schema).format(format).load(path)
-      // computed columns first: a WATERMARK may be declared on a
-      // computed rowtime (the reference's derived-rowtime pattern)
-      val df1 = computed.foldLeft(df0) { case (d, (n, e)) =>
-        d.withColumn(n, expr(e))
-      }
-      val df = watermark match {
-        case Some((tsCol, delay)) => df1.withWatermark(tsCol, delay)
-        case None                 => df1
-      }
-      df.createOrReplaceTempView(name)
-      sinks.put(name.toLowerCase,
-        (path, format, schema, props.get("mode").contains("streaming")))
-      df
+      val b = Binding(path, format, schema,
+        props.get("mode").contains("streaming"), computed, watermark)
+      sinks.put(name.toLowerCase, b)
+      register(spark, name, b)
     case _ => sys.error(s"unsupported DDL: $ddl")
   }
 }

@@ -42,7 +42,7 @@ object StreamingMatchRecognize {
 
   case class MRMeasState(evs: List[(Long, Long, Long, Seq[Option[Double]])],
                          markTs: Long, markId: Long, hasMark: Boolean,
-                         matchSeq: Long)
+                         matchSeq: Long, idleSinceMicros: Long = 0L)
 
   case class MeasuresEmit(key: Long, match_seq: Long,
                           values: Seq[Option[Double]])
@@ -112,9 +112,22 @@ object StreamingMatchRecognize {
     * for integral values below 2^53, and integral-sourced FIRST/LAST/
     * MIN/MAX re-emit as longs). Output: (key, one column per measure
     * alias) — MATCH_NUMBER() is the per-key 1-based sequence of
-    * EMITTED matches, carried in state across micro-batches. */
+    * EMITTED matches, carried in state across micro-batches.
+    *
+    * Idle-state retention (`idleRetentionMicros`): once a key's event
+    * buffer drains, the only state left is the residual MATCH_NUMBER
+    * counter — without an eviction path that residue grows with the
+    * number of distinct keys ever matched, unboundedly, on a high-churn
+    * stream. With retention set, the residue is evicted after the key
+    * stays idle (no events, no matches) for the given event-time span;
+    * a match arriving AFTER eviction restarts MATCH_NUMBER at 1 for
+    * that key — exactly the reference's idle-state-retention trade
+    * (Flink's table.exec.state.ttl resets accumulators the same way).
+    * `None` (default) keeps the reference's strict MATCH_NUMBER
+    * continuity at the cost of per-matched-key residual state. */
   def measures(spark: SparkSession, events: DataFrame, clause: String,
-               watermarkDelay: String = "10 minutes"): DataFrame = {
+               watermarkDelay: String = "10 minutes",
+               idleRetentionMicros: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val c = MatchRecognize.compile(clause)
     require(c.measures.nonEmpty, "no MEASURES in clause — use apply()")
@@ -160,8 +173,10 @@ object StreamingMatchRecognize {
        state: GroupState[MRMeasState]) =>
         val cur = state.getOption.getOrElse(
           MRMeasState(Nil, 0L, 0L, hasMark = false, matchSeq = 0L))
+        var newRows = 0
         val buffered = rows.foldLeft(cur.evs) {
-          case (acc, (_, ts, id, sat, mv, _)) => (ts, id, sat, mv) :: acc
+          case (acc, (_, ts, id, sat, mv, _)) =>
+            newRows += 1; (ts, id, sat, mv) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
         val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
@@ -174,12 +189,20 @@ object StreamingMatchRecognize {
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
           if (m.func == "MATCH_NUMBER") return Some(seq.toDouble)
           val bound = bindings(stepIdxOf(m.varName))
-          val vals = bound.flatMap(e => mvalsOf(e)(colIdx(m.colName)))
+          // opts keeps the null slots: FIRST/LAST must mirror the batch
+          // path's min_by/max_by(col, pos), which returns the (possibly
+          // null) value AT the boundary position — dropping Nones first
+          // would instead return the earliest/latest NON-NULL value and
+          // the two surfaces would diverge. The null-skipping `vals` is
+          // only for the SQL null-ignoring aggregates (SUM/AVG/MIN/MAX)
+          // and COUNT(col)'s non-null count.
+          val opts = bound.map(e => mvalsOf(e)(colIdx(m.colName)))
+          val vals = opts.flatten
           val raw = m.func match {
             case "COUNT" => Some(vals.size.toDouble)
+            case "FIRST" => opts.headOption.flatten
+            case "LAST" => opts.lastOption.flatten
             case _ if vals.isEmpty => None
-            case "FIRST" => Some(vals.head)
-            case "LAST" => Some(vals.last)
             case "SUM" => Some(vals.sum)
             case "AVG" => Some(vals.sum / vals.size)
             case "MIN" => Some(vals.min)
@@ -198,17 +221,41 @@ object StreamingMatchRecognize {
         val kept = buffered.filter { case (ts, _, _, _) => ts + within > wm }
         if (kept.isEmpty && seq == 0L) {
           if (state.exists) state.remove()
+        } else if (kept.isEmpty) {
+          // residual state: only the MATCH_NUMBER counter (+skip mark)
+          // survives — a later match on this key continues the sequence
+          idleRetentionMicros match {
+            case None =>
+              // strict MATCH_NUMBER continuity: retained indefinitely
+              state.update(MRMeasState(Nil,
+                mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
+                mark.isDefined, seq, idleSinceMicros = 0L))
+            case Some(r) =>
+              // idleness starts when the buffer drains (any activity —
+              // new events, emitted matches, or a live buffer a moment
+              // ago — restarts the clock at the current watermark)
+              val active = newRows > 0 || out.nonEmpty ||
+                cur.evs.nonEmpty || cur.idleSinceMicros == 0L
+              val idleSince = if (active) wm else cur.idleSinceMicros
+              if (!active && wm >= idleSince + r) {
+                // retention elapsed: evict — MATCH_NUMBER restarts at 1
+                // if this key ever matches again (the documented delta)
+                state.remove()
+              } else {
+                state.update(MRMeasState(Nil,
+                  mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
+                  mark.isDefined, seq, idleSince))
+                state.setTimeoutTimestamp(((idleSince + r) / 1000L + 1)
+                  max (state.getCurrentWatermarkMs() + 1))
+              }
+          }
         } else {
-          // matchSeq must survive even with an empty buffer — a later
-          // match on this key continues the sequence
           state.update(MRMeasState(kept,
             mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
-            mark.isDefined, seq))
-          if (kept.nonEmpty) {
-            val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
-            state.setTimeoutTimestamp(
-              nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
-          }
+            mark.isDefined, seq, idleSinceMicros = 0L))
+          val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
+          state.setTimeoutTimestamp(
+            nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
         }
         out.iterator
     }

@@ -614,4 +614,95 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"unexpected closed windows: $rows")
     } finally q.stop()
   }
+
+  test("streaming MEASURES idle retention evicts the residual MATCH_NUMBER state") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS mno, COUNT(B.id) AS nb
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+        |         P AS kind = 'purchase')""".stripMargin
+    val input = StreamHarness.mkStream()
+    val q = StreamingMatchRecognize.measures(spark, input.toDS().toDF(), clause,
+        watermarkDelay = "10 seconds",
+        idleRetentionMicros = Some(60L * 1000000L))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("smr_idle_spec").start()
+    def stateRows(): Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // one full match for key 1; the flush event matures it and drains
+      // key 1's buffer, leaving only the residual MATCH_NUMBER row
+      input.addData(Seq(ev(1, 10, 1, "signup"), ev(1, 20, 2, "click"),
+        ev(1, 30, 3, "purchase"), ev(9, 100, 4, "flush")))
+      q.processAllAvailable()
+      assert(spark.table("smr_idle_spec").count() == 1)
+      // state = key 1's residual counter + key 9's still-live buffer
+      assert(stateRows() == 2, s"expected residual+buffer state, got ${stateRows()}")
+      // advance event time far past idleSince(90s) + retention(60s):
+      // the eviction timer fires and the residual row is removed
+      input.addData(Seq(ev(9, 300, 5, "flush")))
+      q.processAllAvailable()
+      assert(stateRows() == 1,
+        s"residual MATCH_NUMBER state not evicted after retention: ${stateRows()}")
+      // a post-eviction match restarts MATCH_NUMBER at 1 — the
+      // documented idle-state-retention delta (batch would say 2)
+      input.addData(Seq(ev(1, 400, 6, "signup"), ev(1, 410, 7, "click"),
+        ev(1, 420, 8, "purchase"), ev(9, 600, 9, "flush")))
+      q.processAllAvailable()
+      val mnos = spark.table("smr_idle_spec").filter(col("key") === 1)
+        .orderBy("nb").select("mno").collect().map(_.getLong(0)).toSeq
+      assert(mnos == Seq(1L, 1L), s"MATCH_NUMBER after eviction: $mnos")
+    } finally q.stop()
+  }
+
+  test("streaming FIRST/LAST measures keep null boundary values (batch min_by/max_by semantics)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES FIRST(B.v) AS first_v, LAST(B.v) AS last_v,
+        |           COUNT(B.v) AS n_nonnull
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+        |         P AS kind = 'purchase')""".stripMargin
+    // B-bound events: v = null, 5.0, null → FIRST/LAST land on nulls.
+    // The batch path's min_by/max_by(col, pos) returns the (possibly
+    // null) boundary value; the streaming fold must not skip the None
+    // slots or the two surfaces diverge exactly here.
+    val rows: Seq[(Long, Long, Long, String, Option[Double])] = Seq(
+      (1L, 10L * 1000000L, 1L, "signup", Some(0.0)),
+      (1L, 20L * 1000000L, 2L, "click", None),
+      (1L, 30L * 1000000L, 3L, "click", Some(5.0)),
+      (1L, 40L * 1000000L, 4L, "click", None),
+      (1L, 50L * 1000000L, 5L, "purchase", Some(9.0)),
+      (9L, 300L * 1000000L, 6L, "flush", Some(0.0)))
+    val cols = Seq("key", "tsMicros", "id", "kind", "v")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Option[Double])]
+    val q = StreamingMatchRecognize.measures(spark,
+        input.toDS().toDF(cols: _*), clause, watermarkDelay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("smr_null_spec").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("smr_null_spec")
+      .select("key", "first_v", "last_v", "n_nonnull")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.MatchRecognize.run(spark, rows.toDF(cols: _*), clause)
+      .select("key", "first_v", "last_v", "n_nonnull")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streaming=$streamed\nbatch=$batch")
+    assert(streamed.size == 1)
+    val r = spark.table("smr_null_spec").head
+    assert(r.isNullAt(r.fieldIndex("first_v")) && r.isNullAt(r.fieldIndex("last_v")),
+      s"FIRST/LAST should be the null boundary values: $r")
+    assert(r.getAs[Long]("n_nonnull") == 1L)
+  }
 }
