@@ -17,6 +17,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // threshold-gated broadcast (OptimizerConfigOptions.java:53 analog):
     // strip hints whose estimated build side cannot safely ship.
     e.injectOptimizerRule(_ => graft.plans.GateBroadcastHints)
+    // temporal-join planning (LogicalCorrelateToJoinFromTemporalTableRule
+    // analog): the parser turns `FOR SYSTEM_TIME AS OF` into the hinted
+    // shape; the resolution rule plans it as the union+window as-of join.
+    e.injectParser((_, parser) => new graft.sources.GraftSqlParser(parser))
+    e.injectResolutionRule(_ => graft.plans.AsOfJoinRule)
+    // skewed COUNT/SUM(DISTINCT) bucketed two-level split
+    // (SplitAggregateRule.scala:108 analog), conf-gated off by default
+    // like the reference's table.optimizer.distinct-agg.split.enabled.
+    e.injectOptimizerRule(_ => graft.plans.SplitDistinctAggRule)
     e.injectFunction((
       FunctionIdentifier("is_alpha"),
       new ExpressionInfo(classOf[IsAlpha].getName, "is_alpha"),

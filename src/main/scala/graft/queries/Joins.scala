@@ -316,5 +316,44 @@ object Joins extends QueryGroup {
       v.join(p, col("user_id") === col("p_user") && col("wstart") === col("p_w"))
         .select("user_id", "wstart", "view_id", "purchase_id")
         .orderBy("view_id", "purchase_id")
+    },
+
+    // Temporal join through SQL TEXT — the reference's exact
+    // `FOR SYSTEM_TIME AS OF` syntax (SqlSnapshot →
+    // LogicalCorrelateToJoinFromTemporalTableRule.scala:34), planned
+    // here by GraftSqlParser (text → hinted shape, rowtime from the
+    // versioned table's DDL WATERMARK) + AsOfJoinRule (hinted join →
+    // union + single window pass, one shuffle — see
+    // plans/AsOfJoinRule.scala). For each purchase: the user's latest
+    // activity at least 1s older. Only the matched rowtime is emitted,
+    // so equal-timestamp version ties cannot flake the hash.
+    q("j15_asof_sql",
+      """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, s.ts AS prior_ts
+        |FROM (SELECT *, ts - INTERVAL 1 SECOND AS cutoff FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF JOIN events s
+        |  ON p.user_id = s.user_id AND p.cutoff >= s.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      // left side first: Tables sets the nanosAsLong conf the DDL's
+      // BIGINT read of the same file relies on
+      t(s, dir)("events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts") - expr("INTERVAL 1 SECOND")).as("cutoff"))
+        .createOrReplaceTempView("purchases_vt")
+      graft.sources.GraftDDL.execute(s,
+        s"""CREATE TABLE events_vt (
+           |  event_id BIGINT, ts BIGINT, user_id BIGINT,
+           |  event_type STRING, value DOUBLE, props STRING,
+           |  rowtime AS timestamp_micros(ts div 1000),
+           |  WATERMARK FOR rowtime AS rowtime - INTERVAL '0' SECOND
+           |) WITH ('connector'='filesystem',
+           |        'path'='$dir/events.parquet', 'format'='parquet')""".stripMargin)
+      s.sql(
+        """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+          |       r.rowtime AS prior_ts
+          |FROM purchases_vt p
+          |JOIN events_vt FOR SYSTEM_TIME AS OF p.cutoff r
+          |  ON p.user_id = r.user_id
+          |ORDER BY purchase_id""".stripMargin)
     })
 }

@@ -141,6 +141,37 @@ object Relational extends QueryGroup {
         .orderBy("o_orderstatus")
     },
 
+    // Automatic skewed-distinct split (the reference's
+    // SplitAggregateRule.scala:108, conf-gated): same answer class as
+    // q5, but the plan goes through graft.plans.SplitDistinctAggRule —
+    // count(DISTINCT) per (status, pmod(hash(custkey), N)) bucket, then
+    // buckets added back — so a hot status never concentrates its
+    // whole distinct set in one task. Plan-asserted in PlanSpec.
+    q("q8_distinct_split_auto",
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  count(*) AS n_orders,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val base = t(s, dir)("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"),
+          count(lit(1)).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"))
+      val split = graft.plans.SplitDistinctAggRule
+        .maybeSplit(base.queryExecution.analyzed, buckets = 64)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, split)
+        .select(col("o_orderstatus"), col("n_cust"),
+          col("rev_dec").cast("double").as("rev"),
+          col("n_orders"), col("max_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // Agg function battery: min/max/first-last-by-order/stddev/variance
     // (reference aggfunctions/*, SURVEY §2.4). Stat moments rounded to
     // 6dp — they are double-only in both engines.

@@ -13,4 +13,11 @@ object GraftSqlBridge {
     * EXISTING session (builder extensions only apply to new sessions). */
   def applyFunctionExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** Dataset over an explicit logical plan (private[sql] in Spark 4) —
+    * the library surface for plan-rewriting operators that construct
+    * Catalyst nodes directly. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

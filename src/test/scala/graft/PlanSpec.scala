@@ -67,6 +67,44 @@ class PlanSpec extends AnyFunSuite {
       s"packing window serializes to one partition:\n$plan")
   }
 
+  test("FOR SYSTEM_TIME AS OF SQL plans the as-of window shape, not a join") {
+    // j15 goes through spark.sql TEXT: GraftSqlParser rewrites the
+    // reference's temporal-join syntax into the hinted shape,
+    // AsOfJoinRule plans it as union + ONE window pass per key — the
+    // single-shuffle linear plan. A surviving Join/CartesianProduct
+    // would mean the rule did not fire and the raw `r.ts <= l.ts`
+    // inner join (quadratic per key) ran instead.
+    val q = SparkEntry.queries("j15_asof_sql")(spark, dir)
+    val plan = planOf(q)
+    assert(plan.contains("Window"), s"as-of window missing:\n$plan")
+    assert(plan.contains("last("), s"version-carry last() missing:\n$plan")
+    assert(!plan.contains("Join"), s"temporal SQL left a join behind:\n$plan")
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("conf-gated distinct-agg split plans two aggregate levels over a hash bucket") {
+    import graft.plans.SplitDistinctAggRule
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_split_spec")
+    val sql =
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n
+        |FROM orders_split_spec GROUP BY o_orderstatus""".stripMargin
+    val expected = spark.sql(sql).collect().map(_.toString).sorted.toSeq // conf off
+    spark.conf.set(SplitDistinctAggRule.EnabledKey, "true")
+    try {
+      val on = spark.sql(sql)
+      val optimized = on.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val aggs = optimized.collect { case a: Aggregate => a }
+      // inner level groups by (status, pmod(hash(custkey), N)); outer
+      // re-adds the buckets — a hot status spreads over N tasks
+      assert(aggs.size >= 2, optimized.toString)
+      assert(aggs.exists(_.groupingExpressions.exists(
+        _.toString.toLowerCase.contains("pmod"))), optimized.toString)
+      assert(on.collect().map(_.toString).sorted.toSeq == expected,
+        "split plan changed the answer")
+    } finally spark.conf.set(SplitDistinctAggRule.EnabledKey, "false")
+  }
+
   test("delta evictor plans one window pass + groupBy, no self-join") {
     val q = SparkEntry.queries("gw10_delta_evictor")(spark, dir)
     val plan = planOf(q)

@@ -162,6 +162,76 @@ class SourcesSpec extends AnyFunSuite {
     assert(GraftDDL.showTables(sp).contains("ins_sink2"))
   }
 
+  test("statement sets scan a shared source once; EXPLAIN covers INSERT") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // count materializations of the shared source with an accumulator
+    // bumped once per partition per scan
+    val acc = sp.sparkContext.longAccumulator("shared_src_scans")
+    sp.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey")).as[Long]
+      .mapPartitions { it => acc.add(1); it }.toDF("k")
+      .createOrReplaceTempView("shared_src")
+    val outA = java.nio.file.Files.createTempDirectory("ss_a").toString
+    val outB = java.nio.file.Files.createTempDirectory("ss_b").toString
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE ss_sink_a (k BIGINT) WITH
+         |('connector'='filesystem', 'path'='$outA', 'format'='parquet')""".stripMargin)
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE ss_sink_b (k BIGINT) WITH
+         |('connector'='filesystem', 'path'='$outB', 'format'='parquet')""".stripMargin)
+    val n = sp.table("shared_src").count()
+    val perScan = acc.value // adds per materialization = #partitions
+    assert(perScan > 0)
+    acc.reset()
+    // the first INSERT's WHERE carries a literal with ';' and 'end' —
+    // the set must split quote-aware and not bind END inside the quotes
+    val counts = GraftDDL.executeStatementSet(sp,
+      """STATEMENT SET;
+        |INSERT INTO ss_sink_a SELECT k FROM shared_src WHERE 'a;end' = 'a;end';
+        |INSERT INTO ss_sink_b SELECT k FROM shared_src;
+        |END""".stripMargin)
+    assert(counts == Seq(n, n))
+    assert(acc.value == perScan,
+      s"shared source materialized ${acc.value}/$perScan partition-scans — not reused")
+    // EXPLAIN INSERT is plan-only: sink header + formatted plan, no write
+    val before = sp.table("ss_sink_a").count()
+    val ep = GraftDDL.executeExplain(sp,
+      "EXPLAIN INSERT INTO ss_sink_a SELECT k FROM shared_src")
+    assert(ep.contains("== Sink ==") && ep.contains("ss_sink_a") &&
+      ep.contains("Physical Plan"), ep)
+    val eps = GraftDDL.executeExplain(sp,
+      """EXPLAIN STATEMENT SET;
+        |INSERT INTO ss_sink_a SELECT k FROM shared_src;
+        |INSERT INTO ss_sink_b SELECT k FROM shared_src;
+        |END""".stripMargin)
+    assert("== Sink ==".r.findAllIn(eps).size == 2, eps)
+    assert(sp.table("ss_sink_a").count() == before, "EXPLAIN INSERT wrote data")
+  }
+
+  test("INSERT refresh keeps the target's computed columns") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val out = java.nio.file.Files.createTempDirectory("ddl_comp_sink").toString
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE comp_sink (
+         |  k BIGINT,
+         |  k2 AS k * 2,
+         |  pt AS PROCTIME()
+         |) WITH ('connector'='filesystem', 'path'='$out',
+         |        'format'='parquet')""".stripMargin)
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO comp_sink SELECT * FROM VALUES (1L), (2L) AS t(k)")
+    // the refreshed view must still carry the computed columns — a bare
+    // re-read of the path would have silently dropped k2 and pt
+    val refreshed = sp.table("comp_sink")
+    assert(refreshed.schema.fieldNames.toSeq == Seq("k", "k2", "pt"))
+    assert(refreshed.select("k", "k2").collect()
+      .forall(r => r.getLong(1) == 2 * r.getLong(0)))
+  }
+
   test("DDL facade binds CREATE TABLE ... WITH to a filesystem read") {
     val sp = StreamHarness.spark
     val df = graft.sources.GraftDDL.execute(sp,

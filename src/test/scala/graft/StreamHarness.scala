@@ -15,6 +15,7 @@ object StreamHarness {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
