@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -16,14 +16,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize the events `ts` column to session-zoned TimestampType,
+    * whatever physical shape the driver generated this round:
+    * INT64 TIMESTAMP(NANOS) read as long (µs-precision, so nanos→µs
+    * truncation is lossless), timestamp[us] isAdjustedToUTC=false read
+    * as TIMESTAMP_NTZ (session tz is UTC everywhere, so the cast is
+    * value-preserving), or already TimestampType. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000").cast(LongType)))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is INT64 TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read nanos as long and convert to micros
-    // (the data is µs-precision, so the truncation is lossless).
     if (name == "events") {
+      // tolerate the INT64 TIMESTAMP(NANOS) shape some rounds generate
+      // (Spark's parquet reader rejects nanos by default)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000").cast(LongType)))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -334,17 +334,17 @@ object Joins extends QueryGroup {
         |ASOF JOIN events s
         |  ON p.user_id = s.user_id AND p.cutoff >= s.ts
         |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
-      // left side first: Tables sets the nanosAsLong conf the DDL's
-      // BIGINT read of the same file relies on
       t(s, dir)("events").filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
           (col("ts") - expr("INTERVAL 1 SECOND")).as("cutoff"))
         .createOrReplaceTempView("purchases_vt")
+      // physical ts is timestamp[us] NTZ in the parquet; the computed
+      // rowtime casts it to the session-zoned type the join versions on
       graft.sources.GraftDDL.execute(s,
         s"""CREATE TABLE events_vt (
-           |  event_id BIGINT, ts BIGINT, user_id BIGINT,
+           |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
            |  event_type STRING, value DOUBLE, props STRING,
-           |  rowtime AS timestamp_micros(ts div 1000),
+           |  rowtime AS CAST(ts AS TIMESTAMP),
            |  WATERMARK FOR rowtime AS rowtime - INTERVAL '0' SECOND
            |) WITH ('connector'='filesystem',
            |        'path'='$dir/events.parquet', 'format'='parquet')""".stripMargin)

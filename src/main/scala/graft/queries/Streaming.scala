@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryGroup
+import graft.{QueryGroup, Tables}
 import graft.streaming._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,14 +22,15 @@ object Streaming extends QueryGroup {
   private val dec18_2 = DecimalType(18, 2)
   private val H72 = 259200000000L // 72 hours in µs (st23 pattern window)
 
-  /** events as an unbounded stream (nanos read as long → micros). */
+  /** events as an unbounded stream; ts normalized to TimestampType
+    * whatever physical shape the driver generated (see Tables). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast(LongType)))
+    Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private def asGEvents(s: SparkSession, dir: String) = {

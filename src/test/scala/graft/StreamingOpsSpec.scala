@@ -445,9 +445,9 @@ class StreamingOpsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val batch = pipeline(Tables(spark, dir, "events"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamIn = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000").cast("long")))
+    val streamIn = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = pipeline(streamIn).writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("unified_spec").start()
     try q.processAllAvailable() finally q.stop()
