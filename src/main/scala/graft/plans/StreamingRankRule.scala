@@ -1,0 +1,136 @@
+package graft.plans
+
+import graft.streaming.{GEvent, StreamingTopN}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.IntegerType
+
+/** Streaming recognition of the SQL rank shape — the reference plans
+  * `row_number() OVER (PARTITION BY k ORDER BY s) <= N` on a stream
+  * into its stateful Rank / Deduplicate operators instead of a window
+  * sort (flink-table/flink-table-planner-blink/src/main/scala/org/
+  * apache/flink/table/planner/plan/rules/logical/
+  * FlinkLogicalRankRule.scala:39 and
+  * .../physical/stream/StreamExecDeduplicateRule.scala).
+  *
+  * Spark has no streaming SQL rank surface at all: the analyzer
+  * accepts the query but `writeStream.start()` rejects any
+  * non-time-based window function on a streaming DataFrame. This rule
+  * closes that gap the same way the reference does — recognize the
+  * logical shape, route to the incremental operator:
+  *
+  *  - `rn <= N` ordered DESCENDING on a metric column →
+  *    [[graft.streaming.StreamingTopN]] (per-key top-n buffer in keyed
+  *    state, Update-mode revisions; ties broken by `id` ascending, so
+  *    a secondary `id` sort key, if present, must be ascending);
+  *  - `rn = 1` ordered ASCENDING on the event-time column →
+  *    keep-first deduplication (`dropDuplicates` on the partition
+  *    keys — Spark's canonical streaming dedup state, the analog of
+  *    the reference's DeduplicateKeepFirstRowFunction; first-by-
+  *    arrival equals first-by-rowtime on an in-order feed).
+  *
+  * The TopN route requires the canonical keyed-event column shape the
+  * streaming operators share (`key, tsMicros, id, kind, value` — the
+  * reference's RowData contract plays the same role); the ORDER BY
+  * column becomes the ranking `value`. Output is the operator's
+  * changelog shape ([[graft.streaming.TopNEmit]]), folded to the final
+  * ranking by max(emitSeq) — exactly how st4 consumes it.
+  */
+object StreamingRankRule {
+
+  /** The recognized rank shape: rank attribute, limit N, window
+    * partition/order, and the plan BELOW the Window node (the input
+    * the stateful operator consumes). */
+  case class RankShape(limit: Long, partition: Seq[Attribute],
+                       order: Seq[SortOrder], child: LogicalPlan)
+
+  /** `rn <= N` / `rn < N+1` / `rn = 1` / reversed — (rank attr, N). */
+  private def rankLimit(cond: Expression): Option[(Attribute, Long)] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(n: Int, IntegerType)) =>
+      Some((a, n.toLong))
+    case LessThan(a: AttributeReference, Literal(n: Int, IntegerType)) =>
+      Some((a, n.toLong - 1))
+    case EqualTo(a: AttributeReference, Literal(1, IntegerType)) => Some((a, 1L))
+    case GreaterThanOrEqual(Literal(n: Int, IntegerType), a: AttributeReference) =>
+      Some((a, n.toLong))
+    case GreaterThan(Literal(n: Int, IntegerType), a: AttributeReference) =>
+      Some((a, n.toLong - 1))
+    case _ => None
+  }
+
+  /** Recognize the Filter(rank-limit) … Window(row_number) shape in an
+    * analyzed plan. The rank attribute must be produced by a Window
+    * node below the filter (passed through untouched — projections may
+    * reorder/drop columns but not re-alias the rank). */
+  def recognize(df: DataFrame): Option[RankShape] =
+    df.queryExecution.analyzed.collectFirst(Function.unlift {
+      case Filter(cond, fchild) =>
+        for {
+          (rn, limit) <- rankLimit(cond)
+          (spec, child) <- fchild.collectFirst(Function.unlift {
+            case w: Window =>
+              w.windowExpressions.collectFirst {
+                case a @ Alias(WindowExpression(_: RowNumber,
+                    s: WindowSpecDefinition), _) if a.exprId == rn.exprId =>
+                  (s, w.child)
+              }
+            case _ => None
+          })
+          parts <- Some(spec.partitionSpec).collect {
+            case ps if ps.nonEmpty && ps.forall(_.isInstanceOf[AttributeReference]) =>
+              ps.map(_.asInstanceOf[AttributeReference].asInstanceOf[Attribute])
+          }
+          if spec.orderSpec.nonEmpty &&
+            spec.orderSpec.forall(_.child.isInstanceOf[AttributeReference])
+        } yield RankShape(limit, parts, spec.orderSpec, child)
+      case _ => None
+    })
+
+  /** Route a recognized rank-shaped streaming DataFrame to the
+    * incremental operator. None = not the rank shape (caller falls
+    * back to whatever it had). */
+  def rewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] =
+    recognize(df).map { s =>
+      import spark.implicits._
+      val child = GraftSqlBridge.ofRows(spark, s.child)
+      val orderCol = s.order.head.child.asInstanceOf[AttributeReference].name
+      val ascending = s.order.head.direction == Ascending
+      if (s.limit == 1L && ascending) {
+        // keep-first dedup (StreamExecDeduplicateRule's keep-first):
+        // ORDER BY <time> ASC, rn = 1
+        child.dropDuplicates(s.partition.map(_.name))
+      } else {
+        require(!ascending,
+          "streaming rank supports ORDER BY ... DESC (top-n) or rn=1 ASC (dedup)")
+        require(s.partition.size == 1,
+          "streaming top-n recognizes a single partition key")
+        s.order.drop(1).foreach { so =>
+          val n = so.child.asInstanceOf[AttributeReference].name
+          require(n == "id" && so.direction == Ascending,
+            s"streaming top-n breaks ties by id ASC; unsupported sort key: $n")
+        }
+        val canonical = Seq("key", "tsMicros", "id", "kind")
+        canonical.foreach(c => require(child.columns.contains(c),
+          s"streaming top-n needs the canonical keyed-event shape; missing: $c"))
+        val ds = child.select(
+          col(s.partition.head.name).cast("long").as("key"),
+          col("tsMicros").cast("long"),
+          col("id").cast("long"),
+          col("kind"),
+          col(orderCol).cast("double").as("value")).as[GEvent]
+        StreamingTopN(spark, ds, n = s.limit.toInt).toDF()
+      }
+    }
+
+  /** SQL-text surface: parse, recognize, route — fails loudly when the
+    * text is not the rank shape (mirrors the reference, where the rule
+    * either fires or the statement is rejected for a stream). */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    val df = spark.sql(sqlText)
+    rewrite(spark, df).getOrElse(
+      sys.error("not a streaming rank shape: expected " +
+        "row_number() OVER (PARTITION BY k ORDER BY s) <= N above a stream"))
+  }
+}

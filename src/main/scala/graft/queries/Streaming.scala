@@ -719,5 +719,33 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out, OutputMode.Append, "st23_out")
         .orderBy("key", "match_seq")
+    },
+
+    // Streaming rank through SQL TEXT (FlinkLogicalRankRule surface):
+    // the user writes the standard row_number()<=N rank query against
+    // the streaming view — a surface Spark rejects outright — and
+    // StreamingRankRule recognizes the Filter…Window(row_number) shape
+    // and plans StreamingTopN (st4's operator). Changelog folded to
+    // the final per-key revision, exactly like st4.
+    q("st24_rank_sql",
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 2
+        |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
+      asGEvents(s, dir).toDF().createOrReplaceTempView("rank_sql_events")
+      val routed = graft.plans.StreamingRankRule.sql(s,
+        """SELECT key, id, value, rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+          |  FROM rank_sql_events)
+          |WHERE rn <= 2""".stripMargin)
+      val table = StreamRunner.toTable(s, routed, OutputMode.Update, "st24_out")
+      val lastSeq = table.groupBy(col("key")).agg(max("emitSeq").as("emitSeq"))
+        .select(col("key").as("_k"), col("emitSeq").as("_s"))
+      table.join(lastSeq, col("key") === col("_k") && col("emitSeq") === col("_s"))
+        .select(col("key").as("user_id"), col("rank"), col("id").as("event_id"),
+          col("value"))
+        .orderBy("user_id", "rank")
     })
 }

@@ -659,6 +659,75 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rank SQL shape routes to StreamingTopN (FlinkLogicalRankRule analog)") {
+    import graft.plans.StreamingRankRule
+    val input = StreamHarness.mkStream()
+    input.toDS().toDF().createOrReplaceTempView("rank_sql_src")
+    val sqlText =
+      """SELECT key, id, value, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+        |  FROM rank_sql_src)
+        |WHERE rn <= 2""".stripMargin
+    // Spark itself REJECTS this surface on a stream — the rule is the
+    // only way the SQL text executes incrementally (same situation the
+    // reference is in before FlinkLogicalRankRule fires).
+    val plain = spark.sql(sqlText)
+    assert(plain.isStreaming)
+    val rejected = intercept[org.apache.spark.sql.AnalysisException] {
+      plain.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("rank_sql_reject").start()
+    }
+    assert(rejected.getMessage.toLowerCase.contains("window"))
+    // routed: the recognized shape becomes the incremental operator
+    val routed = StreamingRankRule.sql(spark, sqlText)
+    assert(routed.isStreaming)
+    spark.catalog.dropTempView("rank_sql_routed")
+    val q = routed.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("rank_sql_routed").start()
+    val batches = Seq(
+      Seq(ev(1, 10, 100, value = 5.0), ev(1, 11, 101, value = 9.0)),
+      Seq(ev(1, 12, 102, value = 7.0), ev(2, 13, 200, value = 3.0)),
+      Seq(ev(1, 14, 104, value = 8.0)))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table("rank_sql_routed")
+    // equals the direct library call's output shape and final ranking
+    val lastSeq = out.groupBy("key").agg(max("emitSeq").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val finalTop = out.collect()
+      .filter(r => r.getAs[Long]("emitSeq") == lastSeq(r.getAs[Long]("key")))
+      .map(r => (r.getAs[Long]("key"), r.getAs[Int]("rank"), r.getAs[Long]("id")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(finalTop == Seq((1L, 1, 101L), (1L, 2, 104L), (2L, 1, 200L)),
+      s"routed top-n ranking: $finalTop")
+  }
+
+  test("streaming rn=1 ASC SQL shape routes to keep-first dedup (StreamExecDeduplicateRule analog)") {
+    import graft.plans.StreamingRankRule
+    val input = StreamHarness.mkStream()
+    input.toDS().toDF().createOrReplaceTempView("dedup_sql_src")
+    val routed = StreamingRankRule.sql(spark,
+      """SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY tsMicros) AS rn
+        |  FROM dedup_sql_src)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    spark.catalog.dropTempView("dedup_sql_routed")
+    val q = routed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_sql_routed").start()
+    try {
+      // in-order feed: first-by-arrival == first-by-rowtime
+      input.addData(Seq(ev(1, 10, 1), ev(1, 20, 2), ev(2, 15, 3)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(1, 30, 4), ev(2, 25, 5), ev(3, 40, 6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_sql_routed")
+      .select("key", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 6L), s"keep-first dedup: $got")
+  }
+
   test("streaming FIRST/LAST measures keep null boundary values (batch min_by/max_by semantics)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
