@@ -671,5 +671,152 @@ object DsLike extends QueryGroup {
         .unionAll(stage(pu, 3, "purchase_after_click"))
         .orderBy("ord")
         .select("stage", "n_users")
+    },
+
+    // TPC-DS Q23-flavored (tpcds-tool/query/query23.sql): the repeated
+    // multi-CTE scan — frequent items (distinct-order count above 1.1×
+    // the average part frequency: an agg-of-agg scalar reused as the
+    // threshold, Q23's best_ss_customer 95%-of-max analog appears
+    // again for customers) intersected with top-spending "store"
+    // customers, then the OTHER two channels' revenue restricted to
+    // both sets. Exercises exchange/CTE reuse: `freq` and `best` each
+    // feed two union branches, and `spend` feeds both the max scalar
+    // and the filter — nothing else in the corpus scans one CTE from
+    // three consumers. Both semi joins broadcast at any SF where the
+    // frequent/best sets stay selective; the channel union is scanned
+    // once per branch with partial aggregation before the final
+    // single-key shuffle on channel.
+    q("d24_cross_channel_frequent",
+      """WITH freq0 AS (
+        |  SELECT l_partkey, count(DISTINCT l_orderkey) AS nord
+        |  FROM lineitem GROUP BY l_partkey),
+        |freq AS (
+        |  SELECT l_partkey FROM freq0
+        |  WHERE nord > 1.1 * (SELECT avg(nord) FROM freq0)),
+        |spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS amt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  GROUP BY o_custkey),
+        |best AS (
+        |  SELECT o_custkey FROM spend
+        |  WHERE CAST(amt AS DOUBLE) >= 0.5 * (SELECT CAST(max(amt) AS DOUBLE) FROM spend)),
+        |ch AS (
+        |  SELECT 'catalog' AS channel, l_partkey, o_custkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '3-MEDIUM'
+        |  UNION ALL
+        |  SELECT 'web', l_partkey, o_custkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW'))
+        |SELECT channel, count(*) AS n, CAST(sum(amt) AS DOUBLE) AS amount
+        |FROM ch
+        |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM best)
+        |GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val freq0 = li.groupBy("l_partkey")
+        .agg(countDistinct("l_orderkey").as("nord"))
+      val avgNord = freq0.agg(avg("nord").as("avg_nord"))
+      val freq = freq0.crossJoin(broadcast(avgNord))
+        .filter(col("nord") > lit(1.1) * col("avg_nord"))
+        .select("l_partkey")
+      val spend = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum(rev).as("amt"))
+      val mx = spend.agg(max("amt").cast(DoubleType).as("m"))
+      val best = spend.crossJoin(broadcast(mx))
+        .filter(col("amt").cast(DoubleType) >= lit(0.5) * col("m"))
+        .select("o_custkey")
+      def chan(name: String, cond: org.apache.spark.sql.Column) =
+        o.filter(cond).join(li, col("l_orderkey") === col("o_orderkey"))
+          .select(lit(name).as("channel"), col("l_partkey"),
+            col("o_custkey"), rev.as("amt"))
+      chan("catalog", col("o_orderpriority") === "3-MEDIUM")
+        .unionAll(chan("web",
+          col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")))
+        .join(freq, Seq("l_partkey"), "left_semi")
+        .join(best, Seq("o_custkey"), "left_semi")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n"), sum("amt").cast(DoubleType).as("amount"))
+        .orderBy("channel")
+    },
+
+    // TPC-DS Q64-flavored (tpcds-tool/query/query64.sql): the widest
+    // join tree in the corpus — lineitem through orders, customer,
+    // customer-nation, supplier, supplier-nation, part (6-way chain
+    // with the Q64 address-match analog: customer and supplier in the
+    // SAME nation), aggregated per (part, year), then SELF-JOINED
+    // across consecutive years with the returns chain joined back —
+    // parts whose local-supply revenue GREW year-over-year despite
+    // recorded returns. nation joins broadcast; the sales CTE is one
+    // shuffled aggregation consumed twice by the year self-join (the
+    // exchange-reuse shape Q64 is famous for).
+    q("d25_sales_chain_yoy",
+      """WITH sales AS (
+        |  SELECT p_partkey, p_name, year(o_orderdate) AS yr,
+        |    count(*) AS n_items,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS amt
+        |  FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |    JOIN part ON p_partkey = l_partkey
+        |  WHERE cn.n_name = sn.n_name AND l_returnflag <> 'R'
+        |  GROUP BY 1, 2, 3),
+        |ret AS (
+        |  SELECT l_partkey, year(o_orderdate) AS yr, count(*) AS n_ret
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2)
+        |SELECT s1.p_name, s1.yr,
+        |  CAST(s1.amt AS DOUBLE) AS amt_y, CAST(s2.amt AS DOUBLE) AS amt_next,
+        |  s1.n_items, r.n_ret
+        |FROM sales s1
+        |  JOIN sales s2 ON s2.p_partkey = s1.p_partkey AND s2.yr = s1.yr + 1
+        |  JOIN ret r ON r.l_partkey = s1.p_partkey AND r.yr = s1.yr
+        |WHERE CAST(s2.amt AS DOUBLE) > CAST(s1.amt AS DOUBLE)
+        |ORDER BY s1.p_name, s1.yr""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val c = t(s, dir)("customer")
+      val su = t(s, dir)("supplier")
+      val n = t(s, dir)("nation")
+      val p = t(s, dir)("part")
+      val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cn_name"))
+      val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+      val sales = li.filter(col("l_returnflag") =!= "R")
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(cn), col("cn_key") === col("c_nationkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(sn), col("sn_key") === col("s_nationkey"))
+        .filter(col("cn_name") === col("sn_name"))
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_items"), sum(rev).as("amt"))
+      val ret = li.filter(col("l_returnflag") === "R")
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_partkey"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_ret"))
+      val s1 = sales.select(col("p_partkey").as("k1"), col("p_name"),
+        col("yr"), col("n_items"), col("amt").cast(DoubleType).as("amt_y"))
+      val s2 = sales.select(col("p_partkey").as("k2"),
+        col("yr").as("yr2"), col("amt").cast(DoubleType).as("amt_next"))
+      val r = ret.select(col("l_partkey").as("kr"),
+        col("yr").as("yrr"), col("n_ret"))
+      s1.join(s2, col("k2") === col("k1") && col("yr2") === col("yr") + 1)
+        .join(r, col("kr") === col("k1") && col("yrr") === col("yr"))
+        .filter(col("amt_next") > col("amt_y"))
+        .select(col("p_name"), col("yr"), col("amt_y"), col("amt_next"),
+          col("n_items"), col("n_ret"))
+        .orderBy("p_name", "yr")
     })
 }

@@ -285,7 +285,9 @@ class PlanSpec extends AnyFunSuite {
       "v4_ivf_assign" -> "broadcast-centroid crossJoin (k rows)",
       "v5_ivf_search" -> "broadcast-centroid crossJoin (k rows)",
       "v7_semantic_dedup" -> "broadcast-centroid crossJoin (k rows); dedup pairs themselves are a cluster equi-join",
-      "d22_division" -> "single-row divisor-cardinality broadcast")
+      "d22_division" -> "single-row divisor-cardinality broadcast",
+      "d24_cross_channel_frequent" ->
+        "two single-row scalar broadcasts (avg part frequency, max customer spend)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
