@@ -666,5 +666,96 @@ object TextOps extends QueryGroup {
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           round(col("n_dup") * 1.0 / col("n_spans"), 6).as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-weighted mixture sampling (the multilingual-corpus
+    // rebalancing step: post-sample share ∝ n^α, α=0.5): per-source
+    // keep-rate = sqrt(min_n / n_src) — computed from the source's own
+    // count and the global min ONLY (one division + one sqrt, no
+    // cross-source summation, so the double is bit-identical in any
+    // partial-agg order), materialized as an integer hash threshold.
+    // Docs kept by deterministic md5(doc_id) < rate — the same
+    // RNG-free sampling contract as x14/x17. Shape at 100 TB: tiny
+    // per-source agg broadcast back, then a map-only filter.
+    q("x26_mixture_sample",
+      """WITH n AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |mn AS (SELECT min(n_src) AS min_n FROM n),
+        |r AS (SELECT source, n_src,
+        |        CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_src) * 1000000) AS BIGINT) AS thr
+        |      FROM n, mn),
+        |kept AS (
+        |  SELECT d.source,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |           % 1000000 < r.thr THEN 1 ELSE 0 END AS k
+        |  FROM documents d JOIN r USING (source))
+        |SELECT kept.source, count(*) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS n_sampled,
+        |  min(r.thr) AS thr
+        |FROM kept JOIN r ON r.source = kept.source
+        |GROUP BY kept.source ORDER BY kept.source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir)("documents")
+      val n = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val mn = n.agg(min("n_src").as("min_n"))
+      val r = n.crossJoin(broadcast(mn))
+        .select(col("source"), col("n_src"),
+          floor(sqrt(col("min_n").cast(DoubleType) / col("n_src")) * 1000000)
+            .cast(LongType).as("thr"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)
+          .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % 1000000
+      d.join(broadcast(r), "source")
+        .select(col("source"), col("thr"),
+          when(h < col("thr"), 1L).otherwise(0L).as("k"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("k").as("n_sampled"),
+          min("thr").as("thr"))
+        .orderBy("source")
+    },
+
+    // Token-budget corpus selection WITHOUT a global sort (the "take
+    // the best docs until B tokens" step): per-doc integer quality bin
+    // (type-token ratio ×1000 — lexical diversity, the repetitive-junk
+    // signal; one FP division, deterministic),
+    // 1000-bin histogram of token counts (two-phase integer agg),
+    // cumulative tokens from the top bin down over the ≤1000-row
+    // histogram, threshold = lowest bin that still fits the budget
+    // wholly (bin granularity documented: the partially-fitting bin is
+    // dropped), broadcast back as one scalar → map-only final filter.
+    // The 100 TB posture is the point: a naive ORDER BY quality global
+    // sort of the corpus is replaced by a histogram no bigger than
+    // 1000 rows regardless of corpus size. Budget = 2/5 of total
+    // tokens, exact integer arithmetic.
+    q("x27_token_budget",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    CAST(floor(1000.0 *
+        |      len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT) AS qbin
+        |  FROM documents),
+        |hist AS (SELECT qbin, sum(n_tok) AS toks FROM q GROUP BY qbin),
+        |cum AS (SELECT qbin, sum(toks) OVER (ORDER BY qbin DESC) AS cum_toks FROM hist),
+        |budget AS (SELECT CAST(floor(sum(n_tok) * 2 / 5) AS BIGINT) AS b FROM q),
+        |thr AS (SELECT min(qbin) AS tbin FROM cum, budget WHERE cum_toks <= b)
+        |SELECT doc_id, qbin, n_tok FROM q, thr WHERE qbin >= tbin
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir)("documents")
+        .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      val qd = d.select(col("doc_id"), size(col("_toks")).as("n_tok"),
+        floor(lit(1000.0) * size(array_distinct(col("_toks")))
+            / greatest(size(col("_toks")), lit(1)))
+          .cast(LongType).as("qbin"))
+      val hist = qd.groupBy("qbin").agg(sum("n_tok").as("toks"))
+      val cum = hist.select(col("qbin"), sum("toks").over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("qbin").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("cum_toks"))
+      val budget = qd.agg(floor(sum("n_tok") * 2 / 5).cast(LongType).as("b"))
+      val thr = cum.crossJoin(broadcast(budget))
+        .filter(col("cum_toks") <= col("b"))
+        .agg(min("qbin").as("tbin"))
+      qd.crossJoin(broadcast(thr))
+        .filter(col("qbin") >= col("tbin"))
+        .select("doc_id", "qbin", "n_tok")
+        .orderBy("doc_id")
     })
 }

@@ -287,7 +287,10 @@ class PlanSpec extends AnyFunSuite {
       "v7_semantic_dedup" -> "broadcast-centroid crossJoin (k rows); dedup pairs themselves are a cluster equi-join",
       "d22_division" -> "single-row divisor-cardinality broadcast",
       "d24_cross_channel_frequent" ->
-        "two single-row scalar broadcasts (avg part frequency, max customer spend)")
+        "two single-row scalar broadcasts (avg part frequency, max customer spend)",
+      "x26_mixture_sample" -> "single-row global-min broadcast (rate denominator)",
+      "x27_token_budget" ->
+        "single-row budget + threshold broadcasts (histogram-derived scalars)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
