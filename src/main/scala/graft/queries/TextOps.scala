@@ -544,11 +544,18 @@ object TextOps extends QueryGroup {
         |SELECT doc_id, dup_ratio,
         |  CASE WHEN dup_ratio <= 0.05 THEN 'kept' ELSE 'filtered' END AS status
         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // filter on TOKEN count, not on size(_bi): a size(_bi)>0 filter
+      // gets pushed below the projections and the pushdown substitutes
+      // the whole bigram expression with split() re-inlined per
+      // element_at — recomputing the shingle array per row just to
+      // test emptiness (measured 4.8 s → 1.3 s at sf0.1). size(_toks)
+      // >= 2 is the same predicate and pushes down as a cheap O(n)
+      // split+size.
       val bi = bigramShinglesFromTokens(col("_toks"))
       t(s, dir)("documents")
         .select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .filter(size(col("_toks")) >= 2)
         .select(col("doc_id"), bi.as("_bi"))
-        .filter(size(col("_bi")) > 0)
         .select(col("doc_id"),
           round(lit(1.0) - size(array_distinct(col("_bi"))).cast(DoubleType) /
             size(col("_bi")), 6).as("dup_ratio"))
