@@ -92,6 +92,29 @@ class InvarianceSpec extends AnyFunSuite {
     }(Tables(spark, dir, "documents"))
   }
 
+  test("mixture-sampling rates and token-budget threshold are partition-invariant") {
+    // both queries derive floating-point scalars from aggregates
+    // (sqrt(min/n) rate; histogram cumulative threshold) — the claim
+    // that those doubles are partial-agg-order invariant (no FP
+    // summation feeds them) is exactly what hostile layouts test
+    Seq("x26_mixture_sample", "x27_token_budget").foreach { qn =>
+      val fn = SparkEntry.queries(qn)
+      val base = canon(fn(spark, dir))
+      // the query functions read through Tables(dir), so a relaid input
+      // is not injectable; vary spark.sql.shuffle.partitions instead —
+      // the planner knob that changes the physical layout (and thus
+      // partial-agg grouping/order) corpus-wide
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        Seq("7", "3").foreach { p =>
+          spark.conf.set("spark.sql.shuffle.partitions", p)
+          assert(canon(fn(spark, dir)) == base,
+            s"$qn result changed under shuffle.partitions=$p")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("delta-iteration connected components are partition-invariant") {
     val docs = Tables(spark, dir, "documents")
     assertInvariant("labelPropagationDelta") { d =>
