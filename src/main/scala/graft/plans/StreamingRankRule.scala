@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.streaming.{GEvent, StreamingTopN}
+import graft.streaming.{GEvent, StreamingDedupKeepFirst, StreamingTopN}
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
@@ -26,10 +26,12 @@ import org.apache.spark.sql.types.IntegerType
   *    state, Update-mode revisions; ties broken by `id` ascending, so
   *    a secondary `id` sort key, if present, must be ascending);
   *  - `rn = 1` ordered ASCENDING on the event-time column →
-  *    keep-first deduplication (`dropDuplicates` on the partition
-  *    keys — Spark's canonical streaming dedup state, the analog of
-  *    the reference's DeduplicateKeepFirstRowFunction; first-by-
-  *    arrival equals first-by-rowtime on an in-order feed).
+  *    keep-first deduplication: the canonical keyed-event shape routes
+  *    to [[graft.streaming.StreamingDedupKeepFirst]] (rowtime
+  *    DeduplicateKeepFirstRowFunction semantics — the batch-equal
+  *    first row per group, exactly once, at watermark maturity);
+  *    other shapes fall back to `dropDuplicates` (arrival-order /
+  *    proctime dedup state).
   *
   * The TopN route requires the canonical keyed-event column shape the
   * streaming operators share (`key, tsMicros, id, kind, value` — the
@@ -99,8 +101,25 @@ object StreamingRankRule {
       val ascending = s.order.head.direction == Ascending
       if (s.limit == 1L && ascending) {
         // keep-first dedup (StreamExecDeduplicateRule's keep-first):
-        // ORDER BY <time> ASC, rn = 1
-        child.dropDuplicates(s.partition.map(_.name))
+        // ORDER BY <time> ASC, rn = 1. With the canonical keyed-event
+        // shape and an event-time order column this routes to the
+        // EVENT-TIME dedup operator (rowtime
+        // DeduplicateKeepFirstRowFunction semantics: the batch-equal
+        // first row, exactly once, at watermark maturity); otherwise
+        // it falls back to dropDuplicates — Spark's arrival-order
+        // (proctime) dedup state.
+        val names = s.partition.map(_.name).toSet
+        val canonicalShape =
+          Seq("key", "tsMicros", "id", "kind", "value").forall(child.columns.contains)
+        if (canonicalShape && orderCol == "tsMicros" &&
+            names.subsetOf(Set("key", "kind")) && names.contains("key") &&
+            s.order.drop(1).forall(so =>
+              so.child.asInstanceOf[AttributeReference].name == "id" &&
+                so.direction == Ascending)) {
+          StreamingDedupKeepFirst(spark,
+            child.select("key", "tsMicros", "id", "kind", "value").as[GEvent],
+            byKind = names.contains("kind")).toDF()
+        } else child.dropDuplicates(s.partition.map(_.name))
       } else {
         require(!ascending,
           "streaming rank supports ORDER BY ... DESC (top-n) or rn=1 ASC (dedup)")

@@ -747,5 +747,35 @@ object Streaming extends QueryGroup {
         .select(col("key").as("user_id"), col("rank"), col("id").as("event_id"),
           col("value"))
         .orderBy("user_id", "rank")
+    },
+
+    // Streaming EVENT-TIME keep-first dedup through SQL text
+    // (StreamExecDeduplicateRule route of StreamingRankRule): rn=1
+    // ordered by event time routes to StreamingDedupKeepFirst — the
+    // rowtime DeduplicateKeepFirstRowFunction, emitting each group's
+    // (ts, id)-minimal row exactly once at watermark maturity, so the
+    // streamed result equals the batch rank-1 row for every group the
+    // watermark passed (arrival-order dropDuplicates could not be
+    // oracle-checked: which row arrives first is a partition race).
+    q("st25_dedup_sql",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT user_id, event_type, event_id, first_ts_us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS first_ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) r, wm
+        |WHERE rn = 1 AND first_ts_us <= wm.wm_us
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      asGEvents(s, dir).toDF().createOrReplaceTempView("dedup_sql_events")
+      val routed = graft.plans.StreamingRankRule.sql(s,
+        """SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key, kind
+          |                               ORDER BY tsMicros, id) AS rn
+          |  FROM dedup_sql_events)
+          |WHERE rn = 1""".stripMargin)
+      StreamRunner.toTable(s, routed, OutputMode.Append, "st25_out")
+        .select(col("key").as("user_id"), col("kind").as("event_type"),
+          col("id").as("event_id"), col("tsMicros").as("first_ts_us"))
+        .orderBy("user_id", "event_type")
     })
 }

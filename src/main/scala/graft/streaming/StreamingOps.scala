@@ -82,6 +82,85 @@ object StreamingTopN {
   }
 }
 
+/** Emitted by StreamingDedupKeepFirst: the event-time-first row of
+  * each (key[, kind]) group, exactly once, at watermark maturity. */
+case class DedupEmit(key: Long, kind: String, id: Long, tsMicros: Long,
+                     value: Double)
+
+/** Streaming keep-first deduplication on EVENT TIME (SURVEY.md §2.6 —
+  * the reference's rowtime dedup,
+  * `operators/deduplicate/DeduplicateKeepFirstRowFunction.java`):
+  * emit the (tsMicros, id)-minimal row per group exactly once, when
+  * the watermark passes its timestamp — at that point no earlier row
+  * can still arrive (older-than-watermark input is dropped before the
+  * operator), so the emission equals the batch
+  * `row_number() OVER (ORDER BY ts, id) = 1` row. Append-mode output;
+  * `dropDuplicates` (arrival-order keep-first) is NOT equivalent on a
+  * multi-partition source — which row arrives first is a race.
+  *
+  * State: one candidate row per group until maturity, then a
+  * tombstone so later rows stay suppressed. `idleRetentionMicros`
+  * evicts the tombstone after the watermark passes the emitted
+  * timestamp by the retention span (the idle-state-retention trade:
+  * a very late duplicate arriving after eviction would re-emit).
+  */
+object StreamingDedupKeepFirst {
+  case class State(ts: Long, id: Long, value: Double, emitted: Boolean)
+
+  def apply(spark: SparkSession, ds: Dataset[GEvent], byKind: Boolean,
+            watermarkDelay: String = "1 minute",
+            idleRetentionMicros: Long = Long.MaxValue): Dataset[DedupEmit] = {
+    import spark.implicits._
+    val withTs = ds
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    withTs.groupByKey(e => (e.key, if (byKind) e.kind else ""))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (gk: (Long, String), rows: Iterator[GEvent], state: GroupState[State]) =>
+        val wm = state.getCurrentWatermarkMs() * 1000L
+        val cur = state.getOption
+        if (cur.exists(_.emitted)) {
+          // tombstone: suppress post-emission rows; evict on retention
+          rows.foreach(_ => ())
+          if (idleRetentionMicros != Long.MaxValue) {
+            val s = cur.get
+            if (wm >= s.ts + idleRetentionMicros) state.remove()
+            else state.setTimeoutTimestamp(
+              ((s.ts + idleRetentionMicros) / 1000L + 1)
+                max (state.getCurrentWatermarkMs() + 1))
+          }
+          Iterator.empty
+        } else {
+          var cand = cur.map(s => (s.ts, s.id, s.value))
+          rows.foreach { e =>
+            val earlier = cand.forall(c =>
+              e.tsMicros < c._1 || (e.tsMicros == c._1 && e.id < c._2))
+            if (earlier) cand = Some((e.tsMicros, e.id, e.value))
+          }
+          cand match {
+            case Some((ts, id, v)) if ts <= wm =>
+              // matured: no earlier row can arrive — emit exactly once
+              state.update(State(ts, id, v, emitted = true))
+              if (idleRetentionMicros != Long.MaxValue)
+                state.setTimeoutTimestamp(
+                  ((ts + idleRetentionMicros) / 1000L + 1)
+                    max (state.getCurrentWatermarkMs() + 1))
+              Iterator.single(DedupEmit(gk._1, gk._2, id, ts, v))
+            case Some((ts, id, v)) =>
+              state.update(State(ts, id, v, emitted = false))
+              // flush on the no-data batch once the watermark matures us
+              state.setTimeoutTimestamp(
+                (ts / 1000L + 1) max (state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            case None => Iterator.empty
+          }
+        }
+    }
+  }
+}
+
 /** Streaming as-of (temporal) join — TemporalRowTimeJoinOperator.java:70
   * semantics: buffer both sides in keyed state; when the watermark
   * passes a left row's time, join it to the latest right version at or

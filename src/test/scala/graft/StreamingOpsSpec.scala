@@ -703,7 +703,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"routed top-n ranking: $finalTop")
   }
 
-  test("streaming rn=1 ASC SQL shape routes to keep-first dedup (StreamExecDeduplicateRule analog)") {
+  test("streaming rn=1 ASC SQL shape routes to event-time keep-first dedup (StreamExecDeduplicateRule analog)") {
     import graft.plans.StreamingRankRule
     val input = StreamHarness.mkStream()
     input.toDS().toDF().createOrReplaceTempView("dedup_sql_src")
@@ -717,14 +717,21 @@ class StreamingOpsSpec extends AnyFunSuite {
     val q = routed.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("dedup_sql_routed").start()
     try {
-      // in-order feed: first-by-arrival == first-by-rowtime
-      input.addData(Seq(ev(1, 10, 1), ev(1, 20, 2), ev(2, 15, 3)))
+      // OUT-OF-ORDER feed: key 1's later-arriving row carries the
+      // EARLIER timestamp — arrival-order dropDuplicates would keep
+      // id 2; event-time dedup must keep id 1.
+      input.addData(Seq(ev(1, 20, 2), ev(2, 15, 3)))
       q.processAllAvailable()
-      input.addData(Seq(ev(1, 30, 4), ev(2, 25, 5), ev(3, 40, 6)))
+      input.addData(Seq(ev(1, 10, 1), ev(2, 25, 5), ev(3, 40, 6)))
+      q.processAllAvailable()
+      // flush: watermark (delay 1 min) must pass every candidate
+      input.addData(Seq(ev(9, 200, 9)))
+      q.processAllAvailable()
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("dedup_sql_routed")
       .select("key", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 9's own candidate never matures (200 > wm 140) — not emitted
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 6L), s"keep-first dedup: $got")
   }
 
