@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.streaming.{GEvent, StreamingDedupKeepFirst, StreamingTopN}
+import graft.streaming.{GEvent, StreamingDedupKeepFirst, StreamingDedupKeepLast, StreamingTopN}
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
@@ -31,7 +31,11 @@ import org.apache.spark.sql.types.IntegerType
   *    DeduplicateKeepFirstRowFunction semantics — the batch-equal
   *    first row per group, exactly once, at watermark maturity);
   *    other shapes fall back to `dropDuplicates` (arrival-order /
-  *    proctime dedup state).
+  *    proctime dedup state);
+  *  - `rn = 1` ordered DESCENDING on the event-time column →
+  *    [[graft.streaming.StreamingDedupKeepLast]]
+  *    (DeduplicateKeepLastRowFunction: an update stream of the latest
+  *    row per group, folded to the final row by max emitSeq).
   *
   * The TopN route requires the canonical keyed-event column shape the
   * streaming operators share (`key, tsMicros, id, kind, value` — the
@@ -120,6 +124,20 @@ object StreamingRankRule {
             child.select("key", "tsMicros", "id", "kind", "value").as[GEvent],
             byKind = names.contains("kind")).toDF()
         } else child.dropDuplicates(s.partition.map(_.name))
+      } else if (s.limit == 1L && orderCol == "tsMicros" && {
+        val names = s.partition.map(_.name).toSet
+        Seq("key", "tsMicros", "id", "kind", "value").forall(child.columns.contains) &&
+          names.subsetOf(Set("key", "kind")) && names.contains("key") &&
+          s.order.drop(1).forall(so =>
+            so.child.asInstanceOf[AttributeReference].name == "id" &&
+              so.direction == Descending)
+      }) {
+        // keep-last dedup (DeduplicateKeepLastRowFunction): rn=1
+        // ORDER BY <time> DESC — an update stream of the latest row
+        // per group, folded to the final row by max(emitSeq)
+        StreamingDedupKeepLast(spark,
+          child.select("key", "tsMicros", "id", "kind", "value").as[GEvent],
+          byKind = s.partition.map(_.name).contains("kind")).toDF()
       } else {
         require(!ascending,
           "streaming rank supports ORDER BY ... DESC (top-n) or rn=1 ASC (dedup)")

@@ -777,5 +777,36 @@ object Streaming extends QueryGroup {
         .select(col("key").as("user_id"), col("kind").as("event_type"),
           col("id").as("event_id"), col("tsMicros").as("first_ts_us"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Streaming keep-LAST dedup through SQL text (the other
+    // StreamExecDeduplicateRule route): rn=1 ORDER BY time DESC routes
+    // to StreamingDedupKeepLast — an UPDATE stream whose fold
+    // (max emitSeq per group) is the event-time-latest row regardless
+    // of arrival order; no watermark wait, state = one row per group.
+    q("st26_dedup_last_sql",
+      """SELECT user_id, event_type, event_id, last_ts_us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS last_ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) r
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      asGEvents(s, dir).toDF().createOrReplaceTempView("dedup_last_events")
+      val routed = graft.plans.StreamingRankRule.sql(s,
+        """SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key, kind
+          |                               ORDER BY tsMicros DESC, id DESC) AS rn
+          |  FROM dedup_last_events)
+          |WHERE rn = 1""".stripMargin)
+      val table = StreamRunner.toTable(s, routed, OutputMode.Update, "st26_out")
+      val lastSeq = table.groupBy(col("key"), col("kind"))
+        .agg(max("emitSeq").as("emitSeq"))
+        .select(col("key").as("_k"), col("kind").as("_kd"), col("emitSeq").as("_s"))
+      table.join(lastSeq, col("key") === col("_k") && col("kind") === col("_kd")
+          && col("emitSeq") === col("_s"))
+        .select(col("key").as("user_id"), col("kind").as("event_type"),
+          col("id").as("event_id"), col("tsMicros").as("last_ts_us"))
+        .orderBy("user_id", "event_type")
     })
 }

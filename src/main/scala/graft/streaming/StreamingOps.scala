@@ -161,6 +161,52 @@ object StreamingDedupKeepFirst {
   }
 }
 
+/** Emitted by StreamingDedupKeepLast: the current event-time-latest
+  * row of a (key[, kind]) group; emitSeq is the per-group revision —
+  * folding to max(emitSeq) yields the final keep-last row (the
+  * changelog-fold convention for Spark's missing RowKind). */
+case class DedupLastEmit(key: Long, kind: String, id: Long, tsMicros: Long,
+                         value: Double, emitSeq: Long)
+
+/** Streaming keep-LAST deduplication (SURVEY.md §2.6 — the
+  * reference's `DeduplicateKeepLastRowFunction.java:34`): state holds
+  * only the (tsMicros, id)-maximal row per group; a newer arrival
+  * replaces it and emits a new revision immediately (no watermark
+  * wait — keep-last is an update stream, exactly the reference's
+  * semantics). Within a micro-batch only the newest row emits (the
+  * reference's minibatch dedup). The changelog folds deterministically:
+  * max(emitSeq) per group is the event-time-maximal row regardless of
+  * arrival order. State: one row per group, bounded by group count.
+  */
+object StreamingDedupKeepLast {
+  case class State(ts: Long, id: Long, value: Double, seq: Long)
+
+  def apply(spark: SparkSession, ds: Dataset[GEvent],
+            byKind: Boolean): Dataset[DedupLastEmit] = {
+    import spark.implicits._
+    ds.groupByKey(e => (e.key, if (byKind) e.kind else ""))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (gk: (Long, String), rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption
+        var best = cur.map(s => (s.ts, s.id, s.value))
+        rows.foreach { e =>
+          val newer = best.forall(b =>
+            e.tsMicros > b._1 || (e.tsMicros == b._1 && e.id > b._2))
+          if (newer) best = Some((e.tsMicros, e.id, e.value))
+        }
+        best match {
+          case Some((ts, id, v))
+              if cur.forall(s => ts != s.ts || id != s.id) =>
+            val seq = cur.map(_.seq).getOrElse(0L) + 1
+            state.update(State(ts, id, v, seq))
+            Iterator.single(DedupLastEmit(gk._1, gk._2, id, ts, v, seq))
+          case _ => Iterator.empty
+        }
+    }
+  }
+}
+
 /** Streaming as-of (temporal) join — TemporalRowTimeJoinOperator.java:70
   * semantics: buffer both sides in keyed state; when the watermark
   * passes a left row's time, join it to the latest right version at or

@@ -735,6 +735,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 6L), s"keep-first dedup: $got")
   }
 
+  test("streaming rn=1 DESC SQL shape routes to keep-last dedup (update-stream revisions)") {
+    import graft.plans.StreamingRankRule
+    val input = StreamHarness.mkStream()
+    input.toDS().toDF().createOrReplaceTempView("dedup_last_src")
+    val routed = StreamingRankRule.sql(spark,
+      """SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY tsMicros DESC) AS rn
+        |  FROM dedup_last_src)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    spark.catalog.dropTempView("dedup_last_routed")
+    val q = routed.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("dedup_last_routed").start()
+    try {
+      input.addData(Seq(ev(1, 10, 1), ev(2, 15, 3)))
+      q.processAllAvailable()
+      // key 1: NEWER row replaces (revision 2); then an OLDER row
+      // arrives and must NOT emit a revision (event-time, not arrival)
+      input.addData(Seq(ev(1, 30, 4)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(1, 20, 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_last_routed").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("id"), r.getAs[Long]("emitSeq")))
+    // fold: latest revision per key is the event-time-maximal row
+    val fold = out.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._3)._2 }
+    assert(fold == Map(1L -> 4L, 2L -> 3L), s"keep-last fold: $fold")
+    // the out-of-order older row produced no revision
+    assert(out.count(_._1 == 1L) == 2, s"revisions for key 1: ${out.toSeq}")
+  }
+
   test("streaming FIRST/LAST measures keep null boundary values (batch min_by/max_by semantics)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
