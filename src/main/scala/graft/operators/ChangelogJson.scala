@@ -67,4 +67,38 @@ object ChangelogJson {
         x => x.isNotNull)).as("_p"))
       .select(col("_p._r.*"), col("_p._k").as("_change_kind"))
   }
+
+  /** Maxwell-style CDC envelope (the reference's maxwell-json format,
+    * flink-formats/flink-json/.../maxwell/
+    * MaxwellJsonDeserializationSchema.java): {"type":
+    * "insert"|"update"|"delete", "data": row, "old": partial row} —
+    * single rows, lowercase types, and `old` carries ONLY the changed
+    * columns' previous values. insert → +I(data); delete → -D(data);
+    * update → -U(data overlaid with old where old is non-null — the
+    * reference merges field-by-field the same way, with the same
+    * delta: an update that set a column TO null from a null old value
+    * is indistinguishable from an unchanged column) then +U(data).
+    * Unknown types (maxwell also emits bootstrap-* rows) drop. */
+  def parseMaxwell(df: DataFrame, jsonCol: String,
+                   rowSchema: StructType): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("type", StringType),
+      StructField("data", rowSchema),
+      StructField("old", rowSchema)))
+    def tag1(row: Column, kind: String): Column =
+      when(row.isNotNull, struct(row.as("_r"), lit(kind).as("_k")))
+    val before = struct(rowSchema.fields.toIndexedSeq.map(f =>
+      coalesce(col(s"_e.old.${f.name}"), col(s"_e.data.${f.name}"))
+        .as(f.name)): _*)
+    val tagBefore =
+      when(col("_e.data").isNotNull, struct(before.as("_r"), lit("-U").as("_k")))
+    df.select(from_json(col(jsonCol), envelope).as("_e"))
+      .select(explode(filter(
+        when(col("_e.type") === "insert", array(tag1(col("_e.data"), "+I")))
+          .when(col("_e.type") === "delete", array(tag1(col("_e.data"), "-D")))
+          .when(col("_e.type") === "update", array(
+            tagBefore, tag1(col("_e.data"), "+U"))),
+        x => x.isNotNull)).as("_p"))
+      .select(col("_p._r.*"), col("_p._k").as("_change_kind"))
+  }
 }

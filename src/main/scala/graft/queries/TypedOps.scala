@@ -233,6 +233,49 @@ object TypedOps extends QueryGroup {
         .orderBy("user_id")
     },
 
+    // Maxwell-JSON CDC ingestion (MaxwellJsonDeserializationSchema —
+    // single rows, lowercase types, and `old` carrying ONLY the
+    // changed columns: user_id is omitted from the update's old image,
+    // so the -U row exercises the field-by-field merge of old over
+    // data). Same feed and fold as ty9/ty11.
+    q("ty12_maxwell_json",
+      """WITH v AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nv
+        |  FROM events)
+        |SELECT user_id, event_id AS final_event, value AS final_value,
+        |  2 * nv - 1 AS n_ops
+        |FROM v WHERE rn = nv ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val v = t(s, dir)("events").select("user_id", "event_id", "value")
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_pev", lag(col("event_id"), 1).over(w))
+        .withColumn("_pval", lag(col("value"), 1).over(w))
+      val msgs = v.select(
+        when(col("_rn") === 1,
+          to_json(struct(lit("insert").as("type"),
+            struct(col("user_id"), col("event_id"), col("value")).as("data"))))
+        .otherwise(
+          to_json(struct(lit("update").as("type"),
+            struct(col("user_id"), col("event_id"), col("value")).as("data"),
+            // maxwell old image: changed columns only (no user_id)
+            struct(col("_pev").as("event_id"),
+              col("_pval").as("value")).as("old"))))
+        .as("msg"))
+      val rowSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("value", DoubleType)))
+      val log = graft.operators.ChangelogJson
+        .parseMaxwell(msgs, "msg", rowSchema).persist()
+      val counts = log.groupBy("user_id").agg(count(lit(1)).as("n_ops"))
+      Changelog.fold(log, Seq("user_id"), "event_id")
+        .join(counts, "user_id")
+        .select(col("user_id"), col("event_id").as("final_event"),
+          col("value").as("final_value"), col("n_ops"))
+        .orderBy("user_id")
+    },
+
     // Salted two-phase aggregation (skew split): identical result to a
     // direct groupBy, hot keys fanned over 8 reducers first.
     q("ty7_salted_agg",
