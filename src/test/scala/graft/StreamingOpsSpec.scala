@@ -735,6 +735,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 6L), s"keep-first dedup: $got")
   }
 
+  test("StreamingDedupKeepFirst evicts the post-emission tombstone after retention") {
+    import graft.streaming.StreamingDedupKeepFirst
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("dedup_ttl_spec")
+    val out = StreamingDedupKeepFirst(spark, input.toDS(), byKind = false,
+      watermarkDelay = "0 seconds", idleRetentionMicros = 60L * 1000000L)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_ttl_spec").start()
+    def push(evs: graft.streaming.GEvent*): Unit = {
+      input.addData(evs); q.processAllAvailable()
+    }
+    try {
+      push(ev(1, 10, 1))       // candidate buffered
+      push(ev(2, 20, 2))       // wm 20: key 1 matures and emits; tombstone left
+      push(ev(2, 1000, 3))     // wm 1000 > 10+60: tombstone evicted by timer
+      push(ev(1, 1005, 9))     // key 1 returns AFTER eviction: fresh candidate
+      push(ev(2, 2000, 4))     // matures the reborn candidate
+    } finally q.stop()
+    val stateTotals = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    assert(stateTotals.nonEmpty && stateTotals.min <= 1,
+      s"tombstone never evicted: $stateTotals")
+    // post-eviction re-emission: the documented retention trade — a
+    // very late duplicate after eviction re-emits as a fresh first
+    val key1 = spark.table("dedup_ttl_spec").filter(col("key") === 1)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(key1 == Seq(1L, 9L), s"expected original + post-eviction emission: $key1")
+  }
+
   test("streaming rn=1 DESC SQL shape routes to keep-last dedup (update-stream revisions)") {
     import graft.plans.StreamingRankRule
     val input = StreamHarness.mkStream()
