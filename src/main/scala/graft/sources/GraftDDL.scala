@@ -311,6 +311,29 @@ object GraftDDL {
   def showTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).sorted.toSeq
 
+  /** The rest of the reference's SHOW family (SqlToOperationConverter
+    * show-statement paths; catalog metadata only, no data reads):
+    * SHOW CATALOGS → the session's catalog names; SHOW DATABASES →
+    * namespaces of the current catalog; SHOW VIEWS → temp views
+    * (every DDL-registered table here IS a view binding); SHOW
+    * FUNCTIONS → registered function names, including the gap
+    * functions GraftExtensions injects (is_alpha …). */
+  def executeShow(spark: SparkSession, stmt: String): Seq[String] =
+    stmt.trim.toUpperCase.stripSuffix(";").trim match {
+      case "SHOW TABLES" => showTables(spark)
+      case "SHOW CATALOGS" =>
+        spark.catalog.listCatalogs().collect().map(_.name).sorted.toSeq
+      case "SHOW DATABASES" =>
+        spark.catalog.listDatabases().collect().map(_.name).sorted.toSeq
+      case "SHOW VIEWS" =>
+        spark.catalog.listTables().collect()
+          .filter(t => t.tableType == "TEMPORARY" || t.tableType == "VIEW")
+          .map(_.name).sorted.toSeq
+      case "SHOW FUNCTIONS" =>
+        spark.catalog.listFunctions().collect().map(_.name).sorted.toSeq
+      case other => sys.error(s"unsupported SHOW statement: $other")
+    }
+
   /** Parse + bind + register; returns the bound DataFrame. */
   def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
     case createRe(name, colsText, propsText) =>

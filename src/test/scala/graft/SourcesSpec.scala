@@ -160,6 +160,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(GraftDDL.executeDescribe(sp, "DESCRIBE ins_sink2") ==
       Seq(("o_orderkey", "bigint", true)))
     assert(GraftDDL.showTables(sp).contains("ins_sink2"))
+    // SHOW family (catalog metadata only): tables/views list the
+    // registered bindings, functions include the GraftExtensions gap
+    // functions, catalogs/databases reflect the session catalog
+    assert(GraftDDL.executeShow(sp, "SHOW TABLES").contains("ins_sink2"))
+    assert(GraftDDL.executeShow(sp, "SHOW VIEWS").contains("ins_sink2"))
+    assert(GraftDDL.executeShow(sp, "SHOW CATALOGS").contains("spark_catalog"))
+    assert(GraftDDL.executeShow(sp, "SHOW DATABASES").contains("default"))
+    val fns = GraftDDL.executeShow(sp, "SHOW FUNCTIONS")
+    assert(fns.contains("is_alpha") && fns.contains("split_index"),
+      s"gap functions missing from SHOW FUNCTIONS (${fns.size} listed)")
+    intercept[RuntimeException](GraftDDL.executeShow(sp, "SHOW JARS"))
   }
 
   test("statement sets scan a shared source once; EXPLAIN covers INSERT") {
