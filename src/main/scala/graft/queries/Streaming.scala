@@ -366,6 +366,29 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // Streaming UNBOUNDED PRECEDING OVER (RowTimeRowsUnbounded-
+    // PrecedingFunction): per-user running sum over everything so far
+    // in event-time order — O(1) accumulator state per key, no frame
+    // tail retained at all.
+    q("st27_stream_over_unbounded",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS n_so_far
+        |FROM events, wm WHERE epoch_us(ts) <= wm.wm_us
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = StreamingUnboundedOverAgg(s, asGEvents(s, dir),
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st27_out")
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("frameSum").cast(DoubleType).as("running_sum"),
+          col("nInFrame").as("n_so_far"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Streaming RANGE-frame OVER: per-user 30-minute trailing sum.
     q("st12_stream_range_over",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)

@@ -49,6 +49,49 @@ object StreamingOverAgg {
   }
 }
 
+/** UNBOUNDED PRECEDING variant (SURVEY.md §2.5 —
+  * RowTimeRowsUnboundedPrecedingFunction.java semantics): per-key
+  * running aggregate over ALL rows up to the current one in
+  * (event-time, id) order, emitted at watermark maturity. State is a
+  * single O(1) accumulator (running sum + count, BigDecimal-exact)
+  * plus the not-yet-mature buffer — the smallest state footprint of
+  * the over family: no frame tail is retained at all.
+  */
+object StreamingUnboundedOverAgg {
+  case class State(sumCents: Long, n: Int, pending: List[(Long, Long, Double)])
+
+  def apply(spark: SparkSession, events: Dataset[GEvent],
+            watermarkDelay: String = "1 minute"): Dataset[OverEmit] = {
+    import spark.implicits._
+    val tagged = events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(0L, 0, Nil))
+        var pending = cur.pending
+        rows.foreach(e => pending = (e.tsMicros, e.id, e.value) :: pending)
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (mature, stillPending) = pending.partition(_._1 <= wmMicros)
+        // exact running sum in integer cents (values are 2-dp money)
+        var sumCents = cur.sumCents
+        var n = cur.n
+        val out = mature.sortBy(r => (r._1, r._2)).map { case (ts, id, v) =>
+          sumCents += BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(100).toLongExact
+          n += 1
+          OverEmit(key, id, ts, BigDecimal(sumCents) / 100, n)
+        }
+        state.update(State(sumCents, n, stillPending))
+        if (stillPending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+}
+
 /** RANGE-frame variant (RowTimeRangeBoundedPrecedingFunction.java
   * semantics): per-key sum over events in [t − range, t], emitted at
   * watermark maturity; history pruned to the range window → bounded
