@@ -389,6 +389,34 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // Streaming SEMI/ANTI join (StreamingSemiAntiJoinOperator):
+    // purchases flagged by whether the user had signed up at-or-before
+    // the purchase's event time — EXISTS determinized at watermark
+    // maturity, O(1) right-counter state per key. matched=1 rows are
+    // the SEMI join, matched=0 the ANTI join; both surfaces ride one
+    // operator exactly like the reference's.
+    q("st28_stream_semi_anti",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT l.user_id, l.event_id,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM r
+        |                         WHERE r.user_id = l.user_id AND r.ts <= l.ts)
+        |       THEN 1 ELSE 0 END AS INT) AS matched_flag
+        |FROM l, wm WHERE epoch_us(l.ts) <= wm.wm_us
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingSemiAntiJoin(s,
+        left = ev.filter(col("kind") === "purchase").as[GEvent],
+        right = ev.filter(col("kind") === "signup").as[GEvent],
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st28_out")
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          when(col("matched"), 1).otherwise(0).cast("int").as("matched_flag"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Streaming RANGE-frame OVER: per-user 30-minute trailing sum.
     q("st12_stream_range_over",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)

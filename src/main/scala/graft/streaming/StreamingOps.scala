@@ -325,6 +325,62 @@ object StreamingProcTimeTemporalJoin {
   }
 }
 
+/** Emitted by StreamingSemiAntiJoin: each matured left row with
+  * whether a right-side row of the same key existed at (event-time ≤)
+  * its timestamp — `matched` filters to SEMI, `!matched` to ANTI. */
+case class SemiEmit(key: Long, id: Long, tsMicros: Long, matched: Boolean)
+
+/** Streaming SEMI/ANTI join (SURVEY.md §2.3 — the reference's
+  * StreamingSemiAntiJoinOperator.java: EXISTS / NOT EXISTS over an
+  * unbounded stream). The reference emits a changelog (a left row's
+  * membership retracts as the right side changes); this is the
+  * event-time determinization of that changelog — each left row is
+  * judged ONCE, at watermark maturity, against the rights with
+  * `right.ts <= left.ts` (rows the stream had actually seen by the
+  * left row's event time), so the append-mode output is deterministic
+  * and batch-equal. State is O(1) per key: matured sides process in
+  * (ts, side, id) order against a running right-row counter — no
+  * right-side history is retained at all (plus the not-yet-mature
+  * buffer the watermark bounds).
+  */
+object StreamingSemiAntiJoin {
+  case class State(nRights: Long, pending: List[(Long, Long, Boolean)])
+
+  def apply(spark: SparkSession, left: Dataset[GEvent], right: Dataset[GEvent],
+            watermarkDelay: String = "1 minute"): Dataset[SemiEmit] = {
+    import spark.implicits._
+    val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[GEvent]
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        val cur = state.getOption.getOrElse(State(0L, Nil))
+        var pending = cur.pending
+        rows.foreach(e => pending = (e.tsMicros, e.id, e.kind == "R") :: pending)
+        val wm = state.getCurrentWatermarkMs() * 1000L
+        val (mature, stillPending) = pending.partition(_._1 <= wm)
+        var nRights = cur.nRights
+        // rights sort before lefts at the same timestamp: an exact-tie
+        // right counts for the left (EXISTS at ts is inclusive)
+        val out = mature.sortBy { case (ts, id, isR) => (ts, !isR, id) }
+          .flatMap { case (ts, id, isR) =>
+            if (isR) { nRights += 1; None }
+            else Some(SemiEmit(key, id, ts, nRights > 0))
+          }
+        if (stillPending.isEmpty && nRights == 0L) {
+          if (state.exists) state.remove()
+        } else {
+          state.update(State(nRights, stillPending))
+          if (stillPending.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        }
+        out.iterator
+    }
+  }
+}
+
 /** Streaming CEP "A followedBy B within T" (SURVEY.md §2.9 —
   * flink-cep NFA semantics for the relaxed-contiguity two-step
   * pattern): pending A's wait in keyed state; B's are buffered until

@@ -735,6 +735,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 6L), s"keep-first dedup: $got")
   }
 
+  test("StreamingSemiAntiJoin judges each left at maturity against rights <= its event time") {
+    val batches = Seq(
+      // left@30 arrives BEFORE the right@25 that should match it —
+      // maturity-time judgment must still see the earlier right
+      Seq(ev(1, 30, 10, kind = "L")),
+      // wm=20 here: both rows arrive above it (out-of-order but not late)
+      Seq(ev(1, 25, 1, kind = "R"), ev(1, 22, 11, kind = "L")),
+      // exact tie: right@50 counts for left@50 (EXISTS is inclusive);
+      // left@45 predates every right of key 2 → anti
+      Seq(ev(2, 50, 2, kind = "R"), ev(2, 50, 12, kind = "L"),
+        ev(2, 45, 13, kind = "L")),
+      Seq(ev(9, 10000, 99, kind = "L")))  // watermark flush
+    val out = StreamHarness.run(batches, OutputMode.Append, "semi_spec") { ds =>
+      StreamingSemiAntiJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder),
+        watermarkDelay = "10 seconds").toDF()
+    }
+    val got = out.select("id", "matched").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(10L -> true,   // right@25 <= left@30
+                      11L -> false,  // left@22 predates right@25
+                      12L -> true,   // exact-tie right counts
+                      13L -> false), // anti: no right <= 45
+      s"semi/anti verdicts: $got")
+  }
+
   test("StreamingDedupKeepFirst evicts the post-emission tombstone after retention") {
     import graft.streaming.StreamingDedupKeepFirst
     val input = StreamHarness.mkStream()
