@@ -417,6 +417,33 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // Unbounded stream-stream LEFT OUTER join (StreamingJoinOperator
+    // outer mode): purchases left-joined to signups per user with NO
+    // time bound; an unmatched purchase emits null-padded (+I pad) and
+    // the pad is RETRACTED (-D) when the first signup arrives — the
+    // RowKind changelog ridden on _change_kind. The fold (+I net of
+    // -D) is arrival-order invariant and equals the batch LEFT JOIN.
+    q("st29_stream_left_outer",
+      """SELECT l.user_id, l.event_id AS purchase_id,
+        |  coalesce(r.event_id, -1) AS signup_id
+        |FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r
+        |  USING (user_id)
+        |ORDER BY user_id, purchase_id, signup_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingLeftOuterJoin(s,
+        left = ev.filter(col("kind") === "purchase").as[GEvent],
+        right = ev.filter(col("kind") === "signup").as[GEvent])
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st29_out")
+        .groupBy(col("key"), col("leftId"), col("rightId"))
+        .agg(sum(when(col("_change_kind") === "+I", 1).otherwise(-1)).as("_net"))
+        .filter(col("_net") > 0)
+        .select(col("key").as("user_id"), col("leftId").as("purchase_id"),
+          col("rightId").as("signup_id"))
+        .orderBy("user_id", "purchase_id", "signup_id")
+    },
+
     // Streaming RANGE-frame OVER: per-user 30-minute trailing sum.
     q("st12_stream_range_over",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)

@@ -136,6 +136,79 @@ object StreamingRangeOverAgg {
 
 case class JoinEmit(key: Long, leftId: Long, rightId: Long)
 
+/** Emitted by StreamingLeftOuterJoin: a changelog row — `+I` adds a
+  * (left, right) pair or a null-padded left (rightId = -1), `-D`
+  * retracts the pad when the left's first match arrives. Folding
+  * additions minus retractions yields exactly the batch LEFT OUTER
+  * JOIN (Changelog.fold semantics). */
+case class OuterJoinEmit(key: Long, leftId: Long, rightId: Long,
+                         _change_kind: String)
+
+/** Unbounded stream-stream LEFT OUTER equi-join (SURVEY.md §2.3 —
+  * the reference's StreamingJoinOperator.java outer mode: the left
+  * row is emitted null-padded while unmatched, and the pad is
+  * RETRACTED when its first match arrives). Spark has no per-row
+  * RowKind, so the retraction rides the `_change_kind` column
+  * convention; the changelog's fold is arrival-order invariant —
+  * additions are the per-key cross product and every pad of a
+  * matched left is retracted exactly once — so the folded result
+  * equals the batch left outer join regardless of batching.
+  *
+  * State mirrors StreamingSymmetricJoin (both sides buffered per
+  * key; `idleRetentionMicros` evicts rows older than the key's max
+  * event time minus retention — evicted unmatched lefts keep their
+  * pad, the reference's idle-state-retention trade).
+  */
+object StreamingLeftOuterJoin {
+  case class State(lefts: List[(Long, Long, Boolean)],
+                   rights: List[(Long, Long)])
+
+  def apply(spark: SparkSession, left: Dataset[GEvent], right: Dataset[GEvent],
+            idleRetentionMicros: Long = Long.MaxValue): Dataset[OuterJoinEmit] = {
+    import spark.implicits._
+    val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        var st = state.getOption.getOrElse(State(Nil, Nil))
+        val out = scala.collection.mutable.ListBuffer.empty[OuterJoinEmit]
+        var maxTs = (st.lefts.map(_._1) ++ st.rights.map(_._1))
+          .foldLeft(Long.MinValue)(_ max _)
+        rows.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          maxTs = maxTs max e.tsMicros
+          if (e.kind == "L") {
+            if (st.rights.isEmpty) {
+              out += OuterJoinEmit(key, e.id, -1L, "+I") // null-padded
+              st = st.copy(lefts = (e.tsMicros, e.id, false) :: st.lefts)
+            } else {
+              st.rights.foreach { case (_, r) =>
+                out += OuterJoinEmit(key, e.id, r, "+I") }
+              st = st.copy(lefts = (e.tsMicros, e.id, true) :: st.lefts)
+            }
+          } else {
+            // first match of a previously-unmatched left retracts its pad
+            st.lefts.foreach { case (_, l, matched) =>
+              if (!matched) out += OuterJoinEmit(key, l, -1L, "-D")
+              out += OuterJoinEmit(key, l, e.id, "+I")
+            }
+            st = st.copy(
+              lefts = st.lefts.map { case (ts, l, _) => (ts, l, true) },
+              rights = (e.tsMicros, e.id) :: st.rights)
+          }
+        }
+        if (idleRetentionMicros != Long.MaxValue) {
+          val floor = maxTs - idleRetentionMicros
+          st = State(st.lefts.filter(_._1 >= floor),
+            st.rights.filter(_._1 >= floor))
+        }
+        if (st.lefts.isEmpty && st.rights.isEmpty) {
+          if (state.exists) state.remove()
+        } else state.update(st)
+        out.iterator
+    }
+  }
+}
+
 /** Unbounded stream-stream equi-join (SURVEY.md §2.3 —
   * StreamingJoinOperator.java:36 semantics, inner variant): symmetric
   * hash in keyed state. Each arriving row joins the full buffered

@@ -762,6 +762,30 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"semi/anti verdicts: $got")
   }
 
+  test("StreamingLeftOuterJoin retracts the null pad when the first match arrives") {
+    import graft.streaming.StreamingLeftOuterJoin
+    val batches = Seq(
+      Seq(ev(1, 10, 100, kind = "L")),               // unmatched → +I pad
+      Seq(ev(1, 20, 1, kind = "R")),                 // match → -D pad, +I pair
+      Seq(ev(1, 30, 2, kind = "R")),                 // second right: +I pair only
+      Seq(ev(2, 40, 200, kind = "L")))               // never matched → pad survives
+    val out = StreamHarness.run(batches, OutputMode.Append, "louter_spec") { ds =>
+      StreamingLeftOuterJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder)).toDF()
+    }
+    val log = out.collect().map(r => (r.getAs[Long]("leftId"),
+      r.getAs[Long]("rightId"), r.getAs[String]("_change_kind"))).toSeq
+    assert(log.contains((100L, -1L, "+I")) && log.contains((100L, -1L, "-D")),
+      s"pad not emitted+retracted: $log")
+    // fold = batch left outer join
+    val folded = log.groupBy(e => (e._1, e._2))
+      .map { case (k, es) => k -> es.map(e => if (e._3 == "+I") 1 else -1).sum }
+      .filter(_._2 > 0).keys.toSet
+    assert(folded == Set((100L, 1L), (100L, 2L), (200L, -1L)),
+      s"folded outer join: $folded")
+  }
+
   test("StreamingDedupKeepFirst evicts the post-emission tombstone after retention") {
     import graft.streaming.StreamingDedupKeepFirst
     val input = StreamHarness.mkStream()
