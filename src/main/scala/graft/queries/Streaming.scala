@@ -444,6 +444,36 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "purchase_id", "signup_id")
     },
 
+    // Unbounded FULL OUTER stream-stream join: pads on BOTH sides,
+    // each retracted when that side's first match arrives; st29's
+    // left-outer sibling (RIGHT OUTER = sides swapped). Restricted to
+    // users in disjoint halves so both pad directions occur.
+    q("st30_stream_full_outer",
+      """WITH l AS (SELECT user_id, event_id FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 3 = 0),
+        |r AS (SELECT user_id, event_id FROM events
+        |      WHERE event_type = 'signup' AND user_id % 2 = 0)
+        |SELECT coalesce(l.user_id, r.user_id) AS user_id,
+        |  coalesce(l.event_id, -1) AS purchase_id,
+        |  coalesce(r.event_id, -1) AS signup_id
+        |FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+        |ORDER BY user_id, purchase_id, signup_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingFullOuterJoin(s,
+        left = ev.filter(col("kind") === "purchase" && col("key") % 3 === 0)
+          .as[GEvent],
+        right = ev.filter(col("kind") === "signup" && col("key") % 2 === 0)
+          .as[GEvent])
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st30_out")
+        .groupBy(col("key"), col("leftId"), col("rightId"))
+        .agg(sum(when(col("_change_kind") === "+I", 1).otherwise(-1)).as("_net"))
+        .filter(col("_net") > 0)
+        .select(col("key").as("user_id"), col("leftId").as("purchase_id"),
+          col("rightId").as("signup_id"))
+        .orderBy("user_id", "purchase_id", "signup_id")
+    },
+
     // Streaming RANGE-frame OVER: per-user 30-minute trailing sum.
     q("st12_stream_range_over",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)

@@ -209,6 +209,60 @@ object StreamingLeftOuterJoin {
   }
 }
 
+/** Unbounded stream-stream FULL OUTER equi-join — the reference's
+  * StreamingJoinOperator full-outer mode: BOTH sides emit null-padded
+  * while unmatched (pad ids = -1), and each side's pad is retracted
+  * when its first opposite-side row arrives. RIGHT OUTER is this
+  * operator with the sides swapped (exactly how the reference plans
+  * it). The fold (+I net of -D per pair) is arrival-order invariant
+  * and equals the batch FULL OUTER JOIN.
+  */
+object StreamingFullOuterJoin {
+  case class State(lefts: List[(Long, Long, Boolean)],
+                   rights: List[(Long, Long, Boolean)])
+
+  def apply(spark: SparkSession, left: Dataset[GEvent],
+            right: Dataset[GEvent]): Dataset[OuterJoinEmit] = {
+    import spark.implicits._
+    val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
+        var st = state.getOption.getOrElse(State(Nil, Nil))
+        val out = scala.collection.mutable.ListBuffer.empty[OuterJoinEmit]
+        rows.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          if (e.kind == "L") {
+            if (st.rights.isEmpty) {
+              out += OuterJoinEmit(key, e.id, -1L, "+I")
+              st = st.copy(lefts = (e.tsMicros, e.id, false) :: st.lefts)
+            } else {
+              st.rights.foreach { case (_, r, matched) =>
+                if (!matched) out += OuterJoinEmit(key, -1L, r, "-D")
+                out += OuterJoinEmit(key, e.id, r, "+I")
+              }
+              st = State((e.tsMicros, e.id, true) :: st.lefts,
+                st.rights.map { case (ts, r, _) => (ts, r, true) })
+            }
+          } else {
+            if (st.lefts.isEmpty) {
+              out += OuterJoinEmit(key, -1L, e.id, "+I")
+              st = st.copy(rights = (e.tsMicros, e.id, false) :: st.rights)
+            } else {
+              st.lefts.foreach { case (_, l, matched) =>
+                if (!matched) out += OuterJoinEmit(key, l, -1L, "-D")
+                out += OuterJoinEmit(key, l, e.id, "+I")
+              }
+              st = State(st.lefts.map { case (ts, l, _) => (ts, l, true) },
+                (e.tsMicros, e.id, true) :: st.rights)
+            }
+          }
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+}
+
 /** Unbounded stream-stream equi-join (SURVEY.md §2.3 —
   * StreamingJoinOperator.java:36 semantics, inner variant): symmetric
   * hash in keyed state. Each arriving row joins the full buffered
