@@ -786,6 +786,37 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"folded outer join: $folded")
   }
 
+  test("outer-join changelog fold is batching-invariant") {
+    import graft.streaming.StreamingFullOuterJoin
+    // same rows, three hostile batchings: one batch; row-per-batch;
+    // rights-before-lefts. The emitted changelogs differ (pads appear
+    // and retract at different times) but the fold must not.
+    val rows = Seq(
+      ev(1, 10, 100, kind = "L"), ev(1, 20, 1, kind = "R"),
+      ev(2, 30, 200, kind = "L"), ev(3, 40, 2, kind = "R"),
+      ev(1, 50, 101, kind = "L"))
+    def foldOf(batches: Seq[Seq[GEvent]], name: String): Set[(Long, Long, Long)] = {
+      val out = StreamHarness.run(batches, OutputMode.Append, name) { ds =>
+        StreamingFullOuterJoin(spark,
+          left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+          right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder)).toDF()
+      }
+      out.collect().map(r => ((r.getAs[Long]("key"), r.getAs[Long]("leftId"),
+          r.getAs[Long]("rightId")), if (r.getAs[String]("_change_kind") == "+I") 1 else -1))
+        .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).sum }
+        .filter(_._2 > 0).keys.toSet
+    }
+    val oneBatch = foldOf(Seq(rows), "fo_inv_a")
+    val perRow = foldOf(rows.map(Seq(_)), "fo_inv_b")
+    val rightsFirst = foldOf(Seq(rows.filter(_.kind == "R"),
+      rows.filter(_.kind == "L")), "fo_inv_c")
+    val expected = Set((1L, 100L, 1L), (1L, 101L, 1L),
+      (2L, 200L, -1L), (3L, -1L, 2L))
+    assert(oneBatch == expected, s"one-batch fold: $oneBatch")
+    assert(perRow == expected, s"row-per-batch fold: $perRow")
+    assert(rightsFirst == expected, s"rights-first fold: $rightsFirst")
+  }
+
   test("StreamingDedupKeepFirst evicts the post-emission tombstone after retention") {
     import graft.streaming.StreamingDedupKeepFirst
     val input = StreamHarness.mkStream()
