@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
@@ -39,14 +40,35 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case UnresolvedHint(name, _, child)
+    case UnresolvedHint(name, params, child)
         if name.equalsIgnoreCase("ASOF_JOIN") && child.resolved =>
-      child.transformUp {
+      // hint parameters (emitted by GraftSqlParser) name the versioned
+      // sides' rowtime columns: only a join whose time bound uses one
+      // of them is the temporal join — an unrelated range join in the
+      // same block must not be hijacked. A bare hint (library users)
+      // matches any shape.
+      val rowtimes: Set[String] = params.collect {
+        case UnresolvedAttribute(parts) => parts.last.toLowerCase
+        case a: Attribute => a.name.toLowerCase
+      }.toSet
+      var rewritten = 0
+      val out = child.transformUp {
         case j @ Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
           matchShape(l, r, cond)
-            .map { case (keys, lt, rt) => rewrite(l, r, jt == Inner, keys, lt, rt) }
+            .filter { case (_, _, rt) =>
+              rowtimes.isEmpty || rowtimes.contains(rt.name.toLowerCase) }
+            .map { case (keys, lt, rt) =>
+              rewritten += 1; rewrite(l, r, jt == Inner, keys, lt, rt) }
             .getOrElse(j)
       }
+      // the hint PROMISES as-of semantics — silently leaving the raw
+      // `r.time <= l.time` join (every version multiplying) would be a
+      // wrong answer, not a fallback. Fail loudly instead.
+      if (rewritten == 0)
+        sys.error("ASOF_JOIN hint did not match any join: expected " +
+          "equi-key conjuncts plus exactly one r.time <= l.time bound" +
+          (if (rowtimes.nonEmpty) s" on rowtime ${rowtimes.mkString(",")}" else ""))
+      out
   }
 
   /** Some((left key, right key) pairs, left time, right time) iff the
@@ -84,18 +106,25 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val lOut = l.output
     val rOut = r.output
     val nk = keys.size
-    // column layout below the union: keys, _t, _side, right cols, left
-    // cols — fresh names/ids; the original ids re-surface at the top.
+    // column layout below the union: keys, _t, _side, version STRUCT,
+    // left cols — fresh names/ids; the original ids re-surface at the
+    // top. The version travels as ONE struct so last(_, ignoreNulls)
+    // carries WHOLE versions forward: a per-column last would reach
+    // back to an OLDER version for any column legitimately NULL in
+    // the matched one, emitting a row that never existed.
+    val vType = org.apache.spark.sql.types.StructType(
+      rOut.map(a => org.apache.spark.sql.types.StructField(
+        a.name, a.dataType, nullable = true)))
     val rProj = Project(
       keys.zipWithIndex.map { case ((_, rk), i) => Alias(rk, s"_asof_k$i")() } ++
-        Seq(Alias(rt, "_asof_t")(), Alias(Literal(0), "_asof_side")()) ++
-        rOut.map(a => Alias(a, s"_asof_r_${a.name}")()) ++
+        Seq(Alias(rt, "_asof_t")(), Alias(Literal(0), "_asof_side")(),
+          Alias(CreateStruct(rOut), "_asof_v")()) ++
         lOut.map(a => Alias(Literal.create(null, a.dataType), s"_asof_l_${a.name}")()),
       r)
     val lProj = Project(
       keys.zipWithIndex.map { case ((lk, _), i) => Alias(lk, s"_asof_k$i")() } ++
-        Seq(Alias(lt, "_asof_t")(), Alias(Literal(1), "_asof_side")()) ++
-        rOut.map(a => Alias(Literal.create(null, a.dataType), s"_asof_r_${a.name}")()) ++
+        Seq(Alias(lt, "_asof_t")(), Alias(Literal(1), "_asof_side")(),
+          Alias(Literal.create(null, vType), "_asof_v")()) ++
         lOut.map(a => Alias(a, s"_asof_l_${a.name}")()),
       l)
     val union = Union(Seq(rProj, lProj))
@@ -103,32 +132,33 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val keyAttrs: Seq[Expression] = uOut.take(nk)
     val tAttr = uOut(nk)
     val sideAttr = uOut(nk + 1)
-    val rAttrs = uOut.slice(nk + 2, nk + 2 + rOut.size)
-    val lAttrs = uOut.drop(nk + 2 + rOut.size)
+    val vAttr = uOut(nk + 2)
+    val lAttrs = uOut.drop(nk + 3)
     val orderSpec = Seq(SortOrder(tAttr, Ascending), SortOrder(sideAttr, Ascending))
     val spec = WindowSpecDefinition(keyAttrs, orderSpec,
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
-    // last(_, ignoreNulls) over (key | t, side) carries the most recent
-    // version forward; aliased back to the ORIGINAL right attribute ids
-    // so references above the join resolve to the as-of values.
-    val winAliases = rOut.zip(rAttrs).map { case (orig, u) =>
-      Alias(
-        WindowExpression(
-          AggregateExpression(Last(u, ignoreNulls = true), Complete, isDistinct = false),
-          spec),
-        orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
-    }
-    val win = Window(winAliases, keyAttrs, orderSpec, union)
+    // last(version struct, ignoreNulls) over (key | t, side) carries
+    // the most recent WHOLE version forward (null only when no version
+    // precedes the probe row).
+    val vWin = Alias(
+      WindowExpression(
+        AggregateExpression(Last(vAttr, ignoreNulls = true), Complete, isDistinct = false),
+        spec),
+      "_asof_vw")()
+    val win = Window(Seq(vWin), keyAttrs, orderSpec, union)
+    val vw = vWin.toAttribute
     val probeRows = Filter(EqualTo(sideAttr, Literal(1)), win)
     val matched =
-      if (inner) {
-        val asofRt = winAliases(rOut.indexWhere(_.exprId == rt.exprId)).toAttribute
-        Filter(IsNotNull(asofRt), probeRows)
-      } else probeRows
+      if (inner) Filter(IsNotNull(vw), probeRows) else probeRows
+    // unpack the matched version's fields back onto the ORIGINAL right
+    // attribute ids so references above the join resolve to them.
     Project(
       lOut.zip(lAttrs).map { case (orig, u) =>
         Alias(u, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
-      } ++ winAliases.map(_.toAttribute),
+      } ++ rOut.zipWithIndex.map { case (orig, i) =>
+        Alias(GetStructField(vw, i, Some(orig.name)), orig.name)(
+          exprId = orig.exprId, qualifier = orig.qualifier)
+      },
       matched)
   }
 }

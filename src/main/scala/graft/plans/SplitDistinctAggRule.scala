@@ -116,18 +116,26 @@ object SplitDistinctAggRule extends Rule[LogicalPlan] {
     }
     val outerExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case orig @ Alias(ae: AggregateExpression, _) =>
+        // COUNT over empty input is 0, but the outer Sum over zero
+        // inner rows is NULL — coalesce restores the unsplit
+        // semantics (a global aggregate over empty input must still
+        // return 0, not NULL). SUM/MIN/MAX are NULL on empty input in
+        // both forms, so they need no guard.
+        def sumCounts(p: Attribute): Expression = Coalesce(Seq(
+          AggregateExpression(Sum(p), Complete, isDistinct = false),
+          Literal(0L)))
         val combined: Expression = ae.aggregateFunction match {
           // distinct: per-bucket distinct count/sum, then add buckets
           case c: Count if ae.isDistinct =>
             val p = partial("_pcd", AggregateExpression(c, Complete, isDistinct = true))
-            AggregateExpression(Sum(p), Complete, isDistinct = false)
+            sumCounts(p)
           case s: Sum if ae.isDistinct =>
             val p = partial("_psd", AggregateExpression(s, Complete, isDistinct = true))
             AggregateExpression(Sum(p), Complete, isDistinct = false)
           // plain: standard two-level decomposition
           case c: Count =>
             val p = partial("_pc", AggregateExpression(c, Complete, isDistinct = false))
-            AggregateExpression(Sum(p), Complete, isDistinct = false)
+            sumCounts(p)
           case s: Sum =>
             val p = partial("_ps", AggregateExpression(s, Complete, isDistinct = false))
             AggregateExpression(Sum(p), Complete, isDistinct = false)

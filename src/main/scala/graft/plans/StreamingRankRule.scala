@@ -3,7 +3,7 @@ package graft.plans
 import graft.streaming.{GEvent, StreamingDedupKeepFirst, StreamingDedupKeepLast, StreamingTopN}
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, Window}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.IntegerType
 
@@ -66,24 +66,39 @@ object StreamingRankRule {
     case _ => None
   }
 
+  /** Descend from the rank filter to the Window that produced the rank
+    * attribute, crossing ONLY pass-through nodes (Project that keeps
+    * the attribute un-re-aliased, SubqueryAlias). Anything else — an
+    * intermediate Filter, a join, an aggregate — means the routed
+    * operator would NOT see the rows the SQL text describes, so the
+    * shape must not be recognized (collectFirst over the whole subtree
+    * would silently skip such operators). */
+  private def findWindow(plan: LogicalPlan,
+                         rn: Attribute): Option[(WindowSpecDefinition, LogicalPlan)] =
+    plan match {
+      case w: Window =>
+        w.windowExpressions.collectFirst {
+          case a @ Alias(WindowExpression(_: RowNumber,
+              s: WindowSpecDefinition), _) if a.exprId == rn.exprId =>
+            (s, w.child)
+        }
+      case p: Project if p.projectList.exists {
+          case a: Attribute => a.exprId == rn.exprId
+          case _ => false
+        } => findWindow(p.child, rn)
+      case s: SubqueryAlias => findWindow(s.child, rn)
+      case _ => None
+    }
+
   /** Recognize the Filter(rank-limit) … Window(row_number) shape in an
     * analyzed plan. The rank attribute must be produced by a Window
-    * node below the filter (passed through untouched — projections may
-    * reorder/drop columns but not re-alias the rank). */
+    * node below the filter through pass-through nodes only. */
   def recognize(df: DataFrame): Option[RankShape] =
     df.queryExecution.analyzed.collectFirst(Function.unlift {
       case Filter(cond, fchild) =>
         for {
           (rn, limit) <- rankLimit(cond)
-          (spec, child) <- fchild.collectFirst(Function.unlift {
-            case w: Window =>
-              w.windowExpressions.collectFirst {
-                case a @ Alias(WindowExpression(_: RowNumber,
-                    s: WindowSpecDefinition), _) if a.exprId == rn.exprId =>
-                  (s, w.child)
-              }
-            case _ => None
-          })
+          (spec, child) <- findWindow(fchild, rn)
           parts <- Some(spec.partitionSpec).collect {
             case ps if ps.nonEmpty && ps.forall(_.isInstanceOf[AttributeReference]) =>
               ps.map(_.asInstanceOf[AttributeReference].asInstanceOf[Attribute])
@@ -94,9 +109,39 @@ object StreamingRankRule {
       case _ => None
     })
 
+  /** Names Spark/the corpus use for event-time columns — the only
+    * ORDER BY columns for which an arrival-order dedup fallback is
+    * semantically defensible (proctime ≈ rowtime on an in-order feed).
+    * An rn=1 ordered by a VALUE column must never silently become
+    * "whichever row arrived first". */
+  private val timeColNames = Set("tsmicros", "ts", "timestamp", "rowtime",
+    "proctime", "event_time", "eventtime")
+
+  /** The canonical keyed-event dedup shape: canonical columns present,
+    * partition ⊆ {key, kind} incl. key, tsMicros order with an optional
+    * id tiebreak in `dir`. */
+  private def canonicalDedupShape(child: DataFrame, s: RankShape,
+                                  orderCol: String,
+                                  dir: SortDirection): Boolean = {
+    val names = s.partition.map(_.name).toSet
+    Seq("key", "tsMicros", "id", "kind", "value").forall(child.columns.contains) &&
+      orderCol == "tsMicros" &&
+      names.subsetOf(Set("key", "kind")) && names.contains("key") &&
+      s.order.drop(1).forall(so =>
+        so.child.asInstanceOf[AttributeReference].name == "id" &&
+          so.direction == dir)
+  }
+
+  private def asGEvents(spark: SparkSession, child: DataFrame,
+                        s: RankShape): org.apache.spark.sql.Dataset[GEvent] = {
+    import spark.implicits._
+    child.select("key", "tsMicros", "id", "kind", "value").as[GEvent]
+  }
+
   /** Route a recognized rank-shaped streaming DataFrame to the
     * incremental operator. None = not the rank shape (caller falls
-    * back to whatever it had). */
+    * back to whatever it had); a recognized shape the operators cannot
+    * honor fails loudly rather than degrade semantics. */
   def rewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] =
     recognize(df).map { s =>
       import spark.implicits._
@@ -105,39 +150,29 @@ object StreamingRankRule {
       val ascending = s.order.head.direction == Ascending
       if (s.limit == 1L && ascending) {
         // keep-first dedup (StreamExecDeduplicateRule's keep-first):
-        // ORDER BY <time> ASC, rn = 1. With the canonical keyed-event
-        // shape and an event-time order column this routes to the
+        // ORDER BY <time> ASC, rn = 1. Canonical shape → the
         // EVENT-TIME dedup operator (rowtime
-        // DeduplicateKeepFirstRowFunction semantics: the batch-equal
-        // first row, exactly once, at watermark maturity); otherwise
-        // it falls back to dropDuplicates — Spark's arrival-order
-        // (proctime) dedup state.
-        val names = s.partition.map(_.name).toSet
-        val canonicalShape =
-          Seq("key", "tsMicros", "id", "kind", "value").forall(child.columns.contains)
-        if (canonicalShape && orderCol == "tsMicros" &&
-            names.subsetOf(Set("key", "kind")) && names.contains("key") &&
-            s.order.drop(1).forall(so =>
-              so.child.asInstanceOf[AttributeReference].name == "id" &&
-                so.direction == Ascending)) {
-          StreamingDedupKeepFirst(spark,
-            child.select("key", "tsMicros", "id", "kind", "value").as[GEvent],
-            byKind = names.contains("kind")).toDF()
-        } else child.dropDuplicates(s.partition.map(_.name))
-      } else if (s.limit == 1L && orderCol == "tsMicros" && {
-        val names = s.partition.map(_.name).toSet
-        Seq("key", "tsMicros", "id", "kind", "value").forall(child.columns.contains) &&
-          names.subsetOf(Set("key", "kind")) && names.contains("key") &&
-          s.order.drop(1).forall(so =>
-            so.child.asInstanceOf[AttributeReference].name == "id" &&
-              so.direction == Descending)
-      }) {
+        // DeduplicateKeepFirstRowFunction: the batch-equal first row,
+        // exactly once, at watermark maturity); other shapes fall back
+        // to dropDuplicates (arrival-order/proctime state) ONLY when
+        // ordering by a time column — first-by-arrival for a value
+        // ordering would be a silently different answer.
+        if (canonicalDedupShape(child, s, orderCol, Ascending))
+          StreamingDedupKeepFirst(spark, asGEvents(spark, child, s),
+            byKind = s.partition.exists(_.name == "kind")).toDF()
+        else {
+          require(timeColNames.contains(orderCol.toLowerCase),
+            s"rn=1 ordered ASC by non-time column '$orderCol': arrival-order " +
+              "dedup state cannot honor a value ordering — not routable")
+          child.dropDuplicates(s.partition.map(_.name))
+        }
+      } else if (s.limit == 1L &&
+          canonicalDedupShape(child, s, orderCol, Descending)) {
         // keep-last dedup (DeduplicateKeepLastRowFunction): rn=1
         // ORDER BY <time> DESC — an update stream of the latest row
         // per group, folded to the final row by max(emitSeq)
-        StreamingDedupKeepLast(spark,
-          child.select("key", "tsMicros", "id", "kind", "value").as[GEvent],
-          byKind = s.partition.map(_.name).contains("kind")).toDF()
+        StreamingDedupKeepLast(spark, asGEvents(spark, child, s),
+          byKind = s.partition.exists(_.name == "kind")).toDF()
       } else {
         require(!ascending,
           "streaming rank supports ORDER BY ... DESC (top-n) or rn=1 ASC (dedup)")
@@ -151,6 +186,12 @@ object StreamingRankRule {
         val canonical = Seq("key", "tsMicros", "id", "kind")
         canonical.foreach(c => require(child.columns.contains(c),
           s"streaming top-n needs the canonical keyed-event shape; missing: $c"))
+        // GEvent.key is a long: a non-integral partition column would
+        // cast to NULL and silently collapse groups
+        val pType = child.schema(s.partition.head.name).dataType
+        require(Seq("tinyint", "smallint", "int", "bigint")
+            .contains(pType.simpleString),
+          s"streaming top-n partition key must be integral, got $pType")
         val ds = child.select(
           col(s.partition.head.name).cast("long").as("key"),
           col("tsMicros").cast("long"),

@@ -29,8 +29,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\bJOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)\s+(?:AS\s+)?(\w+)\s+ON\b""".r
   private val selectRe = """(?i)\bSELECT\b""".r
 
+  // the CORRELATED probe form (AS OF <alias>.<col>) — Spark's native
+  // grammar cannot express it, so failing to rewrite it must error;
+  // the CONSTANT form (AS OF '2024-01-01', Spark time travel) and the
+  // phrase inside string literals must pass through untouched.
+  private val correlatedProbeRe =
+    """(?is)FOR\s+SYSTEM_TIME\s+AS\s+OF\s+\w+\.\w+""".r
+
   private[graft] def rewriteTemporal(sqlText: String): String = {
-    if (!sqlText.toUpperCase.contains("FOR SYSTEM_TIME AS OF")) return sqlText
+    if (correlatedProbeRe.findFirstIn(sqlText).isEmpty) return sqlText
+    val rowtimes = Seq.newBuilder[String]
     val replaced = asofRe.replaceAllIn(sqlText, m => {
       val (rightTable, leftAlias, leftTime, rightAlias) =
         (m.group(1), m.group(2), m.group(3), m.group(4))
@@ -38,16 +46,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"temporal join: versioned table '$rightTable' declares no WATERMARK " +
           "(the rowtime of FOR SYSTEM_TIME AS OF comes from the DDL, " +
           "as in the reference)"))
+      rowtimes += rowtime
       java.util.regex.Matcher.quoteReplacement(
         s"JOIN $rightTable AS $rightAlias ON " +
           s"$rightAlias.$rowtime <= $leftAlias.$leftTime AND ")
     })
     if (replaced == sqlText)
       sys.error(s"unsupported FOR SYSTEM_TIME AS OF shape: $sqlText")
-    // mark the first query block so AsOfJoinRule fires
+    // mark the first query block so AsOfJoinRule fires; the hint
+    // parameters name the versioned sides' rowtime columns so the rule
+    // rewrites ONLY the temporal join(s), never an unrelated range
+    // join that happens to share the equi+inequality shape.
     selectRe.findFirstMatchIn(replaced) match {
       case Some(m) =>
-        replaced.substring(0, m.start) + "SELECT /*+ ASOF_JOIN */" +
+        val params = rowtimes.result().distinct.mkString(", ")
+        replaced.substring(0, m.start) + s"SELECT /*+ ASOF_JOIN($params) */" +
           replaced.substring(m.end)
       case None => replaced
     }

@@ -103,6 +103,15 @@ case class DedupEmit(key: Long, kind: String, id: Long, tsMicros: Long,
   * evicts the tombstone after the watermark passes the emitted
   * timestamp by the retention span (the idle-state-retention trade:
   * a very late duplicate arriving after eviction would re-emit).
+  *
+  * Boundary convention: maturity is `ts <= watermark`, matching the
+  * oracles' `ts <= wm` bookkeeping (and the final-watermark flush of
+  * a bounded run). Spark's late filter drops only rows STRICTLY older
+  * than the watermark, so a row with ts EXACTLY equal to the current
+  * watermark could in principle arrive after the boundary batch and
+  * lose to an equal-timestamp candidate already emitted — the same
+  * at-the-watermark tie every watermark consumer here (and the
+  * reference's window firing) resolves in favor of finality.
   */
 object StreamingDedupKeepFirst {
   case class State(ts: Long, id: Long, value: Double, emitted: Boolean)
