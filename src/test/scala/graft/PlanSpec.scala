@@ -82,6 +82,61 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Union"), plan)
   }
 
+  test("as-of SQL keeps a NULL column of the matched version (no cross-version mixing)") {
+    // versioned side: (k=1, t=1, rate=5.0) then (k=1, t=2, rate=NULL).
+    // A probe at t=3 must return the t=2 version WITH ITS NULL — a
+    // per-column last(ignoreNulls) would resurrect 5.0 from t=1 and
+    // emit a row that never existed in any version.
+    import spark.implicits._
+    Seq((1L, 1L, Some(5.0)), (1L, 2L, None))
+      .toDF("k", "t", "rate").createOrReplaceTempView("vt_null_spec")
+    Seq((1L, 3L)).toDF("pk", "pt").createOrReplaceTempView("probe_null_spec")
+    val out = spark.sql(
+      """SELECT /*+ ASOF_JOIN(t) */ p.pk, r.t AS version_t, r.rate
+        |FROM probe_null_spec p JOIN vt_null_spec r
+        |  ON p.pk = r.k AND r.t <= p.pt""".stripMargin).collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.getLong(1) == 2L, s"matched version: ${out.head}")
+    assert(out.head.isNullAt(2),
+      s"NULL of the matched version resurrected to ${out.head.get(2)}")
+  }
+
+  test("ASOF_JOIN hint with no matching join fails loudly; rowtime params scope the rewrite") {
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("a", "b").createOrReplaceTempView("asof_guard_spec")
+    // no join at all under the hint → error, not a silent plain plan
+    val e = intercept[Exception](spark.sql(
+      "SELECT /*+ ASOF_JOIN */ a FROM asof_guard_spec").collect())
+    assert(e.getMessage.contains("ASOF_JOIN hint did not match"), e.getMessage)
+    // a join whose time bound is NOT the hinted rowtime is untouched →
+    // the hint then matches nothing and must also fail loudly
+    Seq((1L, 5L)).toDF("k", "ts").createOrReplaceTempView("asof_guard_l")
+    Seq((1L, 3L)).toDF("k2", "other").createOrReplaceTempView("asof_guard_r")
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT /*+ ASOF_JOIN(rowtime) */ l.k FROM asof_guard_l l
+        |JOIN asof_guard_r r ON l.k = r.k2 AND r.other <= l.ts""".stripMargin)
+      .collect())
+    assert(e2.getMessage.contains("ASOF_JOIN hint did not match"), e2.getMessage)
+  }
+
+  test("native constant time-travel text passes the dialect parser untouched") {
+    // Spark reserves FOR SYSTEM_TIME AS OF <constant> for time travel;
+    // only the CORRELATED probe form is ours to rewrite. The constant
+    // form must reach Spark's parser unmodified (it fails there only
+    // because the temp view has no version history — the error is
+    // Spark's, not our dialect error).
+    val p = new graft.sources.GraftSqlParser(
+      spark.sessionState.sqlParser)
+    val constant = "SELECT * FROM t FOR SYSTEM_TIME AS OF '2024-01-01'"
+    assert(p.rewriteTemporal(constant) == constant)
+    val literal = "SELECT 'FOR SYSTEM_TIME AS OF x.y' AS s"
+    // a correlated-looking phrase inside a literal still matches the
+    // probe regex — it must at least fail OUR way (unsupported shape),
+    // never silently corrupt the literal
+    val e = intercept[Exception](p.rewriteTemporal(literal))
+    assert(e.getMessage.contains("unsupported FOR SYSTEM_TIME"), e.getMessage)
+  }
+
   test("conf-gated distinct-agg split plans two aggregate levels over a hash bucket") {
     import graft.plans.SplitDistinctAggRule
     Tables(spark, dir, "orders").createOrReplaceTempView("orders_split_spec")
