@@ -118,11 +118,15 @@ object GraphOps {
     * same fixpoint as full propagation.
     */
   def labelPropagationDelta(nodes: DataFrame, edges: DataFrame, maxIterations: Int,
-                            ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
+                            ckpt: IterationCheckpointing = IterationCheckpointing(),
+                            seed: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     val mat = new StepMaterializer(ckpt, nodes.sparkSession)
+    // seed: carry labels from a previous converged state (the
+    // streaming-iteration feedback edge) — absent, every node starts
+    // as its own label
     var solution = mat.step(
-      nodes.select(col("node"), col("node").as("label")), 0)
+      seed.getOrElse(nodes.select(col("node"), col("node").as("label"))), 0)
     var workset = solution
     var i = 0
     var worksetSize = workset.count()

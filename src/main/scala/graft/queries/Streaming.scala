@@ -474,6 +474,46 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "purchase_id", "signup_id")
     },
 
+    // Streaming ITERATION (DataStream.iterate / IterativeStream):
+    // incremental connected components over the user–event-type
+    // bipartite graph of the event stream — fixpoint label propagation
+    // inside each micro-batch, converged labels fed back as the next
+    // batch's seed. Type nodes are offset arithmetic on the type
+    // string (engine-agnostic, no hash). Output: per-component sizes
+    // over USER nodes only.
+    q("st31_stream_iteration_cc",
+      """WITH e0 AS (SELECT DISTINCT user_id AS src,
+        |    1000000 + (user_id % 7) * 1000
+        |      + ascii(substr(event_type, 1, 1)) * 10 + length(event_type) AS dst
+        |  FROM events),
+        |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |          UNION ALL SELECT node, node FROM nodes),
+        |lbl AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT 0 AS it, node, node AS label FROM nodes
+        |    UNION ALL
+        |    SELECT it + 1, node, label FROM (
+        |      SELECT r.it AS it, e.dst AS node, min(r.label) AS label
+        |      FROM r JOIN edges e ON e.src = r.node
+        |      WHERE r.it < 8 GROUP BY r.it, e.dst))
+        |  SELECT node, label FROM r WHERE it = 8)
+        |SELECT label AS component, count(*) AS n_users, min(node) AS min_user
+        |FROM lbl WHERE node < 1000000
+        |GROUP BY label ORDER BY component""".stripMargin) { (s, dir) =>
+      val edges = eventStream(s, dir).select(
+        col("user_id").as("src"),
+        (lit(1000000) + (col("user_id") % 7) * 1000 +
+          ascii(substring(col("event_type"), 1, 1)) * 10 +
+          length(col("event_type"))).cast("long").as("dst")).distinct()
+      val labels = graft.streaming.StreamingGraphCC.run(s, edges,
+        maxIterationsPerBatch = 8)
+      labels.filter(col("node") < 1000000L)
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_users"), min("node").as("min_user"))
+        .orderBy("component")
+    },
+
     // Streaming RANGE-frame OVER: per-user 30-minute trailing sum.
     q("st12_stream_range_over",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)

@@ -786,6 +786,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"folded outer join: $folded")
   }
 
+  test("streaming iteration: per-batch fixpoint + cross-batch seed equals batch CC") {
+    import graft.streaming.StreamingGraphCC
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val cc = new StreamingGraphCC(maxIterationsPerBatch = 10)
+    val q = input.toDS().toDF("src", "dst").writeStream
+      .foreachBatch(cc.sink).start()
+    def labelsNow(): Map[Long, Long] = cc.currentLabels(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // batch 1: two separate components {1,2} and {10,11}
+      input.addData((1L, 2L), (10L, 11L)); q.processAllAvailable()
+      val l1 = labelsNow()
+      assert(l1(2L) == 1L && l1(11L) == 10L, s"initial components: $l1")
+      // batch 2: a bridging edge MERGES the components — the previous
+      // fixpoint must be re-converged, not recomputed wrongly; new
+      // node 20 attaches to the merged component
+      input.addData((2L, 10L), (11L, 20L)); q.processAllAvailable()
+      val l2 = labelsNow()
+      assert(Seq(1L, 2L, 10L, 11L, 20L).forall(n => l2(n) == 1L),
+        s"merged component labels: $l2")
+    } finally q.stop()
+    // equals the from-scratch batch delta iteration over all edges
+    val edges = Seq((1L, 2L), (10L, 11L), (2L, 10L), (11L, 20L))
+      .toDF("src", "dst")
+    val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val batchLabels = graft.operators.GraphOps.labelPropagationDelta(nodes, bidir, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsNow() == batchLabels, "incremental != batch CC")
+  }
+
   test("outer-join changelog fold is batching-invariant") {
     import graft.streaming.StreamingFullOuterJoin
     // same rows, three hostile batchings: one batch; row-per-batch;
