@@ -399,5 +399,33 @@ object Functions extends QueryGroup {
           element_at(col("arr"), -1).getField("d").as("last_date"),
           element_at(col("arr"), -1).getField("p").as("last_price"))
         .orderBy("o_custkey")
+    },
+
+    // Remaining reference scalar-function stragglers with DuckDB
+    // equivalents: TIMESTAMPADD / TIMESTAMPDIFF (day/hour units on
+    // day-aligned timestamps so boundary-crossing vs elapsed-unit
+    // semantics coincide), FROM_UNIXTIME (UTC-rendered), LOCATE, and
+    // numeric TRUNCATE emulated as floor-scaling (Flink TRUNCATE(x,2);
+    // identical IEEE ops in both engines). INITCAP and CONVERT_TZ have
+    // no DuckDB twin — spec-pinned in FunctionsSpec instead.
+    q("f15_function_extras",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 3 DAY AS plus3,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS dd,
+        |  date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS hh,
+        |  strftime(to_timestamp(o_orderkey % 100000) AT TIME ZONE 'UTC',
+        |           '%Y-%m-%d %H:%M:%S') AS fu,
+        |  strpos(o_orderpriority, 'URGENT') AS loc,
+        |  floor(o_totalprice * 100) / 100 AS trunc2
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders").select(col("o_orderkey"),
+          expr("timestampadd(DAY, 3, o_orderdate)").as("plus3"),
+          expr("timestampdiff(DAY, DATE'1995-01-01', o_orderdate)").as("dd"),
+          expr("timestampdiff(HOUR, TIMESTAMP'1995-01-01 00:00:00', o_orderdate)")
+            .as("hh"),
+          from_unixtime(col("o_orderkey") % 100000).as("fu"),
+          locate("URGENT", col("o_orderpriority")).cast(LongType).as("loc"),
+          (floor(col("o_totalprice") * 100) / 100).as("trunc2"))
+        .orderBy("o_orderkey")
     })
 }

@@ -58,4 +58,20 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT is_alpha('abc') a, is_digit('12') d, split_index('x:y', ':', 1) s").head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getString(2) == "y")
   }
+
+  test("INITCAP and CONVERT_TZ stragglers (no DuckDB oracle twin — value-pinned here)") {
+    // the reference's INITCAP and CONVERT_TZ map onto Spark's initcap
+    // and convert_timezone; DuckDB has neither, so the f-corpus cannot
+    // oracle them — pin exact values instead (f15 covers the rest of
+    // the straggler battery through the gate).
+    val r = spark.sql(
+      """SELECT initcap('hello spark WORLD') ic,
+        |  CAST(convert_timezone('UTC', 'America/New_York',
+        |       TIMESTAMP_NTZ'2024-01-15 12:00:00') AS STRING) tz,
+        |  CAST(convert_timezone('UTC', 'Asia/Tokyo',
+        |       TIMESTAMP_NTZ'2024-06-01 00:30:00') AS STRING) tz2""".stripMargin).head
+    assert(r.getString(0) == "Hello Spark World")
+    assert(r.getString(1) == "2024-01-15 07:00:00")   // EST = UTC-5 in January
+    assert(r.getString(2) == "2024-06-01 09:30:00")   // JST = UTC+9
+  }
 }
