@@ -59,6 +59,7 @@ object StreamingRankRule {
     case LessThan(a: AttributeReference, Literal(n: Int, IntegerType)) =>
       Some((a, n.toLong - 1))
     case EqualTo(a: AttributeReference, Literal(1, IntegerType)) => Some((a, 1L))
+    case EqualTo(Literal(1, IntegerType), a: AttributeReference) => Some((a, 1L))
     case GreaterThanOrEqual(Literal(n: Int, IntegerType), a: AttributeReference) =>
       Some((a, n.toLong))
     case GreaterThan(Literal(n: Int, IntegerType), a: AttributeReference) =>
@@ -90,24 +91,48 @@ object StreamingRankRule {
       case _ => None
     }
 
+  /** The rank-shape check at a single Filter node. */
+  private def shapeAt(plan: LogicalPlan): Option[RankShape] = plan match {
+    case Filter(cond, fchild) =>
+      for {
+        (rn, limit) <- rankLimit(cond)
+        (spec, child) <- findWindow(fchild, rn)
+        parts <- Some(spec.partitionSpec).collect {
+          case ps if ps.nonEmpty && ps.forall(_.isInstanceOf[AttributeReference]) =>
+            ps.map(_.asInstanceOf[AttributeReference].asInstanceOf[Attribute])
+        }
+        if spec.orderSpec.nonEmpty &&
+          spec.orderSpec.forall(_.child.isInstanceOf[AttributeReference])
+      } yield RankShape(limit, parts, spec.orderSpec, child)
+    case _ => None
+  }
+
   /** Recognize the Filter(rank-limit) … Window(row_number) shape in an
     * analyzed plan. The rank attribute must be produced by a Window
-    * node below the filter through pass-through nodes only. */
+    * node below the filter through pass-through nodes only, AND the
+    * filter must be the plan ROOT modulo the same pass-through nodes
+    * (attribute-only Project, SubqueryAlias): the routed operator
+    * replaces the whole query, so any operator ABOVE the rank filter
+    * (an aggregate, another filter, a join) would be silently
+    * discarded — exactly the mis-route the reference's rule ordering
+    * prevents. */
   def recognize(df: DataFrame): Option[RankShape] =
-    df.queryExecution.analyzed.collectFirst(Function.unlift {
-      case Filter(cond, fchild) =>
-        for {
-          (rn, limit) <- rankLimit(cond)
-          (spec, child) <- findWindow(fchild, rn)
-          parts <- Some(spec.partitionSpec).collect {
-            case ps if ps.nonEmpty && ps.forall(_.isInstanceOf[AttributeReference]) =>
-              ps.map(_.asInstanceOf[AttributeReference].asInstanceOf[Attribute])
-          }
-          if spec.orderSpec.nonEmpty &&
-            spec.orderSpec.forall(_.child.isInstanceOf[AttributeReference])
-        } yield RankShape(limit, parts, spec.orderSpec, child)
-      case _ => None
-    })
+    rootShape(df.queryExecution.analyzed)
+
+  private def rootShape(plan: LogicalPlan): Option[RankShape] = plan match {
+    case f: Filter => shapeAt(f)
+    case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+      rootShape(p.child)
+    case s: SubqueryAlias => rootShape(s.child)
+    case _ => None
+  }
+
+  /** A rank shape buried below NON-pass-through operators: recognizing
+    * it would discard those operators, so `rewrite` fails loudly
+    * instead of routing (the round-6 silent-discard defect). */
+  private def buriedShape(plan: LogicalPlan): Boolean =
+    rootShape(plan).isEmpty &&
+      plan.collectFirst(Function.unlift(shapeAt)).isDefined
 
   /** Names Spark/the corpus use for event-time columns — the only
     * ORDER BY columns for which an arrival-order dedup fallback is
@@ -142,8 +167,15 @@ object StreamingRankRule {
     * incremental operator. None = not the rank shape (caller falls
     * back to whatever it had); a recognized shape the operators cannot
     * honor fails loudly rather than degrade semantics. */
-  def rewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] =
+  def rewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] = {
+    require(!buriedShape(df.queryExecution.analyzed),
+      "rank shape found below non-pass-through operators (e.g. an aggregate " +
+        "or extra filter ABOVE the rank filter): routing would silently " +
+        "discard those operators — not routable")
     recognize(df).map { s =>
+      require(s.limit >= 1,
+        s"rank limit ${s.limit} selects no rows: refusing to route to an " +
+          "operator that would emit an empty changelog")
       import spark.implicits._
       val child = GraftSqlBridge.ofRows(spark, s.child)
       val orderCol = s.order.head.child.asInstanceOf[AttributeReference].name
@@ -164,6 +196,16 @@ object StreamingRankRule {
           require(timeColNames.contains(orderCol.toLowerCase),
             s"rn=1 ordered ASC by non-time column '$orderCol': arrival-order " +
               "dedup state cannot honor a value ordering — not routable")
+          // ARRIVAL-order state (dropDuplicates) can keep a different
+          // row than the SQL text's event-time rank-1 on an
+          // out-of-order multi-partition stream, so the degradation is
+          // opt-in, never silent (ADVICE r6).
+          require(spark.conf.getOption(
+              "graft.streaming.rank.arrivalOrderFallback").exists(_.toBoolean),
+            s"rn=1 ASC by '$orderCol' outside the canonical keyed-event shape " +
+              "is only honorable by ARRIVAL-order dedup state, which may keep " +
+              "a different row than the event-time rank-1; set " +
+              "graft.streaming.rank.arrivalOrderFallback=true to accept that")
           child.dropDuplicates(s.partition.map(_.name))
         }
       } else if (s.limit == 1L &&
@@ -201,6 +243,7 @@ object StreamingRankRule {
         StreamingTopN(spark, ds, n = s.limit.toInt).toDF()
       }
     }
+  }
 
   /** SQL-text surface: parse, recognize, route — fails loudly when the
     * text is not the rank shape (mirrors the reference, where the rule

@@ -338,13 +338,24 @@ object Joins extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("ts"),
           (col("ts") - expr("INTERVAL 1 SECOND")).as("cutoff"))
         .createOrReplaceTempView("purchases_vt")
-      // physical ts is timestamp[us] NTZ in the parquet; the computed
-      // rowtime casts it to the session-zoned type the join versions on
+      // the physical ts shape varies across data-generation rounds
+      // (INT64 nanos-as-long / TIMESTAMP_NTZ / session-zoned — the
+      // same three cases Tables.normalizeEventTs tolerates), so the
+      // DDL's declared type and rowtime expression are derived from
+      // the actual parquet footer rather than hardcoded
+      val (tsDdl, rowtimeExpr) =
+        s.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            ("BIGINT", "TIMESTAMP_MICROS(ts div 1000)")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            ("TIMESTAMP_NTZ", "CAST(ts AS TIMESTAMP)")
+          case _ => ("TIMESTAMP", "ts")
+        }
       graft.sources.GraftDDL.execute(s,
         s"""CREATE TABLE events_vt (
-           |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+           |  event_id BIGINT, ts $tsDdl, user_id BIGINT,
            |  event_type STRING, value DOUBLE, props STRING,
-           |  rowtime AS CAST(ts AS TIMESTAMP),
+           |  rowtime AS $rowtimeExpr,
            |  WATERMARK FOR rowtime AS rowtime - INTERVAL '0' SECOND
            |) WITH ('connector'='filesystem',
            |        'path'='$dir/events.parquet', 'format'='parquet')""".stripMargin)

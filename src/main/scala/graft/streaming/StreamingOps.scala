@@ -116,6 +116,13 @@ case class DedupEmit(key: Long, kind: String, id: Long, tsMicros: Long,
 object StreamingDedupKeepFirst {
   case class State(ts: Long, id: Long, value: Double, emitted: Boolean)
 
+  /** `ts + retention` saturating at Long.MaxValue: a large finite
+    * retention near the sentinel must mean "practically never", not
+    * wrap negative and evict the tombstone immediately. */
+  private def matureAt(ts: Long, retentionMicros: Long): Long =
+    if (retentionMicros > Long.MaxValue - ts) Long.MaxValue
+    else ts + retentionMicros
+
   def apply(spark: SparkSession, ds: Dataset[GEvent], byKind: Boolean,
             watermarkDelay: String = "1 minute",
             idleRetentionMicros: Long = Long.MaxValue): Dataset[DedupEmit] = {
@@ -135,9 +142,10 @@ object StreamingDedupKeepFirst {
           rows.foreach(_ => ())
           if (idleRetentionMicros != Long.MaxValue) {
             val s = cur.get
-            if (wm >= s.ts + idleRetentionMicros) state.remove()
+            val evictAt = matureAt(s.ts, idleRetentionMicros)
+            if (wm >= evictAt) state.remove()
             else state.setTimeoutTimestamp(
-              ((s.ts + idleRetentionMicros) / 1000L + 1)
+              (evictAt / 1000L + 1)
                 max (state.getCurrentWatermarkMs() + 1))
           }
           Iterator.empty
@@ -154,7 +162,7 @@ object StreamingDedupKeepFirst {
               state.update(State(ts, id, v, emitted = true))
               if (idleRetentionMicros != Long.MaxValue)
                 state.setTimeoutTimestamp(
-                  ((ts + idleRetentionMicros) / 1000L + 1)
+                  (matureAt(ts, idleRetentionMicros) / 1000L + 1)
                     max (state.getCurrentWatermarkMs() + 1))
               Iterator.single(DedupEmit(gk._1, gk._2, id, ts, v))
             case Some((ts, id, v)) =>

@@ -216,13 +216,20 @@ object StreamingLeftOuterJoin {
   * operator with the sides swapped (exactly how the reference plans
   * it). The fold (+I net of -D per pair) is arrival-order invariant
   * and equals the batch FULL OUTER JOIN.
+  *
+  * `idleRetentionMicros` is the reference's IDLE_STATE_RETENTION
+  * trade, parity with the LEFT OUTER sibling: rows older than the
+  * key's max event time minus the retention are evicted after each
+  * batch (evicted unmatched rows keep their pad), so both buffers are
+  * bounded by the retention span instead of growing with the stream.
   */
 object StreamingFullOuterJoin {
   case class State(lefts: List[(Long, Long, Boolean)],
                    rights: List[(Long, Long, Boolean)])
 
   def apply(spark: SparkSession, left: Dataset[GEvent],
-            right: Dataset[GEvent]): Dataset[OuterJoinEmit] = {
+            right: Dataset[GEvent],
+            idleRetentionMicros: Long = Long.MaxValue): Dataset[OuterJoinEmit] = {
     import spark.implicits._
     val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
     tagged.groupByKey(_.key).flatMapGroupsWithState(
@@ -230,7 +237,10 @@ object StreamingFullOuterJoin {
       (key: Long, rows: Iterator[GEvent], state: GroupState[State]) =>
         var st = state.getOption.getOrElse(State(Nil, Nil))
         val out = scala.collection.mutable.ListBuffer.empty[OuterJoinEmit]
+        var maxTs = (st.lefts.map(_._1) ++ st.rights.map(_._1))
+          .foldLeft(Long.MinValue)(_ max _)
         rows.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+          maxTs = maxTs max e.tsMicros
           if (e.kind == "L") {
             if (st.rights.isEmpty) {
               out += OuterJoinEmit(key, e.id, -1L, "+I")
@@ -257,7 +267,14 @@ object StreamingFullOuterJoin {
             }
           }
         }
-        state.update(st)
+        if (idleRetentionMicros != Long.MaxValue) {
+          val floor = maxTs - idleRetentionMicros
+          st = State(st.lefts.filter(_._1 >= floor),
+            st.rights.filter(_._1 >= floor))
+        }
+        if (st.lefts.isEmpty && st.rights.isEmpty) {
+          if (state.exists) state.remove()
+        } else state.update(st)
         out.iterator
     }
   }

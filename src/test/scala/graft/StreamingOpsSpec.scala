@@ -735,6 +735,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 6L), s"keep-first dedup: $got")
   }
 
+  test("StreamingRankRule root-guard, commuted equality, and opt-in arrival fallback") {
+    import graft.plans.StreamingRankRule
+    val input = StreamHarness.mkStream()
+    input.toDS().toDF().createOrReplaceTempView("rank_guard_src")
+    // operators ABOVE the rank filter (here an aggregate) must fail
+    // loudly, not silently return the raw TopN changelog
+    val above = intercept[IllegalArgumentException] {
+      StreamingRankRule.sql(spark,
+        """SELECT count(*) AS c FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+          |  FROM rank_guard_src)
+          |WHERE rn <= 2""".stripMargin)
+    }
+    assert(above.getMessage.contains("non-pass-through"), above.getMessage)
+    // the commuted equality `1 = rn` routes like `rn = 1`
+    val routed = StreamingRankRule.sql(spark,
+      """SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY tsMicros DESC, id DESC) AS rn
+        |  FROM rank_guard_src)
+        |WHERE 1 = rn""".stripMargin)
+    assert(routed.isStreaming)
+    // a limit selecting no rows must error, not emit an empty changelog
+    val zero = intercept[IllegalArgumentException] {
+      StreamingRankRule.sql(spark,
+        """SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+          |  FROM rank_guard_src)
+          |WHERE rn < 1""".stripMargin)
+    }
+    assert(zero.getMessage.contains("selects no rows"), zero.getMessage)
+    // non-canonical rn=1 ASC by a time column: ARRIVAL-order state is
+    // a silent semantic change — refused unless explicitly opted in
+    input.toDS().toDF().select(col("key"), col("tsMicros").as("ts"), col("id"))
+      .createOrReplaceTempView("rank_fallback_src")
+    val fallbackSql =
+      """SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+        |  FROM rank_fallback_src)
+        |WHERE rn = 1""".stripMargin
+    val refused = intercept[IllegalArgumentException] {
+      StreamingRankRule.sql(spark, fallbackSql)
+    }
+    assert(refused.getMessage.contains("arrivalOrderFallback"), refused.getMessage)
+    spark.conf.set("graft.streaming.rank.arrivalOrderFallback", "true")
+    try assert(StreamingRankRule.sql(spark, fallbackSql).isStreaming)
+    finally spark.conf.unset("graft.streaming.rank.arrivalOrderFallback")
+  }
+
   test("StreamingSemiAntiJoin judges each left at maturity against rights <= its event time") {
     val batches = Seq(
       // left@30 arrives BEFORE the right@25 that should match it —
@@ -851,6 +899,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rightsFirst == expected, s"rights-first fold: $rightsFirst")
   }
 
+  test("StreamingFullOuterJoin idle retention bounds both buffers (evicted rows keep their pad)") {
+    import graft.streaming.StreamingFullOuterJoin
+    // 60s retention: the t=10/20 rows go idle once their key sees
+    // t=99999 traffic, so the later opposite-side arrival joins ONLY
+    // the recent row; the evicted rows' pads survive un-retracted —
+    // the same idle-state-retention trade as the LEFT OUTER sibling.
+    val batches = Seq(
+      Seq(ev(1, 10, 1, kind = "L"), ev(2, 20, 200, kind = "R")),
+      Seq(ev(1, 99999, 2, kind = "L"), ev(2, 99999, 201, kind = "R")),
+      Seq(ev(1, 99970, 100, kind = "R"), ev(2, 99970, 50, kind = "L")))
+    val out = StreamHarness.run(batches, OutputMode.Append, "fouter_ttl_spec") { ds =>
+      StreamingFullOuterJoin(spark,
+        left = ds.filter(col("kind") === "L").as[GEvent](spark.implicits.newProductEncoder),
+        right = ds.filter(col("kind") === "R").as[GEvent](spark.implicits.newProductEncoder),
+        idleRetentionMicros = 60L * 1000000L).toDF()
+    }
+    val fold = out.collect().map(r => ((r.getAs[Long]("key"), r.getAs[Long]("leftId"),
+        r.getAs[Long]("rightId")), if (r.getAs[String]("_change_kind") == "+I") 1 else -1))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).sum }
+      .filter(_._2 > 0).keys.toSet
+    assert(fold == Set((1L, 1L, -1L), (1L, 2L, 100L),
+      (2L, -1L, 200L), (2L, 50L, 201L)), s"retention fold: $fold")
+  }
+
   test("StreamingDedupKeepFirst evicts the post-emission tombstone after retention") {
     import graft.streaming.StreamingDedupKeepFirst
     val input = StreamHarness.mkStream()
@@ -878,6 +950,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     val key1 = spark.table("dedup_ttl_spec").filter(col("key") === 1)
       .select("id").collect().map(_.getLong(0)).toSeq.sorted
     assert(key1 == Seq(1L, 9L), s"expected original + post-eviction emission: $key1")
+  }
+
+  test("StreamingDedupKeepFirst: huge finite retention saturates instead of overflow-evicting") {
+    import graft.streaming.StreamingDedupKeepFirst
+    // retention = MaxValue-1 is FINITE (not the keep-forever sentinel);
+    // ts + retention used to wrap negative, making the tombstone
+    // immediately evictable so later duplicates re-emitted (ADVICE r6).
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("dedup_sat_spec")
+    val out = StreamingDedupKeepFirst(spark, input.toDS(), byKind = false,
+      watermarkDelay = "0 seconds", idleRetentionMicros = Long.MaxValue - 1)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_sat_spec").start()
+    def push(evs: graft.streaming.GEvent*): Unit = {
+      input.addData(evs); q.processAllAvailable()
+    }
+    try {
+      push(ev(1, 10, 1))       // candidate buffered
+      push(ev(2, 20, 2))       // wm 20: key 1 matures and emits; tombstone left
+      push(ev(2, 1000, 3))     // wm 1000: tombstone must SURVIVE
+      push(ev(1, 1005, 9))     // duplicate after wm advance: suppressed
+      push(ev(2, 2000, 4))
+    } finally q.stop()
+    val key1 = spark.table("dedup_sat_spec").filter(col("key") === 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(key1 == Seq(1L), s"tombstone overflow-evicted, duplicate re-emitted: $key1")
   }
 
   test("streaming rn=1 DESC SQL shape routes to keep-last dedup (update-stream revisions)") {
