@@ -501,5 +501,71 @@ object CepExtras extends QueryGroup {
             |         P AS kind = 'purchase'
             |)""".stripMargin)
         .orderBy("key", "match_no", "classifier", "event_id")
+    },
+
+    // MATCH_RECOGNIZE as a full SQL STATEMENT (SURVEY §2.9 — the
+    // reference's flink-sql-parser clause surface, ITCase style): the
+    // statement runs VERBATIM against the raw events view — no
+    // pre-canonicalized frame — and MatchRecognizeSql derives the
+    // state key and rowtime from the clause's own PARTITION BY /
+    // ORDER BY, routing to the same NFA + measure aggregation mr3
+    // exercises. The statement surface is the thing under test.
+    q("mr5_sql_text",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |mm AS (
+        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq
+        |  FROM m),
+        |agg AS (
+        |  SELECT mm.user_id, mm.match_seq, mm.a_id, mm.p_id,
+        |    count(*) AS n_clicks,
+        |    round(avg(e.value), 6) AS avg_click_value
+        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
+        |    AND e.ts_us <= mm.a_us + $H72
+        |  GROUP BY ALL)
+        |SELECT agg.user_id, agg.match_seq, agg.a_id, agg.n_clicks,
+        |  agg.avg_click_value, pe.value AS purchase_value
+        |FROM agg JOIN ev pe ON pe.user_id = agg.user_id
+        |  AND pe.event_id = agg.p_id
+        |ORDER BY agg.user_id, agg.match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr5_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr5_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           COUNT(B.event_id) AS n_clicks,
+          |           ROUND(AVG(B.value), 6) AS avg_click_value,
+          |           P.value AS purchase_value
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B+ P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+          |         P AS event_type = 'purchase'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
     })
 }

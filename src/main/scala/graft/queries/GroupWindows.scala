@@ -391,5 +391,82 @@ object GroupWindows extends QueryGroup {
         keyCol = "user_id", timeCol = "ts", idCol = "event_id",
         withinSeconds = 7200)
         .orderBy("user_id", "a_id")
+    },
+
+    // Group-window SQL TEXT (SURVEY §2.4/§2.8 — the reference's
+    // `GROUP BY TUMBLE(...)` + TUMBLE_START/END/ROWTIME spelling,
+    // FlinkSqlOperatorTable.java:868): the text goes through spark.sql
+    // and GraftSqlParser/GroupWindowSql rewrites it to window() —
+    // semantics (and oracle) identical to gw1, the SQL surface is the
+    // thing under test. rowtime = window end − 1ms (the reference's
+    // WindowProperties convention).
+    q("gw12_tumble_sql",
+      """SELECT date_trunc('hour', ts) AS wstart,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND AS rowtime,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw12_events")
+      s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS wstart,
+          |       TUMBLE_END(ts, INTERVAL '1' HOUR) AS wend,
+          |       TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rowtime,
+          |       event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM gw12_events
+          |GROUP BY event_type, TUMBLE(ts, INTERVAL '1' HOUR)
+          |ORDER BY wstart, event_type""".stripMargin)
+    },
+
+    // HOP and SESSION through the same SQL-text surface (HOP's
+    // slide-then-size argument order is the reference's; the rewrite
+    // flips it into Spark's size-then-slide window()) — oracles are
+    // gw2/gw3's.
+    q("gw13_hop_sql",
+      """SELECT tb - to_seconds(k * 1800) AS wstart,
+        |  tb - to_seconds(k * 1800) + INTERVAL 1 HOUR AS wend,
+        |  count(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |  unnest([0, 1]) AS u(k)
+        |GROUP BY 1, 2
+        |ORDER BY wstart""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw13_events")
+      s.sql(
+        """SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS wstart,
+          |       HOP_END(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS wend,
+          |       count(*) AS n
+          |FROM gw13_events
+          |GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+          |ORDER BY wstart""".stripMargin)
+    },
+
+    q("gw14_session_sql",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw14_events")
+      s.sql(
+        """SELECT user_id,
+          |       SESSION_START(ts, INTERVAL '30' MINUTE) AS session_start,
+          |       SESSION_END(ts, INTERVAL '30' MINUTE) AS session_end,
+          |       count(*) AS n_events
+          |FROM gw14_events
+          |GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
+          |ORDER BY user_id, session_start""".stripMargin)
     })
 }

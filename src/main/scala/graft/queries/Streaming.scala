@@ -956,5 +956,37 @@ object Streaming extends QueryGroup {
         .select(col("key").as("user_id"), col("kind").as("event_type"),
           col("id").as("event_id"), col("tsMicros").as("last_ts_us"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Group-window SQL TEXT on a STREAM — the reference's single
+    // most-used streaming SQL form (WindowAggregateITCase's
+    // `GROUP BY TUMBLE(ts, INTERVAL ...)`): the text goes through
+    // spark.sql, GraftSqlParser rewrites it to window(), and Spark
+    // plans its incremental windowed aggregation against the view's
+    // watermark — each window emits once at maturity (Append), state
+    // dropped after. The watermark travels with the temp view (it's
+    // an EventTimeWatermark node in the captured plan).
+    q("st32_tumble_sql",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT wstart, wend, event_type, n, total FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart,
+        |    date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |    event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2, 3), wm
+        |WHERE epoch_us(wend) <= wm.wm_us
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      eventStream(s, dir).withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("st32_events")
+      val agg = s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS wstart,
+          |       TUMBLE_END(ts, INTERVAL '1' HOUR) AS wend,
+          |       event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM st32_events
+          |GROUP BY event_type, TUMBLE(ts, INTERVAL '1' HOUR)""".stripMargin)
+      require(agg.isStreaming, "st32: TUMBLE SQL text lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st32_out")
+        .orderBy("wstart", "event_type")
     })
 }

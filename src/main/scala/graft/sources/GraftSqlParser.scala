@@ -1,75 +1,107 @@
 package graft.sources
 
+import graft.sources.{SqlText => S}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** SQL dialect front-end for the reference's temporal-join syntax
-  * (SURVEY.md §2.3 — flink-sql-parser SqlSnapshot / `FOR SYSTEM_TIME
-  * AS OF`): Spark's grammar reserves that clause for constant time
-  * travel, so this parser recognizes the reference's *correlated* form
+/** SQL dialect front-end (SURVEY.md §2.1/§2.3/§2.4 — the statement
+  * shapes flink-sql-parser accepts that Spark's grammar does not),
+  * consolidated on the [[SqlText]] token model (round-6 used per-shape
+  * regexes, which mis-lex quoted identifiers, keywords inside string
+  * literals, and comments between keywords):
   *
-  * {{{ ... JOIN rates FOR SYSTEM_TIME AS OF o.ts [AS] r ON o.cur = r.cur }}}
+  *  1. Temporal join text — the reference's *correlated*
+  *     `JOIN rates FOR SYSTEM_TIME AS OF o.ts [AS] r ON ...`
+  *     (SqlSnapshot): rewritten to the hinted shape
+  *     [[graft.plans.AsOfJoinRule]] plans,
+  *     `SELECT /*+ ASOF_JOIN(rowtime) */ ... JOIN rates AS r ON
+  *     r.rowtime <= o.ts AND ...`. The versioned side's rowtime comes
+  *     from its CREATE TABLE WATERMARK ([[GraftDDL.rowtimeOf]]) — the
+  *     exact place the reference's planner finds the version
+  *     attribute. Spark's CONSTANT time travel (`AS OF '2024-01-01'`)
+  *     and the phrase inside string literals/comments pass through
+  *     untouched (the lexer, not luck, guarantees the latter now).
   *
-  * and rewrites it, text-to-text, into the hinted shape
-  * [[graft.plans.AsOfJoinRule]] plans:
+  *  2. Group-window text — `GROUP BY TUMBLE/HOP/SESSION(ts,
+  *     INTERVAL ...)` + `*_START/_END/_ROWTIME` auxiliaries →
+  *     Spark's `window()`/`session_window()` ([[GroupWindowSql]]).
   *
-  * {{{ SELECT /*+ ASOF_JOIN */ ... JOIN rates AS r ON r.<rowtime> <= o.ts AND o.cur = r.cur }}}
-  *
-  * The versioned side's rowtime column comes from its CREATE TABLE
-  * WATERMARK declaration ([[GraftDDL.rowtimeOf]]) — the exact place
-  * the reference's planner finds the version attribute of a temporal
-  * table. Everything else delegates to Spark's parser unchanged.
+  * Everything else delegates to Spark's parser unchanged.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private val asofRe =
-    """(?is)\bJOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)\s+(?:AS\s+)?(\w+)\s+ON\b""".r
-  private val selectRe = """(?i)\bSELECT\b""".r
-
-  // the CORRELATED probe form (AS OF <alias>.<col>) — Spark's native
-  // grammar cannot express it, so failing to rewrite it must error;
-  // the CONSTANT form (AS OF '2024-01-01', Spark time travel) and the
-  // phrase inside string literals must pass through untouched.
-  private val correlatedProbeRe =
-    """(?is)FOR\s+SYSTEM_TIME\s+AS\s+OF\s+\w+\.\w+""".r
+  /** Cheap pre-probe so the common no-dialect statement skips the lex. */
+  private def mentionsTemporal(sql: String): Boolean =
+    sql.toUpperCase.contains("SYSTEM_TIME")
 
   private[graft] def rewriteTemporal(sqlText: String): String = {
-    if (correlatedProbeRe.findFirstIn(sqlText).isEmpty) return sqlText
+    if (!mentionsTemporal(sqlText)) return sqlText
+    val toks = S.lex(sqlText)
+    def at(i: Int, kw: String) = i < toks.length && toks(i).is(kw)
+    def sym(i: Int, s: String) =
+      i < toks.length && toks(i).kind == S.Sym && toks(i).text == s
+    def nameAt(i: Int) = i < toks.length &&
+      (toks(i).kind == S.Ident || toks(i).kind == S.QIdent)
+    // correlated probe: FOR SYSTEM_TIME AS OF <ident>.<ident> in TOKEN
+    // space (a string literal containing the phrase no longer trips it)
+    var correlated = false
+    val edits = Seq.newBuilder[S.Splice]
     val rowtimes = Seq.newBuilder[String]
-    val replaced = asofRe.replaceAllIn(sqlText, m => {
-      val (rightTable, leftAlias, leftTime, rightAlias) =
-        (m.group(1), m.group(2), m.group(3), m.group(4))
-      val rowtime = GraftDDL.rowtimeOf(rightTable).getOrElse(sys.error(
-        s"temporal join: versioned table '$rightTable' declares no WATERMARK " +
-          "(the rowtime of FOR SYSTEM_TIME AS OF comes from the DDL, " +
-          "as in the reference)"))
-      rowtimes += rowtime
-      java.util.regex.Matcher.quoteReplacement(
-        s"JOIN $rightTable AS $rightAlias ON " +
-          s"$rightAlias.$rowtime <= $leftAlias.$leftTime AND ")
-    })
-    if (replaced == sqlText)
+    var i = 0
+    while (i < toks.length) {
+      if (at(i, "FOR") && at(i + 1, "SYSTEM_TIME") && at(i + 2, "AS") &&
+          at(i + 3, "OF") && nameAt(i + 4) && sym(i + 5, ".") && nameAt(i + 6)) {
+        correlated = true
+        // full JOIN shape: JOIN <table> FOR SYSTEM_TIME AS OF a.t [AS] r ON
+        val joinIdx = i - 2
+        val ok = joinIdx >= 0 && at(joinIdx, "JOIN") && nameAt(joinIdx + 1)
+        if (ok) {
+          val table = toks(joinIdx + 1)
+          val leftAlias = toks(i + 4).text
+          val leftTime = toks(i + 6).text
+          var j = i + 7
+          if (at(j, "AS")) j += 1
+          if (nameAt(j) && at(j + 1, "ON")) {
+            val rightAlias = toks(j).text
+            val rowtime = GraftDDL.rowtimeOf(table.ident).getOrElse(sys.error(
+              s"temporal join: versioned table '${table.ident}' declares no " +
+                "WATERMARK (the rowtime of FOR SYSTEM_TIME AS OF comes from " +
+                "the DDL, as in the reference)"))
+            rowtimes += rowtime
+            edits += S.Splice(toks(joinIdx).start, toks(j + 1).end,
+              s"JOIN ${table.text} AS $rightAlias ON " +
+                s"$rightAlias.$rowtime <= $leftAlias.$leftTime AND ")
+            i = j + 2
+          } else i += 7
+        } else i += 7
+      } else i += 1
+    }
+    val es = edits.result()
+    if (!correlated) return sqlText
+    if (es.isEmpty)
       sys.error(s"unsupported FOR SYSTEM_TIME AS OF shape: $sqlText")
     // mark the first query block so AsOfJoinRule fires; the hint
     // parameters name the versioned sides' rowtime columns so the rule
     // rewrites ONLY the temporal join(s), never an unrelated range
     // join that happens to share the equi+inequality shape.
-    selectRe.findFirstMatchIn(replaced) match {
-      case Some(m) =>
-        val params = rowtimes.result().distinct.mkString(", ")
-        replaced.substring(0, m.start) + s"SELECT /*+ ASOF_JOIN($params) */" +
-          replaced.substring(m.end)
-      case None => replaced
-    }
+    val sel = toks.indexWhere(_.is("SELECT"))
+    require(sel >= 0, s"no SELECT in temporal-join statement: $sqlText")
+    val params = rowtimes.result().distinct.mkString(", ")
+    val hinted = es :+ S.Splice(toks(sel).start, toks(sel).end,
+      s"SELECT /*+ ASOF_JOIN($params) */")
+    S.splice(sqlText, hinted)
   }
 
+  private def rewriteAll(sqlText: String): String =
+    GroupWindowSql.rewrite(rewriteTemporal(sqlText))
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(rewriteTemporal(sqlText))
+    delegate.parsePlan(rewriteAll(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(rewriteTemporal(sqlText))
+    delegate.parseQuery(rewriteAll(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

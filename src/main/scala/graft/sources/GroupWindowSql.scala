@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.sources.{SqlText => S}
+
+/** Group-window SQL text surface (SURVEY.md §2.4/§2.8 — the
+  * reference's most-used streaming SQL form: `GROUP BY TUMBLE(ts,
+  * INTERVAL '10' MINUTE)` with the TUMBLE_START/TUMBLE_END/
+  * TUMBLE_ROWTIME auxiliaries, plus the HOP and SESSION families;
+  * flink-table/.../functions/sql/FlinkSqlOperatorTable.java:868 and
+  * the planner/runtime/stream/sql/WindowAggregateITCase corpus).
+  *
+  * Spark's native window form is `window(ts, '10 minutes')` /
+  * `session_window(ts, gap)` — same bucketing semantics, different
+  * spelling — so this is a token-level TEXT rewrite that maps the
+  * reference's spelling onto Spark's and lets Catalyst plan it (batch
+  * and streaming identically; on a watermarked streaming view the
+  * rewritten text plans Spark's incremental windowed aggregation):
+  *
+  *  - `TUMBLE(ts, INTERVAL 'n' U)`            → `window(ts, 'n u')`
+  *  - `HOP(ts, INTERVAL 's' U, INTERVAL 'z' U)` → `window(ts, 'z u', 's u')`
+  *    (HOP's argument order is slide-then-size; Spark's is
+  *    size-then-slide — FlinkSqlOperatorTable HOP vs functions.window)
+  *  - `SESSION(ts, INTERVAL 'g' U)`  → `session_window(ts, 'g u')`
+  *  - `TUMBLE_START(...)`/`HOP_START(...)`   → `window.start`
+  *  - `TUMBLE_END(...)`/`HOP_END(...)`       → `window.end`
+  *  - `SESSION_START/END(...)`  → `session_window.start/.end`
+  *  - `*_ROWTIME(...)` → `<struct>.end - INTERVAL '0.001' SECOND`
+  *    (the rowtime attribute is window end − 1ms — the reference's
+  *    SliceAssigners/WindowProperties convention — so a cascaded
+  *    window on the rowtime lands in the right outer bucket)
+  *
+  * The auxiliaries' arguments must textually repeat the group
+  * window's (the same rule the reference's validator enforces); they
+  * are not re-checked here because the rewrite never reads them — the
+  * struct field is the same regardless. Proctime auxiliaries
+  * (`*_PROCTIME`) have no Spark analog and fail loudly.
+  */
+object GroupWindowSql {
+
+  private val groupFns = Map(
+    "TUMBLE" -> "window", "HOP" -> "window", "SESSION" -> "session_window")
+  private val auxSuffix = Map(
+    "_START" -> ".start", "_END" -> ".end",
+    "_ROWTIME" -> ".end - INTERVAL '0.001' SECOND")
+
+  /** Fast probe: does the text mention any group-window name at all?
+    * (Callers on the hot parse path skip the full lex when not.) */
+  def mentionsGroupWindow(sql: String): Boolean = {
+    val up = sql.toUpperCase
+    up.contains("TUMBLE") || up.contains("HOP") || up.contains("SESSION")
+  }
+
+  /** `INTERVAL 'n' UNIT` token range → Spark duration string "n unit". */
+  private def duration(toks: Vector[S.Tok], from: Int, to: Int): String = {
+    require(to - from == 3 && toks(from).is("INTERVAL") &&
+        toks(from + 1).kind == S.Str && toks(from + 2).kind == S.Ident,
+      s"expected INTERVAL '<n>' <unit>, got: " +
+        toks.slice(from, to).map(_.text).mkString(" "))
+    val n = toks(from + 1).text.stripPrefix("'").stripSuffix("'")
+    val unit = toks(from + 2).text.toLowerCase.stripSuffix("s")
+    require(Set("second", "minute", "hour", "day").contains(unit),
+      s"unsupported group-window interval unit: $unit")
+    s"$n $unit"
+  }
+
+  /** Rewrite every group-window call in the statement; text without
+    * any is returned unchanged. Unrecognized *_PROCTIME (or a
+    * malformed call) fails loudly — silently passing it to Spark
+    * would produce an unresolved-function error naming the wrong
+    * dialect. */
+  def rewrite(sql: String): String = {
+    if (!mentionsGroupWindow(sql)) return sql
+    val toks = S.lex(sql)
+    val edits = Seq.newBuilder[S.Splice]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val isCall = t.kind == S.Ident && i + 1 < toks.length &&
+        toks(i + 1).kind == S.Sym && toks(i + 1).text == "("
+      val up = if (t.kind == S.Ident) t.text.toUpperCase else ""
+      if (isCall && groupFns.contains(up)) {
+        val close = S.closeParen(toks, i + 1)
+        val args = S.splitTopLevel(toks, i + 2, close)
+        val tsText = S.textOf(sql, toks, args.head._1, args.head._2)
+        val repl = up match {
+          case "TUMBLE" =>
+            require(args.length == 2, s"TUMBLE takes (time, size): $sql")
+            s"window($tsText, '${duration(toks, args(1)._1, args(1)._2)}')"
+          case "HOP" =>
+            require(args.length == 3, s"HOP takes (time, slide, size): $sql")
+            val slide = duration(toks, args(1)._1, args(1)._2)
+            val size = duration(toks, args(2)._1, args(2)._2)
+            s"window($tsText, '$size', '$slide')"
+          case "SESSION" =>
+            require(args.length == 2, s"SESSION takes (time, gap): $sql")
+            s"session_window($tsText, '${duration(toks, args(1)._1, args(1)._2)}')"
+        }
+        edits += S.Splice(t.start, toks(close).end, repl)
+        i = close + 1
+      } else if (isCall && auxSuffix.keys.exists(s => up.endsWith(s)) &&
+          groupFns.contains(auxSuffix.keys.filter(up.endsWith)
+            .foldLeft(up)((n, s) => n.stripSuffix(s)))) {
+        val suffix = auxSuffix.keys.find(up.endsWith).get
+        val family = up.stripSuffix(suffix)
+        val struct = groupFns(family)
+        val close = S.closeParen(toks, i + 1)
+        edits += S.Splice(t.start, toks(close).end, s"$struct${auxSuffix(suffix)}")
+        i = close + 1
+      } else if (isCall && groupFns.keys.exists(f => up == s"${f}_PROCTIME")) {
+        sys.error(s"$up has no analog here: processing-time group windows " +
+          "are micro-batch boundaries in this engine (SURVEY §2.9), use " +
+          "the rowtime auxiliaries")
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) sql else S.splice(sql, es)
+  }
+}

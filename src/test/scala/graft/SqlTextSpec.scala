@@ -1,0 +1,203 @@
+package graft
+
+import graft.sources.{GroupWindowSql, SqlText}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The consolidated SQL front-end (SqlText lexer + the rewrites built
+  * on it): shapes the round-6 regex front-end mis-lexed — quoted
+  * identifiers, keywords inside string literals, comments between
+  * keywords — plus the group-window text surface end-to-end.
+  */
+class SqlTextSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = StreamHarness.spark
+
+  // ---- lexer ----
+
+  test("lexer: strings, quoted identifiers, comments, hints, offsets") {
+    val sql = """SELECT /*+ BROADCAST(t) */ "a b", `x``y`, 'it''s' -- tail
+                |FROM t /* block
+                |comment */ WHERE n = 1.5e3""".stripMargin
+    val toks = SqlText.lex(sql)
+    assert(toks.exists(t => t.kind == SqlText.Hint && t.text.contains("BROADCAST")))
+    val q = toks.filter(_.kind == SqlText.QIdent)
+    assert(q.map(_.ident) == Seq("a b", "x`y"), q.map(_.ident))
+    val s = toks.find(_.kind == SqlText.Str).get
+    assert(s.text == "'it''s'")
+    // comments gone
+    assert(!toks.exists(t => t.text.contains("tail") || t.text.contains("comment")))
+    assert(toks.exists(t => t.kind == SqlText.Num && t.text == "1.5e3"))
+    // offsets reconstruct the original text exactly
+    toks.foreach(t => assert(sql.substring(t.start, t.end) == t.text))
+    // unterminated forms fail loudly
+    intercept[RuntimeException](SqlText.lex("SELECT 'open"))
+    intercept[RuntimeException](SqlText.lex("SELECT /* open"))
+  }
+
+  test("splice: non-overlapping edits keep surrounding text byte-for-byte") {
+    val sql = "SELECT a, b FROM t"
+    val toks = SqlText.lex(sql)
+    val b = toks.find(_.text == "b").get
+    val out = SqlText.splice(sql, Seq(SqlText.Splice(b.start, b.end, "c")))
+    assert(out == "SELECT a, c FROM t")
+    intercept[IllegalArgumentException](SqlText.splice(sql,
+      Seq(SqlText.Splice(0, 8, "x"), SqlText.Splice(7, 9, "y"))))
+  }
+
+  // ---- temporal-join rewrite on the token model ----
+
+  test("temporal rewrite survives comments and case the regexes would mis-lex") {
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("k", "rt").createOrReplaceTempView("vt_lex_spec")
+    graft.sources.GraftDDL.execute(spark,
+      s"""CREATE TABLE vt_lex (k BIGINT, rt TIMESTAMP,
+         |  WATERMARK FOR rt AS rt - INTERVAL '0' SECOND
+         |) WITH ('connector'='filesystem',
+         |        'path'='${java.nio.file.Files.createTempDirectory("vtlex")}',
+         |        'format'='parquet')""".stripMargin)
+    val p = new graft.sources.GraftSqlParser(spark.sessionState.sqlParser)
+    // a line comment between JOIN keywords — fatal to a \s-based regex
+    val sql =
+      """SELECT p.k FROM probe p
+        |JOIN vt_lex -- versioned side
+        |  FOR SYSTEM_TIME AS OF p.ts AS r ON p.k = r.k""".stripMargin
+    val out = p.rewriteTemporal(sql)
+    assert(out.contains("ASOF_JOIN(rt)"), out)
+    assert(out.contains("r.rt <= p.ts"), out)
+    // correlated phrase inside a string literal: untouched now
+    val lit = "SELECT 'JOIN x FOR SYSTEM_TIME AS OF a.b AS r ON' AS s"
+    assert(p.rewriteTemporal(lit) == lit)
+  }
+
+  // ---- group-window SQL text ----
+
+  test("TUMBLE/HOP/SESSION text rewrites to window()/session_window()") {
+    val t = GroupWindowSql.rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws, count(*) AS n " +
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    assert(t.contains("GROUP BY window(ts, '10 minute')"), t)
+    assert(t.contains("window.start AS ws"), t)
+    val h = GroupWindowSql.rewrite(
+      "SELECT HOP_END(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS we " +
+        "FROM t GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)")
+    // HOP is (time, slide, size); Spark window() is (time, size, slide)
+    assert(h.contains("window(ts, '10 minute', '5 minute')"), h)
+    assert(h.contains("window.end AS we"), h)
+    val se = GroupWindowSql.rewrite(
+      "SELECT SESSION_START(ts, INTERVAL '30' SECOND) AS ss " +
+        "FROM t GROUP BY k, SESSION(ts, INTERVAL '30' SECOND)")
+    assert(se.contains("session_window(ts, '30 second')"), se)
+    assert(se.contains("session_window.start AS ss"), se)
+    val rt = GroupWindowSql.rewrite(
+      "SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt FROM t " +
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert(rt.contains("window.end - INTERVAL '0.001' SECOND AS rt"), rt)
+    // no group-window mention → identity (fast path)
+    val plain = "SELECT a FROM t GROUP BY a"
+    assert(GroupWindowSql.rewrite(plain) eq plain)
+    // proctime auxiliaries have no analog → loud
+    intercept[RuntimeException](GroupWindowSql.rewrite(
+      "SELECT TUMBLE_PROCTIME(ts, INTERVAL '1' HOUR) FROM t"))
+    // a column merely NAMED session/hop is untouched
+    val col = "SELECT session, hop FROM t"
+    assert(GroupWindowSql.rewrite(col) == col)
+  }
+
+  test("group-window SQL text executes through spark.sql (parser-injected)") {
+    import spark.implicits._
+    Seq(
+      (1L, "2024-01-01 00:03:00", 2.0),
+      (1L, "2024-01-01 00:07:00", 3.0),
+      (1L, "2024-01-01 00:12:00", 5.0),
+      (2L, "2024-01-01 00:04:00", 7.0))
+      .toDF("k", "tss", "v")
+      .selectExpr("k", "CAST(tss AS TIMESTAMP) AS ts", "v")
+      .createOrReplaceTempView("gw_sql_spec")
+    val out = spark.sql(
+      """SELECT k, TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws,
+        |       TUMBLE_END(ts, INTERVAL '10' MINUTE) AS we,
+        |       TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) AS rt,
+        |       sum(v) AS sv
+        |FROM gw_sql_spec
+        |GROUP BY k, TUMBLE(ts, INTERVAL '10' MINUTE)
+        |ORDER BY k, ws""".stripMargin).collect()
+    assert(out.length == 3, out.mkString("\n"))
+    val r0 = out(0)
+    assert(r0.getLong(0) == 1L && r0.getDouble(4) == 5.0)
+    assert(r0.getTimestamp(1).toString.startsWith("2024-01-01 00:00"))
+    assert(r0.getTimestamp(2).toString.startsWith("2024-01-01 00:10"))
+    // rowtime = end − 1ms
+    assert(r0.getTimestamp(3).getTime == r0.getTimestamp(2).getTime - 1)
+    assert(out(1).getDouble(4) == 5.0 && out(2).getDouble(4) == 7.0)
+  }
+
+  // ---- MATCH_RECOGNIZE statement surface ----
+
+  test("MATCH_RECOGNIZE statement parses, canonicalizes, and guards loudly") {
+    import graft.sources.MatchRecognizeSql
+    import spark.implicits._
+    Seq(
+      (7L, 10L, 1L, "signup", 0.0),
+      (7L, 20L, 2L, "click", 1.5),
+      (7L, 30L, 3L, "purchase", 9.0))
+      .toDF("uid", "t_us", "event_id", "etype", "v")
+      .createOrReplaceTempView("mr_stmt_spec")
+    val out = MatchRecognizeSql.sql(spark,
+      """SELECT uid, n_clicks, pv FROM mr_stmt_spec MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY t_us
+        |  MEASURES COUNT(B.event_id) AS n_clicks, P.v AS pv
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS etype = 'signup', B AS etype = 'click',
+        |         P AS etype = 'purchase'
+        |) AS T ORDER BY uid""".stripMargin).collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.getLong(0) == 7L && out.head.getLong(1) == 1L &&
+      out.head.getDouble(2) == 9.0, out.head)
+    // missing PARTITION BY → loud
+    val e = intercept[RuntimeException](MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_stmt_spec MATCH_RECOGNIZE (
+        |  ORDER BY t_us PATTERN (A) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS etype = 'x')""".stripMargin))
+    assert(e.getMessage.contains("PARTITION BY"), e.getMessage)
+    // non-integral partition column → loud (it becomes the state key)
+    Seq(("a", 1L, 1L, "x")).toDF("s", "t_us", "event_id", "etype")
+      .createOrReplaceTempView("mr_stmt_badkey")
+    val e2 = intercept[RuntimeException](MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_stmt_badkey MATCH_RECOGNIZE (
+        |  PARTITION BY s ORDER BY t_us PATTERN (A)
+        |  WITHIN INTERVAL '1' HOUR DEFINE A AS etype = 'x')""".stripMargin))
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+  }
+
+  test("MATCH_RECOGNIZE statement routes a STREAMING view to the incremental operator") {
+    import graft.sources.MatchRecognizeSql
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = StreamHarness.mkStream()
+    input.toDS().toDF().createOrReplaceTempView("mr_sql_stream")
+    val out = MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_sql_stream MATCH_RECOGNIZE (
+        |  PARTITION BY key ORDER BY tsMicros
+        |  PATTERN (A P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS kind = 'signup', P AS kind = 'purchase')""".stripMargin)
+    assert(out.isStreaming)
+    spark.catalog.dropTempView("mr_sql_stream_out")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mr_sql_stream_out").start()
+    try {
+      input.addData(Seq(StreamHarness.ev(1, 10, 1, kind = "signup")))
+      q.processAllAvailable()
+      input.addData(Seq(StreamHarness.ev(1, 20, 2, kind = "purchase")))
+      q.processAllAvailable()
+      // watermark flush
+      input.addData(Seq(StreamHarness.ev(9, 10000, 99, kind = "x")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("mr_sql_stream_out")
+      .select("key", "anchor_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 1L, 2L)), s"streaming MR statement match: $rows")
+  }
+}
