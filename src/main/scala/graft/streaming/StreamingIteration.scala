@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.GraphOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -10,47 +10,131 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * flink-streaming-java/.../datastream/IterativeStream.java): Spark's
   * micro-batch DAG cannot contain a cycle, so the feedback edge is
   * re-expressed as the two things a Flink iteration actually does —
+  * iterate to a fixpoint within each turn, and carry the converged
+  * state across turns so incremental input re-converges from the
+  * previous fixpoint instead of from scratch. Demonstrated as
+  * incremental connected components over an edge stream — the
+  * canonical IterativeStream example.
   *
-  *  1. iterate to a FIXPOINT within each micro-batch (the feedback
-  *     loop's in-flight circulation: here, a delta-iteration label
-  *     propagation run inside `foreachBatch`);
-  *  2. carry the converged state ACROSS batches (the loop's persistent
-  *     progress: the labels of batch n seed batch n+1, so incremental
-  *     input re-converges from the previous fixpoint instead of from
-  *     scratch).
+  * SCALE DESIGN (round 7 — replaces the round-6 shape that
+  * re-distincted the full accumulated edge set every micro-batch,
+  * O(|history|) shuffle per batch ⇒ quadratic over the stream's
+  * life): because component merging is MONOTONE under edge insertion
+  * (labels only ever merge, never split), the converged `(node,
+  * label)` state is a complete summary — no historical edge store is
+  * needed at all. Per batch:
   *
-  * This is the same determinization the reference's own users apply
-  * when an IterativeStream job migrates to table-land (iterations are
-  * absent from the reference's SQL/Table API for the same no-cycles
-  * reason). Demonstrated as incremental connected components over an
-  * edge stream — the canonical IterativeStream example.
+  *  1. the batch's edges are distinct-ed (shuffle ∝ batch size);
+  *  2. the labels of the batch's endpoint nodes are fetched by
+  *     BROADCASTING the (small) endpoint set against the label state
+  *     — a broadcast hash join that streams the state map-side, no
+  *     state shuffle;
+  *  3. the label-merge graph (≤ 2·|batch| elements) is solved by
+  *     union-find on the driver — the in-flight circulation of the
+  *     reference's feedback loop, bounded by the batch, never the
+  *     corpus;
+  *  4. the merge map is broadcast back and applied to the label state
+  *     as a MAP-SIDE relabel (broadcast left join + coalesce): a
+  *     linear scan, zero shuffle, skipped entirely when the batch
+  *     caused no merges and no new nodes.
+  *
+  * A batch larger than `maxDriverMergeEdges` (e.g. the first
+  * AvailableNow backlog batch) takes the distributed path instead:
+  * delta-iteration label propagation over the batch's edges PLUS a
+  * star edge from every labeled node to its label — the star
+  * collapses each previous component to diameter 2, so convergence
+  * cost is ∝ (|batch| + |state|) for that one batch, still never
+  * ∝ accumulated edge history.
+  *
+  * State write: the relabeled state is localCheckpoint-ed to truncate
+  * lineage — an O(|labels|) storage write (NOT a shuffle) on batches
+  * that changed something; |labels| = node count, typically far below
+  * edge count.
   */
-class StreamingGraphCC(maxIterationsPerBatch: Int = 10) {
+class StreamingGraphCC(maxIterationsPerBatch: Int = 10,
+                       maxDriverMergeEdges: Int = 100000) {
   private var labels: Option[DataFrame] = None
-  private var allEdges: Option[DataFrame] = None
 
-  /** One feedback-loop turn: fold the batch's edges into the
-    * accumulated graph and re-converge labels from the previous
-    * fixpoint. Edges are treated as undirected. */
+  /** One feedback-loop turn. Edges are treated as undirected. */
   def step(batch: DataFrame): Unit = {
-    val fresh = batch.select(col("src"), col("dst")).distinct()
-    // iteration state with truncated lineage, like GraphOps supersteps
-    val acc = allEdges match {
-      case Some(prev) => prev.union(fresh).distinct().localCheckpoint(true)
-      case None       => fresh.localCheckpoint(true)
+    val spark = batch.sparkSession
+    val fresh = batch
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val sample = fresh.limit(maxDriverMergeEdges + 1).collect()
+    if (sample.length > maxDriverMergeEdges) stepDistributed(spark, fresh)
+    else stepDriver(spark, sample)
+  }
+
+  /** Small batch: union-find over the label-merge graph on the driver
+    * (∝ batch), map-side broadcast relabel of the state (no shuffle). */
+  private def stepDriver(spark: SparkSession, edges: Array[Row]): Unit = {
+    import spark.implicits._
+    if (edges.isEmpty) return
+    val endpoints = edges.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    // labels of the touched nodes: broadcast the SMALL endpoint set,
+    // stream the state map-side
+    val known: Map[Long, Long] = labels match {
+      case Some(l) =>
+        l.join(broadcast(endpoints.toSeq.toDF("node")), Seq("node"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      case None => Map.empty
     }
-    allEdges = Some(acc)
-    val bidir = acc.union(acc.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = acc.select(col("src").as("node"))
-      .union(acc.select(col("dst"))).distinct()
-    // feedback edge: previous converged labels seed this batch; nodes
-    // first seen here start as their own label
+    // union-find over label space, union-by-min (CC's min-label
+    // convention); elements are labels and never more than 2·|batch|
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    def labelOf(n: Long) = known.getOrElse(n, n)
+    edges.foreach(r => union(labelOf(r.getLong(0)), labelOf(r.getLong(1))))
+    // existing labels that merged downward
+    val relabel = known.values.toSeq.distinct
+      .map(l => l -> find(l)).filter { case (l, r) => r != l }
+    // nodes first seen in this batch
+    val newNodes = endpoints.filterNot(known.contains)
+      .map(n => n -> find(labelOf(n))).toSeq
+    if (relabel.isEmpty && newNodes.isEmpty) return
+    val prev = labels.getOrElse(
+      spark.emptyDataset[(Long, Long)].toDF("node", "label"))
+    val relabeled =
+      if (relabel.isEmpty) prev
+      else {
+        val m = relabel.toDF("_from", "_to")
+        prev.join(broadcast(m), prev("label") === col("_from"), "left")
+          .select(col("node"),
+            coalesce(col("_to"), col("label")).as("label"))
+      }
+    val next = relabeled.union(newNodes.toDF("node", "label"))
+    labels = Some(next.localCheckpoint(true))
+  }
+
+  /** Oversized batch (e.g. the AvailableNow backlog): distributed
+    * delta iteration over batch edges + node→label star edges (each
+    * previous component collapses to diameter 2 around its label
+    * node, which is a real member — the component's min id). Cost
+    * ∝ |batch| + |state| for this batch only. */
+  private def stepDistributed(spark: SparkSession, fresh: DataFrame): Unit = {
+    val star = labels.map(_.filter(col("node") =!= col("label"))
+      .select(col("node").as("src"), col("label").as("dst")))
+    val edges = star.fold(fresh)(fresh.union)
+    val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
     val seed = labels.map { prev =>
       nodes.join(prev, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     }
     labels = Some(GraphOps.labelPropagationDelta(
-      nodes, bidir, maxIterationsPerBatch, seed = seed))
+      nodes, bidir, maxIterationsPerBatch, seed = seed).localCheckpoint(true))
   }
 
   /** foreachBatch adapter. */
