@@ -319,5 +319,36 @@ object TypedOps extends QueryGroup {
           outCol = "brand")
         .select("l_orderkey", "l_linenumber", "brand")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Async I/O ordered-wait lookup (SURVEY §2.9 — AsyncDataStream
+    // .orderedWait / AsyncWaitOperator.java:78): per-partition bounded
+    // in-flight Future window standing where an async KV/HTTP client
+    // would; emission is input-ordered, so the result equals the plain
+    // broadcast join the oracle runs. The "service" is a broadcast
+    // snapshot of the customer dimension (the same stand-in the spec
+    // uses); capacity 32 keeps at most 32 requests in flight per
+    // partition — the reference's AsyncDataStream capacity knob.
+    q("ty13_async_lookup",
+      """SELECT o_orderkey, c.c_name AS cust_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.Future
+      val dim = s.sparkContext.broadcast(
+        t(s, dir)("customer").select("c_custkey", "c_name")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+      t(s, dir)("orders").filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey").as[(Long, Long)]
+        .mapPartitions { it =>
+          graft.operators.AsyncLookup
+            .orderedWait(it, capacity = 32,
+              (ok: (Long, Long)) => Future(dim.value(ok._2)))
+            .map { case ((okey, _), name) => (okey, name) }
+        }
+        .toDF("o_orderkey", "cust_name")
+        .orderBy("o_orderkey")
     })
 }

@@ -334,6 +334,104 @@ object GraftDDL {
       case other => sys.error(s"unsupported SHOW statement: $other")
     }
 
+  private val alterSetRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.+)\)\s*;?\s*""".r
+  private val alterRenameRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
+
+  /** `ALTER TABLE t SET ('k'='v', ...)` / `ALTER TABLE t RENAME TO t2`
+    * (SqlToOperationConverter's alter-table paths,
+    * SqlAlterTableOptions / SqlAlterTableRename): SET merges the new
+    * connector properties into the stored binding and re-registers the
+    * view through it (a changed path/format is observed immediately,
+    * exactly the reference's catalog-update semantics); RENAME moves
+    * the binding and the view. Unknown tables fail loudly. */
+  def executeAlter(spark: SparkSession, stmt: String): DataFrame = stmt match {
+    case alterSetRe(name, propsText) =>
+      val b = Option(sinks.get(name.toLowerCase)).getOrElse(
+        sys.error(s"ALTER TABLE target '$name' has no CREATE TABLE binding"))
+      val props = propRe.findAllMatchIn(propsText)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      require(props.nonEmpty, s"ALTER TABLE ... SET with no options: $stmt")
+      require(props.get("connector").forall(_ == "filesystem"),
+        s"unsupported connector: ${props.get("connector")}")
+      val b2 = b.copy(
+        path = props.getOrElse("path", b.path),
+        format = props.getOrElse("format", b.format),
+        streaming = props.get("mode").map(_ == "streaming").getOrElse(b.streaming))
+      sinks.put(name.toLowerCase, b2)
+      register(spark, name, b2)
+    case alterRenameRe(from, to) =>
+      val b = Option(sinks.remove(from.toLowerCase)).getOrElse(
+        sys.error(s"ALTER TABLE target '$from' has no CREATE TABLE binding"))
+      sinks.put(to.toLowerCase, b)
+      spark.catalog.dropTempView(from)
+      register(spark, to, b)
+    case _ => sys.error(s"unsupported ALTER TABLE: $stmt")
+  }
+
+  private val dropRe =
+    """(?is)\s*DROP\s+(TABLE|TEMPORARY\s+VIEW|VIEW)\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+
+  /** `DROP TABLE [IF EXISTS] t` / `DROP [TEMPORARY] VIEW [IF EXISTS] v`
+    * (SqlToOperationConverter drop paths): removes the binding (tables)
+    * and the temp view. Returns true when something was dropped;
+    * a missing target without IF EXISTS fails loudly, like the
+    * reference's catalog. */
+  def executeDrop(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case dropRe(kind, ifExists, name) =>
+      val hadBinding =
+        if (kind.equalsIgnoreCase("TABLE"))
+          sinks.remove(name.toLowerCase) != null
+        else false
+      val hadView = spark.catalog.dropTempView(name)
+      val dropped = hadBinding || hadView
+      if (!dropped && ifExists == null)
+        sys.error(s"DROP ${kind.toUpperCase}: '$name' does not exist")
+      dropped
+    case _ => sys.error(s"unsupported DROP statement: $stmt")
+  }
+
+  private val createFnRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([\w.$]+)'\s*;?\s*""".r
+
+  /** `CREATE [TEMPORARY] FUNCTION name AS 'class'` (SqlCreateFunction
+    * → the reference's class-backed catalog functions): the class must
+    * be a Catalyst `Expression` with an all-Expression constructor on
+    * the classpath (e.g. `graft.functions.SplitIndex`) — the same
+    * contract `GraftExtensions` uses to inject the built-ins, exposed
+    * as a statement. The function becomes callable from any subsequent
+    * spark.sql text. Unknown classes or non-Expression classes fail
+    * loudly at CREATE time, like the reference's validator. */
+  def executeCreateFunction(spark: SparkSession, stmt: String): String =
+    stmt match {
+      case createFnRe(name, className) =>
+        val cls =
+          try Class.forName(className)
+          catch { case _: ClassNotFoundException =>
+            sys.error(s"CREATE FUNCTION: class '$className' not on classpath") }
+        require(classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+            .isAssignableFrom(cls),
+          s"CREATE FUNCTION: '$className' is not a Catalyst Expression")
+        val ctors = cls.getConstructors.filter(_.getParameterTypes.forall(
+          classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+            .isAssignableFrom))
+        require(ctors.nonEmpty,
+          s"CREATE FUNCTION: '$className' has no all-Expression constructor")
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name.toLowerCase,
+          (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            val ctor = ctors.find(_.getParameterCount == es.length).getOrElse(
+              sys.error(s"$name takes ${ctors.map(_.getParameterCount).toSeq
+                .sorted.mkString("/")} arguments, got ${es.length}"))
+            ctor.newInstance(es: _*)
+              .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+          },
+          "scala_udf")
+        name.toLowerCase
+      case _ => sys.error(s"unsupported CREATE FUNCTION: $stmt")
+    }
+
   /** Parse + bind + register; returns the bound DataFrame. */
   def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
     case createRe(name, colsText, propsText) =>

@@ -459,4 +459,79 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.asScala.toSet ==
       Set((1L, "keep"), (2L, "drop"), (3L, "keep")))
   }
+
+  test("ALTER TABLE SET re-binds the path; RENAME moves binding and view") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val d1 = java.nio.file.Files.createTempDirectory("alter_a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("alter_b").toString
+    import sp.implicits._
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(d1)
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.mode("overwrite").parquet(d2)
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE alter_spec (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$d1', 'format'='parquet')"""
+        .stripMargin)
+    assert(sp.table("alter_spec").count() == 1)
+    // SET: new path observed immediately through the re-registered view
+    GraftDDL.executeAlter(sp, s"ALTER TABLE alter_spec SET ('path'='$d2')")
+    assert(sp.table("alter_spec").count() == 2)
+    // RENAME: binding + view move; old name gone, INSERT targets new name
+    GraftDDL.executeAlter(sp, "ALTER TABLE alter_spec RENAME TO alter_spec2")
+    assert(sp.table("alter_spec2").count() == 2)
+    assert(!sp.catalog.tableExists("alter_spec"))
+    // unknown table fails loudly
+    val e = intercept[RuntimeException](
+      GraftDDL.executeAlter(sp, "ALTER TABLE nope SET ('format'='csv')"))
+    assert(e.getMessage.contains("no CREATE TABLE binding"), e.getMessage)
+  }
+
+  test("DROP TABLE/VIEW: IF EXISTS tolerated, missing target loud, binding removed") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val d = java.nio.file.Files.createTempDirectory("drop_spec").toString
+    import sp.implicits._
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(d)
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE drop_spec_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='parquet')"""
+        .stripMargin)
+    assert(GraftDDL.executeDrop(sp, "DROP TABLE drop_spec_t"))
+    assert(!sp.catalog.tableExists("drop_spec_t"))
+    // the binding is gone too: INSERT against it must fail
+    val e = intercept[RuntimeException](GraftDDL.executeInsert(sp,
+      "INSERT INTO drop_spec_t SELECT 1 AS k, 'y' AS v"))
+    assert(e.getMessage.contains("no CREATE TABLE binding"), e.getMessage)
+    // IF EXISTS on a missing target: quiet no-op
+    assert(!GraftDDL.executeDrop(sp, "DROP TABLE IF EXISTS drop_spec_t"))
+    // missing target without IF EXISTS: loud
+    val e2 = intercept[RuntimeException](
+      GraftDDL.executeDrop(sp, "DROP VIEW drop_spec_nope"))
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    // DROP VIEW on a CREATE VIEW registration
+    sp.sql("SELECT 1 AS one").createOrReplaceTempView("drop_spec_v")
+    assert(GraftDDL.executeDrop(sp, "DROP VIEW drop_spec_v"))
+    assert(!sp.catalog.tableExists("drop_spec_v"))
+  }
+
+  test("CREATE FUNCTION binds a classpath Expression and rejects junk loudly") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    // a real Catalyst Expression from this engine's function package
+    val name = GraftDDL.executeCreateFunction(sp,
+      "CREATE TEMPORARY FUNCTION my_split AS 'graft.functions.SplitIndex'")
+    assert(name == "my_split")
+    val got = sp.sql("SELECT my_split('a,b,c', ',', 1) AS x").collect()(0).getString(0)
+    assert(got == "b", got)
+    // wrong arity fails at call time with the declared arities
+    val e0 = intercept[Exception](sp.sql("SELECT my_split('a') AS x").collect())
+    assert(e0.getMessage.contains("argument"), e0.getMessage)
+    // unknown class / non-Expression class fail at CREATE time
+    val e1 = intercept[RuntimeException](GraftDDL.executeCreateFunction(sp,
+      "CREATE FUNCTION bad1 AS 'graft.functions.DoesNotExist'"))
+    assert(e1.getMessage.contains("not on classpath"), e1.getMessage)
+    val e2 = intercept[RuntimeException](GraftDDL.executeCreateFunction(sp,
+      "CREATE FUNCTION bad2 AS 'java.lang.String'"))
+    assert(e2.getMessage.contains("not a Catalyst Expression"), e2.getMessage)
+  }
 }
