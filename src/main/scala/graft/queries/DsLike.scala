@@ -838,5 +838,97 @@ object DsLike extends QueryGroup {
         .select(col("p_name"), col("yr"), col("amt_y"), col("amt_next"),
           col("n_items"), col("n_ret"))
         .orderBy("p_name", "yr")
+    },
+
+    // TPC-DS Q72-flavored (tpcds-tool/query/query72.sql): the widest
+    // FACT-FACT-DATE join — demand (lineitem⋈orders⋈customer, one
+    // market segment) against a supply proxy (lineitem shipments per
+    // part-week) joined on part AND a date-OFFSET week (supply week =
+    // demand week + 1, Q72's d1.d_week_seq = d2.d_week_seq shape),
+    // keeping weeks where the following week's shipments fall short
+    // of what was ordered. Both facts aggregate FIRST (partial aggs
+    // shrink the shuffle), then meet on (part, week) — never a raw
+    // fact×fact row join; the segment filter reaches the customer
+    // scan and prunes demand before its shuffle.
+    q("d26_demand_supply_gap",
+      """WITH demand AS (
+        |  SELECT l_partkey, date_trunc('week', o_orderdate) AS wk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_ordered,
+        |    count(*) AS n_lines
+        |  FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2),
+        |supply AS (
+        |  SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_shipped
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT d.l_partkey AS partkey, CAST(d.wk AS DATE) AS demand_week,
+        |  d.qty_ordered, s.qty_shipped, d.n_lines
+        |FROM demand d JOIN supply s
+        |  ON s.l_partkey = d.l_partkey AND s.wk = d.wk + INTERVAL 7 DAY
+        |WHERE s.qty_shipped < d.qty_ordered
+        |ORDER BY partkey, demand_week""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val c = t(s, dir)("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val demand = li
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("l_partkey"), date_trunc("week", col("o_orderdate")).as("wk"))
+        .agg(sum(col("l_quantity").cast(dec18_2)).cast(DoubleType).as("qty_ordered"),
+          count(lit(1)).as("n_lines"))
+      val supply = li
+        .groupBy(col("l_partkey").as("s_partkey"),
+          date_trunc("week", col("l_shipdate")).as("s_wk"))
+        .agg(sum(col("l_quantity").cast(dec18_2)).cast(DoubleType).as("qty_shipped"))
+      demand.join(supply,
+          col("s_partkey") === col("l_partkey") &&
+            col("s_wk") === col("wk") + expr("INTERVAL 7 DAY"))
+        .filter(col("qty_shipped") < col("qty_ordered"))
+        .select(col("l_partkey").as("partkey"),
+          col("wk").cast("date").as("demand_week"),
+          col("qty_ordered"), col("qty_shipped"), col("n_lines"))
+        .orderBy("partkey", "demand_week")
+    },
+
+    // TPC-DS Q95-flavored (tpcds-tool/query/query95.sql): multi-EXISTS
+    // self-join on shipping — bulk lines on orders that ALSO
+    // shipped from a DIFFERENT supplier (EXISTS self-join, Q95's
+    // ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk) and had NO returned
+    // line (NOT EXISTS). Both quantifiers are semi/anti joins
+    // co-partitioned with the probe on l_orderkey — three facts, one
+    // shuffle key, no row explosion (the EXISTS never materializes the
+    // matching pairs).
+    q("d27_shipping_pairs",
+      """SELECT year(l1.l_shipdate) AS yr,
+        |  count(DISTINCT l1.l_orderkey) AS n_orders,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l1.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS amount
+        |FROM lineitem l1
+        |WHERE l1.l_quantity > 30
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val probe = li.filter(col("l_quantity") > 30)
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"))
+      probe
+        .join(others, col("ok2") === col("l_orderkey") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(returned, col("ok3") === col("l_orderkey"), "left_anti")
+        .groupBy(year(col("l_shipdate")).as("yr"))
+        .agg(countDistinct("l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(rev).cast(DoubleType).as("amount"))
+        .orderBy("yr")
     })
 }
