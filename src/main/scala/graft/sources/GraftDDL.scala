@@ -24,8 +24,50 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftDDL {
 
-  private val createRe =
-    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(\w+)\s*\((.+)\)\s*WITH\s*\((.+)\)\s*;?\s*""".r
+  import graft.sources.{SqlText => S}
+
+  /** Structural CREATE TABLE recognition on the [[SqlText]] token
+    * model (round 7 — the old `(.+)`-based regex mis-lexed comments
+    * inside the column list, quoted identifiers, and property values
+    * containing `WITH (`): CREATE [TEMPORARY] TABLE <name> ( cols )
+    * WITH ( props ), the parens matched structurally, the fragments
+    * re-rendered comment-free for the per-item parsers below. Returns
+    * (name, colsText, propsText) or None when the statement is not a
+    * CREATE TABLE at all (callers fail loudly with their own shape). */
+  private def createStructure(ddl: String): Option[(String, String, String)] = {
+    val toks = S.lex(ddl)
+    def at(i: Int, kw: String) = i < toks.length && toks(i).is(kw)
+    var i = 0
+    if (!at(i, "CREATE")) return None
+    i += 1
+    if (at(i, "TEMPORARY")) i += 1
+    if (!at(i, "TABLE")) return None
+    i += 1
+    if (i >= toks.length ||
+      (toks(i).kind != S.Ident && toks(i).kind != S.QIdent)) return None
+    val name = toks(i).ident
+    i += 1
+    if (i >= toks.length || toks(i).text != "(") return None
+    val closeCols = S.closeParen(toks, i)
+    val colsText = S.render(toks.slice(i + 1, closeCols))
+    var j = closeCols + 1
+    if (!at(j, "WITH")) return None
+    j += 1
+    if (j >= toks.length || toks(j).text != "(") return None
+    val closeProps = S.closeParen(toks, j)
+    val propsText = S.render(toks.slice(j + 1, closeProps))
+    val tail = toks.drop(closeProps + 1)
+    require(tail.isEmpty || (tail.length == 1 && tail.head.text == ";"),
+      s"unsupported trailing text after CREATE TABLE: ${S.render(tail)}")
+    Some((name, colsText, propsText))
+  }
+
+  /** Regex-shaped view of [[createStructure]] so the existing
+    * per-fragment extractors keep their match-style call sites. */
+  private object createRe {
+    def unapply(ddl: String): Option[(String, String, String)] =
+      createStructure(ddl)
+  }
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r

@@ -176,4 +176,24 @@ object SqlText {
   /** Original text of the token range [from, to). */
   def textOf(sql: String, toks: Vector[Tok], from: Int, to: Int): String =
     if (from >= to) "" else sql.substring(toks(from).start, toks(to - 1).end)
+
+  /** Render a token slice back to canonical single-spaced text —
+    * comments are gone (the lexer dropped them), strings and quoted
+    * identifiers are verbatim. Used to hand a CLEANED fragment to a
+    * downstream per-item parser that is whitespace-tolerant but
+    * comment-blind. */
+  def render(toks: Seq[Tok]): String = {
+    val sb = new StringBuilder
+    var prev: Tok = null
+    toks.foreach { t =>
+      val noSpaceBefore = t.kind == Sym &&
+        Seq(",", ")", "(", ".", ";").contains(t.text)
+      val noSpaceAfterPrev = prev != null && prev.kind == Sym &&
+        (prev.text == "(" || prev.text == ".")
+      if (prev != null && !noSpaceBefore && !noSpaceAfterPrev) sb += ' '
+      sb.append(t.text)
+      prev = t
+    }
+    sb.toString
+  }
 }

@@ -131,6 +131,30 @@ class SqlTextSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 5.0 && out(2).getDouble(4) == 7.0)
   }
 
+  // ---- DDL through the token-structural front door ----
+
+  test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
+    import graft.sources.GraftDDL
+    val d = java.nio.file.Files.createTempDirectory("ddl_lex").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(d)
+    // a line comment inside the columns and a property VALUE containing
+    // "WITH (" — both fatal to the round-6 `(.+)`-regex front door
+    val df = GraftDDL.execute(spark,
+      s"""CREATE TABLE ddl_lex_spec (
+         |  k BIGINT, -- the key
+         |  v STRING  /* payload; notes may say WITH (anything) */
+         |) WITH ('connector'='filesystem',
+         |        'path'='$d', 'format'='parquet')""".stripMargin)
+    assert(df.count() == 1)
+    assert(spark.table("ddl_lex_spec").columns.toSeq == Seq("k", "v"))
+    // trailing junk after the WITH clause fails loudly, not silently
+    val e = intercept[RuntimeException](GraftDDL.execute(spark,
+      s"""CREATE TABLE ddl_lex_bad (k BIGINT)
+         |WITH ('connector'='filesystem','path'='$d') garbage""".stripMargin))
+    assert(e.getMessage.contains("trailing"), e.getMessage)
+  }
+
   // ---- MATCH_RECOGNIZE statement surface ----
 
   test("MATCH_RECOGNIZE statement parses, canonicalizes, and guards loudly") {
