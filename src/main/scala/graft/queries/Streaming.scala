@@ -988,5 +988,26 @@ object Streaming extends QueryGroup {
       require(agg.isStreaming, "st32: TUMBLE SQL text lost the stream")
       StreamRunner.toTable(s, agg, OutputMode.Append, "st32_out")
         .orderBy("wstart", "event_type")
+    },
+
+    // State-processor-api analog (flink-state-processor-api's
+    // savepoint READER): a checkpointed streaming aggregation builds
+    // keyed state; the RESULT returned here is not the query's sink
+    // output but the checkpoint's state store read OFFLINE through
+    // Spark's `statestore` source — so the oracle (a plain batch
+    // GROUP BY) validates the offline reader end-to-end. Scan is
+    // parallel by state partition; no driver materialization.
+    q("st33_state_reader",
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ckpt = java.nio.file.Files.createTempDirectory("st33_ckpt").toString
+      val agg = eventStream(s, dir).groupBy("user_id").count()
+      val qy = agg.writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("st33_sink").start()
+      try { qy.processAllAvailable() } finally qy.stop()
+      graft.streaming.StateProcessor.readState(s, ckpt)
+        .selectExpr("key.user_id AS user_id", "value.count AS n")
+        .orderBy("user_id")
     })
 }

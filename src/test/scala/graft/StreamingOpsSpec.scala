@@ -936,6 +936,52 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"expected one component labeled 1000: ${labels.values.toSet}")
   }
 
+  test("state-processor analog: offline state read + cross-operator bootstrap") {
+    import graft.streaming.{BootstrappedRunningCount, StateProcessor}
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    // 1. a checkpointed SQL aggregation builds state
+    val ckpt = java.nio.file.Files.createTempDirectory("state_proc").toString
+    val in1 = StreamHarness.mkStream()
+    spark.catalog.dropTempView("sp_counts")
+    val q1 = in1.toDS().groupBy("key").count()
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sp_counts").start()
+    try {
+      in1.addData(Seq(ev(1, 10, 1), ev(1, 20, 2), ev(2, 30, 3)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // 2. the checkpoint manifest names the aggregation operator
+    val meta = StateProcessor.stateMetadata(spark, ckpt)
+    val ops = meta.select("operatorName").collect().map(_.getString(0)).toSeq
+    // the streaming aggregation's store operator is "stateStoreSave"
+    assert(ops == Seq("stateStoreSave"), s"manifest operators: $ops")
+    // 3. offline read of the aggregation's store — savepoint-reader half
+    val state = StateProcessor.readState(spark, ckpt)
+      .selectExpr("key.key AS k", "value.count AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 2L, 2L -> 1L), s"offline state read: $state")
+    // 4. state surgery (+100) then bootstrap a DIFFERENT operator
+    val seeded = state.toSeq.map { case (k, n) => (k, n + 100L) }.toDS()
+    val in2 = StreamHarness.mkStream()
+    spark.catalog.dropTempView("sp_boot")
+    val q2 = BootstrappedRunningCount(spark, in2.toDS(), seeded).toDF("key", "n")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sp_boot").start()
+    try {
+      in2.addData(Seq(ev(1, 40, 4), ev(3, 50, 5)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val boot = spark.table("sp_boot").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 1 continues from surgically-adjusted state (102 + 1 event);
+    // key 2's seeded state emits as-is (no new data); key 3 is fresh
+    assert(boot == Map(1L -> 103L, 2L -> 101L, 3L -> 1L),
+      s"bootstrapped counts: $boot")
+  }
+
   test("outer-join changelog fold is batching-invariant") {
     import graft.streaming.StreamingFullOuterJoin
     // same rows, three hostile batchings: one batch; row-per-batch;
