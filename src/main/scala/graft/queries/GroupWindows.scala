@@ -468,5 +468,26 @@ object GroupWindows extends QueryGroup {
           |FROM gw14_events
           |GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
           |ORDER BY user_id, session_start""".stripMargin)
+    },
+
+    // The windowing-TVF spelling (SqlWindowTableFunction — the
+    // reference's newer `FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts),
+    // size))` form): rewritten to a window-struct subquery; TUMBLE's
+    // 1:1 row→window mapping makes it a pure projection, then the
+    // GROUP BY over window_start/window_end aggregates as usual.
+    // Oracle = gw1's semantics with TVF output column names.
+    q("gw15_tumble_tvf",
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw15_events")
+      s.sql(
+        """SELECT window_start, window_end, event_type, count(*) AS n
+          |FROM TABLE(TUMBLE(TABLE gw15_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, event_type
+          |ORDER BY window_start, event_type""".stripMargin)
     })
 }

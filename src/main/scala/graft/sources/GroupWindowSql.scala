@@ -63,6 +63,49 @@ object GroupWindowSql {
     s"$n $unit"
   }
 
+  /** The windowing-TVF form (the reference's newer spelling,
+    * flink-table/.../functions/sql/SqlWindowTableFunction.java):
+    * `TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), INTERVAL '10' MINUTE))`
+    * in a FROM clause → a subquery appending the TVF's window_start /
+    * window_end columns via Spark's window() struct. TUMBLE assigns
+    * exactly one window per row, so the mapping is a projection;
+    * HOP/SESSION TVFs would need the row replicated per window
+    * (Expand) outside an aggregate — not expressible as a projection,
+    * fail loudly (their GROUP BY spelling above covers the
+    * capability). */
+  private def rewriteTvf(toks: Vector[S.Tok], i: Int,
+                         sql: String): Option[(S.Splice, Int)] = {
+    def is(j: Int, kw: String) = j < toks.length && toks(j).is(kw)
+    def sym(j: Int, s: String) =
+      j < toks.length && toks(j).kind == S.Sym && toks(j).text == s
+    if (!(is(i, "TABLE") && sym(i + 1, "("))) return None
+    val inner = i + 2
+    if (inner >= toks.length || toks(inner).kind != S.Ident) return None
+    val fn = toks(inner).text.toUpperCase
+    if (!groupFns.contains(fn)) return None
+    require(fn == "TUMBLE",
+      s"windowing TVF $fn needs per-row window replication (use the " +
+        "GROUP BY spelling); only TUMBLE maps to a projection")
+    require(sym(inner + 1, "("), s"malformed TVF: $sql")
+    val closeInner = S.closeParen(toks, inner + 1)
+    val outerClose = S.closeParen(toks, i + 1)
+    require(outerClose == closeInner + 1, s"malformed TABLE(...) TVF: $sql")
+    val args = S.splitTopLevel(toks, inner + 2, closeInner)
+    require(args.length == 3,
+      s"TUMBLE TVF takes (TABLE t, DESCRIPTOR(ts), size): $sql")
+    require(is(args(0)._1, "TABLE"),
+      s"TUMBLE TVF first argument must be TABLE <source>: $sql")
+    val src = S.textOf(sql, toks, args(0)._1 + 1, args(0)._2)
+    require(is(args(1)._1, "DESCRIPTOR"),
+      s"TUMBLE TVF second argument must be DESCRIPTOR(<time col>): $sql")
+    val tsCol = S.textOf(sql, toks, args(1)._1 + 2, args(1)._2 - 1)
+    val dur = duration(toks, args(2)._1, args(2)._2)
+    val w = s"window($tsCol, '$dur')"
+    val repl = s"(SELECT *, $w.start AS window_start, $w.end AS window_end, " +
+      s"$w.end - INTERVAL '0.001' SECOND AS window_time FROM $src)"
+    Some((S.Splice(toks(i).start, toks(outerClose).end, repl), outerClose + 1))
+  }
+
   /** Rewrite every group-window call in the statement; text without
     * any is returned unchanged. Unrecognized *_PROCTIME (or a
     * malformed call) fails loudly — silently passing it to Spark
@@ -74,6 +117,11 @@ object GroupWindowSql {
     val edits = Seq.newBuilder[S.Splice]
     var i = 0
     while (i < toks.length) {
+      val tvf = rewriteTvf(toks, i, sql)
+      if (tvf.isDefined) {
+        edits += tvf.get._1
+        i = tvf.get._2
+      } else {
       val t = toks(i)
       val isCall = t.kind == S.Ident && i + 1 < toks.length &&
         toks(i + 1).kind == S.Sym && toks(i + 1).text == "("
@@ -111,6 +159,7 @@ object GroupWindowSql {
           "are micro-batch boundaries in this engine (SURVEY §2.9), use " +
           "the rowtime auxiliaries")
       } else i += 1
+      }
     }
     val es = edits.result()
     if (es.isEmpty) sql else S.splice(sql, es)

@@ -131,6 +131,33 @@ class SqlTextSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 5.0 && out(2).getDouble(4) == 7.0)
   }
 
+  test("TUMBLE windowing-TVF rewrites to a window-struct subquery; HOP TVF refused") {
+    val t = GroupWindowSql.rewrite(
+      "SELECT window_start, count(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
+        "GROUP BY window_start")
+    assert(t.contains("window(ts, '10 minute').start AS window_start"), t)
+    assert(t.contains("FROM src)"), t)
+    val e = intercept[RuntimeException](GroupWindowSql.rewrite(
+      "SELECT * FROM TABLE(HOP(TABLE src, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))"))
+    assert(e.getMessage.contains("GROUP BY spelling"), e.getMessage)
+    // executes end-to-end through spark.sql
+    import spark.implicits._
+    Seq((1L, "2024-01-01 00:03:00"), (1L, "2024-01-01 00:12:00"))
+      .toDF("k", "tss").selectExpr("k", "CAST(tss AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("tvf_spec")
+    val rows = spark.sql(
+      """SELECT window_start, window_end, window_time, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE tvf_spec, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, window_time
+        |ORDER BY window_start""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getTimestamp(0).toString.startsWith("2024-01-01 00:00"))
+    // window_time = end − 1ms (the TVF's rowtime column)
+    assert(rows(0).getTimestamp(2).getTime == rows(0).getTimestamp(1).getTime - 1)
+  }
+
   // ---- DDL through the token-structural front door ----
 
   test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
