@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Punctuated watermark assignment (SURVEY.md §2.9 — the reference's
+  * `WatermarkStrategy` punctuated path: `WatermarkGenerator.onEvent`
+  * emits a watermark the moment a MARKER EVENT is seen, independent
+  * of any bounded-delay heuristic; flink-core/.../eventtime/
+  * WatermarkGenerator.java). Spark's `withWatermark` is bounded
+  * out-of-orderness only — the max event time drives the watermark,
+  * which is exactly what punctuation must NOT do (a data row beyond
+  * the last marker may not advance time).
+  *
+  * The honest Spark analog, since the watermark is a control signal
+  * the engine owns: track the punctuated watermark OUTSIDE Spark's
+  * mechanism, per micro-batch — the same quantization the reference's
+  * MiniBatchAssigner applies to watermarks inside a mini-batch. Per
+  * batch: the watermark advances to the max marker timestamp seen (a
+  * tiny aggregate of the batch's marker rows — the only driver-side
+  * value, a scalar, exactly the control-plane role a watermark has);
+  * data rows mature against it. Rows older than the advanced
+  * watermark on arrival are late and dropped, matching the
+  * reference's late-record rule under a punctuated generator.
+  *
+  * [[PunctuatedDedupKeepFirst]] runs event-time keep-first dedup
+  * under this regime: a group's earliest row is emitted exactly once,
+  * when a MARKER (not data volume) matures it — data rows far beyond
+  * the pending candidate do NOT trigger emission, and a marker-less
+  * stream emits nothing (the punctuated contract; also the spec's
+  * negative case). State is carried across batches as
+  * localCheckpoint-ed frames (candidate + tombstone per group —
+  * bounded by group count, the same bound as the keyed operator);
+  * per-batch shuffle is ∝ batch + pending candidates, never history.
+  */
+class PunctuatedDedupKeepFirst(markerKind: String = "WM") {
+  @volatile private var wm: Long = Long.MinValue
+  private var pending: Option[DataFrame] = None   // (key, ts, id, value)
+  private var emittedKeys: Option[DataFrame] = None // (key) tombstones
+  private val emitted = Seq.newBuilder[(Long, Long, Long, Double)]
+
+  /** Current punctuated watermark (micros); MinValue until the first
+    * marker arrives. */
+  def currentWatermark: Long = wm
+
+  def step(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // 1. punctuation: only MARKER rows advance time
+    val markerMax = batch.filter(col("kind") === markerKind)
+      .agg(max("tsMicros")).head()
+    if (!markerMax.isNullAt(0)) wm = wm max markerMax.getLong(0)
+    val curWm = wm
+    // 2. late rule: data rows at/after the punctuated watermark only
+    val fresh = batch.filter(col("kind") =!= markerKind)
+      .filter(col("tsMicros") >= curWm)
+      .select(col("key"), col("tsMicros").as("ts"), col("id"), col("value"))
+    // 3. merge with pending candidates, keep the (ts, id)-minimal row
+    //    per key, suppress already-emitted groups
+    val merged = pending.fold(fresh)(fresh.union)
+      .groupBy("key")
+      .agg(min(struct(col("ts"), col("id"), col("value"))).as("c"))
+      .select(col("key"), col("c.ts"), col("c.id"), col("c.value"))
+    val live = emittedKeys.fold(merged)(t =>
+      merged.join(t, Seq("key"), "left_anti"))
+    // 4. maturity against the PUNCTUATED watermark
+    val matured = live.filter(col("ts") <= curWm)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    emitted ++= matured
+    if (matured.nonEmpty) {
+      val newTombs = matured.map(_._1).toSeq.toDF("key")
+      emittedKeys = Some(emittedKeys.fold(newTombs)(_.union(newTombs))
+        .localCheckpoint(true))
+    }
+    pending = Some(live.filter(col("ts") > curWm).localCheckpoint(true))
+  }
+
+  def sink: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) => step(b)
+
+  /** Rows emitted so far: (key, tsMicros, id, value). The collect in
+    * [[step]] materializes ONLY the batch's matured emissions (∝ the
+    * groups a marker just matured) — on a cluster this would be the
+    * sink write instead. */
+  def results: Seq[(Long, Long, Long, Double)] = emitted.result()
+}

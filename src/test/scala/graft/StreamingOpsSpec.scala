@@ -982,6 +982,35 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"bootstrapped counts: $boot")
   }
 
+  test("punctuated watermark: markers (not data volume) drive maturity") {
+    import graft.streaming.PunctuatedDedupKeepFirst
+    val input = StreamHarness.mkStream()
+    val op = new PunctuatedDedupKeepFirst(markerKind = "WM")
+    val q = input.toDS().toDF().writeStream.foreachBatch(op.sink).start()
+    def push(evs: graft.streaming.GEvent*): Unit = {
+      input.addData(evs); q.processAllAvailable()
+    }
+    try {
+      // data far beyond any marker: a bounded-delay watermark would
+      // mature key 1 here; the punctuated contract requires silence
+      push(ev(1, 10, 1), ev(1, 20, 2), ev(2, 99999, 3))
+      assert(op.results.isEmpty, s"matured without a marker: ${op.results}")
+      assert(op.currentWatermark == Long.MinValue)
+      // a marker at t=50 matures keys 1 (candidate id 1) — key 2's
+      // candidate (t=99999) stays pending
+      push(ev(0, 50, 0, kind = "WM"))
+      assert(op.currentWatermark == 50L * 1000000L)
+      assert(op.results.map(r => r._1 -> r._3) == Seq(1L -> 1L),
+        s"marker-driven emission: ${op.results}")
+      // duplicates after emission are suppressed by the tombstone;
+      // rows older than the punctuated wm are late and dropped
+      push(ev(1, 60, 9), ev(3, 5, 4))
+      push(ev(0, 100000, 0, kind = "WM"))
+      val got = op.results.map(r => r._1 -> r._3).toMap
+      assert(got == Map(1L -> 1L, 2L -> 3L), s"final emissions: $got")
+    } finally q.stop()
+  }
+
   test("outer-join changelog fold is batching-invariant") {
     import graft.streaming.StreamingFullOuterJoin
     // same rows, three hostile batchings: one batch; row-per-batch;
