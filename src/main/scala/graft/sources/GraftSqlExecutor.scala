@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.sources.{SqlText => S}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single-statement entry point (SURVEY.md §3.1 — the reference's
+  * `TableEnvironment.executeSql`, which routes EVERY statement kind
+  * through SqlToOperationConverter.java:180's dispatch, and the thin
+  * SqlClient REPL on top of it). A user of the reference drives the
+  * whole engine through one call; this object gives the same door:
+  *
+  *   - DDL: CREATE TABLE … WITH, CREATE [TEMPORARY] VIEW,
+  *     CREATE [TEMPORARY] FUNCTION … AS 'class', ALTER TABLE
+  *     SET/RENAME, DROP TABLE/VIEW [IF EXISTS]
+  *   - DML: INSERT INTO/OVERWRITE, [EXECUTE] STATEMENT SET … END
+  *   - introspection: EXPLAIN [PLAN FOR], DESCRIBE, SHOW …
+  *   - queries: SELECT/WITH … (through `spark.sql`, which carries the
+  *     injected dialect rewrites — temporal `FOR SYSTEM_TIME AS OF`,
+  *     group-window TUMBLE/HOP/SESSION text, windowing TVF), and
+  *     `SELECT … FROM t MATCH_RECOGNIZE (…)` statements routed to
+  *     [[MatchRecognizeSql]]
+  *
+  * Every result is a DataFrame (statements without a natural result
+  * return a small status frame), mirroring executeSql's uniform
+  * TableResult. Unknown statement kinds fail loudly naming the
+  * statement — never a silent no-op.
+  */
+object GraftSqlExecutor {
+
+  /** First two significant keywords of the statement (lexed, so
+    * comments/strings cannot fake a keyword). */
+  private def heads(stmt: String): (String, String, Vector[S.Tok]) = {
+    val toks = S.lex(stmt)
+    def kw(i: Int) =
+      if (i < toks.length && toks(i).kind == S.Ident) toks(i).text.toUpperCase
+      else ""
+    (kw(0), kw(1), toks)
+  }
+
+  private def status(spark: SparkSession, rows: Seq[String]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("result")
+  }
+
+  /** True when the statement is a query whose FROM clause applies a
+    * MATCH_RECOGNIZE clause (the one query shape Spark's parser cannot
+    * take even after rewriting). */
+  private def isMatchRecognize(toks: Vector[S.Tok]): Boolean =
+    toks.exists(_.is("MATCH_RECOGNIZE"))
+
+  def executeSql(spark: SparkSession, stmt: String): DataFrame = {
+    val (k1, k2, toks) = heads(stmt)
+    (k1, k2) match {
+      case ("CREATE", _) =>
+        // the created object kind sits within CREATE [TEMPORARY]
+        // [SYSTEM] <kind> — positions 1..3 only, so an identifier
+        // named "view"/"function" later in the statement cannot
+        // mis-route the dispatch
+        toks.slice(1, 4).collectFirst {
+          case t if t.is("TABLE")    => "TABLE"
+          case t if t.is("VIEW")     => "VIEW"
+          case t if t.is("FUNCTION") => "FUNCTION"
+        } match {
+          case Some("TABLE") => GraftDDL.execute(spark, stmt)
+          case Some("VIEW")  => GraftDDL.executeView(spark, stmt)
+          case Some("FUNCTION") =>
+            val name = GraftDDL.executeCreateFunction(spark, stmt)
+            status(spark, Seq(s"function $name created"))
+          case _ => sys.error(s"unsupported CREATE statement: $stmt")
+        }
+      case ("ALTER", "TABLE") => GraftDDL.executeAlter(spark, stmt)
+      case ("DROP", _) =>
+        val dropped = GraftDDL.executeDrop(spark, stmt)
+        status(spark, Seq(if (dropped) "dropped" else "nothing to drop"))
+      case ("INSERT", _) => GraftDDL.executeInsert(spark, stmt)
+      case ("EXECUTE", _) | ("BEGIN", _) | ("STATEMENT", "SET") =>
+        val counts = GraftDDL.executeStatementSet(spark, stmt)
+        status(spark, counts.map(c => s"$c rows written"))
+      case ("EXPLAIN", _) =>
+        status(spark, Seq(GraftDDL.executeExplain(spark, stmt)))
+      case ("DESCRIBE", _) | ("DESC", _) =>
+        import spark.implicits._
+        GraftDDL.executeDescribe(spark,
+            stmt.replaceAll("(?i)^\\s*DESC\\b", "DESCRIBE"))
+          .toDF("col_name", "data_type", "nullable")
+      case ("SHOW", _) =>
+        status(spark, GraftDDL.executeShow(spark, stmt))
+      case ("SELECT", _) | ("WITH", _) | ("VALUES", _) | ("TABLE", _) =>
+        if (isMatchRecognize(toks)) MatchRecognizeSql.sql(spark, stmt)
+        else spark.sql(stmt)
+      case (other, _) =>
+        sys.error(s"unsupported statement kind '$other': $stmt")
+    }
+  }
+}

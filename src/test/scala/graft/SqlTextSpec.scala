@@ -182,6 +182,55 @@ class SqlTextSpec extends AnyFunSuite {
     assert(e.getMessage.contains("trailing"), e.getMessage)
   }
 
+  test("GraftSqlExecutor: one entry point drives every statement kind") {
+    import graft.sources.GraftSqlExecutor.executeSql
+    val d = java.nio.file.Files.createTempDirectory("exec_spec").toString
+    import spark.implicits._
+    Seq((1L, 5.0, "a"), (2L, 7.0, "b"), (2L, 9.0, "c"))
+      .toDF("k", "v", "s").write.mode("overwrite").parquet(d)
+    // DDL
+    executeSql(spark,
+      s"""CREATE TABLE exec_t (k BIGINT, v DOUBLE, s STRING)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='parquet')"""
+        .stripMargin)
+    executeSql(spark, "CREATE VIEW exec_v AS SELECT k, sum(v) AS sv FROM exec_t GROUP BY k")
+    // query through the same door
+    val rows = executeSql(spark, "SELECT * FROM exec_v ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 5.0), (2L, 16.0)))
+    // introspection
+    assert(executeSql(spark, "DESCRIBE exec_t").count() == 3)
+    assert(executeSql(spark, "SHOW TABLES").collect()
+      .exists(_.getString(0) == "exec_t"))
+    assert(executeSql(spark, "EXPLAIN SELECT k FROM exec_t").collect()
+      .head.getString(0).contains("Physical Plan"))
+    // function + use it in a query through the same door
+    executeSql(spark,
+      "CREATE TEMPORARY FUNCTION exec_split AS 'graft.functions.SplitIndex'")
+    assert(executeSql(spark, "SELECT exec_split('x-y', '-', 1) AS r")
+      .head.getString(0) == "y")
+    // ALTER + DROP round-trip
+    executeSql(spark, "ALTER TABLE exec_t RENAME TO exec_t2")
+    assert(executeSql(spark, "SELECT count(*) AS n FROM exec_t2")
+      .head.getLong(0) == 3)
+    executeSql(spark, "DROP TABLE exec_t2")
+    executeSql(spark, "DROP VIEW exec_v")
+    // unknown statement kind fails loudly
+    val e = intercept[RuntimeException](executeSql(spark, "VACUUM exec_t2"))
+    assert(e.getMessage.contains("unsupported statement kind"), e.getMessage)
+    // MATCH_RECOGNIZE statements route through the same door
+    Seq((7L, 10L, 1L, "signup"), (7L, 30L, 3L, "purchase"))
+      .toDF("uid", "t_us", "event_id", "etype")
+      .createOrReplaceTempView("exec_mr")
+    val mr = executeSql(spark,
+      """SELECT * FROM exec_mr MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY t_us
+        |  PATTERN (A P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS etype = 'signup', P AS etype = 'purchase')""".stripMargin)
+      .collect()
+    assert(mr.length == 1 && mr.head.getAs[Long]("uid") == 7L, mr.toSeq)
+  }
+
   // ---- MATCH_RECOGNIZE statement surface ----
 
   test("MATCH_RECOGNIZE statement parses, canonicalizes, and guards loudly") {
