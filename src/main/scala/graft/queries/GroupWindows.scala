@@ -476,6 +476,30 @@ object GroupWindows extends QueryGroup {
     // 1:1 row→window mapping makes it a pure projection, then the
     // GROUP BY over window_start/window_end aggregates as usual.
     // Oracle = gw1's semantics with TVF output column names.
+    // HOP TVF (SqlWindowTableFunction's sliding form): the rewrite
+    // replicates each row into ceil(size/slide) windows via an
+    // explode(sequence(...)) over the slide-aligned anchor — the
+    // reference's per-row window expansion as an Expand Catalyst can
+    // see through. Oracle = gw13's time_bucket + offset-unnest trick
+    // with the TVF's column names.
+    q("gw16_hop_tvf",
+      """SELECT tb - to_seconds(k * 1800) AS window_start,
+        |  tb - to_seconds(k * 1800) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, event_type
+        |      FROM events),
+        |  unnest([0, 1]) AS u(k)
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw16_events")
+      s.sql(
+        """SELECT window_start, window_end, event_type, count(*) AS n
+          |FROM TABLE(HOP(TABLE gw16_events, DESCRIPTOR(ts),
+          |               INTERVAL '30' MINUTE, INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, event_type
+          |ORDER BY window_start, event_type""".stripMargin)
+    },
+
     q("gw15_tumble_tvf",
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

@@ -350,5 +350,52 @@ object TypedOps extends QueryGroup {
         }
         .toDF("o_orderkey", "cust_name")
         .orderBy("o_orderkey")
+    },
+
+    // datagen connector (SURVEY §2.1 — DataGenTableSourceFactory
+    // .java:57): a sequence-bounded generated table through the DDL
+    // facade; the generator is ordinary codegen'd column expressions
+    // over spark.range, so generation distributes with no driver
+    // loop. Deterministic (sequence fields only) → exact oracle via
+    // DuckDB's range().
+    q("ty14_datagen_seq",
+      """SELECT range AS id, range * 7 % 5 AS bucket
+        |FROM range(1, 201)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      graft.sources.GraftDDL.execute(s,
+        """CREATE TABLE ty14_gen (id BIGINT)
+          |WITH ('connector'='datagen',
+          |      'fields.id.kind'='sequence',
+          |      'fields.id.start'='1', 'fields.id.end'='200')""".stripMargin)
+      s.sql("""SELECT id, id * 7 % 5 AS bucket FROM ty14_gen ORDER BY id""")
+    },
+
+    // PARTITIONED BY + partition pruning (SURVEY §2.1 —
+    // SqlCreateTable.java:321's PARTITIONED BY; at 100 TB the point of
+    // the clause is that a filter on the partition column prunes
+    // directories before any file opens — the write below lays out
+    // hive-style p=<value> dirs and the read-back filter scans exactly
+    // one of them, plan-asserted in SourcesSpec).
+    q("ty15_partitioned_prune",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("ty15_part").toString
+      graft.sources.GraftDDL.execute(s,
+        s"""CREATE TABLE ty15_orders (o_orderkey BIGINT, o_totalprice DOUBLE,
+           |  o_orderpriority STRING)
+           |PARTITIONED BY (o_orderpriority)
+           |WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')"""
+          .stripMargin)
+      t(s, dir)("orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .createOrReplaceTempView("ty15_src")
+      graft.sources.GraftDDL.executeInsert(s,
+        "INSERT OVERWRITE ty15_orders SELECT * FROM ty15_src")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM ty15_orders WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     })
 }

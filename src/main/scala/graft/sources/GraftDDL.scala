@@ -26,17 +26,30 @@ object GraftDDL {
 
   import graft.sources.{SqlText => S}
 
+  /** Everything a CREATE TABLE statement declares, structurally parsed
+    * (SqlCreateTable.java — name, column list, PARTITIONED BY,
+    * WITH properties, and the LIKE clause of FLIP-110 / SqlTableLike).
+    * `like` = (source table, per-feature merging strategy as written:
+    * e.g. "ALL"→"INCLUDING", "OPTIONS"→"OVERWRITING"). */
+  private final case class CreateParts(
+      name: String, colsText: String, partitions: Seq[String],
+      propsText: String, like: Option[(String, Map[String, String])])
+
   /** Structural CREATE TABLE recognition on the [[SqlText]] token
     * model (round 7 — the old `(.+)`-based regex mis-lexed comments
     * inside the column list, quoted identifiers, and property values
-    * containing `WITH (`): CREATE [TEMPORARY] TABLE <name> ( cols )
-    * WITH ( props ), the parens matched structurally, the fragments
-    * re-rendered comment-free for the per-item parsers below. Returns
-    * (name, colsText, propsText) or None when the statement is not a
-    * CREATE TABLE at all (callers fail loudly with their own shape). */
-  private def createStructure(ddl: String): Option[(String, String, String)] = {
+    * containing `WITH (`): CREATE [TEMPORARY] TABLE <name> [( cols )]
+    * [COMMENT '...'] [PARTITIONED BY ( cols )] [WITH ( props )]
+    * [LIKE src [( likeOptions )]] — parens matched structurally, the
+    * fragments re-rendered comment-free for the per-item parsers
+    * below. Returns None when the statement is not a CREATE TABLE at
+    * all (callers fail loudly with their own shape). The column list
+    * and WITH clause are each optional only when LIKE supplies them
+    * (SqlCreateTable validates the same). */
+  private def createStructure(ddl: String): Option[CreateParts] = {
     val toks = S.lex(ddl)
     def at(i: Int, kw: String) = i < toks.length && toks(i).is(kw)
+    def paren(i: Int) = i < toks.length && toks(i).text == "("
     var i = 0
     if (!at(i, "CREATE")) return None
     i += 1
@@ -47,26 +60,87 @@ object GraftDDL {
       (toks(i).kind != S.Ident && toks(i).kind != S.QIdent)) return None
     val name = toks(i).ident
     i += 1
-    if (i >= toks.length || toks(i).text != "(") return None
-    val closeCols = S.closeParen(toks, i)
-    val colsText = S.render(toks.slice(i + 1, closeCols))
-    var j = closeCols + 1
-    if (!at(j, "WITH")) return None
-    j += 1
-    if (j >= toks.length || toks(j).text != "(") return None
-    val closeProps = S.closeParen(toks, j)
-    val propsText = S.render(toks.slice(j + 1, closeProps))
-    val tail = toks.drop(closeProps + 1)
+    var colsText = ""
+    var j = i
+    if (paren(j)) {
+      val closeCols = S.closeParen(toks, j)
+      colsText = S.render(toks.slice(j + 1, closeCols))
+      j = closeCols + 1
+    }
+    if (at(j, "COMMENT")) {
+      require(j + 1 < toks.length && toks(j + 1).kind == S.Str,
+        s"COMMENT must be a string literal: $ddl")
+      j += 2
+    }
+    var partitions = Seq.empty[String]
+    if (at(j, "PARTITIONED")) {
+      require(at(j + 1, "BY") && paren(j + 2),
+        s"malformed PARTITIONED BY clause: $ddl")
+      val close = S.closeParen(toks, j + 2)
+      partitions = S.splitTopLevel(toks, j + 3, close).map { case (a, b) =>
+        require(b - a == 1, "PARTITIONED BY entries must be column names")
+        toks(a).ident
+      }
+      require(partitions.nonEmpty, "empty PARTITIONED BY list")
+      j = close + 1
+    }
+    var propsText = ""
+    if (at(j, "WITH")) {
+      require(paren(j + 1), s"malformed WITH clause: $ddl")
+      val closeProps = S.closeParen(toks, j + 1)
+      propsText = S.render(toks.slice(j + 2, closeProps))
+      j = closeProps + 1
+    }
+    var like: Option[(String, Map[String, String])] = None
+    if (at(j, "LIKE")) {
+      require(j + 1 < toks.length &&
+        (toks(j + 1).kind == S.Ident || toks(j + 1).kind == S.QIdent),
+        s"LIKE must name a source table: $ddl")
+      val src = toks(j + 1).ident
+      j += 2
+      var opts = Map.empty[String, String]
+      if (paren(j)) {
+        val close = S.closeParen(toks, j)
+        var k = j + 1
+        while (k < close) {
+          if (toks(k).text == ",") k += 1 // commas between entries tolerated
+          else {
+            val strat = toks(k).text.toUpperCase
+            require(Set("INCLUDING", "EXCLUDING", "OVERWRITING")(strat),
+              s"unknown LIKE merging strategy '${toks(k).text}' in: $ddl")
+            require(k + 1 < close, s"dangling LIKE strategy in: $ddl")
+            val feat = toks(k + 1).text.toUpperCase
+            require(Set("ALL", "CONSTRAINTS", "GENERATED", "OPTIONS",
+                "PARTITIONS", "WATERMARKS")(feat),
+              s"unknown LIKE feature '${toks(k + 1).text}' in: $ddl")
+            // SqlTableLike.invalidCombinations: OVERWRITING is
+            // meaningless for ALL / PARTITIONS / CONSTRAINTS
+            require(strat != "OVERWRITING" ||
+                !Set("ALL", "PARTITIONS", "CONSTRAINTS")(feat),
+              s"OVERWRITING $feat is not a valid LIKE option")
+            require(!opts.contains(feat),
+              s"duplicate LIKE option for feature $feat")
+            opts += feat -> strat
+            k += 2
+          }
+        }
+        j = close + 1
+      }
+      like = Some((src, opts))
+    }
+    val tail = toks.drop(j)
     require(tail.isEmpty || (tail.length == 1 && tail.head.text == ";"),
       s"unsupported trailing text after CREATE TABLE: ${S.render(tail)}")
-    Some((name, colsText, propsText))
+    require(propsText.nonEmpty || like.isDefined,
+      s"CREATE TABLE needs a WITH clause (or LIKE): $ddl")
+    Some(CreateParts(name, colsText, partitions, propsText, like))
   }
 
   /** Regex-shaped view of [[createStructure]] so the existing
     * per-fragment extractors keep their match-style call sites. */
   private object createRe {
     def unapply(ddl: String): Option[(String, String, String)] =
-      createStructure(ddl)
+      createStructure(ddl).map(p => (p.name, p.colsText, p.propsText))
   }
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)""".r
@@ -148,7 +222,8 @@ object GraftDDL {
   }
 
   private val insertRe =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.+?)\s*;?\s*""".r
+  private val partAssignRe = """(\w+)\s*=\s*(?:'([^']*)'|([^\s,']+))""".r
   private val viewRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\s+.+)\s*;?\s*""".r
 
@@ -156,11 +231,20 @@ object GraftDDL {
     * re-registration: computed columns and the watermark are part of
     * the table's identity, so a post-INSERT refresh must re-apply them
     * (a bare `spark.read.load(path)` view would silently drop a
-    * computed PROCTIME or a WATERMARK after the first INSERT). */
+    * computed PROCTIME or a WATERMARK after the first INSERT).
+    * `partitions` are PARTITIONED BY columns (write side:
+    * `.partitionBy`; read side: Spark derives their values from the
+    * directory layout, and a filter on them prunes partitions before
+    * any file is opened — the 100 TB reason the clause exists);
+    * `options` keeps the raw WITH map so a LIKE clause can merge it. */
   private final case class Binding(path: String, format: String,
                                    schema: StructType, streaming: Boolean,
                                    computed: Seq[(String, String)],
-                                   watermark: Option[(String, String)])
+                                   watermark: Option[(String, String)],
+                                   partitions: Seq[String] = Nil,
+                                   pk: Seq[String] = Nil,
+                                   connector: String = "filesystem",
+                                   options: Map[String, String] = Map.empty)
 
   /** Sink bindings captured at CREATE TABLE time, consulted by INSERT. */
   private val sinks =
@@ -172,22 +256,96 @@ object GraftDDL {
   def rowtimeOf(table: String): Option[String] =
     Option(sinks.get(table.toLowerCase)).flatMap(_.watermark.map(_._1))
 
+  /** The `datagen` connector (ref
+    * flink-table-api-java-bridge/.../factories/DataGenTableSourceFactory.java:57
+    * — per-field generators configured as `'fields.<name>.kind' =
+    * 'sequence'|'random'` with start/end, min/max, length): each
+    * declared column becomes a generated expression over a row index.
+    * Batch = `spark.range` over the shortest sequence (the reference's
+    * source finishes when a sequence generator exhausts — a
+    * random-only table is unbounded and demands mode=streaming);
+    * streaming = Spark's `rate` source (`rows-per-second` maps to
+    * rowsPerSecond, default 10000 like ROWS_PER_SECOND), with bounded
+    * sequences filtered to their range. All generators are ordinary
+    * codegen'd column expressions — the generation itself distributes
+    * over executors with no driver loop. */
+  private object DataGen {
+    def frame(spark: SparkSession, b: Binding): DataFrame = {
+      val o = b.options
+      def opt(f: String, k: String) = o.get(s"fields.$f.$k")
+      val seqLens = b.schema.fields.toSeq.flatMap { f =>
+        if (opt(f.name, "kind").contains("sequence")) {
+          val start = opt(f.name, "start").getOrElse(sys.error(
+            s"Could not find required property 'fields.${f.name}.start' " +
+              "for sequence generator.")).toLong
+          val end = opt(f.name, "end").getOrElse(sys.error(
+            s"Could not find required property 'fields.${f.name}.end' " +
+              "for sequence generator.")).toLong
+          require(end >= start, s"sequence end < start for ${f.name}")
+          Some(end - start + 1)
+        } else None
+      }
+      val base =
+        if (b.streaming) {
+          val rps = o.getOrElse("rows-per-second", "10000")
+          val r = spark.readStream.format("rate")
+            .option("rowsPerSecond", rps).load()
+            .withColumnRenamed("value", "_idx")
+          if (seqLens.nonEmpty) r.filter(col("_idx") < seqLens.min) else r
+        } else {
+          require(seqLens.nonEmpty,
+            "datagen with only random fields is unbounded; use " +
+              "'mode'='streaming' (the reference's source finishes only " +
+              "when a sequence generator exhausts)")
+          spark.range(0, seqLens.min).toDF("_idx")
+        }
+      val cols = b.schema.fields.toSeq.map { f =>
+        import org.apache.spark.sql.types._
+        val kind = opt(f.name, "kind").getOrElse("random")
+        val c = kind match {
+          case "sequence" =>
+            (lit(opt(f.name, "start").get.toLong) + col("_idx")).cast(f.dataType)
+          case "random" => f.dataType match {
+            case StringType =>
+              val len = opt(f.name, "length").map(_.toInt).getOrElse(100)
+              val parts = Seq.fill((len + 31) / 32)(md5(rand().cast(StringType)))
+              substring(concat(parts: _*), 1, len)
+            case BooleanType => rand() < 0.5
+            case t @ (ByteType | ShortType | IntegerType | LongType) =>
+              val (lo, hi) = t match {
+                case ByteType => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
+                case ShortType => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+                case IntegerType => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+                case _ => (Long.MinValue.toDouble, Long.MaxValue.toDouble)
+              }
+              val min = opt(f.name, "min").map(_.toDouble).getOrElse(lo)
+              val max = opt(f.name, "max").map(_.toDouble).getOrElse(hi)
+              floor(lit(min) + rand() * (lit(max) - lit(min) + 1)).cast(f.dataType)
+            case FloatType | DoubleType =>
+              val min = opt(f.name, "min").map(_.toDouble).getOrElse(0d)
+              val max = opt(f.name, "max").map(_.toDouble).getOrElse(1d)
+              (lit(min) + rand() * (lit(max) - lit(min))).cast(f.dataType)
+            case t => sys.error(s"Unsupported type: $t") // the reference's ValidationException
+          }
+          case k => sys.error(s"Unsupported generator type: $k")
+        }
+        c.as(f.name)
+      }
+      base.select(cols: _*)
+    }
+  }
+
   /** Read the binding's source and register it as the temp view `name`
     * — the single registration path shared by CREATE TABLE and the
     * post-INSERT refresh, so both observe identical computed-column and
     * watermark semantics. */
   private def register(spark: SparkSession, name: String, b: Binding): DataFrame = {
-    val df0 =
-      if (b.streaming) {
-        // the file stream source monitors a DIRECTORY; a file path
-        // becomes its parent dir + a glob on the file name
-        val f = new java.io.File(b.path)
-        val (dir, glob) =
-          if (f.isFile) (f.getParent, Some(f.getName)) else (b.path, None)
-        val rd = spark.readStream.schema(b.schema).format(b.format)
-        glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
-      } else
-        spark.read.schema(b.schema).format(b.format).load(b.path)
+    val df0 = b.connector match {
+      case "datagen" => DataGen.frame(spark, b)
+      case "print" | "blackhole" =>
+        sys.error(s"connector '${b.connector}' is a sink; it cannot be read")
+      case _ => registerFilesystem(spark, b)
+    }
     // computed columns first: a WATERMARK may be declared on a
     // computed rowtime (the reference's derived-rowtime pattern)
     val df1 = b.computed.foldLeft(df0) { case (d, (n, e)) =>
@@ -201,6 +359,24 @@ object GraftDDL {
     df
   }
 
+  private def registerFilesystem(spark: SparkSession, b: Binding): DataFrame = {
+    val df0 =
+      if (b.streaming) {
+        // the file stream source monitors a DIRECTORY; a file path
+        // becomes its parent dir + a glob on the file name
+        val f = new java.io.File(b.path)
+        val (dir, glob) =
+          if (f.isFile) (f.getParent, Some(f.getName)) else (b.path, None)
+        val rd = spark.readStream.schema(b.schema).format(b.format)
+        glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
+      } else
+        // an explicit schema that includes the PARTITIONED BY columns
+        // lets Spark resolve them from the directory layout of a
+        // partitioned write (read-side partition discovery + pruning)
+        spark.read.schema(b.schema).format(b.format).load(b.path)
+    df0
+  }
+
   /** `INSERT INTO|OVERWRITE t SELECT ...` (SqlToOperationConverter's
     * insert path): runs the query against the registered views and
     * writes it through the target's filesystem binding — INTO appends,
@@ -208,21 +384,56 @@ object GraftDDL {
     * INSERT statements bind to. The target view is refreshed so
     * subsequent reads observe the write. Returns the written rows. */
   def executeInsert(spark: SparkSession, stmt: String): DataFrame = stmt match {
-    case insertRe(mode, name, query) =>
+    case insertRe(mode, name, partSpec, query) =>
       val b = Option(sinks.get(name.toLowerCase)).getOrElse(
         sys.error(s"INSERT target '$name' has no CREATE TABLE binding"))
-      val df = spark.sql(query)
-      df.write.format(b.format)
-        .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
-        .save(b.path)
-      // a batch view bound at CREATE time snapshotted the file listing
-      // of that moment — re-register THROUGH THE FULL BINDING so readers
-      // observe the write without losing the table's computed columns or
-      // watermark (a streaming target needs no refresh: the file stream
-      // source discovers new files by itself)
-      if (!b.streaming) {
-        spark.catalog.refreshByPath(b.path)
-        register(spark, name, b)
+      // static partition values (INSERT INTO t PARTITION (p='v') — the
+      // converter's insert path carries them as a map): appended as
+      // literal columns cast to the declared partition column type
+      val static = Option(partSpec).toSeq.flatMap(ps =>
+        partAssignRe.findAllMatchIn(ps).map(m =>
+          m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))))
+      static.foreach { case (k, _) =>
+        require(b.partitions.exists(_.equalsIgnoreCase(k)),
+          s"'$k' is not a partition column of '$name' " +
+            s"(PARTITIONED BY ${b.partitions.mkString(", ")})") }
+      val df = static.foldLeft(spark.sql(query)) { case (d, (k, v)) =>
+        val dt = b.schema.fields.find(_.name.equalsIgnoreCase(k))
+          .map(_.dataType).getOrElse(sys.error(
+            s"partition column '$k' not in the declared schema of '$name'"))
+        d.withColumn(k, lit(v).cast(dt))
+      }
+      b.connector match {
+        case "print" =>
+          // PrintTableSinkFactory.java:55 / RowDataPrintFunction: each
+          // row printed as <identifier>> +I(v1,v2) — batch inserts are
+          // all RowKind.INSERT; 'standard-error'='true' routes to stderr
+          val out: String => Unit =
+            if (b.options.get("standard-error").contains("true")) Console.err.println
+            else println
+          val prefix = b.options.get("print-identifier").fold("")(_ + "> ")
+          df.toLocalIterator().forEachRemaining { r =>
+            out(prefix + "+I(" + (0 until r.length).map(r.get).mkString(",") + ")")
+          }
+        case "blackhole" =>
+          // BlackHoleTableSinkFactory.java — swallow the rows; Spark's
+          // `noop` source is exactly that sink (the write still executes
+          // the query, which is the connector's point: benchmarking)
+          df.write.format("noop").mode("overwrite").save()
+        case _ =>
+          val w = df.write.format(b.format)
+            .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+          (if (b.partitions.nonEmpty) w.partitionBy(b.partitions: _*) else w)
+            .save(b.path)
+          // a batch view bound at CREATE time snapshotted the file listing
+          // of that moment — re-register THROUGH THE FULL BINDING so readers
+          // observe the write without losing the table's computed columns or
+          // watermark (a streaming target needs no refresh: the file stream
+          // source discovers new files by itself)
+          if (!b.streaming) {
+            spark.catalog.refreshByPath(b.path)
+            register(spark, name, b)
+          }
       }
       df
     case _ => sys.error(s"unsupported INSERT: $stmt")
@@ -274,7 +485,7 @@ object GraftDDL {
         val inserts = splitStatements(body)
         require(inserts.nonEmpty, "empty STATEMENT SET")
         val queries = inserts.map {
-          case insertRe(_, _, q) => q
+          case insertRe(_, _, _, q) => q
           case s => sys.error(s"unsupported statement in STATEMENT SET: $s")
         }
         val viewNames = spark.catalog.listTables().collect()
@@ -330,7 +541,7 @@ object GraftDDL {
     case explainSetRe(setText) => setText match {
       case stmtSetRe(body) =>
         splitStatements(body).map {
-          case insertRe(mode, name, query) =>
+          case insertRe(mode, name, _, query) =>
             executeExplain(spark, s"EXPLAIN INSERT $mode $name $query")
           case s => sys.error(s"unsupported statement in STATEMENT SET: $s")
         }.mkString("\n")
@@ -474,41 +685,155 @@ object GraftDDL {
       case _ => sys.error(s"unsupported CREATE FUNCTION: $stmt")
     }
 
-  /** Parse + bind + register; returns the bound DataFrame. */
-  def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
-    case createRe(name, colsText, propsText) =>
-      val props = propRe.findAllMatchIn(propsText)
-        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
-      require(props.get("connector").forall(_ == "filesystem"),
-        s"unsupported connector here: ${props.get("connector")} " +
-          "(kafka binds via kafkaSourceOptions; no broker in this container)")
-      val path = props.getOrElse("path",
-        sys.error("DDL requires a 'path' property"))
-      val format = props.getOrElse("format", "parquet")
-      val watermark = watermarkRe.findFirstMatchIn(colsText)
-        .map(m => (m.group(1), s"${m.group(2)} ${m.group(3).toLowerCase}"))
-      val cols = splitCols(colsText)
-        .filterNot(c => c.toUpperCase.startsWith("WATERMARK"))
-        .filterNot(c => pkRe.findFirstIn(c).isDefined)
-      // computed columns (SqlCreateTable `name AS expr`): NOT part of
-      // the physical read schema — applied as projections after the
-      // load, in declaration order (later ones may reference earlier
-      // ones). PROCTIME() maps to current_timestamp(): the processing-
-      // time attribute is micro-batch evaluation time here, exactly
-      // the reference's proctime semantics one batch at a time.
-      val (computedCols, physicalCols) = cols.partition {
-        case computedRe(_, _) => true
-        case _ => false
-      }
-      val computed = computedCols.map { case computedRe(n, e) =>
-        n -> (if (e.trim.equalsIgnoreCase("PROCTIME()")) "current_timestamp()"
-              else e.trim)
-      }
-      val schema = StructType.fromDDL(physicalCols.mkString(", "))
-      val b = Binding(path, format, schema,
-        props.get("mode").contains("streaming"), computed, watermark)
-      sinks.put(name.toLowerCase, b)
-      register(spark, name, b)
-    case _ => sys.error(s"unsupported DDL: $ddl")
+  /** The declared (non-LIKE) portion of a CREATE TABLE, extracted from
+    * its column-list text: physical schema, computed columns
+    * (PROCTIME() → current_timestamp(): micro-batch evaluation time is
+    * the reference's proctime one batch at a time), watermark, and
+    * primary key. Computed columns are NOT part of the physical read
+    * schema — they are post-load projections in declaration order. */
+  private def declaredParts(colsText: String)
+      : (StructType, Seq[(String, String)], Option[(String, String)], Seq[String]) = {
+    val watermark = watermarkRe.findFirstMatchIn(colsText)
+      .map(m => (m.group(1), s"${m.group(2)} ${m.group(3).toLowerCase}"))
+    val allCols = splitCols(colsText)
+    val pk = allCols.collectFirst {
+      case pkRe(cols, _) => cols.split(",").map(_.trim).toSeq
+    }.getOrElse(Seq.empty)
+    val cols = allCols
+      .filterNot(c => c.toUpperCase.startsWith("WATERMARK"))
+      .filterNot(c => pkRe.findFirstIn(c).isDefined)
+    val (computedCols, physicalCols) = cols.partition {
+      case computedRe(_, _) => true
+      case _ => false
+    }
+    val computed = computedCols.map { case computedRe(n, e) =>
+      n -> (if (e.trim.equalsIgnoreCase("PROCTIME()")) "current_timestamp()"
+            else e.trim)
+    }
+    val schema =
+      if (physicalCols.isEmpty) new StructType()
+      else StructType.fromDDL(physicalCols.mkString(", "))
+    (schema, computed, watermark, pk)
   }
+
+  /** CREATE TABLE ... LIKE merge (FLIP-110;
+    * SqlTableLike.java:105 MergingStrategy / :145 FeatureOption and
+    * MergeTableLikeUtil.java — the planner's actual merge): each
+    * feature of the source descriptor is INCLUDING (merge, duplicates
+    * fail), EXCLUDING (declared side only), or OVERWRITING (declared
+    * side wins on conflict); a bare feature default is the ALL entry,
+    * else INCLUDING. Physical columns are always inherited and the
+    * declared ones appended (duplicate physical columns fail — the
+    * reference offers no strategy for them either). */
+  private def mergeLike(src: Binding, likeOpts: Map[String, String],
+                        schema: StructType, computed: Seq[(String, String)],
+                        watermark: Option[(String, String)], pk: Seq[String],
+                        partitions: Seq[String], props: Map[String, String])
+      : Binding = {
+    def strat(feature: String): String =
+      likeOpts.getOrElse(feature, likeOpts.getOrElse("ALL", "INCLUDING"))
+
+    val dupPhysical = src.schema.fieldNames.map(_.toLowerCase).toSet
+      .intersect(schema.fieldNames.map(_.toLowerCase).toSet)
+    require(dupPhysical.isEmpty,
+      s"LIKE: physical column(s) ${dupPhysical.mkString(", ")} already " +
+        "exist in the source table")
+    val mergedSchema = StructType(src.schema.fields ++ schema.fields)
+
+    val mergedOptions = strat("OPTIONS") match {
+      case "EXCLUDING" => props
+      case "OVERWRITING" => src.options ++ props
+      case _ => // INCLUDING: same key with a different value is a conflict
+        val conflicts = props.keySet.intersect(src.options.keySet)
+          .filter(k => props(k) != src.options(k))
+        require(conflicts.isEmpty,
+          s"LIKE INCLUDING OPTIONS: conflicting option(s) ${conflicts.mkString(", ")}")
+        src.options ++ props
+    }
+    val mergedComputed = strat("GENERATED") match {
+      case "EXCLUDING" => computed
+      case "OVERWRITING" =>
+        src.computed.filterNot(c => computed.exists(_._1 == c._1)) ++ computed
+      case _ =>
+        val dup = src.computed.map(_._1).intersect(computed.map(_._1))
+        require(dup.isEmpty,
+          s"LIKE INCLUDING GENERATED: computed column(s) ${dup.mkString(", ")} redefined")
+        src.computed ++ computed
+    }
+    val mergedWatermark = strat("WATERMARKS") match {
+      case "EXCLUDING" => watermark
+      case "OVERWRITING" => watermark.orElse(src.watermark)
+      case _ =>
+        require(watermark.isEmpty || src.watermark.isEmpty,
+          "LIKE INCLUDING WATERMARKS: both tables declare a watermark " +
+            "(use OVERWRITING WATERMARKS)")
+        watermark.orElse(src.watermark)
+    }
+    val mergedPk = strat("CONSTRAINTS") match {
+      case "EXCLUDING" => pk
+      case _ =>
+        require(pk.isEmpty || src.pk.isEmpty,
+          "LIKE INCLUDING CONSTRAINTS: both tables declare a primary key")
+        if (pk.nonEmpty) pk else src.pk
+    }
+    val mergedPartitions = strat("PARTITIONS") match {
+      case "EXCLUDING" => partitions
+      case _ =>
+        require(partitions.isEmpty || src.partitions.isEmpty,
+          "LIKE INCLUDING PARTITIONS: both tables declare partition columns")
+        if (partitions.nonEmpty) partitions else src.partitions
+    }
+    bindingFrom(mergedOptions, mergedSchema, mergedComputed, mergedWatermark,
+      mergedPk, mergedPartitions)
+  }
+
+  private val connectors = Set("filesystem", "datagen", "print", "blackhole")
+
+  /** Assemble a Binding from a resolved option map + schema pieces —
+    * shared by the plain and LIKE paths so both validate identically. */
+  private def bindingFrom(props: Map[String, String], schema: StructType,
+                          computed: Seq[(String, String)],
+                          watermark: Option[(String, String)],
+                          pk: Seq[String], partitions: Seq[String]): Binding = {
+    val connector = props.getOrElse("connector", "filesystem")
+    require(connectors(connector),
+      s"unsupported connector here: Some($connector) " +
+        "(kafka binds via kafkaSourceOptions; no broker in this container)")
+    val path =
+      if (connector == "filesystem")
+        props.getOrElse("path", sys.error("DDL requires a 'path' property"))
+      else ""
+    partitions.foreach(p => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(p)),
+      s"PARTITIONED BY column '$p' not in the declared schema"))
+    Binding(path, props.getOrElse("format", "parquet"), schema,
+      props.get("mode").contains("streaming"), computed, watermark,
+      partitions, pk, connector, props)
+  }
+
+  /** Parse + bind + register; returns the bound DataFrame (for the
+    * print/blackhole SINK connectors: an empty frame of the declared
+    * schema — the reference's sink tables are not readable either). */
+  def execute(spark: SparkSession, ddl: String): DataFrame =
+    createStructure(ddl) match {
+      case Some(parts) =>
+        val props = propRe.findAllMatchIn(parts.propsText)
+          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        val (schema, computed, watermark, pk) = declaredParts(parts.colsText)
+        val b = parts.like match {
+          case Some((srcName, likeOpts)) =>
+            val src = Option(sinks.get(srcName.toLowerCase)).getOrElse(
+              sys.error(s"LIKE source table '$srcName' has no CREATE TABLE binding"))
+            mergeLike(src, likeOpts, schema, computed, watermark, pk,
+              parts.partitions, props)
+          case None =>
+            bindingFrom(props, schema, computed, watermark, pk, parts.partitions)
+        }
+        sinks.put(parts.name.toLowerCase, b)
+        if (b.connector == "print" || b.connector == "blackhole")
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema)
+        else register(spark, parts.name, b)
+      case None => sys.error(s"unsupported DDL: $ddl")
+    }
 }

@@ -63,16 +63,44 @@ object GroupWindowSql {
     s"$n $unit"
   }
 
+  /** "n unit" duration string → milliseconds (HOP TVF window-count
+    * arithmetic). */
+  private def millisOf(dur: String): Long = {
+    val Array(n, unit) = dur.split(" ")
+    n.toLong * (unit match {
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour"   => 3600000L
+      case "day"    => 86400000L
+    })
+  }
+
+  /** "n unit" → the ANSI `INTERVAL 'n' UNIT` spelling for generated
+    * text. */
+  private def ansi(dur: String): String = {
+    val Array(n, unit) = dur.split(" ")
+    s"INTERVAL '$n' ${unit.toUpperCase}"
+  }
+
   /** The windowing-TVF form (the reference's newer spelling,
     * flink-table/.../functions/sql/SqlWindowTableFunction.java):
     * `TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), INTERVAL '10' MINUTE))`
     * in a FROM clause → a subquery appending the TVF's window_start /
-    * window_end columns via Spark's window() struct. TUMBLE assigns
-    * exactly one window per row, so the mapping is a projection;
-    * HOP/SESSION TVFs would need the row replicated per window
-    * (Expand) outside an aggregate — not expressible as a projection,
-    * fail loudly (their GROUP BY spelling above covers the
-    * capability). */
+    * window_end / window_time columns via Spark's window() struct.
+    *
+    * TUMBLE assigns exactly one window per row, so the mapping is a
+    * projection. HOP replicates each row into ceil(size/slide)
+    * windows: the rewrite anchors the latest slide-aligned start with
+    * `window(ts, slide).start` (its own projection level, so Spark's
+    * TimeWindowing rule sees it in a plain Project), explodes a
+    * sequence of the ceil(size/slide) candidate starts stepping back
+    * by the slide, and keeps those whose window still covers the row
+    * — the same per-row expansion the reference's
+    * StreamExecWindowTableFunction performs, as an Expand the
+    * optimizer can see through. SESSION windows depend on NEIGHBORING
+    * rows (gap merge), which no per-row mapping can express — fail
+    * loudly toward the GROUP BY spelling, which covers the
+    * capability. */
   private def rewriteTvf(toks: Vector[S.Tok], i: Int,
                          sql: String): Option[(S.Splice, Int)] = {
     def is(j: Int, kw: String) = j < toks.length && toks(j).is(kw)
@@ -83,26 +111,47 @@ object GroupWindowSql {
     if (inner >= toks.length || toks(inner).kind != S.Ident) return None
     val fn = toks(inner).text.toUpperCase
     if (!groupFns.contains(fn)) return None
-    require(fn == "TUMBLE",
-      s"windowing TVF $fn needs per-row window replication (use the " +
-        "GROUP BY spelling); only TUMBLE maps to a projection")
+    require(fn != "SESSION",
+      "windowing TVF SESSION depends on neighboring rows (gap merge) — " +
+        "no per-row window mapping exists; use the GROUP BY SESSION(...) " +
+        "spelling")
     require(sym(inner + 1, "("), s"malformed TVF: $sql")
     val closeInner = S.closeParen(toks, inner + 1)
     val outerClose = S.closeParen(toks, i + 1)
     require(outerClose == closeInner + 1, s"malformed TABLE(...) TVF: $sql")
     val args = S.splitTopLevel(toks, inner + 2, closeInner)
-    require(args.length == 3,
-      s"TUMBLE TVF takes (TABLE t, DESCRIPTOR(ts), size): $sql")
+    val arity = if (fn == "TUMBLE") 3 else 4
+    require(args.length == arity,
+      s"$fn TVF takes (TABLE t, DESCRIPTOR(ts), " +
+        s"${if (fn == "TUMBLE") "size" else "slide, size"}): $sql")
     require(is(args(0)._1, "TABLE"),
-      s"TUMBLE TVF first argument must be TABLE <source>: $sql")
+      s"$fn TVF first argument must be TABLE <source>: $sql")
     val src = S.textOf(sql, toks, args(0)._1 + 1, args(0)._2)
     require(is(args(1)._1, "DESCRIPTOR"),
-      s"TUMBLE TVF second argument must be DESCRIPTOR(<time col>): $sql")
+      s"$fn TVF second argument must be DESCRIPTOR(<time col>): $sql")
     val tsCol = S.textOf(sql, toks, args(1)._1 + 2, args(1)._2 - 1)
-    val dur = duration(toks, args(2)._1, args(2)._2)
-    val w = s"window($tsCol, '$dur')"
-    val repl = s"(SELECT *, $w.start AS window_start, $w.end AS window_end, " +
-      s"$w.end - INTERVAL '0.001' SECOND AS window_time FROM $src)"
+    val repl = fn match {
+      case "TUMBLE" =>
+        val dur = duration(toks, args(2)._1, args(2)._2)
+        val w = s"window($tsCol, '$dur')"
+        s"(SELECT *, $w.start AS window_start, $w.end AS window_end, " +
+          s"$w.end - INTERVAL '0.001' SECOND AS window_time FROM $src)"
+      case "HOP" =>
+        val slide = duration(toks, args(2)._1, args(2)._2)
+        val size = duration(toks, args(3)._1, args(3)._2)
+        val slideMs = millisOf(slide)
+        val n = ((millisOf(size) + slideMs - 1) / slideMs).toInt // ceil
+        val Array(slideN, slideUnit) = slide.split(" ")
+        val back = s"INTERVAL '${(n - 1) * slideN.toLong}' ${slideUnit.toUpperCase}"
+        s"""(SELECT * EXCEPT(_gw_smax, _gw_ws), _gw_ws AS window_start,
+           |  _gw_ws + ${ansi(size)} AS window_end,
+           |  _gw_ws + ${ansi(size)} - INTERVAL '0.001' SECOND AS window_time
+           |FROM (SELECT *, explode(sequence(_gw_smax - $back, _gw_smax,
+           |                                 ${ansi(slide)})) AS _gw_ws
+           |      FROM (SELECT *, window($tsCol, '$slide').start AS _gw_smax
+           |            FROM $src))
+           |WHERE $tsCol < _gw_ws + ${ansi(size)})""".stripMargin
+    }
     Some((S.Splice(toks(i).start, toks(outerClose).end, repl), outerClose + 1))
   }
 

@@ -534,4 +534,158 @@ class SourcesSpec extends AnyFunSuite {
       "CREATE FUNCTION bad2 AS 'java.lang.String'"))
     assert(e2.getMessage.contains("not a Catalyst Expression"), e2.getMessage)
   }
+
+  test("PARTITIONED BY: layout on disk, static partitions, pruning at the scan") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val d = java.nio.file.Files.createTempDirectory("part_spec").toString
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE part_spec_t (k BIGINT, v STRING, p STRING)
+         |PARTITIONED BY (p)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='parquet')"""
+        .stripMargin)
+    GraftDDL.executeInsert(sp,
+      """INSERT INTO part_spec_t
+        |SELECT id AS k, concat('v', id) AS v,
+        |       CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS p
+        |FROM range(0, 10)""".stripMargin)
+    // hive-style directory layout
+    val dirs = new java.io.File(d).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("p=even", "p=odd"), dirs.toSeq)
+    // read side: partition values come back from the directory names
+    assert(sp.table("part_spec_t").where("p = 'odd'").count() == 5)
+    // and the filter prunes partitions BEFORE any file is opened
+    val scan = sp.table("part_spec_t").where("p = 'odd'")
+      .queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.partitionFilters.nonEmpty, "partition filter not pushed")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+    // INSERT ... PARTITION (p='x'): the static value lands as a column
+    GraftDDL.executeInsert(sp,
+      """INSERT INTO part_spec_t PARTITION (p='static')
+        |SELECT id + 100 AS k, 'sv' AS v FROM range(0, 3)""".stripMargin)
+    assert(sp.table("part_spec_t").where("p = 'static'").count() == 3)
+    // a static value for a non-partition column is rejected
+    val e = intercept[IllegalArgumentException](GraftDDL.executeInsert(sp,
+      "INSERT INTO part_spec_t PARTITION (v='nope') SELECT 1 AS k, 'a' AS p"))
+    assert(e.getMessage.contains("not a partition column"), e.getMessage)
+    GraftDDL.executeDrop(sp, "DROP TABLE part_spec_t")
+  }
+
+  test("CREATE TABLE LIKE: INCLUDING ALL, OVERWRITING OPTIONS, EXCLUDING WATERMARKS") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val d1 = java.nio.file.Files.createTempDirectory("like_src").toString
+    val d2 = java.nio.file.Files.createTempDirectory("like_dst").toString
+    import sp.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+      .toDF("k", "ts").write.mode("overwrite").parquet(d1)
+    Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("k", "ts").write.mode("overwrite").parquet(d2)
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE like_src_t (k BIGINT, ts TIMESTAMP,
+         |  k2 AS k * 2,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+         |WITH ('connector'='filesystem', 'path'='$d1', 'format'='parquet',
+         |      'mode'='streaming')""".stripMargin)
+    // default (INCLUDING ALL): schema, computed column, watermark, and
+    // options all inherited — the derived table is a streaming view too
+    GraftDDL.execute(sp, "CREATE TABLE like_all_t LIKE like_src_t")
+    assert(sp.table("like_all_t").isStreaming)
+    assert(sp.table("like_all_t").columns.toSeq == Seq("k", "ts", "k2"))
+    // OVERWRITING OPTIONS: same schema, new path + batch mode; extra
+    // physical column appended after the inherited ones
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE like_opt_t (extra STRING)
+         |WITH ('path'='$d2', 'mode'='batch')
+         |LIKE like_src_t (OVERWRITING OPTIONS)""".stripMargin)
+    val t = sp.table("like_opt_t")
+    assert(!t.isStreaming)
+    assert(t.columns.toSeq == Seq("k", "ts", "extra", "k2"))
+    assert(t.select("k").as[Long].collect().toSeq == Seq(3L))
+    assert(t.select("k2").as[Long].collect().toSeq == Seq(6L))
+    // EXCLUDING WATERMARKS drops the source's watermark → batch-like
+    // plan even in streaming mode is out of scope here; check instead
+    // that redefining the watermark without OVERWRITING is loud
+    val e = intercept[IllegalArgumentException](GraftDDL.execute(sp,
+      s"""CREATE TABLE like_wm_t (WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+         |LIKE like_src_t""".stripMargin))
+    assert(e.getMessage.contains("WATERMARKS"), e.getMessage)
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE like_wm_t (WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+         |WITH ('path'='$d2', 'mode'='batch')
+         |LIKE like_src_t (OVERWRITING WATERMARKS, OVERWRITING OPTIONS)"""
+        .stripMargin)
+    assert(sp.table("like_wm_t").columns.toSeq == Seq("k", "ts", "k2"))
+    // invalid option combinations fail exactly like SqlTableLike's
+    // invalidCombinations table
+    val e2 = intercept[IllegalArgumentException](GraftDDL.execute(sp,
+      "CREATE TABLE bad_t LIKE like_src_t (OVERWRITING ALL)"))
+    assert(e2.getMessage.contains("OVERWRITING ALL"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](GraftDDL.execute(sp,
+      "CREATE TABLE bad_t LIKE like_src_t (INCLUDING OPTIONS, EXCLUDING OPTIONS)"))
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+    // duplicate physical column is a merge error
+    val e4 = intercept[IllegalArgumentException](GraftDDL.execute(sp,
+      s"CREATE TABLE bad_t (k BIGINT) WITH ('path'='$d2') LIKE like_src_t"))
+    assert(e4.getMessage.contains("already"), e4.getMessage)
+    Seq("like_src_t", "like_all_t", "like_opt_t", "like_wm_t").foreach(n =>
+      GraftDDL.executeDrop(sp, s"DROP TABLE $n"))
+  }
+
+  test("datagen connector: bounded sequence, random bounds, loud validation") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    GraftDDL.execute(sp,
+      """CREATE TABLE dg_t (id BIGINT, name STRING, score DOUBLE)
+        |WITH ('connector'='datagen',
+        |      'fields.id.kind'='sequence', 'fields.id.start'='1', 'fields.id.end'='50',
+        |      'fields.name.kind'='random', 'fields.name.length'='10',
+        |      'fields.score.kind'='random', 'fields.score.min'='0', 'fields.score.max'='100')"""
+        .stripMargin)
+    val rows = sp.table("dg_t").collect()
+    assert(rows.length == 50) // bounded by the sequence, like the reference's source
+    assert(rows.map(_.getLong(0)).toSeq.sorted == (1L to 50L))
+    assert(rows.forall(_.getString(1).length == 10))
+    assert(rows.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 100))
+    // a sequence field without start/end fails with the reference's message
+    val e = intercept[RuntimeException](GraftDDL.execute(sp,
+      """CREATE TABLE dg_bad (id BIGINT)
+        |WITH ('connector'='datagen', 'fields.id.kind'='sequence')""".stripMargin))
+    assert(e.getMessage.contains("fields.id.start"), e.getMessage)
+    // random-only batch is unbounded → loud
+    val e2 = intercept[IllegalArgumentException](GraftDDL.execute(sp,
+      """CREATE TABLE dg_bad2 (x DOUBLE) WITH ('connector'='datagen')"""))
+    assert(e2.getMessage.contains("streaming"), e2.getMessage)
+    GraftDDL.executeDrop(sp, "DROP TABLE dg_t")
+  }
+
+  test("print sink formats rows as +I(...); blackhole swallows them") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    GraftDDL.execute(sp,
+      """CREATE TABLE print_t (k BIGINT, v STRING)
+        |WITH ('connector'='print', 'print-identifier'='dbg')""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      GraftDDL.executeInsert(sp,
+        "INSERT INTO print_t SELECT id AS k, concat('x', id) AS v FROM range(0, 3)")
+    }
+    val lines = buf.toString.linesIterator.toSeq
+    // RowDataPrintFunction: <identifier>> +I(v1,v2)
+    assert(lines.contains("dbg> +I(0,x0)"), lines)
+    assert(lines.count(_.startsWith("dbg> +I(")) == 3, lines)
+    GraftDDL.execute(sp,
+      "CREATE TABLE sink_bh (k BIGINT) WITH ('connector'='blackhole')")
+    val out = GraftDDL.executeInsert(sp,
+      "INSERT INTO sink_bh SELECT id AS k FROM range(0, 100)")
+    assert(out.count() == 100) // the query ran; the sink discarded it
+    // sink tables are not readable, matching the reference's factories
+    val e = intercept[RuntimeException](GraftDDL.executeAlter(sp,
+      "ALTER TABLE print_t SET ('path'='/tmp/nope')"))
+    Seq("print_t", "sink_bh").foreach(n => GraftDDL.executeDrop(sp, s"DROP TABLE $n"))
+  }
 }

@@ -131,7 +131,7 @@ class SqlTextSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 5.0 && out(2).getDouble(4) == 7.0)
   }
 
-  test("TUMBLE windowing-TVF rewrites to a window-struct subquery; HOP TVF refused") {
+  test("TUMBLE windowing-TVF rewrites to a window-struct subquery; SESSION TVF refused") {
     val t = GroupWindowSql.rewrite(
       "SELECT window_start, count(*) AS n FROM " +
         "TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
@@ -139,9 +139,9 @@ class SqlTextSpec extends AnyFunSuite {
     assert(t.contains("window(ts, '10 minute').start AS window_start"), t)
     assert(t.contains("FROM src)"), t)
     val e = intercept[RuntimeException](GroupWindowSql.rewrite(
-      "SELECT * FROM TABLE(HOP(TABLE src, DESCRIPTOR(ts), " +
-        "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))"))
-    assert(e.getMessage.contains("GROUP BY spelling"), e.getMessage)
+      "SELECT * FROM TABLE(SESSION(TABLE src, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE))"))
+    assert(e.getMessage.contains("GROUP BY SESSION"), e.getMessage)
     // executes end-to-end through spark.sql
     import spark.implicits._
     Seq((1L, "2024-01-01 00:03:00"), (1L, "2024-01-01 00:12:00"))
@@ -156,6 +156,43 @@ class SqlTextSpec extends AnyFunSuite {
     assert(rows(0).getTimestamp(0).toString.startsWith("2024-01-01 00:00"))
     // window_time = end − 1ms (the TVF's rowtime column)
     assert(rows(0).getTimestamp(2).getTime == rows(0).getTimestamp(1).getTime - 1)
+  }
+
+  test("HOP windowing-TVF replicates each row into ceil(size/slide) windows") {
+    import spark.implicits._
+    // rows at :03 and :12; slide 5 min, size 10 min → each row in 2 windows
+    Seq((1L, "2024-01-01 00:03:00"), (2L, "2024-01-01 00:12:00"))
+      .toDF("k", "tss").selectExpr("k", "CAST(tss AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("hop_tvf_spec")
+    val rows = spark.sql(
+      """SELECT k, window_start, window_end, window_time
+        |FROM TABLE(HOP(TABLE hop_tvf_spec, DESCRIPTOR(ts),
+        |               INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+        |ORDER BY k, window_start""".stripMargin).collect()
+    def m(s: String) = java.sql.Timestamp.valueOf(s)
+    // windows CONTAINING each row: starts are the slide multiples s
+    // with s <= ts < s + size (ts=:03 → 23:55 and 00:00)
+    assert(rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq ==
+      Seq(
+        (1L, m("2023-12-31 23:55:00"), m("2024-01-01 00:05:00")),
+        (1L, m("2024-01-01 00:00:00"), m("2024-01-01 00:10:00")),
+        (2L, m("2024-01-01 00:05:00"), m("2024-01-01 00:15:00")),
+        (2L, m("2024-01-01 00:10:00"), m("2024-01-01 00:20:00"))),
+      rows.toSeq)
+    // window_time = end − 1ms, and the TVF output contains no helper cols
+    assert(rows(0).getTimestamp(3).getTime == rows(0).getTimestamp(2).getTime - 1)
+    val cols = spark.sql(
+      """SELECT * FROM TABLE(HOP(TABLE hop_tvf_spec, DESCRIPTOR(ts),
+        |               INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))""".stripMargin).columns
+    assert(cols.toSeq == Seq("k", "ts", "window_start", "window_end", "window_time"), cols.toSeq)
+    // non-divisible size/slide: slide 5, size 7 → ceil = 2 candidates,
+    // the out-of-range one is filtered (row at :03 is NOT in [:05,:12))
+    val nd = spark.sql(
+      """SELECT k, window_start FROM TABLE(HOP(TABLE hop_tvf_spec, DESCRIPTOR(ts),
+        |               INTERVAL '5' MINUTE, INTERVAL '7' MINUTE))
+        |WHERE k = 1 ORDER BY window_start""".stripMargin).collect()
+    assert(nd.map(_.getTimestamp(1)).toSeq ==
+      Seq(m("2024-01-01 00:00:00")), nd.toSeq)
   }
 
   // ---- DDL through the token-structural front door ----
