@@ -930,5 +930,91 @@ object DsLike extends QueryGroup {
           count(lit(1)).as("n_lines"),
           sum(rev).cast(DoubleType).as("amount"))
         .orderBy("yr")
+    },
+
+    // TPC-DS Q67-flavored: a four-level ROLLUP (flag, status, year,
+    // month) ranked top-10 per flag partition — Expand feeding a
+    // two-phase agg feeding one Window pass. The rollup multiplies
+    // input 5× through Expand BEFORE the shuffle, so partial
+    // aggregation (map-side combine over the expanded rows) is what
+    // keeps the exchange bounded at 100 TB; the rank's window
+    // partitions by flag only (few, fat partitions) but its input is
+    // post-agg — thousands of rows, not billions.
+    q("d28_rollup_rank",
+      """WITH r AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq
+        |  FROM lineitem GROUP BY ROLLUP (rf, ls, yr, mon))
+        |SELECT rf, ls, yr, mon, CAST(sumq AS DOUBLE) AS sum_qty, rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY rf
+        |        ORDER BY sumq DESC, ls NULLS FIRST, yr NULLS FIRST,
+        |                 mon NULLS FIRST) AS rnk
+        |      FROM r)
+        |WHERE rnk <= 10
+        |ORDER BY rf NULLS FIRST, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir)("lineitem")
+      val r = li.select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mon"),
+          col("l_quantity").cast(dec18_2).as("q"))
+        .rollup("rf", "ls", "yr", "mon")
+        .agg(sum("q").as("sumq"))
+      r.withColumn("rnk", row_number().over(Window.partitionBy("rf")
+          .orderBy(col("sumq").desc, col("ls").asc_nulls_first,
+            col("yr").asc_nulls_first, col("mon").asc_nulls_first)))
+        .filter(col("rnk") <= 10)
+        .select(col("rf"), col("ls"), col("yr"), col("mon"),
+          col("sumq").cast(DoubleType).as("sum_qty"), col("rnk"))
+        .orderBy(col("rf").asc_nulls_first, col("rnk"))
+    },
+
+    // TPC-DS Q51-flavored: two per-supplier cumulative monthly series
+    // (returned vs kept revenue) FULL OUTER joined on (supplier,
+    // month) and filtered where one running total overtakes the other
+    // — two windowed aggregations whose outputs merge in one outer
+    // join. Each series aggregates before windowing, so the window
+    // and the join both run over supplier×month grain (bounded), not
+    // line grain; the decimal running sums are order-exact.
+    q("d29_cumulative_overtake",
+      """WITH a AS (
+        |  SELECT l_suppkey AS sk, year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS amt
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2),
+        |n AS (
+        |  SELECT l_suppkey AS sk, year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS amt
+        |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+        |ac AS (SELECT sk, ym,
+        |         sum(amt) OVER (PARTITION BY sk ORDER BY ym) AS cum_a FROM a),
+        |nc AS (SELECT sk, ym,
+        |         sum(amt) OVER (PARTITION BY sk ORDER BY ym) AS cum_n FROM n)
+        |SELECT coalesce(ac.sk, nc.sk) AS sk, coalesce(ac.ym, nc.ym) AS ym,
+        |  CAST(cum_a AS DOUBLE) AS cum_a, CAST(cum_n AS DOUBLE) AS cum_n
+        |FROM ac FULL OUTER JOIN nc ON ac.sk = nc.sk AND ac.ym = nc.ym
+        |WHERE coalesce(cum_a, 0) > coalesce(cum_n, 0)
+        |ORDER BY sk, ym""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir)("lineitem")
+      def series(flag: String, cumName: String) =
+        li.filter(col("l_returnflag") === flag)
+          .groupBy(col("l_suppkey").as("sk"),
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+          .agg(sum(rev).as("amt"))
+          .withColumn(cumName,
+            sum("amt").over(Window.partitionBy("sk").orderBy("ym")))
+          .drop("amt")
+      val ac = series("A", "cum_a")
+      val nc = series("N", "cum_n")
+        .withColumnRenamed("sk", "sk2").withColumnRenamed("ym", "ym2")
+      ac.join(nc, col("sk") === col("sk2") && col("ym") === col("ym2"), "full_outer")
+        .select(coalesce(col("sk"), col("sk2")).as("sk"),
+          coalesce(col("ym"), col("ym2")).as("ym"),
+          col("cum_a").cast(DoubleType).as("cum_a"),
+          col("cum_n").cast(DoubleType).as("cum_n"))
+        .filter(coalesce(col("cum_a"), lit(0)) > coalesce(col("cum_n"), lit(0)))
+        .orderBy("sk", "ym")
     })
 }

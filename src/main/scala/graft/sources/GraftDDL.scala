@@ -222,7 +222,7 @@ object GraftDDL {
   }
 
   private val insertRe =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.+?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?((?:SELECT|VALUES)\s*.+?)\s*;?\s*""".r
   private val partAssignRe = """(\w+)\s*=\s*(?:'([^']*)'|([^\s,']+))""".r
   private val viewRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\s+.+)\s*;?\s*""".r
@@ -397,7 +397,22 @@ object GraftDDL {
         require(b.partitions.exists(_.equalsIgnoreCase(k)),
           s"'$k' is not a partition column of '$name' " +
             s"(PARTITIONED BY ${b.partitions.mkString(", ")})") }
-      val df = static.foldLeft(spark.sql(query)) { case (d, (k, v)) =>
+      // INSERT ... VALUES (SqlToOperationConverter routes VALUES through
+      // the same insert path): Spark names the literal row columns
+      // col1..colN — re-land them positionally on the target's declared
+      // schema, minus any statically-assigned partition columns
+      val queried =
+        if (query.toUpperCase.startsWith("VALUES")) {
+          val raw = spark.sql(s"SELECT * FROM $query")
+          val target = b.schema.fields.filterNot(f =>
+            static.exists(_._1.equalsIgnoreCase(f.name)))
+          require(raw.schema.length == target.length,
+            s"INSERT VALUES arity ${raw.schema.length} != " +
+              s"${target.length} writable columns of '$name'")
+          raw.select(raw.columns.zip(target).map { case (c, f) =>
+            col(c).cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
+        } else spark.sql(query)
+      val df = static.foldLeft(queried) { case (d, (k, v)) =>
         val dt = b.schema.fields.find(_.name.equalsIgnoreCase(k))
           .map(_.dataType).getOrElse(sys.error(
             s"partition column '$k' not in the declared schema of '$name'"))

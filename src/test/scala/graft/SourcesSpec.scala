@@ -574,6 +574,30 @@ class SourcesSpec extends AnyFunSuite {
     GraftDDL.executeDrop(sp, "DROP TABLE part_spec_t")
   }
 
+  test("INSERT INTO ... VALUES lands positionally on the declared schema") {
+    import graft.sources.GraftDDL
+    val sp = StreamHarness.spark
+    val d = java.nio.file.Files.createTempDirectory("ins_values").toString
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE ins_values_t (k BIGINT, v STRING, p STRING)
+         |PARTITIONED BY (p)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='parquet')"""
+        .stripMargin)
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO ins_values_t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    // VALUES under a static partition: remaining columns only
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO ins_values_t PARTITION (p='z') VALUES (3, 'c')")
+    val rows = sp.table("ins_values_t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")), rows.toSeq)
+    // wrong arity is loud
+    val e = intercept[IllegalArgumentException](GraftDDL.executeInsert(sp,
+      "INSERT INTO ins_values_t VALUES (4)"))
+    assert(e.getMessage.contains("arity"), e.getMessage)
+    GraftDDL.executeDrop(sp, "DROP TABLE ins_values_t")
+  }
+
   test("CREATE TABLE LIKE: INCLUDING ALL, OVERWRITING OPTIONS, EXCLUDING WATERMARKS") {
     import graft.sources.GraftDDL
     val sp = StreamHarness.spark
