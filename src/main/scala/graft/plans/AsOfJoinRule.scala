@@ -60,6 +60,38 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             .map { case (keys, lt, rt) =>
               rewritten += 1; rewrite(l, r, jt == Inner, keys, lt, rt) }
             .getOrElse(j)
+        // The temporal-table-FUNCTION correlate (LATERAL TABLE
+        // (Rates(o.ts)) — GraftSqlParser.rewriteLateralTemporal) leaves
+        // the version-key equality in the WHERE clause, exactly where
+        // the reference's users write it; its converter relies on
+        // filter-into-join pushdown before the temporal rule fires
+        // (LogicalCorrelateToJoinFromTemporalTableFunctionRule.scala).
+        // This analysis-time rule runs BEFORE pushdown, so it performs
+        // the same move itself: key-equality conjuncts of the Filter
+        // directly above the join are consumed into the as-of match and
+        // every other conjunct stays as a residual Filter over the
+        // as-of output (whose right columns keep their original
+        // attribute ids, so those residuals resolve untouched).
+        case f @ Filter(fc, Join(l, r, jt, Some(cond), _))
+            if jt == Inner || jt == LeftOuter =>
+          val fcs = splitConjunctivePredicates(fc)
+          val (keyConjs, residual) = fcs.partition {
+            case EqualTo(a: Attribute, b: Attribute) =>
+              (l.outputSet.contains(a) && r.outputSet.contains(b)) ||
+                (l.outputSet.contains(b) && r.outputSet.contains(a))
+            case _ => false
+          }
+          if (keyConjs.isEmpty) f
+          else matchShape(l, r, (splitConjunctivePredicates(cond) ++ keyConjs)
+              .reduce(And))
+            .filter { case (_, _, rt) =>
+              rowtimes.isEmpty || rowtimes.contains(rt.name.toLowerCase) }
+            .map { case (keys, lt, rt) =>
+              rewritten += 1
+              val asof = rewrite(l, r, jt == Inner, keys, lt, rt)
+              if (residual.isEmpty) asof else Filter(residual.reduce(And), asof)
+            }
+            .getOrElse(f)
       }
       // the hint PROMISES as-of semantics — silently leaving the raw
       // `r.time <= l.time` join (every version multiplying) would be a

@@ -476,6 +476,36 @@ object GroupWindows extends QueryGroup {
     // 1:1 row→window mapping makes it a pure projection, then the
     // GROUP BY over window_start/window_end aggregates as usual.
     // Oracle = gw1's semantics with TVF output column names.
+    // Group-window TABLE aggregate (SURVEY §2.4 —
+    // StreamExecGroupWindowTableAggregate: a TableAggregateFunction
+    // emitting MULTIPLE rows per time window, the reference's
+    // windowed Top2-style emitAggregate). Spark spelling: group by
+    // the window struct, aggregate to a top-2 array (the a6 pattern:
+    // struct sort keyed (value, inverted id) so reverse gives value
+    // DESC / id ASC), posexplode back to rows. Note the accumulator
+    // here is bounded by the emit count only in the oracle's
+    // rank-based plan; for 100 TB the engine's scale path for this
+    // shape is WindowGroupLimit (q:w7) — this row is the
+    // TableAggregateFunction API surface at window grain.
+    q("gw17_window_table_agg",
+      """SELECT wstart, rank, event_id, value FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_id, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 2
+        |ORDER BY wstart, rank""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(slice(reverse(array_sort(collect_list(
+          struct(col("value"), (lit(Long.MaxValue) - col("event_id")).as("_inv"),
+            col("event_id"))))), 1, 2).as("top2"))
+        .select(col("w.start").as("wstart"), posexplode(col("top2")))
+        .select(col("wstart"), (col("pos") + 1).as("rank"),
+          col("col.event_id").as("event_id"), col("col.value").as("value"))
+        .orderBy("wstart", "rank")
+    },
+
     // HOP TVF (SqlWindowTableFunction's sliding form): the rewrite
     // replicates each row into ceil(size/slide) windows via an
     // explode(sequence(...)) over the slide-aligned anchor — the

@@ -366,5 +366,51 @@ object Joins extends QueryGroup {
           |JOIN events_vt FOR SYSTEM_TIME AS OF p.cutoff r
           |  ON p.user_id = r.user_id
           |ORDER BY purchase_id""".stripMargin)
+    },
+
+    // The reference's OTHER temporal-join spelling: a temporal table
+    // FUNCTION applied as a correlate, `FROM o, LATERAL TABLE
+    // (Rates(o.ts)) r WHERE o.k = r.k`
+    // (TemporalTableFunction.java:36; converted by
+    // LogicalCorrelateToJoinFromTemporalTableFunctionRule.scala:40).
+    // GraftSqlParser rewrites the correlate to the hinted as-of shape
+    // and AsOfJoinRule consumes the WHERE key equality from the
+    // Filter above the join — same single-window-pass plan, same
+    // oracle as j15.
+    q("j16_temporal_fn_sql",
+      """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, s.ts AS prior_ts
+        |FROM (SELECT *, ts - INTERVAL 1 SECOND AS cutoff FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF JOIN events s
+        |  ON p.user_id = s.user_id AND p.cutoff >= s.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts") - expr("INTERVAL 1 SECOND")).as("cutoff"))
+        .createOrReplaceTempView("purchases_vt16")
+      val (tsDdl, rowtimeExpr) =
+        s.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            ("BIGINT", "TIMESTAMP_MICROS(ts div 1000)")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            ("TIMESTAMP_NTZ", "CAST(ts AS TIMESTAMP)")
+          case _ => ("TIMESTAMP", "ts")
+        }
+      graft.sources.GraftDDL.execute(s,
+        s"""CREATE TABLE events_vt16 (
+           |  event_id BIGINT, ts $tsDdl, user_id BIGINT,
+           |  event_type STRING, value DOUBLE, props STRING,
+           |  rowtime AS $rowtimeExpr,
+           |  WATERMARK FOR rowtime AS rowtime - INTERVAL '0' SECOND
+           |) WITH ('connector'='filesystem',
+           |        'path'='$dir/events.parquet', 'format'='parquet')""".stripMargin)
+      graft.sources.TemporalTableFunctions.register(
+        "ev_versions16", "events_vt16", "rowtime", "user_id")
+      s.sql(
+        """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+          |       r.rowtime AS prior_ts
+          |FROM purchases_vt16 p, LATERAL TABLE (ev_versions16(p.cutoff)) AS r
+          |WHERE p.user_id = r.user_id
+          |ORDER BY purchase_id""".stripMargin)
     })
 }

@@ -31,11 +31,99 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Everything else delegates to Spark's parser unchanged.
   */
+/** Registry of temporal table functions (SURVEY.md §2.3 — the
+  * reference's OTHER temporal-join spelling:
+  * `Table.createTemporalTableFunction(timeAttribute, primaryKey)`
+  * registered by name and applied as `LATERAL TABLE (Rates(o.ts))`,
+  * `flink-table/flink-table-api-java/src/main/java/org/apache/flink/
+  * table/functions/TemporalTableFunction.java:36`). An entry binds the
+  * function name to its versioned table, the version/time attribute,
+  * and the declared primary key; [[GraftSqlParser]] rewrites the
+  * correlate into the hinted as-of join shape
+  * [[graft.plans.AsOfJoinRule]] plans (key equalities stay in the
+  * WHERE clause, exactly where the reference's users write them — the
+  * rule consumes them from the Filter above the join). */
+object TemporalTableFunctions {
+  final case class Entry(table: String, timeAttr: String, primaryKey: String)
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  def register(name: String, table: String, timeAttr: String,
+               primaryKey: String): Unit =
+    reg.put(name.toLowerCase, Entry(table, timeAttr, primaryKey))
+  def get(name: String): Option[Entry] = Option(reg.get(name.toLowerCase))
+}
+
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   /** Cheap pre-probe so the common no-dialect statement skips the lex. */
   private def mentionsTemporal(sql: String): Boolean =
     sql.toUpperCase.contains("SYSTEM_TIME")
+
+  /** `FROM a, LATERAL TABLE (Fn(a.ts)) [AS] r` → the hinted as-of
+    * join shape, the reference's temporal-table-FUNCTION correlate
+    * (LogicalCorrelateToJoinFromTemporalTableFunctionRule.scala). The
+    * comma correlate becomes `JOIN <table> AS r ON r.<time> <= a.ts`;
+    * the user's key equality lives in the WHERE clause and is
+    * consumed by AsOfJoinRule's Filter-above-Join match. A LATERAL
+    * TABLE over an UNREGISTERED name fails loudly: the plain
+    * table-function correlate spells LATERAL VIEW explode in this
+    * engine (q:f6/f7), and silently handing the reference's syntax to
+    * Spark's parser would name the wrong dialect. */
+  private[graft] def rewriteLateralTemporal(sqlText: String): String = {
+    if (!sqlText.toUpperCase.contains("LATERAL")) return sqlText
+    val toks = S.lex(sqlText)
+    def at(i: Int, kw: String) = i < toks.length && toks(i).is(kw)
+    def sym(i: Int, s: String) =
+      i < toks.length && toks(i).kind == S.Sym && toks(i).text == s
+    def nameAt(i: Int) = i < toks.length &&
+      (toks(i).kind == S.Ident || toks(i).kind == S.QIdent)
+    val edits = Seq.newBuilder[S.Splice]
+    val rowtimes = Seq.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (at(i, "LATERAL") && at(i + 1, "TABLE") && sym(i + 2, "(")) {
+        val close = S.closeParen(toks, i + 2)
+        // inside: fn ( alias . col )
+        require(nameAt(i + 3) && sym(i + 4, "("),
+          s"malformed LATERAL TABLE call: $sqlText")
+        val fn = toks(i + 3).ident
+        val fnClose = S.closeParen(toks, i + 4)
+        require(fnClose == close - 1,
+          s"malformed LATERAL TABLE call: $sqlText")
+        val entry = TemporalTableFunctions.get(fn).getOrElse(sys.error(
+          s"LATERAL TABLE: '$fn' is not a registered temporal table " +
+            "function (TemporalTableFunctions.register); for a plain " +
+            "table-function correlate use LATERAL VIEW explode"))
+        require(nameAt(i + 5) && sym(i + 6, ".") && nameAt(i + 7) &&
+            fnClose == i + 8,
+          s"LATERAL TABLE temporal correlate takes one <alias>.<time> " +
+            s"argument: $sqlText")
+        val leftAlias = toks(i + 5).text
+        val leftTime = toks(i + 7).text
+        var j = close + 1
+        if (at(j, "AS")) j += 1
+        require(nameAt(j),
+          s"LATERAL TABLE correlate needs an alias: $sqlText")
+        val rightAlias = toks(j).text
+        // consume the preceding comma (the correlate's cross-apply
+        // spelling) so the splice yields a plain JOIN
+        val start =
+          if (i > 0 && sym(i - 1, ",")) toks(i - 1).start else toks(i).start
+        rowtimes += entry.timeAttr
+        edits += S.Splice(start, toks(j).end,
+          s" JOIN ${entry.table} AS $rightAlias ON " +
+            s"$rightAlias.${entry.timeAttr} <= $leftAlias.$leftTime")
+        i = j + 1
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) return sqlText
+    val sel = toks.indexWhere(_.is("SELECT"))
+    require(sel >= 0, s"no SELECT in temporal-correlate statement: $sqlText")
+    val params = rowtimes.result().distinct.mkString(", ")
+    S.splice(sqlText, es :+ S.Splice(toks(sel).start, toks(sel).end,
+      s"SELECT /*+ ASOF_JOIN($params) */"))
+  }
 
   private[graft] def rewriteTemporal(sqlText: String): String = {
     if (!mentionsTemporal(sqlText)) return sqlText
@@ -96,7 +184,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   private def rewriteAll(sqlText: String): String =
-    GroupWindowSql.rewrite(rewriteTemporal(sqlText))
+    GroupWindowSql.rewrite(rewriteLateralTemporal(rewriteTemporal(sqlText)))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewriteAll(sqlText))

@@ -195,6 +195,50 @@ class SqlTextSpec extends AnyFunSuite {
       Seq(m("2024-01-01 00:00:00")), nd.toSeq)
   }
 
+  test("LATERAL TABLE temporal-function correlate: rewrite, WHERE keys, residuals") {
+    import graft.sources.{GraftSqlParser, TemporalTableFunctions}
+    val p = new GraftSqlParser(
+      spark.sessionState.sqlParser.asInstanceOf[
+        org.apache.spark.sql.catalyst.parser.ParserInterface])
+    // unregistered name fails loudly toward LATERAL VIEW explode
+    val e = intercept[RuntimeException](p.rewriteLateralTemporal(
+      "SELECT * FROM o, LATERAL TABLE (nope(o.ts)) AS r"))
+    assert(e.getMessage.contains("not a registered temporal table"), e.getMessage)
+    // registered: the comma correlate becomes the hinted as-of join text
+    TemporalTableFunctions.register("lat_rates", "rates_t", "rowtime", "cur")
+    val t = p.rewriteLateralTemporal(
+      "SELECT o.id, r.rate FROM o, LATERAL TABLE (lat_rates(o.ts)) AS r " +
+        "WHERE o.cur = r.cur")
+    assert(t.contains("/*+ ASOF_JOIN(rowtime) */"), t)
+    assert(t.contains("JOIN rates_t AS r ON r.rowtime <= o.ts"), t)
+    assert(!t.toUpperCase.contains("LATERAL"), t)
+    // end-to-end: keys from WHERE consumed, residual predicate kept
+    import spark.implicits._
+    Seq((1L, "2024-01-01 00:05:00", "EUR", 1.1),
+        (2L, "2024-01-01 00:20:00", "EUR", 1.2),
+        (3L, "2024-01-01 00:05:00", "JPY", 150.0))
+      .toDF("vid", "tss", "cur", "rate")
+      .selectExpr("vid", "CAST(tss AS TIMESTAMP) AS rowtime", "cur", "rate")
+      .createOrReplaceTempView("lat_rates_t")
+    Seq((10L, "2024-01-01 00:10:00", "EUR", 5.0),
+        (11L, "2024-01-01 00:30:00", "EUR", 50.0),
+        (12L, "2024-01-01 00:30:00", "JPY", 7.0))
+      .toDF("oid", "tss", "cur", "amount")
+      .selectExpr("oid", "CAST(tss AS TIMESTAMP) AS ots", "cur", "amount")
+      .createOrReplaceTempView("lat_orders_t")
+    TemporalTableFunctions.register("lat_rates2", "lat_rates_t", "rowtime", "cur")
+    val out = spark.sql(
+      """SELECT o.oid, r.vid, r.rate
+        |FROM lat_orders_t o, LATERAL TABLE (lat_rates2(o.ots)) AS r
+        |WHERE o.cur = r.cur AND o.amount > 6
+        |ORDER BY o.oid""".stripMargin).collect()
+    // amount > 6 residual keeps only orders 11 (EUR@00:30 → version 2)
+    // and 12 (JPY@00:30 → version 3); order 10 is filtered, order 11
+    // matches the LATEST version ≤ its time, not every version
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((11L, 2L, 1.2), (12L, 3L, 150.0)), out.toSeq)
+  }
+
   // ---- DDL through the token-structural front door ----
 
   test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
