@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SplitIndex].getName, "split_index"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SplitIndex(es(0), es(1), es(2))))
+    e.injectFunction((
+      FunctionIdentifier("similar_to"),
+      new ExpressionInfo(classOf[graft.functions.SimilarTo].getName, "similar_to"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.similarToExpr(es)))
   }
 }

@@ -38,6 +38,62 @@ object GraftStrings {
     val parts = s.toString.split(java.util.regex.Pattern.quote(sep.toString), -1)
     if (idx < parts.length) UTF8String.fromString(parts(idx)) else null
   }
+
+  /** SQL:2003 SIMILAR TO pattern → anchored Java regex (the reference
+    * exposes Calcite's SqlStdOperatorTable.SIMILAR_TO,
+    * FlinkSqlOperatorTable.java:1032; Spark has no SIMILAR TO).
+    * Translation: `%` → `.*`, `_` → `.`; the regex metacharacters
+    * SIMILAR treats as LITERALS (`.` `^` `$` `\`) are escaped;
+    * SIMILAR's own operators (`|` `*` `+` `?` `{n,m}` `(...)`
+    * `[class]`) pass through; inside a character class `%`/`_` are
+    * literal; the optional ESCAPE character makes the next char
+    * literal. Matching is whole-string (`matches()`), per the
+    * standard. */
+  def similarRegex(pat: String, esc: Int): String = {
+    val sb = new StringBuilder
+    var inClass = false
+    var i = 0
+    val n = pat.length
+    while (i < n) {
+      val c = pat.charAt(i)
+      if (esc >= 0 && c == esc.toChar && i + 1 < n) {
+        val nxt = pat.charAt(i + 1)
+        if ("\\^$.|?*+()[]{}".indexOf(nxt) >= 0) sb.append('\\')
+        sb.append(nxt)
+        i += 2
+      } else {
+        if (inClass) {
+          if (c == ']') inClass = false
+          sb.append(c)
+        } else c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append('.')
+          case '.' | '^' | '$' | '\\' => sb.append('\\').append(c)
+          case '[' => inClass = true; sb.append(c)
+          case other => sb.append(other)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private val similarCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.regex.Pattern]()
+
+  /** Whole-string SIMILAR TO match; compiled patterns cached (the
+    * pattern side is almost always a literal — a pathological
+    * pattern-per-row query bypasses the cache once it holds 1024
+    * entries rather than growing without bound). */
+  def similarTo(s: UTF8String, pat: UTF8String, esc: Int): Boolean = {
+    val key = (pat.toString, esc)
+    val p =
+      if (similarCache.size > 1024)
+        java.util.regex.Pattern.compile(similarRegex(key._1, esc))
+      else similarCache.computeIfAbsent(key,
+        k => java.util.regex.Pattern.compile(similarRegex(k._1, k._2)))
+    p.matcher(s.toString).matches()
+  }
 }
 
 abstract class StringPredicate extends UnaryExpression {
@@ -88,6 +144,25 @@ case class SplitIndex(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): SplitIndex = copy(f, s, t)
 }
 
+/** `s SIMILAR TO pattern [ESCAPE e]` (SqlStdOperatorTable.SIMILAR_TO
+  * via FlinkSqlOperatorTable.java:1032): whole-string SQL:2003 regex
+  * match. GraftSqlParser rewrites the infix operator text to this
+  * function; escape = -1 means no ESCAPE clause. */
+case class SimilarTo(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override protected def nullSafeEval(s: Any, pat: Any, esc: Any): Any =
+    GraftStrings.similarTo(s.asInstanceOf[UTF8String],
+      pat.asInstanceOf[UTF8String], esc.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p, e) =>
+      s"graft.functions.GraftStrings.similarTo($s, $p, $e)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SimilarTo = copy(f, s, t)
+}
+
 /** Column-API + SQL registration facade for the gap functions. */
 object GraftFunctions {
   def is_alpha(c: Column): Column = column(IsAlpha(expression(c)))
@@ -95,6 +170,18 @@ object GraftFunctions {
   def is_decimal(c: Column): Column = column(IsDecimal(expression(c)))
   def split_index(c: Column, sep: Column, i: Column): Column =
     column(SplitIndex(expression(c), expression(sep), expression(i)))
+  def similar_to(c: Column, pat: Column): Column =
+    column(GraftFunctions.similarToExpr(Seq(expression(c), expression(pat))))
+
+  /** similar_to(s, p) / similar_to(s, p, 'e'): the 3-arg ESCAPE form
+    * takes a one-char string whose code point feeds the matcher. */
+  private[graft] def similarToExpr(es: Seq[Expression]): Expression = es match {
+    case Seq(s, p) =>
+      SimilarTo(s, p, org.apache.spark.sql.catalyst.expressions.Literal(-1))
+    case Seq(s, p, e) =>
+      SimilarTo(s, p, org.apache.spark.sql.catalyst.expressions.Ascii(e))
+    case _ => sys.error(s"similar_to takes 2 or 3 arguments, got ${es.length}")
+  }
 
   /** Register SQL names (the reference's FlinkSqlOperatorTable gaps). */
   def register(spark: SparkSession): Unit = {
@@ -104,5 +191,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("is_decimal", es => IsDecimal(es.head), "built-in")
     reg.createOrReplaceTempFunction("split_index",
       es => SplitIndex(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("similar_to", similarToExpr, "built-in")
   }
 }

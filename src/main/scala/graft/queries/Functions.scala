@@ -427,5 +427,27 @@ object Functions extends QueryGroup {
           locate("URGENT", col("o_orderpriority")).cast(LongType).as("loc"),
           (floor(col("o_totalprice") * 100) / 100).as("trunc2"))
         .orderBy("o_orderkey")
+    },
+
+    // SIMILAR TO (SURVEY §2.8 — SqlStdOperatorTable.SIMILAR_TO via
+    // FlinkSqlOperatorTable.java:1032; Spark's grammar has no SIMILAR
+    // TO): the infix text goes through GraftSqlParser's rewrite to
+    // the codegen'd similar_to expression — whole-string SQL:2003
+    // match with % / _ / alternation, regex metachars as literals.
+    // DuckDB's own SIMILAR TO is plain-regex (non-standard), so the
+    // oracle spells the TRANSLATED pattern via regexp_full_match.
+    q("f16_similar_to",
+      """SELECT p_partkey,
+        |  regexp_full_match(p_name, '.*(widget|rod).*') AS m1,
+        |  regexp_full_match(p_brand, 'Brand#1.') AS m2,
+        |  NOT regexp_full_match(p_type, '.*(ECONOMY|PROMO)') AS m3
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("part").createOrReplaceTempView("f16_part")
+      s.sql(
+        """SELECT p_partkey,
+          |  p_name SIMILAR TO '%(widget|rod)%' AS m1,
+          |  p_brand SIMILAR TO 'Brand#1_' AS m2,
+          |  p_type NOT SIMILAR TO '%(ECONOMY|PROMO)' AS m3
+          |FROM f16_part ORDER BY p_partkey""".stripMargin)
     })
 }

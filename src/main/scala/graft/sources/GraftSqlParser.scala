@@ -183,8 +183,94 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     S.splice(sqlText, hinted)
   }
 
+  /** `<operand> [NOT] SIMILAR TO <pattern> [ESCAPE '<c>']` →
+    * `[NOT] similar_to(operand, pattern[, '<c>'])` — the SQL:2003
+    * regex-match operator the reference exposes
+    * (FlinkSqlOperatorTable.java:1032 SIMILAR_TO / :1031
+    * NOT_SIMILAR_TO) and Spark's grammar lacks. Operand recognition is
+    * token-structural: a parenthesized group or call `f(...)` scanning
+    * back over balanced parens, else a dotted identifier chain / one
+    * literal; the pattern side mirrors it forward. Anything fancier on
+    * the left (e.g. `a || b SIMILAR TO ...`) needs its own parens —
+    * the rewrite fails loudly rather than guessing precedence. */
+  private[graft] def rewriteSimilar(sqlText: String): String = {
+    if (!sqlText.toUpperCase.contains("SIMILAR")) return sqlText
+    val toks = S.lex(sqlText)
+    def at(i: Int, kw: String) = i < toks.length && toks(i).is(kw)
+    def sym(i: Int, s: String) =
+      i < toks.length && i >= 0 && toks(i).kind == S.Sym && toks(i).text == s
+    def nameAt(i: Int) = i >= 0 && i < toks.length &&
+      (toks(i).kind == S.Ident || toks(i).kind == S.QIdent)
+    def valueAt(i: Int) = i >= 0 && i < toks.length &&
+      (toks(i).kind == S.Str || toks(i).kind == S.Num)
+    // token index of the matching '(' for the ')' at `close`
+    def openParen(close: Int): Int = {
+      var depth = 0
+      var i = close
+      while (i >= 0) {
+        if (sym(i, ")")) depth += 1
+        else if (sym(i, "(")) { depth -= 1; if (depth == 0) return i }
+        i -= 1
+      }
+      sys.error("unbalanced parentheses before SIMILAR TO")
+    }
+    val edits = Seq.newBuilder[S.Splice]
+    var i = 0
+    while (i < toks.length) {
+      if (at(i, "SIMILAR") && at(i + 1, "TO")) {
+        val negated = at(i - 1, "NOT")
+        val operandEnd = if (negated) i - 2 else i - 1 // last operand token
+        // an ident before '(' is a call UNLESS it is a clause keyword
+        // (`SELECT (a || b) SIMILAR TO ...` must not swallow SELECT)
+        val notCallable = Set("SELECT", "WHERE", "AND", "OR", "NOT", "ON",
+          "WHEN", "THEN", "ELSE", "BY", "HAVING", "FROM", "JOIN", "AS",
+          "IN", "CASE", "DISTINCT", "ALL", "SET", "VALUES", "END")
+        val operandStart =
+          if (sym(operandEnd, ")")) {
+            val open = openParen(operandEnd)
+            if (nameAt(open - 1) && (toks(open - 1).kind != S.Ident ||
+                !notCallable(toks(open - 1).text.toUpperCase)))
+              open - 1 // f(...) keeps its name
+            else open
+          } else if (nameAt(operandEnd) || valueAt(operandEnd)) {
+            var s = operandEnd
+            while (nameAt(s) && sym(s - 1, ".") && nameAt(s - 2)) s -= 2
+            s
+          } else sys.error(
+            "SIMILAR TO needs a parenthesized/identifier/literal operand " +
+              s"on its left (add parens): $sqlText")
+        // pattern side, mirrored forward
+        var j = i + 2
+        val patStart = j
+        val patEnd =
+          if (nameAt(j) && sym(j + 1, "(")) S.closeParen(toks, j + 1)
+          else if (nameAt(j) || valueAt(j)) {
+            while (sym(j + 1, ".") && nameAt(j + 2)) j += 2
+            j
+          } else sys.error(s"SIMILAR TO needs a pattern operand: $sqlText")
+        var end = patEnd
+        var escText = ""
+        if (at(patEnd + 1, "ESCAPE")) {
+          require(patEnd + 2 < toks.length && toks(patEnd + 2).kind == S.Str,
+            s"ESCAPE takes a one-char string literal: $sqlText")
+          escText = s", ${toks(patEnd + 2).text}"
+          end = patEnd + 2
+        }
+        val operand = S.textOf(sqlText, toks, operandStart, operandEnd + 1)
+        val pattern = S.textOf(sqlText, toks, patStart, patEnd + 1)
+        val repl = (if (negated) "NOT " else "") +
+          s"similar_to($operand, $pattern$escText)"
+        edits += S.Splice(toks(operandStart).start, toks(end).end, repl)
+        i = end + 1
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) sqlText else S.splice(sqlText, es)
+  }
+
   private def rewriteAll(sqlText: String): String =
-    GroupWindowSql.rewrite(rewriteLateralTemporal(rewriteTemporal(sqlText)))
+    GroupWindowSql.rewrite(
+      rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(sqlText))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewriteAll(sqlText))

@@ -239,6 +239,42 @@ class SqlTextSpec extends AnyFunSuite {
       Seq((11L, 2L, 1.2), (12L, 3L, 150.0)), out.toSeq)
   }
 
+  test("SIMILAR TO: translation table, operator rewrite, end-to-end semantics") {
+    import graft.functions.GraftStrings
+    // % / _ translate; SIMILAR's literal metachars are escaped; its own
+    // regex operators pass; classes keep %/_ literal; ESCAPE works
+    assert(GraftStrings.similarRegex("%(ab|cd)_", -1) == ".*(ab|cd).")
+    assert(GraftStrings.similarRegex("a.b", -1) == "a\\.b")
+    assert(GraftStrings.similarRegex("[%_]x", -1) == "[%_]x")
+    assert(GraftStrings.similarRegex("100!%", '!') == "100%")
+    assert(GraftStrings.similarRegex("a{2,3}b+", -1) == "a{2,3}b+")
+    // operator text rewrite shapes
+    import graft.sources.GraftSqlParser
+    val p = new GraftSqlParser(
+      spark.sessionState.sqlParser.asInstanceOf[
+        org.apache.spark.sql.catalyst.parser.ParserInterface])
+    assert(p.rewriteSimilar("SELECT a SIMILAR TO 'x%' FROM t") ==
+      "SELECT similar_to(a, 'x%') FROM t")
+    assert(p.rewriteSimilar("SELECT t.a NOT SIMILAR TO 'x' FROM t") ==
+      "SELECT NOT similar_to(t.a, 'x') FROM t")
+    assert(p.rewriteSimilar("SELECT lower(a) SIMILAR TO 'x' FROM t") ==
+      "SELECT similar_to(lower(a), 'x') FROM t")
+    assert(p.rewriteSimilar("SELECT (a || b) SIMILAR TO 'x' ESCAPE '!' FROM t") ==
+      "SELECT similar_to((a || b), 'x', '!') FROM t")
+    // a string containing the phrase is untouched
+    val s0 = "SELECT 'not SIMILAR TO anything' FROM t"
+    assert(p.rewriteSimilar(s0) == s0)
+    // end-to-end through spark.sql: whole-string semantics
+    val r = spark.sql(
+      "SELECT 'abcd' SIMILAR TO 'ab%', 'abcd' SIMILAR TO 'ab', " +
+        "'a.d' SIMILAR TO 'a.d', 'axd' SIMILAR TO 'a.d', " +
+        "'50%' SIMILAR TO '50!%' ESCAPE '!', " +
+        "'ab' SIMILAR TO '(ab|cd)'").head
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1))
+    assert(r.getBoolean(2)); assert(!r.getBoolean(3))
+    assert(r.getBoolean(4)); assert(r.getBoolean(5))
+  }
+
   // ---- DDL through the token-structural front door ----
 
   test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
