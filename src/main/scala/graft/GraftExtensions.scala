@@ -48,5 +48,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimilarTo].getName, "similar_to"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.similarToExpr(es)))
+    e.injectFunction((
+      FunctionIdentifier("is_json_value"),
+      new ExpressionInfo(classOf[graft.functions.IsJsonValue].getName, "is_json_value"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IsJsonValue(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("is_json_object"),
+      new ExpressionInfo(classOf[graft.functions.IsJsonObject].getName, "is_json_object"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IsJsonObject(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("is_json_array"),
+      new ExpressionInfo(classOf[graft.functions.IsJsonArray].getName, "is_json_array"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IsJsonArray(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("is_json_scalar"),
+      new ExpressionInfo(classOf[graft.functions.IsJsonScalar].getName, "is_json_scalar"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IsJsonScalar(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("temporal_overlaps"),
+      new ExpressionInfo(graft.functions.TemporalOverlapsBuilder.getClass.getName,
+        "temporal_overlaps"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TemporalOverlapsBuilder(es)))
   }
 }

@@ -163,6 +163,37 @@ case class SimilarTo(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): SimilarTo = copy(f, s, t)
 }
 
+/** `(s1, e1) OVERLAPS (s2, e2)` — the SQL-standard period-overlap
+  * predicate (SqlStdOperatorTable.OVERLAPS via FlinkSqlOperatorTable;
+  * runtime vectors pinned by the reference's
+  * ScalarFunctionsTest.testOverlaps:3212): each period's second
+  * element may be a point or an INTERVAL (end = start + interval),
+  * endpoints normalize with least/greatest, and the test is the
+  * closed-interval intersection `max(start1, start2) <=
+  * min(end1, end2)` — so zero-length periods sharing only an endpoint
+  * DO overlap, exactly the reference's expected values. Built as a
+  * composition the analyzer finishes resolving (timestamp + interval
+  * lands on Spark's TimeAdd via ResolveBinaryArithmetic). */
+object TemporalOverlapsBuilder {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+  def apply(es: Seq[Expression]): Expression = {
+    require(es.length == 4,
+      s"temporal_overlaps takes (start1, end1, start2, end2), got ${es.length}")
+    val Seq(s1, e1r, s2, e2r) = es
+    def endOf(s: Expression, e: Expression): Expression = e.dataType match {
+      case _: DayTimeIntervalType | _: YearMonthIntervalType |
+           CalendarIntervalType => Add(s, e)
+      case _ => e
+    }
+    val e1 = endOf(s1, e1r)
+    val e2 = endOf(s2, e2r)
+    val st1 = Least(Seq(s1, e1)); val en1 = Greatest(Seq(s1, e1))
+    val st2 = Least(Seq(s2, e2)); val en2 = Greatest(Seq(s2, e2))
+    LessThanOrEqual(Greatest(Seq(st1, st2)), Least(Seq(en1, en2)))
+  }
+}
+
 /** Column-API + SQL registration facade for the gap functions. */
 object GraftFunctions {
   def is_alpha(c: Column): Column = column(IsAlpha(expression(c)))
@@ -192,5 +223,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("split_index",
       es => SplitIndex(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("similar_to", similarToExpr, "built-in")
+    reg.createOrReplaceTempFunction("is_json_value",
+      es => IsJsonValue(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_json_object",
+      es => IsJsonObject(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_json_array",
+      es => IsJsonArray(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_json_scalar",
+      es => IsJsonScalar(es.head), "built-in")
+    reg.createOrReplaceTempFunction("temporal_overlaps",
+      TemporalOverlapsBuilder.apply, "built-in")
   }
 }

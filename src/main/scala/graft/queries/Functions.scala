@@ -449,5 +449,49 @@ object Functions extends QueryGroup {
           |  p_brand SIMILAR TO 'Brand#1_' AS m2,
           |  p_type NOT SIMILAR TO '%(ECONOMY|PROMO)' AS m3
           |FROM f16_part ORDER BY p_partkey""".stripMargin)
+    },
+
+    // IS JSON predicate family (SURVEY §2.8 — FlinkSqlOperatorTable
+    // IS_JSON_VALUE/OBJECT/ARRAY/SCALAR; runtime vectors from the
+    // reference's JsonFunctionsTest). events.props carries real JSON
+    // objects; the derived columns exercise array wrapping and a
+    // deliberately broken suffix. DuckDB oracle via json_valid +
+    // json_type.
+    q("f17_is_json",
+      """SELECT event_id,
+        |  json_valid(props) AS v,
+        |  CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT'
+        |       ELSE false END AS o,
+        |  json_valid('[' || props || ']')
+        |    AND json_type('[' || props || ']') = 'ARRAY' AS a,
+        |  json_valid(substr(props, 2)) AS broken
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("f17_events")
+      s.sql(
+        """SELECT event_id,
+          |  props IS JSON VALUE AS v,
+          |  props IS JSON OBJECT AS o,
+          |  concat('[', props, ']') IS JSON ARRAY AS a,
+          |  substr(props, 2) IS JSON VALUE AS broken
+          |FROM f17_events ORDER BY event_id""".stripMargin)
+    },
+
+    // OVERLAPS period predicate (SURVEY §2.8 —
+    // SqlStdOperatorTable.OVERLAPS; reference vectors spec-pinned in
+    // SqlTextSpec): each event's half-hour window against its day's
+    // fixed 12:00–13:00 slot. Oracle spells the closed-interval
+    // normalization the operator compiles to.
+    q("f18_overlaps",
+      """SELECT event_id,
+        |  greatest(ts, date_trunc('day', ts) + INTERVAL 12 HOUR)
+        |    <= least(ts + INTERVAL 30 MINUTE,
+        |             date_trunc('day', ts) + INTERVAL 13 HOUR) AS ov
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("f18_events")
+      s.sql(
+        """SELECT event_id,
+          |  (ts, ts + INTERVAL '30' MINUTE) OVERLAPS
+          |    (date_trunc('DAY', ts) + INTERVAL '12' HOUR, INTERVAL '1' HOUR) AS ov
+          |FROM f18_events ORDER BY event_id""".stripMargin)
     })
 }

@@ -193,6 +193,45 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * literal; the pattern side mirrors it forward. Anything fancier on
     * the left (e.g. `a || b SIMILAR TO ...`) needs its own parens —
     * the rewrite fails loudly rather than guessing precedence. */
+  /** Token index where the expression operand ENDING at `operandEnd`
+    * begins: a parenthesized group or call `f(...)` scanning back over
+    * balanced parens (an ident before `(` is a call unless it is a
+    * clause keyword), else a dotted identifier chain or one literal.
+    * Shared by the infix-operator rewrites (SIMILAR TO, IS JSON). */
+  private def operandStart(toks: Vector[S.Tok], operandEnd: Int,
+                           opName: String, sqlText: String): Int = {
+    def sym(i: Int, s: String) =
+      i >= 0 && i < toks.length && toks(i).kind == S.Sym && toks(i).text == s
+    def nameAt(i: Int) = i >= 0 && i < toks.length &&
+      (toks(i).kind == S.Ident || toks(i).kind == S.QIdent)
+    def valueAt(i: Int) = i >= 0 && i < toks.length &&
+      (toks(i).kind == S.Str || toks(i).kind == S.Num)
+    val notCallable = Set("SELECT", "WHERE", "AND", "OR", "NOT", "ON",
+      "WHEN", "THEN", "ELSE", "BY", "HAVING", "FROM", "JOIN", "AS",
+      "IN", "CASE", "DISTINCT", "ALL", "SET", "VALUES", "END")
+    if (sym(operandEnd, ")")) {
+      var depth = 0
+      var i = operandEnd
+      var open = -1
+      while (i >= 0 && open < 0) {
+        if (sym(i, ")")) depth += 1
+        else if (sym(i, "(")) { depth -= 1; if (depth == 0) open = i }
+        i -= 1
+      }
+      if (open < 0) sys.error(s"unbalanced parentheses before $opName")
+      if (nameAt(open - 1) && (toks(open - 1).kind != S.Ident ||
+          !notCallable(toks(open - 1).text.toUpperCase)))
+        open - 1 // f(...) keeps its name
+      else open
+    } else if (nameAt(operandEnd) || valueAt(operandEnd)) {
+      var s = operandEnd
+      while (nameAt(s) && sym(s - 1, ".") && nameAt(s - 2)) s -= 2
+      s
+    } else sys.error(
+      s"$opName needs a parenthesized/identifier/literal operand " +
+        s"on its left (add parens): $sqlText")
+  }
+
   private[graft] def rewriteSimilar(sqlText: String): String = {
     if (!sqlText.toUpperCase.contains("SIMILAR")) return sqlText
     val toks = S.lex(sqlText)
@@ -203,42 +242,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       (toks(i).kind == S.Ident || toks(i).kind == S.QIdent)
     def valueAt(i: Int) = i >= 0 && i < toks.length &&
       (toks(i).kind == S.Str || toks(i).kind == S.Num)
-    // token index of the matching '(' for the ')' at `close`
-    def openParen(close: Int): Int = {
-      var depth = 0
-      var i = close
-      while (i >= 0) {
-        if (sym(i, ")")) depth += 1
-        else if (sym(i, "(")) { depth -= 1; if (depth == 0) return i }
-        i -= 1
-      }
-      sys.error("unbalanced parentheses before SIMILAR TO")
-    }
     val edits = Seq.newBuilder[S.Splice]
     var i = 0
     while (i < toks.length) {
       if (at(i, "SIMILAR") && at(i + 1, "TO")) {
         val negated = at(i - 1, "NOT")
         val operandEnd = if (negated) i - 2 else i - 1 // last operand token
-        // an ident before '(' is a call UNLESS it is a clause keyword
-        // (`SELECT (a || b) SIMILAR TO ...` must not swallow SELECT)
-        val notCallable = Set("SELECT", "WHERE", "AND", "OR", "NOT", "ON",
-          "WHEN", "THEN", "ELSE", "BY", "HAVING", "FROM", "JOIN", "AS",
-          "IN", "CASE", "DISTINCT", "ALL", "SET", "VALUES", "END")
-        val operandStart =
-          if (sym(operandEnd, ")")) {
-            val open = openParen(operandEnd)
-            if (nameAt(open - 1) && (toks(open - 1).kind != S.Ident ||
-                !notCallable(toks(open - 1).text.toUpperCase)))
-              open - 1 // f(...) keeps its name
-            else open
-          } else if (nameAt(operandEnd) || valueAt(operandEnd)) {
-            var s = operandEnd
-            while (nameAt(s) && sym(s - 1, ".") && nameAt(s - 2)) s -= 2
-            s
-          } else sys.error(
-            "SIMILAR TO needs a parenthesized/identifier/literal operand " +
-              s"on its left (add parens): $sqlText")
+        val opStart = operandStart(toks, operandEnd, "SIMILAR TO", sqlText)
         // pattern side, mirrored forward
         var j = i + 2
         val patStart = j
@@ -256,12 +266,83 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           escText = s", ${toks(patEnd + 2).text}"
           end = patEnd + 2
         }
-        val operand = S.textOf(sqlText, toks, operandStart, operandEnd + 1)
+        val operand = S.textOf(sqlText, toks, opStart, operandEnd + 1)
         val pattern = S.textOf(sqlText, toks, patStart, patEnd + 1)
         val repl = (if (negated) "NOT " else "") +
           s"similar_to($operand, $pattern$escText)"
-        edits += S.Splice(toks(operandStart).start, toks(end).end, repl)
+        edits += S.Splice(toks(opStart).start, toks(end).end, repl)
         i = end + 1
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) sqlText else S.splice(sqlText, es)
+  }
+
+  /** `<operand> IS [NOT] JSON [VALUE|OBJECT|ARRAY|SCALAR]` →
+    * `[NOT] is_json_*(operand)` — the SQL:2016 predicate family the
+    * reference exposes (FlinkSqlOperatorTable IS_JSON_VALUE family;
+    * semantics pinned by JsonFunctionsTest.scala). A bare `IS JSON`
+    * defaults to VALUE, per the standard. */
+  private[graft] def rewriteJsonPredicate(sqlText: String): String = {
+    val up = sqlText.toUpperCase
+    if (!up.contains("JSON")) return sqlText
+    val toks = S.lex(sqlText)
+    def at(i: Int, kw: String) = i >= 0 && i < toks.length && toks(i).is(kw)
+    val suffixes = Map("VALUE" -> "is_json_value", "OBJECT" -> "is_json_object",
+      "ARRAY" -> "is_json_array", "SCALAR" -> "is_json_scalar")
+    val edits = Seq.newBuilder[S.Splice]
+    var i = 0
+    while (i < toks.length) {
+      val negated = at(i, "IS") && at(i + 1, "NOT") && at(i + 2, "JSON")
+      if (negated || (at(i, "IS") && at(i + 1, "JSON"))) {
+        val jsonIdx = if (negated) i + 2 else i + 1
+        val (fn, end) = toks.lift(jsonIdx + 1) match {
+          case Some(t) if t.kind == S.Ident &&
+              suffixes.contains(t.text.toUpperCase) =>
+            (suffixes(t.text.toUpperCase), jsonIdx + 1)
+          case _ => (suffixes("VALUE"), jsonIdx) // bare IS JSON
+        }
+        val opStart = operandStart(toks, i - 1, "IS JSON", sqlText)
+        val operand = S.textOf(sqlText, toks, opStart, i)
+        val repl = (if (negated) "NOT " else "") + s"$fn($operand)"
+        edits += S.Splice(toks(opStart).start, toks(end).end, repl)
+        i = end + 1
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) sqlText else S.splice(sqlText, es)
+  }
+
+  /** `(s1, e1) OVERLAPS (s2, e2)` → `temporal_overlaps(s1, e1, s2, e2)`
+    * (SqlStdOperatorTable.OVERLAPS; runtime vectors from the
+    * reference's ScalarFunctionsTest.testOverlaps). */
+  private[graft] def rewriteOverlaps(sqlText: String): String = {
+    if (!sqlText.toUpperCase.contains("OVERLAPS")) return sqlText
+    val toks = S.lex(sqlText)
+    def sym(i: Int, s: String) =
+      i >= 0 && i < toks.length && toks(i).kind == S.Sym && toks(i).text == s
+    val edits = Seq.newBuilder[S.Splice]
+    var i = 0
+    while (i < toks.length) {
+      // only the infix form between two parens is the operator — a bare
+      // identifier that happens to be named `overlaps` passes through
+      if (toks(i).is("OVERLAPS") && sym(i - 1, ")") && sym(i + 1, "(")) {
+        val lOpen = operandStart(toks, i - 1, "OVERLAPS", sqlText)
+        require(sym(lOpen, "("),
+          s"OVERLAPS left period must be a bare (start, end) pair: $sqlText")
+        val rClose = S.closeParen(toks, i + 1)
+        def two(open: Int, close: Int): (String, String) = {
+          val parts = S.splitTopLevel(toks, open + 1, close)
+          require(parts.length == 2,
+            s"an OVERLAPS period is (start, end), got ${parts.length} elements: $sqlText")
+          (S.textOf(sqlText, toks, parts(0)._1, parts(0)._2),
+            S.textOf(sqlText, toks, parts(1)._1, parts(1)._2))
+        }
+        val (s1, e1) = two(lOpen, i - 1)
+        val (s2, e2) = two(i + 1, rClose)
+        edits += S.Splice(toks(lOpen).start, toks(rClose).end,
+          s"temporal_overlaps($s1, $e1, $s2, $e2)")
+        i = rClose + 1
       } else i += 1
     }
     val es = edits.result()
@@ -270,7 +351,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def rewriteAll(sqlText: String): String =
     GroupWindowSql.rewrite(
-      rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(sqlText))))
+      rewriteOverlaps(rewriteJsonPredicate(
+        rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(sqlText))))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewriteAll(sqlText))

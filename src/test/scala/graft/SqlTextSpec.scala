@@ -275,6 +275,58 @@ class SqlTextSpec extends AnyFunSuite {
     assert(r.getBoolean(4)); assert(r.getBoolean(5))
   }
 
+  test("IS JSON family: reference JsonFunctionsTest vectors through SQL text") {
+    // verifyPredicates rows from the reference's JsonFunctionsTest.scala:
+    // (value, object, array, scalar) per candidate
+    val cases = Seq(
+      ("'{}'", Seq(true, true, false, false)),
+      ("'[]'", Seq(true, false, true, false)),
+      ("'100'", Seq(true, false, false, true)),
+      ("'{]'", Seq(false, false, false, false)),
+      ("'This is a test String.'", Seq(false, false, false, false)),
+      ("'{ \"name\" : \"flink\" }'", Seq(true, true, false, false)))
+    for ((cand, exp) <- cases) {
+      val r = spark.sql(
+        s"SELECT $cand IS JSON VALUE, $cand IS JSON OBJECT, " +
+          s"$cand IS JSON ARRAY, $cand IS JSON SCALAR, " +
+          s"$cand IS NOT JSON VALUE, $cand IS JSON").head
+      assert((0 to 3).map(r.getBoolean) == exp, s"$cand -> $r")
+      assert(r.getBoolean(4) == !exp.head, s"NOT form of $cand")
+      assert(r.getBoolean(5) == exp.head, s"bare IS JSON of $cand")
+    }
+    // trailing junk is not valid JSON; a non-string operand is a loud
+    // plan-time error (the reference's ValidationException)
+    assert(!spark.sql("SELECT '{} junk' IS JSON VALUE").head.getBoolean(0))
+    val e = intercept[Exception](spark.sql("SELECT 42 IS JSON VALUE").collect())
+    assert(e.getMessage.toUpperCase.contains("STRING"), e.getMessage)
+  }
+
+  test("OVERLAPS: reference ScalarFunctionsTest.testOverlaps vectors") {
+    // (start, end|interval) pairs and expected results, verbatim from
+    // the reference's test (incl. zero-length endpoint-sharing = true).
+    // The reference's TIME-typed rows run here as TIMESTAMP on one day
+    // — this Spark build rejects the TIME literal (UNSUPPORTED_TIME_TYPE);
+    // the overlap arithmetic is identical.
+    val cases = Seq(
+      ("(TIMESTAMP '2024-01-01 02:55:00', INTERVAL '1' HOUR) OVERLAPS " +
+        "(TIMESTAMP '2024-01-01 03:30:00', INTERVAL '2' HOUR)", true),
+      ("(TIMESTAMP '2024-01-01 09:00:00', TIMESTAMP '2024-01-01 09:30:00') OVERLAPS " +
+        "(TIMESTAMP '2024-01-01 09:29:00', TIMESTAMP '2024-01-01 09:31:00')", true),
+      ("(TIMESTAMP '2024-01-01 09:00:00', TIMESTAMP '2024-01-01 10:00:00') OVERLAPS " +
+        "(TIMESTAMP '2024-01-01 10:15:00', INTERVAL '3' HOUR)", false),
+      ("(DATE '2011-03-10', INTERVAL '10' DAY) OVERLAPS (DATE '2011-03-19', INTERVAL '10' DAY)", true),
+      ("(TIMESTAMP '2011-03-10 05:02:02', INTERVAL '0' SECOND) OVERLAPS " +
+        "(TIMESTAMP '2011-03-10 05:02:02', TIMESTAMP '2011-03-10 05:02:01')", true),
+      ("(TIMESTAMP '2011-03-10 02:02:02.001', INTERVAL '0' SECOND) OVERLAPS " +
+        "(TIMESTAMP '2011-03-10 02:02:02.002', TIMESTAMP '2011-03-10 02:02:02.002')", false))
+    for ((sql, exp) <- cases)
+      assert(spark.sql(s"SELECT $sql").head.getBoolean(0) == exp, sql)
+    // a bare identifier named `overlaps` is untouched
+    import spark.implicits._
+    Seq(1).toDF("overlaps").createOrReplaceTempView("ovl_t")
+    assert(spark.sql("SELECT overlaps FROM ovl_t").head.getInt(0) == 1)
+  }
+
   // ---- DDL through the token-structural front door ----
 
   test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
