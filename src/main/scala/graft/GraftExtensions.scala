@@ -74,5 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "temporal_overlaps"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TemporalOverlapsBuilder(es)))
+    e.injectFunction((
+      FunctionIdentifier("element"),
+      new ExpressionInfo(graft.functions.ElementBuilder.getClass.getName, "element"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ElementBuilder(es)))
   }
 }

@@ -194,6 +194,30 @@ object TemporalOverlapsBuilder {
   }
 }
 
+/** `ELEMENT(array)` — Calcite's sole-element extractor
+  * (SqlStdOperatorTable.ELEMENT via FlinkSqlOperatorTable): null for
+  * an empty collection, the single element for cardinality 1, a
+  * runtime error otherwise. Composed at analysis time so the error
+  * branch rides Spark's raise_error. */
+object ElementBuilder {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.ArrayType
+  def apply(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"element takes one array argument, got ${es.length}")
+    val a = es.head
+    val elemType = a.dataType match {
+      case ArrayType(t, _) => t
+      case t => sys.error(s"element requires an ARRAY operand, got ${t.simpleString}")
+    }
+    If(EqualTo(Size(a), Literal(0)), Literal.create(null, elemType),
+      If(EqualTo(Size(a), Literal(1)), GetArrayItem(a, Literal(0)),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "raise_error",
+          Seq(Literal("ELEMENT(): collection has more than one element")),
+          isDistinct = false)))
+  }
+}
+
 /** Column-API + SQL registration facade for the gap functions. */
 object GraftFunctions {
   def is_alpha(c: Column): Column = column(IsAlpha(expression(c)))
@@ -233,5 +257,6 @@ object GraftFunctions {
       es => IsJsonScalar(es.head), "built-in")
     reg.createOrReplaceTempFunction("temporal_overlaps",
       TemporalOverlapsBuilder.apply, "built-in")
+    reg.createOrReplaceTempFunction("element", ElementBuilder.apply, "built-in")
   }
 }

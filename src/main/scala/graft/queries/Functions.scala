@@ -493,5 +493,22 @@ object Functions extends QueryGroup {
           |  (ts, ts + INTERVAL '30' MINUTE) OVERLAPS
           |    (date_trunc('DAY', ts) + INTERVAL '12' HOUR, INTERVAL '1' HOUR) AS ov
           |FROM f18_events ORDER BY event_id""".stripMargin)
+    },
+
+    // BETWEEN SYMMETRIC (bounds swapped into order —
+    // SqlStdOperatorTable SYMMETRIC_BETWEEN) and ELEMENT (Calcite's
+    // sole-element extractor: null on empty, error on >1) through the
+    // SQL text surface.
+    q("f19_symmetric_element",
+      """SELECT o_orderkey,
+        |  o_totalprice BETWEEN 100000 AND 200000 AS inband,
+        |  o_orderkey AS el
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir)("orders").createOrReplaceTempView("f19_orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  o_totalprice BETWEEN SYMMETRIC 200000 AND 100000 AS inband,
+          |  element(array(o_orderkey)) AS el
+          |FROM f19_orders ORDER BY o_orderkey""".stripMargin)
     })
 }

@@ -349,10 +349,89 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (es.isEmpty) sqlText else S.splice(sqlText, es)
   }
 
+  /** `[NOT] BETWEEN SYMMETRIC a AND b` → `[NOT] BETWEEN least(a, b)
+    * AND greatest(a, b)` (SqlStdOperatorTable SYMMETRIC_BETWEEN /
+    * SYMMETRIC_NOT_BETWEEN — bounds compared after swapping into
+    * order; Spark's BETWEEN has no SYMMETRIC). Only the bound text is
+    * spliced — the operand and any NOT stay untouched. The second
+    * bound ends at the next top-level boundary token (AND/OR/clause
+    * keyword/comma/closing paren), the same place Spark's own grammar
+    * ends a BETWEEN. */
+  private[graft] def rewriteBetweenSymmetric(sqlText: String): String = {
+    val up = sqlText.toUpperCase
+    if (!up.contains("SYMMETRIC")) return sqlText
+    val toks = S.lex(sqlText)
+    def at(i: Int, kw: String) = i >= 0 && i < toks.length && toks(i).is(kw)
+    val boundary = Set("AND", "OR", "AS", "ORDER", "GROUP", "HAVING", "LIMIT",
+      "WHERE", "THEN", "ELSE", "END", "WHEN", "UNION", "EXCEPT", "INTERSECT",
+      "FROM", "JOIN", "ON", "WINDOW", "IS")
+    // scan an expression fragment from `from` to its top-level boundary;
+    // a bare identifier directly after a value token (no operator
+    // between) is an implicit alias — also a boundary
+    def fragmentEnd(from: Int): Int = {
+      var depth = 0
+      var i = from
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.kind == S.Sym && t.text == "(") depth += 1
+        else if (t.kind == S.Sym && t.text == ")") {
+          if (depth == 0) return i
+          depth -= 1
+        } else if (depth == 0 && t.kind == S.Sym && Seq(",", ";").contains(t.text))
+          return i
+        else if (depth == 0 && t.kind == S.Ident &&
+            boundary(t.text.toUpperCase)) return i
+        else if (depth == 0 && i > from &&
+            (t.kind == S.Ident || t.kind == S.QIdent)) {
+          // an identifier directly after a value token with no operator
+          // between is an implicit alias → boundary. NOT a boundary:
+          // a call `f(...)`, a dotted-chain member `a.b`, the unit of an
+          // `INTERVAL '1' HOUR` literal, and `DATE/TIMESTAMP '...'`
+          // typed-literal heads.
+          val prev = toks(i - 1)
+          val isCall = i + 1 < toks.length && toks(i + 1).kind == S.Sym &&
+            toks(i + 1).text == "("
+          val afterDot = prev.kind == S.Sym && prev.text == "."
+          val intervalUnit = prev.kind == S.Str && i >= 2 &&
+            toks(i - 2).is("INTERVAL")
+          val typedLiteralHead = t.kind == S.Ident &&
+            Set("DATE", "TIMESTAMP", "TIME", "INTERVAL")(t.text.toUpperCase)
+          val prevIsValue = prev.kind == S.Num || prev.kind == S.Str ||
+            prev.kind == S.QIdent || prev.kind == S.Ident ||
+            (prev.kind == S.Sym && prev.text == ")")
+          if (prevIsValue && !isCall && !afterDot && !intervalUnit &&
+              !typedLiteralHead) return i
+        }
+        i += 1
+      }
+      i
+    }
+    val edits = Seq.newBuilder[S.Splice]
+    var i = 0
+    while (i < toks.length) {
+      if (at(i, "BETWEEN") && at(i + 1, "SYMMETRIC")) {
+        val aStart = i + 2
+        val aEnd = fragmentEnd(aStart)
+        require(at(aEnd, "AND"),
+          s"BETWEEN SYMMETRIC needs 'a AND b' bounds: $sqlText")
+        val bStart = aEnd + 1
+        val bEnd = fragmentEnd(bStart)
+        require(bEnd > bStart, s"BETWEEN SYMMETRIC missing upper bound: $sqlText")
+        val a = S.textOf(sqlText, toks, aStart, aEnd)
+        val b = S.textOf(sqlText, toks, bStart, bEnd)
+        edits += S.Splice(toks(i + 1).start, toks(bEnd - 1).end,
+          s"least($a, $b) AND greatest($a, $b)")
+        i = bEnd
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) sqlText else S.splice(sqlText, es)
+  }
+
   private def rewriteAll(sqlText: String): String =
     GroupWindowSql.rewrite(
-      rewriteOverlaps(rewriteJsonPredicate(
-        rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(sqlText))))))
+      rewriteBetweenSymmetric(rewriteOverlaps(rewriteJsonPredicate(
+        rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(sqlText)))))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewriteAll(sqlText))

@@ -327,6 +327,24 @@ class SqlTextSpec extends AnyFunSuite {
     assert(spark.sql("SELECT overlaps FROM ovl_t").head.getInt(0) == 1)
   }
 
+  test("BETWEEN SYMMETRIC swaps bounds; ELEMENT extracts the sole member") {
+    // reversed bounds still form the band; NOT form; bound expressions
+    val r = spark.sql(
+      "SELECT 5 BETWEEN SYMMETRIC 10 AND 1, 5 NOT BETWEEN SYMMETRIC 10 AND 1, " +
+        "5 BETWEEN SYMMETRIC 1 AND 10, 0 BETWEEN SYMMETRIC 2+2 AND 1 AND true").head
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1))
+    assert(r.getBoolean(2)); assert(!r.getBoolean(3))
+    // ELEMENT: Calcite semantics — null on empty, element on singleton,
+    // error on more
+    val e = spark.sql(
+      "SELECT element(array(7)), element(slice(array(1, 2), 1, 0))").head
+    assert(e.getInt(0) == 7)
+    assert(e.isNullAt(1))
+    val err = intercept[Exception](
+      spark.sql("SELECT element(array(1, 2))").collect())
+    assert(err.getMessage.contains("more than one element"), err.getMessage)
+  }
+
   // ---- DDL through the token-structural front door ----
 
   test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
