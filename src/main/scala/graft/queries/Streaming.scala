@@ -1009,5 +1009,34 @@ object Streaming extends QueryGroup {
       graft.streaming.StateProcessor.readState(s, ckpt)
         .selectExpr("key.user_id AS user_id", "value.count AS n")
         .orderBy("user_id")
+    },
+
+    // STREAMING group-window TABLE aggregate (SURVEY §2.4 —
+    // StreamExecGroupWindowTableAggregate: a TableAggregateFunction
+    // emitting MULTIPLE rows per window on a stream). Append mode: the
+    // top-2 array materializes when the watermark closes the window
+    // and the window's state drops; the stateless posexplode after the
+    // windowed aggregate fans the emission back out to rows — the
+    // reference's emitValue-per-window. Oracle = closed windows only.
+    q("st34_stream_window_table_agg",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT wstart, rank, event_id, value FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_id, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events), wm
+        |WHERE rank <= 2 AND epoch_us(wstart + INTERVAL 1 HOUR) <= wm.wm_us
+        |ORDER BY wstart, rank""".stripMargin) { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(slice(reverse(array_sort(collect_list(
+          struct(col("value"), (lit(Long.MaxValue) - col("event_id")).as("_inv"),
+            col("event_id"))))), 1, 2).as("top2"))
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st34_out")
+        .select(col("w.start").as("wstart"), posexplode(col("top2")))
+        .select(col("wstart"), (col("pos") + 1).as("rank"),
+          col("col.event_id").as("event_id"), col("col.value").as("value"))
+        .orderBy("wstart", "rank")
     })
 }

@@ -397,5 +397,35 @@ object TypedOps extends QueryGroup {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM ty15_orders WHERE o_orderpriority = '1-URGENT'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Avro format (SURVEY §2.1 — AvroFormatFactory.java; previously
+    // DE-SCOPED for lack of the spark-avro module, now implemented
+    // from scratch over avro-core as GraftAvro: one container file per
+    // partition on write, one Spark partition per file on read). The
+    // query writes an orders projection through the 'format'='avro'
+    // DDL binding and aggregates the read-back — equal to aggregating
+    // the source directly, which is the oracle.
+    q("ty16_avro_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(min(o_orderdate) AS TIMESTAMP) AS first_d
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("ty16_avro").toString
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .createOrReplaceTempView("ty16_src")
+      graft.sources.GraftDDL.execute(s,
+        s"""CREATE TABLE ty16_orders (o_orderkey BIGINT, o_orderstatus STRING,
+           |  o_totalprice DOUBLE, o_orderdate TIMESTAMP)
+           |WITH ('connector'='filesystem', 'path'='$out', 'format'='avro')"""
+          .stripMargin)
+      graft.sources.GraftDDL.executeInsert(s,
+        "INSERT OVERWRITE ty16_orders SELECT * FROM ty16_src")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          |  min(o_orderdate) AS first_d
+          |FROM ty16_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }

@@ -360,6 +360,25 @@ object GraftDDL {
   }
 
   private def registerFilesystem(spark: SparkSession, b: Binding): DataFrame = {
+    if (b.format == "avro") {
+      // the engine's own Avro format (GraftAvro — avro-core is on the
+      // classpath even though the spark-avro module is not): batch
+      // only, re-landed on the DECLARED schema so column order and
+      // types follow the DDL like every other format
+      require(!b.streaming, "avro format: batch only in this engine " +
+        "(the file-stream source has no avro reader here)")
+      // a freshly-created sink table has no files yet: an empty frame
+      // of the declared schema (what spark.read gives parquet too)
+      val raw =
+        if (!GraftAvro.hasFiles(b.path) && b.schema.nonEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema)
+        else GraftAvro.read(spark, b.path)
+      return (
+        if (b.schema.isEmpty) raw
+        else raw.select(b.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*))
+    }
     val df0 =
       if (b.streaming) {
         // the file stream source monitors a DIRECTORY; a file path
@@ -435,6 +454,12 @@ object GraftDDL {
           // `noop` source is exactly that sink (the write still executes
           // the query, which is the connector's point: benchmarking)
           df.write.format("noop").mode("overwrite").save()
+        case _ if b.format == "avro" =>
+          require(b.partitions.isEmpty,
+            "avro format: PARTITIONED BY not supported in this engine")
+          GraftAvro.write(df, b.path,
+            overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+          if (!b.streaming) register(spark, name, b)
         case _ =>
           val w = df.write.format(b.format)
             .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")

@@ -415,17 +415,50 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("avro format is absent from this distribution (documented gap)") {
-    // SURVEY §2.1: flink-avro has no analog here — /opt/spark/jars
-    // ships avro-core but NOT spark-avro, so the data source cannot
-    // register. This spec pins the de-scope rationale: if the jar ever
-    // appears, this test fails and the round-trip above gains "avro".
+  test("avro: the spark-avro MODULE is absent; the engine's own format round-trips") {
+    // SURVEY §2.1: /opt/spark/jars ships avro-core but NOT spark-avro,
+    // so Spark's `format("avro")` data source cannot register — pinned
+    // here so the environment claim self-reports if the jar appears.
     val e = intercept[Throwable] {
       Tables(spark, dir, "nation").write
         .mode("overwrite").format("avro")
         .save(java.nio.file.Files.createTempDirectory("graft_avro").toString)
     }
     assert(e.getMessage.toLowerCase.contains("avro"))
+    // avro-core is enough for a FORMAT, though: GraftAvro writes one
+    // container file per partition and reads one Spark partition per
+    // file — full round-trip including timestamps and nulls.
+    import graft.sources.{GraftAvro, GraftDDL}
+    val out = java.nio.file.Files.createTempDirectory("graft_avro_rt").toString
+    val src = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    GraftAvro.write(src, out, overwrite = true)
+    val back = GraftAvro.read(spark, out)
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+    val a = src.orderBy("o_orderkey").collect()
+    val b = back.orderBy("o_orderkey").collect()
+    assert(a.head.getLong(0) == b.head.getLong(0))
+    assert(a.head.getDouble(1) == b.head.getDouble(1))
+    assert(a.map(_.get(3)).toSeq == b.map(_.get(3)).toSeq)
+    // timestamps survive as micros (declared-type cast happens at the
+    // DDL layer; the raw read is TimestampType)
+    assert(back.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and the DDL facade binds 'format'='avro' end-to-end: create →
+    // INSERT (write) → read-back through the declared schema
+    val t2 = java.nio.file.Files.createTempDirectory("graft_avro_ddl").toString
+    GraftDDL.execute(spark,
+      s"""CREATE TABLE avro_ddl_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$t2', 'format'='avro')"""
+        .stripMargin)
+    assert(spark.table("avro_ddl_t").count() == 0) // no files yet
+    GraftDDL.executeInsert(spark,
+      "INSERT INTO avro_ddl_t SELECT id AS k, concat('v', id) AS v FROM range(0, 5)")
+    assert(spark.table("avro_ddl_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (0L to 4L).map(i => (i, s"v$i")))
+    GraftDDL.executeDrop(spark, "DROP TABLE avro_ddl_t")
   }
 
   test("broadcast state pattern: rules re-broadcast to every key per micro-batch") {
