@@ -60,15 +60,34 @@ object GraftSqlExecutor {
           case t if t.is("TABLE")    => "TABLE"
           case t if t.is("VIEW")     => "VIEW"
           case t if t.is("FUNCTION") => "FUNCTION"
+          case t if t.is("DATABASE") || t.is("SCHEMA") => "DATABASE"
         } match {
           case Some("TABLE") => GraftDDL.execute(spark, stmt)
           case Some("VIEW")  => GraftDDL.executeView(spark, stmt)
           case Some("FUNCTION") =>
             val name = GraftDDL.executeCreateFunction(spark, stmt)
             status(spark, Seq(s"function $name created"))
+          case Some("DATABASE") =>
+            // SqlCreateDatabase (the reference's catalog-database
+            // statements, SqlToOperationConverter database paths) —
+            // Spark's session catalog speaks this natively
+            spark.sql(stmt)
+            status(spark, Seq("database created"))
           case _ => sys.error(s"unsupported CREATE statement: $stmt")
         }
       case ("ALTER", "TABLE") => GraftDDL.executeAlter(spark, stmt)
+      case ("ALTER", "DATABASE") | ("ALTER", "SCHEMA") =>
+        spark.sql(stmt); status(spark, Seq("database altered"))
+      case ("DROP", "DATABASE") | ("DROP", "SCHEMA") =>
+        spark.sql(stmt); status(spark, Seq("database dropped"))
+      case ("USE", "CATALOG") =>
+        // SqlUseCatalog → Spark's SET CATALOG spelling
+        val name = toks.lift(2).map(_.ident).getOrElse(
+          sys.error(s"USE CATALOG needs a catalog name: $stmt"))
+        spark.sql(s"SET CATALOG $name")
+        status(spark, Seq(s"catalog set to $name"))
+      case ("USE", _) => // SqlUseDatabase
+        spark.sql(stmt); status(spark, Seq("database switched"))
       case ("DROP", _) =>
         val dropped = GraftDDL.executeDrop(spark, stmt)
         status(spark, Seq(if (dropped) "dropped" else "nothing to drop"))

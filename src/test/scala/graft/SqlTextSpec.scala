@@ -405,6 +405,20 @@ class SqlTextSpec extends AnyFunSuite {
     // unknown statement kind fails loudly
     val e = intercept[RuntimeException](executeSql(spark, "VACUUM exec_t2"))
     assert(e.getMessage.contains("unsupported statement kind"), e.getMessage)
+    // the catalog-database statement family (SqlCreateDatabase /
+    // SqlUseDatabase / SqlDropDatabase) rides the session catalog
+    executeSql(spark, "CREATE DATABASE IF NOT EXISTS exec_db")
+    assert(executeSql(spark, "SHOW DATABASES").collect()
+      .exists(_.getString(0) == "exec_db"))
+    executeSql(spark, "USE exec_db")
+    assert(spark.catalog.currentDatabase == "exec_db")
+    executeSql(spark, "USE default")
+    executeSql(spark, "DROP DATABASE exec_db")
+    assert(!executeSql(spark, "SHOW DATABASES").collect()
+      .exists(_.getString(0) == "exec_db"))
+    // USE CATALOG maps onto Spark's SET CATALOG spelling
+    executeSql(spark, "USE CATALOG spark_catalog")
+    assert(spark.catalog.currentCatalog() == "spark_catalog")
     // MATCH_RECOGNIZE statements route through the same door
     Seq((7L, 10L, 1L, "signup"), (7L, 30L, 3L, "purchase"))
       .toDF("uid", "t_us", "event_id", "etype")
