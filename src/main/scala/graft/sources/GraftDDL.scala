@@ -851,6 +851,27 @@ object GraftDDL {
       partitions, pk, connector, props)
   }
 
+  /** Dynamic table options (FLIP-113 — `t /*+ OPTIONS('k'='v') */`,
+    * docs/dev/table/sql/hints.md): merge the per-query option
+    * overrides into the table's stored binding and register the
+    * result as a derived view, returning its name for the parser to
+    * splice in. The base binding is untouched — the override lives
+    * only in the derived registration, exactly the reference's
+    * per-query scope. A table without a CREATE TABLE binding has no
+    * options to override → loud. */
+  def withDynamicOptions(spark: SparkSession, table: String,
+                         opts: Map[String, String]): String = {
+    val b = Option(sinks.get(table.toLowerCase)).getOrElse(sys.error(
+      s"dynamic OPTIONS hint: '$table' has no CREATE TABLE binding"))
+    require(opts.nonEmpty, "empty OPTIONS hint")
+    val merged = bindingFrom(b.options ++ opts, b.schema, b.computed,
+      b.watermark, b.pk, b.partitions)
+    val name = s"${table}__opts_${Integer.toHexString(opts.hashCode)}"
+    sinks.put(name.toLowerCase, merged)
+    register(spark, name, merged)
+    name
+  }
+
   /** Parse + bind + register; returns the bound DataFrame (for the
     * print/blackhole SINK connectors: an empty frame of the declared
     * schema — the reference's sink tables are not readable either). */

@@ -428,10 +428,52 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (es.isEmpty) sqlText else S.splice(sqlText, es)
   }
 
+  private val hintOptRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  /** Dynamic table options (FLIP-113 — `FROM t /*+ OPTIONS('k'='v') */`,
+    * docs/dev/table/sql/hints.md): a table reference followed by an
+    * OPTIONS hint re-binds through [[GraftDDL.withDynamicOptions]] —
+    * the option overrides merge into the table's binding for THIS
+    * query only, and the spliced-in derived view name carries them.
+    * Only fires in table position (after FROM/JOIN/','), only for
+    * OPTIONS hints (planner hints like BROADCAST pass through), and a
+    * table without a CREATE TABLE binding fails loudly like the
+    * reference's validator. */
+  private[graft] def rewriteDynamicOptions(sqlText: String): String = {
+    if (!sqlText.toUpperCase.contains("OPTIONS")) return sqlText
+    val toks = S.lex(sqlText)
+    def tablePos(i: Int) = i > 0 && {
+      val p = toks(i - 1)
+      p.is("FROM") || p.is("JOIN") ||
+        (p.kind == S.Sym && p.text == ",")
+    }
+    val edits = Seq.newBuilder[S.Splice]
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      val h = toks(i + 1)
+      val isOptionsHint = h.kind == S.Hint &&
+        h.text.replaceAll("(?s)^/\\*\\+\\s*", "").toUpperCase.startsWith("OPTIONS")
+      if ((t.kind == S.Ident || t.kind == S.QIdent) && isOptionsHint &&
+          tablePos(i)) {
+        val opts = hintOptRe.findAllMatchIn(h.text)
+          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        require(opts.nonEmpty, s"OPTIONS hint with no options: $sqlText")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val derived = GraftDDL.withDynamicOptions(spark, t.ident, opts)
+        edits += S.Splice(t.start, h.end, derived)
+        i += 2
+      } else i += 1
+    }
+    val es = edits.result()
+    if (es.isEmpty) sqlText else S.splice(sqlText, es)
+  }
+
   private def rewriteAll(sqlText: String): String =
     GroupWindowSql.rewrite(
       rewriteBetweenSymmetric(rewriteOverlaps(rewriteJsonPredicate(
-        rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(sqlText)))))))
+        rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(
+          rewriteDynamicOptions(sqlText))))))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewriteAll(sqlText))

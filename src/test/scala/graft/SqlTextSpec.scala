@@ -345,6 +345,36 @@ class SqlTextSpec extends AnyFunSuite {
     assert(err.getMessage.contains("more than one element"), err.getMessage)
   }
 
+  test("dynamic OPTIONS hint re-binds a table's options for one query") {
+    import graft.sources.{GraftDDL, GraftSqlExecutor}
+    val dA = java.nio.file.Files.createTempDirectory("opt_a").toString
+    val dB = java.nio.file.Files.createTempDirectory("opt_b").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dA)
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.mode("overwrite").parquet(dB)
+    GraftDDL.execute(spark,
+      s"""CREATE TABLE opt_hint_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$dA', 'format'='parquet')"""
+        .stripMargin)
+    // plain read sees path A; the hinted read overrides to path B for
+    // this query only; the base table is untouched afterwards
+    assert(spark.sql("SELECT count(*) AS n FROM opt_hint_t").head.getLong(0) == 1)
+    val hinted = spark.sql(
+      s"SELECT k FROM opt_hint_t /*+ OPTIONS('path'='$dB') */ ORDER BY k").collect()
+    assert(hinted.map(_.getLong(0)).toSeq == Seq(2L, 3L), hinted.toSeq)
+    assert(spark.sql("SELECT count(*) AS n FROM opt_hint_t").head.getLong(0) == 1)
+    // an unbound table rejects the hint loudly (the reference's
+    // validator does the same)
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("opt_plain_v")
+    val e = intercept[RuntimeException](spark.sql(
+      "SELECT * FROM opt_plain_v /*+ OPTIONS('path'='/nope') */"))
+    assert(e.getMessage.contains("no CREATE TABLE binding"), e.getMessage)
+    // a SELECT-position planner hint is not a table hint — untouched
+    assert(spark.sql("SELECT /*+ BROADCAST(opt_hint_t) */ count(*) AS n " +
+      "FROM opt_hint_t").head.getLong(0) == 1)
+    GraftSqlExecutor.executeSql(spark, "DROP TABLE opt_hint_t")
+  }
+
   // ---- DDL through the token-structural front door ----
 
   test("CREATE TABLE tolerates comments in the column list and WITH( inside strings") {
