@@ -79,5 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.ElementBuilder.getClass.getName, "element"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ElementBuilder(es)))
+    e.injectFunction((
+      FunctionIdentifier("rand_integer"),
+      new ExpressionInfo(graft.functions.RandIntegerBuilder.getClass.getName,
+        "rand_integer"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RandIntegerBuilder(es)))
   }
 }

@@ -218,6 +218,26 @@ object ElementBuilder {
   }
 }
 
+/** `RAND_INTEGER([seed,] bound)` → uniform int in [0, bound)
+  * (FlinkSqlOperatorTable RAND_INTEGER / RandCallGen.scala:27):
+  * composed over Spark's own rand so the generator distributes and
+  * seeds exactly like RAND. */
+object RandIntegerBuilder {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+  def apply(es: Seq[Expression]): Expression = {
+    val (seedArgs, bound) = es match {
+      case Seq(b) => (Nil, b)
+      case Seq(seed, b) => (Seq(seed), b)
+      case _ => sys.error(s"rand_integer takes (bound) or (seed, bound), got ${es.length}")
+    }
+    Cast(Floor(Multiply(
+      UnresolvedFunction("rand", seedArgs, isDistinct = false),
+      Cast(bound, DoubleType))), IntegerType)
+  }
+}
+
 /** Column-API + SQL registration facade for the gap functions. */
 object GraftFunctions {
   def is_alpha(c: Column): Column = column(IsAlpha(expression(c)))
@@ -258,5 +278,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("temporal_overlaps",
       TemporalOverlapsBuilder.apply, "built-in")
     reg.createOrReplaceTempFunction("element", ElementBuilder.apply, "built-in")
+    reg.createOrReplaceTempFunction("rand_integer", RandIntegerBuilder.apply, "built-in")
   }
 }

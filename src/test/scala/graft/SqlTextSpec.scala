@@ -343,6 +343,14 @@ class SqlTextSpec extends AnyFunSuite {
     val err = intercept[Exception](
       spark.sql("SELECT element(array(1, 2))").collect())
     assert(err.getMessage.contains("more than one element"), err.getMessage)
+    // RAND_INTEGER([seed,] bound): int in [0, bound); seeded form is
+    // deterministic per row position like Spark's own rand(seed)
+    val ri = spark.sql(
+      "SELECT rand_integer(10) AS a, rand_integer(42, 10) AS b FROM range(0, 100)")
+      .collect()
+    assert(ri.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
+    assert(ri.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 10))
+    assert(ri.map(_.getInt(0)).distinct.length > 1) // actually random
   }
 
   test("dynamic OPTIONS hint re-binds a table's options for one query") {
