@@ -725,6 +725,135 @@ object GraftDDL {
       case _ => sys.error(s"unsupported CREATE FUNCTION: $stmt")
     }
 
+  private val alterFnRe =
+    """(?is)\s*ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s+AS\s+'([\w.$]+)'\s*;?\s*""".r
+
+  /** `ALTER [TEMPORARY] FUNCTION f AS 'class'` (SqlAlterFunction): the
+    * function must already be registered; re-binding goes through the
+    * same validated path as CREATE FUNCTION. */
+  def executeAlterFunction(spark: SparkSession, stmt: String): String =
+    stmt match {
+      case alterFnRe(name, className) =>
+        require(spark.sessionState.functionRegistry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase)),
+          s"ALTER FUNCTION: '$name' is not registered")
+        executeCreateFunction(spark,
+          s"CREATE TEMPORARY FUNCTION $name AS '$className'")
+      case _ => sys.error(s"unsupported ALTER FUNCTION: $stmt")
+    }
+
+  private val dropFnRe =
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+
+  /** `DROP [TEMPORARY] FUNCTION [IF EXISTS] f` (SqlDropFunction):
+    * removes the session registration; a missing function without
+    * IF EXISTS fails loudly. */
+  def executeDropFunction(spark: SparkSession, stmt: String): Boolean =
+    stmt match {
+      case dropFnRe(ifExists, name) =>
+        val dropped = spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))
+        if (!dropped && ifExists == null)
+          sys.error(s"DROP FUNCTION: '$name' is not registered")
+        dropped
+      case _ => sys.error(s"unsupported DROP FUNCTION: $stmt")
+    }
+
+  private val alterViewRenameRe =
+    """(?is)\s*ALTER\s+VIEW\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
+  private val alterViewAsRe =
+    """(?is)\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+
+  /** `ALTER VIEW v RENAME TO v2` / `ALTER VIEW v AS query`
+    * (SqlAlterViewRename / SqlAlterViewAs): both require the view to
+    * exist already — redefining through ALTER on a missing view is
+    * loud, unlike CREATE OR REPLACE. */
+  def executeAlterView(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case alterViewRenameRe(from, to) =>
+        require(spark.catalog.tableExists(from),
+          s"ALTER VIEW: '$from' does not exist")
+        val df = spark.table(from)
+        df.createOrReplaceTempView(to)
+        spark.catalog.dropTempView(from)
+        df
+      case alterViewAsRe(name, query) =>
+        require(spark.catalog.tableExists(name),
+          s"ALTER VIEW: '$name' does not exist")
+        val df = spark.sql(query)
+        df.createOrReplaceTempView(name)
+        df
+      case _ => sys.error(s"unsupported ALTER VIEW: $stmt")
+    }
+
+  private val createCatalogRe =
+    """(?is)\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+WITH\s*\((.+)\)\s*;?\s*""".r
+  private val dropCatalogRe =
+    """(?is)\s*DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val descCatalogRe =
+    """(?is)\s*DESCRIBE\s+CATALOG\s+(\w+)\s*;?\s*""".r
+
+  /** `CREATE CATALOG c WITH ('type' = 'generic_in_memory'
+    * [, 'default-database' = 'db'])` (SqlCreateCatalog →
+    * GenericInMemoryCatalogFactory): registers
+    * [[GraftInMemoryCatalog]] under `spark.sql.catalog.c` and
+    * force-loads it so SHOW CATALOGS sees it immediately; the
+    * default database becomes a namespace. Unknown catalog types are
+    * loud — the reference's factory discovery would likewise fail. */
+  def executeCreateCatalog(spark: SparkSession, stmt: String): String =
+    stmt match {
+      case createCatalogRe(name, propsText) =>
+        val props = propRe.findAllMatchIn(propsText)
+          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        val tpe = props.getOrElse("type",
+          sys.error(s"CREATE CATALOG needs a 'type' option: $stmt"))
+        require(tpe == "generic_in_memory",
+          s"unsupported catalog type '$tpe' (only generic_in_memory)")
+        spark.conf.set(s"spark.sql.catalog.$name",
+          classOf[GraftInMemoryCatalog].getName)
+        val plugin = spark.sessionState.catalogManager.catalog(name)
+          .asInstanceOf[GraftInMemoryCatalog]
+        props.get("default-database").filter(_ != "default").foreach { db =>
+          if (!plugin.namespaceExists(Array(db)))
+            plugin.createNamespace(Array(db),
+              java.util.Collections.emptyMap[String, String])
+        }
+        name
+      case _ => sys.error(s"unsupported CREATE CATALOG: $stmt")
+    }
+
+  /** `DROP CATALOG [IF EXISTS] c` (SqlDropCatalog): dropping the
+    * CURRENT catalog is loud like the reference's CatalogManager;
+    * otherwise the conf registration and the in-memory store go away
+    * (later use of a stale cached reference fails loudly at the store
+    * lookup). */
+  def executeDropCatalog(spark: SparkSession, stmt: String): Boolean =
+    stmt match {
+      case dropCatalogRe(ifExists, name) =>
+        require(spark.sessionState.catalogManager.currentCatalog.name != name,
+          s"DROP CATALOG: '$name' is the current catalog")
+        val existed = spark.conf.getOption(s"spark.sql.catalog.$name").isDefined
+        if (!existed && ifExists == null)
+          sys.error(s"DROP CATALOG: '$name' does not exist")
+        if (existed) spark.conf.unset(s"spark.sql.catalog.$name")
+        GraftInMemoryCatalog.dropStore(name)
+        existed
+      case _ => sys.error(s"unsupported DROP CATALOG: $stmt")
+    }
+
+  /** `DESCRIBE CATALOG c` (SqlDescribeCatalog): name/type/table-count
+    * metadata rows. */
+  def executeDescribeCatalog(spark: SparkSession, stmt: String): Seq[String] =
+    stmt match {
+      case descCatalogRe(name) =>
+        require(spark.conf.getOption(s"spark.sql.catalog.$name").isDefined ||
+            name == spark.sessionState.catalogManager.currentCatalog.name,
+          s"DESCRIBE CATALOG: '$name' does not exist")
+        Seq(s"name: $name", "type: generic_in_memory",
+          s"tables: ${GraftInMemoryCatalog.tableCount(name)}")
+      case _ => sys.error(s"unsupported DESCRIBE CATALOG: $stmt")
+    }
+
   /** The declared (non-LIKE) portion of a CREATE TABLE, extracted from
     * its column-list text: physical schema, computed columns
     * (PROCTIME() → current_timestamp(): micro-batch evaluation time is

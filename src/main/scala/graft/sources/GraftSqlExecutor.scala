@@ -60,6 +60,7 @@ object GraftSqlExecutor {
           case t if t.is("TABLE")    => "TABLE"
           case t if t.is("VIEW")     => "VIEW"
           case t if t.is("FUNCTION") => "FUNCTION"
+          case t if t.is("CATALOG")  => "CATALOG"
           case t if t.is("DATABASE") || t.is("SCHEMA") => "DATABASE"
         } match {
           case Some("TABLE") => GraftDDL.execute(spark, stmt)
@@ -67,6 +68,10 @@ object GraftSqlExecutor {
           case Some("FUNCTION") =>
             val name = GraftDDL.executeCreateFunction(spark, stmt)
             status(spark, Seq(s"function $name created"))
+          case Some("CATALOG") =>
+            // SqlCreateCatalog → GraftInMemoryCatalog registration
+            val name = GraftDDL.executeCreateCatalog(spark, stmt)
+            status(spark, Seq(s"catalog $name created"))
           case Some("DATABASE") =>
             // SqlCreateDatabase (the reference's catalog-database
             // statements, SqlToOperationConverter database paths) —
@@ -76,8 +81,15 @@ object GraftSqlExecutor {
           case _ => sys.error(s"unsupported CREATE statement: $stmt")
         }
       case ("ALTER", "TABLE") => GraftDDL.executeAlter(spark, stmt)
+      case ("ALTER", "VIEW") => GraftDDL.executeAlterView(spark, stmt)
+      case ("ALTER", "FUNCTION") | ("ALTER", "TEMPORARY") =>
+        val name = GraftDDL.executeAlterFunction(spark, stmt)
+        status(spark, Seq(s"function $name altered"))
       case ("ALTER", "DATABASE") | ("ALTER", "SCHEMA") =>
         spark.sql(stmt); status(spark, Seq("database altered"))
+      case ("DROP", "CATALOG") =>
+        val dropped = GraftDDL.executeDropCatalog(spark, stmt)
+        status(spark, Seq(if (dropped) "catalog dropped" else "nothing to drop"))
       case ("DROP", "DATABASE") | ("DROP", "SCHEMA") =>
         spark.sql(stmt); status(spark, Seq("database dropped"))
       case ("USE", "CATALOG") =>
@@ -88,6 +100,12 @@ object GraftSqlExecutor {
         status(spark, Seq(s"catalog set to $name"))
       case ("USE", _) => // SqlUseDatabase
         spark.sql(stmt); status(spark, Seq("database switched"))
+      case ("DROP", "FUNCTION") =>
+        val dropped = GraftDDL.executeDropFunction(spark, stmt)
+        status(spark, Seq(if (dropped) "function dropped" else "nothing to drop"))
+      case ("DROP", "TEMPORARY") if toks.slice(2, 4).exists(_.is("FUNCTION")) =>
+        val dropped = GraftDDL.executeDropFunction(spark, stmt)
+        status(spark, Seq(if (dropped) "function dropped" else "nothing to drop"))
       case ("DROP", _) =>
         val dropped = GraftDDL.executeDrop(spark, stmt)
         status(spark, Seq(if (dropped) "dropped" else "nothing to drop"))
@@ -97,6 +115,13 @@ object GraftSqlExecutor {
         status(spark, counts.map(c => s"$c rows written"))
       case ("EXPLAIN", _) =>
         status(spark, Seq(GraftDDL.executeExplain(spark, stmt)))
+      case ("DESCRIBE", "CATALOG") | ("DESC", "CATALOG") =>
+        status(spark, GraftDDL.executeDescribeCatalog(spark,
+          stmt.replaceAll("(?i)^\\s*DESC\\b", "DESCRIBE")))
+      case ("DESCRIBE", "DATABASE") | ("DESC", "DATABASE") |
+           ("DESCRIBE", "SCHEMA") | ("DESC", "SCHEMA") =>
+        // SqlDescribeDatabase — Spark's namespace describe is native
+        spark.sql(stmt)
       case ("DESCRIBE", _) | ("DESC", _) =>
         import spark.implicits._
         GraftDDL.executeDescribe(spark,

@@ -745,4 +745,74 @@ class SourcesSpec extends AnyFunSuite {
       "ALTER TABLE print_t SET ('path'='/tmp/nope')"))
     Seq("print_t", "sink_bh").foreach(n => GraftDDL.executeDrop(sp, s"DROP TABLE $n"))
   }
+
+  test("CREATE CATALOG generic_in_memory: full DDL/DML round-trip through v2 plans") {
+    import graft.sources.GraftSqlExecutor.{executeSql => sql}
+    val sp = spark
+    sql(sp, "CREATE CATALOG memcat WITH ('type' = 'generic_in_memory', " +
+      "'default-database' = 'mydb')")
+    // unknown catalog types fail loudly, like factory discovery
+    val bad = intercept[RuntimeException](
+      sql(sp, "CREATE CATALOG hive1 WITH ('type' = 'hive')"))
+    assert(bad.getMessage.contains("unsupported catalog type"), bad.getMessage)
+    // namespaces: ctor default + the default-database option
+    assert(sp.sql("SHOW NAMESPACES IN memcat").collect().map(_.getString(0)).toSet
+      == Set("default", "mydb"))
+    // native v2 statements against the catalog — no custom dispatch
+    sp.sql("CREATE TABLE memcat.mydb.dim (k INT, name STRING) TBLPROPERTIES ('team'='x')")
+    sp.sql("INSERT INTO memcat.mydb.dim VALUES (1, 'a'), (2, 'b')")
+    sp.sql("INSERT INTO memcat.mydb.dim VALUES (3, 'c')")
+    assert(sp.sql("SELECT * FROM memcat.mydb.dim").collect().length == 3)
+    // INSERT OVERWRITE arrives as overwrite-by-AlwaysTrue → truncate+append
+    sp.sql("INSERT OVERWRITE memcat.mydb.dim VALUES (9, 'z')")
+    assert(sp.sql("SELECT k, name FROM memcat.mydb.dim").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((9, "z")))
+    // a small in-memory dim reports stats to the planner (broadcast-able)
+    sp.sql("INSERT INTO memcat.mydb.dim VALUES (1, 'a'), (2, 'b')")
+    val stats = sp.table("memcat.mydb.dim").queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10L * 1024 * 1024,
+      s"in-memory scan should report its true (tiny) size: $stats")
+    // ALTER TABLE property changes flow through the v2 alterTable path
+    sp.sql("ALTER TABLE memcat.mydb.dim SET TBLPROPERTIES ('team'='y')")
+    assert(sp.sql("SHOW TBLPROPERTIES memcat.mydb.dim").collect()
+      .exists(r => r.getString(0) == "team" && r.getString(1) == "y"))
+    assert(sp.sql("SHOW TABLES IN memcat.mydb").collect().map(_.getString(1))
+      .contains("dim"))
+    sql(sp, "DESCRIBE CATALOG memcat").collect()
+    // dropping the CURRENT catalog is loud; a named one round-trips
+    val cur = intercept[Exception](
+      sql(sp, s"DROP CATALOG ${sp.sessionState.catalogManager.currentCatalog.name}"))
+    sp.sql("DROP TABLE memcat.mydb.dim")
+    sql(sp, "DROP CATALOG memcat")
+    val gone = intercept[Exception](sql(sp, "DROP CATALOG memcat"))
+    assert(gone.getMessage.contains("does not exist"), gone.getMessage)
+    sql(sp, "DROP CATALOG IF EXISTS memcat") // tolerated
+  }
+
+  test("ALTER VIEW RENAME/AS and DROP/ALTER FUNCTION close the statement family") {
+    import graft.sources.GraftSqlExecutor.{executeSql => sql}
+    val sp = spark
+    sql(sp, "CREATE TEMPORARY VIEW src_v AS SELECT id AS n FROM range(0, 5)")
+    sql(sp, "ALTER VIEW src_v RENAME TO dst_v")
+    assert(sp.table("dst_v").count() == 5)
+    assert(!sp.catalog.tableExists("src_v"))
+    sql(sp, "ALTER VIEW dst_v AS SELECT id AS n FROM range(0, 2)")
+    assert(sp.table("dst_v").count() == 2)
+    val miss = intercept[Exception](
+      sql(sp, "ALTER VIEW nope_v AS SELECT 1 AS one"))
+    assert(miss.getMessage.contains("does not exist"), miss.getMessage)
+    sql(sp, "DROP VIEW dst_v")
+    // function lifecycle: CREATE → ALTER rebinds → DROP removes
+    sql(sp, "CREATE TEMPORARY FUNCTION myfn AS 'graft.functions.SplitIndex'")
+    assert(sp.sql("SELECT myfn('a:b', ':', 1)").head.getString(0) == "b")
+    sql(sp, "ALTER FUNCTION myfn AS 'graft.functions.IsAlpha'")
+    assert(sp.sql("SELECT myfn('abc')").head.getBoolean(0))
+    val notReg = intercept[Exception](
+      sql(sp, "ALTER FUNCTION ghost_fn AS 'graft.functions.IsAlpha'"))
+    assert(notReg.getMessage.contains("not registered"), notReg.getMessage)
+    sql(sp, "DROP TEMPORARY FUNCTION myfn")
+    val dropMiss = intercept[Exception](sql(sp, "DROP FUNCTION myfn"))
+    assert(dropMiss.getMessage.contains("not registered"), dropMiss.getMessage)
+    sql(sp, "DROP FUNCTION IF EXISTS myfn") // tolerated
+  }
 }
