@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The SQL:2016 IS JSON predicate family (SURVEY.md §2.8 — the
@@ -52,13 +52,16 @@ object GraftJson {
 }
 
 /** Shared shape: string → boolean, non-string operands rejected at
-  * analysis (the reference's ValidationException), null in → null out. */
+  * analysis (the reference's ValidationException), null in → null out —
+  * including a bare NULL operand (NullType), which short-circuits to
+  * constant null like `CAST(NULL AS STRING) IS JSON` would, instead of
+  * failing analysis. */
 abstract class JsonPredicate extends UnaryExpression {
   override def dataType: DataType = BooleanType
   protected def helper: String
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
+    if (child.dataType == StringType || child.dataType == NullType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a STRING operand, got ${child.dataType.simpleString}")
@@ -66,7 +69,11 @@ abstract class JsonPredicate extends UnaryExpression {
     evalImpl(v.asInstanceOf[UTF8String])
   protected def evalImpl(s: UTF8String): Boolean
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GraftJson.$helper($c)")
+    if (child.dataType == NullType)
+      // the helper takes UTF8String — a NullType operand would not
+      // even compile in codegen; emit the constant-null result
+      Literal.create(null, BooleanType).genCode(ctx)
+    else defineCodeGen(ctx, ev, c => s"graft.functions.GraftJson.$helper($c)")
 }
 
 case class IsJsonValue(child: Expression) extends JsonPredicate {

@@ -82,13 +82,16 @@ object GraftStrings {
     new java.util.concurrent.ConcurrentHashMap[(String, Int), java.util.regex.Pattern]()
 
   /** Whole-string SIMILAR TO match; compiled patterns cached (the
-    * pattern side is almost always a literal — a pathological
-    * pattern-per-row query bypasses the cache once it holds 1024
-    * entries rather than growing without bound). */
+    * pattern side is almost always a literal). A pathological
+    * pattern-per-row query stops INSERTING once the cache holds 1024
+    * entries, but lookups always run first — patterns cached before
+    * the cap (the constant ones) keep hitting forever. */
   def similarTo(s: UTF8String, pat: UTF8String, esc: Int): Boolean = {
     val key = (pat.toString, esc)
+    val cached = similarCache.get(key)
     val p =
-      if (similarCache.size > 1024)
+      if (cached != null) cached
+      else if (similarCache.size >= 1024)
         java.util.regex.Pattern.compile(similarRegex(key._1, esc))
       else similarCache.computeIfAbsent(key,
         k => java.util.regex.Pattern.compile(similarRegex(k._1, k._2)))
@@ -209,12 +212,16 @@ object ElementBuilder {
       case ArrayType(t, _) => t
       case t => sys.error(s"element requires an ARRAY operand, got ${t.simpleString}")
     }
-    If(EqualTo(Size(a), Literal(0)), Literal.create(null, elemType),
-      If(EqualTo(Size(a), Literal(1)), GetArrayItem(a, Literal(0)),
-        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-          "raise_error",
-          Seq(Literal("ELEMENT(): collection has more than one element")),
-          isDistinct = false)))
+    // null-in → null-out FIRST: If treats a null Size(a) condition as
+    // false, so without this guard a NULL array would fall through to
+    // the error branch instead of returning NULL
+    If(IsNull(a), Literal.create(null, elemType),
+      If(EqualTo(Size(a), Literal(0)), Literal.create(null, elemType),
+        If(EqualTo(Size(a), Literal(1)), GetArrayItem(a, Literal(0)),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            "raise_error",
+            Seq(Literal("ELEMENT(): collection has more than one element")),
+            isDistinct = false))))
   }
 }
 

@@ -72,8 +72,12 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // every other conjunct stays as a residual Filter over the
         // as-of output (whose right columns keep their original
         // attribute ids, so those residuals resolve untouched).
-        case f @ Filter(fc, Join(l, r, jt, Some(cond), _))
-            if jt == Inner || jt == LeftOuter =>
+        // INNER only: for a LEFT OUTER join a WHERE key equality
+        // eliminates the null-padded rows (null = x is not true), so
+        // consuming it into an outer as-of match would RESURRECT rows
+        // the plain-Spark semantics discard — those stay un-rewritten
+        // (and trip the loud no-match guard rather than mis-answer).
+        case f @ Filter(fc, Join(l, r, jt, Some(cond), _)) if jt == Inner =>
           val fcs = splitConjunctivePredicates(fc)
           val (keyConjs, residual) = fcs.partition {
             case EqualTo(a: Attribute, b: Attribute) =>

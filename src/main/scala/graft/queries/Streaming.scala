@@ -22,6 +22,17 @@ object Streaming extends QueryGroup {
   private val dec18_2 = DecimalType(18, 2)
   private val H72 = 259200000000L // 72 hours in µs (st23 pattern window)
 
+  /** Recursively delete a scratch directory when the JVM exits (the
+    * st33 checkpoint tree must outlive the LAZY state reader built
+    * over it, so an in-query delete is not an option). */
+  private def deleteAtExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+
   /** events as an unbounded stream; ts normalized to TimestampType
     * whatever physical shape the driver generated (see Tables). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
@@ -1000,12 +1011,18 @@ object Streaming extends QueryGroup {
     q("st33_state_reader",
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val ckpt = java.nio.file.Files.createTempDirectory("st33_ckpt").toString
+      val ckptPath = java.nio.file.Files.createTempDirectory("st33_ckpt")
+      val ckpt = ckptPath.toString
       val agg = eventStream(s, dir).groupBy("user_id").count()
-      val qy = agg.writeStream.outputMode(OutputMode.Update)
-        .option("checkpointLocation", ckpt)
-        .format("memory").queryName("st33_sink").start()
-      try { qy.processAllAvailable() } finally qy.stop()
+      // through StreamRunner so the 4-partition state-store discipline
+      // (init/commit cost per store per micro-batch) applies here too
+      StreamRunner.toTable(s, agg, OutputMode.Update, "st33_sink",
+        checkpointDir = Some(ckpt))
+      // bounded-drive hygiene: the per-invocation checkpoint tree
+      // (state store + offsets + commits) would otherwise accumulate
+      // across bench/verify sweeps — freed at JVM exit, AFTER the
+      // lazily-planned reader below has been consumed
+      deleteAtExit(ckptPath)
       graft.streaming.StateProcessor.readState(s, ckpt)
         .selectExpr("key.user_id AS user_id", "value.count AS n")
         .orderBy("user_id")

@@ -133,6 +133,12 @@ object GraftAvro {
                 java.lang.Integer.valueOf(v.asInstanceOf[java.sql.Date].toLocalDate
                   .toEpochDay.toInt)
               case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+              case ShortType =>
+                // declared as avro INT — avro's union resolution is
+                // `instanceof Integer`, so Short/Byte must widen
+                java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Short].intValue)
+              case ByteType =>
+                java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Byte].intValue)
               case _ => v.asInstanceOf[AnyRef]
             }
           rec.put(i, converted)

@@ -811,6 +811,10 @@ object GraftDDL {
           s"unsupported catalog type '$tpe' (only generic_in_memory)")
         spark.conf.set(s"spark.sql.catalog.$name",
           classOf[GraftInMemoryCatalog].getName)
+        // CatalogManager caches plugin instances, so a CREATE after a
+        // DROP of the same name reuses the old instance without
+        // re-initializing — re-seed the store explicitly
+        GraftInMemoryCatalog.ensureStore(name)
         val plugin = spark.sessionState.catalogManager.catalog(name)
           .asInstanceOf[GraftInMemoryCatalog]
         props.get("default-database").filter(_ != "default").foreach { db =>
@@ -995,9 +999,24 @@ object GraftDDL {
     require(opts.nonEmpty, "empty OPTIONS hint")
     val merged = bindingFrom(b.options ++ opts, b.schema, b.computed,
       b.watermark, b.pk, b.partitions)
-    val name = s"${table}__opts_${Integer.toHexString(opts.hashCode)}"
-    sinks.put(name.toLowerCase, merged)
-    register(spark, name, merged)
+    // CONTENT-derived name (sorted k=v, stable hash — Map.hashCode is
+    // not collision-safe across different sets): the same (table,
+    // options) pair always maps to the same derived view, so a
+    // re-parsed or repeated query REUSES its registration instead of
+    // minting a new one — derived bindings are bounded by the number
+    // of distinct option sets, and an unchanged repeat skips the
+    // re-register (and its read-side I/O) entirely.
+    // the BASE options participate too, so an ALTER TABLE SET on the
+    // base table re-derives instead of serving the stale pre-ALTER view
+    val sig = java.util.UUID.nameUUIDFromBytes(
+      (table.toLowerCase +: (b.options ++ opts).toSeq.sorted.map {
+        case (k, v) => s"$k=$v" }).mkString(" ")
+        .getBytes("UTF-8")).toString.take(8)
+    val name = s"${table}__opts_$sig"
+    if (!sinks.containsKey(name.toLowerCase)) {
+      sinks.put(name.toLowerCase, merged)
+      register(spark, name, merged)
+    }
     name
   }
 

@@ -225,6 +225,19 @@ object GraftInMemoryCatalog {
   private[sources] def dropStore(name: String): Boolean =
     stores.remove(name) != null
 
+  /** CREATE CATALOG path: (re-)create the store even when Spark's
+    * CatalogManager still holds a cached plugin instance from a
+    * previous CREATE/DROP cycle — `initialize` won't re-run on the
+    * cached instance, so the store must be re-seeded here or the
+    * re-created catalog would be permanently dead. */
+  private[sources] def ensureStore(name: String): Unit = {
+    val s = stores.computeIfAbsent(name, _ => new Store)
+    s.synchronized {
+      if (!s.namespaces.contains(Seq("default")))
+        s.namespaces.put(Seq("default"), Map.empty)
+    }
+  }
+
   private[sources] def tableCount(name: String): Int =
     Option(stores.get(name)).map(_.tables.size).getOrElse(0)
 

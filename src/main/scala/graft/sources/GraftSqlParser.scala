@@ -77,8 +77,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       i < toks.length && toks(i).kind == S.Sym && toks(i).text == s
     def nameAt(i: Int) = i < toks.length &&
       (toks(i).kind == S.Ident || toks(i).kind == S.QIdent)
+    // paren depth before each token, so the ASOF hint can target the
+    // SELECT of the BLOCK containing the correlate (a CTE query's
+    // first SELECT is the wrong one)
+    val depth = new Array[Int](toks.length + 1)
+    for (k <- toks.indices) depth(k + 1) = depth(k) +
+      (if (sym(k, "(")) 1 else if (sym(k, ")")) -1 else 0)
     val edits = Seq.newBuilder[S.Splice]
-    val rowtimes = Seq.newBuilder[String]
+    // SELECT token index of the enclosing block → rowtimes to hint
+    val hintAt = scala.collection.mutable.LinkedHashMap[Int, List[String]]()
     var i = 0
     while (i < toks.length) {
       if (at(i, "LATERAL") && at(i + 1, "TABLE") && sym(i + 2, "(")) {
@@ -109,7 +116,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // spelling) so the splice yields a plain JOIN
         val start =
           if (i > 0 && sym(i - 1, ",")) toks(i - 1).start else toks(i).start
-        rowtimes += entry.timeAttr
+        // nearest preceding SELECT at the correlate's own paren depth
+        // = the SELECT heading the block this join belongs to
+        val sel = (i to 0 by -1).find(k =>
+          at(k, "SELECT") && depth(k) == depth(i)).getOrElse(sys.error(
+          s"no enclosing SELECT for LATERAL TABLE correlate: $sqlText"))
+        hintAt.update(sel, entry.timeAttr :: hintAt.getOrElse(sel, Nil))
         edits += S.Splice(start, toks(j).end,
           s" JOIN ${entry.table} AS $rightAlias ON " +
             s"$rightAlias.${entry.timeAttr} <= $leftAlias.$leftTime")
@@ -118,11 +130,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val es = edits.result()
     if (es.isEmpty) return sqlText
-    val sel = toks.indexWhere(_.is("SELECT"))
-    require(sel >= 0, s"no SELECT in temporal-correlate statement: $sqlText")
-    val params = rowtimes.result().distinct.mkString(", ")
-    S.splice(sqlText, es :+ S.Splice(toks(sel).start, toks(sel).end,
-      s"SELECT /*+ ASOF_JOIN($params) */"))
+    val hints = hintAt.toSeq.map { case (sel, rts) =>
+      S.Splice(toks(sel).start, toks(sel).end,
+        s"SELECT /*+ ASOF_JOIN(${rts.reverse.distinct.mkString(", ")}) */")
+    }
+    S.splice(sqlText, es ++ hints)
   }
 
   private[graft] def rewriteTemporal(sqlText: String): String = {
@@ -419,6 +431,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         require(bEnd > bStart, s"BETWEEN SYMMETRIC missing upper bound: $sqlText")
         val a = S.textOf(sqlText, toks, aStart, aEnd)
         val b = S.textOf(sqlText, toks, bStart, bEnd)
+        // the rewrite DUPLICATES each bound's text (least/greatest):
+        // a non-deterministic or subquery bound would evaluate twice
+        // with different draws — reject loudly rather than mis-answer
+        // (standard BETWEEN SYMMETRIC evaluates each bound once)
+        val nonDet =
+          "(?i)\\b(rand|randn|random|rand_integer|uuid|shuffle|monotonically_increasing_id)\\s*\\(|\\(\\s*select\\b".r
+        Seq(a, b).foreach { frag =>
+          require(nonDet.findFirstIn(frag).isEmpty,
+            s"BETWEEN SYMMETRIC bound '$frag' is non-deterministic or a " +
+              "subquery: the least/greatest rewrite would evaluate it " +
+              "twice — bind it to a column first")
+        }
         edits += S.Splice(toks(i + 1).start, toks(bEnd - 1).end,
           s"least($a, $b) AND greatest($a, $b)")
         i = bEnd

@@ -46,24 +46,33 @@ class PunctuatedDedupKeepFirst(markerKind: String = "WM") {
   def step(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // 1. punctuation: only MARKER rows advance time
+    // 1. late rule FIRST, against the watermark as it stood BEFORE
+    //    this batch: a marker only governs rows that arrive after it,
+    //    so a data row followed by a marker IN THE SAME micro-batch is
+    //    on-time (the reference's generator sees the row before the
+    //    marker's onEvent fires). Filtering against the advanced
+    //    watermark would make results depend on batch boundaries.
+    val prevWm = wm
+    // 2. punctuation: only MARKER rows advance time
     val markerMax = batch.filter(col("kind") === markerKind)
       .agg(max("tsMicros")).head()
     if (!markerMax.isNullAt(0)) wm = wm max markerMax.getLong(0)
     val curWm = wm
-    // 2. late rule: data rows at/after the punctuated watermark only
     val fresh = batch.filter(col("kind") =!= markerKind)
-      .filter(col("tsMicros") >= curWm)
+      .filter(col("tsMicros") >= prevWm)
       .select(col("key"), col("tsMicros").as("ts"), col("id"), col("value"))
     // 3. merge with pending candidates, keep the (ts, id)-minimal row
-    //    per key, suppress already-emitted groups
+    //    per key, suppress already-emitted groups; snapshot ONCE —
+    //    the matured filter and the pending carry both read the
+    //    checkpointed blocks instead of re-running the merge pipeline
     val merged = pending.fold(fresh)(fresh.union)
       .groupBy("key")
       .agg(min(struct(col("ts"), col("id"), col("value"))).as("c"))
       .select(col("key"), col("c.ts"), col("c.id"), col("c.value"))
     val live = emittedKeys.fold(merged)(t =>
-      merged.join(t, Seq("key"), "left_anti"))
-    // 4. maturity against the PUNCTUATED watermark
+        merged.join(t, Seq("key"), "left_anti"))
+      .localCheckpoint(true)
+    // 4. maturity against the ADVANCED punctuated watermark
     val matured = live.filter(col("ts") <= curWm)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -73,7 +82,15 @@ class PunctuatedDedupKeepFirst(markerKind: String = "WM") {
       emittedKeys = Some(emittedKeys.fold(newTombs)(_.union(newTombs))
         .localCheckpoint(true))
     }
-    pending = Some(live.filter(col("ts") > curWm).localCheckpoint(true))
+    // the superseded pending snapshot's blocks are dead weight once
+    // `live` is materialized (GraphOps uses the same in-loop release)
+    val prevIds: Set[Int] = pending.toSeq.flatMap(
+      _.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }).toSet
+    pending = Some(live.filter(col("ts") > curWm))
+    val liveRdds = spark.sparkContext.getPersistentRDDs
+    prevIds.foreach(id => liveRdds.get(id).foreach(_.unpersist(false)))
   }
 
   def sink: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) => step(b)

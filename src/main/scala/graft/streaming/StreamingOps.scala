@@ -467,7 +467,7 @@ object StreamingCEP {
   * by both the specs and the oracle-checked st* queries. */
 object StreamRunner {
   def toTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
-              name: String): DataFrame = {
+              name: String, checkpointDir: Option[String] = None): DataFrame = {
     spark.catalog.dropTempView(name)
     // state-store count is fixed at first run from shuffle.partitions;
     // a handful of partitions is right for these bounded drives (each
@@ -479,7 +479,9 @@ object StreamRunner {
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+      val q = w.start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)

@@ -459,6 +459,15 @@ class SourcesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq ==
       (0L to 4L).map(i => (i, s"v$i")))
     GraftDDL.executeDrop(spark, "DROP TABLE avro_ddl_t")
+    // SMALLINT/TINYINT land in avro's INT (whose union resolution is
+    // `instanceof Integer` — Short/Byte must widen at write time)
+    val t3 = java.nio.file.Files.createTempDirectory("graft_avro_small").toString
+    val small = spark.sql(
+      "SELECT CAST(id AS SMALLINT) AS s, CAST(id AS TINYINT) AS b FROM range(0, 3)")
+    GraftAvro.write(small, t3, overwrite = true)
+    assert(GraftAvro.read(spark, t3).orderBy("s").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 0), (1, 1), (2, 2)))
   }
 
   test("broadcast state pattern: rules re-broadcast to every key per micro-batch") {
@@ -787,6 +796,14 @@ class SourcesSpec extends AnyFunSuite {
     val gone = intercept[Exception](sql(sp, "DROP CATALOG memcat"))
     assert(gone.getMessage.contains("does not exist"), gone.getMessage)
     sql(sp, "DROP CATALOG IF EXISTS memcat") // tolerated
+    // re-CREATE after DROP must revive the store even though Spark's
+    // CatalogManager still caches the old plugin instance
+    sql(sp, "CREATE CATALOG memcat WITH ('type' = 'generic_in_memory')")
+    sp.sql("CREATE TABLE memcat.default.t2 (k INT)")
+    sp.sql("INSERT INTO memcat.default.t2 VALUES (7)")
+    assert(sp.sql("SELECT k FROM memcat.default.t2").head.getInt(0) == 7)
+    sp.sql("DROP TABLE memcat.default.t2")
+    sql(sp, "DROP CATALOG memcat")
   }
 
   test("ALTER VIEW RENAME/AS and DROP/ALTER FUNCTION close the statement family") {

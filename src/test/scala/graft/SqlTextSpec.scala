@@ -237,6 +237,23 @@ class SqlTextSpec extends AnyFunSuite {
     // matches the LATEST version ≤ its time, not every version
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq((11L, 2L, 1.2), (12L, 3L, 150.0)), out.toSeq)
+    // CTE form: the ASOF hint must land on the SELECT of the block
+    // CONTAINING the correlate, not the query's first SELECT (which
+    // here heads the CTE body)
+    val cte = p.rewriteLateralTemporal(
+      """WITH big AS (SELECT oid, ots, cur, amount FROM lat_orders_t
+        |             WHERE amount > 6)
+        |SELECT o.oid, r.vid FROM big o, LATERAL TABLE (lat_rates2(o.ots)) AS r
+        |WHERE o.cur = r.cur""".stripMargin)
+    assert(!cte.contains("WITH big AS (SELECT /*+"), cte)
+    assert(cte.contains("\nSELECT /*+ ASOF_JOIN(rowtime) */ o.oid"), cte)
+    val cteOut = spark.sql(
+      """WITH big AS (SELECT oid, ots, cur, amount FROM lat_orders_t
+        |             WHERE amount > 6)
+        |SELECT o.oid, r.vid FROM big o, LATERAL TABLE (lat_rates2(o.ots)) AS r
+        |WHERE o.cur = r.cur ORDER BY o.oid""".stripMargin).collect()
+    assert(cteOut.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((11L, 2L), (12L, 3L)), cteOut.toSeq)
   }
 
   test("SIMILAR TO: translation table, operator rewrite, end-to-end semantics") {
@@ -299,6 +316,8 @@ class SqlTextSpec extends AnyFunSuite {
     assert(!spark.sql("SELECT '{} junk' IS JSON VALUE").head.getBoolean(0))
     val e = intercept[Exception](spark.sql("SELECT 42 IS JSON VALUE").collect())
     assert(e.getMessage.toUpperCase.contains("STRING"), e.getMessage)
+    // a bare NULL operand is null-in → null-out, not a type error
+    assert(spark.sql("SELECT NULL IS JSON").head.isNullAt(0))
   }
 
   test("OVERLAPS: reference ScalarFunctionsTest.testOverlaps vectors") {
@@ -343,6 +362,19 @@ class SqlTextSpec extends AnyFunSuite {
     val err = intercept[Exception](
       spark.sql("SELECT element(array(1, 2))").collect())
     assert(err.getMessage.contains("more than one element"), err.getMessage)
+    // null-in → null-out, NOT the error branch (If treats the null
+    // Size condition as false, so this needs the explicit IsNull arm)
+    assert(spark.sql("SELECT element(CAST(NULL AS ARRAY<INT>))").head.isNullAt(0))
+    // a non-deterministic bound would evaluate twice in the
+    // least/greatest rewrite — rejected loudly, not mis-answered
+    val nd = intercept[Exception](spark.sql(
+      "SELECT 5 BETWEEN SYMMETRIC rand() * 10 AND 7").collect())
+    assert(nd.getMessage.contains("non-deterministic"), nd.getMessage)
+    // …while a column merely CONTAINING such a name stays fine
+    import spark.implicits._
+    Seq(("Brand#1", 3)).toDF("p_brand", "n").createOrReplaceTempView("brand_t")
+    assert(spark.sql(
+      "SELECT n BETWEEN SYMMETRIC 5 AND 1 FROM brand_t").head.getBoolean(0))
     // RAND_INTEGER([seed,] bound): int in [0, bound); seeded form is
     // deterministic per row position like Spark's own rand(seed)
     val ri = spark.sql(
@@ -380,6 +412,16 @@ class SqlTextSpec extends AnyFunSuite {
     // a SELECT-position planner hint is not a table hint — untouched
     assert(spark.sql("SELECT /*+ BROADCAST(opt_hint_t) */ count(*) AS n " +
       "FROM opt_hint_t").head.getLong(0) == 1)
+    // derived bindings are CONTENT-keyed: re-running the same hinted
+    // query reuses one registration instead of leaking a new one per
+    // parse (bounded by distinct option sets)
+    val derivedCount = () => spark.catalog.listTables().collect()
+      .count(_.name.startsWith("opt_hint_t__opts_"))
+    val before = derivedCount()
+    spark.sql(s"SELECT k FROM opt_hint_t /*+ OPTIONS('path'='$dB') */").collect()
+    spark.sql(s"SELECT k FROM opt_hint_t /*+ OPTIONS('path'='$dB') */").collect()
+    assert(derivedCount() == before,
+      s"repeat of an identical OPTIONS hint minted new derived views")
     GraftSqlExecutor.executeSql(spark, "DROP TABLE opt_hint_t")
   }
 

@@ -1008,6 +1008,13 @@ class StreamingOpsSpec extends AnyFunSuite {
       push(ev(0, 100000, 0, kind = "WM"))
       val got = op.results.map(r => r._1 -> r._3).toMap
       assert(got == Map(1L -> 1L, 2L -> 3L), s"final emissions: $got")
+      // batching-invariance: a data row followed by a marker IN THE
+      // SAME batch is on-time (lateness is judged against the
+      // watermark as of the row's arrival, BEFORE this batch's
+      // markers apply) — and the marker then matures it immediately
+      push(ev(7, 150000, 70), ev(0, 200000, 0, kind = "WM"))
+      assert(op.results.map(r => r._1 -> r._3).toMap.get(7L) == Some(70L),
+        s"same-batch row+marker lost the row: ${op.results}")
     } finally q.stop()
   }
 
