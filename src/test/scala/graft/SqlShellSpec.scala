@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-script shell (SURVEY.md §3.1 — SqlClient.java script mode
+  * over the executeSql door; tableau rendering per
+  * CliTableauResultView.java). */
+class SqlShellSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = StreamHarness.spark
+  import graft.sources.SqlShell
+
+  test("script split: quotes, comments, and STATEMENT SET blocks") {
+    val script =
+      """CREATE TABLE t1 (k INT) WITH ('connector'='blackhole');
+        |-- a comment; with a semicolon
+        |SELECT 'a;b' AS s;
+        |EXECUTE STATEMENT SET;
+        |  INSERT INTO t1 SELECT 1 AS k;
+        |  INSERT INTO t1 SELECT 2 AS k;
+        |END;
+        |/* block; comment */ SELECT 2 AS two""".stripMargin
+    val stmts = SqlShell.splitScript(script)
+    assert(stmts.length == 4, stmts.mkString("\n---\n"))
+    assert(stmts(1).contains("'a;b'"))
+    assert(stmts(2).toUpperCase.startsWith("EXECUTE STATEMENT SET"))
+    assert(stmts(2).toUpperCase.endsWith("END;"))
+    assert(stmts(3).contains("SELECT 2"))
+    // a leading comment must not hide the opener
+    val commented = SqlShell.splitScript(
+      "-- multi-sink\nSTATEMENT SET; INSERT INTO x SELECT 1; END;")
+    assert(commented.length == 1, commented)
+    // unterminated set is loud
+    val e = intercept[Exception](
+      SqlShell.splitScript("STATEMENT SET; INSERT INTO x SELECT 1;"))
+    assert(e.getMessage.contains("unterminated"), e.getMessage)
+  }
+
+  test("tableau rendering and end-to-end script execution") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, "alice"), (2, null.asInstanceOf[String])).toDF("id", "name")
+    val t = SqlShell.renderTableau(df)
+    val lines = t.linesIterator.toSeq
+    assert(lines.head.matches("\\+-+\\+-+\\+"), t)
+    assert(lines(1).matches("\\| id \\| name\\s+\\|"), t)
+    assert(lines.exists(_.contains("NULL")), t)
+    assert(lines.last == "2 rows in set", t)
+    // end-to-end: DDL + INSERT + SELECT through the shell, results back
+    val d = java.nio.file.Files.createTempDirectory("shell_t").toString
+    val results = SqlShell.runScript(sp,
+      s"""CREATE TABLE shell_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='parquet');
+         |INSERT INTO shell_t VALUES (1, 'x'), (2, 'y');
+         |SELECT k, v FROM shell_t ORDER BY k;
+         |DROP TABLE shell_t""".stripMargin)
+    assert(results.length == 4)
+    val sel = results(2)._2.collect()
+    assert(sel.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")), sel.toSeq)
+    // a failing statement aborts loudly, naming the statement
+    val err = intercept[RuntimeException](SqlShell.runScript(sp,
+      "SELECT 1 AS one; FROB THE KNOB; SELECT 2 AS two"))
+    assert(err.getMessage.contains("statement failed: FROB"), err.getMessage)
+  }
+}
