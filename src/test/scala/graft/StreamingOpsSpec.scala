@@ -982,6 +982,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"bootstrapped counts: $boot")
   }
 
+  test("queryable state analog: a RUNNING query's state is readable between batches") {
+    // The reference's flink-queryable-state module serves keyed state
+    // of a LIVE job to external clients (QueryableStateClient →
+    // KvStateServer). Spark's analog needs no extra server: the
+    // `statestore` source reads the running query's checkpoint at its
+    // last COMMITTED batch — the same read-committed visibility the
+    // reference's client gets — while the query keeps processing.
+    import graft.streaming.StateProcessor
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("qstate").toString
+    val in = StreamHarness.mkStream()
+    spark.catalog.dropTempView("qstate_sink")
+    val q = in.toDS().groupBy("key").count()
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("qstate_sink").start()
+    try {
+      def liveState(): Map[Long, Long] =
+        StateProcessor.readState(spark, ckpt)
+          .selectExpr("key.key AS k", "value.count AS n")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      in.addData(Seq(ev(1, 10, 1), ev(1, 20, 2), ev(2, 30, 3)))
+      q.processAllAvailable()
+      // query still running — state of the committed batch is visible
+      assert(q.isActive)
+      assert(liveState() == Map(1L -> 2L, 2L -> 1L))
+      // more data: a later read observes the NEW committed state
+      in.addData(Seq(ev(1, 40, 4), ev(3, 50, 5)))
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(liveState() == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+
   test("punctuated watermark: markers (not data volume) drive maturity") {
     import graft.streaming.PunctuatedDedupKeepFirst
     val input = StreamHarness.mkStream()
