@@ -359,6 +359,46 @@ object GraftDDL {
     df
   }
 
+  /** Format-prefixed DDL options (`'csv.field-delimiter'=';'`,
+    * `'json.ignore-parse-errors'='true'` — CsvOptions.java /
+    * JsonOptions.java of flink-csv / flink-json) translated to the
+    * Spark csv/json reader-writer options with the same meaning.
+    * Returns (both-sides options, read-only options). Unknown
+    * format-prefixed keys are loud — a silently-dropped delimiter
+    * would corrupt data. */
+  private def formatSparkOptions(b: Binding): (Map[String, String], Map[String, String]) = {
+    val prefix = b.format + "."
+    val fmtOpts = b.options.collect {
+      case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+    }
+    if (fmtOpts.isEmpty) return (Map.empty, Map.empty)
+    require(b.format == "csv" || b.format == "json",
+      s"format options not supported for '${b.format}': ${fmtOpts.keys.mkString(",")}")
+    val both = Map.newBuilder[String, String]
+    val readOnly = Map.newBuilder[String, String]
+    fmtOpts.foreach {
+      case ("field-delimiter", v) if b.format == "csv" => both += "sep" -> v
+      case ("quote-character", v) if b.format == "csv" => both += "quote" -> v
+      case ("disable-quote-character", "true") if b.format == "csv" =>
+        both += "quote" -> "" // Spark's documented quoting-off spelling
+      case ("disable-quote-character", _) => // false = default
+      case ("escape-character", v) if b.format == "csv" => both += "escape" -> v
+      case ("null-literal", v) if b.format == "csv" => both += "nullValue" -> v
+      case ("allow-comments", "true") if b.format == "csv" =>
+        readOnly += "comment" -> "#" // the reference's fixed '#' comment prefix
+      case ("allow-comments", _) =>
+      case ("ignore-parse-errors", "true") =>
+        readOnly += "mode" -> "DROPMALFORMED"
+      case ("ignore-parse-errors", _) =>
+      case ("fail-on-missing-field", "false") if b.format == "json" =>
+      // missing field → null is Spark's (and the reference's default)
+      // schema-on-read behavior already
+      case (k, v) => sys.error(
+        s"unsupported ${b.format} format option '$prefix$k'='$v'")
+    }
+    (both.result(), readOnly.result())
+  }
+
   private def registerFilesystem(spark: SparkSession, b: Binding): DataFrame = {
     if (b.format == "avro") {
       // the engine's own Avro format (GraftAvro — avro-core is on the
@@ -386,13 +426,18 @@ object GraftDDL {
         val f = new java.io.File(b.path)
         val (dir, glob) =
           if (f.isFile) (f.getParent, Some(f.getName)) else (b.path, None)
+        val (fmtBoth, fmtRead) = formatSparkOptions(b)
         val rd = spark.readStream.schema(b.schema).format(b.format)
+          .options(fmtBoth).options(fmtRead)
         glob.fold(rd)(g => rd.option("pathGlobFilter", g)).load(dir)
-      } else
+      } else {
         // an explicit schema that includes the PARTITIONED BY columns
         // lets Spark resolve them from the directory layout of a
         // partitioned write (read-side partition discovery + pruning)
-        spark.read.schema(b.schema).format(b.format).load(b.path)
+        val (fmtBoth, fmtRead) = formatSparkOptions(b)
+        spark.read.schema(b.schema).format(b.format)
+          .options(fmtBoth).options(fmtRead).load(b.path)
+      }
     df0
   }
 
@@ -462,6 +507,7 @@ object GraftDDL {
           if (!b.streaming) register(spark, name, b)
         case _ =>
           val w = df.write.format(b.format)
+            .options(formatSparkOptions(b)._1) // write-applicable only
             .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
           (if (b.partitions.nonEmpty) w.partitionBy(b.partitions: _*) else w)
             .save(b.path)

@@ -755,6 +755,52 @@ class SourcesSpec extends AnyFunSuite {
     Seq("print_t", "sink_bh").foreach(n => GraftDDL.executeDrop(sp, s"DROP TABLE $n"))
   }
 
+  test("format options: csv.field-delimiter etc. bind to the Spark reader/writer") {
+    import graft.sources.GraftDDL
+    val sp = spark
+    val d = java.nio.file.Files.createTempDirectory("fmt_opts").toString
+    // write side: ';' delimiter + null literal land in the file bytes
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE fmt_csv_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='csv',
+         |      'csv.field-delimiter'=';', 'csv.null-literal'='N/A')"""
+        .stripMargin)
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO fmt_csv_t SELECT id AS k, " +
+        "CASE WHEN id = 1 THEN CAST(NULL AS STRING) ELSE concat('v', id) END AS v " +
+        "FROM range(0, 3)")
+    val files = new java.io.File(d).listFiles.filter(_.getName.endsWith(".csv"))
+    val bytes = files.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(bytes.contains("0;v0"), bytes)
+    assert(bytes.contains("1;N/A"), bytes)
+    // read side: the same options decode back (null literal → null)
+    val back = sp.table("fmt_csv_t").orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((0L, Some("v0")), (1L, None), (2L, Some("v2"))), back.toSeq)
+    GraftDDL.executeDrop(sp, "DROP TABLE fmt_csv_t")
+    // ignore-parse-errors: a malformed line drops instead of failing
+    val d2 = java.nio.file.Files.createTempDirectory("fmt_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d2, "part.csv"), "1,ok\njunk-no-delimiter\n3,fine\n")
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE fmt_bad_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$d2', 'format'='csv',
+         |      'csv.ignore-parse-errors'='true')""".stripMargin)
+    val kept = sp.table("fmt_bad_t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L), kept)
+    GraftDDL.executeDrop(sp, "DROP TABLE fmt_bad_t")
+    // unknown format-prefixed options are loud (a dropped delimiter
+    // would silently corrupt data)
+    val e = intercept[RuntimeException] {
+      GraftDDL.execute(sp,
+        s"""CREATE TABLE fmt_junk_t (k BIGINT)
+           |WITH ('connector'='filesystem', 'path'='$d', 'format'='csv',
+           |      'csv.frob'='x')""".stripMargin)
+    }
+    assert(e.getMessage.contains("csv.frob"), e.getMessage)
+  }
+
   test("CREATE CATALOG generic_in_memory: full DDL/DML round-trip through v2 plans") {
     import graft.sources.GraftSqlExecutor.{executeSql => sql}
     val sp = spark
