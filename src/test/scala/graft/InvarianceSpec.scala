@@ -115,6 +115,43 @@ class InvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("whole-corpus sweep: every batch query is shuffle-partition-count invariant") {
+    // The DuckDB oracle checks each query's RESULT, but only under one
+    // physical configuration. This sweep re-runs the entire batch
+    // corpus with spark.sql.shuffle.partitions dropped to a prime (3)
+    // and requires canonically-identical output — the property that
+    // breaks when a query leans on partial-aggregation order,
+    // per-partition row order, or partition count anywhere (float
+    // accumulation order, first/last without full ordering, limit
+    // ties). Streaming queries pin their own partition count through
+    // StreamRunner and carry a per-query micro-batch floor — the
+    // batch corpus is where layout sensitivity hides.
+    val skip = Set(
+      "ty14_datagen_seq" // datagen binds generator params at parse time
+    )
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val failures = Seq.newBuilder[String]
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+        case (name, _) if name.startsWith("st") || skip(name) =>
+        case (name, fn) =>
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          val base = canon(fn(spark, dir))
+          spark.conf.set("spark.sql.shuffle.partitions", "3")
+          val alt = canon(fn(spark, dir))
+          if (alt != base)
+            failures += s"$name: ${base.size} vs ${alt.size} rows, " +
+              s"first diff ${base.zip(alt).find(p => p._1 != p._2)}"
+          // operators persist() for intra-query reuse; release between
+          // queries exactly like Bench does
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val fs = failures.result()
+    assert(fs.isEmpty, s"${fs.size} layout-sensitive queries:\n${fs.mkString("\n")}")
+  }
+
   test("delta-iteration connected components are partition-invariant") {
     val docs = Tables(spark, dir, "documents")
     assertInvariant("labelPropagationDelta") { d =>
