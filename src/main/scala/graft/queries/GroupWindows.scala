@@ -530,6 +530,39 @@ object GroupWindows extends QueryGroup {
           |ORDER BY window_start, event_type""".stripMargin)
     },
 
+    // SESSION windowing TVF (SqlSessionTableFunction — the newer
+    // session spelling with PARTITION BY on the table argument):
+    // rewritten by GroupWindowSql into the tie-safe gaps-and-islands
+    // window computation (RANGE-framed opener detection + running
+    // opener count = session id; one shuffle on the partition key,
+    // subsequent passes reuse the clustering). Same session semantics
+    // as gw3's GROUP BY spelling — diff == gap merges — so the oracle
+    // is gw3's islands form with the TVF's column names.
+    q("gw18_session_tvf",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS window_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS window_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, window_start""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw18_events")
+      s.sql(
+        """SELECT user_id, window_start, window_end, count(*) AS n_events
+          |FROM TABLE(SESSION(TABLE gw18_events PARTITION BY user_id,
+          |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+          |GROUP BY user_id, window_start, window_end
+          |ORDER BY user_id, window_start""".stripMargin)
+    },
+
     q("gw15_tumble_tvf",
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

@@ -1001,6 +1001,74 @@ object Streaming extends QueryGroup {
         .orderBy("wstart", "event_type")
     },
 
+    // Session-window SQL TEXT on a STREAM (WindowAggregateITCase's
+    // `GROUP BY SESSION(ts, INTERVAL ...)` — the merging-window half
+    // of the reference's group-window text family): the text rewrites
+    // to session_window() and Spark plans its incremental MERGING
+    // session aggregation against the view's watermark — sessions
+    // emit once closed (Append), state dropped. The oracle is the
+    // batch islands computation with the same watermark cutoff.
+    q("st35_session_sql",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, wstart, wend, n FROM (
+        |  SELECT user_id, min(ts) AS wstart,
+        |    max(ts) + INTERVAL 30 MINUTE AS wend, count(*) AS n
+        |  FROM sess GROUP BY user_id, sid), wm
+        |WHERE epoch_us(wend) <= wm.wm_us
+        |ORDER BY user_id, wstart""".stripMargin) { (s, dir) =>
+      eventStream(s, dir).withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("st35_events")
+      val agg = s.sql(
+        """SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS wstart,
+          |       SESSION_END(ts, INTERVAL '30' MINUTE) AS wend,
+          |       user_id, count(*) AS n
+          |FROM st35_events
+          |GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)""".stripMargin)
+      require(agg.isStreaming, "st35: SESSION SQL text lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st35_out")
+        .select("user_id", "wstart", "wend", "n")
+        .orderBy("user_id", "wstart")
+    },
+
+    // Upsert sink (UpsertStreamTableSink.java:55 — the changelog
+    // materialization upsert-kafka/JDBC sinks perform, here against
+    // the operator's own bucketed parquet store since external systems
+    // are unreachable): events become (flag, key, seq, value) messages
+    // — 'error' events delete their user, everything else upserts —
+    // and the final table is the per-key seq-max surviving row. The
+    // oracle computes the same last-writer-wins fold in SQL.
+    q("ty17_upsert_sink",
+      """SELECT user_id, v FROM (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS v, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("ty17_upsert").toString
+      val changelog = eventStream(s, dir).select(
+        col("user_id"),
+        unix_micros(col("ts")).as("seq_ts"),
+        col("event_id"),
+        (col("event_type") =!= "error").as("upsert"),
+        col("value").cast("double").as("v"))
+      graft.operators.UpsertSink.run(s, changelog, out,
+        keyCols = Seq("user_id"), seqCols = Seq("seq_ts", "event_id"))
+      graft.operators.UpsertSink.read(s, out)
+        .select("user_id", "v").orderBy("user_id")
+    },
+
     // State-processor-api analog (flink-state-processor-api's
     // savepoint READER): a checkpointed streaming aggregation builds
     // keyed state; the RESULT returned here is not the query's sink

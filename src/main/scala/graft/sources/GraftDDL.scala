@@ -670,6 +670,11 @@ object GraftDDL {
           .map(_.name).sorted.toSeq
       case "SHOW FUNCTIONS" =>
         spark.catalog.listFunctions().collect().map(_.name).sorted.toSeq
+      case "SHOW MODULES" =>
+        // SqlCommandParser SHOW_MODULES (FLINK-17396): the default
+        // session loads exactly the core module; this engine's
+        // function surface is likewise one flat namespace
+        Seq("core")
       case other => sys.error(s"unsupported SHOW statement: $other")
     }
 

@@ -25,6 +25,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * TableResult. Unknown statement kinds fail loudly naming the
   * statement — never a silent no-op.
   */
+/** Session properties set through the SQL-client `SET key=value`
+  * statement (SqlCommandParser.java:287 — the client's SET/RESET
+  * pair over the executor's session properties). Tracks each key's
+  * PRE-SET value so `RESET` restores exactly the properties the
+  * client changed — never a blanket reset of engine defaults (the
+  * reference resets the session's environment to its defaults the
+  * same way: only client-made changes are undone). */
+object SqlSessionConfig {
+  import scala.jdk.CollectionConverters._
+  private val prior =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  def set(spark: SparkSession, key: String, value: String): Unit = {
+    // remember the first pre-SET value only: SET a=1; SET a=2; RESET
+    // must restore the original, not 1
+    prior.putIfAbsent(key, spark.conf.getOption(key))
+    spark.conf.set(key, value) // static/non-modifiable confs fail loudly here
+  }
+
+  /** The client-set properties with their CURRENT values (bare `SET`). */
+  def entries(spark: SparkSession): Seq[(String, String)] =
+    prior.keySet().asScala.toSeq.sorted
+      .map(k => k -> spark.conf.getOption(k).getOrElse(""))
+
+  /** Restore every client-set property; returns how many. */
+  def reset(spark: SparkSession): Int = {
+    val snapshot = prior.asScala.toMap
+    snapshot.foreach {
+      case (k, Some(old)) => spark.conf.set(k, old)
+      case (k, None)      => spark.conf.unset(k)
+    }
+    snapshot.keys.foreach(prior.remove)
+    snapshot.size
+  }
+}
+
 object GraftSqlExecutor {
 
   /** First two significant keywords of the statement (lexed, so
@@ -129,6 +165,43 @@ object GraftSqlExecutor {
           .toDF("col_name", "data_type", "nullable")
       case ("SHOW", _) =>
         status(spark, GraftDDL.executeShow(spark, stmt))
+      case ("SET", _) =>
+        // SqlCommandParser.java:287 — `SET` lists the client-set
+        // properties; `SET key=value` sets one (key may be the later
+        // quoted spelling `'key'='value'`). `SET CATALOG` and similar
+        // non-assignment forms are not this statement — fail loudly
+        // (the reference's client rejects them the same way).
+        val rest = stmt.trim.stripSuffix(";").trim
+          .replaceFirst("(?is)^SET\\b", "").trim
+        if (rest.isEmpty) {
+          import spark.implicits._
+          SqlSessionConfig.entries(spark).toDF("key", "value")
+        } else {
+          val eq = {
+            var i = 0; var inQ = false; var at = -1
+            while (i < rest.length && at < 0) {
+              val c = rest.charAt(i)
+              if (c == '\'') inQ = !inQ
+              else if (c == '=' && !inQ) at = i
+              i += 1
+            }
+            at
+          }
+          require(eq > 0, s"SET takes key=value: $stmt")
+          def unq(s: String) =
+            if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+              s.substring(1, s.length - 1)
+            else s
+          val key = unq(rest.take(eq).trim)
+          val value = unq(rest.drop(eq + 1).trim)
+          require(key.nonEmpty && !key.exists(_.isWhitespace),
+            s"SET key must be a single property name: $stmt")
+          SqlSessionConfig.set(spark, key, value)
+          status(spark, Seq(s"$key=$value"))
+        }
+      case ("RESET", _) =>
+        val n = SqlSessionConfig.reset(spark)
+        status(spark, Seq(s"$n propert${if (n == 1) "y" else "ies"} reset"))
       case ("SELECT", _) | ("WITH", _) | ("VALUES", _) | ("TABLE", _) =>
         if (isMatchRecognize(toks)) MatchRecognizeSql.sql(spark, stmt)
         else spark.sql(stmt)

@@ -111,22 +111,41 @@ object GroupWindowSql {
     if (inner >= toks.length || toks(inner).kind != S.Ident) return None
     val fn = toks(inner).text.toUpperCase
     if (!groupFns.contains(fn)) return None
-    require(fn != "SESSION",
-      "windowing TVF SESSION depends on neighboring rows (gap merge) — " +
-        "no per-row window mapping exists; use the GROUP BY SESSION(...) " +
-        "spelling")
     require(sym(inner + 1, "("), s"malformed TVF: $sql")
     val closeInner = S.closeParen(toks, inner + 1)
     val outerClose = S.closeParen(toks, i + 1)
     require(outerClose == closeInner + 1, s"malformed TABLE(...) TVF: $sql")
     val args = S.splitTopLevel(toks, inner + 2, closeInner)
-    val arity = if (fn == "TUMBLE") 3 else 4
+    val arity = if (fn == "HOP") 4 else 3
     require(args.length == arity,
       s"$fn TVF takes (TABLE t, DESCRIPTOR(ts), " +
-        s"${if (fn == "TUMBLE") "size" else "slide, size"}): $sql")
+        s"${if (fn == "HOP") "slide, size" else if (fn == "SESSION") "gap"
+           else "size"}): $sql")
     require(is(args(0)._1, "TABLE"),
       s"$fn TVF first argument must be TABLE <source>: $sql")
-    val src = S.textOf(sql, toks, args(0)._1 + 1, args(0)._2)
+    // `TABLE src [PARTITION BY k | PARTITION BY (k1, k2, ...)]` — the
+    // standard's PTF partitioning, which SESSION requires for keyed
+    // sessions (SqlSessionTableFunction); a multi-key list needs its
+    // parens, because the TVF argument split is on top-level commas.
+    // TUMBLE/HOP map each row independently, so a PARTITION BY there
+    // is semantically inert — accepted and ignored, as in the
+    // reference.
+    val partIdx = (args(0)._1 until args(0)._2)
+      .find(k => toks(k).is("PARTITION"))
+    val (src, partKeys) = partIdx match {
+      case None => (S.textOf(sql, toks, args(0)._1 + 1, args(0)._2), Nil)
+      case Some(p) =>
+        require(is(p + 1, "BY") && p + 2 < args(0)._2,
+          s"$fn TVF: PARTITION must be followed by BY <keys>: $sql")
+        val keys =
+          if (sym(p + 2, "(")) {
+            val c = S.closeParen(toks, p + 2)
+            require(c == args(0)._2 - 1, s"malformed PARTITION BY list: $sql")
+            S.splitTopLevel(toks, p + 3, c)
+              .map { case (a, b) => S.textOf(sql, toks, a, b) }
+          } else Seq(S.textOf(sql, toks, p + 2, args(0)._2))
+        (S.textOf(sql, toks, args(0)._1 + 1, p), keys.toList)
+    }
     require(is(args(1)._1, "DESCRIPTOR"),
       s"$fn TVF second argument must be DESCRIPTOR(<time col>): $sql")
     val tsCol = S.textOf(sql, toks, args(1)._1 + 2, args(1)._2 - 1)
@@ -151,6 +170,43 @@ object GroupWindowSql {
            |      FROM (SELECT *, window($tsCol, '$slide').start AS _gw_smax
            |            FROM $src))
            |WHERE $tsCol < _gw_ws + ${ansi(size)})""".stripMargin
+      case "SESSION" =>
+        // SESSION windows merge NEIGHBORING rows within the gap, so
+        // the per-row window is a gaps-and-islands computation, not a
+        // projection (SqlSessionTableFunction; runtime semantics =
+        // the reference's merging session assigner): a row OPENS a
+        // session iff no row of its partition falls in [ts−gap, ts);
+        // the running count of openers is the session id; each
+        // session's window is [min(ts), max(ts)+gap). Every frame is
+        // RANGE-based (peers included), so equal-timestamp rows get
+        // identical opener flags and ids regardless of tie order —
+        // the result is partition-layout deterministic. One shuffle:
+        // the opener pass, id pass, and bounds pass all cluster by
+        // the partition keys (the (keys, id) clustering is satisfied
+        // by the keys partitioning), so Catalyst plans sorts, not
+        // re-shuffles. Keyless SESSION is a single global ordering —
+        // inherently serial, exactly as in the reference.
+        val gap = ansi(duration(toks, args(2)._1, args(2)._2))
+        val pk = partKeys.mkString(", ")
+        val over = if (partKeys.isEmpty) "" else s"PARTITION BY $pk "
+        val sess = if (partKeys.isEmpty) "PARTITION BY _gw_sid"
+                   else s"PARTITION BY $pk, _gw_sid"
+        s"""(SELECT * EXCEPT(_gw_new, _gw_sid),
+           |  min($tsCol) OVER ($sess) AS window_start,
+           |  max($tsCol) OVER ($sess) + $gap AS window_end,
+           |  max($tsCol) OVER ($sess) + $gap
+           |    - INTERVAL '0.001' SECOND AS window_time
+           |FROM (SELECT *, sum(_gw_new) OVER (${over}ORDER BY $tsCol
+           |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        AS _gw_sid
+           |      FROM (SELECT *, CASE WHEN
+           |              count(*) OVER (${over}ORDER BY $tsCol
+           |                RANGE BETWEEN $gap PRECEDING AND CURRENT ROW)
+           |              = count(*) OVER (PARTITION BY ${
+                            if (partKeys.isEmpty) tsCol
+                            else s"$pk, $tsCol"})
+           |            THEN 1 ELSE 0 END AS _gw_new
+           |            FROM $src)))""".stripMargin
     }
     Some((S.Splice(toks(i).start, toks(outerClose).end, repl), outerClose + 1))
   }

@@ -63,4 +63,51 @@ class SqlShellSpec extends AnyFunSuite {
       "SELECT 1 AS one; FROB THE KNOB; SELECT 2 AS two"))
     assert(err.getMessage.contains("statement failed: FROB"), err.getMessage)
   }
+
+  test("SET / RESET session properties (SqlCommandParser SET family)") {
+    val sp = spark
+    import graft.sources.GraftSqlExecutor.executeSql
+    val key = "graft.test.shell.prop"
+    assert(sp.conf.getOption(key).isEmpty)
+    executeSql(sp, s"SET $key=42")
+    assert(sp.conf.get(key) == "42")
+    // quoted spelling, value keeps inner content verbatim
+    executeSql(sp, s"SET '$key'='hello world'")
+    assert(sp.conf.get(key) == "hello world")
+    // bare SET lists client-set properties
+    val listed = executeSql(sp, "SET").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(listed.get(key).contains("hello world"), listed)
+    // a pre-existing conf is RESTORED by RESET, not unset
+    val pre = "spark.sql.shuffle.partitions"
+    val orig = sp.conf.get(pre)
+    executeSql(sp, s"SET $pre=7")
+    assert(sp.conf.get(pre) == "7")
+    executeSql(sp, "RESET")
+    assert(sp.conf.get(pre) == orig)
+    assert(sp.conf.getOption(key).isEmpty, "client-introduced key must unset")
+    // non-assignment SET forms are not this statement — loud
+    val e = intercept[Exception](executeSql(sp, "SET CATALOG somewhere"))
+    assert(e.getMessage.contains("key=value"), e.getMessage)
+    // SHOW MODULES: the default core module, like the reference session
+    assert(executeSql(sp, "SHOW MODULES").collect().map(_.getString(0)).toSeq
+      == Seq("core"))
+  }
+
+  test("SOURCE inlines a script file; self-sourcing is a loud error") {
+    val sp = spark
+    val f = java.nio.file.Files.createTempFile("shell_src", ".sql")
+    java.nio.file.Files.write(f, "SELECT 41 AS x; SELECT 42 AS x;".getBytes)
+    val results = SqlShell.runScript(sp,
+      s"SELECT 40 AS x; SOURCE $f; SELECT 43 AS x")
+    assert(results.map(_._2.collect().head.getInt(0)) == Seq(40, 41, 42, 43))
+    val loop = java.nio.file.Files.createTempFile("shell_loop", ".sql")
+    java.nio.file.Files.write(loop, s"SOURCE $loop;".getBytes)
+    val e = intercept[Exception](SqlShell.runScript(sp, s"SOURCE $loop"))
+    assert(e.getMessage.contains("nesting"), e.getMessage)
+    // a missing file names the SOURCE statement
+    val miss = intercept[RuntimeException](
+      SqlShell.runScript(sp, "SOURCE /no/such/file.sql"))
+    assert(miss.getMessage.contains("statement failed: SOURCE"), miss.getMessage)
+  }
 }

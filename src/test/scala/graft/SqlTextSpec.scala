@@ -131,17 +131,13 @@ class SqlTextSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 5.0 && out(2).getDouble(4) == 7.0)
   }
 
-  test("TUMBLE windowing-TVF rewrites to a window-struct subquery; SESSION TVF refused") {
+  test("TUMBLE windowing-TVF rewrites to a window-struct subquery") {
     val t = GroupWindowSql.rewrite(
       "SELECT window_start, count(*) AS n FROM " +
         "TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
         "GROUP BY window_start")
     assert(t.contains("window(ts, '10 minute').start AS window_start"), t)
     assert(t.contains("FROM src)"), t)
-    val e = intercept[RuntimeException](GroupWindowSql.rewrite(
-      "SELECT * FROM TABLE(SESSION(TABLE src, DESCRIPTOR(ts), " +
-        "INTERVAL '5' MINUTE))"))
-    assert(e.getMessage.contains("GROUP BY SESSION"), e.getMessage)
     // executes end-to-end through spark.sql
     import spark.implicits._
     Seq((1L, "2024-01-01 00:03:00"), (1L, "2024-01-01 00:12:00"))
@@ -156,6 +152,48 @@ class SqlTextSpec extends AnyFunSuite {
     assert(rows(0).getTimestamp(0).toString.startsWith("2024-01-01 00:00"))
     // window_time = end − 1ms (the TVF's rowtime column)
     assert(rows(0).getTimestamp(2).getTime == rows(0).getTimestamp(1).getTime - 1)
+  }
+
+  test("SESSION windowing-TVF: gap merge incl. boundary and ties, per key") {
+    import spark.implicits._
+    // key 1: 00:00, 00:05(=gap boundary → merges), 00:05 (tie),
+    //        00:10:01 (> gap after 00:05 → new session)
+    // key 2: 00:03 alone
+    Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"),
+      (1L, "2024-01-01 00:05:00"), (1L, "2024-01-01 00:10:01"),
+      (2L, "2024-01-01 00:03:00"))
+      .toDF("k", "tss").selectExpr("k", "CAST(tss AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("sess_tvf_spec")
+    val rows = spark.sql(
+      """SELECT k, window_start, window_end, count(*) AS n
+        |FROM TABLE(SESSION(TABLE sess_tvf_spec PARTITION BY k,
+        |                   DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end
+        |ORDER BY k, window_start""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(19),
+        r.getTimestamp(2).toString.take(19), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 3L),
+      (1L, "2024-01-01 00:10:01", "2024-01-01 00:15:01", 1L),
+      (2L, "2024-01-01 00:03:00", "2024-01-01 00:08:00", 1L)), rows.toSeq)
+    // row-level output keeps the source columns and appends the
+    // window triple; window_time = end − 1ms
+    val row = spark.sql(
+      """SELECT k, ts, window_start, window_end, window_time
+        |FROM TABLE(SESSION(TABLE sess_tvf_spec PARTITION BY k,
+        |                   DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |WHERE k = 2""".stripMargin).collect()
+    assert(row.length == 1)
+    assert(row(0).getTimestamp(4).getTime == row(0).getTimestamp(3).getTime - 1)
+    // keyless SESSION: one global timeline
+    val global = spark.sql(
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(SESSION(TABLE sess_tvf_spec, DESCRIPTOR(ts),
+        |                   INTERVAL '5' MINUTE))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin).collect()
+    // 00:00..00:05,00:05,00:03 chain; 00:10:01 > 00:05+5m → second session
+    assert(global.map(_.getLong(1)).toSeq == Seq(4L, 1L), global.toSeq)
   }
 
   test("HOP windowing-TVF replicates each row into ceil(size/slide) windows") {

@@ -1242,4 +1242,64 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"FIRST/LAST should be the null boundary values: $r")
     assert(r.getAs[Long]("n_nonnull") == 1L)
   }
+
+  test("UpsertSink: upsert/delete merge, seq resolution, bucket pruning") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_spec").toString
+    val N = 8
+    def msg(key: Long, seq: Long, upsert: Boolean, v: Double) =
+      (key, seq, upsert, v)
+    def df(rows: (Long, Long, Boolean, Double)*) =
+      rows.toDF("key", "seq", "upsert", "v")
+    def table() = graft.operators.UpsertSink.read(sp, dir)
+      .select("key", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import graft.operators.UpsertSink.applyBatch
+    // batch 1: three keys
+    applyBatch(sp, df(msg(1, 10, true, 1.0), msg(2, 10, true, 2.0),
+      msg(3, 10, true, 3.0)), dir, Seq("key"), Seq("seq"), "upsert", N)
+    assert(table() == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // record per-bucket file listings to prove pruning later
+    def bucketFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+    // batch 2: delete key 1 (newer seq), LATE update for key 2 with an
+    // OLDER seq than stored (must lose), new key 4; key 3 untouched
+    Thread.sleep(5) // ensure mtime moves for rewritten files
+    applyBatch(sp, df(msg(1, 20, false, 0.0), msg(2, 5, true, 99.0),
+      msg(4, 20, true, 4.0)), dir, Seq("key"), Seq("seq"), "upsert", N)
+    assert(table() == Map(2L -> 2.0, 3L -> 3.0, 4L -> 4.0), table())
+    // buckets whose keys were NOT in batch 2 kept their exact files —
+    // per-batch cost is touched-buckets only, never the whole table
+    val touched = Seq(1L, 2L, 4L).map(k =>
+      df(msg(k, 0, true, 0.0)).select(
+        pmod(hash(col("key")), lit(N))).head.getInt(0))
+      .map(b => s"bucket=$b").toSet
+    val after = bucketFiles()
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "test needs at least one untouched bucket")
+    untouched.foreach { b =>
+      assert(after(b) == before(b), s"$b was rewritten without being touched")
+    }
+    // within-batch resolution: two messages for one key, max seq wins
+    applyBatch(sp, df(msg(5, 2, true, 5.2), msg(5, 3, true, 5.3),
+      msg(5, 1, true, 5.1)), dir, Seq("key"), Seq("seq"), "upsert", N)
+    assert(table()(5L) == 5.3)
+    // streaming path end-to-end (foreachBatch): re-deliver an already
+    // applied batch — idempotent, table unchanged
+    val snapshot = table()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Boolean, Double)]
+    input.addData(Seq(msg(1, 20, false, 0.0), msg(2, 5, true, 99.0)))
+    graft.operators.UpsertSink.run(sp,
+      input.toDF.toDF("key", "seq", "upsert", "v"), dir,
+      Seq("key"), Seq("seq"), "upsert", N)
+    assert(table() == snapshot, "redelivery must be a no-op")
+  }
 }
