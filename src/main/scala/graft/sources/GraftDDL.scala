@@ -599,6 +599,8 @@ object GraftDDL {
 
   private val explainRe =
     """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(SELECT\s+.+)\s*;?\s*""".r
+  private val explainDetailRe =
+    """(?is)\s*EXPLAIN\s+(CHANGELOG_MODE|ESTIMATED_COST)\s+((?:SELECT|WITH)\s+.+)\s*;?\s*""".r
   private val explainInsertRe =
     """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+)\s*;?\s*""".r
   private val explainSetRe =
@@ -617,6 +619,18 @@ object GraftDDL {
     * one such section per member statement. Nothing executes and no
     * file is written — explain is plan-only, like the reference. */
   def executeExplain(spark: SparkSession, stmt: String): String = stmt match {
+    case explainDetailRe(detail, query) =>
+      // ExplainDetail.java:30/:36 — the reference's
+      // `explainSql(sql, ESTIMATED_COST | CHANGELOG_MODE)`:
+      // ESTIMATED_COST = per-node stats on the optimized plan (Spark's
+      // cost mode, fed by the same CBO stats WarehouseStats seeds);
+      // CHANGELOG_MODE = per-node I/UA/D derivation, the
+      // FlinkChangelogModeInferenceProgram analog
+      if (detail.equalsIgnoreCase("ESTIMATED_COST"))
+        spark.sql(query).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("cost"))
+      else
+        graft.plans.ChangelogInference.explain(spark.sql(query))
     case explainInsertRe(mode, name, query) =>
       val b = Option(sinks.get(name.toLowerCase)).getOrElse(
         sys.error(s"EXPLAIN INSERT target '$name' has no CREATE TABLE binding"))

@@ -487,6 +487,53 @@ class SqlTextSpec extends AnyFunSuite {
     assert(e.getMessage.contains("trailing"), e.getMessage)
   }
 
+  test("EXPLAIN CHANGELOG_MODE / ESTIMATED_COST (ExplainDetail analog)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.plans.ChangelogInference
+    // batch: insert-only end to end, like the reference
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("cm_batch")
+    val batch = ChangelogInference.explain(
+      spark.sql("SELECT k, sum(v) AS sv FROM cm_batch GROUP BY k"))
+    assert(batch.linesIterator.forall(_.endsWith("changelogMode=[I]")), batch)
+    // streaming source with watermark
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF.toDF("k", "ts", "v").withWatermark("ts", "1 minute")
+    // unbounded group agg over an insert-only input: {I, UA}
+    assert(ChangelogInference.rootMode(
+      stream.groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))) ==
+      "[I,UA]")
+    // agg over an UPDATING input adds D (the reference's exact rule)
+    val aggOfAgg = stream.groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+      .groupBy("sv").count()
+    assert(ChangelogInference.rootMode(aggOfAgg) == "[I,UA,D]")
+    // windowed aggregate emits at close: insert-only, named in the tree
+    val windowed = stream.groupBy(
+      org.apache.spark.sql.functions.window($"ts", "10 minutes"), $"k").count()
+    assert(ChangelogInference.rootMode(windowed) == "[I]")
+    assert(ChangelogInference.explain(windowed).contains("WindowAggregate"),
+      ChangelogInference.explain(windowed))
+    // inner join of two insert-only streams forwards I; outer retracts
+    val s2 = mem.toDF.toDF("k", "ts2", "v2").withWatermark("ts2", "1 minute")
+    assert(ChangelogInference.rootMode(stream.join(s2, "k")) == "[I]")
+    assert(ChangelogInference.rootMode(
+      stream.join(s2, Seq("k"), "left_outer")) == "[I,UA,D]")
+    // dedup keep-first is insert-only
+    assert(ChangelogInference.rootMode(stream.dropDuplicates("k")) == "[I]")
+    // the statement-door spellings
+    import graft.sources.GraftSqlExecutor.executeSql
+    val cm = executeSql(spark,
+      "EXPLAIN CHANGELOG_MODE SELECT k, sum(v) AS sv FROM cm_batch GROUP BY k")
+      .collect().head.getString(0)
+    assert(cm.contains("changelogMode=[I]"), cm)
+    val cost = executeSql(spark,
+      "EXPLAIN ESTIMATED_COST SELECT k, sum(v) AS sv FROM cm_batch GROUP BY k")
+      .collect().head.getString(0)
+    assert(cost.contains("Statistics(") && cost.contains("sizeInBytes"), cost)
+  }
+
   test("GraftSqlExecutor: one entry point drives every statement kind") {
     import graft.sources.GraftSqlExecutor.executeSql
     val d = java.nio.file.Files.createTempDirectory("exec_spec").toString
