@@ -88,6 +88,13 @@ object GroupWindowSql {
     * in a FROM clause → a subquery appending the TVF's window_start /
     * window_end / window_time columns via Spark's window() struct.
     *
+    * BATCH-side only: extracting `window(ts, …).start` in a projection
+    * severs Spark's watermark linkage, so a downstream streaming
+    * `GROUP BY window_start` is rejected at start (probed — the
+    * analyzer accepts, `writeStream.start` refuses the output mode).
+    * On a stream, use the `GROUP BY TUMBLE/HOP/SESSION(…)` spelling,
+    * which plans the incremental windowed aggregation (st32/st35).
+    *
     * TUMBLE assigns exactly one window per row, so the mapping is a
     * projection. HOP replicates each row into ceil(size/slide)
     * windows: the rewrite anchors the latest slide-aligned start with

@@ -27,6 +27,25 @@ class PlanSpec extends AnyFunSuite {
       s"projection not pruned:\n$scan")
   }
 
+  test("SESSION TVF plans ONE clustering shuffle (window passes reuse it)") {
+    // the gaps-and-islands rewrite runs three window passes (opener,
+    // session id, bounds); the opener/id passes cluster on the PTF
+    // keys and the bounds pass on (keys, session id) — hash
+    // partitioning on the keys satisfies the (keys, id) clustering,
+    // so EnsureRequirements must insert exactly one hashpartitioning
+    // Exchange for the whole chain (sorts, not re-shuffles)
+    Tables(spark, dir, "events").createOrReplaceTempView("plan_sess_events")
+    val df = spark.sql(
+      """SELECT user_id, window_start, window_end
+        |FROM TABLE(SESSION(TABLE plan_sess_events PARTITION BY user_id,
+        |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))""".stripMargin)
+    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1,
+      s"expected 1 clustering shuffle, got ${exchanges.size}:\n" +
+        exchanges.mkString("\n"))
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val q = SparkEntry.queries("j7_broadcast_lookup")(spark, dir)
     val plan = planOf(q)
