@@ -769,5 +769,68 @@ object TextOps extends QueryGroup {
         .filter(col("qbin") >= col("tbin"))
         .select("doc_id", "qbin", "n_tok")
         .orderBy("doc_id")
+    },
+
+    // Model-based quality filtering (the fastText/logreg quality
+    // classifier every large corpus pipeline runs — e.g. the CCNet /
+    // GPT-3 "quality classifier" gate): per-document features →
+    // sigmoid(w·x + b) → keep above threshold. The weight vector is a
+    // broadcast-scale constant (a trained model's coefficients would
+    // arrive the same way); scoring is a map-only codegen'd
+    // projection — zero shuffles, cost ∝ corpus scan, embarrassingly
+    // parallel at any executor count.
+    q("x28_classifier_filter",
+      s"""SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id,
+         |    1.0 / (1.0 + exp(-(
+         |      2.5 * (len(list_filter($toksSql, x -> x IN ('the', 'a'))) * 1.0 / len($toksSql))
+         |      - 3.0 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))
+         |      + 0.4 * ln(1.0 + length(text)) - 2.0))) AS score
+         |  FROM documents) t
+         |WHERE score >= 0.5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = tokens(col("text"))
+      val stopRatio =
+        size(filter(tk, x => x.isin("the", "a"))).cast(DoubleType) / size(tk)
+      val digitRatio =
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+          length(col("text"))
+      val z = lit(2.5) * stopRatio - lit(3.0) * digitRatio +
+        lit(0.4) * log(lit(1.0) + length(col("text"))) - lit(2.0)
+      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      t(s, dir)("documents")
+        .select(col("doc_id"), score.as("score"))
+        .filter(col("score") >= 0.5)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Context-window chunking with overlap (long documents → training
+    // sequences of C tokens, stride S < C so consecutive chunks share
+    // C−S tokens — the fixed-context chunking step between tokenization
+    // and batching). Chunk k covers tokens [kS, kS+C); every token
+    // position starts < n begins a chunk. Map-only fan-out of ~n/S
+    // rows per document — no shuffle, no state; the explode stays
+    // inside the scan's partition.
+    q("x29_chunk_overlap",
+      s"""SELECT doc_id, k AS chunk_id,
+         |  len($toksSql[k * 48 + 1 : k * 48 + 64]) AS n_tok,
+         |  $toksSql[k * 48 + 1] AS first_tok
+         |FROM documents,
+         |  unnest(generate_series(0, (len($toksSql) - 1) // 48)) AS u(k)
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val C = 64
+      val S = 48
+      t(s, dir)("documents")
+        .select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          posexplode(sequence(lit(0), floor((size(col("_toks")) - 1) / S)))
+            .as(Seq("k", "_drop")))
+        .select(
+          col("doc_id"),
+          col("k").as("chunk_id"),
+          size(slice(col("_toks"), col("k") * S + 1, lit(C))).as("n_tok"),
+          element_at(col("_toks"), (col("k") * S + 1).cast(IntegerType))
+            .as("first_tok"))
+        .orderBy("doc_id", "chunk_id")
     })
 }
