@@ -92,26 +92,36 @@ object UpsertSink {
         withBucket.schema)
     val rank = Window.partitionBy(keyExprs: _*)
       .orderBy(seqCols.map(col(_).desc): _*)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val merged = existing.union(withBucket)
       .withColumn("_rn", row_number().over(rank))
       .where(col("_rn") === 1 && col(flagCol))
       .drop("_rn", flagCol)
       // cut lineage: the overwrite below must not read its own target
       .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(tablePath)
-    // dynamic overwrite only replaces partitions PRESENT in the write:
-    // a bucket whose last row was deleted writes nothing and would
-    // keep its stale files — remove emptied bucket dirs explicitly
-    val written = merged.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val root = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(written).foreach { b =>
-      val d = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
-      if (fs.exists(d)) fs.delete(d, true)
+    try {
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(tablePath)
+      // dynamic overwrite only replaces partitions PRESENT in the write:
+      // a bucket whose last row was deleted writes nothing and would
+      // keep its stale files — remove emptied bucket dirs explicitly
+      val written = merged.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(written).foreach { b =>
+        val d = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+    } finally {
+      // release THIS batch's checkpoint blocks — over a long stream
+      // they would otherwise accumulate one per batch (same hygiene
+      // as GraphOps' in-loop superstep release)
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- persistedBefore)
+        .foreach(id => live.get(id).foreach(_.unpersist(false)))
     }
   }
 
