@@ -23,18 +23,30 @@ import org.apache.spark.sql.functions._
   *    the bucket directory layout), and the write side replaces only
   *    those directories (dynamic partition overwrite). Per-batch cost
   *    is O(batch + touched_buckets · table/N), never O(table).
+  *    The bucket count is pinned in a metadata file at the table root
+  *    on first write and validated every batch — a mismatched count
+  *    would silently strand rows in unprobed buckets.
   *  - Conflict resolution is SEQUENCE-based, not arrival-based: every
   *    message carries ordering columns (event time + tiebreaker), the
-  *    stored row keeps them, and merge keeps the per-key max. Late or
-  *    redelivered messages therefore converge to the same table —
-  *    the merge is idempotent and commutative, which also makes the
-  *    foreachBatch retry semantics (at-least-once) safe.
+  *    stored row keeps them, and merge keeps the per-key max.
+  *    DELETES persist as tombstones (the stored row with flag=false),
+  *    so a late or redelivered upsert with an older sequence than an
+  *    applied delete loses to the tombstone instead of resurrecting
+  *    the key — the merge is idempotent and commutative, which also
+  *    makes foreachBatch's at-least-once retry semantics safe.
+  *    Tombstones cost one row per deleted key; a periodic compaction
+  *    (rewrite buckets dropping tombstones older than the maximum
+  *    admissible lateness) reclaims them without changing semantics.
   *  - The merged result is localCheckpoint'ed before the overwrite:
   *    Spark refuses a write whose lineage reads the path being
   *    overwritten; cutting the lineage materializes only the touched
-  *    buckets, keeping the staging cost proportional to the batch.
+  *    buckets. The checkpoint blocks are released as soon as the
+  *    write commits (per-batch, like GraphOps' superstep release),
+  *    targeted at this batch's own RDD — never a session-global sweep.
   */
 object UpsertSink {
+
+  private val metaFile = "_graft_buckets"
 
   /** Apply a bounded changelog stream to the keyed table at
     * `tablePath`, micro-batch by micro-batch, and block until drained.
@@ -61,11 +73,40 @@ object UpsertSink {
     try q.processAllAvailable() finally q.stop()
   }
 
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Pin numBuckets on first write; fail loudly on a later mismatch
+    * (rows would hash to buckets the merge never probes). */
+  private def checkBuckets(spark: SparkSession, tablePath: String,
+                           numBuckets: Int): Unit = {
+    val (fs, root) = fsOf(spark, tablePath)
+    val m = new org.apache.hadoop.fs.Path(root, metaFile)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      val stored =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(stored == numBuckets,
+        s"UpsertSink at $tablePath was built with numBuckets=$stored; " +
+          s"got $numBuckets — a mismatched bucket count would strand " +
+          "stored rows in buckets the merge never reads")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(m, true)
+      try out.write(numBuckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** One micro-batch merge (also the unit the spec drives directly). */
   def applyBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
                  keyCols: Seq[String], seqCols: Seq[String],
                  flagCol: String, numBuckets: Int): Unit = {
     if (batch.isEmpty) return
+    checkBuckets(spark, tablePath, numBuckets)
     val keyExprs = keyCols.map(col)
     val withBucket = batch.withColumn("bucket",
       pmod(hash(keyExprs: _*), lit(numBuckets)))
@@ -74,58 +115,47 @@ object UpsertSink {
     val touched = withBucket.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val exists = {
-      val p = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // at least one bucket directory (a root holding only _SUCCESS
-      // markers — e.g. after every key was deleted — has no schema)
+      val (fs, p) = fsOf(spark, tablePath)
       fs.exists(p) &&
         fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
     }
+    // the store carries flagCol: tombstones are rows with flag=false
     val existing =
       if (exists)
         spark.read.parquet(tablePath)
           .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
-          .withColumn(flagCol, lit(true))
           .select(withBucket.columns.map(col): _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         withBucket.schema)
     val rank = Window.partitionBy(keyExprs: _*)
       .orderBy(seqCols.map(col(_).desc): _*)
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val merged = existing.union(withBucket)
       .withColumn("_rn", row_number().over(rank))
-      .where(col("_rn") === 1 && col(flagCol))
-      .drop("_rn", flagCol)
+      .where(col("_rn") === 1)
+      .drop("_rn")
       // cut lineage: the overwrite below must not read its own target
       .localCheckpoint(true)
-    try {
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(tablePath)
-      // dynamic overwrite only replaces partitions PRESENT in the write:
-      // a bucket whose last row was deleted writes nothing and would
-      // keep its stale files — remove emptied bucket dirs explicitly
-      val written = merged.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      val root = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(written).foreach { b =>
-        val d = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
-        if (fs.exists(d)) fs.delete(d, true)
-      }
-    } finally {
-      // release THIS batch's checkpoint blocks — over a long stream
-      // they would otherwise accumulate one per batch (same hygiene
-      // as GraphOps' in-loop superstep release)
-      val live = spark.sparkContext.getPersistentRDDs
-      (live.keySet -- persistedBefore)
-        .foreach(id => live.get(id).foreach(_.unpersist(false)))
+    // this batch's own checkpoint RDD (not a session-global diff —
+    // concurrent queries may be checkpointing their own blocks)
+    val ckptRdds = merged.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+    try merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(tablePath)
+    finally ckptRdds.foreach(_.unpersist(false))
+    // every touched key retains a winner row (tombstones persist), so
+    // every touched bucket is present in the write — dynamic overwrite
+    // covers them all; no emptied-directory case remains
   }
 
-  /** The materialized table (without the internal bucket column). */
-  def read(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(tablePath).drop("bucket")
+  /** The materialized table: live rows only (tombstones filtered),
+    * without the internal bucket column. */
+  def read(spark: SparkSession, tablePath: String,
+           flagCol: String = "upsert"): DataFrame =
+    spark.read.parquet(tablePath)
+      .where(col(flagCol))
+      .drop("bucket", flagCol)
 }

@@ -62,16 +62,28 @@ object ChangelogInference {
   private val IU = Mode(i = true, u = true, d = false)
   private val ALL = Mode(i = true, u = true, d = true)
 
-  /** A window-struct grouping column (TimeWindowing's window /
-    * session_window struct): struct of timestamp start/end. */
-  private def isWindowGroup(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    e.dataType match {
+  /** A window-struct grouping column produced by Spark's
+    * TimeWindowing/SessionWindowing rules: the generated attribute is
+    * named `window`/`session_window` AND has the timestamp
+    * start/end struct shape. Both checks — shape alone would
+    * misclassify a user-built struct of two timestamps (e.g.
+    * (valid_from, valid_to)) as a time window and report an unbounded
+    * aggregate as insert-only. */
+  private def isWindowGroup(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    val windowShaped = e.dataType match {
       case s: StructType =>
         s.fieldNames.contains("start") && s.fieldNames.contains("end") &&
           s.fields.forall(f => f.dataType == TimestampType ||
             f.dataType == TimestampNTZType)
       case _ => false
     }
+    val windowNamed = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        a.name == "window" || a.name == "session_window"
+      case _ => false
+    }
+    windowShaped && windowNamed
+  }
 
   /** Bottom-up mode derivation for one node. */
   private def modeOf(plan: LogicalPlan, children: Seq[Mode]): Mode = {
@@ -111,17 +123,24 @@ object ChangelogInference {
     case _ => plan.nodeName
   }
 
-  /** Annotated tree: every node rendered with its changelog mode. */
-  def explain(df: DataFrame): String = {
-    val sb = new StringBuilder
+  /** Bottom-up derivation of every node's mode (shared by the tree
+    * rendering and the root query). */
+  private def derive(root: LogicalPlan): java.util.IdentityHashMap[LogicalPlan, Mode] = {
     val memo = new java.util.IdentityHashMap[LogicalPlan, Mode]()
     def fill(plan: LogicalPlan): Mode = {
       val m = modeOf(plan, plan.children.map(fill))
       memo.put(plan, m)
       m
     }
-    val root = df.queryExecution.analyzed
     fill(root)
+    memo
+  }
+
+  /** Annotated tree: every node rendered with its changelog mode. */
+  def explain(df: DataFrame): String = {
+    val sb = new StringBuilder
+    val root = df.queryExecution.analyzed
+    val memo = derive(root)
     def render(plan: LogicalPlan, depth: Int): Unit = {
       val cols = plan.output.take(4).map(_.name).mkString(", ") +
         (if (plan.output.size > 4) ", ..." else "")
@@ -138,8 +157,7 @@ object ChangelogInference {
 
   /** The root's mode (what a sink of this query must accept). */
   def rootMode(df: DataFrame): String = {
-    def fill(plan: LogicalPlan): Mode =
-      modeOf(plan, plan.children.map(fill))
-    fill(df.queryExecution.analyzed).render
+    val root = df.queryExecution.analyzed
+    derive(root).get(root).render
   }
 }

@@ -31,33 +31,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * PRE-SET value so `RESET` restores exactly the properties the
   * client changed — never a blanket reset of engine defaults (the
   * reference resets the session's environment to its defaults the
-  * same way: only client-made changes are undone). */
+  * same way: only client-made changes are undone). Tracking is keyed
+  * per SparkSession (RuntimeConfig is per-session state; a JVM-global
+  * map would let one session's RESET restore another's values). */
 object SqlSessionConfig {
   import scala.jdk.CollectionConverters._
-  private val prior =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  private val bySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Option[String]]]())
+
+  private def prior(spark: SparkSession) =
+    bySession.synchronized {
+      bySession.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Option[String]]())
+    }
 
   def set(spark: SparkSession, key: String, value: String): Unit = {
+    val p = prior(spark)
+    val old = spark.conf.getOption(key)
+    // conf.set FIRST: a static/non-modifiable conf throws here, and
+    // must not be recorded as client-set (a poisoned entry would make
+    // every later RESET re-throw on the same key)
+    spark.conf.set(key, value)
     // remember the first pre-SET value only: SET a=1; SET a=2; RESET
     // must restore the original, not 1
-    prior.putIfAbsent(key, spark.conf.getOption(key))
-    spark.conf.set(key, value) // static/non-modifiable confs fail loudly here
+    p.putIfAbsent(key, old)
   }
 
   /** The client-set properties with their CURRENT values (bare `SET`). */
   def entries(spark: SparkSession): Seq[(String, String)] =
-    prior.keySet().asScala.toSeq.sorted
+    prior(spark).keySet().asScala.toSeq.sorted
       .map(k => k -> spark.conf.getOption(k).getOrElse(""))
+
+  private def restore(spark: SparkSession, k: String,
+                      old: Option[String]): Unit = old match {
+    case Some(v) => spark.conf.set(k, v)
+    case None    => spark.conf.unset(k)
+  }
 
   /** Restore every client-set property; returns how many. */
   def reset(spark: SparkSession): Int = {
-    val snapshot = prior.asScala.toMap
-    snapshot.foreach {
-      case (k, Some(old)) => spark.conf.set(k, old)
-      case (k, None)      => spark.conf.unset(k)
-    }
-    snapshot.keys.foreach(prior.remove)
+    val p = prior(spark)
+    val snapshot = p.asScala.toMap
+    snapshot.foreach { case (k, old) => restore(spark, k, old) }
+    snapshot.keys.foreach(p.remove)
     snapshot.size
+  }
+
+  /** Restore ONE client-set property (`RESET key` — the later
+    * clients' per-key form); a key the client never set is loud. */
+  def reset(spark: SparkSession, key: String): Unit = {
+    val p = prior(spark)
+    val old = Option(p.get(key)).getOrElse(sys.error(
+      s"RESET '$key': not a client-set property (only properties " +
+        "changed via SET can be reset)"))
+    restore(spark, key, old)
+    p.remove(key)
   }
 }
 
@@ -168,40 +197,47 @@ object GraftSqlExecutor {
       case ("SET", _) =>
         // SqlCommandParser.java:287 — `SET` lists the client-set
         // properties; `SET key=value` sets one (key may be the later
-        // quoted spelling `'key'='value'`). `SET CATALOG` and similar
+        // quoted spelling `'key'='value'`). Parsed from the TOKEN
+        // stream, so trailing comments never leak into the value and
+        // '' escapes unquote correctly. `SET CATALOG` and similar
         // non-assignment forms are not this statement — fail loudly
         // (the reference's client rejects them the same way).
-        val rest = stmt.trim.stripSuffix(";").trim
-          .replaceFirst("(?is)^SET\\b", "").trim
-        if (rest.isEmpty) {
+        val body = toks.drop(1).filterNot(t => t.kind == S.Sym && t.text == ";")
+        if (body.isEmpty) {
           import spark.implicits._
           SqlSessionConfig.entries(spark).toDF("key", "value")
         } else {
-          val eq = {
-            var i = 0; var inQ = false; var at = -1
-            while (i < rest.length && at < 0) {
-              val c = rest.charAt(i)
-              if (c == '\'') inQ = !inQ
-              else if (c == '=' && !inQ) at = i
-              i += 1
-            }
-            at
+          val eqIdx = body.indexWhere(t => t.kind == S.Sym && t.text == "=")
+          require(eqIdx > 0 && eqIdx < body.length - 1,
+            s"SET takes key=value: $stmt")
+          def span(ts: Vector[S.Tok]): String = {
+            require(ts.nonEmpty, s"SET takes key=value: $stmt")
+            if (ts.length == 1 && ts.head.kind == S.Str)
+              ts.head.text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+            else stmt.substring(ts.head.start, ts.last.end)
           }
-          require(eq > 0, s"SET takes key=value: $stmt")
-          def unq(s: String) =
-            if (s.length >= 2 && s.head == '\'' && s.last == '\'')
-              s.substring(1, s.length - 1)
-            else s
-          val key = unq(rest.take(eq).trim)
-          val value = unq(rest.drop(eq + 1).trim)
+          val key = span(body.take(eqIdx))
+          val value = span(body.drop(eqIdx + 1))
           require(key.nonEmpty && !key.exists(_.isWhitespace),
             s"SET key must be a single property name: $stmt")
           SqlSessionConfig.set(spark, key, value)
           status(spark, Seq(s"$key=$value"))
         }
       case ("RESET", _) =>
-        val n = SqlSessionConfig.reset(spark)
-        status(spark, Seq(s"$n propert${if (n == 1) "y" else "ies"} reset"))
+        val body = toks.drop(1).filterNot(t => t.kind == S.Sym && t.text == ";")
+        if (body.isEmpty) {
+          val n = SqlSessionConfig.reset(spark)
+          status(spark, Seq(s"$n propert${if (n == 1) "y" else "ies"} reset"))
+        } else {
+          // per-key form (the later clients' `RESET 'key'`): reset
+          // exactly the named property, loud if it was never SET
+          val key =
+            if (body.length == 1 && body.head.kind == S.Str)
+              body.head.text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+            else stmt.substring(body.head.start, body.last.end)
+          SqlSessionConfig.reset(spark, key)
+          status(spark, Seq(s"$key reset"))
+        }
       case ("SELECT", _) | ("WITH", _) | ("VALUES", _) | ("TABLE", _) =>
         if (isMatchRecognize(toks)) MatchRecognizeSql.sql(spark, stmt)
         else spark.sql(stmt)

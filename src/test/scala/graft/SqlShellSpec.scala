@@ -86,6 +86,23 @@ class SqlShellSpec extends AnyFunSuite {
     executeSql(sp, "RESET")
     assert(sp.conf.get(pre) == orig)
     assert(sp.conf.getOption(key).isEmpty, "client-introduced key must unset")
+    // token-based parse: trailing comments never leak into the value
+    executeSql(sp, s"SET $key=7 -- a note")
+    assert(sp.conf.get(key) == "7")
+    // per-key RESET restores exactly that property
+    executeSql(sp, s"SET $key=8")
+    executeSql(sp, "SET graft.test.shell.other=9")
+    executeSql(sp, s"RESET $key")
+    assert(sp.conf.getOption(key).isEmpty)
+    assert(sp.conf.get("graft.test.shell.other") == "9")
+    val er = intercept[Exception](executeSql(sp, "RESET graft.never.set"))
+    assert(er.getMessage.contains("not a client-set"), er.getMessage)
+    executeSql(sp, "RESET")
+    // a failed SET of a non-modifiable conf must not poison RESET
+    val es = intercept[Exception](
+      executeSql(sp, "SET spark.sql.warehouse.dir=/tmp/elsewhere"))
+    assert(es.getMessage.toLowerCase.contains("modif"), es.getMessage)
+    executeSql(sp, "RESET") // must not throw on the failed key
     // non-assignment SET forms are not this statement — loud
     val e = intercept[Exception](executeSql(sp, "SET CATALOG somewhere"))
     assert(e.getMessage.contains("key=value"), e.getMessage)

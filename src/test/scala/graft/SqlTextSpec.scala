@@ -522,6 +522,14 @@ class SqlTextSpec extends AnyFunSuite {
       stream.join(s2, Seq("k"), "left_outer")) == "[I,UA,D]")
     // dedup keep-first is insert-only
     assert(ChangelogInference.rootMode(stream.dropDuplicates("k")) == "[I]")
+    // a USER struct of two timestamps is NOT a time window — grouping
+    // by it is an unbounded aggregate, not a windowed one
+    val userStruct = stream.select($"k", $"v",
+      org.apache.spark.sql.functions.struct(
+        $"ts".as("start"), $"ts".as("end")).as("validity"))
+      .groupBy("validity").count()
+    assert(ChangelogInference.rootMode(userStruct) == "[I,UA]",
+      ChangelogInference.explain(userStruct))
     // the statement-door spellings
     import graft.sources.GraftSqlExecutor.executeSql
     val cm = executeSql(spark,

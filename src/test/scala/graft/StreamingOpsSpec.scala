@@ -1290,6 +1290,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     applyBatch(sp, df(msg(5, 2, true, 5.2), msg(5, 3, true, 5.3),
       msg(5, 1, true, 5.1)), dir, Seq("key"), Seq("seq"), "upsert", N)
     assert(table()(5L) == 5.3)
+    // tombstone: a LATE upsert with an older seq than the applied
+    // delete (key 1 was deleted at seq 20) must NOT resurrect the key
+    applyBatch(sp, df(msg(1, 15, true, 1.5)), dir,
+      Seq("key"), Seq("seq"), "upsert", N)
+    assert(!table().contains(1L),
+      "late pre-delete upsert resurrected a deleted key")
+    // a genuinely newer upsert re-creates it past the tombstone
+    applyBatch(sp, df(msg(1, 30, true, 1.9)), dir,
+      Seq("key"), Seq("seq"), "upsert", N)
+    assert(table()(1L) == 1.9)
+    // a mismatched bucket count fails loudly instead of stranding rows
+    val eb = intercept[Exception](applyBatch(sp, df(msg(9, 1, true, 9.0)),
+      dir, Seq("key"), Seq("seq"), "upsert", N + 1))
+    assert(eb.getMessage.contains("numBuckets"), eb.getMessage)
     // streaming path end-to-end (foreachBatch): re-deliver an already
     // applied batch — idempotent, table unchanged
     val snapshot = table()
