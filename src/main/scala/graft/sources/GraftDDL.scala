@@ -601,6 +601,8 @@ object GraftDDL {
     """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(SELECT\s+.+)\s*;?\s*""".r
   private val explainDetailRe =
     """(?is)\s*EXPLAIN\s+(CHANGELOG_MODE|ESTIMATED_COST)\s+((?:SELECT|WITH)\s+.+)\s*;?\s*""".r
+  private val explainDetailInsertRe =
+    """(?is)\s*EXPLAIN\s+(CHANGELOG_MODE|ESTIMATED_COST)\s+INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+)\s*;?\s*""".r
   private val explainInsertRe =
     """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+)\s*;?\s*""".r
   private val explainSetRe =
@@ -619,6 +621,21 @@ object GraftDDL {
     * one such section per member statement. Nothing executes and no
     * file is written — explain is plan-only, like the reference. */
   def executeExplain(spark: SparkSession, stmt: String): String = stmt match {
+    case explainDetailInsertRe(detail, mode, name, query) =>
+      // the reference explains DML with details too: sink header (the
+      // sink consumes the query root's changelog mode) + detailed plan
+      val b = Option(sinks.get(name.toLowerCase)).getOrElse(
+        sys.error(s"EXPLAIN INSERT target '$name' has no CREATE TABLE binding"))
+      val sinkMode =
+        if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append"
+      val head = if (detail.equalsIgnoreCase("CHANGELOG_MODE"))
+        s"== Sink ==\nInsert $name [path=${b.path}, format=${b.format}, " +
+          s"mode=$sinkMode, accepts=" +
+          s"${graft.plans.ChangelogInference.rootMode(spark.sql(query))}]\n\n"
+      else
+        s"== Sink ==\nInsert $name [path=${b.path}, format=${b.format}, " +
+          s"mode=$sinkMode]\n\n"
+      head + executeExplain(spark, s"EXPLAIN $detail $query")
     case explainDetailRe(detail, query) =>
       // ExplainDetail.java:30/:36 — the reference's
       // `explainSql(sql, ESTIMATED_COST | CHANGELOG_MODE)`:

@@ -111,6 +111,24 @@ class SqlShellSpec extends AnyFunSuite {
       == Seq("core"))
   }
 
+  test("QUIT stops the whole script (even from a SOURCE'd file); HELP/CLEAR") {
+    val sp = spark
+    val results = SqlShell.runScript(sp,
+      "SELECT 1 AS x; HELP; CLEAR; QUIT; SELECT 2 AS x")
+    // the statement after QUIT never ran
+    assert(results.length == 4, results.map(_._1))
+    assert(results(1)._2.columns.toSeq == Seq("command"))
+    assert(results(1)._2.count() >= 5)
+    assert(results.last._1.equalsIgnoreCase("QUIT"))
+    // EXIT inside a SOURCE'd file exits the OUTER script too, like the
+    // reference client exiting entirely
+    val f = java.nio.file.Files.createTempFile("shell_quit", ".sql")
+    java.nio.file.Files.write(f, "SELECT 10 AS x; EXIT;".getBytes)
+    val r2 = SqlShell.runScript(sp, s"SELECT 9 AS x; SOURCE $f; SELECT 11 AS x")
+    assert(r2.length == 3, r2.map(_._1))
+    assert(r2.last._1.equalsIgnoreCase("EXIT"))
+  }
+
   test("SOURCE inlines a script file; self-sourcing is a loud error") {
     val sp = spark
     val f = java.nio.file.Files.createTempFile("shell_src", ".sql")

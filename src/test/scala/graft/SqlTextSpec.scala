@@ -540,6 +540,18 @@ class SqlTextSpec extends AnyFunSuite {
       "EXPLAIN ESTIMATED_COST SELECT k, sum(v) AS sv FROM cm_batch GROUP BY k")
       .collect().head.getString(0)
     assert(cost.contains("Statistics(") && cost.contains("sizeInBytes"), cost)
+    // DML form: sink header (with the mode the sink must accept) + plan
+    val d = java.nio.file.Files.createTempDirectory("cm_ins").toString
+    executeSql(spark,
+      s"""CREATE TABLE cm_ins_t (k BIGINT, sv DOUBLE)
+         |WITH ('connector'='filesystem','path'='$d','format'='parquet')""".stripMargin)
+    val dml = executeSql(spark,
+      "EXPLAIN CHANGELOG_MODE INSERT INTO cm_ins_t " +
+        "SELECT k, sum(v) AS sv FROM cm_batch GROUP BY k")
+      .collect().head.getString(0)
+    assert(dml.contains("== Sink ==") && dml.contains("accepts=[I]"), dml)
+    assert(dml.contains("changelogMode=[I]"), dml)
+    executeSql(spark, "DROP TABLE cm_ins_t")
   }
 
   test("GraftSqlExecutor: one entry point drives every statement kind") {
