@@ -158,4 +158,60 @@ object UpsertSink {
     spark.read.parquet(tablePath)
       .where(col(flagCol))
       .drop("bucket", flagCol)
+
+  /** Tombstone compaction: rewrite the store dropping delete
+    * tombstones whose ordering columns are at or below `seqFloor` —
+    * safe once the floor exceeds the maximum admissible lateness (no
+    * message at or below it can still arrive, so nothing remains for
+    * those tombstones to outrank). Live rows are untouched; buckets
+    * holding no expired tombstone are not rewritten (predicate-pruned
+    * probe first, then a per-bucket dynamic overwrite of just the
+    * affected directories — the same touched-buckets-only cost shape
+    * as the merge itself). Returns how many tombstones were dropped.
+    */
+  def compact(spark: SparkSession, tablePath: String,
+              seqCols: Seq[String], seqFloor: Seq[Any],
+              flagCol: String = "upsert"): Long = {
+    require(seqCols.length == seqFloor.length)
+    val all = spark.read.parquet(tablePath)
+    // lexicographic (seqCols) <= seqFloor
+    val atOrBelow = seqCols.zip(seqFloor).zipWithIndex
+      .map { case ((c, f), i) =>
+        val strictPrefix = seqCols.take(i).zip(seqFloor.take(i))
+          .map { case (pc, pf) => col(pc) === lit(pf) }
+          .foldLeft(lit(true))(_ && _)
+        strictPrefix && (if (i == seqCols.length - 1) col(c) <= lit(f)
+                         else col(c) < lit(f))
+      }
+      .foldLeft(lit(false))(_ || _)
+    val expired = !col(flagCol) && atOrBelow
+    val buckets = all.where(expired).select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    if (buckets.isEmpty) return 0L
+    val scoped = spark.read.parquet(tablePath)
+      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    val dropped = scoped.where(expired).count()
+    val kept = scoped.where(!expired).localCheckpoint(true)
+    val ckptRdds = kept.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    // a bucket whose ONLY rows were expired tombstones writes nothing
+    // under dynamic overwrite — remove it explicitly (listed before
+    // the checkpoint blocks are released)
+    val written =
+      try {
+        kept.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(tablePath)
+        kept.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+      } finally ckptRdds.foreach(_.unpersist(false))
+    val (fs, root) = fsOf(spark, tablePath)
+    buckets.filterNot(written).foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    dropped
+  }
 }

@@ -1304,6 +1304,21 @@ class StreamingOpsSpec extends AnyFunSuite {
     val eb = intercept[Exception](applyBatch(sp, df(msg(9, 1, true, 9.0)),
       dir, Seq("key"), Seq("seq"), "upsert", N + 1))
     assert(eb.getMessage.contains("numBuckets"), eb.getMessage)
+    // tombstone compaction: drop expired tombstones, keep live rows.
+    // Make a fresh tombstone (key 6 deleted at seq 7) plus the live set
+    applyBatch(sp, df(msg(6, 6, true, 6.0)), dir,
+      Seq("key"), Seq("seq"), "upsert", N)
+    applyBatch(sp, df(msg(6, 7, false, 0.0)), dir,
+      Seq("key"), Seq("seq"), "upsert", N)
+    val live = table()
+    // floor below the tombstone's seq: nothing compacts
+    assert(graft.operators.UpsertSink.compact(sp, dir, Seq("seq"),
+      Seq(6L)) == 0L)
+    // floor at the tombstone's seq: it is reclaimed; live rows intact
+    val dropped = graft.operators.UpsertSink.compact(sp, dir, Seq("seq"),
+      Seq(7L))
+    assert(dropped >= 1L, s"expected the key-6 tombstone dropped: $dropped")
+    assert(table() == live, "compaction must not change the live table")
     // streaming path end-to-end (foreachBatch): re-deliver an already
     // applied batch — idempotent, table unchanged
     val snapshot = table()
