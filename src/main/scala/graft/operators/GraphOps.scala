@@ -110,6 +110,41 @@ object GraphOps {
     labels
   }
 
+  /** Single-source shortest paths (SURVEY.md §2.11 — Gelly's
+    * `library/SingleSourceShortestPaths.java`: scatter-gather min-plus
+    * relaxation). `edges` is a directed (src, dst, w) list with
+    * non-negative integral weights; `iterations` supersteps bound the
+    * relaxed path length, exactly the Gelly iteration cap. Self-loops
+    * of weight 0 are added so a settled distance persists without a
+    * special case — the same trick labelPropagation uses for labels.
+    * Per superstep: one shuffle on dst (min-plus aggregate), lineage
+    * truncated via the shared materializer — identical scale posture
+    * to the other Pregel-style loops here.
+    */
+  def sssp(nodes: DataFrame, edges: DataFrame, sourceId: Long,
+           iterations: Int,
+           ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("w")))
+      .persist()
+    val mat = new StepMaterializer(ckpt, nodes.sparkSession)
+    // only reached nodes carry a row (the frontier representation the
+    // reference's scatter-gather uses); unreached nodes are absent
+    var dist = mat.step(
+      nodes.filter(col("node") === sourceId)
+        .select(col("node"), lit(0L).as("dist")), 0)
+    for (i <- 1 to iterations) {
+      dist = mat.step(
+        dist.join(e, dist("node") === e("src"))
+          .groupBy(col("dst").as("node_n"))
+          .agg(min(col("dist") + col("w")).as("dist"))
+          .withColumnRenamed("node_n", "node"), i)
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Delta iteration (SURVEY.md §2.9 — DataSet.iterateDelta:1234):
     * min-label propagation where only CHANGED labels (the workset)
     * send messages each superstep, with early termination when the

@@ -93,5 +93,87 @@ object Graphs extends QueryGroup {
       e0.unpersist() // result is checkpointed; see gr1
       pr.select(col("node"), round(col("pr"), 8).as("rank"))
         .orderBy("node")
+    },
+
+    // Single-source shortest paths (Gelly
+    // library/SingleSourceShortestPaths.java — scatter-gather min-plus
+    // relaxation): 6 bounded supersteps from the minimum customer node
+    // over the weighted undirected bipartite graph. Weights are exact
+    // integers (ceil(min price / 10000)) so the relaxation is
+    // arithmetic-order independent. Unreached nodes carry no row.
+    q("gr3_sssp",
+      """WITH e0 AS (
+        |  SELECT o_custkey AS c, l_suppkey + 1000000 AS p,
+        |    CAST(ceil(min(l_extendedprice) / 10000) AS BIGINT) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o_totalprice > 490000 GROUP BY 1, 2),
+        |nodes AS (SELECT c AS node FROM e0 UNION SELECT p FROM e0),
+        |edges AS (SELECT c AS src, p AS dst, w FROM e0
+        |          UNION ALL SELECT p, c, w FROM e0
+        |          UNION ALL SELECT node, node, 0 FROM nodes),
+        |lbl AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT 0 AS it, (SELECT min(c) FROM e0) AS node,
+        |      CAST(0 AS BIGINT) AS dist
+        |    UNION ALL
+        |    SELECT it + 1, node, dist FROM (
+        |      SELECT r.it AS it, e.dst AS node, min(r.dist + e.w) AS dist
+        |      FROM r JOIN edges e ON e.src = r.node
+        |      WHERE r.it < 6 GROUP BY r.it, e.dst))
+        |  SELECT node, dist FROM r WHERE it = 6)
+        |SELECT node, dist FROM lbl ORDER BY node""".stripMargin) { (s, dir) =>
+      val o = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+      val l = t(s, dir)("lineitem")
+      val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+        .agg(ceil(min(col("l_extendedprice")) / 10000).cast("long").as("w"))
+        .persist()
+      val nodes = e0.select(col("c").as("node"))
+        .union(e0.select(col("p"))).distinct()
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      val source = e0.agg(min("c")).head.getLong(0)
+      val d = GraphOps.sssp(nodes, edges, source, iterations = 6)
+      e0.unpersist() // result is checkpointed; see gr1
+      d.orderBy("node")
+    },
+
+    // Triangle counting (Gelly library/TriangleEnumerator.java): the
+    // supplier co-purchase graph of high-value orders, edges oriented
+    // low-id → high-id so each triangle is enumerated exactly once by
+    // two equi-joins (the standard distributed enumeration — never
+    // vertex-centric neighborhood materialization; a degree-based
+    // orientation would further bound skew on power-law graphs, noted
+    // in the Scaladoc spirit but unnecessary at this density).
+    q("gr4_triangle_count",
+      """WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  JOIN hv ON a.l_orderkey = hv.o_orderkey)
+        |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+        |  (SELECT count(*) FROM pairs e1
+        |   JOIN pairs e2 ON e2.u = e1.v
+        |   JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+        .select("o_orderkey")
+      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+      val a = l.toDF("ok", "u")
+      val b = l.toDF("ok2", "v")
+      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+        .join(hv, col("ok") === col("o_orderkey"))
+        .select("u", "v").distinct().persist()
+      val e1 = pairs
+      val e2 = pairs.toDF("u2", "v2")
+      val e3 = pairs.toDF("u3", "v3")
+      val tri = e1.join(e2, col("u2") === col("v"))
+        .join(e3, col("u3") === col("u") && col("v3") === col("v2"))
+        .count()
+      val nEdges = pairs.count()
+      pairs.unpersist()
+      import s.implicits._
+      Seq((nEdges, tri)).toDF("n_edges", "n_triangles")
     })
 }

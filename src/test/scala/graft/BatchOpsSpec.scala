@@ -88,6 +88,26 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(delta(4L) == 1L && delta(11L) == 10L && delta(20L) == 20L)
   }
 
+  test("SSSP relaxes to known distances; unreachable nodes stay absent") {
+    import spark.implicits._
+    // weighted diamond + a far chain + an unreachable isolate:
+    //   1 -2-> 2 -2-> 4,  1 -5-> 3 -1-> 4 (so best 4 = 4 via 2)
+    //   4 -1-> 5;  99 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("node")
+    val edges = Seq((1L, 2L, 2L), (2L, 4L, 2L), (1L, 3L, 5L),
+      (3L, 4L, 1L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val d = graft.operators.GraphOps.sssp(nodes, edges, sourceId = 1L,
+      iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 4L, 5L -> 5L), d)
+    assert(!d.contains(99L), "unreachable node must carry no distance row")
+    // too few supersteps: the far node is not yet relaxed (Gelly's
+    // iteration cap semantics — distances are over <=k-hop paths)
+    val k1 = graft.operators.GraphOps.sssp(nodes, edges, 1L, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L), k1)
+  }
+
   test("graph iteration under RELIABLE checkpointing matches the local-checkpoint result") {
     // the cluster posture: localCheckpoint blocks die with their
     // executor; a reliable checkpoint dir bounds recompute to `every`
