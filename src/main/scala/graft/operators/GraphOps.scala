@@ -145,6 +145,41 @@ object GraphOps {
     dist
   }
 
+  /** Community-detection label propagation (SURVEY.md §2.11 — Gelly's
+    * `library/LabelPropagation.java`): synchronous iterations where
+    * every vertex adopts the MOST FREQUENT label among its neighbors,
+    * ties broken deterministically by the smaller label (the
+    * reference breaks ties the same way, which is what makes the
+    * fixed-iteration result well-defined). Differs from
+    * [[labelPropagation]] (min-label flooding = connected components):
+    * frequency voting converges to communities, not components.
+    * Per superstep: one shuffle (neighbor label counts) + a window
+    * rank per node — both clustered on the node, so the rank reuses
+    * the aggregation's partitioning.
+    */
+  def communityLabelPropagation(nodes: DataFrame, edges: DataFrame,
+                                iterations: Int,
+                                ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).persist()
+    val mat = new StepMaterializer(ckpt, nodes.sparkSession)
+    var labels = mat.step(
+      nodes.select(col("node"), col("node").as("label")), 0)
+    for (i <- 1 to iterations) {
+      val votes = labels.join(e, labels("node") === e("src"))
+        .groupBy(col("dst").as("node_n"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val rank = Window.partitionBy(col("node_n"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = mat.step(
+        votes.withColumn("_rn", row_number().over(rank))
+          .where(col("_rn") === 1)
+          .select(col("node_n").as("node"), col("label")), i)
+    }
+    e.unpersist()
+    labels
+  }
+
   /** Delta iteration (SURVEY.md §2.9 — DataSet.iterateDelta:1234):
     * min-label propagation where only CHANGED labels (the workset)
     * send messages each superstep, with early termination when the

@@ -138,6 +138,47 @@ object Graphs extends QueryGroup {
       d.orderBy("node")
     },
 
+    // Community detection (Gelly library/LabelPropagation.java):
+    // synchronous most-frequent-neighbor-label voting, ties to the
+    // smaller label — 4 fixed iterations, then community size report.
+    // A node with no neighbors at iteration k drops out in both
+    // engines identically (pure voting, no self-retention), so the
+    // fixed-iteration result is well-defined and deterministic.
+    q("gr5_community_lp",
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o_totalprice > 490000),
+        |nodes AS (SELECT c AS node FROM e0 UNION SELECT p FROM e0),
+        |edges AS (SELECT c AS src, p AS dst FROM e0 UNION ALL SELECT p, c FROM e0),
+        |lp AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT 0 AS it, node, node AS label FROM nodes
+        |    UNION ALL
+        |    SELECT it + 1, node, label FROM (
+        |      SELECT it, node, label,
+        |        row_number() OVER (PARTITION BY it, node
+        |                           ORDER BY cnt DESC, label ASC) AS rn
+        |      FROM (SELECT r.it AS it, e.dst AS node, r.label AS label,
+        |              count(*) AS cnt
+        |            FROM r JOIN edges e ON e.src = r.node
+        |            WHERE r.it < 4 GROUP BY 1, 2, 3)) t
+        |    WHERE rn = 1)
+        |  SELECT node, label FROM r WHERE it = 4)
+        |SELECT label AS community, count(*) AS n_members, min(node) AS min_node
+        |FROM lp GROUP BY label ORDER BY community""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir).persist()
+      val nodes = e0.select(col("c").as("node"))
+        .union(e0.select(col("p"))).distinct()
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val lp = GraphOps.communityLabelPropagation(nodes, edges, iterations = 4)
+      e0.unpersist() // result is checkpointed; see gr1
+      lp.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+        .orderBy("community")
+    },
+
     // Triangle counting (Gelly library/TriangleEnumerator.java): the
     // supplier co-purchase graph of high-value orders, edges oriented
     // low-id → high-id so each triangle is enumerated exactly once by
