@@ -179,6 +179,146 @@ object Graphs extends QueryGroup {
         .orderBy("community")
     },
 
+    // Jaccard index (Gelly library/similarity/JaccardIndex.java):
+    // |N(u) ∩ N(v)| / |N(u) ∪ N(v)| for every pair with at least one
+    // shared neighbor. Distributed shape = the reference's: pairs are
+    // generated per CENTER vertex (the shared neighbor) as an
+    // equi-self-join of the adjacency list — never an all-pairs
+    // product — and the union size comes from degrees
+    // (deg u + deg v − shared), so cost is Σ deg(w)² wedges, the same
+    // bound the reference's group-splitting targets; AQE skew-join
+    // covers a hot center at scale. Scores are a single int/int
+    // division — deterministic doubles, no rounding needed.
+    q("gr6_jaccard_index",
+      s"""WITH e0 AS ($edgesSql),
+         |edges AS (SELECT c AS src, p AS dst FROM e0 UNION ALL SELECT p, c FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |shared AS (
+         |  SELECT e1.dst AS u, e2.dst AS v, count(*) AS shared
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT s.u, s.v, s.shared,
+         |  CAST(s.shared AS DOUBLE) / (du.deg + dv.deg - s.shared) AS jaccard
+         |FROM shared s
+         |JOIN deg du ON du.node = s.u
+         |JOIN deg dv ON dv.node = s.v
+         |ORDER BY u, v""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir)
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val e1 = edges.toDF("w", "u")
+      val e2 = edges.toDF("w2", "v")
+      val shared = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+      shared
+        .join(deg.toDF("nu", "du"), col("u") === col("nu"))
+        .join(deg.toDF("nv", "dv"), col("v") === col("nv"))
+        .select(col("u"), col("v"), col("shared"),
+          (col("shared").cast("double") / (col("du") + col("dv") - col("shared")))
+            .as("jaccard"))
+        .orderBy("u", "v")
+    },
+
+    // Adamic-Adar (Gelly library/similarity/AdamicAdar.java): pair
+    // affinity Σ over shared neighbors w of 1/ln(deg w) — the center's
+    // weight is computed ONCE on the degree table and joined into the
+    // wedge generation (the reference folds it into the vertex before
+    // pair emission), so the per-pair aggregate is a plain sum. Every
+    // center of a wedge has deg ≥ 2, so ln(deg) ≥ ln 2 — no
+    // divide-by-zero arm needed. Double sum rounded to 8dp (same
+    // order-independence treatment as gr2's PageRank).
+    q("gr7_adamic_adar",
+      s"""WITH e0 AS ($edgesSql),
+         |edges AS (SELECT c AS src, p AS dst FROM e0 UNION ALL SELECT p, c FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |wedges AS (
+         |  SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+         |SELECT wg.u, wg.v, round(sum(1.0 / ln(d.deg)), 8) AS aa
+         |FROM wedges wg JOIN deg d ON d.node = wg.w
+         |GROUP BY wg.u, wg.v
+         |ORDER BY u, v""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir)
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val e1 = edges.toDF("w", "u")
+      val e2 = edges.toDF("w2", "v")
+      val wedges = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+        .select("w", "u", "v")
+      wedges.join(deg, col("w") === col("node"))
+        .groupBy("u", "v")
+        .agg(round(sum(lit(1.0) / log(col("deg"))), 8).as("aa"))
+        .orderBy("u", "v")
+    },
+
+    // HITS (Gelly library/linkanalysis/HITS.java): hubs and
+    // authorities over the DIRECTED customer→supplier graph, 2 fixed
+    // iterations with the reference's update order — per iteration
+    // h_raw(v) = Σ_out a_prev, a_raw(u) = Σ_in h_raw, then BOTH
+    // normalized by their Euclidean norms (HITS.java's
+    // JoinAndNormalizeHubAndAuthority over broadcast sum-of-squares;
+    // here the norm is a 1-row aggregate broadcast by crossJoin —
+    // never a re-shuffle of the score table). Oracle = the same two
+    // iterations unrolled; scores rounded to 8dp.
+    q("gr8_hits",
+      s"""WITH e0 AS ($edgesSql),
+         |ed AS (SELECT c AS src, p AS dst FROM e0),
+         |nodes AS (SELECT c AS node FROM e0 UNION SELECT p FROM e0),
+         |h1 AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS h FROM ed GROUP BY src),
+         |a1 AS (SELECT ed.dst AS node, sum(h1.h) AS a
+         |       FROM ed JOIN h1 ON h1.node = ed.src GROUP BY ed.dst),
+         |an1 AS (SELECT node, a / sqrt((SELECT sum(a * a) FROM a1)) AS a FROM a1),
+         |h2 AS (SELECT ed.src AS node, sum(an1.a) AS h
+         |       FROM ed JOIN an1 ON an1.node = ed.dst GROUP BY ed.src),
+         |a2 AS (SELECT ed.dst AS node, sum(h2.h) AS a
+         |       FROM ed JOIN h2 ON h2.node = ed.src GROUP BY ed.dst),
+         |hn2 AS (SELECT node, h / sqrt((SELECT sum(h * h) FROM h2)) AS h FROM h2),
+         |an2 AS (SELECT node, a / sqrt((SELECT sum(a * a) FROM a2)) AS a FROM a2)
+         |SELECT n.node, round(coalesce(hn2.h, 0), 8) AS hub,
+         |  round(coalesce(an2.a, 0), 8) AS auth
+         |FROM nodes n
+         |LEFT JOIN hn2 ON hn2.node = n.node
+         |LEFT JOIN an2 ON an2.node = n.node
+         |ORDER BY n.node""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir).persist()
+      val ed = e0.select(col("c").as("src"), col("p").as("dst"))
+      val nodes = e0.select(col("c").as("node"))
+        .union(e0.select(col("p"))).distinct()
+      def normalize(scores: DataFrame, c: String): DataFrame = {
+        val norm = scores.agg(sqrt(sum(col(c) * col(c))).as("_norm"))
+        scores.crossJoin(broadcast(norm))
+          .select(col("node"), (col(c) / col("_norm")).as(c))
+      }
+      val h1 = ed.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("double").as("h"))
+      val a1 = ed.join(h1, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum("h").as("a"))
+        .select(col("dst").as("node"), col("a"))
+      val an1 = normalize(a1, "a")
+      val h2 = ed.join(an1, col("node") === col("dst"))
+        .groupBy(col("src")).agg(sum("a").as("h"))
+        .select(col("src").as("node"), col("h"))
+      val a2 = ed.join(h2, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum("h").as("a"))
+        .select(col("dst").as("node"), col("a"))
+      val hn2 = normalize(h2, "h").withColumnRenamed("node", "hn")
+      val an2 = normalize(a2, "a").withColumnRenamed("node", "an")
+      val res = nodes
+        .join(hn2, col("node") === col("hn"), "left")
+        .join(an2, col("node") === col("an"), "left")
+        .select(col("node"),
+          round(coalesce(col("h"), lit(0.0)), 8).as("hub"),
+          round(coalesce(col("a"), lit(0.0)), 8).as("auth"))
+        .orderBy("node")
+      val out = res.localCheckpoint(true)
+      e0.unpersist()
+      out
+    },
+
     // Triangle counting (Gelly library/TriangleEnumerator.java): the
     // supplier co-purchase graph of high-value orders, edges oriented
     // low-id → high-id so each triangle is enumerated exactly once by
@@ -216,5 +356,154 @@ object Graphs extends QueryGroup {
       pairs.unpersist()
       import s.implicits._
       Seq((nEdges, tri)).toDF("n_edges", "n_triangles")
+    },
+
+    // Local clustering coefficient (Gelly library/clustering/
+    // undirected/LocalClusteringCoefficient.java): per-vertex
+    // 2·triangles / (deg·(deg−1)) over the supplier co-purchase
+    // graph. Triangle credit comes from the SAME oriented two-join
+    // enumeration as gr4 (each low<mid<high triangle credits its
+    // three corners via a 3-way union — never a per-vertex
+    // neighborhood materialization); the score is one int/int double
+    // division, so no rounding is needed.
+    q("gr9_clustering_coeff",
+      """WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  JOIN hv ON a.l_orderkey = hv.o_orderkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) t
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u, e1.v, e2.v AS w
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.u = e1.v
+        |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tcnt AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri) t
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(tc.tri, 0) AS tri,
+        |  CASE WHEN d.deg < 2 THEN 0.0
+        |       ELSE CAST(2 * coalesce(tc.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+        |  END AS cc
+        |FROM deg d LEFT JOIN tcnt tc ON tc.node = d.node
+        |ORDER BY d.node""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+        .select("o_orderkey")
+      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+      val a = l.toDF("ok", "u")
+      val b = l.toDF("ok2", "v")
+      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+        .join(hv, col("ok") === col("o_orderkey"))
+        .select("u", "v").distinct().persist()
+      val deg = pairs.select(col("u").as("node"))
+        .union(pairs.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val e2 = pairs.toDF("u2", "v2")
+      val e3 = pairs.toDF("u3", "v3")
+      val tri = pairs.join(e2, col("u2") === col("v"))
+        .join(e3, col("u3") === col("u") && col("v3") === col("v2"))
+        .select(col("u"), col("v"), col("v2").as("w"))
+      val tcnt = tri.select(col("u").as("node"))
+        .union(tri.select(col("v")))
+        .union(tri.select(col("w")))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      val res = deg.join(tcnt.toDF("tn", "tc"), col("node") === col("tn"), "left")
+        .select(col("node"), col("deg"), coalesce(col("tc"), lit(0L)).as("tri"),
+          when(col("deg") < 2, lit(0.0))
+            .otherwise((coalesce(col("tc"), lit(0L)) * 2).cast("double") /
+              (col("deg") * (col("deg") - 1))).as("cc"))
+        .orderBy("node")
+      val out = res.localCheckpoint(true)
+      pairs.unpersist()
+      out
+    },
+
+    // Vertex metrics (Gelly library/metric/undirected/
+    // VertexMetrics.java): one-row graph summary — vertex/edge
+    // counts, average degree, maximum degree, and triplet count
+    // Σ deg·(deg−1)/2 (the wedge denominator of the global
+    // clustering coefficient). All integer aggregates over the
+    // degree table; the only division is the final 1-row average.
+    q("gr10_vertex_metrics",
+      """WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  JOIN hv ON a.l_orderkey = hv.o_orderkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) t
+        |  GROUP BY node)
+        |SELECT count(*) AS n_vertices,
+        |  (SELECT count(*) FROM pairs) AS n_edges,
+        |  CAST(2 * (SELECT count(*) FROM pairs) AS DOUBLE) / count(*) AS avg_degree,
+        |  max(deg) AS max_degree,
+        |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_triplets
+        |FROM deg""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+        .select("o_orderkey")
+      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+      val a = l.toDF("ok", "u")
+      val b = l.toDF("ok2", "v")
+      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+        .join(hv, col("ok") === col("o_orderkey"))
+        .select("u", "v").distinct().persist()
+      val deg = pairs.select(col("u").as("node"))
+        .union(pairs.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val edgeCnt = pairs.agg(count(lit(1)).as("n_edges"))
+      val res = deg.agg(count(lit(1)).as("n_vertices"),
+          max("deg").as("max_degree"),
+          sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_triplets"))
+        .crossJoin(broadcast(edgeCnt))
+        .select(col("n_vertices"), col("n_edges"),
+          ((col("n_edges") * 2).cast("double") / col("n_vertices")).as("avg_degree"),
+          col("max_degree"), col("n_triplets"))
+      val out = res.localCheckpoint(true)
+      pairs.unpersist()
+      out
+    },
+
+    // Summarization (Gelly library/Summarization.java): contract the
+    // bipartite purchase graph by vertex VALUE — customers by their
+    // nation, suppliers by theirs — emitting one summarized edge per
+    // (source group, target group) with the edge multiplicity and
+    // distinct endpoint counts (the reference's summarized vertex
+    // counts, folded into the edge row). Group keys come from two
+    // broadcast dimension joins; the contraction itself is one
+    // hash aggregation.
+    q("gr11_summarization",
+      s"""WITH e0 AS ($edgesSql)
+         |SELECT cn.c_nationkey AS src_nation, sn.s_nationkey AS dst_nation,
+         |  count(*) AS n_edges,
+         |  count(DISTINCT e0.c) AS n_src_vertices,
+         |  count(DISTINCT e0.p) AS n_dst_vertices
+         |FROM e0
+         |JOIN customer cn ON cn.c_custkey = e0.c
+         |JOIN supplier sn ON sn.s_suppkey = e0.p - 1000000
+         |GROUP BY 1, 2
+         |ORDER BY src_nation, dst_nation""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir)
+      val cn = t(s, dir)("customer").select("c_custkey", "c_nationkey")
+      val sn = t(s, dir)("supplier").select("s_suppkey", "s_nationkey")
+      // no broadcast() pin: customer/supplier scale with SF — the
+      // size-based threshold (and AQE) picks broadcast when they fit
+      e0.join(cn, col("c") === col("c_custkey"))
+        .join(sn, col("p") - 1000000L === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src_nation"),
+          col("s_nationkey").as("dst_nation"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("c")).as("n_src_vertices"),
+          countDistinct(col("p")).as("n_dst_vertices"))
+        .orderBy("src_nation", "dst_nation")
     })
 }
