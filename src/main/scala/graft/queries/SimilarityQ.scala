@@ -253,5 +253,53 @@ object SimilarityQ extends QueryGroup {
               lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6)
             .as("mean_abs_err"))
         .orderBy("vec_id")
+    },
+
+    // Diagonal-Gaussian outlier scoring (flink-ml-lib
+    // common/statistics/basicstatistic/MultivariateGaussian.java —
+    // the density model there, with the diagonal-covariance
+    // restriction that keeps the fit a single aggregation pass):
+    // per (label, dim) fit mu/var over the corpus, then score each
+    // vector's log-pdf under its label's Gaussian and keep the 5
+    // least-likely per label. Stats table is labels×dims rows —
+    // broadcast back; both passes are shuffles on (label, dim) /
+    // (label, vec_id) only, so the shape holds at 100 TB. Scores
+    // rounded to 6dp before ranking (ties broken by vec_id) so the
+    // rank is engine- and order-independent.
+    q("v8_gaussian_outlier",
+      """WITH e AS (
+        |  SELECT vec_id, label, g.i AS dim,
+        |    CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings JOIN range(1, 65) g(i) ON true),
+        |st AS (SELECT label, dim, avg(x) AS mu, var_pop(x) AS v
+        |       FROM e GROUP BY 1, 2),
+        |sc AS (SELECT e.label, e.vec_id,
+        |    round(-0.5 * sum(ln(2 * pi() * st.v)
+        |      + (e.x - st.mu) * (e.x - st.mu) / st.v), 6) AS score
+        |  FROM e JOIN st ON st.label = e.label AND st.dim = e.dim
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT label, vec_id, score,
+        |    row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS rn
+        |  FROM sc)
+        |SELECT label, vec_id, score, rn FROM rk
+        |WHERE rn <= 5 ORDER BY label, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir)("embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val stats = e.groupBy("label", "dim")
+        .agg(avg("x").as("mu"), var_pop("x").as("v"))
+      val scored = e.join(broadcast(stats), Seq("label", "dim"))
+        .groupBy("label", "vec_id")
+        .agg(round(lit(-0.5) * sum(log(lit(2.0) * lit(math.Pi) * col("v"))
+          + (col("x") - col("mu")) * (col("x") - col("mu")) / col("v")), 6)
+          .as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(col("score"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .orderBy("label", "rn")
     })
 }

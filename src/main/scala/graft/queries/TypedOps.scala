@@ -427,5 +427,31 @@ object TypedOps extends QueryGroup {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
           |  min(o_orderdate) AS first_d
           |FROM ty16_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // zipWithIndex (flink-java utils/DataSetUtils.java:93 — two-phase
+    // contiguous index assignment: count elements per partition, then
+    // offset each partition by the prefix sum of the counts). Spark's
+    // RDD.zipWithIndex runs the identical two-phase algorithm; it is
+    // made deterministic — and therefore oracle-checkable — by
+    // range-partitioning + intra-partition sort on a total key first,
+    // so the assigned index equals the global (orderkey, linenumber)
+    // rank WITHOUT a single-partition global sort (the scalable
+    // alternative to an empty-partition row_number window at 100 TB).
+    q("ty18_zip_with_index",
+      """SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+        |FROM lineitem
+        |WHERE l_orderkey % 97 = 0
+        |ORDER BY idx""".stripMargin) { (s, dir) =>
+      val src = t(s, dir)("lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+      val schema = src.schema.add("idx", LongType, nullable = false)
+      val rdd = src.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+      s.createDataFrame(rdd, schema).orderBy("idx")
     })
 }
