@@ -245,13 +245,15 @@ object Graphs extends QueryGroup {
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      val e1 = edges.toDF("w", "u")
+      // center weight attached BEFORE the wedge fan-out: the deg join
+      // touches |edges| rows instead of |wedges| (Σ deg² ≫ |E|)
+      val e1 = edges.join(deg, col("src") === col("node"))
+        .select(col("src").as("w"), col("dst").as("u"),
+          (lit(1.0) / log(col("deg"))).as("wt"))
       val e2 = edges.toDF("w2", "v")
-      val wedges = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
-        .select("w", "u", "v")
-      wedges.join(deg, col("w") === col("node"))
+      e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
         .groupBy("u", "v")
-        .agg(round(sum(lit(1.0) / log(col("deg"))), 8).as("aa"))
+        .agg(round(sum(col("wt")), 8).as("aa"))
         .orderBy("u", "v")
     },
 
@@ -293,18 +295,25 @@ object Graphs extends QueryGroup {
         scores.crossJoin(broadcast(norm))
           .select(col("node"), (col(c) / col("_norm")).as(c))
       }
+      // each score table is consumed twice (its norm + the next
+      // hop/final join) — persist so Catalyst's no-exchange-reuse
+      // doesn't re-run the whole upstream chain per reference (the
+      // d24 materialize-once rule; unpersisted once `out` is eager)
       val h1 = ed.groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast("double").as("h"))
       val a1 = ed.join(h1, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum("h").as("a"))
-        .select(col("dst").as("node"), col("a"))
+        .select(col("dst").as("node"), col("a")).persist()
+      a1.count() // eager fill: both consumers below read the cache
       val an1 = normalize(a1, "a")
       val h2 = ed.join(an1, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum("a").as("h"))
-        .select(col("src").as("node"), col("h"))
+        .select(col("src").as("node"), col("h")).persist()
+      h2.count()
       val a2 = ed.join(h2, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum("h").as("a"))
-        .select(col("dst").as("node"), col("a"))
+        .select(col("dst").as("node"), col("a")).persist()
+      a2.count()
       val hn2 = normalize(h2, "h").withColumnRenamed("node", "hn")
       val an2 = normalize(a2, "a").withColumnRenamed("node", "an")
       val res = nodes
@@ -315,6 +324,7 @@ object Graphs extends QueryGroup {
           round(coalesce(col("a"), lit(0.0)), 8).as("auth"))
         .orderBy("node")
       val out = res.localCheckpoint(true)
+      Seq(a1, h2, a2).foreach(_.unpersist(false))
       e0.unpersist()
       out
     },
@@ -402,6 +412,7 @@ object Graphs extends QueryGroup {
       val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
         .join(hv, col("ok") === col("o_orderkey"))
         .select("u", "v").distinct().persist()
+      pairs.count() // eager fill — see gr8
       val deg = pairs.select(col("u").as("node"))
         .union(pairs.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -410,9 +421,10 @@ object Graphs extends QueryGroup {
       val tri = pairs.join(e2, col("u2") === col("v"))
         .join(e3, col("u3") === col("u") && col("v3") === col("v2"))
         .select(col("u"), col("v"), col("v2").as("w"))
-      val tcnt = tri.select(col("u").as("node"))
-        .union(tri.select(col("v")))
-        .union(tri.select(col("w")))
+      // one pass over the enumeration: explode credits all three
+      // corners without re-running the two triangle joins per corner
+      val tcnt = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("tri"))
       val res = deg.join(tcnt.toDF("tn", "tc"), col("node") === col("tn"), "left")
         .select(col("node"), col("deg"), coalesce(col("tc"), lit(0L)).as("tri"),
@@ -457,6 +469,7 @@ object Graphs extends QueryGroup {
       val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
         .join(hv, col("ok") === col("o_orderkey"))
         .select("u", "v").distinct().persist()
+      pairs.count() // eager fill — see gr8
       val deg = pairs.select(col("u").as("node"))
         .union(pairs.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
