@@ -376,4 +376,38 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter = the engine's dynamic-filtering
+    // path for fact-fact joins that cannot broadcast: the selective
+    // side's join keys are folded into a bloom filter and pushed into
+    // the other side's scan-filter, cutting the shuffled rows before
+    // the Exchange. At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~matching
+    // slice, so the capability is pinned here. The application-side
+    // size threshold defaults to 10 GB (sf0.001 is KBs), so the test
+    // lowers it — on a real cluster the defaults fire it exactly when
+    // the scan is big enough to matter.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = Tables(spark, dir, "orders")
+        .filter(col("o_totalprice") > 500000).select("o_orderkey")
+      val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity").as("q"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
 }
