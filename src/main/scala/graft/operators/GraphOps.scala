@@ -87,6 +87,56 @@ object GraphOps {
     * Returns (node, label): after enough iterations label = component
     * minimum (connected components).
     */
+  /** Generic synchronous vertex-centric iteration — the abstraction
+    * the library algorithms below specialize (SURVEY.md §2.11; Gelly
+    * `Graph.runVertexCentricIteration`,
+    * `pregel/VertexCentricIteration.java:76`, and the scatter-gather
+    * twin `spargel/ScatterGatherIteration.java`). Column-algebra
+    * callbacks keep every superstep declarative (codegen'd, no UDFs):
+    *
+    *  - `vertices`: (node, value) initial state
+    *  - `edges`: directed (src, dst[, edge cols]) message topology
+    *  - `message`: Column over the joined row — the sender's `value`
+    *    plus the edge's columns — evaluated per out-edge (Gelly's
+    *    `sendMessageToAllNeighbors` with a computed payload)
+    *  - `combine`: aggregate Column over `_msg` reducing a target's
+    *    inbox to one value (Gelly's MessageCombiner — running it
+    *    inside the shuffle as a partial aggregate is exactly the
+    *    reference's combiner optimization, and Spark applies it
+    *    map-side automatically)
+    *  - `update`: (old value, combined inbox) → new value; the inbox
+    *    is NULL when no message arrived (Gelly: compute() not called,
+    *    vertex keeps its value — express as `coalesce(m, old)`)
+    *
+    * Per superstep: ONE shuffle (inbox reduce on dst) + a left join
+    * back to state clustered on the same key; lineage truncated per
+    * step via the shared materializer, reliable checkpoint every k
+    * steps available — the posture that survives 100+ supersteps on a
+    * 1000-executor cluster.
+    */
+  def vertexCentric(vertices: DataFrame, edges: DataFrame,
+                    iterations: Int,
+                    message: org.apache.spark.sql.Column,
+                    combine: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    update: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                    ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
+    val e = edges.persist()
+    val mat = new StepMaterializer(ckpt, vertices.sparkSession)
+    var state = mat.step(vertices.select(col("node"), col("value")), 0)
+    for (i <- 1 to iterations) {
+      val inbox = state.join(e, state("node") === e("src"))
+        .select(col("dst").as("node"), message.as("_msg"))
+        .groupBy("node").agg(combine(col("_msg")).as("_m"))
+      val next = state.alias("v")
+        .join(inbox.alias("m"), col("v.node") === col("m.node"), "left")
+        .select(col("v.node").as("node"),
+          update(col("v.value"), col("_m")).as("value"))
+      state = mat.step(next, i)
+    }
+    e.unpersist()
+    state
+  }
+
   def labelPropagation(nodes: DataFrame, edges: DataFrame, iterations: Int,
                        ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

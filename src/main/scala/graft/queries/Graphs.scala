@@ -518,5 +518,28 @@ object Graphs extends QueryGroup {
           countDistinct(col("c")).as("n_src_vertices"),
           countDistinct(col("p")).as("n_dst_vertices"))
         .orderBy("src_nation", "dst_nation")
+    },
+
+    // Bipartite top-projection (Gelly bipartite/BipartiteGraph.java:130
+    // projectionTopSimple): the customer-side graph induced by shared
+    // suppliers — one edge per customer pair per shared bottom vertex,
+    // produced by the reference's exact shape (edges self-joined on
+    // the bottom vertex id), summarized here as pair multiplicity +
+    // the smallest shared supplier. Never an all-pairs product; the
+    // equi-join on the bottom id bounds work by Σ deg(bottom)².
+    q("gr12_bipartite_projection",
+      s"""WITH e0 AS ($edgesSql)
+         |SELECT a.c AS u, b.c AS v, count(*) AS n_shared,
+         |  min(a.p) AS min_shared
+         |FROM e0 a JOIN e0 b ON a.p = b.p AND a.c < b.c
+         |GROUP BY 1, 2
+         |ORDER BY u, v""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir)
+      val a = e0.toDF("u", "pa")
+      val b = e0.toDF("v", "pb")
+      a.join(b, col("pa") === col("pb") && col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("n_shared"), min(col("pa")).as("min_shared"))
+        .orderBy("u", "v")
     })
 }

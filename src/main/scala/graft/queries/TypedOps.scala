@@ -453,5 +453,31 @@ object TypedOps extends QueryGroup {
       val rdd = src.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
       s.createDataFrame(rdd, schema).orderBy("idx")
+    },
+
+    // Exact-size sampling (flink-java DataSetUtils.java:274
+    // sampleWithSize — per-partition reservoirs merged to exactly k
+    // rows). The Spark-first determinized form: rank rows by a
+    // uniform hash of their key and keep the global bottom-k, which
+    // plans TakeOrderedAndProject — per-partition top-k heaps merged
+    // on the driver, exactly the reference's reservoir-merge shape
+    // but reproducible (same k rows on every run/layout, so the
+    // sample is auditable and the oracle can check it).
+    q("ty19_exact_sample",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem
+        |  ORDER BY md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)),
+        |    l_orderkey, l_linenumber
+        |  LIMIT 200)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir)("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          md5((col("l_orderkey") * 8 + col("l_linenumber")).cast("string"))
+            .as("_h"))
+        .orderBy("_h", "l_orderkey", "l_linenumber")
+        .limit(200)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     })
 }

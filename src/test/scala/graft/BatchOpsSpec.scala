@@ -88,6 +88,39 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(delta(4L) == 1L && delta(11L) == 10L && delta(20L) == 20L)
   }
 
+  test("generic vertex-centric iteration reproduces the specialized loops") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // connected components through the generic API: min-label flood
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val nodes = (Seq(20L) ++ pairs.flatMap(p => Seq(p._1, p._2))).distinct.toDF("node")
+    val bidir = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val generic = GraphOps.vertexCentric(
+        nodes.select(col("node"), col("node").as("value")), bidir,
+        iterations = 6,
+        message = col("value"),
+        combine = c => min(c),
+        update = (o, m) => least(o, coalesce(m, o)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lib = GraphOps.labelPropagation(nodes, bidir, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(generic == lib, s"generic=$generic lib=$lib")
+    // SSSP through the generic API: min-plus relaxation, null = ∞
+    val vnodes = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("node")
+    val wedges = Seq((1L, 2L, 2L), (2L, 4L, 2L), (1L, 3L, 5L),
+      (3L, 4L, 1L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val d = GraphOps.vertexCentric(
+        vnodes.select(col("node"),
+          when(col("node") === 1L, 0L).otherwise(lit(null).cast("long")).as("value")),
+        wedges, iterations = 6,
+        message = col("value") + col("w"),
+        combine = c => min(c),
+        update = (o, m) => least(o, m))
+      .filter(col("value").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 4L, 5L -> 5L), d)
+  }
+
   test("SSSP relaxes to known distances; unreachable nodes stay absent") {
     import spark.implicits._
     // weighted diamond + a far chain + an unreachable isolate:
