@@ -541,5 +541,71 @@ object Graphs extends QueryGroup {
         .groupBy("u", "v")
         .agg(count(lit(1)).as("n_shared"), min(col("pa")).as("min_shared"))
         .orderBy("u", "v")
+    },
+
+    // Triadic census (Gelly library/clustering/undirected/
+    // TriadicCensus.java:79): occurrences of the four undirected triad
+    // types over the supplier co-purchase graph, computed — exactly as
+    // the reference does — from the closed-form combination of the
+    // triangle count and the degree-derived triplet count, never by
+    // enumerating vertex triples: t3 = triangles,
+    // t2 = triplets − 3·t3, t1 = E·(n−2) − 2·t2 − 3·t3,
+    // t0 = C(n,3) − t1 − t2 − t3. The only distributed work is the
+    // gr4 triangle enumeration + one degree aggregation.
+    q("gr13_triadic_census",
+      """WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  JOIN hv ON a.l_orderkey = hv.o_orderkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) t
+        |  GROUP BY node),
+        |m AS (SELECT count(*) AS n,
+        |        CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS triplets
+        |      FROM deg),
+        |ec AS (SELECT count(*) AS e FROM pairs),
+        |tc AS (SELECT count(*) AS t3 FROM pairs e1
+        |       JOIN pairs e2 ON e2.u = e1.v
+        |       JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT t3 AS triads3,
+        |  triplets - 3 * t3 AS triads2,
+        |  e * (n - 2) - 2 * (triplets - 3 * t3) - 3 * t3 AS triads1,
+        |  CAST(n * (n - 1) * (n - 2) / 6
+        |    - (e * (n - 2) - 2 * (triplets - 3 * t3) - 3 * t3)
+        |    - (triplets - 3 * t3) - t3 AS BIGINT) AS triads0
+        |FROM m, ec, tc""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+        .select("o_orderkey")
+      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+      val a = l.toDF("ok", "u")
+      val b = l.toDF("ok2", "v")
+      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+        .join(hv, col("ok") === col("o_orderkey"))
+        .select("u", "v").distinct().persist()
+      pairs.count() // eager fill — see gr8
+      val deg = pairs.select(col("u").as("node"))
+        .union(pairs.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val m = deg.agg(count(lit(1)).as("n"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("triplets"))
+      val ec = pairs.agg(count(lit(1)).as("e"))
+      val e2 = pairs.toDF("u2", "v2")
+      val e3 = pairs.toDF("u3", "v3")
+      val tc = pairs.join(e2, col("u2") === col("v"))
+        .join(e3, col("u3") === col("u") && col("v3") === col("v2"))
+        .agg(count(lit(1)).as("t3"))
+      val t2c = col("triplets") - lit(3) * col("t3")
+      val t1c = col("e") * (col("n") - 2) - lit(2) * t2c - lit(3) * col("t3")
+      val res = m.crossJoin(broadcast(ec)).crossJoin(broadcast(tc))
+        .select(col("t3").as("triads3"), t2c.as("triads2"), t1c.as("triads1"),
+          (col("n") * (col("n") - 1) * (col("n") - 2) / lit(6)
+            - t1c - t2c - col("t3")).cast("long").as("triads0"))
+      val out = res.localCheckpoint(true)
+      pairs.unpersist()
+      out
     })
 }
