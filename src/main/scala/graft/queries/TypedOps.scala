@@ -447,7 +447,7 @@ object TypedOps extends QueryGroup {
       val src = t(s, dir)("lineitem")
         .filter(col("l_orderkey") % 97 === 0)
         .select(col("l_orderkey"), col("l_linenumber"))
-        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")
       val schema = src.schema.add("idx", LongType, nullable = false)
       val rdd = src.rdd.zipWithIndex().map { case (r, i) =>
