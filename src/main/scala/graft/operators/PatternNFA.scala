@@ -99,6 +99,71 @@ object PatternNFA {
       kinds.map(k => k -> (col("kind") === lit(k))), withinMicros, afterMatch)
   }
 
+  /** One timed-out partial match: the longest greedily-bound pattern
+    * prefix of an anchor whose run could not complete within its
+    * window. `chain` follows the emit() id convention (loop steps
+    * contribute their first element); `n_bound` counts steps that
+    * bound at least one event (the anchor included). */
+  final case class PTimeout(key: Long, anchor_id: Long, last_id: Long,
+                            chain: String, n_bound: Int)
+
+  /** Timed-out partial matches (flink-cep `PatternStream.java:175`
+    * select(timeoutFunction) / `TimedOutPartialMatchHandler`): every
+    * OFFERED anchor whose run cannot complete within its window emits
+    * the longest greedily-bindable pattern prefix — the NFA state the
+    * reference hands to the timeout function when the within-timer
+    * fires. Batch form = complete-input retrospect of that timer.
+    * Completed runs emit nothing here (they are [[run]]'s output);
+    * under SkipPastLastEvent the skip mark advances on full matches
+    * exactly as in the main scan, so this side output sees the same
+    * offered anchors the main output does. */
+  def runTimeouts(spark: SparkSession, events: DataFrame, steps: Seq[Step],
+                  withinMicros: Long,
+                  afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
+    import spark.implicits._
+    val kinds = (steps.map(_.kind) ++ steps.collect {
+      case Step(_, _, OneOrMore(Some(uk))) => uk
+    }).distinct
+    val varPreds = kinds.map(k => k -> (col("kind") === lit(k)))
+    val (isteps, ds) = prepare(events, steps, varPreds)
+    ds.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val evs = sortKey(it)
+      val out = Vector.newBuilder[PTimeout]
+      var minAnchorIdx = 0
+      evs.foreach { a =>
+        if (hasBit(a, isteps.head.bit) && a.idx >= minAnchorIdx) {
+          val deadline = a.ts + withinMicros
+          matchFrom(evs, isteps.drop(1), a, deadline) match {
+            case Some(rest) =>
+              if (afterMatch == SkipPastLastEvent)
+                minAnchorIdx = (Vector(Vector(a)) ++ rest).flatten
+                  .map(_.idx).max + 1
+            case None =>
+              // longest prefix the NFA had bound when the window
+              // expired: greedy earliest-first over m-1 steps after
+              // the anchor, largest m first (m = L-1 .. 1; the empty
+              // prefix always binds, so the anchor alone is the floor)
+              val (m, rest) = (isteps.length - 1 to 1 by -1).iterator
+                .map(k => k -> matchFrom(evs, isteps.slice(1, k), a, deadline))
+                .collectFirst { case (k, Some(r)) => (k, r) }
+                .getOrElse((1, Vector.empty[Vector[Ev]]))
+              val bound = Vector(Vector(a)) ++ rest
+              val ids = isteps.take(m).zip(bound).flatMap { case (st, b) =>
+                st.quant match {
+                  case OneOrMore(_) => b.headOption.map(_.id).toSeq
+                  case _            => b.map(_.id)
+                }
+              }
+              val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
+              out += PTimeout(key, a.id, lastEv.id, ids.mkString(","),
+                bound.count(_.nonEmpty))
+          }
+        }
+      }
+      out.result().iterator
+    }.toDF()
+  }
+
   /** General row-pattern matching: each variable in `varPreds` is an
     * arbitrary boolean Column over the event row (the reference
     * compiles DEFINE predicates the same way —

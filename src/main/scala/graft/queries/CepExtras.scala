@@ -567,5 +567,38 @@ object CepExtras extends QueryGroup {
           |  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
           |         P AS event_type = 'purchase'
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // Timed-out partial matches (PatternStream.java:175
+    // select(timeoutFunction) / TimedOutPartialMatchHandler): pattern
+    // signup → click → purchase within 2h; every signup whose run
+    // cannot complete emits the prefix the NFA had bound when the
+    // window expired — the anchor alone, or anchor + the earliest
+    // in-window click. The main matches are cep5/cep1's output; this
+    // is the reference's side-output stream.
+    q("cep12_timeout_partials",
+      s"""WITH $evSql,
+        |tmo AS (
+        |  SELECT a.user_id, a.a_id, a.a_us FROM a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ev c, ev p
+        |    WHERE c.user_id = a.user_id AND p.user_id = a.user_id
+        |      AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |      AND c.ts_us > a.a_us AND c.ts_us <= a.a_us + $H2
+        |      AND p.ts_us > c.ts_us AND p.ts_us <= a.a_us + $H2))
+        |SELECT t.user_id AS key, t.a_id AS anchor_id,
+        |  coalesce(c.event_id, t.a_id) AS last_id,
+        |  CASE WHEN c.event_id IS NULL THEN 1 ELSE 2 END AS n_bound
+        |FROM tmo t
+        |LEFT JOIN LATERAL (SELECT e.event_id FROM ev e
+        |  WHERE e.user_id = t.user_id AND e.event_type = 'click'
+        |    AND e.ts_us > t.a_us AND e.ts_us <= t.a_us + $H2
+        |  ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.runTimeouts(s, events(s, dir), Seq(
+          Step("A", "signup"), Step("C", "click"), Step("P", "purchase")),
+          withinMicros = H2)
+        .select(col("key"), col("anchor_id"), col("last_id"), col("n_bound"))
+        .orderBy("key", "anchor_id")
     })
 }
