@@ -139,29 +139,71 @@ object PatternNFA {
                 minAnchorIdx = (Vector(Vector(a)) ++ rest).flatten
                   .map(_.idx).max + 1
             case None =>
-              // longest prefix the NFA had bound when the window
-              // expired: greedy earliest-first over m-1 steps after
-              // the anchor, largest m first (m = L-1 .. 1; the empty
-              // prefix always binds, so the anchor alone is the floor)
-              val (m, rest) = (isteps.length - 1 to 1 by -1).iterator
-                .map(k => k -> matchFrom(evs, isteps.slice(1, k), a, deadline))
-                .collectFirst { case (k, Some(r)) => (k, r) }
-                .getOrElse((1, Vector.empty[Vector[Ev]]))
-              val bound = Vector(Vector(a)) ++ rest
-              val ids = isteps.take(m).zip(bound).flatMap { case (st, b) =>
-                st.quant match {
-                  case OneOrMore(_) => b.headOption.map(_.id).toSeq
-                  case _            => b.map(_.id)
-                }
-              }
-              val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
-              out += PTimeout(key, a.id, lastEv.id, ids.mkString(","),
-                bound.count(_.nonEmpty))
+              out += timeoutPartial(key, evs, isteps, a, deadline)
           }
         }
       }
       out.result().iterator
     }.toDF()
+  }
+
+  /** Longest prefix the NFA had bound when the window expired: greedy
+    * earliest-first over m-1 steps after the anchor, largest m first
+    * (m = L-1 .. 1; the empty prefix always binds, so the anchor alone
+    * is the floor). */
+  private def timeoutPartial(key: Long, evs: Vector[Ev], isteps: Seq[IStep],
+                             a: Ev, deadline: Long): PTimeout = {
+    val (m, rest) = (isteps.length - 1 to 1 by -1).iterator
+      .map(k => k -> matchFrom(evs, isteps.slice(1, k), a, deadline))
+      .collectFirst { case (k, Some(r)) => (k, r) }
+      .getOrElse((1, Vector.empty[Vector[Ev]]))
+    val bound = Vector(Vector(a)) ++ rest
+    val ids = isteps.take(m).zip(bound).flatMap { case (st, b) =>
+      st.quant match {
+        case OneOrMore(_) => b.headOption.map(_.id).toSeq
+        case _            => b.map(_.id)
+      }
+    }
+    val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
+    PTimeout(key, a.id, lastEv.id, ids.mkString(","), bound.count(_.nonEmpty))
+  }
+
+  /** Streaming twin of [[runTimeouts]]'s per-key scan (the shape
+    * [[matchesMature]] is to [[run]]): timed-out partials for MATURE
+    * anchors only — anchor.ts + within <= watermark, when the window
+    * is provably complete — with the SkipPastLastEvent mark advanced
+    * by FULL matches exactly as the main scan advances it, so the
+    * timeout stream sees the same offered anchors. */
+  private[graft] def matureTimeouts(
+      key: Long, triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
+      wmMicros: Long, minStart: Option[(Long, Long)])
+      : (Seq[PTimeout], Option[(Long, Long)]) = {
+    val isteps = compileSteps(steps, varNames)
+    val evs = triples.toVector.sortBy(t => (t._1, t._2))
+      .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
+    val out = Vector.newBuilder[PTimeout]
+    var mark = minStart
+    def afterMark(e: Ev): Boolean = mark.forall { case (ts, id) =>
+      e.ts > ts || (e.ts == ts && e.id > id)
+    }
+    evs.foreach { a =>
+      if (hasBit(a, isteps.head.bit) && afterMark(a) &&
+          a.ts + withinMicros <= wmMicros) {
+        val deadline = a.ts + withinMicros
+        matchFrom(evs, isteps.drop(1), a, deadline) match {
+          case Some(rest) =>
+            if (afterMatch == SkipPastLastEvent) {
+              val lastEv = (Vector(Vector(a)) ++ rest).flatten
+                .maxBy(e => (e.ts, e.id))
+              mark = Some((lastEv.ts, lastEv.id))
+            }
+          case None =>
+            out += timeoutPartial(key, evs, isteps, a, deadline)
+        }
+      }
+    }
+    (out.result(), mark)
   }
 
   /** General row-pattern matching: each variable in `varPreds` is an

@@ -1123,5 +1123,49 @@ object Streaming extends QueryGroup {
         .select(col("wstart"), (col("pos") + 1).as("rank"),
           col("col.event_id").as("event_id"), col("col.value").as("value"))
         .orderBy("wstart", "rank")
+    },
+
+    // STREAMING CEP timeout side output (PatternStream.java:175
+    // select(timeoutFunction) / TimedOutPartialMatchHandler): pattern
+    // signup → click → purchase within 2h; when an anchor's window is
+    // provably complete (maturity at the watermark) without a full
+    // match, the longest bound prefix emits — exactly when the
+    // reference's within-timer fires. Oracle = the batch timeout scan
+    // (cep12) restricted to anchors mature at the bounded stream's
+    // final watermark.
+    q("st36_cep_timeouts",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + 7200000000 <= wm.wm_us),
+        |tmo AS (
+        |  SELECT a.user_id, a.a_id, a.a_us FROM a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ev c, ev p
+        |    WHERE c.user_id = a.user_id AND p.user_id = a.user_id
+        |      AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |      AND c.ts_us > a.a_us AND c.ts_us <= a.a_us + 7200000000
+        |      AND p.ts_us > c.ts_us AND p.ts_us <= a.a_us + 7200000000))
+        |SELECT t.user_id AS key, t.a_id AS anchor_id,
+        |  coalesce(c.event_id, t.a_id) AS last_id,
+        |  CASE WHEN c.event_id IS NULL THEN 1 ELSE 2 END AS n_bound
+        |FROM tmo t
+        |LEFT JOIN LATERAL (SELECT e.event_id FROM ev e
+        |  WHERE e.user_id = t.user_id AND e.event_type = 'click'
+        |    AND e.ts_us > t.a_us AND e.ts_us <= t.a_us + 7200000000
+        |  ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize.timeouts(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A C P) WITHIN INTERVAL '2' HOUR
+          |  DEFINE A AS kind = 'signup', C AS kind = 'click',
+          |         P AS kind = 'purchase')""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st36_out")
+        .select(col("key"), col("anchor_id"), col("last_id"), col("n_bound"))
+        .orderBy("key", "anchor_id")
     })
 }

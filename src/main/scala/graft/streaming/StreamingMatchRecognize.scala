@@ -106,6 +106,64 @@ object StreamingMatchRecognize {
     }
   }
 
+  /** Timed-out partial matches on the unbounded stream — the
+    * reference's CEP timeout side output (`PatternStream.java:175`
+    * select(timeoutFunction) / TimedOutPartialMatchHandler): when an
+    * anchor MATURES (its window is provably complete) without a full
+    * match, the longest bound prefix is emitted, exactly when the
+    * reference's within-timer would fire. State plumbing is
+    * [[apply]]'s verbatim — same maturity bound, same eviction, same
+    * SkipPastLastEvent mark discipline (advanced by FULL matches, so
+    * both side outputs see identical offered anchors), same
+    * flush-on-silence timer. */
+  def timeouts(spark: SparkSession, events: DataFrame, clause: String,
+               watermarkDelay: String = "10 minutes")
+      : Dataset[PatternNFA.PTimeout] = {
+    import spark.implicits._
+    val c = MatchRecognize.compile(clause)
+    require(c.measures.isEmpty, "timeout side output carries bindings, not MEASURES")
+    val preds = c.defines.map { case (n, body) => n -> expr(body) }
+    require(preds.size <= 64, "at most 64 pattern variables")
+    val varNames = preds.map(_._1)
+    val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
+      when(p, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val within = c.withinMicros
+    val steps = c.steps
+    val afterMatch = c.afterMatch
+    val ds = events
+      .withColumn("_et", timestamp_micros(col("tsMicros")))
+      .withWatermark("_et", watermarkDelay)
+      .select(col("key").cast("long"), col("tsMicros").cast("long"),
+        col("id").cast("long"), satCol.cast("long").as("_sat"), col("_et"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    ds.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+       state: GroupState[MRState]) =>
+        val cur = state.getOption.getOrElse(MRState(Nil, 0L, 0L, hasMark = false))
+        val buffered = rows.foldLeft(cur.evs) { case (acc, (_, ts, id, sat, _)) =>
+          (ts, id, sat) :: acc
+        }
+        val wm = state.getCurrentWatermarkMs() * 1000L
+        val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
+        val (tmos, mark) = PatternNFA.matureTimeouts(
+          key, buffered, steps, varNames, within, afterMatch, wm, mark0)
+        val kept = buffered.filter { case (ts, _, _) => ts + within > wm }
+        if (kept.isEmpty) {
+          if (state.exists) state.remove()
+        } else {
+          state.update(MRState(kept,
+            mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
+            mark.isDefined))
+          val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
+          state.setTimeoutTimestamp(
+            nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
+        }
+        tmos.iterator
+    }
+  }
+
   /** Streaming MATCH_RECOGNIZE WITH MEASURES (ONE ROW PER MATCH) —
     * the reference's full streaming surface. Measure columns must be
     * numeric (they are carried through keyed state as doubles; exact

@@ -514,6 +514,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(progressive.last == streamed.size.toLong)
   }
 
+  test("streaming CEP timeout side output equals the batch scan, any batching") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+        |         P AS kind = 'purchase')""".stripMargin
+    // key 1: full match (no timeout); key 2: anchor+click but no
+    // purchase (n_bound=2); key 3: bare anchor (n_bound=1); key 4:
+    // purchase arrives after the window (still a timeout). Arrival is
+    // ts-ordered: under row-per-batch the engine's late filter drops
+    // anything older than watermark, so the spec (like a real source)
+    // must respect the declared 10s out-of-orderness bound.
+    val rows = Seq(
+      ev(1, 10, 1, "signup"), ev(2, 12, 4, "signup"), ev(3, 14, 6, "signup"),
+      ev(4, 16, 7, "signup"), ev(1, 20, 2, "click"), ev(2, 22, 5, "click"),
+      ev(4, 26, 8, "click"), ev(1, 30, 3, "purchase"),
+      ev(4, 100, 9, "purchase"), ev(9, 300, 10, "flush"))
+    val expected = graft.operators.PatternNFA.runTimeouts(spark,
+        rows.toDF("key", "tsMicros", "id", "kind", "value")
+          .select(col("key"), col("tsMicros"), col("id"), col("kind")),
+        Seq(graft.operators.PatternNFA.Step("A", "signup"),
+          graft.operators.PatternNFA.Step("B", "click"),
+          graft.operators.PatternNFA.Step("P", "purchase")),
+        withinMicros = 60000000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.size == 3, expected) // keys 2, 3, 4 time out
+    for ((batching, bi) <- Seq(Seq(rows), rows.map(Seq(_)),
+        rows.grouped(4).toSeq).zipWithIndex) {
+      val name = s"cep_tmo_spec_$bi"
+      val input = StreamHarness.mkStream()
+      val q = StreamingMatchRecognize.timeouts(spark, input.toDS().toDF(),
+          clause, watermarkDelay = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try {
+        batching.foreach { b => input.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == expected,
+        s"batching=${batching.size}: streamed=$streamed\nexpected=$expected")
+    }
+  }
+
   test("streaming MEASURES equals the batch measures path once anchors mature") {
     import graft.streaming.StreamingMatchRecognize
     implicit val sql = spark.sqlContext
