@@ -607,5 +607,56 @@ object Graphs extends QueryGroup {
       val out = res.localCheckpoint(true)
       pairs.unpersist()
       out
+    },
+
+    // Edge metrics (Gelly library/metric/undirected/EdgeMetrics.java):
+    // triangle/rectangle triplet counts and maxima from the
+    // degree-ordered edge marking — per vertex v, s(v) = neighbors
+    // ranked higher in (degree, id) order (EdgeStats' low-side mark),
+    // then triangle triplets C(s,2) and rectangle triplets
+    // C(s,2) + s·(deg−s), summed and maxed globally. One degree
+    // aggregation + one edge join — no triangle enumeration at all,
+    // which is the point of the reference's formulation.
+    q("gr14_edge_metrics",
+      s"""WITH e0 AS ($edgesSql),
+         |edges AS (SELECT c AS src, p AS dst FROM e0 UNION ALL SELECT p, c FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |s AS (
+         |  SELECT e.src AS node, d1.deg AS deg,
+         |    sum(CASE WHEN d1.deg < d2.deg
+         |             OR (d1.deg = d2.deg AND e.src < e.dst)
+         |        THEN 1 ELSE 0 END) AS low
+         |  FROM edges e
+         |  JOIN deg d1 ON d1.node = e.src
+         |  JOIN deg d2 ON d2.node = e.dst
+         |  GROUP BY e.src, d1.deg),
+         |m AS (SELECT CAST(low * (low - 1) / 2 AS BIGINT) AS tri,
+         |        CAST(low * (low - 1) / 2 + low * (deg - low) AS BIGINT) AS rect
+         |      FROM s)
+         |SELECT CAST(sum(tri) AS BIGINT) AS triangle_triplets,
+         |  CAST(sum(rect) AS BIGINT) AS rectangle_triplets,
+         |  max(tri) AS max_triangle_triplets,
+         |  max(rect) AS max_rectangle_triplets
+         |FROM m""".stripMargin) { (s, dir) =>
+      val e0 = edgePairs(s, dir)
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val low = edges
+        .join(deg.toDF("n1", "d1"), col("src") === col("n1"))
+        .join(deg.toDF("n2", "d2"), col("dst") === col("n2"))
+        .groupBy(col("src"), col("d1"))
+        .agg(sum(when(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("src") < col("dst")), 1L)
+          .otherwise(0L)).as("low"))
+      val m = low.select(
+        (col("low") * (col("low") - 1) / 2).cast("long").as("tri"),
+        (col("low") * (col("low") - 1) / 2 + col("low") * (col("d1") - col("low")))
+          .cast("long").as("rect"))
+      m.agg(sum("tri").cast("long").as("triangle_triplets"),
+        sum("rect").cast("long").as("rectangle_triplets"),
+        max("tri").as("max_triangle_triplets"),
+        max("rect").as("max_rectangle_triplets"))
     })
 }
