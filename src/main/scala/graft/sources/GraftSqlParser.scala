@@ -493,7 +493,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (es.isEmpty) sqlText else S.splice(sqlText, es)
   }
 
-  private def rewriteAll(sqlText: String): String =
+  private[graft] def rewriteAll(sqlText: String): String =
     GroupWindowSql.rewrite(
       rewriteBetweenSymmetric(rewriteOverlaps(rewriteJsonPredicate(
         rewriteSimilar(rewriteLateralTemporal(rewriteTemporal(
