@@ -479,5 +479,29 @@ object TypedOps extends QueryGroup {
         .limit(200)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Hadoop SequenceFile round-trip (flink-formats/flink-sequence-file
+    // SequenceFileWriterFactory.java): key/value Writable pairs written
+    // one file per partition and read back partition-parallel — the
+    // RDD API is the right level here (SequenceFile IS a (Writable,
+    // Writable) container; there is no DataFrame schema to bind).
+    // Aggregating the read-back equals aggregating the source, which
+    // is the oracle.
+    q("ty20_sequence_file",
+      """SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_k,
+        |  max(o_orderkey) AS max_k
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("ty20_seq").toString + "/data"
+      t(s, dir)("orders").select("o_orderkey", "o_orderstatus")
+        .rdd.map(r => (r.getLong(0), r.getString(1)))
+        .saveAsSequenceFile(out)
+      val back = s.sparkContext.sequenceFile[Long, String](out)
+      import s.implicits._
+      back.toDF("o_orderkey", "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_k"),
+          max("o_orderkey").as("max_k"))
+        .orderBy("o_orderstatus")
     })
 }

@@ -393,6 +393,12 @@ object GraftDDL {
       case ("fail-on-missing-field", "false") if b.format == "json" =>
       // missing field → null is Spark's (and the reference's default)
       // schema-on-read behavior already
+      case ("compression", v) =>
+        // flink-compress (CompressWriterFactory.java — codec-compressed
+        // bulk writing): Spark writes the codec via the same-named
+        // option; the reader auto-detects from the file extension and
+        // ignores the option, so passing it both ways is harmless
+        both += "compression" -> v
       case (k, v) => sys.error(
         s"unsupported ${b.format} format option '$prefix$k'='$v'")
     }

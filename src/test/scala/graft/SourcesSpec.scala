@@ -801,6 +801,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("csv.frob"), e.getMessage)
   }
 
+  test("csv.compression writes codec-compressed files that read back intact") {
+    // flink-compress (CompressWriterFactory.java): bulk writes through
+    // a hadoop codec. Spark spelling: the 'compression' writer option;
+    // the reader auto-detects the codec from the .gz extension.
+    import graft.sources.GraftDDL
+    val sp = spark
+    val d = java.nio.file.Files.createTempDirectory("fmt_gz").toString
+    GraftDDL.execute(sp,
+      s"""CREATE TABLE fmt_gz_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$d', 'format'='csv',
+         |      'csv.compression'='gzip')""".stripMargin)
+    GraftDDL.executeInsert(sp,
+      "INSERT INTO fmt_gz_t SELECT id AS k, concat('v', id) AS v FROM range(0, 5)")
+    val files = new java.io.File(d).listFiles
+      .filter(f => f.getName.contains(".csv") && !f.getName.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".gz")),
+      files.map(_.getName).toSeq)
+    val back = sp.table("fmt_gz_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(back == (0L to 4L).map(i => (i, s"v$i")), back)
+    GraftDDL.executeDrop(sp, "DROP TABLE fmt_gz_t")
+  }
+
   test("CREATE CATALOG generic_in_memory: full DDL/DML round-trip through v2 plans") {
     import graft.sources.GraftSqlExecutor.{executeSql => sql}
     val sp = spark
