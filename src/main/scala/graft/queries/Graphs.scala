@@ -658,5 +658,55 @@ object Graphs extends QueryGroup {
         sum("rect").cast("long").as("rectangle_triplets"),
         max("tri").as("max_triangle_triplets"),
         max("rect").as("max_rectangle_triplets"))
+    },
+
+    // Graph generators (Gelly flink-gelly/.../graph/generator/*):
+    // every deterministic generator emitted as an index-parameterized
+    // map-only edge list (lib:GraphGenerators) and summarized per
+    // graph — vertex count, directed edge count, min/max out-degree.
+    // The oracle is graph theory: each generator's counts and degree
+    // bounds in closed form. (RMat, the non-closed-form member, is
+    // spec-pinned: determinism, edge count, vertex bounds.)
+    q("gr15_graph_generators",
+      """SELECT gname, CAST(n_vertices AS BIGINT) AS n_vertices,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(min_degree AS BIGINT) AS min_degree,
+        |  CAST(max_degree AS BIGINT) AS max_degree
+        |FROM (VALUES
+        |  ('circulant', 13, 52, 4, 4),
+        |  ('complete', 8, 56, 7, 7),
+        |  ('cycle', 12, 24, 2, 2),
+        |  ('empty', 5, 0, 0, 0),
+        |  ('grid', 12, 34, 2, 4),
+        |  ('hypercube', 16, 64, 4, 4),
+        |  ('path', 12, 22, 1, 2),
+        |  ('singleton_edge', 12, 12, 1, 1),
+        |  ('star', 12, 22, 1, 11)
+        |) AS t(gname, n_vertices, n_edges, min_degree, max_degree)
+        |ORDER BY gname""".stripMargin) { (s, dir) =>
+      import graft.operators.{GraphGenerators => GG}
+      def summary(name: String, edges: DataFrame, n: Long): DataFrame = {
+        val deg = GG.vertices(s, n)
+          .join(edges, col("node") === col("src"), "left")
+          .groupBy("node")
+          .agg(sum(when(col("src").isNotNull, 1L).otherwise(0L)).as("deg"))
+        deg.agg(count(lit(1)).as("n_vertices"), sum("deg").as("n_edges"),
+            min("deg").as("min_degree"), max("deg").as("max_degree"))
+          .select(lit(name).as("gname"), col("n_vertices"),
+            col("n_edges").cast("long").as("n_edges"),
+            col("min_degree"), col("max_degree"))
+      }
+      Seq(
+        summary("circulant", GG.circulant(s, 13, Seq(1L, 3L)), 13),
+        summary("complete", GG.complete(s, 8), 8),
+        summary("cycle", GG.cycle(s, 12), 12),
+        summary("empty", GG.empty(s, 5), 5),
+        summary("grid", GG.grid(s, 3, 4), 12),
+        summary("hypercube", GG.hypercube(s, 4), 16),
+        summary("path", GG.path(s, 12), 12),
+        summary("singleton_edge", GG.singletonEdge(s, 6), 12),
+        summary("star", GG.star(s, 12), 12))
+        .reduce(_ union _)
+        .orderBy("gname")
     })
 }

@@ -121,6 +121,24 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 4L, 5L -> 5L), d)
   }
 
+  test("RMat generator: deterministic, exact edge count, bounded vertex ids, skewed") {
+    import graft.operators.GraphGenerators
+    val a = GraphGenerators.rmat(spark, scale = 8, edgeCount = 2000, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = GraphGenerators.rmat(spark, scale = 8, edgeCount = 2000, seed = 7L)
+      .repartition(7) // layout must not change the graph
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.sorted == b.sorted && a.size == 2000)
+    assert(a.forall { case (s, d) => s >= 0 && s < 256 && d >= 0 && d < 256 })
+    // power-law signature: the hottest vertex far exceeds the mean
+    val maxDeg = a.groupBy(_._1).map(_._2.size).max
+    assert(maxDeg > 3 * (2000.0 / 256), s"maxDeg=$maxDeg not skewed")
+    // a different seed is a different graph
+    val c = GraphGenerators.rmat(spark, 8, 2000, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(c.sorted != a.sorted)
+  }
+
   test("SSSP relaxes to known distances; unreachable nodes stay absent") {
     import spark.implicits._
     // weighted diamond + a far chain + an unreachable isolate:
