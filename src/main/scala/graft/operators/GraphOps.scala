@@ -120,7 +120,9 @@ object GraphOps {
                     combine: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                     update: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
                     ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
-    val e = edges.persist()
+    // persist a DERIVED projection — never the caller's own frame,
+    // whose cache entry the final unpersist would silently drop
+    val e = edges.select(edges.columns.map(col).toIndexedSeq: _*).persist()
     val mat = new StepMaterializer(ckpt, vertices.sparkSession)
     var state = mat.step(vertices.select(col("node"), col("value")), 0)
     for (i <- 1 to iterations) {

@@ -87,17 +87,20 @@ object PatternNFA {
   /** events: (key, tsMicros, id, kind) rows. One output row per
     * emitted match: binding-chain ids and loop counts as deterministic
     * strings. */
-  def run(spark: SparkSession, events: DataFrame, steps: Seq[Step],
-          withinMicros: Long,
-          afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
-    // kind-equality surface compiles onto the predicate NFA: one
-    // variable per distinct kind (incl. OneOrMore until-kinds).
+  /** kind-equality surface compiled onto the predicate NFA: one
+    * variable per distinct kind (incl. OneOrMore until-kinds). */
+  private def kindPreds(steps: Seq[Step]): Seq[(String, org.apache.spark.sql.Column)] = {
     val kinds = (steps.map(_.kind) ++ steps.collect {
       case Step(_, _, OneOrMore(Some(uk))) => uk
     }).distinct
-    runPredicates(spark, events, steps,
-      kinds.map(k => k -> (col("kind") === lit(k))), withinMicros, afterMatch)
+    kinds.map(k => k -> (col("kind") === lit(k)))
   }
+
+  def run(spark: SparkSession, events: DataFrame, steps: Seq[Step],
+          withinMicros: Long,
+          afterMatch: AfterMatch = SkipToNextRow): DataFrame =
+    runPredicates(spark, events, steps, kindPreds(steps), withinMicros,
+      afterMatch)
 
   /** One timed-out partial match: the longest greedily-bound pattern
     * prefix of an anchor whose run could not complete within its
@@ -121,11 +124,7 @@ object PatternNFA {
                   withinMicros: Long,
                   afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
     import spark.implicits._
-    val kinds = (steps.map(_.kind) ++ steps.collect {
-      case Step(_, _, OneOrMore(Some(uk))) => uk
-    }).distinct
-    val varPreds = kinds.map(k => k -> (col("kind") === lit(k)))
-    val (isteps, ds) = prepare(events, steps, varPreds)
+    val (isteps, ds) = prepare(events, steps, kindPreds(steps))
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       val evs = sortKey(it)
       val out = Vector.newBuilder[PTimeout]
@@ -179,31 +178,9 @@ object PatternNFA {
       varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
       wmMicros: Long, minStart: Option[(Long, Long)])
       : (Seq[PTimeout], Option[(Long, Long)]) = {
-    val isteps = compileSteps(steps, varNames)
-    val evs = triples.toVector.sortBy(t => (t._1, t._2))
-      .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
-    val out = Vector.newBuilder[PTimeout]
-    var mark = minStart
-    def afterMark(e: Ev): Boolean = mark.forall { case (ts, id) =>
-      e.ts > ts || (e.ts == ts && e.id > id)
-    }
-    evs.foreach { a =>
-      if (hasBit(a, isteps.head.bit) && afterMark(a) &&
-          a.ts + withinMicros <= wmMicros) {
-        val deadline = a.ts + withinMicros
-        matchFrom(evs, isteps.drop(1), a, deadline) match {
-          case Some(rest) =>
-            if (afterMatch == SkipPastLastEvent) {
-              val lastEv = (Vector(Vector(a)) ++ rest).flatten
-                .maxBy(e => (e.ts, e.id))
-              mark = Some((lastEv.ts, lastEv.id))
-            }
-          case None =>
-            out += timeoutPartial(key, evs, isteps, a, deadline)
-        }
-      }
-    }
-    (out.result(), mark)
+    val (_, tmos, mark) = matureScan(key, triples, steps, varNames,
+      withinMicros, afterMatch, wmMicros, minStart, collectTimeouts = true)
+    (tmos, mark)
   }
 
   /** General row-pattern matching: each variable in `varPreds` is an
@@ -328,15 +305,24 @@ object PatternNFA {
     }
   }
 
-  private def matureBindings(
-      triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+  /** ONE mature-anchor scan serving both streaming side outputs —
+    * matches and timed-out partials share the anchor-offering, the
+    * maturity bound, and the SkipPastLastEvent mark discipline BY
+    * CONSTRUCTION (a drift between two copies would silently break
+    * the documented same-offered-anchors contract). The prefix search
+    * for timeout partials costs extra matchFrom calls, so it only
+    * runs when `collectTimeouts` is set. */
+  private def matureScan(
+      key: Long, triples: Seq[(Long, Long, Long)], steps: Seq[Step],
       varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
-      wmMicros: Long, minStart: Option[(Long, Long)])
-      : (Seq[Vector[Vector[Ev]]], Option[(Long, Long)]) = {
+      wmMicros: Long, minStart: Option[(Long, Long)],
+      collectTimeouts: Boolean)
+      : (Seq[Vector[Vector[Ev]]], Seq[PTimeout], Option[(Long, Long)]) = {
     val isteps = compileSteps(steps, varNames)
     val evs = triples.toVector.sortBy(t => (t._1, t._2))
       .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
     val out = Vector.newBuilder[Vector[Vector[Ev]]]
+    val tmos = Vector.newBuilder[PTimeout]
     var mark = minStart
     def afterMark(e: Ev): Boolean = mark.forall { case (ts, id) =>
       e.ts > ts || (e.ts == ts && e.id > id)
@@ -345,20 +331,34 @@ object PatternNFA {
       if (hasBit(a, isteps.head.bit) && afterMark(a) &&
           a.ts + withinMicros <= wmMicros) {
         val deadline = a.ts + withinMicros
-        matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
-          val bindings = Vector(Vector(a)) ++ rest
-          out += bindings
-          // under SkipToNextRow no mark is needed: a mature anchor is
-          // evicted in the same invocation (maturity bound == eviction
-          // bound), so each is offered exactly once across invocations
-          if (afterMatch == SkipPastLastEvent) {
-            val lastEv = bindings.flatten.maxBy(e => (e.ts, e.id))
-            mark = Some((lastEv.ts, lastEv.id))
-          }
+        matchFrom(evs, isteps.drop(1), a, deadline) match {
+          case Some(rest) =>
+            val bindings = Vector(Vector(a)) ++ rest
+            out += bindings
+            // under SkipToNextRow no mark is needed: a mature anchor is
+            // evicted in the same invocation (maturity bound == eviction
+            // bound), so each is offered exactly once across invocations
+            if (afterMatch == SkipPastLastEvent) {
+              val lastEv = bindings.flatten.maxBy(e => (e.ts, e.id))
+              mark = Some((lastEv.ts, lastEv.id))
+            }
+          case None if collectTimeouts =>
+            tmos += timeoutPartial(key, evs, isteps, a, deadline)
+          case None =>
         }
       }
     }
-    (out.result(), mark)
+    (out.result(), tmos.result(), mark)
+  }
+
+  private def matureBindings(
+      triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
+      wmMicros: Long, minStart: Option[(Long, Long)])
+      : (Seq[Vector[Vector[Ev]]], Option[(Long, Long)]) = {
+    val (matches, _, mark) = matureScan(0L, triples, steps, varNames,
+      withinMicros, afterMatch, wmMicros, minStart, collectTimeouts = false)
+    (matches, mark)
   }
 
   /** Shared per-key scan: every emitted match as (per-step bindings,

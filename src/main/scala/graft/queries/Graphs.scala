@@ -203,7 +203,8 @@ object Graphs extends QueryGroup {
          |JOIN deg du ON du.node = s.u
          |JOIN deg dv ON dv.node = s.v
          |ORDER BY u, v""".stripMargin) { (s, dir) =>
-      val e0 = edgePairs(s, dir)
+      val e0 = edgePairs(s, dir).persist()
+      e0.count() // eager fill — see gr8
       val edges = e0.select(col("c").as("src"), col("p").as("dst"))
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
       val deg = edges.groupBy(col("src").as("node"))
@@ -212,13 +213,16 @@ object Graphs extends QueryGroup {
       val e2 = edges.toDF("w2", "v")
       val shared = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("shared"))
-      shared
+      val res = shared
         .join(deg.toDF("nu", "du"), col("u") === col("nu"))
         .join(deg.toDF("nv", "dv"), col("v") === col("nv"))
         .select(col("u"), col("v"), col("shared"),
           (col("shared").cast("double") / (col("du") + col("dv") - col("shared")))
             .as("jaccard"))
         .orderBy("u", "v")
+      val out = res.localCheckpoint(true)
+      e0.unpersist()
+      out
     },
 
     // Adamic-Adar (Gelly library/similarity/AdamicAdar.java): pair
@@ -240,7 +244,8 @@ object Graphs extends QueryGroup {
          |FROM wedges wg JOIN deg d ON d.node = wg.w
          |GROUP BY wg.u, wg.v
          |ORDER BY u, v""".stripMargin) { (s, dir) =>
-      val e0 = edgePairs(s, dir)
+      val e0 = edgePairs(s, dir).persist()
+      e0.count() // eager fill — see gr8
       val edges = e0.select(col("c").as("src"), col("p").as("dst"))
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
       val deg = edges.groupBy(col("src").as("node"))
@@ -251,10 +256,13 @@ object Graphs extends QueryGroup {
         .select(col("src").as("w"), col("dst").as("u"),
           (lit(1.0) / log(col("deg"))).as("wt"))
       val e2 = edges.toDF("w2", "v")
-      e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+      val res = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
         .groupBy("u", "v")
         .agg(round(sum(col("wt")), 8).as("aa"))
         .orderBy("u", "v")
+      val out = res.localCheckpoint(true)
+      e0.unpersist()
+      out
     },
 
     // HITS (Gelly library/linkanalysis/HITS.java): hubs and
@@ -638,7 +646,8 @@ object Graphs extends QueryGroup {
          |  max(tri) AS max_triangle_triplets,
          |  max(rect) AS max_rectangle_triplets
          |FROM m""".stripMargin) { (s, dir) =>
-      val e0 = edgePairs(s, dir)
+      val e0 = edgePairs(s, dir).persist()
+      e0.count() // eager fill — see gr8
       val edges = e0.select(col("c").as("src"), col("p").as("dst"))
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
       val deg = edges.groupBy(col("src").as("node"))
@@ -654,10 +663,13 @@ object Graphs extends QueryGroup {
         (col("low") * (col("low") - 1) / 2).cast("long").as("tri"),
         (col("low") * (col("low") - 1) / 2 + col("low") * (col("d1") - col("low")))
           .cast("long").as("rect"))
-      m.agg(sum("tri").cast("long").as("triangle_triplets"),
+      val res = m.agg(sum("tri").cast("long").as("triangle_triplets"),
         sum("rect").cast("long").as("rectangle_triplets"),
         max("tri").as("max_triangle_triplets"),
         max("rect").as("max_rectangle_triplets"))
+      val out = res.localCheckpoint(true)
+      e0.unpersist()
+      out
     },
 
     // Graph generators (Gelly flink-gelly/.../graph/generator/*):

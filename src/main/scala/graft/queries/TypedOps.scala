@@ -463,22 +463,32 @@ object TypedOps extends QueryGroup {
     // on the driver, exactly the reference's reservoir-merge shape
     // but reproducible (same k rows on every run/layout, so the
     // sample is auditable and the oracle can check it).
+    // The hash key covers the WHOLE row (the synthetic lineitem
+    // duplicates (orderkey, linenumber) pairs with different
+    // quantities — a key-only hash would tie such rows at the LIMIT
+    // boundary and make the selected multiset engine-dependent;
+    // identical full rows tying is harmless). Quantities are integral
+    // by construction, so the BIGINT cast renders identically in both
+    // engines.
     q("ty19_exact_sample",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
-        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) || '|'
+        |        || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)) AS h
         |  FROM lineitem
-        |  ORDER BY md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)),
-        |    l_orderkey, l_linenumber
+        |  ORDER BY h, l_orderkey, l_linenumber, l_quantity
         |  LIMIT 200)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, dir) =>
       t(s, dir)("lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          md5((col("l_orderkey") * 8 + col("l_linenumber")).cast("string"))
+          md5(concat(
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("string"),
+            lit("|"), col("l_quantity").cast("long").cast("string")))
             .as("_h"))
-        .orderBy("_h", "l_orderkey", "l_linenumber")
+        .orderBy("_h", "l_orderkey", "l_linenumber", "l_quantity")
         .limit(200)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     },
 
     // Hadoop SequenceFile round-trip (flink-formats/flink-sequence-file

@@ -47,24 +47,35 @@ object StreamingMatchRecognize {
   case class MeasuresEmit(key: Long, match_seq: Long,
                           values: Seq[Option[Double]])
 
-  /** events: (key, tsMicros, id, kind, ...) — extra columns visible to
-    * DEFINE predicates, exactly like the batch facade. Output rows are
-    * the batch [[PatternNFA.PMatch]] shape. */
-  def apply(spark: SparkSession, events: DataFrame, clause: String,
-            watermarkDelay: String = "10 minutes"): Dataset[PatternNFA.PMatch] = {
+  /** Per-key fire context: the compiled pattern the scan needs. */
+  private final case class ScanCtx(steps: Seq[PatternNFA.Step],
+                                   varNames: Seq[String],
+                                   withinMicros: Long,
+                                   afterMatch: PatternNFA.AfterMatch)
+
+  /** SHARED state plumbing for the match stream and the timeout side
+    * output — compile, bitmask projection, watermark column, buffer
+    * fold, eviction (== maturity) bound, flush-on-silence timer. The
+    * two outputs differ ONLY in the per-key scan (`fire`), so the
+    * batching-invariance contract (same offered anchors, same
+    * eviction) holds by construction instead of by keeping two copies
+    * in sync. */
+  private def runKeyed[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, events: DataFrame, clause: String,
+      watermarkDelay: String, requireMsg: String)(
+      fire: (ScanCtx, Long, List[(Long, Long, Long)], Long,
+             Option[(Long, Long)]) => (Seq[T], Option[(Long, Long)]))
+      : Dataset[T] = {
     import spark.implicits._
     val c = MatchRecognize.compile(clause)
-    require(c.measures.isEmpty,
-      "MEASURES is batch-only (the reference restricts streaming MATCH_RECOGNIZE too)")
+    require(c.measures.isEmpty, requireMsg)
     val preds = c.defines.map { case (n, body) => n -> expr(body) }
     require(preds.size <= 64, "at most 64 pattern variables")
-    val varNames = preds.map(_._1)
     val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val within = c.withinMicros
-    val steps = c.steps
-    val afterMatch = c.afterMatch
+    val ctx = ScanCtx(c.steps, preds.map(_._1), c.withinMicros, c.afterMatch)
+    val within = ctx.withinMicros
 
     // the watermark column must survive the projection — event-time
     // timeout requires the watermark node in the grouped plan
@@ -85,8 +96,7 @@ object StreamingMatchRecognize {
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
         val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
-        val (matches, mark) = PatternNFA.matchesMature(
-          key, buffered, steps, varNames, within, afterMatch, wm, mark0)
+        val (emitted, mark) = fire(ctx, key, buffered, wm, mark0)
         // eviction bound == maturity bound: kept events are exactly the
         // not-yet-mature suffix of the buffer
         val kept = buffered.filter { case (ts, _, _) => ts + within > wm }
@@ -102,7 +112,21 @@ object StreamingMatchRecognize {
           state.setTimeoutTimestamp(
             nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
         }
-        matches.iterator
+        emitted.iterator
+    }
+  }
+
+  /** events: (key, tsMicros, id, kind, ...) — extra columns visible to
+    * DEFINE predicates, exactly like the batch facade. Output rows are
+    * the batch [[PatternNFA.PMatch]] shape. */
+  def apply(spark: SparkSession, events: DataFrame, clause: String,
+            watermarkDelay: String = "10 minutes"): Dataset[PatternNFA.PMatch] = {
+    import spark.implicits._
+    runKeyed[PatternNFA.PMatch](spark, events, clause, watermarkDelay,
+      "MEASURES is batch-only (the reference restricts streaming MATCH_RECOGNIZE too)") {
+      (c, key, buffered, wm, mark0) =>
+        PatternNFA.matchesMature(key, buffered, c.steps, c.varNames,
+          c.withinMicros, c.afterMatch, wm, mark0)
     }
   }
 
@@ -111,56 +135,19 @@ object StreamingMatchRecognize {
     * select(timeoutFunction) / TimedOutPartialMatchHandler): when an
     * anchor MATURES (its window is provably complete) without a full
     * match, the longest bound prefix is emitted, exactly when the
-    * reference's within-timer would fire. State plumbing is
-    * [[apply]]'s verbatim — same maturity bound, same eviction, same
-    * SkipPastLastEvent mark discipline (advanced by FULL matches, so
-    * both side outputs see identical offered anchors), same
-    * flush-on-silence timer. */
+    * reference's within-timer would fire. Plumbing is [[runKeyed]] —
+    * shared with [[apply]], so both side outputs see identical
+    * offered anchors by construction (the SkipPastLastEvent mark
+    * advances on FULL matches in both scans). */
   def timeouts(spark: SparkSession, events: DataFrame, clause: String,
                watermarkDelay: String = "10 minutes")
       : Dataset[PatternNFA.PTimeout] = {
     import spark.implicits._
-    val c = MatchRecognize.compile(clause)
-    require(c.measures.isEmpty, "timeout side output carries bindings, not MEASURES")
-    val preds = c.defines.map { case (n, body) => n -> expr(body) }
-    require(preds.size <= 64, "at most 64 pattern variables")
-    val varNames = preds.map(_._1)
-    val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
-      when(p, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val within = c.withinMicros
-    val steps = c.steps
-    val afterMatch = c.afterMatch
-    val ds = events
-      .withColumn("_et", timestamp_micros(col("tsMicros")))
-      .withWatermark("_et", watermarkDelay)
-      .select(col("key").cast("long"), col("tsMicros").cast("long"),
-        col("id").cast("long"), satCol.cast("long").as("_sat"), col("_et"))
-      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
-    ds.groupByKey(_._1).flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (key: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
-       state: GroupState[MRState]) =>
-        val cur = state.getOption.getOrElse(MRState(Nil, 0L, 0L, hasMark = false))
-        val buffered = rows.foldLeft(cur.evs) { case (acc, (_, ts, id, sat, _)) =>
-          (ts, id, sat) :: acc
-        }
-        val wm = state.getCurrentWatermarkMs() * 1000L
-        val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
-        val (tmos, mark) = PatternNFA.matureTimeouts(
-          key, buffered, steps, varNames, within, afterMatch, wm, mark0)
-        val kept = buffered.filter { case (ts, _, _) => ts + within > wm }
-        if (kept.isEmpty) {
-          if (state.exists) state.remove()
-        } else {
-          state.update(MRState(kept,
-            mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
-            mark.isDefined))
-          val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
-          state.setTimeoutTimestamp(
-            nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
-        }
-        tmos.iterator
+    runKeyed[PatternNFA.PTimeout](spark, events, clause, watermarkDelay,
+      "timeout side output carries bindings, not MEASURES") {
+      (c, key, buffered, wm, mark0) =>
+        PatternNFA.matureTimeouts(key, buffered, c.steps, c.varNames,
+          c.withinMicros, c.afterMatch, wm, mark0)
     }
   }
 

@@ -12,7 +12,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * generation — the same 600 statements every run.
   */
 class SqlTextPropertySpec extends AnyFunSuite {
-  lazy val spark = StreamHarness.spark
 
   // dialect heads that, as BARE identifiers, legitimately trigger
   // rewrites — everything else must survive rewriteAll byte-for-byte
