@@ -720,5 +720,66 @@ object Graphs extends QueryGroup {
         summary("star", GG.star(s, 12), 12))
         .reduce(_ union _)
         .orderBy("gname")
+    },
+
+    // DIRECTED vertex metrics (Gelly library/metric/directed/
+    // VertexMetrics.java + EdgeMetrics' uni/bidirectional split):
+    // over the supplier PRECEDENCE graph — u → v when u's line
+    // precedes v's within a high-value order — which genuinely mixes
+    // unidirectional and bidirectional pairs (opposite orders across
+    // different orders). Bidirectionality is a self-SEMI-join against
+    // the reversed edge list (never a pair materialization); the
+    // six scalars assemble via 1-row broadcast crossJoins.
+    q("gr16_directed_metrics",
+      """WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000),
+        |de AS (
+        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber < b.l_linenumber AND a.l_suppkey <> b.l_suppkey
+        |  JOIN hv ON a.l_orderkey = hv.o_orderkey),
+        |bid AS (SELECT count(*) AS nb FROM de e1 WHERE EXISTS (
+        |  SELECT 1 FROM de e2 WHERE e2.src = e1.dst AND e2.dst = e1.src)),
+        |outd AS (SELECT src, count(*) AS d FROM de GROUP BY src),
+        |ind AS (SELECT dst, count(*) AS d FROM de GROUP BY dst),
+        |verts AS (SELECT src AS v FROM de UNION SELECT dst FROM de)
+        |SELECT (SELECT count(*) FROM verts) AS n_vertices,
+        |  (SELECT count(*) FROM de) AS n_edges,
+        |  (SELECT count(*) FROM de) - (SELECT nb FROM bid) AS n_unidirectional,
+        |  CAST((SELECT nb FROM bid) / 2 AS BIGINT) AS n_bidirectional_pairs,
+        |  (SELECT max(d) FROM outd) AS max_out_degree,
+        |  (SELECT max(d) FROM ind) AS max_in_degree""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+        .select("o_orderkey")
+      val l = t(s, dir)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val a = l.toDF("ok", "ln_a", "src")
+      val b = l.toDF("ok2", "ln_b", "dst")
+      val de = a.join(b, col("ok") === col("ok2") &&
+          col("ln_a") < col("ln_b") && col("src") =!= col("dst"))
+        .join(hv, col("ok") === col("o_orderkey"))
+        .select("src", "dst").distinct().persist()
+      de.count() // eager fill — see gr8
+      val rev = de.toDF("r_src", "r_dst")
+      val bid = de.join(rev,
+          col("src") === col("r_dst") && col("dst") === col("r_src"),
+          "left_semi")
+        .agg(count(lit(1)).as("nb"))
+      val nv = de.select(col("src").as("v")).union(de.select(col("dst")))
+        .distinct().agg(count(lit(1)).as("n_vertices"))
+      val ne = de.agg(count(lit(1)).as("n_edges"))
+      val od = de.groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(max("d").as("max_out_degree"))
+      val idg = de.groupBy("dst").agg(count(lit(1)).as("d"))
+        .agg(max("d").as("max_in_degree"))
+      val res = nv.crossJoin(broadcast(ne)).crossJoin(broadcast(bid))
+        .crossJoin(broadcast(od)).crossJoin(broadcast(idg))
+        .select(col("n_vertices"), col("n_edges"),
+          (col("n_edges") - col("nb")).as("n_unidirectional"),
+          (col("nb") / 2).cast("long").as("n_bidirectional_pairs"),
+          col("max_out_degree"), col("max_in_degree"))
+      val out = res.localCheckpoint(true)
+      de.unpersist()
+      out
     })
 }
