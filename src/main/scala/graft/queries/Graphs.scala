@@ -781,5 +781,70 @@ object Graphs extends QueryGroup {
       val out = res.localCheckpoint(true)
       de.unpersist()
       out
+    },
+
+    // DIRECTED local clustering coefficient (Gelly library/clustering/
+    // directed/LocalClusteringCoefficient.java): per vertex, the
+    // number of DIRECTED edges among its distinct neighbors (each
+    // direction counts) over deg·(deg−1) potential directed edges,
+    // deg = |in ∪ out neighbors|. Shape: neighbor list → one wedge
+    // join against the edge list → membership equi-join — Σ deg²
+    // bounded like every wedge query here, never neighborhoods ×
+    // neighborhoods.
+    q("gr17_directed_clustering",
+      """WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000),
+        |de AS (
+        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber < b.l_linenumber AND a.l_suppkey <> b.l_suppkey
+        |  JOIN hv ON a.l_orderkey = hv.o_orderkey),
+        |nbr AS (SELECT DISTINCT v, w FROM (
+        |  SELECT src AS v, dst AS w FROM de
+        |  UNION ALL SELECT dst, src FROM de) t),
+        |deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY v),
+        |tri AS (
+        |  SELECT n1.v, count(*) AS tri
+        |  FROM nbr n1
+        |  JOIN de e ON e.src = n1.w
+        |  JOIN nbr n2 ON n2.v = n1.v AND n2.w = e.dst
+        |  GROUP BY n1.v)
+        |SELECT d.v AS node, d.deg, coalesce(t.tri, 0) AS tri,
+        |  CASE WHEN d.deg < 2 THEN 0.0
+        |       ELSE CAST(coalesce(t.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+        |  END AS cc
+        |FROM deg d LEFT JOIN tri t ON t.v = d.v
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+        .select("o_orderkey")
+      val l = t(s, dir)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val a = l.toDF("ok", "ln_a", "s1")
+      val b = l.toDF("ok2", "ln_b", "s2")
+      val de = a.join(b, col("ok") === col("ok2") &&
+          col("ln_a") < col("ln_b") && col("s1") =!= col("s2"))
+        .join(hv, col("ok") === col("o_orderkey"))
+        .select(col("s1").as("src"), col("s2").as("dst")).distinct().persist()
+      de.count() // eager fill — see gr8
+      val nbr = de.select(col("src").as("v"), col("dst").as("w"))
+        .union(de.select(col("dst").as("v"), col("src").as("w")))
+        .distinct().persist()
+      nbr.count() // consumed by deg + two wedge-join sides
+      val deg = nbr.groupBy("v").agg(count(lit(1)).as("deg"))
+      val n1 = nbr.toDF("v1", "w1")
+      val n2 = nbr.toDF("v2", "w2")
+      val tri = n1.join(de, col("src") === col("w1"))
+        .join(n2, col("v2") === col("v1") && col("w2") === col("dst"))
+        .groupBy(col("v1")).agg(count(lit(1)).as("tri"))
+      val res = deg.join(tri, col("v") === col("v1"), "left")
+        .select(col("v").as("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          when(col("deg") < 2, lit(0.0))
+            .otherwise(coalesce(col("tri"), lit(0L)).cast("double") /
+              (col("deg") * (col("deg") - 1))).as("cc"))
+        .orderBy("node")
+      val out = res.localCheckpoint(true)
+      Seq(de, nbr).foreach(_.unpersist(false))
+      out
     })
 }
