@@ -21,40 +21,61 @@ import org.apache.spark.sql.functions._
   */
 object GraphGenerators {
 
-  /** CompleteGraph.java: every ordered pair (v, w), v ≠ w. */
-  def complete(spark: SparkSession, n: Long): DataFrame =
+  /** CompleteGraph.java: every ordered pair (v, w), v ≠ w.
+    * vertexCount >= 2 mirrors the reference generator's
+    * GraphGeneratorUtils argument validation. */
+  def complete(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 2, s"complete graph needs vertexCount >= 2, got $n")
     spark.range(n * (n - 1)).select(
       expr(s"id div ${n - 1}").as("src"),
       expr(s"(id div ${n - 1} + id % ${n - 1} + 1) % $n").as("dst"))
+  }
 
-  /** CycleGraph.java: v → (v+1) mod n, both directions. */
-  def cycle(spark: SparkSession, n: Long): DataFrame =
+  /** CycleGraph.java: v → (v+1) mod n, both directions
+    * (vertexCount >= 2, the reference's bound). */
+  def cycle(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 2, s"cycle graph needs vertexCount >= 2, got $n")
     spark.range(2 * n).select(
       expr(s"id % $n").as("src"),
       expr(s"IF(id < $n, (id + 1) % $n, (id % $n + $n - 1) % $n)").as("dst"))
+  }
 
-  /** PathGraph.java: v → v+1 for v < n−1, both directions. */
-  def path(spark: SparkSession, n: Long): DataFrame =
+  /** PathGraph.java: v → v+1 for v < n−1, both directions
+    * (vertexCount >= 2). */
+  def path(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 2, s"path graph needs vertexCount >= 2, got $n")
     spark.range(2 * (n - 1)).select(
       expr(s"IF(id < ${n - 1}, id, id - $n + 2)").as("src"),
       expr(s"IF(id < ${n - 1}, id + 1, id - $n + 1)").as("dst"))
+  }
 
-  /** StarGraph.java: center 0 ↔ each leaf. */
-  def star(spark: SparkSession, n: Long): DataFrame =
+  /** StarGraph.java: center 0 ↔ each leaf (vertexCount >= 2). */
+  def star(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 2, s"star graph needs vertexCount >= 2, got $n")
     spark.range(2 * (n - 1)).select(
       expr(s"IF(id < ${n - 1}, 0L, id - $n + 2)").as("src"),
       expr(s"IF(id < ${n - 1}, id + 1, 0L)").as("dst"))
+  }
 
-  /** HypercubeGraph.java: v ↔ v xor 2^bit for each of `dims` bits. */
+  /** HypercubeGraph.java: v ↔ v xor 2^bit for each of `dims` bits
+    * (1 <= dims <= 62 keeps 2^dims a positive long). */
   def hypercube(spark: SparkSession, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 62, s"hypercube needs 1 <= dims <= 62, got $dims")
     val n = 1L << dims
     spark.range(n * dims).select(
       expr(s"id div $dims").as("src"),
       expr(s"(id div $dims) ^ shiftleft(1L, cast(id % $dims AS INT))").as("dst"))
   }
 
-  /** CirculantGraph.java: v ↔ (v ± off) mod n for each offset. */
+  /** CirculantGraph.java: v ↔ (v ± off) mod n for each offset.
+    * Offsets must lie in [1, n-1] (the reference's
+    * CirculantGraph.addRange validation) — an offset >= n would make
+    * (v - off + n) % n negative under the JVM's signed %, emitting
+    * invalid vertex ids. */
   def circulant(spark: SparkSession, n: Long, offsets: Seq[Long]): DataFrame = {
+    require(n >= 2, s"circulant graph needs vertexCount >= 2, got $n")
+    require(offsets.nonEmpty && offsets.forall(o => o >= 1 && o <= n - 1),
+      s"circulant offsets must lie in [1, ${n - 1}], got $offsets")
     val k = offsets.size.toLong
     val offs = offsets.mkString("array(", ", ", ")")
     spark.range(2 * n * k).select(
@@ -66,8 +87,10 @@ object GraphGenerators {
   }
 
   /** GridGraph.java (2-D, no wrap): right/down/left/up neighbors,
-    * rim edges filtered. */
-  def grid(spark: SparkSession, rows: Long, cols: Long): DataFrame =
+    * rim edges filtered (each dimension >= 2, GridGraph.addDimension). */
+  def grid(spark: SparkSession, rows: Long, cols: Long): DataFrame = {
+    require(rows >= 2 && cols >= 2,
+      s"grid graph needs each dimension >= 2, got ${rows}x$cols")
     spark.range(4 * rows * cols)
       .select(expr("id div 4").as("v"), expr("id % 4").as("d"))
       .select(col("v"), col("d"),
@@ -82,20 +105,27 @@ object GraphGenerators {
           .when(col("d") === 1, col("v") + cols)
           .when(col("d") === 2, col("v") - 1)
           .otherwise(col("v") - cols).as("dst"))
+  }
 
-  /** EmptyGraph.java: n vertices, no edges. */
-  def empty(spark: SparkSession, n: Long): DataFrame =
+  /** EmptyGraph.java: n vertices, no edges (n >= 0). */
+  def empty(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 0, s"empty graph needs vertexCount >= 0, got $n")
     spark.range(0).toDF("src").select(col("src"), col("src").as("dst"))
+  }
 
-  /** SingletonEdgeGraph.java: k disjoint pairs (2i ↔ 2i+1). */
-  def singletonEdge(spark: SparkSession, k: Long): DataFrame =
+  /** SingletonEdgeGraph.java: k disjoint pairs (2i ↔ 2i+1), k >= 1. */
+  def singletonEdge(spark: SparkSession, k: Long): DataFrame = {
+    require(k >= 1, s"singleton-edge graph needs vertexPairCount >= 1, got $k")
     spark.range(2 * k).select(col("id").as("src"),
       expr("IF(id % 2 = 0, id + 1, id - 1)").as("dst"))
+  }
 
   /** Declared vertex set (isolated vertices included — EmptyGraph
     * consists of nothing else). */
-  def vertices(spark: SparkSession, n: Long): DataFrame =
+  def vertices(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 0, s"vertex set needs n >= 0, got $n")
     spark.range(n).toDF("node")
+  }
 
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -113,9 +143,21 @@ object GraphGenerators {
     * distribution shape, stronger reproducibility). Defaults are the
     * reference's noise-free (a,b,c) = (0.57, 0.19, 0.19). */
   def rmat(spark: SparkSession, scale: Int, edgeCount: Long, seed: Long,
-           a: Double = 0.57, b: Double = 0.19, c: Double = 0.19): DataFrame = {
+           a: Double = 0.57, b: Double = 0.19, c: Double = 0.19,
+           parallelism: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    spark.range(edgeCount).as[Long].mapPartitions { it =>
+    require(scale >= 1 && scale <= 62, s"rmat needs 1 <= scale <= 62, got $scale")
+    require(edgeCount >= 0, s"rmat needs edgeCount >= 0, got $edgeCount")
+    require(a > 0 && b > 0 && c > 0 && a + b + c < 1,
+      s"rmat needs positive (a, b, c) with a+b+c < 1, got ($a, $b, $c)")
+    // `parallelism` exists so layout-independence is testable AT THE
+    // GENERATION SITE: the counter hash must emit the same graph no
+    // matter how the index range is split across tasks
+    val range = parallelism match {
+      case Some(p) => spark.range(0L, edgeCount, 1L, p)
+      case None => spark.range(edgeCount)
+    }
+    range.as[Long].mapPartitions { it =>
       it.map { e =>
         var src = 0L
         var dst = 0L

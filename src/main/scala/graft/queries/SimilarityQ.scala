@@ -271,7 +271,8 @@ object SimilarityQ extends QueryGroup {
         |  SELECT vec_id, label, g.i AS dim,
         |    CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) AS x
         |  FROM embeddings JOIN range(1, 65) g(i) ON true),
-        |st AS (SELECT label, dim, avg(x) AS mu, var_pop(x) AS v
+        |st AS (SELECT label, dim, avg(x) AS mu,
+        |         greatest(var_pop(x), 1e-9) AS v
         |       FROM e GROUP BY 1, 2),
         |sc AS (SELECT e.label, e.vec_id,
         |    round(-0.5 * sum(ln(2 * pi() * st.v)
@@ -289,8 +290,13 @@ object SimilarityQ extends QueryGroup {
           posexplode(col("embedding")).as(Seq("dim", "xf")))
         .select(col("vec_id"), col("label"), col("dim"),
           col("xf").cast("double").as("x"))
+      // variance floor: a constant (label, dim) slice would make
+      // var_pop = 0, so ln(2πv) = -Inf and (x-mu)²/v = NaN with
+      // engine-divergent NULL/Inf handling — the reference's
+      // MultivariateGaussian regularizes singular covariance the same
+      // way (flink-ml MultivariateGaussian.java's epsilon floor)
       val stats = e.groupBy("label", "dim")
-        .agg(avg("x").as("mu"), var_pop("x").as("v"))
+        .agg(avg("x").as("mu"), greatest(var_pop("x"), lit(1e-9)).as("v"))
       val scored = e.join(broadcast(stats), Seq("label", "dim"))
         .groupBy("label", "vec_id")
         .agg(round(lit(-0.5) * sum(log(lit(2.0) * lit(math.Pi) * col("v"))

@@ -325,10 +325,14 @@ object TypedOps extends QueryGroup {
     // .orderedWait / AsyncWaitOperator.java:78): per-partition bounded
     // in-flight Future window standing where an async KV/HTTP client
     // would; emission is input-ordered, so the result equals the plain
-    // broadcast join the oracle runs. The "service" is a broadcast
-    // snapshot of the customer dimension (the same stand-in the spec
-    // uses); capacity 32 keeps at most 32 requests in flight per
-    // partition — the reference's AsyncDataStream capacity knob.
+    // join the oracle runs. The "service" stand-in is a PARTITION-LOCAL
+    // snapshot of the customer dimension, co-partitioned with the probe
+    // on the lookup key (both sides hash-repartitioned on custkey, then
+    // zipped partition-by-partition) — per-task service state is
+    // |dim| / parts, never a driver collect of an SF-scaling table, so
+    // the stand-in itself survives 100 TB. Capacity 32 keeps at most 32
+    // requests in flight per partition — the reference's
+    // AsyncDataStream capacity knob.
     q("ty13_async_lookup",
       """SELECT o_orderkey, c.c_name AS cust_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -337,15 +341,21 @@ object TypedOps extends QueryGroup {
       import s.implicits._
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.Future
-      val dim = s.sparkContext.broadcast(
-        t(s, dir)("customer").select("c_custkey", "c_name")
-          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
-      t(s, dir)("orders").filter(col("o_orderkey") <= 2000)
-        .select("o_orderkey", "o_custkey").as[(Long, Long)]
-        .mapPartitions { it =>
+      val parts = 8
+      val probe = t(s, dir)("orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+        .repartition(parts, col("o_custkey")).as[(Long, Long)]
+      val dim = t(s, dir)("customer")
+        .select(col("c_custkey").cast("long"), col("c_name"))
+        .repartition(parts, col("c_custkey")).as[(Long, String)]
+      // identical hash partitioning on the key on both sides → partition
+      // i of the probe only ever looks up keys living in partition i of
+      // the dimension (the manual sibling of a co-located shuffle join)
+      probe.rdd.zipPartitions(dim.rdd) { (pit, dit) =>
+          val svc = dit.toMap
           graft.operators.AsyncLookup
-            .orderedWait(it, capacity = 32,
-              (ok: (Long, Long)) => Future(dim.value(ok._2)))
+            .orderedWait(pit, capacity = 32,
+              (ok: (Long, Long)) => Future(svc(ok._2)))
             .map { case ((okey, _), name) => (okey, name) }
         }
         .toDF("o_orderkey", "cust_name")

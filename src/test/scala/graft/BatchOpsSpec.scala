@@ -125,10 +125,16 @@ class BatchOpsSpec extends AnyFunSuite {
     import graft.operators.GraphGenerators
     val a = GraphGenerators.rmat(spark, scale = 8, edgeCount = 2000, seed = 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val b = GraphGenerators.rmat(spark, scale = 8, edgeCount = 2000, seed = 7L)
-      .repartition(7) // layout must not change the graph
+    // layout-independence AT THE GENERATION SITE: splitting the index
+    // range across a different task count must not change the graph
+    // (a post-generation repartition would only trivially exercise it)
+    val b = GraphGenerators.rmat(spark, scale = 8, edgeCount = 2000, seed = 7L,
+        parallelism = Some(7))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(a.sorted == b.sorted && a.size == 2000)
+    val b2 = GraphGenerators.rmat(spark, scale = 8, edgeCount = 2000, seed = 7L,
+        parallelism = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.sorted == b.sorted && b.sorted == b2.sorted && a.size == 2000)
     assert(a.forall { case (s, d) => s >= 0 && s < 256 && d >= 0 && d < 256 })
     // power-law signature: the hottest vertex far exceeds the mean
     val maxDeg = a.groupBy(_._1).map(_._2.size).max
