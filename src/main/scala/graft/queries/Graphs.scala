@@ -22,6 +22,28 @@ object Graphs extends QueryGroup {
       .distinct()
   }
 
+  /** Supplier PRECEDENCE edges for the directed metrics/clustering
+    * queries (gr16/gr17): u → v when u's line precedes v's within a
+    * high-value order. The high-value cut is ~1-2% of orders, so the
+    * fact table is broadcast-SEMI-joined against the order set BEFORE
+    * the pair self-join — without CBO stats Catalyst keeps the written
+    * join order, and filtering after the self-join would materialize
+    * the full per-order pair fan-out only to discard ~98% of it.
+    * PlanSpec asserts both self-join inputs carry this cut. */
+  private[graft] def precedenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+      .select("o_orderkey")
+    val l = t(s, dir)("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .join(broadcast(hv), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+    val a = l.toDF("ok", "ln_a", "src")
+    val b = l.toDF("ok2", "ln_b", "dst")
+    a.join(b, col("ok") === col("ok2") &&
+        col("ln_a") < col("ln_b") && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
   private val edgesSql =
     """SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -749,16 +771,7 @@ object Graphs extends QueryGroup {
         |  CAST((SELECT nb FROM bid) / 2 AS BIGINT) AS n_bidirectional_pairs,
         |  (SELECT max(d) FROM outd) AS max_out_degree,
         |  (SELECT max(d) FROM ind) AS max_in_degree""".stripMargin) { (s, dir) =>
-      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
-        .select("o_orderkey")
-      val l = t(s, dir)("lineitem")
-        .select("l_orderkey", "l_linenumber", "l_suppkey")
-      val a = l.toDF("ok", "ln_a", "src")
-      val b = l.toDF("ok2", "ln_b", "dst")
-      val de = a.join(b, col("ok") === col("ok2") &&
-          col("ln_a") < col("ln_b") && col("src") =!= col("dst"))
-        .join(hv, col("ok") === col("o_orderkey"))
-        .select("src", "dst").distinct().persist()
+      val de = precedenceEdges(s, dir).persist()
       de.count() // eager fill — see gr8
       val rev = de.toDF("r_src", "r_dst")
       val bid = de.join(rev,
@@ -815,16 +828,7 @@ object Graphs extends QueryGroup {
         |  END AS cc
         |FROM deg d LEFT JOIN tri t ON t.v = d.v
         |ORDER BY node""".stripMargin) { (s, dir) =>
-      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
-        .select("o_orderkey")
-      val l = t(s, dir)("lineitem")
-        .select("l_orderkey", "l_linenumber", "l_suppkey")
-      val a = l.toDF("ok", "ln_a", "s1")
-      val b = l.toDF("ok2", "ln_b", "s2")
-      val de = a.join(b, col("ok") === col("ok2") &&
-          col("ln_a") < col("ln_b") && col("s1") =!= col("s2"))
-        .join(hv, col("ok") === col("o_orderkey"))
-        .select(col("s1").as("src"), col("s2").as("dst")).distinct().persist()
+      val de = precedenceEdges(s, dir).persist()
       de.count() // eager fill — see gr8
       val nbr = de.select(col("src").as("v"), col("dst").as("w"))
         .union(de.select(col("dst").as("v"), col("src").as("w")))

@@ -377,6 +377,28 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("precedence-graph self-join inputs carry the high-value cut (gr16/gr17)") {
+    // The hv predicate selects ~1-2% of orders; both inputs of the
+    // lineitem×lineitem pair fan-out must be SEMI-joined against it
+    // BEFORE the self-join — a post-join filter would shuffle the full
+    // fact×fact pair set at any scale only to discard ~98% of it.
+    val plan = graft.queries.Graphs.precedenceEdges(spark, dir)
+      .queryExecution.executedPlan.toString
+    val semiCount = "BroadcastHashJoin .* LeftSemi".r
+      .findAllIn(plan).size
+    assert(semiCount >= 2,
+      s"expected the hv LeftSemi cut on BOTH self-join inputs:\n$plan")
+    val selfJoinIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Join") && l.contains("Inner"))
+    assert(selfJoinIdx >= 0, s"no self-join found:\n$plan")
+    // the semi joins must sit BELOW the self-join (deeper in the tree =
+    // later lines in the plan dump)
+    val semiLines = plan.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("LeftSemi") => i }.toSeq
+    assert(semiLines.count(_ > selfJoinIdx) >= 2,
+      s"hv cut not below the self-join:\n$plan")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter = the engine's dynamic-filtering
     // path for fact-fact joins that cannot broadcast: the selective
