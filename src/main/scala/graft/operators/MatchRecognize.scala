@@ -51,6 +51,23 @@ import org.apache.spark.sql.functions.{col, expr, round}
   * `where()`). Variables without a DEFINE entry are rejected (ALL ROWS
   * semantics like an always-true variable would make `within`
   * unbounded).
+  *
+  * CROSS-VARIABLE DEFINE predicates (the reference's ITERATIVE
+  * conditions — flink-cep/.../pattern/conditions/
+  * IterativeCondition.java:52, compiled for MATCH_RECOGNIZE in
+  * MatchCodeGenerator.scala): a DEFINE body may navigate the partial
+  * match — `B AS B.price > LAST(A.price)`, `PREV(price, 2)`,
+  * `FIRST(B.value, 1)`, arithmetic over them. The compiler splits each
+  * body at top-level ANDs: row-local conjuncts stay in the pre-shuffle
+  * bitmask (codegen'd, evaluated once per event); binding-dependent
+  * conjuncts compile to [[PatternNFA.CtxCmp]] trees evaluated DURING
+  * the NFA scan against the partial-match context. Resolution rules
+  * (SQL:2016 running semantics): inside DEFINE B, `B.col` (and a bare
+  * `col`) is the current row; `A.col` for an earlier variable A means
+  * LAST(A.col); FIRST/LAST take an optional logical offset, PREV a
+  * physical one. Context operands are numeric (they ride the scan as
+  * doubles; NULL fails any comparison); forward references are
+  * rejected at compile time.
   */
 object MatchRecognize {
   import PatternNFA._
@@ -65,6 +82,11 @@ object MatchRecognize {
   private val withinRe =
     """(?i)WITHIN\s+INTERVAL\s*'(\d+)'\s*(HOUR|MINUTE|SECOND)S?""".r
   private val skipPastRe = """(?i)AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW""".r
+  // SKIP TO FIRST/LAST <var> (AfterMatchSkipStrategy.java skipToFirst/
+  // skipToLast); NEXT never matches the FIRST|LAST alternation, so the
+  // SKIP TO NEXT ROW form stays with its own check below
+  private val skipToVarRe =
+    """(?i)AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
   private val varRe = """(\w+)(\+|\?|\{(\d+)(?:,(\d+))?\})?""".r
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s*(?=ONE\s+ROW\s+PER|ALL\s+ROWS\s+PER|AFTER\s+MATCH|PATTERN\s*\()""".r
@@ -109,20 +131,171 @@ object MatchRecognize {
                            roundTo: Option[Int], alias: String)
 
   /** steps reference `defines` entries by variable name; `defines`
-    * keeps clause order, body = raw SQL predicate text. */
+    * keeps clause order, body = the ROW-LOCAL residue of the DEFINE
+    * (context conjuncts split out into `ctx`; `true` if nothing
+    * row-local remains). `navCols` are the event columns the context
+    * predicates' column indices resolve to. */
   final case class Compiled(steps: Seq[Step], defines: Seq[(String, String)],
                             withinMicros: Long, afterMatch: AfterMatch,
                             measures: Seq[Measure] = Seq.empty,
-                            allRows: Boolean = false)
+                            allRows: Boolean = false,
+                            navCols: Seq[String] = Seq.empty,
+                            ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+
+  /** Split a DEFINE body on TOP-LEVEL ANDs (paren- and string-literal
+    * aware) — each conjunct is independently classified as row-local
+    * or context-dependent. */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote = false
+    var i = 0
+    def boundary(j: Int): Boolean =
+      j < 0 || j >= s.length || (!s(j).isLetterOrDigit && s(j) != '_')
+    while (i < s.length) {
+      val c = s(i)
+      if (quote) { sb += c; if (c == '\'') quote = false; i += 1 }
+      else if (c == '\'') { quote = true; sb += c; i += 1 }
+      else if (c == '(') { depth += 1; sb += c; i += 1 }
+      else if (c == ')') { depth -= 1; sb += c; i += 1 }
+      else if (depth == 0 && i + 3 <= s.length &&
+          s.substring(i, i + 3).equalsIgnoreCase("AND") &&
+          boundary(i - 1) && boundary(i + 3)) {
+        out += sb.toString.trim; sb.clear(); i += 3
+      } else { sb += c; i += 1 }
+    }
+    out += sb.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  private val navFnRe = """(?i)\b(PREV|FIRST|LAST)\s*\(""".r
+  private val varDotRe = """(?i)\b(\w+)\s*\.""".r
+
+  /** Recursive-descent parser for one context conjunct:
+    * `sum cmpop sum` over literals, bare/VAR-qualified columns,
+    * FIRST/LAST/PREV navigation, + - * / and parens. */
+  private final class CtxParser(toks: Array[String], curVar: String,
+                                vars: Set[String], colIdx: String => Int) {
+    private var p = 0
+    private def peek: String = if (p < toks.length) toks(p) else ""
+    private def next(): String = { val t = peek; p += 1; t }
+    private def expect(t: String): Unit = {
+      val g = next()
+      if (g != t) sys.error(s"context predicate: expected '$t', got '$g'")
+    }
+
+    def cmp(): CtxCmp = {
+      val l = sum()
+      val op = next() match {
+        case "!=" => "<>"
+        case o if Set(">", ">=", "<", "<=", "=", "<>")(o) => o
+        case o => sys.error(s"context predicate: expected a comparison " +
+          s"operator, got '$o' (context conjuncts are single comparisons " +
+          "joined by top-level AND)")
+      }
+      val r = sum()
+      if (p != toks.length)
+        sys.error(s"context predicate: trailing tokens after comparison: " +
+          toks.drop(p).mkString(" "))
+      CtxCmp(op, l, r)
+    }
+    private def sum(): NavExpr = {
+      var l = term()
+      while (peek == "+" || peek == "-") {
+        val o = next(); l = NavExpr.Bin(o.head, l, term())
+      }
+      l
+    }
+    private def term(): NavExpr = {
+      var l = atom()
+      while (peek == "*" || peek == "/") {
+        val o = next(); l = NavExpr.Bin(o.head, l, atom())
+      }
+      l
+    }
+    private def atom(): NavExpr = peek match {
+      case "(" => next(); val e = sum(); expect(")"); e
+      case "-" => next(); NavExpr.Bin('-', NavExpr.Lit(0d), atom())
+      case t if t.nonEmpty && t.head.isDigit => next(); NavExpr.Lit(t.toDouble)
+      case t if t.equalsIgnoreCase("PREV") && lookahead1 == "(" =>
+        next(); next()
+        val (_, c) = ref()          // an optional classifier prefix is
+        val n = optOffset(1)        // ignored: PREV is PHYSICAL (SQL:2016)
+        expect(")")
+        NavExpr.Prev(colIdx(c), n)
+      case t if (t.equalsIgnoreCase("FIRST") || t.equalsIgnoreCase("LAST")) &&
+          lookahead1 == "(" =>
+        val first = next().equalsIgnoreCase("FIRST"); next()
+        val (v, c) = ref()
+        if (v.isEmpty) sys.error("FIRST/LAST navigation requires VAR.col")
+        val off = optOffset(0)
+        expect(")")
+        NavExpr.VarNav(v, colIdx(c), first, off)
+      case _ =>
+        val (v, c) = ref()
+        if (v.isEmpty || v == curVar) NavExpr.Cur(colIdx(c))
+        // a bare earlier-variable reference means its latest binding —
+        // SQL running semantics: A.price ≡ LAST(A.price)
+        else NavExpr.VarNav(v, colIdx(c), first = false, off = 0)
+    }
+    private def lookahead1: String = if (p + 1 < toks.length) toks(p + 1) else ""
+    private def optOffset(default: Int): Int =
+      if (peek == ",") { next(); next().toDouble.toInt } else default
+    private def ref(): (String, String) = {
+      val a = next()
+      if (!a.matches("""\w+"""))
+        sys.error(s"context predicate: expected identifier, got '$a'")
+      if (peek == ".") {
+        next(); val b = next()
+        if (!vars(a.toUpperCase))
+          sys.error(s"context predicate references unknown pattern variable $a")
+        (a.toUpperCase, b)
+      } else ("", a)
+    }
+  }
+
+  private def parseCtx(body: String, curVar: String, vars: Set[String],
+                       colIdx: String => Int): CtxCmp = {
+    val toks = """>=|<=|<>|!=|[-+*/()=<>.,]|\d+(?:\.\d+)?|\w+""".r
+      .findAllIn(body).toArray
+    new CtxParser(toks, curVar, vars, colIdx).cmp()
+  }
 
   def compile(clause: String): Compiled = {
     val patternText = patternRe.findFirstMatchIn(clause)
       .map(_.group(1)).getOrElse(sys.error("missing PATTERN (...)"))
-    val defines: Seq[(String, String)] = defineRe.findFirstMatchIn(clause)
+    val rawDefines: Seq[(String, String)] = defineRe.findFirstMatchIn(clause)
       .map(m => defOneRe.findAllMatchIn(m.group(1))
         .map(d => d.group(1).toUpperCase -> d.group(2).trim).toSeq)
       .getOrElse(Seq.empty)
-    val defined = defines.map(_._1).toSet
+    val defined = rawDefines.map(_._1).toSet
+
+    // Split each DEFINE body: row-local conjuncts → bitmask residue;
+    // navigation conjuncts → CtxCmp trees. A conjunct referencing ONLY
+    // the current variable with no FIRST/LAST/PREV is row-local after
+    // stripping the self-prefix (B.price > 100 inside DEFINE B ≡
+    // price > 100 — running semantics make B.price the current row).
+    val navColsOrder = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def colIdx(c: String): Int = navColsOrder.getOrElseUpdate(c, navColsOrder.size)
+    val ctxB = scala.collection.mutable.Map.empty[String, Seq[CtxCmp]]
+    val defines: Seq[(String, String)] = rawDefines.map { case (name, body) =>
+      val locals = Seq.newBuilder[String]
+      val ctxs = Seq.newBuilder[CtxCmp]
+      splitTopLevelAnd(body).foreach { conj =>
+        val hasNavFn = navFnRe.findFirstIn(conj).isDefined
+        val varRefs = varDotRe.findAllMatchIn(conj)
+          .map(_.group(1).toUpperCase).filter(defined).toSet
+        if (!hasNavFn && varRefs.isEmpty) locals += conj
+        else if (!hasNavFn && varRefs == Set(name))
+          locals += conj.replaceAll(s"(?i)\\b$name\\s*\\.\\s*", "")
+        else ctxs += parseCtx(conj, name, defined, colIdx)
+      }
+      val cs = ctxs.result()
+      if (cs.nonEmpty) ctxB(name) = cs
+      val lc = locals.result()
+      name -> (if (lc.isEmpty) "true" else lc.mkString(" AND "))
+    }
     val steps = varRe.findAllMatchIn(patternText.trim).filter(_.group(1).nonEmpty)
       .map { m =>
         val name = m.group(1)
@@ -153,7 +326,14 @@ object MatchRecognize {
     }.getOrElse(sys.error("WITHIN is required (unbounded patterns retain state forever)"))
     val afterMatch =
       if (skipPastRe.findFirstIn(clause).isDefined) SkipPastLastEvent
-      else SkipToNextRow
+      else skipToVarRe.findFirstMatchIn(clause).map { m =>
+        val v = m.group(2).toUpperCase
+        if (!defined(v))
+          sys.error(s"AFTER MATCH SKIP TO ${m.group(1).toUpperCase} $v: " +
+            "no such pattern variable in DEFINE")
+        if (m.group(1).equalsIgnoreCase("FIRST")) SkipToFirst(v)
+        else SkipToLast(v)
+      }.getOrElse(SkipToNextRow)
     val measures = measuresRe.findFirstMatchIn(clause)
       .map(m => splitTopLevel(m.group(1)).map(parseMeasure))
       .getOrElse(Seq.empty)
@@ -166,7 +346,8 @@ object MatchRecognize {
     val allRows = allRowsRe.findFirstIn(clause).isDefined
     if (allRows && measures.isEmpty)
       sys.error("ALL ROWS PER MATCH requires a MEASURES clause here")
-    Compiled(steps, defines, withinMicros, afterMatch, measures, allRows)
+    Compiled(steps, defines, withinMicros, afterMatch, measures, allRows,
+      navColsOrder.keys.toSeq, ctxB.toMap)
   }
 
   /** Run the clause over (key, tsMicros, id, kind, ...) events — extra
@@ -179,7 +360,7 @@ object MatchRecognize {
     val preds = c.defines.map { case (n, body) => n -> expr(body) }
     if (c.measures.isEmpty)
       PatternNFA.runPredicates(spark, events, c.steps, preds,
-        c.withinMicros, c.afterMatch)
+        c.withinMicros, c.afterMatch, c.navCols, c.ctx)
     else {
       // Exploded bindings → equi-join back to the event rows → the
       // measures are one distributed groupBy over (key, match_no).
@@ -187,7 +368,7 @@ object MatchRecognize {
       // the NFA's typed scan) keeps the scan narrow AND the measure
       // aggregation codegen'd.
       val b = PatternNFA.runPredicatesBindings(spark, events, c.steps,
-          preds, c.withinMicros, c.afterMatch)
+          preds, c.withinMicros, c.afterMatch, c.navCols, c.ctx)
         .withColumnRenamed("key", "_bkey")
       val joined = b.join(events,
           b("_bkey") === events("key") && b("event_id") === events("id"))

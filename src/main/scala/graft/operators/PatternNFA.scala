@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** CEP pattern matching with the full quantifier algebra (SURVEY.md
   * §2.9 — flink-cep Pattern algebra: Pattern.java:155-477
   * where/times/timesOrMore/oneOrMore/optional/until/consecutive/
-  * allowCombinations/notFollowedBy, NFA skip strategies in
-  * AfterMatchSkipStrategy.java).
+  * allowCombinations, group patterns in GroupPattern.java, NFA skip
+  * strategies in AfterMatchSkipStrategy.java, and ITERATIVE conditions
+  * — predicates over the partial match — in
+  * flink-cep/.../pattern/conditions/IterativeCondition.java:52).
   *
   * Determinism convention (kept so every query stays oracle-checkable):
   * matches are selected EARLIEST-FIRST — each step binds the earliest
@@ -26,7 +28,12 @@ import org.apache.spark.sql.functions._
   *    absorbs every event of the kind before the next step's binding,
   *    the horizon, and (if `until` is set) the first until-kind event
   *    after the previous binding — Pattern.java:219 `until` stops the
-  *    loop the moment the stop condition fires.
+  *    loop the moment the stop condition fires. When the pattern
+  *    carries CONTEXT predicates (see below) the loop instead binds
+  *    the maximal greedy run of successively-eligible events and
+  *    backtracks by shrinking it from the end — the regex-greedy
+  *    shape, because absorb-after-the-fact cannot re-evaluate a
+  *    binding-dependent predicate.
   *  - Times(n, consecutive=false): n successive earliest bindings
   *    (relaxed contiguity). consecutive=true additionally requires the
   *    n events to be ADJACENT in the per-key event sequence (strict
@@ -37,6 +44,52 @@ import org.apache.spark.sql.functions._
   *  - Not: no event of the kind strictly between the neighboring
   *    bindings (notFollowedBy); a trailing Not checks the interval up
   *    to the horizon deadline.
+  *  - GroupTimes(sub, lo, hi): a GROUP pattern (GroupPattern.java —
+  *    Pattern.begin(subPattern).times(lo, hi)): the sub-sequence as
+  *    one quantified step, greedy largest-k-first with backtracking.
+  *    Sub-steps must be quantifier One (the reference's group bodies
+  *    are plain sequences); lo=0 makes the whole group optional.
+  *
+  * CONTEXT predicates (IterativeCondition.java:52; the reference's
+  * MATCH_RECOGNIZE compiles DEFINE bodies that navigate the partial
+  * match in MatchCodeGenerator.scala): in addition to the row-local
+  * bitmask, a step may carry [[CtxCmp]] comparisons over [[NavExpr]]
+  * navigation expressions — LAST(A.col)/FIRST(A.col) over the events
+  * bound to an EARLIER (or the current) variable in the partial match,
+  * PREV(col, n) over the physical event sequence, the candidate row's
+  * own columns, literals, and arithmetic. These are evaluated DURING
+  * the NFA scan against the partial-match context (they cannot be
+  * pre-evaluated map-side — their value depends on the bindings).
+  * Pinned semantics, chosen so batch and streaming agree exactly:
+  *  - LAST(V.col, off) / FIRST(V.col, off): the events bound to V so
+  *    far; while V itself is being matched, the candidate row counts
+  *    as V's latest binding (SQL running semantics — `B.price` inside
+  *    DEFINE B is the current row). Out-of-range navigation is NULL.
+  *  - PREV(col, n): the n-th row before the candidate in the per-key
+  *    (ts, id) sequence, COUNTING ONLY ROWS AT OR AFTER THE MATCH
+  *    ANCHOR — rows before the anchor are NULL. (The reference leaves
+  *    pre-window PREV retention-dependent; bounding it to the match
+  *    window is what makes the streaming operator — which has provably
+  *    evicted everything older — emit byte-identical results.)
+  *  - NULL propagates through arithmetic; a comparison with NULL is
+  *    false (SQL WHERE semantics).
+  *  - Forward references (a DEFINE reading a variable that appears
+  *    LATER in the pattern) are rejected at compile time, as in SQL.
+  *
+  * AFTER MATCH strategies (AfterMatchSkipStrategy.java — all five):
+  *  - SkipToNextRow: every event may anchor a match (one match per
+  *    anchor under this engine's earliest-first determinism).
+  *  - SkipPastLastEvent: anchors re-arm strictly past the previous
+  *    match's last bound event.
+  *  - SkipToFirst(v)/SkipToLast(v): anchors re-arm AT the first/last
+  *    event bound to variable v in the previous match (inclusive);
+  *    a skip that would re-anchor at the match start, or names a
+  *    variable that bound no rows, throws — the reference's
+  *    AfterMatchSkipStrategy throws FlinkRuntimeException for both.
+  *  - NoSkip: EVERY match is emitted — per anchor, all binding
+  *    variants the pattern allows (loop extents ascending, Optional
+  *    both branches); One-steps stay committed to their earliest
+  *    completing candidate (the engine's pinned determinism).
   *
   * Execution: one shuffle on the key, per-key event-time sort, linear
   * scan with bounded backtracking — the keyed-state access pattern of
@@ -56,13 +109,44 @@ object PatternNFA {
   final case class Times(n: Int, consecutive: Boolean = false) extends Quant
   /** Between lo and hi occurrences, greedy (Pattern.times(from, to)). */
   final case class TimesRange(lo: Int, hi: Int) extends Quant
+  /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
+    * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
+    * must be quantifier One. */
+  final case class GroupTimes(sub: Seq[Step], lo: Int, hi: Int) extends Quant
 
   sealed trait AfterMatch
   case object SkipToNextRow extends AfterMatch
   case object SkipPastLastEvent extends AfterMatch
+  /** Emit EVERY match (AfterMatchSkipStrategy.noSkip()). */
+  case object NoSkip extends AfterMatch
+  /** Re-arm at the first event bound to `variable` (inclusive). */
+  final case class SkipToFirst(variable: String) extends AfterMatch
+  /** Re-arm at the last event bound to `variable` (inclusive). */
+  final case class SkipToLast(variable: String) extends AfterMatch
 
   /** One pattern step: match events whose kind equals `kind`. */
   final case class Step(name: String, kind: String, quant: Quant = One)
+
+  /** Navigation expressions for context predicates. Column references
+    * are indices into the `navCols` projection (resolved by the
+    * caller — MatchRecognize's DEFINE compiler). */
+  sealed trait NavExpr
+  object NavExpr {
+    final case class Lit(v: Double) extends NavExpr
+    /** The candidate row's own column. */
+    final case class Cur(col: Int) extends NavExpr
+    /** Physical navigation: n rows before the candidate, bounded to
+      * the match window (NULL before the anchor). */
+    final case class Prev(col: Int, n: Int) extends NavExpr
+    /** Logical navigation over the rows bound to `variable` so far:
+      * FIRST(v.col, off) / LAST(v.col, off). */
+    final case class VarNav(variable: String, col: Int, first: Boolean,
+                            off: Int) extends NavExpr
+    /** Arithmetic: op ∈ + - * /. */
+    final case class Bin(op: Char, l: NavExpr, r: NavExpr) extends NavExpr
+  }
+  /** One comparison conjunct: op ∈ > >= < <= = <>. */
+  final case class CtxCmp(op: String, l: NavExpr, r: NavExpr)
 
   final case class PMatch(key: Long, anchor_id: Long, end_id: Long,
                           chain: String, counts: String)
@@ -75,27 +159,49 @@ object PatternNFA {
   final case class BindingRow(key: Long, match_no: Long, anchor_id: Long,
                               var_name: String, event_id: Long, pos: Int)
 
-  /** Internal step over a variable bit index: a row matches step i iff
-    * bit i of its satisfaction mask is set (general predicates; kind
-    * equality is the special case `kind = 'literal'`). */
-  private final case class IStep(name: String, bit: Int, quant: Quant,
-                                 untilBit: Option[Int])
+  /** Internal compiled pattern node. */
+  private sealed trait INode { def name: String }
+  /** A leaf step over a variable bit index: a row matches iff bit
+    * `bit` of its satisfaction mask is set AND its context predicates
+    * hold against the partial match. */
+  private final case class ILeaf(name: String, bit: Int, quant: Quant,
+                                 untilBit: Option[Int],
+                                 ctx: Seq[RCmp]) extends INode
+  private final case class IGroup(name: String, sub: Seq[INode],
+                                  lo: Int, hi: Int) extends INode
 
-  private final case class Ev(ts: Long, id: Long, sat: Long, idx: Int)
+  /** Resolved context comparison: variable names resolved to step
+    * indices (position in the compiled step list). */
+  private final case class RCmp(op: String, l: RNav, r: RNav)
+  private sealed trait RNav
+  private final case class RLit(v: Double) extends RNav
+  private final case class RCur(col: Int) extends RNav
+  private final case class RPrev(col: Int, n: Int) extends RNav
+  private final case class RVar(step: Int, col: Int, first: Boolean,
+                                off: Int) extends RNav
+  private final case class RBin(op: Char, l: RNav, r: RNav) extends RNav
+
+  private final case class Ev(ts: Long, id: Long, sat: Long, idx: Int,
+                              nav: Array[Double])
   @inline private def hasBit(e: Ev, i: Int): Boolean = (e.sat & (1L << i)) != 0
+
+  /** kind-equality surface compiled onto the predicate NFA: one
+    * variable per distinct kind (incl. OneOrMore until-kinds),
+    * group sub-step kinds included. */
+  private def kindPreds(steps: Seq[Step]): Seq[(String, org.apache.spark.sql.Column)] = {
+    def kindsOf(ss: Seq[Step]): Seq[String] = ss.flatMap { st =>
+      st.quant match {
+        case GroupTimes(sub, _, _) => kindsOf(sub)
+        case OneOrMore(Some(uk)) => Seq(st.kind, uk)
+        case _ => Seq(st.kind)
+      }
+    }
+    kindsOf(steps).distinct.map(k => k -> (col("kind") === lit(k)))
+  }
 
   /** events: (key, tsMicros, id, kind) rows. One output row per
     * emitted match: binding-chain ids and loop counts as deterministic
     * strings. */
-  /** kind-equality surface compiled onto the predicate NFA: one
-    * variable per distinct kind (incl. OneOrMore until-kinds). */
-  private def kindPreds(steps: Seq[Step]): Seq[(String, org.apache.spark.sql.Column)] = {
-    val kinds = (steps.map(_.kind) ++ steps.collect {
-      case Step(_, _, OneOrMore(Some(uk))) => uk
-    }).distinct
-    kinds.map(k => k -> (col("kind") === lit(k)))
-  }
-
   def run(spark: SparkSession, events: DataFrame, steps: Seq[Step],
           withinMicros: Long,
           afterMatch: AfterMatch = SkipToNextRow): DataFrame =
@@ -124,21 +230,23 @@ object PatternNFA {
                   withinMicros: Long,
                   afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
     import spark.implicits._
-    val (isteps, ds) = prepare(events, steps, kindPreds(steps))
+    val (isteps, ds) = prepare(events, steps, kindPreds(steps), Nil, Map.empty)
+    val hasCtx = anyCtx(isteps)
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       val evs = sortKey(it)
       val out = Vector.newBuilder[PTimeout]
       var minAnchorIdx = 0
       evs.foreach { a =>
-        if (hasBit(a, isteps.head.bit) && a.idx >= minAnchorIdx) {
+        if (anchorOk(a, isteps) && a.idx >= minAnchorIdx) {
           val deadline = a.ts + withinMicros
-          matchFrom(evs, isteps.drop(1), a, deadline) match {
+          matchFrom(evs, isteps.drop(1), a, deadline, a.idx,
+              Vector(Vector(a)), hasCtx) match {
             case Some(rest) =>
               if (afterMatch == SkipPastLastEvent)
                 minAnchorIdx = (Vector(Vector(a)) ++ rest).flatten
                   .map(_.idx).max + 1
             case None =>
-              out += timeoutPartial(key, evs, isteps, a, deadline)
+              out += timeoutPartial(key, evs, isteps, a, deadline, hasCtx)
           }
         }
       }
@@ -150,36 +258,42 @@ object PatternNFA {
     * earliest-first over m-1 steps after the anchor, largest m first
     * (m = L-1 .. 1; the empty prefix always binds, so the anchor alone
     * is the floor). */
-  private def timeoutPartial(key: Long, evs: Vector[Ev], isteps: Seq[IStep],
-                             a: Ev, deadline: Long): PTimeout = {
+  private def timeoutPartial(key: Long, evs: Vector[Ev], isteps: Seq[INode],
+                             a: Ev, deadline: Long, hasCtx: Boolean): PTimeout = {
     val (m, rest) = (isteps.length - 1 to 1 by -1).iterator
-      .map(k => k -> matchFrom(evs, isteps.slice(1, k), a, deadline))
+      .map(k => k -> matchFrom(evs, isteps.slice(1, k), a, deadline, a.idx,
+        Vector(Vector(a)), hasCtx))
       .collectFirst { case (k, Some(r)) => (k, r) }
       .getOrElse((1, Vector.empty[Vector[Ev]]))
     val bound = Vector(Vector(a)) ++ rest
-    val ids = isteps.take(m).zip(bound).flatMap { case (st, b) =>
-      st.quant match {
-        case OneOrMore(_) => b.headOption.map(_.id).toSeq
-        case _            => b.map(_.id)
-      }
+    val ids = isteps.take(m).zip(bound).flatMap {
+      case (ILeaf(_, _, OneOrMore(_), _, _), b) => b.headOption.map(_.id).toSeq
+      case (_, b) => b.map(_.id)
     }
     val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
     PTimeout(key, a.id, lastEv.id, ids.mkString(","), bound.count(_.nonEmpty))
   }
 
+  /** Skip-past / skip-to high-water mark carried across streaming
+    * micro-batches: anchors strictly after (exclusive) or at-or-after
+    * (inclusive) the (ts, id) point. */
+  private[graft] final case class Mark(ts: Long, id: Long, inclusive: Boolean)
+
   /** Streaming twin of [[runTimeouts]]'s per-key scan (the shape
     * [[matchesMature]] is to [[run]]): timed-out partials for MATURE
     * anchors only — anchor.ts + within <= watermark, when the window
-    * is provably complete — with the SkipPastLastEvent mark advanced
-    * by FULL matches exactly as the main scan advances it, so the
-    * timeout stream sees the same offered anchors. */
+    * is provably complete — with the skip mark advanced by FULL
+    * matches exactly as the main scan advances it, so the timeout
+    * stream sees the same offered anchors. */
   private[graft] def matureTimeouts(
-      key: Long, triples: Seq[(Long, Long, Long)], steps: Seq[Step],
-      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
-      wmMicros: Long, minStart: Option[(Long, Long)])
-      : (Seq[PTimeout], Option[(Long, Long)]) = {
-    val (_, tmos, mark) = matureScan(key, triples, steps, varNames,
-      withinMicros, afterMatch, wmMicros, minStart, collectTimeouts = true)
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double])],
+      steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
+      afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+      : (Seq[PTimeout], Option[Mark]) = {
+    val (_, tmos, mark) = matureScan(key, quads, steps, varNames,
+      withinMicros, afterMatch, wmMicros, minStart, ctx,
+      collectTimeouts = true)
     (tmos, mark)
   }
 
@@ -191,13 +305,20 @@ object PatternNFA {
     * (codegen'd, before the shuffle — the NFA scan then only tests
     * bits), so predicate cost is map-side and per-event, not
     * per-(event × backtrack-visit). `steps` reference variables by
-    * `kind` = variable name; max 64 variables. */
+    * `kind` = variable name; max 64 variables.
+    *
+    * `ctx` adds per-variable CONTEXT predicates (see object doc) that
+    * navigate the partial match; `navCols` names the event columns
+    * their [[NavExpr]] column indices resolve to — these ride through
+    * the scan as a compact double array (NaN = NULL). */
   def runPredicates(spark: SparkSession, events: DataFrame, steps: Seq[Step],
                     varPreds: Seq[(String, org.apache.spark.sql.Column)],
                     withinMicros: Long,
-                    afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
+                    afterMatch: AfterMatch = SkipToNextRow,
+                    navCols: Seq[String] = Nil,
+                    ctx: Map[String, Seq[CtxCmp]] = Map.empty): DataFrame = {
     import spark.implicits._
-    val (isteps, ds) = prepare(events, steps, varPreds)
+    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx)
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       scanKey(sortKey(it), isteps, withinMicros, afterMatch)
         .map { case (bindings, _) => emit(key, isteps, bindings) }
@@ -209,14 +330,17 @@ object PatternNFA {
     * per (match, variable, bound event). Same scan, same determinism;
     * this is the input shape of the MEASURES clause (the aggregates
     * run as an ordinary distributed groupBy over it — see
-    * [[MatchRecognize]]). */
+    * [[MatchRecognize]]). Group-step bindings carry the GROUP's name
+    * for every bound event. */
   def runPredicatesBindings(spark: SparkSession, events: DataFrame,
                             steps: Seq[Step],
                             varPreds: Seq[(String, org.apache.spark.sql.Column)],
                             withinMicros: Long,
-                            afterMatch: AfterMatch = SkipToNextRow): DataFrame = {
+                            afterMatch: AfterMatch = SkipToNextRow,
+                            navCols: Seq[String] = Nil,
+                            ctx: Map[String, Seq[CtxCmp]] = Map.empty): DataFrame = {
     import spark.implicits._
-    val (isteps, ds) = prepare(events, steps, varPreds)
+    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx)
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       scanKey(sortKey(it), isteps, withinMicros, afterMatch)
         .flatMap { case (bindings, matchNo) =>
@@ -229,55 +353,174 @@ object PatternNFA {
     }.toDF()
   }
 
-  /** Common front half of the two run shapes: validate, resolve steps
-    * onto variable bits, and project events down to the NFA's
-    * (key, ts, id, bitmask) dataset with predicates pre-evaluated
-    * map-side. */
+  /** Common front half of the run shapes: validate, resolve steps onto
+    * variable bits, resolve context predicates onto step indices, and
+    * project events down to the NFA's (key, ts, id, bitmask, nav)
+    * dataset with row-local predicates pre-evaluated map-side. */
   private def prepare(events: DataFrame, steps: Seq[Step],
-                      varPreds: Seq[(String, org.apache.spark.sql.Column)])
-      : (Seq[IStep], org.apache.spark.sql.Dataset[(Long, Long, Long, Long)]) = {
+                      varPreds: Seq[(String, org.apache.spark.sql.Column)],
+                      navCols: Seq[String], ctx: Map[String, Seq[CtxCmp]])
+      : (Seq[INode], org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Array[Double])]) = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty && steps.head.quant == One,
       "first step must be quantifier One (anchor)")
     require(varPreds.size <= 64, "at most 64 pattern variables")
     val bitOf = varPreds.map(_._1).zipWithIndex.toMap
-    def bitFor(k: String): Int = bitOf.getOrElse(k,
-      sys.error(s"step references undefined pattern variable $k"))
-    val isteps = steps.map { st =>
-      val untilBit = st.quant match {
-        case OneOrMore(Some(uk)) => Some(bitFor(uk))
-        case _ => None
-      }
-      IStep(st.name, bitFor(st.kind), st.quant, untilBit)
-    }
+    val isteps = compile(steps, k => bitOf.getOrElse(k,
+      sys.error(s"step references undefined pattern variable $k")), ctx)
     val satCol = varPreds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    val navCol =
+      if (navCols.isEmpty) lit(Array.empty[Double])
+      else array(navCols.map(c =>
+        coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
     val ds = events.select(
         col("key").cast("long"), col("tsMicros").cast("long"),
-        col("id").cast("long"), satCol.cast("long").as("_sat"))
-      .as[(Long, Long, Long, Long)]
+        col("id").cast("long"), satCol.cast("long").as("_sat"),
+        navCol.as("_nav"))
+      .as[(Long, Long, Long, Long, Array[Double])]
     (isteps, ds)
   }
 
+  /** Compile public steps to internal nodes: bits via `bitFor`, ctx
+    * variable references to step indices, validation (anchor ctx may
+    * only self-reference; no forward references; groups are ctx-free
+    * sequences of One). */
+  private def compile(steps: Seq[Step], bitFor: String => Int,
+                      ctx: Map[String, Seq[CtxCmp]]): Seq[INode] = {
+    val stepIdxOf: Map[String, Int] = steps.zipWithIndex.map {
+      case (st, i) => st.kind -> i
+    }.toMap
+    def resolveNav(e: NavExpr, curIdx: Int): RNav = e match {
+      case NavExpr.Lit(v) => RLit(v)
+      case NavExpr.Cur(c) => RCur(c)
+      case NavExpr.Prev(c, n) =>
+        require(n >= 1, s"PREV offset must be >= 1, got $n"); RPrev(c, n)
+      case NavExpr.VarNav(v, c, first, off) =>
+        val i = stepIdxOf.getOrElse(v,
+          sys.error(s"context predicate references unknown pattern variable $v"))
+        require(i <= curIdx,
+          s"DEFINE may not reference a LATER pattern variable ($v) — " +
+            "forward references are invalid in row-pattern DEFINE (SQL:2016)")
+        require(off >= 0, s"FIRST/LAST offset must be >= 0, got $off")
+        RVar(i, c, first, off)
+      case NavExpr.Bin(op, l, r) =>
+        RBin(op, resolveNav(l, curIdx), resolveNav(r, curIdx))
+    }
+    steps.zipWithIndex.map { case (st, i) =>
+      st.quant match {
+        case GroupTimes(sub, lo, hi) =>
+          require(lo >= 0 && hi >= math.max(lo, 1),
+            s"group pattern times($lo, $hi) out of range")
+          require(sub.nonEmpty, "group pattern body is empty")
+          require(sub.forall(_.quant == One),
+            "group pattern sub-steps must be quantifier One " +
+              "(the reference's group bodies are plain sequences)")
+          require(ctx.isEmpty,
+            "context predicates and group patterns cannot be combined")
+          IGroup(st.name,
+            sub.map(s => ILeaf(s.name, bitFor(s.kind), One, None, Nil)),
+            lo, hi)
+        case q =>
+          val untilBit = q match {
+            case OneOrMore(Some(uk)) => Some(bitFor(uk))
+            case _ => None
+          }
+          val rcmp = ctx.getOrElse(st.kind, Nil).map(c =>
+            RCmp(c.op, resolveNav(c.l, i), resolveNav(c.r, i)))
+          ILeaf(st.name, bitFor(st.kind), q, untilBit, rcmp)
+      }
+    }
+  }
+
+  private def anyCtx(isteps: Seq[INode]): Boolean = isteps.exists {
+    case l: ILeaf => l.ctx.nonEmpty
+    case g: IGroup => g.sub.exists { case l: ILeaf => l.ctx.nonEmpty; case _ => false }
+  }
+
+  /** Evaluate a navigation expression to a Double; NaN = SQL NULL.
+    * `acc` holds bindings of all steps consumed so far (anchor first);
+    * `curStep` is the step being matched and `curPartial` its bound
+    * events so far — the candidate counts as its latest binding
+    * (running semantics). */
+  private def evalNav(n: RNav, evs: Vector[Ev], cand: Ev, anchorIdx: Int,
+                      acc: Vector[Vector[Ev]], curStep: Int,
+                      curPartial: Vector[Ev]): Double = n match {
+    case RLit(v) => v
+    case RCur(c) => cand.nav(c)
+    case RPrev(c, off) =>
+      val i = cand.idx - off
+      if (i >= anchorIdx) evs(i).nav(c) else Double.NaN
+    case RVar(step, c, first, off) =>
+      val rows: Vector[Ev] =
+        if (step == curStep) curPartial :+ cand
+        else if (step < acc.size) acc(step)
+        else Vector.empty
+      val i = if (first) off else rows.size - 1 - off
+      if (i >= 0 && i < rows.size) rows(i).nav(c) else Double.NaN
+    case RBin(op, l, r) =>
+      val a = evalNav(l, evs, cand, anchorIdx, acc, curStep, curPartial)
+      val b = evalNav(r, evs, cand, anchorIdx, acc, curStep, curPartial)
+      op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => a / b
+      }
+  }
+
+  /** All context conjuncts of `st` hold for candidate `cand` given the
+    * partial match. NaN (NULL) operands fail every comparison. */
+  private def ctxOk(st: ILeaf, evs: Vector[Ev], cand: Ev, anchorIdx: Int,
+                    acc: Vector[Vector[Ev]], curPartial: Vector[Ev]): Boolean =
+    st.ctx.forall { c =>
+      val curStep = acc.size
+      val l = evalNav(c.l, evs, cand, anchorIdx, acc, curStep, curPartial)
+      val r = evalNav(c.r, evs, cand, anchorIdx, acc, curStep, curPartial)
+      if (l.isNaN || r.isNaN) false
+      else c.op match {
+        case ">" => l > r
+        case ">=" => l >= r
+        case "<" => l < r
+        case "<=" => l <= r
+        case "=" => l == r
+        case "<>" => l != r
+      }
+    }
+
+  /** Anchor eligibility: bit + context (anchor ctx sees only itself —
+    * acc is empty, curStep 0). */
+  private def anchorOk(a: Ev, isteps: Seq[INode]): Boolean = isteps.head match {
+    case l: ILeaf =>
+      hasBit(a, l.bit) &&
+        ctxOk(l, Vector.empty, a, a.idx, Vector.empty, Vector.empty)
+    case _: IGroup => sys.error("pattern cannot start with a group " +
+      "(the anchor defines the window)")
+  }
+
+  // anchor ctx evaluation note: PREV before the anchor is NULL by the
+  // pinned window-bounded semantics, so `evs` is never indexed there
+  // (cand.idx - off < anchorIdx = cand.idx for off >= 1).
+
   /** Incremental per-key scan for the STREAMING runtime
     * ([[graft.streaming.StreamingMatchRecognize]]): run the identical
-    * NFA over a state buffer of (tsMicros, id, satMask) triples, but
-    * offer ONLY MATURE anchors — those whose whole window is final,
-    * i.e. anchor.ts + within <= watermark — so every emitted match is
-    * exactly what the batch scan would emit over the complete input
-    * (events with ts <= watermark can no longer arrive). `minStart` is
-    * the skip-past high-water mark carried in state: under
-    * SkipPastLastEvent, anchors at or before it are not offered;
-    * the updated mark is returned with the matches. */
+    * NFA over a state buffer of (tsMicros, id, satMask, nav) quads,
+    * but offer ONLY MATURE anchors — those whose whole window is
+    * final, i.e. anchor.ts + within <= watermark — so every emitted
+    * match is exactly what the batch scan would emit over the complete
+    * input (events with ts <= watermark can no longer arrive).
+    * `minStart` is the skip high-water [[Mark]] carried in state; the
+    * updated mark is returned with the matches. */
   private[graft] def matchesMature(
-      key: Long, triples: Seq[(Long, Long, Long)], steps: Seq[Step],
-      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
-      wmMicros: Long, minStart: Option[(Long, Long)])
-      : (Seq[PMatch], Option[(Long, Long)]) = {
-    val (raw, mark) = matureBindings(triples, steps, varNames, withinMicros,
-      afterMatch, wmMicros, minStart)
-    val isteps = compileSteps(steps, varNames)
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double])],
+      steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
+      afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+      : (Seq[PMatch], Option[Mark]) = {
+    val (raw, _, mark) = matureScan(key, quads, steps, varNames, withinMicros,
+      afterMatch, wmMicros, minStart, ctx, collectTimeouts = false)
+    val isteps = compileByName(steps, varNames, ctx)
     (raw.map { bindings => emit(key, isteps, bindings) }, mark)
   }
 
@@ -285,65 +528,78 @@ object PatternNFA {
     * path: per emitted match, the per-step bound events as (ts, id)
     * pairs in sequence order. Same maturity/eviction/skip contract. */
   private[graft] def matureBindingsRaw(
-      triples: Seq[(Long, Long, Long)], steps: Seq[Step],
+      quads: Seq[(Long, Long, Long, Array[Double])], steps: Seq[Step],
       varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
-      wmMicros: Long, minStart: Option[(Long, Long)])
-      : (Seq[Seq[Seq[(Long, Long)]]], Option[(Long, Long)]) = {
-    val (raw, mark) = matureBindings(triples, steps, varNames, withinMicros,
-      afterMatch, wmMicros, minStart)
+      wmMicros: Long, minStart: Option[Mark],
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+      : (Seq[Seq[Seq[(Long, Long)]]], Option[Mark]) = {
+    val (raw, _, mark) = matureScan(0L, quads, steps, varNames, withinMicros,
+      afterMatch, wmMicros, minStart, ctx, collectTimeouts = false)
     (raw.map(_.map(_.map(e => (e.ts, e.id)))), mark)
   }
 
-  private def compileSteps(steps: Seq[Step], varNames: Seq[String]): Seq[IStep] = {
+  private def compileByName(steps: Seq[Step], varNames: Seq[String],
+                            ctx: Map[String, Seq[CtxCmp]]): Seq[INode] = {
     val bitOf = varNames.zipWithIndex.toMap
-    steps.map { st =>
-      val untilBit = st.quant match {
-        case OneOrMore(Some(uk)) => Some(bitOf(uk))
-        case _ => None
-      }
-      IStep(st.name, bitOf(st.kind), st.quant, untilBit)
-    }
+    compile(steps, bitOf, ctx)
   }
 
   /** ONE mature-anchor scan serving both streaming side outputs —
     * matches and timed-out partials share the anchor-offering, the
-    * maturity bound, and the SkipPastLastEvent mark discipline BY
-    * CONSTRUCTION (a drift between two copies would silently break
-    * the documented same-offered-anchors contract). The prefix search
-    * for timeout partials costs extra matchFrom calls, so it only
-    * runs when `collectTimeouts` is set. */
+    * maturity bound, and the skip-mark discipline BY CONSTRUCTION (a
+    * drift between two copies would silently break the documented
+    * same-offered-anchors contract). The prefix search for timeout
+    * partials costs extra matchFrom calls, so it only runs when
+    * `collectTimeouts` is set. */
   private def matureScan(
-      key: Long, triples: Seq[(Long, Long, Long)], steps: Seq[Step],
-      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
-      wmMicros: Long, minStart: Option[(Long, Long)],
-      collectTimeouts: Boolean)
-      : (Seq[Vector[Vector[Ev]]], Seq[PTimeout], Option[(Long, Long)]) = {
-    val isteps = compileSteps(steps, varNames)
-    val evs = triples.toVector.sortBy(t => (t._1, t._2))
-      .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double])],
+      steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
+      afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
+      ctx: Map[String, Seq[CtxCmp]], collectTimeouts: Boolean)
+      : (Seq[Vector[Vector[Ev]]], Seq[PTimeout], Option[Mark]) = {
+    val isteps = compileByName(steps, varNames, ctx)
+    val hasCtx = anyCtx(isteps)
+    val evs = quads.toVector.sortBy(t => (t._1, t._2))
+      .zipWithIndex.map { case ((ts, id, s, nv), i) => Ev(ts, id, s, i, nv) }
     val out = Vector.newBuilder[Vector[Vector[Ev]]]
     val tmos = Vector.newBuilder[PTimeout]
     var mark = minStart
-    def afterMark(e: Ev): Boolean = mark.forall { case (ts, id) =>
-      e.ts > ts || (e.ts == ts && e.id > id)
+    def afterMark(e: Ev): Boolean = mark.forall { m =>
+      if (m.inclusive) e.ts > m.ts || (e.ts == m.ts && e.id >= m.id)
+      else e.ts > m.ts || (e.ts == m.ts && e.id > m.id)
     }
     evs.foreach { a =>
-      if (hasBit(a, isteps.head.bit) && afterMark(a) &&
+      if (anchorOk(a, isteps) && afterMark(a) &&
           a.ts + withinMicros <= wmMicros) {
         val deadline = a.ts + withinMicros
-        matchFrom(evs, isteps.drop(1), a, deadline) match {
+        if (afterMatch == NoSkip) {
+          val all = matchAll(evs, isteps.drop(1), a, deadline, a.idx,
+            Vector(Vector(a)), hasCtx).toVector
+          if (all.nonEmpty) all.foreach(rest => out += Vector(Vector(a)) ++ rest)
+          else if (collectTimeouts)
+            tmos += timeoutPartial(key, evs, isteps, a, deadline, hasCtx)
+        } else matchFrom(evs, isteps.drop(1), a, deadline, a.idx,
+            Vector(Vector(a)), hasCtx) match {
           case Some(rest) =>
             val bindings = Vector(Vector(a)) ++ rest
             out += bindings
             // under SkipToNextRow no mark is needed: a mature anchor is
             // evicted in the same invocation (maturity bound == eviction
             // bound), so each is offered exactly once across invocations
-            if (afterMatch == SkipPastLastEvent) {
-              val lastEv = bindings.flatten.maxBy(e => (e.ts, e.id))
-              mark = Some((lastEv.ts, lastEv.id))
+            mark = afterMatch match {
+              case SkipPastLastEvent =>
+                val lastEv = bindings.flatten.maxBy(e => (e.ts, e.id))
+                Some(Mark(lastEv.ts, lastEv.id, inclusive = false))
+              case SkipToFirst(v) =>
+                val t = skipTarget(isteps, bindings, v, first = true, a)
+                Some(Mark(t.ts, t.id, inclusive = true))
+              case SkipToLast(v) =>
+                val t = skipTarget(isteps, bindings, v, first = false, a)
+                Some(Mark(t.ts, t.id, inclusive = true))
+              case _ => mark
             }
           case None if collectTimeouts =>
-            tmos += timeoutPartial(key, evs, isteps, a, deadline)
+            tmos += timeoutPartial(key, evs, isteps, a, deadline, hasCtx)
           case None =>
         }
       }
@@ -351,34 +607,60 @@ object PatternNFA {
     (out.result(), tmos.result(), mark)
   }
 
-  private def matureBindings(
-      triples: Seq[(Long, Long, Long)], steps: Seq[Step],
-      varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
-      wmMicros: Long, minStart: Option[(Long, Long)])
-      : (Seq[Vector[Vector[Ev]]], Option[(Long, Long)]) = {
-    val (matches, _, mark) = matureScan(0L, triples, steps, varNames,
-      withinMicros, afterMatch, wmMicros, minStart, collectTimeouts = false)
-    (matches, mark)
+  /** Resolve the AFTER MATCH SKIP TO FIRST/LAST target event, with the
+    * reference's two loud failure modes (AfterMatchSkipStrategy.java:
+    * throwExceptionOnMiss / "Could not skip to first element of a
+    * match" for the infinite-loop case). */
+  private def skipTarget(isteps: Seq[INode], bindings: Vector[Vector[Ev]],
+                         v: String, first: Boolean, anchor: Ev): Ev = {
+    val i = isteps.indexWhere(_.name == v)
+    if (i < 0) sys.error(s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} " +
+      s"$v: no such pattern variable")
+    val b = bindings(i)
+    if (b.isEmpty) sys.error(s"AFTER MATCH SKIP TO " +
+      s"${if (first) "FIRST" else "LAST"} $v: the variable bound no rows in " +
+      "the match (the reference's skip strategy throws on a miss)")
+    val t = if (first) b.head else b.last
+    if (t.idx <= anchor.idx) sys.error(s"AFTER MATCH SKIP TO " +
+      s"${if (first) "FIRST" else "LAST"} $v would re-anchor at the match " +
+      "start — infinite loop (the reference throws here: " +
+      "AfterMatchSkipStrategy.java)")
+    t
   }
 
   /** Shared per-key scan: every emitted match as (per-step bindings,
     * 1-based match number), anchors offered earliest-first under the
     * given skip strategy. */
-  private def scanKey(evs: Vector[Ev], isteps: Seq[IStep],
+  private def scanKey(evs: Vector[Ev], isteps: Seq[INode],
                       withinMicros: Long, afterMatch: AfterMatch)
       : Vector[(Vector[Vector[Ev]], Long)] = {
+    val hasCtx = anyCtx(isteps)
     val out = Vector.newBuilder[(Vector[Vector[Ev]], Long)]
     var minAnchorIdx = 0
     var matchNo = 0L
     evs.foreach { a =>
-      if (hasBit(a, isteps.head.bit) && a.idx >= minAnchorIdx) {
+      if (anchorOk(a, isteps) && a.idx >= minAnchorIdx) {
         val deadline = a.ts + withinMicros
-        matchFrom(evs, isteps.drop(1), a, deadline).foreach { rest =>
+        if (afterMatch == NoSkip)
+          matchAll(evs, isteps.drop(1), a, deadline, a.idx,
+              Vector(Vector(a)), hasCtx).foreach { rest =>
+            matchNo += 1
+            out += ((Vector(Vector(a)) ++ rest, matchNo))
+          }
+        else matchFrom(evs, isteps.drop(1), a, deadline, a.idx,
+            Vector(Vector(a)), hasCtx).foreach { rest =>
           val bindings = Vector(Vector(a)) ++ rest
           matchNo += 1
           out += ((bindings, matchNo))
-          if (afterMatch == SkipPastLastEvent)
-            minAnchorIdx = bindings.flatten.map(_.idx).max + 1
+          afterMatch match {
+            case SkipPastLastEvent =>
+              minAnchorIdx = bindings.flatten.map(_.idx).max + 1
+            case SkipToFirst(v) =>
+              minAnchorIdx = skipTarget(isteps, bindings, v, first = true, a).idx
+            case SkipToLast(v) =>
+              minAnchorIdx = skipTarget(isteps, bindings, v, first = false, a).idx
+            case _ =>
+          }
         }
       }
     }
@@ -404,7 +686,9 @@ object PatternNFA {
         col("id").cast("long"), sat.cast("long").as("_sat"))
       .as[(Long, Long, Long, Long)]
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val evs = sortKey(it)
+      val evs = it.map(e => (e._2, e._3, e._4)).toVector.sortBy(e => (e._1, e._2))
+        .zipWithIndex.map { case ((ts, id, s), i) =>
+          Ev(ts, id, s, i, Array.empty[Double]) }
       val out = Vector.newBuilder[PMatch]
       evs.foreach { a =>
         if (hasBit(a, 0)) {
@@ -426,121 +710,268 @@ object PatternNFA {
     }.toDF()
   }
 
-  private def sortKey(it: Iterator[(Long, Long, Long, Long)]): Vector[Ev] =
-    it.map(e => (e._2, e._3, e._4)).toVector.sortBy(e => (e._1, e._2))
-      .zipWithIndex.map { case ((ts, id, s), i) => Ev(ts, id, s, i) }
+  private def sortKey(it: Iterator[(Long, Long, Long, Long, Array[Double])])
+      : Vector[Ev] =
+    it.map(e => (e._2, e._3, e._4, e._5)).toVector.sortBy(e => (e._1, e._2))
+      .zipWithIndex.map { case ((ts, id, s, nv), i) => Ev(ts, id, s, i, nv) }
 
   /** Bind `steps` after `prev`, earliest-first with backtracking.
     * Returns one Vector[Ev] of bound events per step (empty Vector for
-    * an unbound Optional / a satisfied Not). */
-  private def matchFrom(evs: Vector[Ev], steps: Seq[IStep], prev: Ev,
-                        deadline: Long): Option[Vector[Vector[Ev]]] = {
+    * an unbound Optional / a satisfied Not / a zero-repeat group,
+    * flattened sub-bindings for a group). `acc` carries the bindings
+    * of all consumed steps (anchor first) for context-predicate
+    * evaluation; `hasCtx` selects the loop mode (see object doc). */
+  private def matchFrom(evs: Vector[Ev], steps: Seq[INode], prev: Ev,
+                        deadline: Long, anchorIdx: Int,
+                        acc: Vector[Vector[Ev]], hasCtx: Boolean)
+      : Option[Vector[Vector[Ev]]] = {
     if (steps.isEmpty) return Some(Vector.empty)
-    val st = steps.head
-    def eligible(from: Int, bit: Int): Iterator[Ev] =
-      evs.iterator.drop(from).filter(e => hasBit(e, bit) &&
-        e.ts > prev.ts && e.ts <= deadline)
-    def noneBetween(bit: Int, loTs: Long, hiTs: Long): Boolean =
-      !evs.exists(e => hasBit(e, bit) && e.ts > loTs && e.ts < hiTs)
+    steps.head match {
+      case g: IGroup =>
+        // greedy: largest repeat count whose remainder completes; the
+        // expansion is matched in place, then regrouped into ONE step
+        // binding (flattened). Groups are ctx-free by compile-time
+        // check, so acc misalignment inside the expansion is inert.
+        (g.hi to g.lo by -1).iterator.flatMap { k =>
+          val expanded = Seq.fill(k)(g.sub).flatten ++ steps.tail
+          matchFrom(evs, expanded, prev, deadline, anchorIdx, acc, hasCtx)
+            .map { all =>
+              val m = g.sub.size * k
+              val (grp, rest) = all.splitAt(m)
+              Vector(grp.flatten.toVector) ++ rest
+            }
+        }.nextOption()
+      case st: ILeaf => matchLeaf(evs, st, steps.tail, prev, deadline,
+        anchorIdx, acc, hasCtx)
+    }
+  }
+
+  private def matchLeaf(evs: Vector[Ev], st: ILeaf, rest: Seq[INode],
+                        prev: Ev, deadline: Long, anchorIdx: Int,
+                        acc: Vector[Vector[Ev]], hasCtx: Boolean)
+      : Option[Vector[Vector[Ev]]] = {
+    def eligible(from: Int, partial: Vector[Ev]): Iterator[Ev] =
+      evs.iterator.drop(from).filter(e => hasBit(e, st.bit) &&
+        e.ts > prev.ts && e.ts <= deadline &&
+        ctxOk(st, evs, e, anchorIdx, acc, partial))
+    def cont(e: Ev, bound: Vector[Ev]): Option[Vector[Vector[Ev]]] =
+      matchFrom(evs, rest, e, deadline, anchorIdx, acc :+ bound, hasCtx)
+        .map(Vector(bound) ++ _)
 
     st.quant match {
       case One =>
-        eligible(prev.idx + 1, st.bit).flatMap { e =>
-          matchFrom(evs, steps.tail, e, deadline).map(Vector(Vector(e)) ++ _)
-        }.nextOption()
+        eligible(prev.idx + 1, Vector.empty)
+          .flatMap(e => cont(e, Vector(e))).nextOption()
 
       case Optional =>
-        val bound = eligible(prev.idx + 1, st.bit).flatMap { e =>
-          matchFrom(evs, steps.tail, e, deadline).map(Vector(Vector(e)) ++ _)
-        }.nextOption()
+        val bound = eligible(prev.idx + 1, Vector.empty)
+          .flatMap(e => cont(e, Vector(e))).nextOption()
         bound.orElse(
-          matchFrom(evs, steps.tail, prev, deadline).map(Vector(Vector.empty[Ev]) ++ _))
+          matchFrom(evs, rest, prev, deadline, anchorIdx,
+            acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _))
 
       case Not =>
         // bind the remainder first, then check the forbidden interval
-        matchFrom(evs, steps.tail, prev, deadline).flatMap { rest =>
-          val hiTs = rest.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
-          if (noneBetween(st.bit, prev.ts, hiTs))
-            Some(Vector(Vector.empty[Ev]) ++ rest)
-          else None
+        matchFrom(evs, rest, prev, deadline, anchorIdx,
+            acc :+ Vector.empty, hasCtx).flatMap { restB =>
+          val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
+          val bad = evs.exists(e => hasBit(e, st.bit) && e.ts > prev.ts &&
+            e.ts < hiTs && ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+          if (!bad) Some(Vector(Vector.empty[Ev]) ++ restB) else None
         }
 
-      case OneOrMore(_) =>
-        eligible(prev.idx + 1, st.bit).flatMap { first =>
+      case OneOrMore(_) if !hasCtx =>
+        // absorb semantics (bit-only patterns): first element binds
+        // like One, the loop then absorbs every event of the kind
+        // before the next step's binding / the horizon / the until stop
+        eligible(prev.idx + 1, Vector.empty).flatMap { first =>
           val stopTs = st.untilBit.flatMap(ub =>
             evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
           if (stopTs.exists(_ <= first.ts)) None
-          else matchFrom(evs, steps.tail, first, deadline).map { rest =>
+          else matchFrom(evs, rest, first, deadline, anchorIdx,
+              acc :+ Vector(first), hasCtx).map { restB =>
             val hiTs = math.min(
-              rest.flatten.headOption.map(_.ts).getOrElse(deadline + 1),
+              restB.flatten.headOption.map(_.ts).getOrElse(deadline + 1),
               stopTs.getOrElse(Long.MaxValue))
             val loop = evs.filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
               e.ts < hiTs && e.ts <= deadline)
-            Vector(if (loop.isEmpty) Vector(first) else loop) ++ rest
+            Vector(if (loop.isEmpty) Vector(first) else loop) ++ restB
           }
         }.nextOption()
 
-      case Times(n, consecutive) =>
-        if (!consecutive) bindSuccessive(evs, st.bit, prev, deadline, n)
-          .flatMap { run =>
-            matchFrom(evs, steps.tail, run.last, deadline).map(Vector(run) ++ _)
+      case OneOrMore(_) =>
+        // greedy-maximal run with shrink-from-the-end backtracking:
+        // each element is tested against the run-so-far (context
+        // predicates are order-dependent), then the remainder binds
+        // after the run's last element
+        val stopTs = st.untilBit.flatMap(ub =>
+          evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+        var run = Vector.empty[Ev]
+        var cur = prev
+        var go = true
+        while (go) {
+          val nxt = evs.iterator.drop(cur.idx + 1).find(e =>
+            hasBit(e, st.bit) && e.ts > cur.ts && e.ts <= deadline &&
+              stopTs.forall(e.ts < _) &&
+              ctxOk(st, evs, e, anchorIdx, acc, run))
+          nxt match {
+            case Some(e) => run :+= e; cur = e
+            case None => go = false
           }
+        }
+        (run.size to 1 by -1).iterator.flatMap { k =>
+          val runK = run.take(k)
+          cont(runK.last, runK)
+        }.nextOption()
+
+      case Times(n, consecutive) =>
+        if (!consecutive)
+          bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
+            .flatMap(b => cont(b.last, b))
         else {
           // strict contiguity: earliest run of n ADJACENT events
-          val starts = eligible(prev.idx + 1, st.bit)
-          starts.flatMap { s =>
-            val run = (0 until n).map(i =>
-              evs.lift(s.idx + i).filter(e => hasBit(e, st.bit) &&
-                e.ts <= deadline))
-            if (run.forall(_.isDefined)) {
-              val bound = run.flatten.toVector
-              matchFrom(evs, steps.tail, bound.last, deadline)
-                .map(Vector(bound) ++ _)
-            } else None
+          eligible(prev.idx + 1, Vector.empty).flatMap { s =>
+            val run = Vector.newBuilder[Ev]
+            var ok = true
+            var partial = Vector.empty[Ev]
+            var i = 0
+            while (ok && i < n) {
+              evs.lift(s.idx + i) match {
+                case Some(e) if hasBit(e, st.bit) && e.ts <= deadline &&
+                    (i == 0 || ctxOk(st, evs, e, anchorIdx, acc, partial)) =>
+                  run += e; partial :+= e; i += 1
+                case _ => ok = false
+              }
+            }
+            if (ok) cont(partial.last, partial) else None
           }.nextOption()
         }
 
       case TimesRange(lo, hi) =>
         // greedy: largest k whose remainder still completes
         (hi to lo by -1).iterator.flatMap { k =>
-          bindSuccessive(evs, st.bit, prev, deadline, k).flatMap { run =>
-            matchFrom(evs, steps.tail, run.last, deadline).map(Vector(run) ++ _)
-          }
+          bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
+            .flatMap(b => cont(b.last, b))
         }.nextOption()
+
+      case GroupTimes(_, _, _) =>
+        sys.error("unreachable: groups are compiled to IGroup")
     }
   }
 
-  /** Earliest n successive events matching `bit` after prev (relaxed). */
-  private def bindSuccessive(evs: Vector[Ev], bit: Int, prev: Ev,
-                             deadline: Long, n: Int): Option[Vector[Ev]] = {
+  /** Enumerate EVERY match completion (NoSkip): loop extents ascending,
+    * Optional both branches; One-steps stay committed to their earliest
+    * completing candidate (pinned determinism — see object doc). */
+  private def matchAll(evs: Vector[Ev], steps: Seq[INode], prev: Ev,
+                       deadline: Long, anchorIdx: Int,
+                       acc: Vector[Vector[Ev]], hasCtx: Boolean)
+      : Iterator[Vector[Vector[Ev]]] = {
+    if (steps.isEmpty) return Iterator.single(Vector.empty)
+    def enumAfter(e: Ev, bound: Vector[Ev]): Iterator[Vector[Vector[Ev]]] =
+      matchAll(evs, steps.tail, e, deadline, anchorIdx, acc :+ bound, hasCtx)
+        .map(Vector(bound) ++ _)
+    steps.head match {
+      case g: IGroup =>
+        (g.lo to g.hi).iterator.flatMap { k =>
+          val expanded = Seq.fill(k)(g.sub).flatten ++ steps.tail
+          matchAll(evs, expanded, prev, deadline, anchorIdx, acc, hasCtx)
+            .map { all =>
+              val m = g.sub.size * k
+              val (grp, rst) = all.splitAt(m)
+              Vector(grp.flatten.toVector) ++ rst
+            }
+        }
+      case st: ILeaf =>
+        def eligible(partial: Vector[Ev]): Iterator[Ev] =
+          evs.iterator.drop(prev.idx + 1).filter(e => hasBit(e, st.bit) &&
+            e.ts > prev.ts && e.ts <= deadline &&
+            ctxOk(st, evs, e, anchorIdx, acc, partial))
+        st.quant match {
+          case One =>
+            // commit to the earliest candidate with any completion
+            eligible(Vector.empty).map(e => enumAfter(e, Vector(e)))
+              .find(_.hasNext).getOrElse(Iterator.empty)
+          case Optional =>
+            val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
+                acc :+ Vector.empty, hasCtx)
+              .map(Vector(Vector.empty[Ev]) ++ _)
+            val bound = eligible(Vector.empty).map(e => enumAfter(e, Vector(e)))
+              .find(_.hasNext).getOrElse(Iterator.empty)
+            unbound ++ bound
+          case Not =>
+            matchAll(evs, steps.tail, prev, deadline, anchorIdx,
+                acc :+ Vector.empty, hasCtx).filter { restB =>
+              val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
+              !evs.exists(e => hasBit(e, st.bit) && e.ts > prev.ts &&
+                e.ts < hiTs && ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+            }.map(Vector(Vector.empty[Ev]) ++ _)
+          case OneOrMore(_) =>
+            val stopTs = st.untilBit.flatMap(ub =>
+              evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+            Iterator.from(1).map { k =>
+              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc,
+                stopTs)
+            }.takeWhile(_.isDefined).flatMap { b =>
+              val run = b.get
+              enumAfter(run.last, run)
+            }
+          case Times(n, false) =>
+            bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
+              .iterator.flatMap(b => enumAfter(b.last, b))
+          case Times(n, true) =>
+            matchLeaf(evs, st, Nil, prev, deadline, anchorIdx, acc, hasCtx)
+              .iterator.flatMap { only =>
+                val b = only.head
+                enumAfter(b.last, b)
+              }
+          case TimesRange(lo, hi) =>
+            (lo to hi).iterator.flatMap { k =>
+              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
+                .iterator.flatMap(b => enumAfter(b.last, b))
+            }
+          case GroupTimes(_, _, _) =>
+            sys.error("unreachable: groups are compiled to IGroup")
+        }
+    }
+  }
+
+  /** Earliest n successive events matching the step after prev
+    * (relaxed contiguity), each tested against the run-so-far for
+    * context predicates; `stopTs` bounds an until-loop. */
+  private def bindSuccessive(evs: Vector[Ev], st: ILeaf, prev: Ev,
+                             deadline: Long, n: Int, anchorIdx: Int,
+                             acc: Vector[Vector[Ev]],
+                             stopTs: Option[Long] = None): Option[Vector[Ev]] = {
     var cur = prev
-    val out = Vector.newBuilder[Ev]
+    var out = Vector.empty[Ev]
     var i = 0
     while (i < n) {
-      val nxt = evs.iterator.drop(cur.idx + 1).find(e => hasBit(e, bit) &&
-        e.ts > cur.ts && e.ts <= deadline)
+      val nxt = evs.iterator.drop(cur.idx + 1).find(e => hasBit(e, st.bit) &&
+        e.ts > cur.ts && e.ts <= deadline && stopTs.forall(e.ts < _) &&
+        ctxOk(st, evs, e, anchorIdx, acc, out))
       nxt match {
-        case Some(e) => out += e; cur = e; i += 1
+        case Some(e) => out :+= e; cur = e; i += 1
         case None => return None
       }
     }
-    Some(out.result())
+    Some(out)
   }
 
   /** Chain convention (kept from round 1 so oracles stay in plain SQL):
     * each step contributes its bound ids; a OneOrMore loop contributes
     * only its FIRST element (the loop membership is summarized in
     * `counts` instead); unbound Optional / Not steps contribute
-    * nothing. */
-  private def emit(key: Long, steps: Seq[IStep],
+    * nothing; a group contributes all its bound ids plus a
+    * `name:k` repeat count in `counts`. */
+  private def emit(key: Long, steps: Seq[INode],
                    bindings: Vector[Vector[Ev]]): PMatch = {
     val chain = steps.zip(bindings).flatMap {
-      case (st, b) if st.quant.isInstanceOf[OneOrMore] => b.take(1).map(_.id)
+      case (ILeaf(_, _, OneOrMore(_), _, _), b) => b.take(1).map(_.id)
       case (_, b) => b.map(_.id)
     }
     val counts = steps.zip(bindings).collect {
-      case (st, b) if st.quant.isInstanceOf[OneOrMore] =>
-        s"${st.name}:${b.size}"
+      case (ILeaf(n, _, OneOrMore(_), _, _), b) => s"$n:${b.size}"
+      case (g: IGroup, b) => s"${g.name}:${b.size / g.sub.size}"
     }.mkString(",")
     PMatch(key, chain.head, chain.last, chain.mkString(","), counts)
   }

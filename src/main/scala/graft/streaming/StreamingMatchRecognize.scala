@@ -37,12 +37,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingMatchRecognize {
 
-  case class MRState(evs: List[(Long, Long, Long)],
-                     markTs: Long, markId: Long, hasMark: Boolean)
+  /** Buffered events are (tsMicros, id, satMask, navValues) quads —
+    * `nav` carries the context predicates' column values (empty when
+    * the clause has no navigation). `markIncl` distinguishes the
+    * SKIP TO FIRST/LAST (inclusive re-arm) mark from SKIP PAST LAST
+    * ROW (exclusive). */
+  case class MRState(evs: List[(Long, Long, Long, Array[Double])],
+                     markTs: Long, markId: Long, hasMark: Boolean,
+                     markIncl: Boolean = false)
 
-  case class MRMeasState(evs: List[(Long, Long, Long, Seq[Option[Double]])],
-                         markTs: Long, markId: Long, hasMark: Boolean,
-                         matchSeq: Long, idleSinceMicros: Long = 0L)
+  case class MRMeasState(
+      evs: List[(Long, Long, Long, Seq[Option[Double]], Array[Double])],
+      markTs: Long, markId: Long, hasMark: Boolean,
+      matchSeq: Long, idleSinceMicros: Long = 0L,
+      markIncl: Boolean = false)
 
   case class MeasuresEmit(key: Long, match_seq: Long,
                           values: Seq[Option[Double]])
@@ -51,7 +59,8 @@ object StreamingMatchRecognize {
   private final case class ScanCtx(steps: Seq[PatternNFA.Step],
                                    varNames: Seq[String],
                                    withinMicros: Long,
-                                   afterMatch: PatternNFA.AfterMatch)
+                                   afterMatch: PatternNFA.AfterMatch,
+                                   ctx: Map[String, Seq[PatternNFA.CtxCmp]])
 
   /** SHARED state plumbing for the match stream and the timeout side
     * output — compile, bitmask projection, watermark column, buffer
@@ -63,8 +72,8 @@ object StreamingMatchRecognize {
   private def runKeyed[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, events: DataFrame, clause: String,
       watermarkDelay: String, requireMsg: String)(
-      fire: (ScanCtx, Long, List[(Long, Long, Long)], Long,
-             Option[(Long, Long)]) => (Seq[T], Option[(Long, Long)]))
+      fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double])], Long,
+             Option[PatternNFA.Mark]) => (Seq[T], Option[PatternNFA.Mark]))
       : Dataset[T] = {
     import spark.implicits._
     val c = MatchRecognize.compile(clause)
@@ -74,7 +83,14 @@ object StreamingMatchRecognize {
     val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val ctx = ScanCtx(c.steps, preds.map(_._1), c.withinMicros, c.afterMatch)
+    // nav projection must mirror PatternNFA.prepare exactly (NaN=NULL)
+    // — the streaming scan evaluates the same RCmp trees
+    val navCol =
+      if (c.navCols.isEmpty) lit(Array.empty[Double])
+      else array(c.navCols.map(n =>
+        coalesce(col(n).cast("double"), lit(Double.NaN))): _*)
+    val ctx = ScanCtx(c.steps, preds.map(_._1), c.withinMicros, c.afterMatch,
+      c.ctx)
     val within = ctx.withinMicros
 
     // the watermark column must survive the projection — event-time
@@ -83,29 +99,32 @@ object StreamingMatchRecognize {
       .withColumn("_et", timestamp_micros(col("tsMicros")))
       .withWatermark("_et", watermarkDelay)
       .select(col("key").cast("long"), col("tsMicros").cast("long"),
-        col("id").cast("long"), satCol.cast("long").as("_sat"), col("_et"))
-      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+        col("id").cast("long"), satCol.cast("long").as("_sat"),
+        navCol.as("_nav"), col("_et"))
+      .as[(Long, Long, Long, Long, Array[Double], java.sql.Timestamp)]
 
     ds.groupByKey(_._1).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (key: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+      (key: Long,
+       rows: Iterator[(Long, Long, Long, Long, Array[Double], java.sql.Timestamp)],
        state: GroupState[MRState]) =>
         val cur = state.getOption.getOrElse(MRState(Nil, 0L, 0L, hasMark = false))
-        val buffered = rows.foldLeft(cur.evs) { case (acc, (_, ts, id, sat, _)) =>
-          (ts, id, sat) :: acc
+        val buffered = rows.foldLeft(cur.evs) {
+          case (acc, (_, ts, id, sat, nav, _)) => (ts, id, sat, nav) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
-        val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
+        val mark0 = if (cur.hasMark)
+          Some(PatternNFA.Mark(cur.markTs, cur.markId, cur.markIncl)) else None
         val (emitted, mark) = fire(ctx, key, buffered, wm, mark0)
         // eviction bound == maturity bound: kept events are exactly the
         // not-yet-mature suffix of the buffer
-        val kept = buffered.filter { case (ts, _, _) => ts + within > wm }
+        val kept = buffered.filter { case (ts, _, _, _) => ts + within > wm }
         if (kept.isEmpty) {
           if (state.exists) state.remove()
         } else {
           state.update(MRState(kept,
-            mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
-            mark.isDefined))
+            mark.map(_.ts).getOrElse(0L), mark.map(_.id).getOrElse(0L),
+            mark.isDefined, mark.exists(_.inclusive)))
           // flush-on-silence: fire when the earliest buffered event's
           // window closes even if the key never sees traffic again
           val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
@@ -126,7 +145,7 @@ object StreamingMatchRecognize {
       "MEASURES is batch-only (the reference restricts streaming MATCH_RECOGNIZE too)") {
       (c, key, buffered, wm, mark0) =>
         PatternNFA.matchesMature(key, buffered, c.steps, c.varNames,
-          c.withinMicros, c.afterMatch, wm, mark0)
+          c.withinMicros, c.afterMatch, wm, mark0, c.ctx)
     }
   }
 
@@ -147,7 +166,7 @@ object StreamingMatchRecognize {
       "timeout side output carries bindings, not MEASURES") {
       (c, key, buffered, wm, mark0) =>
         PatternNFA.matureTimeouts(key, buffered, c.steps, c.varNames,
-          c.withinMicros, c.afterMatch, wm, mark0)
+          c.withinMicros, c.afterMatch, wm, mark0, c.ctx)
     }
   }
 
@@ -202,33 +221,44 @@ object StreamingMatchRecognize {
       measures.filter(_.func != "MATCH_NUMBER").map(_.varName).distinct
         .map(v => v -> steps.indexWhere(_.kind == v)).toMap
 
+    val navCols = c.navCols
+    val defCtx = c.ctx
+    val navCol =
+      if (navCols.isEmpty) lit(Array.empty[Double])
+      else array(navCols.map(n =>
+        coalesce(col(n).cast("double"), lit(Double.NaN))): _*)
     val ds = events
       .withColumn("_et", timestamp_micros(col("tsMicros")))
       .withWatermark("_et", watermarkDelay)
       .select(col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"),
         array(mcols.map(n => col(n).cast("double")): _*).as("_mv"),
-        col("_et"))
-      .as[(Long, Long, Long, Long, Seq[Option[Double]], java.sql.Timestamp)]
+        navCol.as("_nav"), col("_et"))
+      .as[(Long, Long, Long, Long, Seq[Option[Double]], Array[Double],
+           java.sql.Timestamp)]
 
     val emitted = ds.groupByKey(_._1).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: Long,
-       rows: Iterator[(Long, Long, Long, Long, Seq[Option[Double]], java.sql.Timestamp)],
+       rows: Iterator[(Long, Long, Long, Long, Seq[Option[Double]],
+                       Array[Double], java.sql.Timestamp)],
        state: GroupState[MRMeasState]) =>
         val cur = state.getOption.getOrElse(
           MRMeasState(Nil, 0L, 0L, hasMark = false, matchSeq = 0L))
         var newRows = 0
         val buffered = rows.foldLeft(cur.evs) {
-          case (acc, (_, ts, id, sat, mv, _)) =>
-            newRows += 1; (ts, id, sat, mv) :: acc
+          case (acc, (_, ts, id, sat, mv, nav, _)) =>
+            newRows += 1; (ts, id, sat, mv, nav) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
-        val mark0 = if (cur.hasMark) Some((cur.markTs, cur.markId)) else None
-        val triples = buffered.map { case (ts, id, sat, _) => (ts, id, sat) }
-        val mvalsOf = buffered.map { case (ts, id, _, mv) => (ts, id) -> mv }.toMap
+        val mark0 = if (cur.hasMark)
+          Some(PatternNFA.Mark(cur.markTs, cur.markId, cur.markIncl)) else None
+        val quads = buffered.map { case (ts, id, sat, _, nav) =>
+          (ts, id, sat, nav) }
+        val mvalsOf = buffered.map { case (ts, id, _, mv, _) =>
+          (ts, id) -> mv }.toMap
         val (rawMatches, mark) = PatternNFA.matureBindingsRaw(
-          triples, steps, varNames, within, afterMatch, wm, mark0)
+          quads, steps, varNames, within, afterMatch, wm, mark0, defCtx)
         var seq = cur.matchSeq
         def fold(m: MatchRecognize.Measure,
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
@@ -263,7 +293,9 @@ object StreamingMatchRecognize {
           seq += 1
           MeasuresEmit(key, seq, measures.map(m => fold(m, bindings)))
         }
-        val kept = buffered.filter { case (ts, _, _, _) => ts + within > wm }
+        val kept = buffered.filter { case (ts, _, _, _, _) => ts + within > wm }
+        val (mkTs, mkId, mkIncl) = (mark.map(_.ts).getOrElse(0L),
+          mark.map(_.id).getOrElse(0L), mark.exists(_.inclusive))
         if (kept.isEmpty && seq == 0L) {
           if (state.exists) state.remove()
         } else if (kept.isEmpty) {
@@ -272,9 +304,8 @@ object StreamingMatchRecognize {
           idleRetentionMicros match {
             case None =>
               // strict MATCH_NUMBER continuity: retained indefinitely
-              state.update(MRMeasState(Nil,
-                mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
-                mark.isDefined, seq, idleSinceMicros = 0L))
+              state.update(MRMeasState(Nil, mkTs, mkId,
+                mark.isDefined, seq, idleSinceMicros = 0L, mkIncl))
             case Some(r) =>
               // idleness starts when the buffer drains (any activity —
               // new events, emitted matches, or a live buffer a moment
@@ -287,17 +318,15 @@ object StreamingMatchRecognize {
                 // if this key ever matches again (the documented delta)
                 state.remove()
               } else {
-                state.update(MRMeasState(Nil,
-                  mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
-                  mark.isDefined, seq, idleSince))
+                state.update(MRMeasState(Nil, mkTs, mkId,
+                  mark.isDefined, seq, idleSince, mkIncl))
                 state.setTimeoutTimestamp(((idleSince + r) / 1000L + 1)
                   max (state.getCurrentWatermarkMs() + 1))
               }
           }
         } else {
-          state.update(MRMeasState(kept,
-            mark.map(_._1).getOrElse(0L), mark.map(_._2).getOrElse(0L),
-            mark.isDefined, seq, idleSinceMicros = 0L))
+          state.update(MRMeasState(kept, mkTs, mkId,
+            mark.isDefined, seq, idleSinceMicros = 0L, mkIncl))
           val nextDeadlineMs = (kept.map(_._1).min + within) / 1000L + 1
           state.setTimeoutTimestamp(
             nextDeadlineMs max (state.getCurrentWatermarkMs() + 1))
