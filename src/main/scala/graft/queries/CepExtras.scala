@@ -600,5 +600,254 @@ object CepExtras extends QueryGroup {
           withinMicros = H2)
         .select(col("key"), col("anchor_id"), col("last_id"), col("n_bound"))
         .orderBy("key", "anchor_id")
+    },
+
+    // Cross-variable DEFINE predicates as a full MATCH_RECOGNIZE SQL
+    // statement (the reference's ITERATIVE conditions —
+    // IterativeCondition.java:52, compiled for MATCH_RECOGNIZE in
+    // MatchCodeGenerator.scala; its MatchRecognizeITCase price
+    // patterns lean on exactly this): B's clicks must beat the
+    // anchor's value (LAST(A.value) navigation), and P's purchase must
+    // beat the FIRST loop element's value — both evaluated DURING the
+    // NFA scan against the partial match, not pre-evaluable map-side.
+    // Oracle encodes the pinned greedy-loop semantics: the eligible
+    // run is every qualifying click in order; the loop shrinks from
+    // the end to the largest extent k whose remainder completes.
+    q("mr6_define_navigation",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, value AS a_val
+        |      FROM ev WHERE event_type = 'signup'),
+        |bseq AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, e.event_id AS b_id,
+        |    e.ts_us AS b_us, e.value AS b_val,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id) AS pos
+        |  FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    AND e.value > a.a_val),
+        |b1 AS (SELECT * FROM bseq WHERE pos = 1),
+        |ks AS (
+        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
+        |  FROM bseq b JOIN b1 ON b1.user_id = b.user_id AND b1.a_id = b.a_id
+        |  WHERE EXISTS (SELECT 1 FROM ev p WHERE p.user_id = b.user_id
+        |    AND p.event_type = 'purchase' AND p.ts_us > b.b_us
+        |    AND p.ts_us <= b.a_us + $H72 AND p.value > b1.b_val)
+        |  GROUP BY b.user_id, b.a_id),
+        |m AS (
+        |  SELECT ks.user_id, ks.a_id, ks.k, b1.a_us, b1.b_val AS b1_val,
+        |    bk.b_val AS bk_val, bk.b_us AS bk_us
+        |  FROM ks
+        |  JOIN b1 ON b1.user_id = ks.user_id AND b1.a_id = ks.a_id
+        |  JOIN bseq bk ON bk.user_id = ks.user_id AND bk.a_id = ks.a_id
+        |    AND bk.pos = ks.k),
+        |sel AS (
+        |  SELECT m.*, p.event_id AS p_id, p.value AS p_val
+        |  FROM m JOIN LATERAL (SELECT e.event_id, e.value FROM ev e
+        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
+        |      AND e.value > m.b1_val
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, b1_val AS b1_value, bk_val AS bk_value, k AS n_b,
+        |  p_val AS p_value
+        |FROM sel ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr6_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr6_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           FIRST(B.value) AS b1_value,
+          |           LAST(B.value) AS bk_value,
+          |           COUNT(B.event_id) AS n_b,
+          |           P.value AS p_value
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B+ P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         B AS event_type = 'click' AND B.value > A.value,
+          |         P AS event_type = 'purchase' AND P.value > FIRST(B.value)
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // AFTER MATCH SKIP TO FIRST B (AfterMatchSkipStrategy.java
+    // skipToFirst): after a match, anchors re-arm AT the first event
+    // bound to B (inclusive) — overlapping matches that SKIP PAST LAST
+    // ROW would suppress survive when the next signup falls between
+    // the first bound click and the previous match's purchase.
+    // Recursive-CTE oracle mirrors the greedy re-arm scan.
+    q("cep13_skip_to_first",
+      s"""WITH RECURSIVE $evSql,
+        |cand AS (
+        |  SELECT a.user_id, a.a_id, a.a_rn, a.a_us, b.b_id, b.b_rn,
+        |    p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.rn AS b_rn,
+        |      e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |rec AS (
+        |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
+        |    SELECT c.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY a_rn) AS pick
+        |    FROM cand c) WHERE pick = 1
+        |  UNION ALL
+        |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
+        |    SELECT c.user_id, c.a_id, c.a_rn, c.a_us, c.b_id, c.b_rn,
+        |      c.p_id, c.p_us,
+        |      row_number() OVER (PARTITION BY c.user_id ORDER BY c.a_rn) AS pick
+        |    FROM cand c JOIN rec r ON c.user_id = r.user_id
+        |      AND c.a_rn >= r.b_rn)
+        |  WHERE pick = 1)
+        |SELECT r.user_id AS key, r.a_id AS anchor_id, r.p_id AS end_id,
+        |  r.a_id || ',' || r.b_id || ',' || r.p_id AS chain,
+        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = r.user_id
+        |    AND e.event_type = 'click' AND e.ts_us > r.a_us
+        |    AND e.ts_us < r.p_us AND e.ts_us <= r.a_us + $H72) AS counts
+        |FROM rec r ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("B", "click", OneOrMore()),
+          Step("P", "purchase")),
+        withinMicros = H72,
+        afterMatch = SkipToFirst("B"))
+        .orderBy("key", "anchor_id")
+    },
+
+    // GROUP pattern (GroupPattern.java — Pattern.begin(sub).times(1,2)):
+    // the (C P) sub-sequence as ONE quantified step, greedy
+    // largest-repeat-first with backtracking. Oracle: the k=2
+    // expansion binds each One-step earliest such that the remaining
+    // chain still exists (nested EXISTS); anchors where k=2 is
+    // impossible fall back to k=1.
+    q("cep14_group_pattern",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |k2 AS (
+        |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id, p1.event_id AS p1_id,
+        |    c2.event_id AS c2_id, p2.event_id AS p2_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
+        |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
+        |        AND x1.ts_us <= a.a_us + $H72
+        |        AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
+        |          AND x2.event_type = 'click' AND x2.ts_us > x1.ts_us
+        |          AND x2.ts_us <= a.a_us + $H72
+        |          AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
+        |            AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
+        |            AND x3.ts_us <= a.a_us + $H72)))
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
+        |        AND x2.event_type = 'click' AND x2.ts_us > e.ts_us
+        |        AND x2.ts_us <= a.a_us + $H72
+        |        AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
+        |          AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
+        |          AND x3.ts_us <= a.a_us + $H72))
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > p1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
+        |        AND x3.event_type = 'purchase' AND x3.ts_us > e.ts_us
+        |        AND x3.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c2 ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true),
+        |k1 AS (
+        |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id, p1.event_id AS p1_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
+        |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
+        |        AND x1.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p2_id AS end_id,
+        |  a_id || ',' || c1_id || ',' || p1_id || ',' || c2_id || ',' || p2_id
+        |    AS chain, 'G:2' AS counts
+        |FROM k2
+        |UNION ALL
+        |SELECT k1.user_id, k1.a_id, k1.p1_id,
+        |  k1.a_id || ',' || k1.c1_id || ',' || k1.p1_id, 'G:1'
+        |FROM k1 WHERE NOT EXISTS (SELECT 1 FROM k2
+        |  WHERE k2.user_id = k1.user_id AND k2.a_id = k1.a_id)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("G", "", GroupTimes(
+            Seq(Step("C", "click"), Step("P", "purchase")), 1, 2))),
+        withinMicros = H72)
+        .orderBy("key", "anchor_id")
+    },
+
+    // NO SKIP (AfterMatchSkipStrategy.noSkip()): EVERY match is
+    // emitted — per anchor, all binding variants the pattern allows.
+    // With (A C? P) both Optional branches emit when each completes:
+    // the cep5 oracle's two CTEs WITHOUT the exclusivity filter.
+    q("cep15_no_skip",
+      s"""WITH $evSql,
+        |wcp AS (
+        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H2)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |ap AS (
+        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
+        |UNION ALL
+        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
+        |FROM ap
+        |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("C", "click", Optional),
+          Step("P", "purchase")),
+        withinMicros = H2,
+        afterMatch = NoSkip)
+        .orderBy("key", "anchor_id", "chain")
     })
 }
