@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
 
 /** The rest of the CEP pattern algebra (SURVEY.md §2.9 — flink-cep
   * Pattern.java:155-477): optional, notFollowedBy, until, times(from,
-  * to), consecutive, allowCombinations, and the AFTER MATCH SKIP PAST
-  * LAST EVENT strategy. Every query is oracle-checked against SQL that
-  * encodes the same earliest-first NFA semantics (LATERAL earliest
-  * bindings; a recursive CTE for the skip strategy's greedy scan).
+  * to), consecutive, allowCombinations, group patterns
+  * (GroupPattern.java), the full AfterMatchSkipStrategy family (SKIP
+  * PAST LAST / TO FIRST / TO LAST / NO SKIP), and cross-variable
+  * DEFINE navigation (IterativeCondition.java:52). Every query is
+  * oracle-checked against SQL that encodes the same earliest-first
+  * NFA semantics (LATERAL earliest bindings; recursive CTEs for the
+  * skip strategies' greedy re-arm scans; nested EXISTS for group
+  * completion).
   */
 object CepExtras extends QueryGroup {
 

@@ -1167,5 +1167,66 @@ object Streaming extends QueryGroup {
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st36_out")
         .select(col("key"), col("anchor_id"), col("last_id"), col("n_bound"))
         .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING MATCH_RECOGNIZE with CROSS-VARIABLE DEFINE predicates
+    // (IterativeCondition.java:52 on the unbounded stream): the same
+    // navigation clause mr6 runs in batch — B's clicks must beat the
+    // anchor's value, P's purchase must beat the FIRST loop element —
+    // evaluated incrementally against keyed state carrying the nav
+    // values. Oracle = mr6's greedy-run/shrink oracle restricted to
+    // anchors mature at the bounded stream's final watermark (the
+    // emitted set is batch-identical by the maturity contract).
+    q("st37_stream_mr_navigation",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, value AS a_val
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |bseq AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, e.event_id AS b_id,
+        |    e.ts_us AS b_us, e.value AS b_val,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id) AS pos
+        |  FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    AND e.value > a.a_val),
+        |b1 AS (SELECT * FROM bseq WHERE pos = 1),
+        |ks AS (
+        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
+        |  FROM bseq b JOIN b1 ON b1.user_id = b.user_id AND b1.a_id = b.a_id
+        |  WHERE EXISTS (SELECT 1 FROM ev p WHERE p.user_id = b.user_id
+        |    AND p.event_type = 'purchase' AND p.ts_us > b.b_us
+        |    AND p.ts_us <= b.a_us + $H72 AND p.value > b1.b_val)
+        |  GROUP BY b.user_id, b.a_id),
+        |m AS (
+        |  SELECT ks.user_id, ks.a_id, ks.k, b1.a_us, b1.b_id AS b1_id,
+        |    b1.b_val AS b1_val, bk.b_us AS bk_us
+        |  FROM ks
+        |  JOIN b1 ON b1.user_id = ks.user_id AND b1.a_id = ks.a_id
+        |  JOIN bseq bk ON bk.user_id = ks.user_id AND bk.a_id = ks.a_id
+        |    AND bk.pos = ks.k),
+        |sel AS (
+        |  SELECT m.*, p.event_id AS p_id
+        |  FROM m JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
+        |      AND e.value > m.b1_val
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || b1_id || ',' || p_id AS chain,
+        |  'B:' || k AS counts
+        |FROM sel ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A B+ P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup',
+          |         B AS kind = 'click' AND B.value > A.value,
+          |         P AS kind = 'purchase' AND P.value > FIRST(B.value))""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st37_out")
+        .orderBy("key", "anchor_id")
     })
 }

@@ -281,6 +281,171 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(comb == Seq("1,2,3,4", "1,2,6,4", "1,3,6,4"))
   }
 
+  test("PatternNFA context predicates: cross-variable navigation, greedy shrink, window-bounded PREV") {
+    import graft.operators.{MatchRecognize, PatternNFA}
+    import spark.implicits._
+    def run(ev: Seq[(Long, Long, Long, String, Double)], clause: String) =
+      MatchRecognize.run(spark,
+          ev.toDF("key", "tsMicros", "id", "kind", "value"), clause)
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain"),
+          r.getAs[String]("counts"))).toSeq.sorted
+
+    val navClause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B+ P) WITHIN INTERVAL '30' MINUTE
+        |  DEFINE A AS kind = 'A',
+        |         B AS kind = 'B' AND B.value > A.value,
+        |         P AS kind = 'P' AND P.value > FIRST(B.value))""".stripMargin
+    // key 1: eligible clicks are v10 and v8 (v3 fails the A.value cut);
+    //   P must beat FIRST(B)=10 → the v9 purchase fails, v12 matches.
+    // key 2: greedy run [v5, v6]; no purchase beats 5 after v6, so the
+    //   loop SHRINKS to k=1 and the v6 purchase (after b1, >5) binds.
+    val nav = run(Seq(
+      (1L, 10L, 1L, "A", 5.0), (1L, 20L, 2L, "B", 10.0),
+      (1L, 30L, 3L, "B", 3.0), (1L, 40L, 4L, "B", 8.0),
+      (1L, 50L, 5L, "P", 9.0), (1L, 60L, 6L, "P", 12.0),
+      (2L, 10L, 7L, "A", 0.0), (2L, 20L, 8L, "B", 5.0),
+      (2L, 25L, 11L, "P", 6.0), (2L, 30L, 9L, "B", 6.0),
+      (2L, 35L, 10L, "P", 4.0)), navClause)
+    assert(nav == Seq((1L, "1,2,6", "B:2"), (2L, "7,8,11", "B:1")), nav)
+
+    // PREV is PHYSICAL and bounded to the match window: rows before
+    // the anchor read as NULL (and NULL fails every comparison)
+    val prevClause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B) WITHIN INTERVAL '30' MINUTE
+        |  DEFINE A AS kind = 'A',
+        |         B AS kind = 'B' AND B.value > PREV(value, 2))""".stripMargin
+    val prev = run(Seq(
+      // key 3: PREV(value,2) from B lands ON the anchor (v1) → 50>1 ✓
+      (3L, 5L, 20L, "X", 100.0), (3L, 10L, 21L, "A", 1.0),
+      (3L, 20L, 22L, "X", 2.0), (3L, 30L, 23L, "B", 50.0),
+      // key 4: PREV(value,2) from B lands BEFORE the anchor → NULL → ✗
+      (4L, 5L, 26L, "X", 0.0), (4L, 10L, 24L, "A", 1.0),
+      (4L, 20L, 25L, "B", 50.0)), prevClause)
+    assert(prev == Seq((3L, "21,23", "")), prev)
+
+    // forward references are rejected at compile time (SQL:2016)
+    val fwd = intercept[RuntimeException] {
+      MatchRecognize.run(spark,
+        Seq((1L, 10L, 1L, "A", 1.0)).toDF("key", "tsMicros", "id", "kind", "value"),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS kind = 'A' AND A.value > B.value,
+          |         B AS kind = 'B')""".stripMargin)
+    }
+    assert(fwd.getMessage.contains("LATER"), fwd.getMessage)
+  }
+
+  test("MatchRecognize DEFINE compiler: row-local residue vs context conjuncts") {
+    import graft.operators.MatchRecognize
+    import graft.operators.PatternNFA.{CtxCmp, NavExpr}
+    val c = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a',
+        |         B AS kind = 'b' AND B.value > 100 AND B.value > A.value + 1
+        |)""".stripMargin)
+    // current-variable-only conjunct is rewritten row-local (stays in
+    // the pre-shuffle bitmask); only the true navigation conjunct
+    // compiles to a context tree
+    assert(c.defines == Seq("A" -> "kind = 'a'",
+      "B" -> "kind = 'b' AND value > 100"))
+    assert(c.navCols == Seq("value"))
+    assert(c.ctx == Map("B" -> Seq(CtxCmp(">", NavExpr.Cur(0),
+      NavExpr.Bin('+', NavExpr.VarNav("A", 0, first = false, off = 0),
+        NavExpr.Lit(1.0))))))
+  }
+
+  test("PatternNFA group patterns: greedy repeat, fallback, validation") {
+    import graft.operators.PatternNFA._
+    import spark.implicits._
+    def run(ev: Seq[(Long, Long, Long, String)], steps: Seq[Step]) =
+      graft.operators.PatternNFA.run(spark,
+          ev.toDF("key", "tsMicros", "id", "kind"), steps, 1000L)
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain"),
+          r.getAs[String]("counts"))).toSeq.sorted
+    val g = Seq(Step("a", "A"),
+      Step("G", "", GroupTimes(Seq(Step("b", "B"), Step("c", "C")), 1, 2)))
+    // key 1 supports two (B C) repeats → greedy k=2; key 2 only one
+    val got = run(Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "C"),
+      (1L, 30L, 4L, "B"), (1L, 40L, 5L, "C"),
+      (2L, 0L, 6L, "A"), (2L, 10L, 7L, "B"), (2L, 20L, 8L, "C")), g)
+    assert(got == Seq((1L, "1,2,3,4,5", "G:2"), (2L, "6,7,8", "G:1")), got)
+
+    // zero-repeat lower bound makes the whole group optional
+    val g0 = Seq(Step("a", "A"),
+      Step("G", "", GroupTimes(Seq(Step("b", "B")), 0, 2)), Step("c", "C"))
+    val opt = run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "C")), g0)
+    assert(opt == Seq((1L, "1,2", "G:0")), opt)
+
+    val ev1 = Seq((1L, 0L, 1L, "A")).toDF("key", "tsMicros", "id", "kind")
+    // sub-steps must be plain One
+    intercept[Exception] {
+      graft.operators.PatternNFA.run(spark, ev1, Seq(Step("a", "A"),
+        Step("G", "", GroupTimes(Seq(Step("b", "B", Optional)), 1, 2))), 1000L)
+    }
+    // a pattern cannot START with a group (the anchor defines the window)
+    intercept[Exception] {
+      graft.operators.PatternNFA.run(spark, ev1, Seq(
+        Step("G", "", GroupTimes(Seq(Step("b", "B")), 1, 2))), 1000L)
+    }
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST: clause parse, semantics, loud failure modes") {
+    import graft.operators.{MatchRecognize, PatternNFA}
+    import PatternNFA._
+    import spark.implicits._
+    // clause grammar → strategy objects
+    val base =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  AFTER MATCH SKIP TO %s
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'A', B AS kind = 'B', P AS kind = 'P')""".stripMargin
+    assert(MatchRecognize.compile(base.format("FIRST B")).afterMatch == SkipToFirst("B"))
+    assert(MatchRecognize.compile(base.format("LAST B")).afterMatch == SkipToLast("B"))
+    assert(MatchRecognize.compile(base.format("NEXT ROW")).afterMatch == SkipToNextRow)
+    // unknown variable is rejected at compile time
+    val unk = intercept[RuntimeException] {
+      MatchRecognize.compile(base.format("FIRST X"))
+    }
+    assert(unk.getMessage.contains("no such pattern variable"), unk.getMessage)
+
+    // semantics: skip-to-last re-arms AT the last loop event — the
+    // second anchor (between last B and P) survives; skip-past kills it
+    val ev = Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "B"),
+      (1L, 25L, 4L, "A"), (1L, 30L, 5L, "P"), (1L, 40L, 6L, "B"),
+      (1L, 50L, 7L, "P")).toDF("key", "tsMicros", "id", "kind")
+    val steps = Seq(Step("A", "A"), Step("B", "B", OneOrMore()), Step("P", "P"))
+    def chains(am: AfterMatch) =
+      graft.operators.PatternNFA.run(spark, ev, steps, 1000L, am)
+        .collect().map(_.getAs[String]("chain")).toSeq.sorted
+    assert(chains(SkipToLast("B")) == Seq("1,2,5", "4,6,7"))
+    assert(chains(SkipPastLastEvent) == Seq("1,2,5"))
+
+    // the reference's loud failure modes (AfterMatchSkipStrategy.java):
+    // re-anchoring at the match start is an infinite loop → throw;
+    // a skip variable that bound no rows → throw
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    val loop = intercept[Exception] {
+      graft.operators.PatternNFA.run(spark, ev,
+        Seq(Step("A", "A"), Step("P", "P")), 1000L, SkipToFirst("A")).collect()
+    }
+    assert(messages(loop).exists(_.contains("re-anchor")), messages(loop))
+    val miss = intercept[Exception] {
+      graft.operators.PatternNFA.run(spark,
+        Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "P"))
+          .toDF("key", "tsMicros", "id", "kind"),
+        Seq(Step("A", "A"), Step("B", "B", Optional), Step("P", "P")),
+        1000L, SkipToFirst("B")).collect()
+    }
+    assert(messages(miss).exists(_.contains("bound no rows")), messages(miss))
+  }
+
   test("MatchRecognize compiles the clause grammar onto the NFA algebra") {
     import graft.operators.{MatchRecognize, PatternNFA}
     import PatternNFA._

@@ -514,6 +514,55 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(progressive.last == streamed.size.toLong)
   }
 
+  test("streaming MATCH_RECOGNIZE DEFINE navigation matches batch under any batching") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // mr6's navigation clause: B must beat the anchor's value, P must
+    // beat the FIRST loop element's — context predicates evaluated
+    // against keyed state carrying the nav values
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup',
+        |         B AS kind = 'click' AND B.value > A.value,
+        |         P AS kind = 'purchase' AND P.value > FIRST(B.value))""".stripMargin
+    // delivered in event-time order (the watermark contract: a split
+    // that revisits old timestamps after the watermark passed them is
+    // late data, out of contract for ANY batching)
+    val allEvents = Seq(
+      ev(1, 10, 1, "signup", 5.0), ev(1, 15, 2, "click", 10.0),
+      ev(1, 20, 3, "click", 3.0), ev(1, 25, 4, "click", 8.0),
+      ev(1, 30, 5, "purchase", 9.0), ev(1, 35, 6, "purchase", 12.0),
+      // greedy shrink: run [5.0, 6.0] shrinks to k=1 so the v=5.5
+      // purchase (beats FIRST=5.0, between the two clicks) can bind
+      ev(2, 10, 7, "signup", 0.0), ev(2, 15, 8, "click", 5.0),
+      ev(2, 18, 9, "purchase", 5.5), ev(2, 22, 10, "click", 6.0),
+      ev(2, 28, 11, "purchase", 4.0),
+      // never completes: no purchase beats the first eligible click
+      ev(3, 10, 12, "signup", 1.0), ev(3, 15, 13, "click", 99.0),
+      ev(3, 20, 14, "purchase", 50.0),
+      ev(9, 300, 15, "flush")) // closes every window
+      .sortBy(e => (e.tsMicros, e.id))
+    // ground truth: the batch facade over the complete input
+    val batch = graft.operators.MatchRecognize.run(spark,
+        allEvents.toDF("key", "tsMicros", "id", "kind", "value"), clause)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.size == 2, batch)
+    // three very different batchings must all emit exactly that set
+    val splits = Seq(
+      Seq(allEvents),                       // one batch + implicit flush
+      allEvents.map(Seq(_)),                // one event per micro-batch
+      Seq(allEvents.take(4), allEvents.slice(4, 9), allEvents.drop(9)))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val streamed = StreamHarness.run(batches, OutputMode.Append, s"smrnav_$i") {
+        in => StreamingMatchRecognize(spark, in.toDF(), clause,
+          watermarkDelay = "10 seconds").toDF()
+      }.collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch, s"split $i: streamed=$streamed batch=$batch")
+    }
+  }
+
   test("streaming CEP timeout side output equals the batch scan, any batching") {
     import graft.streaming.StreamingMatchRecognize
     implicit val sql = spark.sqlContext
