@@ -32,12 +32,21 @@ import org.apache.spark.sql.functions._
   * localCheckpoint-ed frames (candidate + tombstone per group —
   * bounded by group count, the same bound as the keyed operator);
   * per-batch shuffle is ∝ batch + pending candidates, never history.
+  *
+  * Emissions go to `emit` as a DISTRIBUTED frame of the batch's
+  * matured rows (key, tsMicros, id, value) — a sink write, never a
+  * driver materialization: nothing in the operator collects, so it
+  * holds at any scale. `emit` must consume its frame within the call
+  * (the underlying checkpoint blocks are recycled on the next batch)
+  * — true of every real sink; [[PunctuatedDedupKeepFirst.CollectingSink]]
+  * is the bounded driver-side convenience for specs and interactive
+  * inspection.
   */
-class PunctuatedDedupKeepFirst(markerKind: String = "WM") {
+class PunctuatedDedupKeepFirst(markerKind: String = "WM",
+                               emit: DataFrame => Unit) {
   @volatile private var wm: Long = Long.MinValue
   private var pending: Option[DataFrame] = None   // (key, ts, id, value)
   private var emittedKeys: Option[DataFrame] = None // (key) tombstones
-  private val emitted = Seq.newBuilder[(Long, Long, Long, Double)]
 
   /** Current punctuated watermark (micros); MinValue until the first
     * marker arrives. */
@@ -72,32 +81,45 @@ class PunctuatedDedupKeepFirst(markerKind: String = "WM") {
     val live = emittedKeys.fold(merged)(t =>
         merged.join(t, Seq("key"), "left_anti"))
       .localCheckpoint(true)
-    // 4. maturity against the ADVANCED punctuated watermark
+    // 4. maturity against the ADVANCED punctuated watermark: the
+    //    matured slice goes to the SINK as a distributed frame (both
+    //    filters below read the same checkpointed blocks)
     val matured = live.filter(col("ts") <= curWm)
-      .collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    emitted ++= matured
-    if (matured.nonEmpty) {
-      val newTombs = matured.map(_._1).toSeq.toDF("key")
-      emittedKeys = Some(emittedKeys.fold(newTombs)(_.union(newTombs))
-        .localCheckpoint(true))
-    }
-    // the superseded pending snapshot's blocks are dead weight once
-    // `live` is materialized (GraphOps uses the same in-loop release)
-    val prevIds: Set[Int] = pending.toSeq.flatMap(
-      _.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-      }).toSet
+    emit(matured.select(col("key"), col("ts").as("tsMicros"),
+      col("id"), col("value")))
+    // tombstones: distributed union of the matured keys; the eager
+    // checkpoint collapses the lineage each batch so the union chain
+    // never grows (an empty matured slice unions zero rows)
+    val prevTombIds = rddIds(emittedKeys)
+    emittedKeys = Some(emittedKeys.fold(matured.select("key"))(
+      _.union(matured.select("key"))).localCheckpoint(true))
+    // the superseded snapshots' blocks are dead weight once the new
+    // checkpoints are materialized (GraphOps uses the same in-loop
+    // release)
+    val prevIds = rddIds(pending)
     pending = Some(live.filter(col("ts") > curWm))
     val liveRdds = spark.sparkContext.getPersistentRDDs
-    prevIds.foreach(id => liveRdds.get(id).foreach(_.unpersist(false)))
+    (prevIds ++ prevTombIds).foreach(id =>
+      liveRdds.get(id).foreach(_.unpersist(false)))
   }
 
-  def sink: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) => step(b)
+  private def rddIds(df: Option[DataFrame]): Set[Int] =
+    df.toSeq.flatMap(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }).toSet
 
-  /** Rows emitted so far: (key, tsMicros, id, value). The collect in
-    * [[step]] materializes ONLY the batch's matured emissions (∝ the
-    * groups a marker just matured) — on a cluster this would be the
-    * sink write instead. */
-  def results: Seq[(Long, Long, Long, Double)] = emitted.result()
+  def sink: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) => step(b)
+}
+
+object PunctuatedDedupKeepFirst {
+  /** Driver-side collecting sink — BOUNDED BY WHAT IT COLLECTS, for
+    * specs and interactive inspection only; library use hands the
+    * operator a real sink (parquet append, upsert sink, …). */
+  final class CollectingSink {
+    private val buf = Seq.newBuilder[(Long, Long, Long, Double)]
+    def emit(df: DataFrame): Unit = buf ++= df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    /** Rows emitted so far: (key, tsMicros, id, value). */
+    def results: Seq[(Long, Long, Long, Double)] = buf.result()
+  }
 }

@@ -145,4 +145,84 @@ class SqlShellSpec extends AnyFunSuite {
       SqlShell.runScript(sp, "SOURCE /no/such/file.sql"))
     assert(miss.getMessage.contains("statement failed: SOURCE"), miss.getMessage)
   }
+
+  test("changelog result view renders +I/-U/+U incrementally across batches") {
+    // CliChangelogResultView.java analog: a streaming aggregate's
+    // updates arrive as an upsert changelog; the view diffs each
+    // micro-batch against its key→row state and renders the
+    // insert / update-before / update-after notation
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = StreamHarness.mkStream()
+    val agg = input.toDS().toDF()
+      .groupBy("key").agg(org.apache.spark.sql.functions.sum("value").as("total"))
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    val perBatch = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    val view = SqlShell.changelogView(agg, Seq("key"), emit = l => lines += l)
+    try {
+      input.addData(Seq(StreamHarness.ev(1, 10, 1, value = 5.0)))
+      view.processAllAvailable()
+      perBatch += lines.toSeq; lines.clear()
+      input.addData(Seq(StreamHarness.ev(1, 20, 2, value = 3.0),
+        StreamHarness.ev(2, 20, 3, value = 7.0)))
+      view.processAllAvailable()
+      perBatch += lines.toSeq; lines.clear()
+      input.addData(Seq(StreamHarness.ev(2, 30, 4, value = 1.0)))
+      view.processAllAvailable()
+      perBatch += lines.toSeq
+    } finally view.stop()
+    assert(perBatch(0) == Seq("+I [1, 5.0]"), perBatch)
+    assert(perBatch(1).sorted == Seq("+I [2, 7.0]", "+U [1, 8.0]", "-U [1, 5.0]"),
+      perBatch)
+    assert(perBatch(2) == Seq("-U [2, 7.0]", "+U [2, 8.0]"), perBatch)
+    // the -U always precedes its +U (the reference's retract pair)
+    val all = perBatch.flatten
+    assert(all.indexOf("-U [1, 5.0]") < all.indexOf("+U [1, 8.0]"), all)
+  }
+
+  test("changelog view: -D on disappearance in complete mode; key validation") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val input = StreamHarness.mkStream()
+    // complete-mode top-1: the whole result table re-emits per batch;
+    // a key falling out of the top renders -D
+    val top1 = input.toDS().toDF()
+      .groupBy("key").agg(sum("value").as("total"))
+      .orderBy(desc("total")).limit(1)
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    val view = SqlShell.changelogView(top1, Seq("key"),
+      complete = true, emit = l => lines += l)
+    try {
+      input.addData(Seq(StreamHarness.ev(1, 10, 1, value = 5.0)))
+      view.processAllAvailable()
+      input.addData(Seq(StreamHarness.ev(2, 20, 2, value = 9.0)))
+      view.processAllAvailable()
+    } finally view.stop()
+    assert(lines.toSeq == Seq("+I [1, 5.0]", "+I [2, 9.0]", "-D [1, 5.0]"),
+      lines)
+    // a batch frame is rejected loudly; so is a bogus key column
+    val batchErr = intercept[IllegalArgumentException](
+      SqlShell.changelogView(Seq((1, 2)).toDF("a", "b"), Seq("a")))
+    assert(batchErr.getMessage.contains("STREAMING"), batchErr.getMessage)
+    val keyErr = intercept[IllegalArgumentException](
+      SqlShell.changelogView(input.toDS().toDF()
+        .groupBy("key").agg(sum("value").as("t")), Seq("nope")))
+    assert(keyErr.getMessage.contains("not in result schema"), keyErr.getMessage)
+  }
+
+  test("shell main path routes streaming SELECT results to the changelog view") {
+    // inferKeyCols: aggregate grouping columns when present, full row
+    // (append changelog) otherwise
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    val input = StreamHarness.mkStream()
+    val agg = input.toDS().toDF().groupBy("key", "kind")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+    assert(SqlShell.inferKeyCols(agg) == Seq("key", "kind"))
+    assert(SqlShell.inferKeyCols(input.toDS().toDF()) ==
+      Seq("key", "tsMicros", "id", "kind", "value"))
+  }
 }

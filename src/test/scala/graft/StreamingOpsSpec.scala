@@ -1118,7 +1118,11 @@ class StreamingOpsSpec extends AnyFunSuite {
   test("punctuated watermark: markers (not data volume) drive maturity") {
     import graft.streaming.PunctuatedDedupKeepFirst
     val input = StreamHarness.mkStream()
-    val op = new PunctuatedDedupKeepFirst(markerKind = "WM")
+    // sink-backed: emissions leave as a distributed frame; the
+    // collecting sink is the spec's stand-in for a real sink write
+    val mem = new PunctuatedDedupKeepFirst.CollectingSink
+    val op = new PunctuatedDedupKeepFirst(markerKind = "WM", emit = mem.emit)
+    def opResults = mem.results
     val q = input.toDS().toDF().writeStream.foreachBatch(op.sink).start()
     def push(evs: graft.streaming.GEvent*): Unit = {
       input.addData(evs); q.processAllAvailable()
@@ -1127,27 +1131,27 @@ class StreamingOpsSpec extends AnyFunSuite {
       // data far beyond any marker: a bounded-delay watermark would
       // mature key 1 here; the punctuated contract requires silence
       push(ev(1, 10, 1), ev(1, 20, 2), ev(2, 99999, 3))
-      assert(op.results.isEmpty, s"matured without a marker: ${op.results}")
+      assert(opResults.isEmpty, s"matured without a marker: ${opResults}")
       assert(op.currentWatermark == Long.MinValue)
       // a marker at t=50 matures keys 1 (candidate id 1) — key 2's
       // candidate (t=99999) stays pending
       push(ev(0, 50, 0, kind = "WM"))
       assert(op.currentWatermark == 50L * 1000000L)
-      assert(op.results.map(r => r._1 -> r._3) == Seq(1L -> 1L),
-        s"marker-driven emission: ${op.results}")
+      assert(opResults.map(r => r._1 -> r._3) == Seq(1L -> 1L),
+        s"marker-driven emission: ${opResults}")
       // duplicates after emission are suppressed by the tombstone;
       // rows older than the punctuated wm are late and dropped
       push(ev(1, 60, 9), ev(3, 5, 4))
       push(ev(0, 100000, 0, kind = "WM"))
-      val got = op.results.map(r => r._1 -> r._3).toMap
+      val got = opResults.map(r => r._1 -> r._3).toMap
       assert(got == Map(1L -> 1L, 2L -> 3L), s"final emissions: $got")
       // batching-invariance: a data row followed by a marker IN THE
       // SAME batch is on-time (lateness is judged against the
       // watermark as of the row's arrival, BEFORE this batch's
       // markers apply) — and the marker then matures it immediately
       push(ev(7, 150000, 70), ev(0, 200000, 0, kind = "WM"))
-      assert(op.results.map(r => r._1 -> r._3).toMap.get(7L) == Some(70L),
-        s"same-batch row+marker lost the row: ${op.results}")
+      assert(opResults.map(r => r._1 -> r._3).toMap.get(7L) == Some(70L),
+        s"same-batch row+marker lost the row: ${opResults}")
     } finally q.stop()
   }
 
