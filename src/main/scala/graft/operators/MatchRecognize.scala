@@ -87,7 +87,9 @@ object MatchRecognize {
   // SKIP TO NEXT ROW form stays with its own check below
   private val skipToVarRe =
     """(?i)AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
-  private val varRe = """(\w+)(\+|\?|\{(\d+)(?:,(\d+))?\})?""".r
+  // quantifier suffix: + +? ? {n} {lo,hi} {lo,hi}? — the trailing ?
+  // on +/{lo,hi} is the SQL reluctant (non-greedy) marker
+  private val varRe = """(\w+)(\+\??|\?|\{(\d+)(?:,(\d+))?\}\??)?""".r
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s*(?=ONE\s+ROW\s+PER|ALL\s+ROWS\s+PER|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val allRowsRe = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
@@ -304,9 +306,11 @@ object MatchRecognize {
         val quant = (m.group(2), m.group(3), m.group(4)) match {
           case (null, _, _)      => One
           case ("+", _, _)       => OneOrMore()
+          case ("+?", _, _)      => OneOrMore(reluctant = true)
           case ("?", _, _)       => Optional
-          case (_, n, null)      => Times(n.toInt)
-          case (_, lo, hi)       => TimesRange(lo.toInt, hi.toInt)
+          case (_, n, null)      => Times(n.toInt) // {n}? ≡ {n}: exact count
+          case (q, lo, hi)       =>
+            TimesRange(lo.toInt, hi.toInt, reluctant = q.endsWith("?"))
         }
         // Normalize the step NAME (not just the kind) to the uppercase
         // variable identity: BindingRow.var_name / the ALL ROWS

@@ -103,12 +103,19 @@ object PatternNFA {
   case object Optional extends Quant
   /** Not = notFollowedBy: forbids the kind between neighbor bindings. */
   case object Not extends Quant
-  final case class OneOrMore(untilKind: Option[String] = None) extends Quant
+  /** One or more occurrences. `reluctant` (SQL `B+?`, the reference's
+    * non-greedy quantifier — MATCH_RECOGNIZE reluctant quantifiers /
+    * Pattern.java greedy() absent) binds the FEWEST loop elements
+    * whose remainder completes instead of the absorbed/greedy run. */
+  final case class OneOrMore(untilKind: Option[String] = None,
+                             reluctant: Boolean = false) extends Quant
   /** Exactly n successive occurrences (Pattern.times(n)); consecutive
     * requires strict contiguity in the event sequence. */
   final case class Times(n: Int, consecutive: Boolean = false) extends Quant
-  /** Between lo and hi occurrences, greedy (Pattern.times(from, to)). */
-  final case class TimesRange(lo: Int, hi: Int) extends Quant
+  /** Between lo and hi occurrences, greedy (Pattern.times(from, to));
+    * `reluctant` (`B{lo,hi}?`) tries the SMALLEST k first. */
+  final case class TimesRange(lo: Int, hi: Int,
+                              reluctant: Boolean = false) extends Quant
   /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
     * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
     * must be quantifier One. */
@@ -192,7 +199,7 @@ object PatternNFA {
     def kindsOf(ss: Seq[Step]): Seq[String] = ss.flatMap { st =>
       st.quant match {
         case GroupTimes(sub, _, _) => kindsOf(sub)
-        case OneOrMore(Some(uk)) => Seq(st.kind, uk)
+        case OneOrMore(Some(uk), _) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }
@@ -267,7 +274,7 @@ object PatternNFA {
       .getOrElse((1, Vector.empty[Vector[Ev]]))
     val bound = Vector(Vector(a)) ++ rest
     val ids = isteps.take(m).zip(bound).flatMap {
-      case (ILeaf(_, _, OneOrMore(_), _, _), b) => b.headOption.map(_.id).toSeq
+      case (ILeaf(_, _, OneOrMore(_, _), _, _), b) => b.headOption.map(_.id).toSeq
       case (_, b) => b.map(_.id)
     }
     val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
@@ -424,7 +431,7 @@ object PatternNFA {
             lo, hi)
         case q =>
           val untilBit = q match {
-            case OneOrMore(Some(uk)) => Some(bitFor(uk))
+            case OneOrMore(Some(uk), _) => Some(bitFor(uk))
             case _ => None
           }
           val rcmp = ctx.getOrElse(st.kind, Nil).map(c =>
@@ -780,7 +787,20 @@ object PatternNFA {
           if (!bad) Some(Vector(Vector.empty[Ev]) ++ restB) else None
         }
 
-      case OneOrMore(_) if !hasCtx =>
+      case OneOrMore(_, true) =>
+        // reluctant (B+?): the FEWEST successive earliest elements
+        // whose remainder completes — k ascending (works identically
+        // with and without context predicates)
+        val stopTs = st.untilBit.flatMap(ub =>
+          evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+        Iterator.from(1)
+          .map(k => bindSuccessive(evs, st, prev, deadline, k, anchorIdx,
+            acc, stopTs))
+          .takeWhile(_.isDefined).map(_.get)
+          .flatMap(b => cont(b.last, b))
+          .nextOption()
+
+      case OneOrMore(_, _) if !hasCtx =>
         // absorb semantics (bit-only patterns): first element binds
         // like One, the loop then absorbs every event of the kind
         // before the next step's binding / the horizon / the until stop
@@ -799,7 +819,7 @@ object PatternNFA {
           }
         }.nextOption()
 
-      case OneOrMore(_) =>
+      case OneOrMore(_, _) =>
         // greedy-maximal run with shrink-from-the-end backtracking:
         // each element is tested against the run-so-far (context
         // predicates are order-dependent), then the remainder binds
@@ -847,9 +867,11 @@ object PatternNFA {
           }.nextOption()
         }
 
-      case TimesRange(lo, hi) =>
-        // greedy: largest k whose remainder still completes
-        (hi to lo by -1).iterator.flatMap { k =>
+      case TimesRange(lo, hi, rel) =>
+        // greedy: largest k whose remainder still completes;
+        // reluctant ({lo,hi}?): smallest k first
+        val order = if (rel) lo to hi else hi to lo by -1
+        order.iterator.flatMap { k =>
           bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
             .flatMap(b => cont(b.last, b))
         }.nextOption()
@@ -905,7 +927,7 @@ object PatternNFA {
               !evs.exists(e => hasBit(e, st.bit) && e.ts > prev.ts &&
                 e.ts < hiTs && ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
             }.map(Vector(Vector.empty[Ev]) ++ _)
-          case OneOrMore(_) =>
+          case OneOrMore(_, _) =>
             val stopTs = st.untilBit.flatMap(ub =>
               evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
             Iterator.from(1).map { k =>
@@ -924,7 +946,7 @@ object PatternNFA {
                 val b = only.head
                 enumAfter(b.last, b)
               }
-          case TimesRange(lo, hi) =>
+          case TimesRange(lo, hi, _) =>
             (lo to hi).iterator.flatMap { k =>
               bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
                 .iterator.flatMap(b => enumAfter(b.last, b))
@@ -966,11 +988,11 @@ object PatternNFA {
   private def emit(key: Long, steps: Seq[INode],
                    bindings: Vector[Vector[Ev]]): PMatch = {
     val chain = steps.zip(bindings).flatMap {
-      case (ILeaf(_, _, OneOrMore(_), _, _), b) => b.take(1).map(_.id)
+      case (ILeaf(_, _, OneOrMore(_, _), _, _), b) => b.take(1).map(_.id)
       case (_, b) => b.map(_.id)
     }
     val counts = steps.zip(bindings).collect {
-      case (ILeaf(n, _, OneOrMore(_), _, _), b) => s"$n:${b.size}"
+      case (ILeaf(n, _, OneOrMore(_, _), _, _), b) => s"$n:${b.size}"
       case (g: IGroup, b) => s"${g.name}:${b.size / g.sub.size}"
     }.mkString(",")
     PMatch(key, chain.head, chain.last, chain.mkString(","), counts)

@@ -853,5 +853,104 @@ object CepExtras extends QueryGroup {
         withinMicros = H2,
         afterMatch = NoSkip)
         .orderBy("key", "anchor_id", "chain")
+    },
+
+    // RELUCTANT quantifier B+? (the reference's non-greedy
+    // MATCH_RECOGNIZE quantifiers): the loop binds the FEWEST elements
+    // whose remainder completes — here always exactly the first
+    // eligible click, so COUNT(B) pins 1 and LAST(B) pins the FIRST
+    // click where the greedy mr3 shape binds every click before the
+    // purchase. Full SQL statement surface.
+    q("mr7_reluctant",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us, p.p_id
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS b_id, e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS p_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, CAST(1 AS BIGINT) AS n_b, b_id AS b_last_id, p_id
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr7_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr7_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           COUNT(B.event_id) AS n_b,
+          |           LAST(B.event_id) AS b_last_id,
+          |           P.event_id AS p_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B+? P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+          |         P AS event_type = 'purchase'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // Reluctant {2,3}? — SMALLEST extent first: exactly cep8's
+    // greedy-range pattern with the preference order flipped (two
+    // clicks suffice when a purchase follows them; only a dead second
+    // click escalates to three).
+    q("cep16_reluctant_range",
+      s"""WITH $evSql,
+        |m AS (
+        |  SELECT a.user_id, a.a_id, b1.event_id AS b1_id, b2.event_id AS b2_id,
+        |    b3.event_id AS b3_id, p3.event_id AS p3_id, p2.event_id AS p2_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b3 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b3.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p3 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true)
+        |SELECT user_id AS key, a_id AS anchor_id,
+        |  CASE WHEN p2_id IS NOT NULL THEN p2_id ELSE p3_id END AS end_id,
+        |  CASE WHEN p2_id IS NOT NULL
+        |    THEN a_id || ',' || b1_id || ',' || b2_id || ',' || p2_id
+        |    ELSE a_id || ',' || b1_id || ',' || b2_id || ',' || b3_id || ',' || p3_id
+        |    END AS chain,
+        |  '' AS counts
+        |FROM m
+        |WHERE p2_id IS NOT NULL OR (b3_id IS NOT NULL AND p3_id IS NOT NULL)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("clicks", "click", TimesRange(2, 3, reluctant = true)),
+          Step("purchase", "purchase")),
+        withinMicros = H72)
+        .orderBy("key", "anchor_id")
     })
 }

@@ -470,6 +470,14 @@ class BatchOpsSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       MatchRecognize.compile("MATCH_RECOGNIZE (PATTERN (A) DEFINE A AS kind = 'a')")
     } // WITHIN required
+    // reluctant markers: B+? and E{1,3}? (the reference's non-greedy
+    // MATCH_RECOGNIZE quantifiers)
+    val rel = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B+? E{1,3}?) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', E AS kind = 'e')""".stripMargin)
+    assert(rel.steps.map(_.quant) == Seq(One,
+      OneOrMore(reluctant = true), TimesRange(1, 3, reluctant = true)), rel.steps)
   }
 
   test("MATCH_RECOGNIZE MEASURES grammar parses and validates") {
