@@ -832,5 +832,70 @@ object TextOps extends QueryGroup {
           element_at(col("_toks"), (col("k") * S + 1).cast(IntegerType))
             .as("first_tok"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // hashed-unigram bag-of-words models for the TARGET distribution
+    // (here lang='en') and the RAW corpus, Laplace-smoothed; each
+    // document's importance weight is Σ_f n_f·log(p_f/q_f) over its
+    // hashed-token counts, and the top-64 by weight are kept.
+    // Scale shape: one token-explode pass feeding per-doc and global
+    // bucket counts (256 buckets — a BROADCAST model table), weight =
+    // one doc-keyed aggregate over a broadcast join, selection =
+    // TakeOrderedAndProject(64) + broadcast membership flag — no
+    // global sort, no all-docs window. The per-bucket log-ratio is
+    // rounded to 9dp before the exact DECIMAL accumulation so the
+    // weight is partial-agg-order-independent and engine-stable.
+    q("x30_dsir_importance",
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256 AS f
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents)),
+         |dfc AS (SELECT doc_id, f, count(*) AS n FROM tb GROUP BY doc_id, f),
+         |tgt AS (SELECT f, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY f),
+         |alle AS (SELECT f, count(*) AS ca FROM tb GROUP BY f),
+         |tots AS (SELECT CAST(count(*) AS BIGINT) AS ta,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt FROM tb),
+         |lr AS (SELECT alle.f,
+         |    round(ln((coalesce(ct, 0) + 1.0) * (ta + 256)
+         |           / ((ca + 1.0) * (tt + 256))), 9) AS r
+         |  FROM alle LEFT JOIN tgt ON tgt.f = alle.f CROSS JOIN tots),
+         |w AS (SELECT dfc.doc_id, CAST(sum(dfc.n) AS BIGINT) AS n_tok,
+         |    round(sum(CAST(dfc.n * lr.r AS DECIMAL(28, 12))), 6) AS dsir_weight
+         |  FROM dfc JOIN lr ON lr.f = dfc.f GROUP BY dfc.doc_id)
+         |SELECT doc_id, n_tok, dsir_weight,
+         |  CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id) <= 64
+         |    AS INT) AS keep
+         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tb = t(s, dir)("documents")
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("t").cast(BinaryType)), 1, 8), 16, 10)
+            .cast(LongType) % 256).as("f"))
+        .persist() // feeds per-doc counts, both models, and the totals
+      val dfc = tb.groupBy("doc_id", "f").agg(count(lit(1)).as("n"))
+      val tgt = tb.filter(col("lang") === "en")
+        .groupBy("f").agg(count(lit(1)).as("ct"))
+      val alle = tb.groupBy("f").agg(count(lit(1)).as("ca"))
+      val tots = tb.agg(count(lit(1)).as("ta"),
+        count(when(col("lang") === "en", 1)).as("tt"))
+      val lr = alle.join(tgt, Seq("f"), "left")
+        .crossJoin(broadcast(tots)) // 1-row scalar table
+        .select(col("f"), round(log(
+          (coalesce(col("ct"), lit(0L)) + 1.0) * (col("ta") + 256) /
+            ((col("ca") + 1.0) * (col("tt") + 256))), 9).as("r"))
+      val w = dfc.join(broadcast(lr), Seq("f"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tok"),
+          round(sum((col("n") * col("r")).cast(DecimalType(28, 12))), 6)
+            .as("dsir_weight"))
+      val top = w.orderBy(col("dsir_weight").desc, col("doc_id")).limit(64)
+        .select(col("doc_id").as("_kid"))
+      w.join(broadcast(top), w("doc_id") === top("_kid"), "left")
+        .select(col("doc_id"), col("n_tok"), col("dsir_weight"),
+          when(col("_kid").isNotNull, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
     })
 }

@@ -46,6 +46,17 @@ class PlanSpec extends AnyFunSuite {
         exchanges.mkString("\n"))
   }
 
+  test("x30 DSIR: broadcast model table, TakeOrderedAndProject selection, no global window") {
+    val q = SparkEntry.queries("x30_dsir_importance")(spark, dir)
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-bucket model table must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no all-docs window function in the selection path:\n$plan")
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val q = SparkEntry.queries("j7_broadcast_lookup")(spark, dir)
     val plan = planOf(q)
