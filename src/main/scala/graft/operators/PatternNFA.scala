@@ -103,6 +103,10 @@ object PatternNFA {
   case object Optional extends Quant
   /** Not = notFollowedBy: forbids the kind between neighbor bindings. */
   case object Not extends Quant
+  /** NotNext (Pattern.java notNext): the event PHYSICALLY ADJACENT to
+    * the previous binding must not be of the kind — the strict
+    * single-position negative, vs. Not's whole-interval ban. */
+  case object NotNext extends Quant
   /** One or more occurrences. `reluctant` (SQL `B+?`, the reference's
     * non-greedy quantifier — MATCH_RECOGNIZE reluctant quantifiers /
     * Pattern.java greedy() absent) binds the FEWEST loop elements
@@ -787,6 +791,15 @@ object PatternNFA {
           if (!bad) Some(Vector(Vector.empty[Ev]) ++ restB) else None
         }
 
+      case NotNext =>
+        // only the single physically-adjacent event is forbidden; the
+        // remainder then binds from the previous binding as usual
+        val bad = evs.lift(prev.idx + 1).exists(e => hasBit(e, st.bit) &&
+          ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+        if (bad) None
+        else matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+
       case OneOrMore(_, true) =>
         // reluctant (B+?): the FEWEST successive earliest elements
         // whose remainder completes — k ascending (works identically
@@ -927,6 +940,12 @@ object PatternNFA {
               !evs.exists(e => hasBit(e, st.bit) && e.ts > prev.ts &&
                 e.ts < hiTs && ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
             }.map(Vector(Vector.empty[Ev]) ++ _)
+          case NotNext =>
+            val bad = evs.lift(prev.idx + 1).exists(e => hasBit(e, st.bit) &&
+              ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+            if (bad) Iterator.empty
+            else matchAll(evs, steps.tail, prev, deadline, anchorIdx,
+              acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
           case OneOrMore(_, _) =>
             val stopTs = st.untilBit.flatMap(ub =>
               evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))

@@ -952,5 +952,31 @@ object CepExtras extends QueryGroup {
           Step("purchase", "purchase")),
         withinMicros = H72)
         .orderBy("key", "anchor_id")
+    },
+
+    // notNext (Pattern.java notNext — the strict single-position
+    // negative): signup → purchase within 72h, where only the event
+    // IMMEDIATELY ADJACENT to the signup must not be an error —
+    // contrast cep6's notFollowedBy, which bans errors anywhere
+    // between the bindings.
+    q("cep17_not_next",
+      s"""WITH $evSql
+        |SELECT a.user_id AS key, a.a_id AS anchor_id, p.event_id AS end_id,
+        |  a.a_id || ',' || p.event_id AS chain, '' AS counts
+        |FROM a
+        |JOIN LATERAL (SELECT e.event_id FROM ev e
+        |  WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
+        |WHERE NOT EXISTS (SELECT 1 FROM ev e
+        |  WHERE e.user_id = a.user_id AND e.rn = a.a_rn + 1
+        |    AND e.event_type = 'error')
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("signup", "signup"),
+          Step("noerr", "error", NotNext),
+          Step("purchase", "purchase")),
+        withinMicros = H72)
+        .orderBy("key", "anchor_id")
     })
 }

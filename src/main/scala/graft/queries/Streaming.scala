@@ -1228,5 +1228,67 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st37_out")
         .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING AFTER MATCH SKIP TO FIRST B: the inclusive re-arm mark
+    // must survive in keyed state ACROSS micro-batches (the Mark the
+    // batch scan advances per match). Oracle = the cep13 recursive
+    // re-arm scan restricted to anchors mature at the final watermark
+    // (maturity follows anchor ts order, so the mature set is exactly
+    // the per-key prefix of the batch match chain).
+    q("st38_stream_skip_to_first",
+      s"""WITH RECURSIVE wm AS (
+        |  SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |cand AS (
+        |  SELECT a.user_id, a.a_id, a.a_rn, a.a_us, b.b_id, b.b_rn,
+        |    p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.rn AS b_rn,
+        |      e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |rec AS (
+        |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
+        |    SELECT c.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY a_rn) AS pick
+        |    FROM cand c) WHERE pick = 1
+        |  UNION ALL
+        |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
+        |    SELECT c.user_id, c.a_id, c.a_rn, c.a_us, c.b_id, c.b_rn,
+        |      c.p_id, c.p_us,
+        |      row_number() OVER (PARTITION BY c.user_id ORDER BY c.a_rn) AS pick
+        |    FROM cand c JOIN rec r ON c.user_id = r.user_id
+        |      AND c.a_rn >= r.b_rn)
+        |  WHERE pick = 1)
+        |SELECT r.user_id AS key, r.a_id AS anchor_id, r.p_id AS end_id,
+        |  r.a_id || ',' || r.b_id || ',' || r.p_id AS chain,
+        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = r.user_id
+        |    AND e.event_type = 'click' AND e.ts_us > r.a_us
+        |    AND e.ts_us < r.p_us AND e.ts_us <= r.a_us + $H72) AS counts
+        |FROM rec r ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  AFTER MATCH SKIP TO FIRST B
+          |  PATTERN (A B+ P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+          |         P AS kind = 'purchase')""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st38_out")
+        .orderBy("key", "anchor_id")
     })
 }
