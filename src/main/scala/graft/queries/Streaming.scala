@@ -1290,5 +1290,140 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st38_out")
         .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING GROUP PATTERN through the CEP API door (the
+    // reference's CEP.pattern(stream, …) — GroupPattern.java has no
+    // SQL clause form): (C P){1,2} greedy on the unbounded stream,
+    // emitted at anchor maturity. Oracle = cep14's nested-EXISTS
+    // completion scan cut at the final watermark.
+    q("st39_stream_group_pattern",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |k2 AS (
+        |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id, p1.event_id AS p1_id,
+        |    c2.event_id AS c2_id, p2.event_id AS p2_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
+        |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
+        |        AND x1.ts_us <= a.a_us + $H72
+        |        AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
+        |          AND x2.event_type = 'click' AND x2.ts_us > x1.ts_us
+        |          AND x2.ts_us <= a.a_us + $H72
+        |          AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
+        |            AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
+        |            AND x3.ts_us <= a.a_us + $H72)))
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
+        |        AND x2.event_type = 'click' AND x2.ts_us > e.ts_us
+        |        AND x2.ts_us <= a.a_us + $H72
+        |        AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
+        |          AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
+        |          AND x3.ts_us <= a.a_us + $H72))
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > p1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
+        |        AND x3.event_type = 'purchase' AND x3.ts_us > e.ts_us
+        |        AND x3.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c2 ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true),
+        |k1 AS (
+        |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id, p1.event_id AS p1_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
+        |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
+        |        AND x1.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p2_id AS end_id,
+        |  a_id || ',' || c1_id || ',' || p1_id || ',' || c2_id || ',' || p2_id
+        |    AS chain, 'G:2' AS counts
+        |FROM k2
+        |UNION ALL
+        |SELECT k1.user_id, k1.a_id, k1.p1_id,
+        |  k1.a_id || ',' || k1.c1_id || ',' || k1.p1_id, 'G:1'
+        |FROM k1 WHERE NOT EXISTS (SELECT 1 FROM k2
+        |  WHERE k2.user_id = k1.user_id AND k2.a_id = k1.a_id)
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{GroupTimes, Step}
+      val out = graft.streaming.StreamingMatchRecognize.pattern(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"),
+          Step("G", "", GroupTimes(
+            Seq(Step("C", "click"), Step("P", "purchase")), 1, 2))),
+        withinMicros = H72, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st39_out")
+        .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING NO SKIP through the CEP API door (the reference's CEP
+    // default — AfterMatchSkipStrategy.noSkip() has no SQL clause
+    // form): every binding variant of (A C? P) emits at anchor
+    // maturity. Oracle = cep15's both-branch scan cut at the final
+    // watermark.
+    q("st40_stream_no_skip",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + 7200000000 <= wm.wm_us),
+        |wcp AS (
+        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + 7200000000)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + 7200000000
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |ap AS (
+        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
+        |UNION ALL
+        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
+        |FROM ap
+        |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{NoSkip, Optional, Step}
+      val out = graft.streaming.StreamingMatchRecognize.pattern(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"), Step("C", "click", Optional),
+          Step("P", "purchase")),
+        withinMicros = 7200000000L, afterMatch = NoSkip,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st40_out")
+        .orderBy("key", "anchor_id", "chain")
     })
 }

@@ -75,10 +75,27 @@ object StreamingMatchRecognize {
       fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double])], Long,
              Option[PatternNFA.Mark]) => (Seq[T], Option[PatternNFA.Mark]))
       : Dataset[T] = {
-    import spark.implicits._
     val c = MatchRecognize.compile(clause)
     require(c.measures.isEmpty, requireMsg)
-    val preds = c.defines.map { case (n, body) => n -> expr(body) }
+    runKeyedSteps(spark, events, c.steps,
+      c.defines.map { case (n, body) => n -> expr(body) },
+      c.withinMicros, c.afterMatch, c.navCols, c.ctx, watermarkDelay)(fire)
+  }
+
+  /** The API-pattern door (the reference's `CEP.pattern(stream, …)` —
+    * PatternStream.java: the CEP library IS stream-first): the same
+    * keyed-state plumbing the clause door compiles onto, but fed the
+    * Pattern-algebra steps directly — the only route to streaming
+    * GROUP patterns and NO SKIP, which have no SQL clause form. */
+  private def runKeyedSteps[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, events: DataFrame, steps: Seq[PatternNFA.Step],
+      preds: Seq[(String, org.apache.spark.sql.Column)], withinMicros: Long,
+      afterMatch: PatternNFA.AfterMatch, navCols: Seq[String],
+      defCtx: Map[String, Seq[PatternNFA.CtxCmp]], watermarkDelay: String)(
+      fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double])], Long,
+             Option[PatternNFA.Mark]) => (Seq[T], Option[PatternNFA.Mark]))
+      : Dataset[T] = {
+    import spark.implicits._
     require(preds.size <= 64, "at most 64 pattern variables")
     val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
@@ -86,12 +103,12 @@ object StreamingMatchRecognize {
     // nav projection must mirror PatternNFA.prepare exactly (NaN=NULL)
     // — the streaming scan evaluates the same RCmp trees
     val navCol =
-      if (c.navCols.isEmpty) lit(Array.empty[Double])
-      else array(c.navCols.map(n =>
+      if (navCols.isEmpty) lit(Array.empty[Double])
+      else array(navCols.map(n =>
         coalesce(col(n).cast("double"), lit(Double.NaN))): _*)
-    val ctx = ScanCtx(c.steps, preds.map(_._1), c.withinMicros, c.afterMatch,
-      c.ctx)
-    val within = ctx.withinMicros
+    val ctx = ScanCtx(steps, preds.map(_._1), withinMicros, afterMatch,
+      defCtx)
+    val within = withinMicros
 
     // the watermark column must survive the projection — event-time
     // timeout requires the watermark node in the grouped plan
@@ -143,6 +160,34 @@ object StreamingMatchRecognize {
     import spark.implicits._
     runKeyed[PatternNFA.PMatch](spark, events, clause, watermarkDelay,
       "MEASURES is batch-only (the reference restricts streaming MATCH_RECOGNIZE too)") {
+      (c, key, buffered, wm, mark0) =>
+        PatternNFA.matchesMature(key, buffered, c.steps, c.varNames,
+          c.withinMicros, c.afterMatch, wm, mark0, c.ctx)
+    }
+  }
+
+  /** Streaming CEP via the PATTERN API (the reference's
+    * `CEP.pattern(stream, pattern)` — flink-cep PatternStream.java):
+    * steps over kind-equality variables, any [[PatternNFA.AfterMatch]]
+    * strategy including NoSkip, group patterns included — same
+    * maturity/eviction/mark contract as the clause door. */
+  def pattern(spark: SparkSession, events: DataFrame,
+              steps: Seq[PatternNFA.Step], withinMicros: Long,
+              afterMatch: PatternNFA.AfterMatch = PatternNFA.SkipToNextRow,
+              watermarkDelay: String = "10 minutes")
+      : Dataset[PatternNFA.PMatch] = {
+    import spark.implicits._
+    def kindsOf(ss: Seq[PatternNFA.Step]): Seq[String] = ss.flatMap { st =>
+      st.quant match {
+        case PatternNFA.GroupTimes(sub, _, _) => kindsOf(sub)
+        case PatternNFA.OneOrMore(Some(uk), _) => Seq(st.kind, uk)
+        case _ => Seq(st.kind)
+      }
+    }
+    val preds = kindsOf(steps).distinct.filter(_.nonEmpty)
+      .map(k => k -> (col("kind") === lit(k)))
+    runKeyedSteps[PatternNFA.PMatch](spark, events, steps, preds,
+      withinMicros, afterMatch, Nil, Map.empty, watermarkDelay) {
       (c, key, buffered, wm, mark0) =>
         PatternNFA.matchesMature(key, buffered, c.steps, c.varNames,
           c.withinMicros, c.afterMatch, wm, mark0, c.ctx)

@@ -71,6 +71,17 @@ class InvarianceSpec extends AnyFunSuite {
     }(events)
   }
 
+  test("MATCH_RECOGNIZE context-predicate scan is partition-invariant") {
+    assertInvariant("MatchRecognize/navigation") { ev =>
+      MatchRecognize.run(spark, ev,
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A B+ P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup',
+          |         B AS kind = 'click' AND B.value > A.value,
+          |         P AS kind = 'purchase' AND P.value > FIRST(B.value))""".stripMargin)
+    }(events)
+  }
+
   test("AsOfJoin.batch is partition-invariant on both sides") {
     val left = events.filter(col("kind") === "purchase")
     val right = events.filter(col("kind") === "click")
