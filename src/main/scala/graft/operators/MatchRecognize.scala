@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions.{col, expr, round}
   *             MATCH_NUMBER() AS m, C.col AS last_c, ...]
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP TO NEXT ROW | AFTER MATCH SKIP PAST LAST ROW]
-  *   PATTERN (A B+ C? D{2} E{1,3})
+  *   PATTERN (A B+ C? D{2} E{1,3} F* G{2,})   -- +? *? {..}? = reluctant
   *   [WITHIN INTERVAL 'n' HOUR|MINUTE|SECOND]
   *   DEFINE A AS kind = 'signup', B AS value > 100 AND kind = 'click', ...
   * )
@@ -87,9 +87,11 @@ object MatchRecognize {
   // SKIP TO NEXT ROW form stays with its own check below
   private val skipToVarRe =
     """(?i)AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
-  // quantifier suffix: + +? ? {n} {lo,hi} {lo,hi}? — the trailing ?
-  // on +/{lo,hi} is the SQL reluctant (non-greedy) marker
-  private val varRe = """(\w+)(\+\??|\?|\{(\d+)(?:,(\d+))?\}\??)?""".r
+  // quantifier suffix: + +? * *? ? {n} {n,} {n,}? {lo,hi} {lo,hi}? —
+  // a trailing ? on a loop form is the SQL reluctant (non-greedy)
+  // marker
+  private val varRe = """(\w+)(\+\??|\*\??|\?|\{\d+(?:,\d*)?\}\??)?""".r
+  private val rangeQuantRe = """\{(\d+)(?:,(\d*))?\}(\??)""".r
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s*(?=ONE\s+ROW\s+PER|ALL\s+ROWS\s+PER|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val allRowsRe = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
@@ -303,14 +305,18 @@ object MatchRecognize {
         val name = m.group(1)
         if (!defined(name.toUpperCase))
           sys.error(s"PATTERN variable $name has no DEFINE entry")
-        val quant = (m.group(2), m.group(3), m.group(4)) match {
-          case (null, _, _)      => One
-          case ("+", _, _)       => OneOrMore()
-          case ("+?", _, _)      => OneOrMore(reluctant = true)
-          case ("?", _, _)       => Optional
-          case (_, n, null)      => Times(n.toInt) // {n}? ≡ {n}: exact count
-          case (q, lo, hi)       =>
-            TimesRange(lo.toInt, hi.toInt, reluctant = q.endsWith("?"))
+        val quant = Option(m.group(2)).getOrElse("") match {
+          case ""   => One
+          case "+"  => OneOrMore()
+          case "+?" => OneOrMore(reluctant = true)
+          case "*"  => ZeroOrMore()
+          case "*?" => ZeroOrMore(reluctant = true)
+          case "?"  => Optional
+          case rangeQuantRe(n, null, _) => Times(n.toInt) // {n}? ≡ {n}
+          case rangeQuantRe(n, "", r)   => TimesOrMore(n.toInt, r == "?")
+          case rangeQuantRe(lo, hi, r)  =>
+            TimesRange(lo.toInt, hi.toInt, reluctant = r == "?")
+          case other => sys.error(s"unsupported quantifier: $other")
         }
         // Normalize the step NAME (not just the kind) to the uppercase
         // variable identity: BindingRow.var_name / the ALL ROWS

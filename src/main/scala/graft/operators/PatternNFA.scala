@@ -44,6 +44,13 @@ import org.apache.spark.sql.functions._
   *  - Not: no event of the kind strictly between the neighboring
   *    bindings (notFollowedBy); a trailing Not checks the interval up
   *    to the horizon deadline.
+  *  - ZeroOrMore: the loop with the empty binding allowed — greedy
+  *    prefers binding, reluctant prefers empty (B* / B*?).
+  *  - TimesOrMore(n): the first n bind successively; greedy absorbs
+  *    further loop events before the next binding, reluctant stops at
+  *    the fewest (B{n,} / B{n,}?).
+  *  - Reluctant loops generally (B+? and friends): the FEWEST
+  *    successive earliest elements whose remainder completes.
   *  - GroupTimes(sub, lo, hi): a GROUP pattern (GroupPattern.java —
   *    Pattern.begin(subPattern).times(lo, hi)): the sub-sequence as
   *    one quantified step, greedy largest-k-first with backtracking.
@@ -120,6 +127,17 @@ object PatternNFA {
     * `reluctant` (`B{lo,hi}?`) tries the SMALLEST k first. */
   final case class TimesRange(lo: Int, hi: Int,
                               reluctant: Boolean = false) extends Quant
+  /** Zero or more occurrences (SQL `B*` / `B*?`; Pattern.oneOrMore()
+    * .optional()): OneOrMore's loop semantics with the empty binding
+    * allowed — greedy prefers binding, reluctant prefers empty. */
+  final case class ZeroOrMore(untilKind: Option[String] = None,
+                              reluctant: Boolean = false) extends Quant
+  /** n or more occurrences (SQL `B{n,}` / `B{n,}?`;
+    * Pattern.timesOrMore(n)): the first n bind successively like
+    * Times(n); greedy then absorbs every further loop-kind event
+    * before the next binding, reluctant stops at the fewest. */
+  final case class TimesOrMore(n: Int, reluctant: Boolean = false)
+    extends Quant
   /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
     * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
     * must be quantifier One. */
@@ -204,6 +222,7 @@ object PatternNFA {
       st.quant match {
         case GroupTimes(sub, _, _) => kindsOf(sub)
         case OneOrMore(Some(uk), _) => Seq(st.kind, uk)
+        case ZeroOrMore(Some(uk), _) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }
@@ -278,7 +297,7 @@ object PatternNFA {
       .getOrElse((1, Vector.empty[Vector[Ev]]))
     val bound = Vector(Vector(a)) ++ rest
     val ids = isteps.take(m).zip(bound).flatMap {
-      case (ILeaf(_, _, OneOrMore(_, _), _, _), b) => b.headOption.map(_.id).toSeq
+      case (l: ILeaf, b) if isLoop(l.quant) => b.headOption.map(_.id).toSeq
       case (_, b) => b.map(_.id)
     }
     val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
@@ -436,6 +455,7 @@ object PatternNFA {
         case q =>
           val untilBit = q match {
             case OneOrMore(Some(uk), _) => Some(bitFor(uk))
+            case ZeroOrMore(Some(uk), _) => Some(bitFor(uk))
             case _ => None
           }
           val rcmp = ctx.getOrElse(st.kind, Nil).map(c =>
@@ -443,6 +463,13 @@ object PatternNFA {
           ILeaf(st.name, bitFor(st.kind), q, untilBit, rcmp)
       }
     }
+  }
+
+  /** Loop-style quantifiers: chain contributes only the first bound
+    * element, the membership is summarized in `counts`. */
+  private def isLoop(q: Quant): Boolean = q match {
+    case _: OneOrMore | _: ZeroOrMore | _: TimesOrMore => true
+    case _ => false
   }
 
   private def anyCtx(isteps: Seq[INode]): Boolean = isteps.exists {
@@ -889,6 +916,59 @@ object PatternNFA {
             .flatMap(b => cont(b.last, b))
         }.nextOption()
 
+      case ZeroOrMore(u, rel) =>
+        // the loop with the empty binding allowed: greedy prefers the
+        // bound branch, reluctant the empty one
+        def bound = matchLeaf(evs, st.copy(quant = OneOrMore(u, rel)), rest,
+          prev, deadline, anchorIdx, acc, hasCtx)
+        def empty = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+        if (rel) empty.orElse(bound) else bound.orElse(empty)
+
+      case TimesOrMore(n, true) =>
+        // reluctant {n,}?: fewest successive elements, k = n ascending
+        Iterator.from(n)
+          .map(k => bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc))
+          .takeWhile(_.isDefined).map(_.get)
+          .flatMap(b => cont(b.last, b))
+          .nextOption()
+
+      case TimesOrMore(n, _) if !hasCtx =>
+        // greedy {n,}: the first n bind successively, the remainder
+        // binds after the n-th, and the loop then absorbs every
+        // further loop-kind event before the remainder's binding
+        bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
+          .flatMap { run =>
+            matchFrom(evs, rest, run.last, deadline, anchorIdx,
+                acc :+ run, hasCtx).map { restB =>
+              val hiTs = restB.flatten.headOption.map(_.ts)
+                .getOrElse(deadline + 1)
+              val extras = evs.filter(e => hasBit(e, st.bit) &&
+                e.ts > run.last.ts && e.ts < hiTs && e.ts <= deadline)
+              Vector(run ++ extras) ++ restB
+            }
+          }
+
+      case TimesOrMore(n, _) =>
+        // context predicates: greedy-maximal run, shrink no further
+        // than the n floor
+        var run = Vector.empty[Ev]
+        var cur = prev
+        var go = true
+        while (go) {
+          val nxt = evs.iterator.drop(cur.idx + 1).find(e =>
+            hasBit(e, st.bit) && e.ts > cur.ts && e.ts <= deadline &&
+              ctxOk(st, evs, e, anchorIdx, acc, run))
+          nxt match {
+            case Some(e) => run :+= e; cur = e
+            case None => go = false
+          }
+        }
+        (run.size to n by -1).iterator.flatMap { k =>
+          val runK = run.take(k)
+          cont(runK.last, runK)
+        }.nextOption()
+
       case GroupTimes(_, _, _) =>
         sys.error("unreachable: groups are compiled to IGroup")
     }
@@ -970,6 +1050,27 @@ object PatternNFA {
               bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
                 .iterator.flatMap(b => enumAfter(b.last, b))
             }
+          case ZeroOrMore(_, _) =>
+            val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
+                acc :+ Vector.empty, hasCtx)
+              .map(Vector(Vector.empty[Ev]) ++ _)
+            val stopTs = st.untilBit.flatMap(ub =>
+              evs.find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+            val bound = Iterator.from(1).map { k =>
+              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc,
+                stopTs)
+            }.takeWhile(_.isDefined).flatMap { b =>
+              val run = b.get
+              enumAfter(run.last, run)
+            }
+            unbound ++ bound
+          case TimesOrMore(n, _) =>
+            Iterator.from(n).map { k =>
+              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
+            }.takeWhile(_.isDefined).flatMap { b =>
+              val run = b.get
+              enumAfter(run.last, run)
+            }
           case GroupTimes(_, _, _) =>
             sys.error("unreachable: groups are compiled to IGroup")
         }
@@ -1007,11 +1108,11 @@ object PatternNFA {
   private def emit(key: Long, steps: Seq[INode],
                    bindings: Vector[Vector[Ev]]): PMatch = {
     val chain = steps.zip(bindings).flatMap {
-      case (ILeaf(_, _, OneOrMore(_, _), _, _), b) => b.take(1).map(_.id)
+      case (l: ILeaf, b) if isLoop(l.quant) => b.take(1).map(_.id)
       case (_, b) => b.map(_.id)
     }
     val counts = steps.zip(bindings).collect {
-      case (ILeaf(n, _, OneOrMore(_, _), _, _), b) => s"$n:${b.size}"
+      case (l: ILeaf, b) if isLoop(l.quant) => s"${l.name}:${b.size}"
       case (g: IGroup, b) => s"${g.name}:${b.size / g.sub.size}"
     }.mkString(",")
     PMatch(key, chain.head, chain.last, chain.mkString(","), counts)

@@ -978,5 +978,108 @@ object CepExtras extends QueryGroup {
           Step("purchase", "purchase")),
         withinMicros = H72)
         .orderBy("key", "anchor_id")
+    },
+
+    // timesOrMore (Pattern.timesOrMore(n) / SQL B{2,}): the first two
+    // clicks bind successively, the purchase binds after the second,
+    // and the loop absorbs every further click before it — the n-floor
+    // variant of the B+ absorb loop, via the CLAUSE grammar.
+    q("cep18_times_or_more",
+      s"""WITH $evSql,
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, b1.event_id AS b1_id,
+        |    p.event_id AS p_id, p.ts_us AS p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || b1_id || ',' || p_id AS chain,
+        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
+        |    AND e.event_type = 'click' AND e.ts_us > m.a_us
+        |    AND e.ts_us < m.p_us AND e.ts_us <= m.a_us + $H72) AS counts
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      graft.operators.MatchRecognize.run(s, events(s, dir),
+          """MATCH_RECOGNIZE (
+            |  PARTITION BY key ORDER BY ts
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B{2,} P)
+            |  WITHIN INTERVAL '72' HOUR
+            |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+            |         P AS kind = 'purchase'
+            |)""".stripMargin)
+        .orderBy("key", "anchor_id")
+    },
+
+    // Zero-or-more B* (Pattern.oneOrMore().optional()): the loop with
+    // the empty binding allowed — greedy prefers the bound branch and
+    // falls back to skipping the loop entirely; COUNT(B) pins which
+    // branch bound. Full SQL statement surface.
+    q("mr8_zero_or_more",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |wcp AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, b.b_us, p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H2)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |ap AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, p.event_id AS p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |u AS (
+        |  SELECT w.user_id, w.a_id, w.a_us, w.p_id,
+        |    (SELECT count(*) FROM ev e WHERE e.user_id = w.user_id
+        |      AND e.event_type = 'click' AND e.ts_us > w.a_us
+        |      AND e.ts_us < w.p_us AND e.ts_us <= w.a_us + $H2) AS n_b
+        |  FROM wcp w
+        |  UNION ALL
+        |  SELECT ap.user_id, ap.a_id, ap.a_us, ap.p_id, 0 FROM ap
+        |  WHERE NOT EXISTS (SELECT 1 FROM wcp
+        |    WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id))
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, CAST(n_b AS BIGINT) AS n_b, p_id
+        |FROM u ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr8_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr8_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           COUNT(B.event_id) AS n_b,
+          |           P.event_id AS p_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B* P)
+          |  WITHIN INTERVAL '2' HOUR
+          |  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+          |         P AS event_type = 'purchase'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
     })
 }

@@ -478,6 +478,52 @@ class BatchOpsSpec extends AnyFunSuite {
         |  DEFINE A AS kind = 'a', B AS kind = 'b', E AS kind = 'e')""".stripMargin)
     assert(rel.steps.map(_.quant) == Seq(One,
       OneOrMore(reluctant = true), TimesRange(1, 3, reluctant = true)), rel.steps)
+    // zero-or-more and n-or-more forms
+    val zm = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B* C*? D{2,} E{3,}?) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c',
+        |         D AS kind = 'd', E AS kind = 'e')""".stripMargin)
+    assert(zm.steps.map(_.quant) == Seq(One, ZeroOrMore(),
+      ZeroOrMore(reluctant = true), TimesOrMore(2),
+      TimesOrMore(3, reluctant = true)), zm.steps)
+  }
+
+  test("PatternNFA zero-or-more and times-or-more loop semantics") {
+    import graft.operators.PatternNFA._
+    import spark.implicits._
+    def run(ev: Seq[(Long, Long, Long, String)], steps: Seq[Step]) =
+      graft.operators.PatternNFA.run(spark,
+          ev.toDF("key", "tsMicros", "id", "kind"), steps, 1000L)
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain"),
+          r.getAs[String]("counts"))).toSeq.sorted
+    // B*: key 1 binds the loop (absorbing both Bs), key 2 skips it
+    val zs = Seq(Step("a", "A"), Step("B", "B", ZeroOrMore()), Step("c", "C"))
+    val z = run(Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "B"),
+      (1L, 30L, 4L, "C"),
+      (2L, 0L, 5L, "A"), (2L, 10L, 6L, "C")), zs)
+    assert(z == Seq((1L, "1,2,4", "B:2"), (2L, "5,6", "B:0")), z)
+    // B*? (reluctant): prefers the EMPTY binding even when Bs exist
+    val zr = run(Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "C")),
+      Seq(Step("a", "A"), Step("B", "B", ZeroOrMore(reluctant = true)),
+        Step("c", "C")))
+    assert(zr == Seq((1L, "1,3", "B:0")), zr)
+    // B{2,}: needs two Bs before C; absorbs the third
+    val ts = Seq(Step("a", "A"), Step("B", "B", TimesOrMore(2)), Step("c", "C"))
+    val t2 = run(Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 15L, 3L, "B"),
+      (1L, 20L, 4L, "B"), (1L, 30L, 5L, "C"),
+      (2L, 0L, 6L, "A"), (2L, 10L, 7L, "B"), (2L, 20L, 8L, "C")), ts)
+    assert(t2 == Seq((1L, "1,2,5", "B:3")), t2) // key 2: only one B → no match
+    // B{2,}? (reluctant): stops at exactly two
+    val tr = run(Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 15L, 3L, "B"),
+      (1L, 20L, 4L, "B"), (1L, 30L, 5L, "C")),
+      Seq(Step("a", "A"), Step("B", "B", TimesOrMore(2, reluctant = true)),
+        Step("c", "C")))
+    assert(tr == Seq((1L, "1,2,5", "B:2")), tr)
   }
 
   test("MATCH_RECOGNIZE MEASURES grammar parses and validates") {

@@ -375,7 +375,9 @@ class PlanSpec extends AnyFunSuite {
         "two single-row scalar broadcasts (avg part frequency, max customer spend)",
       "x26_mixture_sample" -> "single-row global-min broadcast (rate denominator)",
       "x27_token_budget" ->
-        "single-row budget + threshold broadcasts (histogram-derived scalars)")
+        "single-row budget + threshold broadcasts (histogram-derived scalars)",
+      "x30_dsir_importance" ->
+        "single-row corpus-totals broadcast (the two model denominators)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
