@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions.{col, expr, round}
   *             ROUND(SUM(B.col), 6) AS w, COUNT(B.col) AS n,
   *             MATCH_NUMBER() AS m, C.col AS last_c, ...]
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *   [AFTER MATCH SKIP TO NEXT ROW | AFTER MATCH SKIP PAST LAST ROW]
+  *   [AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW
+  *    | SKIP TO FIRST var | SKIP TO LAST var]
   *   PATTERN (A B+ C? D{2} E{1,3} F* G{2,})   -- +? *? {..}? = reluctant
   *   [WITHIN INTERVAL 'n' HOUR|MINUTE|SECOND]
   *   DEFINE A AS kind = 'signup', B AS value > 100 AND kind = 'click', ...

@@ -307,5 +307,37 @@ object SimilarityQ extends QueryGroup {
           Window.partitionBy("label").orderBy(col("score"), col("vec_id"))))
         .filter(col("rn") <= 5)
         .orderBy("label", "rn")
+    },
+
+    // flink-ml PIPELINE API analog (flink-ml-api/.../core/Pipeline.java
+    // dual Estimator/Transformer role, Params.java, JSON persistence):
+    // StandardScaler ESTIMATOR (one distributed fit pass) chained into
+    // a sigmoid-gate TRANSFORMER; the fitted pipeline round-trips
+    // through its JSON form before transforming — fit, persistence,
+    // and the map-only scalar-literal transform are all on the oracle
+    // gate. keep = 1 iff sigmoid(2z - 0.5) > 0.5, i.e. z > 0.25.
+    q("ml1_pipeline",
+      """WITH st AS (SELECT avg(n_chars * 1.0) AS mu,
+        |    greatest(var_pop(n_chars * 1.0), 1e-12) AS v FROM documents),
+        |z AS (SELECT doc_id, (n_chars - mu) / sqrt(v) AS z
+        |      FROM documents CROSS JOIN st)
+        |SELECT doc_id, round(z, 6) AS z,
+        |  CAST(CASE WHEN 1.0 / (1.0 + exp(-(2.0 * z - 0.5))) > 0.5
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM z ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.MlPipeline._
+      val pipe = Pipeline(Seq(
+        StandardScaler(Params()
+          .set("inputCol", "n_chars").set("outputCol", "z")),
+        SigmoidGate(Params()
+          .set("inputCol", "z").set("keepCol", "keep")
+          .set("w", 2.0).set("b", -0.5).set("threshold", 0.5))))
+      val fitted = pipe.fit(t(s, dir)("documents"))
+      // persistence round-trip: the fitted models' scalar state rides
+      // in the JSON; the restored pipeline is a pure Transformer
+      val restored = Pipeline.fromJson(Pipeline(fitted.fitted).toJson)
+      restored.transform(t(s, dir)("documents"))
+        .select(col("doc_id"), round(col("z"), 6).as("z"), col("keep"))
+        .orderBy("doc_id")
     })
 }

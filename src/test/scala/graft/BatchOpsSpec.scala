@@ -489,6 +489,50 @@ class BatchOpsSpec extends AnyFunSuite {
       TimesOrMore(3, reluctant = true)), zm.steps)
   }
 
+  test("MlPipeline: dual role, fit-on-transformed semantics, JSON round-trip, loud errors") {
+    import graft.operators.MlPipeline._
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    // a pipeline with an Estimator is itself an Estimator...
+    val p = Pipeline(Seq(
+      StandardScaler(Params().set("inputCol", "x").set("outputCol", "z")),
+      SigmoidGate(Params().set("inputCol", "z").set("keepCol", "keep"))))
+    assert(p.needFit)
+    // ...and refuses to transform before fitting (Pipeline.java check)
+    val unfit = intercept[IllegalArgumentException](p.transform(df))
+    assert(unfit.getMessage.contains("unfitted"), unfit.getMessage)
+    val m = p.fit(df)
+    val out = m.transform(df).orderBy("id")
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6) / 1e6,
+        r.getInt(3))).toSeq
+    // mu=20, sd=sqrt(200/3): z = ±1.2247.., 0; keep = z > 0
+    assert(out.map(_._3) == Seq(0, 0, 1), out)
+    assert(math.abs(out.head._2 + 1.224745) < 1e-5, out)
+    // a second Estimator fits on the data AS TRANSFORMED SO FAR: the
+    // re-scaled z has mean 0 / var 1, so the second scaler's model is
+    // (0, 1) — the reference's sequential-fit semantics
+    val p2 = Pipeline(Seq(
+      StandardScaler(Params().set("inputCol", "x").set("outputCol", "z")),
+      StandardScaler(Params().set("inputCol", "z").set("outputCol", "z2"))))
+    val m2 = p2.fit(df)
+    val second = m2.fitted(1).asInstanceOf[ScalerModel]
+    assert(math.abs(second.mu) < 1e-9 && math.abs(second.v - 1.0) < 1e-9,
+      (second.mu, second.v))
+    // nested pipeline as a stage; JSON round-trip preserves behavior
+    val nested = Pipeline(Seq(Pipeline(Seq(
+      StandardScaler(Params().set("inputCol", "x").set("outputCol", "z")))),
+      SigmoidGate(Params().set("inputCol", "z").set("keepCol", "keep"))))
+    val nm = nested.fit(df)
+    val rt = Pipeline.fromJson(Pipeline(nm.fitted).toJson)
+    assert(!rt.needFit)
+    assert(rt.transform(df).orderBy("id").collect().map(_.getInt(3)).toSeq ==
+      Seq(0, 0, 1))
+    // unknown stage names fail loudly
+    val bad = intercept[RuntimeException](Pipeline.fromJson(
+      """[{"stage":"mystery","params":{}}]"""))
+    assert(bad.getMessage.contains("unknown pipeline stage"), bad.getMessage)
+  }
+
   test("PatternNFA zero-or-more and times-or-more loop semantics") {
     import graft.operators.PatternNFA._
     import spark.implicits._
