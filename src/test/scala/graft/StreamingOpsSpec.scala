@@ -514,6 +514,61 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(progressive.last == streamed.size.toLong)
   }
 
+  test("streaming MATCH_RECOGNIZE state (nav values + inclusive skip mark) survives restart") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  AFTER MATCH SKIP TO FIRST B
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'A', B AS kind = 'B' AND B.value > A.value,
+        |         P AS kind = 'P' AND P.value > FIRST(B.value))""".stripMargin
+    // Pre-restart batch: A1 matures and matches (mark re-arms AT B2,
+    // t=20, inclusive); A4 (t=15 < mark) and A6 (t=21 >= mark) stay
+    // buffered, immature. Post-restart: the RESTORED mark must
+    // suppress A4 and the RESTORED nav values must let A6 match.
+    val batch1 = Seq(
+      ev(1, 10, 1, "A", 0.0), ev(1, 15, 4, "A", 0.0),
+      ev(1, 20, 2, "B", 5.0), ev(1, 21, 6, "A", 0.0),
+      ev(1, 25, 3, "P", 9.0), ev(1, 30, 7, "B", 5.0),
+      ev(1, 35, 8, "P", 9.0),
+      // wm → 71s: strictly past A1's 70s deadline (event-time timers
+      // fire only when the watermark moves BEYOND the timestamp), while
+      // A4 (75s) and A6 (81s) stay immature until after the restart
+      ev(9, 81, 90, "wm"))
+    val batch2 = Seq(ev(9, 120, 91, "wm"))
+    val chk = java.nio.file.Files.createTempDirectory("graft_mr_resume").toString
+    val input = StreamHarness.mkStream()
+    // the Append-mode memory sink cannot recover from a checkpoint;
+    // foreachBatch can, and is the recovery-capable sink shape anyway
+    val got = scala.collection.mutable.ListBuffer.empty[String]
+    def start() = StreamingMatchRecognize(spark, input.toDS().toDF(), clause,
+        watermarkDelay = "10 seconds")
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(_.toString); ()
+      }.start()
+    val q1 = start()
+    input.addData(batch1)
+    q1.processAllAvailable(); q1.stop()
+    val preRestart = got.size.toLong
+    val q2 = start()
+    input.addData(batch2)
+    q2.processAllAvailable(); q2.stop()
+    val streamed = got.sorted.toSeq
+    val batch = graft.operators.MatchRecognize.run(spark,
+        (batch1 ++ batch2).toDF("key", "tsMicros", "id", "kind", "value"),
+        clause)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.size == 2 && preRestart == 1L,
+      s"expected 1 match before + 1 after restart, got $preRestart then " +
+        s"${streamed.size} (a lost mark would admit the t=15 anchor; lost " +
+        s"nav values would drop the post-restart match): $streamed")
+  }
+
   test("streaming MATCH_RECOGNIZE DEFINE navigation matches batch under any batching") {
     import graft.streaming.StreamingMatchRecognize
     implicit val sql = spark.sqlContext
