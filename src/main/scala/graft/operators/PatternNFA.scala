@@ -107,6 +107,15 @@ object PatternNFA {
 
   sealed trait Quant
   case object One extends Quant
+  /** Next (Pattern.java next): like One, but the event must be
+    * PHYSICALLY ADJACENT to the previous binding — the strict
+    * single-step contiguity relation. */
+  case object Next extends Quant
+  /** AnyOne (Pattern.java followedByAny): EVERY eligible candidate
+    * with a completing remainder spawns its own match — the
+    * relaxed-with-any-match relation, branching where One commits to
+    * the earliest. */
+  case object AnyOne extends Quant
   case object Optional extends Quant
   /** Not = notFollowedBy: forbids the kind between neighbor bindings. */
   case object Not extends Quant
@@ -472,6 +481,17 @@ object PatternNFA {
     case _ => false
   }
 
+  /** followedByAny patterns enumerate every branch per anchor — the
+    * matchAll path even under SkipToNextRow (Pattern.java
+    * followedByAny: relaxed contiguity WITH any match). */
+  private def hasAnyOne(isteps: Seq[INode]): Boolean = isteps.exists {
+    case l: ILeaf => l.quant == AnyOne
+    case g: IGroup => g.sub.exists {
+      case l: ILeaf => l.quant == AnyOne
+      case _ => false
+    }
+  }
+
   private def anyCtx(isteps: Seq[INode]): Boolean = isteps.exists {
     case l: ILeaf => l.ctx.nonEmpty
     case g: IGroup => g.sub.exists { case l: ILeaf => l.ctx.nonEmpty; case _ => false }
@@ -606,11 +626,13 @@ object PatternNFA {
       if (m.inclusive) e.ts > m.ts || (e.ts == m.ts && e.id >= m.id)
       else e.ts > m.ts || (e.ts == m.ts && e.id > m.id)
     }
+    val enumerateAll = afterMatch == NoSkip ||
+      (afterMatch == SkipToNextRow && hasAnyOne(isteps))
     evs.foreach { a =>
       if (anchorOk(a, isteps) && afterMark(a) &&
           a.ts + withinMicros <= wmMicros) {
         val deadline = a.ts + withinMicros
-        if (afterMatch == NoSkip) {
+        if (enumerateAll) {
           val all = matchAll(evs, isteps.drop(1), a, deadline, a.idx,
             Vector(Vector(a)), hasCtx).toVector
           if (all.nonEmpty) all.foreach(rest => out += Vector(Vector(a)) ++ rest)
@@ -673,13 +695,15 @@ object PatternNFA {
                       withinMicros: Long, afterMatch: AfterMatch)
       : Vector[(Vector[Vector[Ev]], Long)] = {
     val hasCtx = anyCtx(isteps)
+    val enumerateAll = afterMatch == NoSkip ||
+      (afterMatch == SkipToNextRow && hasAnyOne(isteps))
     val out = Vector.newBuilder[(Vector[Vector[Ev]], Long)]
     var minAnchorIdx = 0
     var matchNo = 0L
     evs.foreach { a =>
       if (anchorOk(a, isteps) && a.idx >= minAnchorIdx) {
         val deadline = a.ts + withinMicros
-        if (afterMatch == NoSkip)
+        if (enumerateAll)
           matchAll(evs, isteps.drop(1), a, deadline, a.idx,
               Vector(Vector(a)), hasCtx).foreach { rest =>
             matchNo += 1
@@ -797,9 +821,19 @@ object PatternNFA {
         .map(Vector(bound) ++ _)
 
     st.quant match {
-      case One =>
+      case One | AnyOne => // AnyOne's branching lives in matchAll —
+        // on the single-match path it commits like One
         eligible(prev.idx + 1, Vector.empty)
           .flatMap(e => cont(e, Vector(e))).nextOption()
+
+      case Next =>
+        // strict contiguity to the PREVIOUS binding: only the
+        // physically adjacent event may bind
+        evs.lift(prev.idx + 1)
+          .filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
+            e.ts <= deadline &&
+            ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+          .flatMap(e => cont(e, Vector(e)))
 
       case Optional =>
         val bound = eligible(prev.idx + 1, Vector.empty)
@@ -1006,6 +1040,15 @@ object PatternNFA {
             // commit to the earliest candidate with any completion
             eligible(Vector.empty).map(e => enumAfter(e, Vector(e)))
               .find(_.hasNext).getOrElse(Iterator.empty)
+          case AnyOne =>
+            // followedByAny: EVERY candidate branches into its own match
+            eligible(Vector.empty).flatMap(e => enumAfter(e, Vector(e)))
+          case Next =>
+            evs.lift(prev.idx + 1).iterator
+              .filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
+                e.ts <= deadline &&
+                ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+              .flatMap(e => enumAfter(e, Vector(e)))
           case Optional =>
             val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx)

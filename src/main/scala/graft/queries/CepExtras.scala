@@ -1020,6 +1020,42 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id")
     },
 
+    // next (Pattern.java next — strict single-step contiguity): the
+    // purchase must be the event IMMEDIATELY ADJACENT to the signup in
+    // the per-user sequence, vs followedBy's any-gap relation.
+    q("cep19_next",
+      s"""WITH $evSql
+        |SELECT a.user_id AS key, a.a_id AS anchor_id, e.event_id AS end_id,
+        |  a.a_id || ',' || e.event_id AS chain, '' AS counts
+        |FROM a JOIN ev e ON e.user_id = a.user_id AND e.rn = a.a_rn + 1
+        |  AND e.event_type = 'purchase'
+        |  AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("P", "purchase", Next)),
+        withinMicros = H2)
+        .orderBy("key", "anchor_id")
+    },
+
+    // followedByAny (Pattern.java followedByAny — relaxed contiguity
+    // WITH any match): EVERY purchase in the window spawns its own
+    // match, where followedBy commits to the earliest.
+    q("cep20_followed_by_any",
+      s"""WITH $evSql
+        |SELECT a.user_id AS key, a.a_id AS anchor_id, e.event_id AS end_id,
+        |  a.a_id || ',' || e.event_id AS chain, '' AS counts
+        |FROM a JOIN ev e ON e.user_id = a.user_id
+        |  AND e.event_type = 'purchase'
+        |  AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("P", "purchase", AnyOne)),
+        withinMicros = H6)
+        .orderBy("key", "anchor_id", "chain")
+    },
+
     // Zero-or-more B* (Pattern.oneOrMore().optional()): the loop with
     // the empty binding allowed — greedy prefers the bound branch and
     // falls back to skipping the loop entirely; COUNT(B) pins which
