@@ -576,5 +576,33 @@ object GroupWindows extends QueryGroup {
           |FROM TABLE(TUMBLE(TABLE gw15_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
           |GROUP BY window_start, window_end, event_type
           |ORDER BY window_start, event_type""".stripMargin)
+    },
+
+    // CUMULATE windowing TVF (FLIP-145's fourth TVF;
+    // SqlCumulateTableFunction) — gw8's cumulative-window semantics
+    // in the reference's TVF spelling: every row fans out to the
+    // windows [W, W+6h), [W, W+12h), … [W, W+1d) with W its
+    // day-aligned start, keeping those whose end exceeds its ts.
+    // Oracle: the first covering end index is floor(hour/6)+1, so
+    // generate_series over the remaining k reproduces the fan-out.
+    q("gw19_cumulate_tvf",
+      """WITH x AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |    value,
+        |    unnest(generate_series(CAST(floor(hour(ts) / 6) AS INT) + 1, 4)) AS k
+        |  FROM events)
+        |SELECT window_start, window_start + to_hours(6 * k) AS window_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x GROUP BY 1, 2
+        |ORDER BY window_start, window_end""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("gw19_events")
+      s.sql(
+        """SELECT window_start, window_end, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM TABLE(CUMULATE(TABLE gw19_events, DESCRIPTOR(ts),
+          |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
+          |GROUP BY window_start, window_end
+          |ORDER BY window_start, window_end""".stripMargin)
     })
 }

@@ -47,7 +47,8 @@ object GroupWindowSql {
     * (Callers on the hot parse path skip the full lex when not.) */
   def mentionsGroupWindow(sql: String): Boolean = {
     val up = sql.toUpperCase
-    up.contains("TUMBLE") || up.contains("HOP") || up.contains("SESSION")
+    up.contains("TUMBLE") || up.contains("HOP") || up.contains("SESSION") ||
+      up.contains("CUMULATE")
   }
 
   /** `INTERVAL 'n' UNIT` token range → Spark duration string "n unit". */
@@ -104,7 +105,10 @@ object GroupWindowSql {
     * by the slide, and keeps those whose window still covers the row
     * — the same per-row expansion the reference's
     * StreamExecWindowTableFunction performs, as an Expand the
-    * optimizer can see through. SESSION windows depend on NEIGHBORING
+    * optimizer can see through. CUMULATE (FLIP-145's fourth TVF)
+    * replicates each row into the max/step cumulative windows that
+    * share its max-aligned start — the same explode shape anchored on
+    * `window(ts, max).start`. SESSION windows depend on NEIGHBORING
     * rows (gap merge), which no per-row mapping can express — fail
     * loudly toward the GROUP BY spelling, which covers the
     * capability. */
@@ -117,16 +121,18 @@ object GroupWindowSql {
     val inner = i + 2
     if (inner >= toks.length || toks(inner).kind != S.Ident) return None
     val fn = toks(inner).text.toUpperCase
-    if (!groupFns.contains(fn)) return None
+    if (!groupFns.contains(fn) && fn != "CUMULATE") return None
     require(sym(inner + 1, "("), s"malformed TVF: $sql")
     val closeInner = S.closeParen(toks, inner + 1)
     val outerClose = S.closeParen(toks, i + 1)
     require(outerClose == closeInner + 1, s"malformed TABLE(...) TVF: $sql")
     val args = S.splitTopLevel(toks, inner + 2, closeInner)
-    val arity = if (fn == "HOP") 4 else 3
+    val arity = if (fn == "HOP" || fn == "CUMULATE") 4 else 3
     require(args.length == arity,
       s"$fn TVF takes (TABLE t, DESCRIPTOR(ts), " +
-        s"${if (fn == "HOP") "slide, size" else if (fn == "SESSION") "gap"
+        s"${if (fn == "HOP") "slide, size"
+           else if (fn == "CUMULATE") "step, max size"
+           else if (fn == "SESSION") "gap"
            else "size"}): $sql")
     require(is(args(0)._1, "TABLE"),
       s"$fn TVF first argument must be TABLE <source>: $sql")
@@ -177,6 +183,30 @@ object GroupWindowSql {
            |      FROM (SELECT *, window($tsCol, '$slide').start AS _gw_smax
            |            FROM $src))
            |WHERE $tsCol < _gw_ws + ${ansi(size)})""".stripMargin
+      case "CUMULATE" =>
+        // CUMULATE (FLIP-145; SqlCumulateTableFunction /
+        // CumulativeWindowAssigner semantics): every row's windows
+        // share one max-size-aligned start W and the ends grow in
+        // step increments — [W, W+step), [W, W+2·step), …,
+        // [W, W+max); the row belongs to those whose end exceeds its
+        // timestamp. Per-row fan-out is bounded by max/step (the
+        // reference requires max to be an integral multiple of step,
+        // enforced here too), and the expansion is an explode inside
+        // the scan partition — no shuffle added beyond the consumer's
+        // own GROUP BY window_start, window_end.
+        val step = duration(toks, args(2)._1, args(2)._2)
+        val size = duration(toks, args(3)._1, args(3)._2)
+        require(millisOf(size) % millisOf(step) == 0,
+          s"CUMULATE max size must be an integral multiple of step: $sql")
+        s"""(SELECT * EXCEPT(_gw_ws, _gw_we), _gw_ws AS window_start,
+           |  _gw_we AS window_end,
+           |  _gw_we - INTERVAL '0.001' SECOND AS window_time
+           |FROM (SELECT *, explode(sequence(_gw_ws + ${ansi(step)},
+           |                                 _gw_ws + ${ansi(size)},
+           |                                 ${ansi(step)})) AS _gw_we
+           |      FROM (SELECT *, window($tsCol, '$size').start AS _gw_ws
+           |            FROM $src))
+           |WHERE $tsCol < _gw_we)""".stripMargin
       case "SESSION" =>
         // SESSION windows merge NEIGHBORING rows within the gap, so
         // the per-row window is a gaps-and-islands computation, not a
@@ -266,6 +296,14 @@ object GroupWindowSql {
         val close = S.closeParen(toks, i + 1)
         edits += S.Splice(t.start, toks(close).end, s"$struct${auxSuffix(suffix)}")
         i = close + 1
+      } else if (isCall && up == "CUMULATE") {
+        // The reference defines CUMULATE ONLY as a windowing TVF
+        // (FLIP-145) — there is no GROUP BY CUMULATE(...) legacy form
+        // — so a bare call here is a dialect error, not something to
+        // hand Spark (which would name the wrong function).
+        sys.error("CUMULATE is a windowing TVF: use FROM TABLE(" +
+          "CUMULATE(TABLE t, DESCRIPTOR(ts), step, max)) — there is " +
+          "no GROUP BY CUMULATE form")
       } else if (isCall && groupFns.keys.exists(f => up == s"${f}_PROCTIME")) {
         sys.error(s"$up has no analog here: processing-time group windows " +
           "are micro-batch boundaries in this engine (SURVEY §2.9), use " +

@@ -233,6 +233,38 @@ class SqlTextSpec extends AnyFunSuite {
       Seq(m("2024-01-01 00:00:00")), nd.toSeq)
   }
 
+  test("CUMULATE windowing-TVF: cumulative ends from the max-aligned start") {
+    import spark.implicits._
+    // rows at :03 and :12; step 5 min, max 15 min → max-aligned start
+    // W = :00; row :03 → ends :05, :10, :15; row :12 → end :15 only
+    Seq((1L, "2024-01-01 00:03:00"), (2L, "2024-01-01 00:12:00"))
+      .toDF("k", "tss").selectExpr("k", "CAST(tss AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("cum_tvf_spec")
+    val rows = spark.sql(
+      """SELECT k, window_start, window_end, window_time
+        |FROM TABLE(CUMULATE(TABLE cum_tvf_spec, DESCRIPTOR(ts),
+        |               INTERVAL '5' MINUTE, INTERVAL '15' MINUTE))
+        |ORDER BY k, window_end""".stripMargin).collect()
+    def m(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq ==
+      Seq(
+        (1L, m("2024-01-01 00:00:00"), m("2024-01-01 00:05:00")),
+        (1L, m("2024-01-01 00:00:00"), m("2024-01-01 00:10:00")),
+        (1L, m("2024-01-01 00:00:00"), m("2024-01-01 00:15:00")),
+        (2L, m("2024-01-01 00:00:00"), m("2024-01-01 00:15:00"))),
+      rows.toSeq)
+    // window_time = end − 1ms
+    assert(rows(0).getTimestamp(3).getTime == rows(0).getTimestamp(2).getTime - 1)
+    // max not an integral multiple of step → loud (the reference's rule)
+    intercept[RuntimeException](spark.sql(
+      """SELECT * FROM TABLE(CUMULATE(TABLE cum_tvf_spec, DESCRIPTOR(ts),
+        |               INTERVAL '5' MINUTE, INTERVAL '7' MINUTE))""".stripMargin))
+    // there is no GROUP BY CUMULATE legacy form → loud toward the TVF
+    intercept[RuntimeException](GroupWindowSql.rewrite(
+      "SELECT count(*) FROM t GROUP BY CUMULATE(ts, " +
+        "INTERVAL '5' MINUTE, INTERVAL '15' MINUTE)"))
+  }
+
   test("LATERAL TABLE temporal-function correlate: rewrite, WHERE keys, residuals") {
     import graft.sources.{GraftSqlParser, TemporalTableFunctions}
     val p = new GraftSqlParser(
