@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions.{col, expr, round}
   * MEASURES (ref StreamExecMatch.scala:68; per-variable measure
   * compilation in flink-table-planner-blink/.../codegen/
   * MatchCodeGenerator.scala): FIRST/LAST/AVG/SUM/COUNT/MIN/MAX over
-  * `VAR.column`, an optional ROUND(agg, n) wrapper (oracle-stable
-  * floats), MATCH_NUMBER(), and bare `VAR.column` (≡ LAST, the SQL
-  * final semantics for ONE ROW PER MATCH). Spark-side the measures do
+  * `VAR.column` or an arithmetic expression of ONE variable's columns
+  * (`SUM(B.price * B.rate)`), UNQUALIFIED aggregates over ALL rows of
+  * the match — `COUNT(*)`, `COUNT(price)`, `FIRST(id)` (the
+  * reference's MatchRecognizeITCase testAggregates measures) — an
+  * optional ROUND(agg, n) wrapper (oracle-stable floats),
+  * MATCH_NUMBER(), and bare `VAR.column` (≡ LAST, the SQL final
+  * semantics for ONE ROW PER MATCH). Spark-side the measures do
   * NOT run inside the NFA: the scan emits one row per bound event
   * ([[PatternNFA.runPredicatesBindings]]), joins back to the event
   * table on (key, id), and the measures become a plain distributed
@@ -66,9 +70,14 @@ import org.apache.spark.sql.functions.{col, expr, round}
   * (SQL:2016 running semantics): inside DEFINE B, `B.col` (and a bare
   * `col`) is the current row; `A.col` for an earlier variable A means
   * LAST(A.col); FIRST/LAST take an optional logical offset, PREV a
-  * physical one. Context operands are numeric (they ride the scan as
-  * doubles; NULL fails any comparison); forward references are
-  * rejected at compile time.
+  * physical one. RUNNING AGGREGATES (the reference's testAggregates
+  * family — `SUM(A.price) < 6`, `SUM(B.price * B.rate) < SUM(A.price)`,
+  * `AVG(B.price) >= 1`): SUM/AVG/COUNT/MIN/MAX over ONE variable's
+  * bound rows (the candidate included while that variable is being
+  * matched), argument an arithmetic expression of that variable's
+  * qualified columns, SQL null-skipping. Context operands are numeric
+  * (they ride the scan as doubles; NULL fails any comparison);
+  * forward references are rejected at compile time.
   */
 object MatchRecognize {
   import PatternNFA._
@@ -98,9 +107,9 @@ object MatchRecognize {
   private val allRowsRe = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
   private val mnRe = """(?i)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$""".r
   private val aggRe =
-    """(?i)^(FIRST|LAST|AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$""".r
+    """(?i)^(FIRST|LAST|AVG|SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val roundAggRe =
-    """(?i)^ROUND\s*\(\s*(FIRST|LAST|AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)\s*,\s*(\d+)\s*\)\s+AS\s+(\w+)$""".r
+    """(?i)^ROUND\s*\(\s*(FIRST|LAST|AVG|SUM|COUNT|MIN|MAX)\s*\((.+)\)\s*,\s*(\d+)\s*\)\s+AS\s+(\w+)$""".r
   private val bareRe = """(?i)^(\w+)\.(\w+)\s+AS\s+(\w+)$""".r
 
   /** Split a MEASURES body on TOP-LEVEL commas only (ROUND(AVG(B.v), 6)
@@ -121,13 +130,36 @@ object MatchRecognize {
 
   private def parseMeasure(item: String): Measure = item.trim match {
     case mnRe(alias) => Measure("MATCH_NUMBER", "", "", None, alias)
-    case roundAggRe(f, v, c, n, alias) =>
-      Measure(f.toUpperCase, v.toUpperCase, c, Some(n.toInt), alias)
-    case aggRe(f, v, c, alias) =>
-      Measure(f.toUpperCase, v.toUpperCase, c, None, alias)
+    case roundAggRe(f, arg, n, alias) => mkAgg(f, arg, Some(n.toInt), alias)
+    case aggRe(f, arg, alias) => mkAgg(f, arg, None, alias)
     case bareRe(v, c, alias) => // bare VAR.col ≡ LAST (final semantics)
       Measure("LAST", v.toUpperCase, c, None, alias)
     case other => sys.error(s"unsupported MEASURES item: $other")
+  }
+
+  /** Build an aggregate measure from its raw argument text: `*` (COUNT
+    * only), ONE variable's qualified columns — possibly inside an
+    * arithmetic expression, `SUM(B.price * B.rate)` — which strips to
+    * the bare columns plus a classifier FILTER, or an unqualified
+    * argument, which aggregates over ALL rows of the match (the
+    * reference's COUNT(*) / COUNT(price) / FIRST(id) measures —
+    * MatchRecognizeITCase testAggregates[WithNullInputs]). */
+  private val measVarRe = """([A-Za-z_]\w*)\s*\.""".r
+  private def mkAgg(f0: String, arg0: String, roundTo: Option[Int],
+                    alias: String): Measure = {
+    val f = f0.toUpperCase
+    val arg = arg0.trim
+    if (arg == "*") {
+      require(f == "COUNT", s"only COUNT accepts * as its argument, got $f(*)")
+      Measure("COUNT", "", "*", roundTo, alias)
+    } else {
+      val vars = measVarRe.findAllMatchIn(arg).map(_.group(1).toUpperCase)
+        .toSeq.distinct
+      require(vars.size <= 1,
+        s"a MEASURES aggregate may reference ONE pattern variable: $arg0")
+      val stripped = measVarRe.replaceAllIn(arg, "").trim
+      Measure(f, vars.headOption.getOrElse(""), stripped, roundTo, alias)
+    }
   }
 
   /** One parsed MEASURES item. func ∈ FIRST/LAST/AVG/SUM/COUNT/MIN/
@@ -176,6 +208,12 @@ object MatchRecognize {
 
   private val navFnRe = """(?i)\b(PREV|FIRST|LAST)\s*\(""".r
   private val varDotRe = """(?i)\b(\w+)\s*\.""".r
+  /** Running aggregates a DEFINE conjunct may use — their presence
+    * forces the conjunct onto the context path even when it only
+    * references the current variable (a running SUM over the partial
+    * match cannot be pre-evaluated row-locally). */
+  private val CtxAggFns = Set("SUM", "AVG", "COUNT", "MIN", "MAX")
+  private val aggFnRe = """(?i)\b(SUM|AVG|COUNT|MIN|MAX)\s*\(""".r
 
   /** Recursive-descent parser for one context conjunct:
     * `sum cmpop sum` over literals, bare/VAR-qualified columns,
@@ -183,6 +221,11 @@ object MatchRecognize {
   private final class CtxParser(toks: Array[String], curVar: String,
                                 vars: Set[String], colIdx: String => Int) {
     private var p = 0
+    // aggregate-argument parse mode: V.col refs become per-row Cur
+    // columns and the qualifying variable is collected (exactly one
+    // per aggregate); navigation/nested aggregates are rejected
+    private var inAgg = 0
+    private var aggVars = Set.empty[String]
     private def peek: String = if (p < toks.length) toks(p) else ""
     private def next(): String = { val t = peek; p += 1; t }
     private def expect(t: String): Unit = {
@@ -224,6 +267,7 @@ object MatchRecognize {
       case "-" => next(); NavExpr.Bin('-', NavExpr.Lit(0d), atom())
       case t if t.nonEmpty && t.head.isDigit => next(); NavExpr.Lit(t.toDouble)
       case t if t.equalsIgnoreCase("PREV") && lookahead1 == "(" =>
+        if (inAgg > 0) sys.error("PREV is not allowed inside a DEFINE aggregate")
         next(); next()
         val (_, c) = ref()          // an optional classifier prefix is
         val n = optOffset(1)        // ignored: PREV is PHYSICAL (SQL:2016)
@@ -231,15 +275,42 @@ object MatchRecognize {
         NavExpr.Prev(colIdx(c), n)
       case t if (t.equalsIgnoreCase("FIRST") || t.equalsIgnoreCase("LAST")) &&
           lookahead1 == "(" =>
+        if (inAgg > 0)
+          sys.error("FIRST/LAST navigation is not allowed inside a DEFINE aggregate")
         val first = next().equalsIgnoreCase("FIRST"); next()
         val (v, c) = ref()
         if (v.isEmpty) sys.error("FIRST/LAST navigation requires VAR.col")
         val off = optOffset(0)
         expect(")")
         NavExpr.VarNav(v, colIdx(c), first, off)
+      case t if CtxAggFns(t.toUpperCase) && lookahead1 == "(" =>
+        // running aggregate over one variable's bound rows:
+        // SUM(B.price * B.rate), AVG(A.value), COUNT(A.id) ...
+        if (inAgg > 0) sys.error("nested DEFINE aggregates are not supported")
+        val fn = next().toUpperCase; next()
+        val saved = aggVars
+        aggVars = Set.empty
+        inAgg += 1
+        val arg = sum()
+        inAgg -= 1
+        expect(")")
+        val qual = aggVars
+        aggVars = saved
+        if (qual.size != 1)
+          sys.error(s"a DEFINE aggregate must reference exactly one pattern " +
+            s"variable's columns (qualify them, e.g. $fn(B.col)): got " +
+            (if (qual.isEmpty) "none" else qual.mkString(", ")))
+        NavExpr.VarAgg(fn, qual.head, arg)
       case _ =>
         val (v, c) = ref()
-        if (v.isEmpty || v == curVar) NavExpr.Cur(colIdx(c))
+        if (inAgg > 0) {
+          if (v.isEmpty)
+            sys.error(s"columns inside a DEFINE aggregate must be qualified " +
+              s"by the pattern variable (got bare '$c')")
+          aggVars += v
+          NavExpr.Cur(colIdx(c)) // per-row evaluation inside the aggregate
+        }
+        else if (v.isEmpty || v == curVar) NavExpr.Cur(colIdx(c))
         // a bare earlier-variable reference means its latest binding —
         // SQL running semantics: A.price ≡ LAST(A.price)
         else NavExpr.VarNav(v, colIdx(c), first = false, off = 0)
@@ -288,7 +359,8 @@ object MatchRecognize {
       val locals = Seq.newBuilder[String]
       val ctxs = Seq.newBuilder[CtxCmp]
       splitTopLevelAnd(body).foreach { conj =>
-        val hasNavFn = navFnRe.findFirstIn(conj).isDefined
+        val hasNavFn = navFnRe.findFirstIn(conj).isDefined ||
+          aggFnRe.findFirstIn(conj).isDefined
         val varRefs = varDotRe.findAllMatchIn(conj)
           .map(_.group(1).toUpperCase).filter(defined).toSet
         if (!hasNavFn && varRefs.isEmpty) locals += conj
@@ -348,10 +420,11 @@ object MatchRecognize {
     val measures = measuresRe.findFirstMatchIn(clause)
       .map(m => splitTopLevel(m.group(1)).map(parseMeasure))
       .getOrElse(Seq.empty)
-    measures.filter(_.func != "MATCH_NUMBER").foreach { m =>
-      if (!defined(m.varName))
-        sys.error(s"MEASURES references undefined pattern variable ${m.varName}")
-    }
+    measures.filter(m => m.func != "MATCH_NUMBER" && m.varName.nonEmpty)
+      .foreach { m =>
+        if (!defined(m.varName))
+          sys.error(s"MEASURES references undefined pattern variable ${m.varName}")
+      }
     require(measures.map(_.alias).distinct.size == measures.size,
       "duplicate MEASURES alias")
     val allRows = allRowsRe.findFirstIn(clause).isDefined
@@ -381,18 +454,24 @@ object MatchRecognize {
       val b = PatternNFA.runPredicatesBindings(spark, events, c.steps,
           preds, c.withinMicros, c.afterMatch, c.navCols, c.ctx)
         .withColumnRenamed("key", "_bkey")
-      val joined = b.join(events,
-          b("_bkey") === events("key") && b("event_id") === events("id"))
-        .drop("_bkey").drop(events("id"))
+      // the canonical statement frame may carry an `event_id` copy of
+      // the id (for DEFINE-side references) — drop it before the
+      // join-back so MEASURES' event_id resolves to the binding row's
+      val evJ = events.drop("event_id")
+      val joined = b.join(evJ,
+          b("_bkey") === evJ("key") && b("event_id") === evJ("id"))
+        .drop("_bkey").drop(evJ("id"))
       def aggFor(m: Measure): Column = {
+        // an unqualified measure aggregates over ALL rows of the match
+        // — no classifier FILTER (COUNT(*) / COUNT(price) / FIRST(id))
+        val filt = if (m.varName.isEmpty) ""
+          else s" FILTER (WHERE var_name = '${m.varName}')"
         val base = m.func match {
           case "MATCH_NUMBER" => expr("any_value(match_no)")
-          case "FIRST" =>
-            expr(s"min_by(${m.colName}, pos) FILTER (WHERE var_name = '${m.varName}')")
-          case "LAST" =>
-            expr(s"max_by(${m.colName}, pos) FILTER (WHERE var_name = '${m.varName}')")
-          case f =>
-            expr(s"$f(${m.colName}) FILTER (WHERE var_name = '${m.varName}')")
+          case "FIRST" => expr(s"min_by(${m.colName}, pos)$filt")
+          case "LAST" => expr(s"max_by(${m.colName}, pos)$filt")
+          case "COUNT" if m.colName == "*" => expr(s"count(1)$filt")
+          case f => expr(s"$f(${m.colName})$filt")
         }
         m.roundTo.map(n => round(base, n)).getOrElse(base).as(m.alias)
       }

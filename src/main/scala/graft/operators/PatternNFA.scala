@@ -80,6 +80,16 @@ import org.apache.spark.sql.functions._
   *    evicted everything older — emit byte-identical results.)
   *  - NULL propagates through arithmetic; a comparison with NULL is
   *    false (SQL WHERE semantics).
+  *  - RUNNING AGGREGATES ([[NavExpr.VarAgg]] — the reference's
+  *    MatchRecognizeITCase testAggregates family: `SUM(A.price) < 6`,
+  *    `SUM(B.price * B.rate) < SUM(A.price)`, `AVG(B.price) >= 1`):
+  *    SUM/AVG/COUNT/MIN/MAX over the rows bound to a variable so far,
+  *    argument an arithmetic expression of that variable's columns,
+  *    SQL null-skipping (COUNT counts non-NULLs; SUM/AVG/MIN/MAX of
+  *    nothing is NULL). A loop candidate failing a running-aggregate
+  *    conjunct is SKIPPED and the scan continues (the reference's
+  *    relaxed-contiguity ignore branch) — a later, smaller row may
+  *    still extend the run.
   *  - Forward references (a DEFINE reading a variable that appears
   *    LATER in the pattern) are rejected at compile time, as in SQL.
   *
@@ -182,6 +192,17 @@ object PatternNFA {
                             off: Int) extends NavExpr
     /** Arithmetic: op ∈ + - * /. */
     final case class Bin(op: Char, l: NavExpr, r: NavExpr) extends NavExpr
+    /** Running SQL aggregate over the rows bound to `variable`
+      * (MatchRecognizeITCase testAggregates — `SUM(A.price) < 6`,
+      * `SUM(B.price * B.rate) < SUM(A.price)`): fn ∈ SUM/AVG/COUNT/
+      * MIN/MAX; `arg` is evaluated PER BOUND ROW (Cur = that row's
+      * column; only Lit/Cur/Bin allowed — validated at resolve). SQL
+      * NULL semantics: NULL (NaN) evaluations are skipped, COUNT
+      * counts the non-NULL ones, SUM/AVG/MIN/MAX over nothing is
+      * NULL. While `variable` is the step being matched the candidate
+      * row counts as its latest binding (running semantics). */
+    final case class VarAgg(fn: String, variable: String,
+                            arg: NavExpr) extends NavExpr
   }
   /** One comparison conjunct: op ∈ > >= < <= = <>. */
   final case class CtxCmp(op: String, l: NavExpr, r: NavExpr)
@@ -218,6 +239,8 @@ object PatternNFA {
   private final case class RVar(step: Int, col: Int, first: Boolean,
                                 off: Int) extends RNav
   private final case class RBin(op: Char, l: RNav, r: RNav) extends RNav
+  private final case class RVarAgg(fn: String, step: Int,
+                                   arg: RNav) extends RNav
 
   private final case class Ev(ts: Long, id: Long, sat: Long, idx: Int,
                               nav: Array[Double])
@@ -446,6 +469,22 @@ object PatternNFA {
         RVar(i, c, first, off)
       case NavExpr.Bin(op, l, r) =>
         RBin(op, resolveNav(l, curIdx), resolveNav(r, curIdx))
+      case NavExpr.VarAgg(fn, v, arg) =>
+        require(Set("SUM", "AVG", "COUNT", "MIN", "MAX")(fn),
+          s"unsupported DEFINE aggregate: $fn")
+        val i = stepIdxOf.getOrElse(v,
+          sys.error(s"aggregate references unknown pattern variable $v"))
+        require(i <= curIdx,
+          s"DEFINE may not aggregate over a LATER pattern variable ($v) — " +
+            "forward references are invalid in row-pattern DEFINE (SQL:2016)")
+        def argOnly(e: NavExpr): Unit = e match {
+          case NavExpr.Lit(_) | NavExpr.Cur(_) => ()
+          case NavExpr.Bin(_, al, ar) => argOnly(al); argOnly(ar)
+          case other => sys.error("DEFINE aggregate argument must be an " +
+            s"arithmetic expression over the variable's columns, got $other")
+        }
+        argOnly(arg)
+        RVarAgg(fn, i, resolveNav(arg, curIdx))
     }
     steps.zipWithIndex.map { case (st, i) =>
       st.quant match {
@@ -525,6 +564,27 @@ object PatternNFA {
         case '-' => a - b
         case '*' => a * b
         case '/' => a / b
+      }
+    case RVarAgg(fn, step, arg) =>
+      // running semantics: while the aggregated variable IS the step
+      // being matched, the candidate counts as its latest binding;
+      // per-row arg evaluation reuses evalNav with that row as `cand`
+      // (arg contains only Lit/Cur/Bin by resolve-time validation, so
+      // the other context arguments are inert)
+      val rows: Vector[Ev] =
+        if (step == curStep) curPartial :+ cand
+        else if (step < acc.size) acc(step)
+        else Vector.empty
+      val vs = rows.map(r =>
+          evalNav(arg, evs, r, anchorIdx, acc, curStep, curPartial))
+        .filterNot(_.isNaN)
+      fn match {
+        case "COUNT" => vs.size.toDouble
+        case _ if vs.isEmpty => Double.NaN // SQL: aggregate of nothing is NULL
+        case "SUM" => vs.sum
+        case "AVG" => vs.sum / vs.size
+        case "MIN" => vs.min
+        case "MAX" => vs.max
       }
   }
 

@@ -1117,5 +1117,82 @@ object CepExtras extends QueryGroup {
           |  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
           |         P AS event_type = 'purchase'
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // RUNNING AGGREGATES in DEFINE (MatchRecognizeITCase
+    // testAggregates: `SUM(A.price) < 6`, cross-variable
+    // `SUM(B.price * B.rate) < SUM(A.price)`, `AVG(B.price) >= 1` —
+    // aggregates over the partial match's bound rows evaluated DURING
+    // the NFA scan) plus aggregate/COUNT(*) MEASURES. The B loop
+    // self-caps through a running COUNT (first 4 clicks bind, later
+    // candidates fail the monotone count and are skipped); P's DEFINE
+    // compares against AVG/SUM over B's FINAL bound set, so the
+    // greedy shrink re-evaluates them per extent k. Oracle: running
+    // windows over the first-4 click sequence; k = the largest extent
+    // with a qualifying purchase (greedy shrink), purchase = earliest
+    // (ts, id) after the k-th click.
+    q("mr9_define_aggregates",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |bseq AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, e.ts_us AS b_us, e.value AS b_val,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id) AS pos
+        |  FROM a JOIN ev e ON e.user_id = a.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72),
+        |brun AS (
+        |  SELECT *, sum(b_val) OVER w AS rsum, avg(b_val) OVER w AS ravg
+        |  FROM (SELECT * FROM bseq WHERE pos <= 4)
+        |  WINDOW w AS (PARTITION BY user_id, a_id ORDER BY pos)),
+        |ks AS (
+        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
+        |  FROM brun b
+        |  WHERE b.rsum > 100 AND EXISTS (SELECT 1 FROM ev p
+        |    WHERE p.user_id = b.user_id AND p.event_type = 'purchase'
+        |      AND p.ts_us > b.b_us AND p.ts_us <= b.a_us + $H72
+        |      AND p.value > b.ravg)
+        |  GROUP BY b.user_id, b.a_id),
+        |m AS (
+        |  SELECT ks.user_id, ks.a_id, ks.k, bk.b_us AS bk_us, bk.rsum,
+        |    bk.ravg, bk.a_us
+        |  FROM ks JOIN brun bk ON bk.user_id = ks.user_id
+        |    AND bk.a_id = ks.a_id AND bk.pos = ks.k),
+        |sel AS (
+        |  SELECT m.*, p.value AS p_val
+        |  FROM m JOIN LATERAL (SELECT e.value FROM ev e
+        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
+        |      AND e.value > m.ravg
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, round(rsum, 6) AS sum_b, round(ravg, 6) AS avg_b,
+        |  k AS n_b, k + 2 AS n_rows, p_val AS p_value
+        |FROM sel ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr9_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr9_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           ROUND(SUM(B.value), 6) AS sum_b,
+          |           ROUND(AVG(B.value), 6) AS avg_b,
+          |           COUNT(B.event_id) AS n_b,
+          |           COUNT(*) AS n_rows,
+          |           P.value AS p_value
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B+ P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         B AS event_type = 'click' AND COUNT(B.event_id) <= 4,
+          |         P AS event_type = 'purchase' AND P.value > AVG(B.value)
+          |           AND SUM(B.value) > 100
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
     })
 }

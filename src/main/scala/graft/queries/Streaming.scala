@@ -1425,5 +1425,75 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st40_out")
         .orderBy("key", "anchor_id", "chain")
+    },
+
+    // STREAMING running aggregates in DEFINE (mr9's streaming twin —
+    // MatchRecognizeITCase testAggregates over the unbounded stream):
+    // the running COUNT cap and the cross-variable AVG/SUM conjuncts
+    // are evaluated inside the keyed-state NFA scan per micro-batch;
+    // COUNT(*) and the aggregate measures ride the same state. Oracle
+    // = mr9's greedy-shrink windows restricted to anchors mature at
+    // the final watermark.
+    q("st41_stream_mr_aggregates",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |bseq AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, e.ts_us AS b_us, e.value AS b_val,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id) AS pos
+        |  FROM a JOIN ev e ON e.user_id = a.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72),
+        |brun AS (
+        |  SELECT *, sum(b_val) OVER w AS rsum, avg(b_val) OVER w AS ravg
+        |  FROM (SELECT * FROM bseq WHERE pos <= 4)
+        |  WINDOW w AS (PARTITION BY user_id, a_id ORDER BY pos)),
+        |ks AS (
+        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
+        |  FROM brun b
+        |  WHERE b.rsum > 100 AND EXISTS (SELECT 1 FROM ev p
+        |    WHERE p.user_id = b.user_id AND p.event_type = 'purchase'
+        |      AND p.ts_us > b.b_us AND p.ts_us <= b.a_us + $H72
+        |      AND p.value > b.ravg)
+        |  GROUP BY b.user_id, b.a_id),
+        |m AS (
+        |  SELECT ks.user_id, ks.a_id, ks.k, bk.b_us AS bk_us, bk.rsum,
+        |    bk.ravg, bk.a_us
+        |  FROM ks JOIN brun bk ON bk.user_id = ks.user_id
+        |    AND bk.a_id = ks.a_id AND bk.pos = ks.k),
+        |sel AS (
+        |  SELECT m.*, p.value AS p_val
+        |  FROM m JOIN LATERAL (SELECT e.value FROM ev e
+        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
+        |      AND e.value > m.ravg
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  round(rsum, 6) AS sum_b, round(ravg, 6) AS avg_b,
+        |  k AS n_b, k + 2 AS n_rows, p_val AS p_value
+        |FROM sel ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize.measures(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           ROUND(SUM(B.value), 6) AS sum_b,
+          |           ROUND(AVG(B.value), 6) AS avg_b,
+          |           COUNT(B.id) AS n_b,
+          |           COUNT(*) AS n_rows,
+          |           P.value AS p_value
+          |  ONE ROW PER MATCH
+          |  PATTERN (A B+ P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup',
+          |         B AS kind = 'click' AND COUNT(B.id) <= 4,
+          |         P AS kind = 'purchase' AND P.value > AVG(B.value)
+          |           AND SUM(B.value) > 100)""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out, OutputMode.Append, "st41_out")
+        .orderBy("key", "match_seq")
     })
 }

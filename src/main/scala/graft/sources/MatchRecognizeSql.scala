@@ -138,16 +138,19 @@ object MatchRecognizeSql {
     val idCol = Seq("id", "event_id").find(fields.contains).getOrElse(
       sys.error(s"${p.table} needs an id/event_id column (the deterministic " +
         "within-timestamp tiebreak)"))
-    // the id column moves into the canonical `id` and is NOT passed
-    // through under its source name: the NFA's bindings frame exposes
-    // the matched event's id as `event_id`, which is what a MEASURES
-    // reference like FIRST(A.event_id) must resolve to (keeping the
-    // source copy would make the reference ambiguous after the
-    // bindings join back onto the events)
+    // the id column moves into the canonical `id`, and a copy is ALSO
+    // exposed as `event_id`: DEFINE-side references (a running
+    // COUNT(B.event_id)) read it from the events frame, while a
+    // MEASURES reference like FIRST(A.event_id) resolves to the
+    // bindings frame's event_id after the join-back (run() drops the
+    // events-side copy before joining, so the reference stays
+    // unambiguous)
     val passThrough = src.columns.toSeq
-      .filterNot(Set("key", "tsMicros", "id", idCol).contains).map(col)
+      .filterNot(Set("key", "tsMicros", "id", "event_id", idCol).contains)
+      .map(col)
     src.select(Seq(col(p.partCol).cast("long").as("key"),
-      tsExpr.cast("long").as("tsMicros"), col(idCol).cast("long").as("id"))
+      tsExpr.cast("long").as("tsMicros"), col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("event_id"))
       ++ passThrough: _*)
   }
 

@@ -248,22 +248,29 @@ object StreamingMatchRecognize {
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val measures = c.measures
-    val mcols = measures.filter(_.func != "MATCH_NUMBER").map(_.colName).distinct
+    // measure columns may be EXPRESSIONS of event columns (the batch
+    // path's SUM(B.price * B.rate) form) — resolve them with expr();
+    // COUNT(*) carries no column at all
+    val mcols = measures
+      .filter(m => m.func != "MATCH_NUMBER" && m.colName != "*")
+      .map(_.colName).distinct
     val colIdx = mcols.zipWithIndex.toMap
-    val integralCol: Set[String] = mcols.filter { n =>
+    val integralCol: Set[String] = if (mcols.isEmpty) Set.empty else {
       import org.apache.spark.sql.types._
-      events.schema(n).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-    }.toSet
+      mcols.zip(events.select(mcols.map(n => expr(n)): _*).schema)
+        .collect { case (n, f) if (f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }) => n }.toSet
+    }
     val within = c.withinMicros
     val steps = c.steps
     val afterMatch = c.afterMatch
     // step index each measure reads its bound events from (pattern
     // variables are unique in this grammar)
     val stepIdxOf: Map[String, Int] =
-      measures.filter(_.func != "MATCH_NUMBER").map(_.varName).distinct
+      measures.filter(m => m.func != "MATCH_NUMBER" && m.varName.nonEmpty)
+        .map(_.varName).distinct
         .map(v => v -> steps.indexWhere(_.kind == v)).toMap
 
     val navCols = c.navCols
@@ -277,7 +284,7 @@ object StreamingMatchRecognize {
       .withWatermark("_et", watermarkDelay)
       .select(col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"),
-        array(mcols.map(n => col(n).cast("double")): _*).as("_mv"),
+        array(mcols.map(n => expr(n).cast("double")): _*).as("_mv"),
         navCol.as("_nav"), col("_et"))
       .as[(Long, Long, Long, Long, Seq[Option[Double]], Array[Double],
            java.sql.Timestamp)]
@@ -308,7 +315,16 @@ object StreamingMatchRecognize {
         def fold(m: MatchRecognize.Measure,
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
           if (m.func == "MATCH_NUMBER") return Some(seq.toDouble)
-          val bound = bindings(stepIdxOf(m.varName))
+          // unqualified measures aggregate over ALL rows of the match
+          // (steps bind in order, so flatten preserves match order)
+          val bound = if (m.varName.isEmpty) bindings.flatten
+            else bindings(stepIdxOf(m.varName))
+          if (m.colName == "*") // COUNT(*): all rows, null-insensitive
+            return (Some(bound.size.toDouble), m.roundTo) match {
+              case (Some(v), Some(n)) => Some(BigDecimal(v)
+                .setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              case (r, _) => r
+            }
           // opts keeps the null slots: FIRST/LAST must mirror the batch
           // path's min_by/max_by(col, pos), which returns the (possibly
           // null) value AT the boundary position — dropping Nones first

@@ -357,6 +357,97 @@ class BatchOpsSpec extends AnyFunSuite {
         NavExpr.Lit(1.0))))))
   }
 
+  test("MATCH_RECOGNIZE running aggregates in DEFINE + aggregate MEASURES") {
+    import graft.operators.MatchRecognize
+    import spark.implicits._
+
+    // The reference's null-handling vector (MatchRecognizeITCase
+    // testAggregatesWithNullInputs: running SUM(A.price) < 30 with
+    // null prices skipped, COUNT(col) counts non-nulls, COUNT(*)
+    // counts rows), adapted to this engine's One-anchor shape with a
+    // leading start marker. Trace: A absorbs rows 2..8 (running sum
+    // 10,20,20,20,23,26,29 — nulls contribute nothing), row 9 would
+    // make 31 → skipped; shrink finds C at row 9.
+    val nullEv = Seq[(Long, Long, Long, String, Option[Double])](
+      (0L, 1L, 1L, "s", Some(100.0)), (0L, 2L, 2L, "a", Some(10.0)),
+      (0L, 3L, 3L, "z", Some(10.0)), (0L, 4L, 4L, "b", None),
+      (0L, 5L, 5L, "c", None), (0L, 6L, 6L, "d", Some(3.0)),
+      (0L, 7L, 7L, "c", Some(3.0)), (0L, 8L, 8L, "c", Some(3.0)),
+      (0L, 9L, 9L, "c", Some(2.0)))
+      .toDF("key", "tsMicros", "id", "name", "price")
+    val nullOut = MatchRecognize.run(spark, nullEv,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES SUM(A.price) AS sum_a, COUNT(A.event_id) AS count_a_id,
+        |           COUNT(A.price) AS count_a_price, COUNT(*) AS count_all,
+        |           COUNT(price) AS count_all_price, LAST(event_id) AS end_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S A+ C) WITHIN INTERVAL '30' MINUTE
+        |  DEFINE S AS name = 's',
+        |         A AS SUM(A.price) < 30,
+        |         C AS name = 'c')""".stripMargin).collect()
+    assert(nullOut.length == 1, nullOut.toSeq)
+    val r = nullOut.head
+    assert(r.getAs[Double]("sum_a") == 29.0, r)
+    assert(r.getAs[Long]("count_a_id") == 7L, r)
+    assert(r.getAs[Long]("count_a_price") == 5L, r)
+    assert(r.getAs[Long]("count_all") == 9L, r)
+    assert(r.getAs[Long]("count_all_price") == 7L, r)
+    assert(r.getAs[Long]("end_id") == 9L, r)
+
+    // Expression aggregates + skip-and-continue: the loop candidate
+    // failing the running SUM(B.price * B.price) < 50 check (row 14,
+    // 34+16=50) is SKIPPED and the smaller row 15 still extends the
+    // run (the reference's relaxed-contiguity ignore branch); P then
+    // compares against AVG over the FINAL bound set.
+    val exprEv = Seq(
+      (1L, 1L, 11L, "s", 0.0), (1L, 2L, 12L, "b", 3.0),
+      (1L, 3L, 13L, "b", 5.0), (1L, 4L, 14L, "b", 4.0),
+      (1L, 5L, 15L, "b", 2.0), (1L, 6L, 16L, "p", 4.0))
+      .toDF("key", "tsMicros", "id", "name", "price")
+    val exprOut = MatchRecognize.run(spark, exprEv,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES ROUND(AVG(B.price), 6) AS avg_b,
+        |           ROUND(SUM(B.price * B.price), 6) AS sumsq_b,
+        |           MAX(B.price) AS max_b, COUNT(B.event_id) AS n_b
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S B+ P) WITHIN INTERVAL '30' MINUTE
+        |  DEFINE S AS name = 's',
+        |         B AS name = 'b' AND SUM(B.price * B.price) < 50,
+        |         P AS name = 'p' AND P.price > AVG(B.price))""".stripMargin)
+      .collect()
+    assert(exprOut.length == 1, exprOut.toSeq)
+    val e = exprOut.head
+    assert(e.getAs[Double]("avg_b") == 3.333333, e)
+    assert(e.getAs[Double]("sumsq_b") == 38.0, e)
+    assert(e.getAs[Double]("max_b") == 5.0, e)
+    assert(e.getAs[Long]("n_b") == 3L, e)
+
+    // loud failure modes
+    def bad(clause: String): String = intercept[RuntimeException] {
+      MatchRecognize.run(spark, exprEv,
+        s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+           |  PATTERN (S B) WITHIN INTERVAL '1' MINUTE
+           |  DEFINE S AS name = 's', B AS $clause)""".stripMargin).collect()
+      ""
+    }.getMessage
+    // an aggregate may reference exactly one variable's columns
+    assert(bad("SUM(S.price + B.price) > 0").contains("exactly one"),
+      bad("SUM(S.price + B.price) > 0"))
+    // columns inside an aggregate must be variable-qualified
+    assert(bad("SUM(price) > 0").contains("qualified"))
+    // aggregating over a LATER variable is a forward reference
+    val fwd = intercept[RuntimeException] {
+      MatchRecognize.run(spark, exprEv,
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (S B) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE S AS name = 's' AND SUM(B.price) > 0,
+          |         B AS name = 'b')""".stripMargin).collect()
+    }
+    assert(fwd.getMessage.contains("LATER"), fwd.getMessage)
+  }
+
   test("PatternNFA group patterns: greedy repeat, fallback, validation") {
     import graft.operators.PatternNFA._
     import spark.implicits._
