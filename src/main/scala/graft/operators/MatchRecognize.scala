@@ -386,6 +386,9 @@ object MatchRecognize {
           case "*?" => ZeroOrMore(reluctant = true)
           case "?"  => Optional
           case rangeQuantRe(n, null, _) => Times(n.toInt) // {n}? ≡ {n}
+          // {0,} ≡ * (TimesOrMore requires n >= 1 — its first-n-bind
+          // run would be empty): map to the ZeroOrMore loop directly
+          case rangeQuantRe("0", "", r) => ZeroOrMore(reluctant = r == "?")
           case rangeQuantRe(n, "", r)   => TimesOrMore(n.toInt, r == "?")
           case rangeQuantRe(lo, hi, r)  =>
             TimesRange(lo.toInt, hi.toInt, reluctant = r == "?")

@@ -451,6 +451,15 @@ object PatternNFA {
     * sequences of One). */
   private def compile(steps: Seq[Step], bitFor: String => Int,
                       ctx: Map[String, Seq[CtxCmp]]): Seq[INode] = {
+    // ctx variable references resolve BY KIND — with a kind appearing
+    // in two steps the last-wins Map would silently mis-resolve
+    // bindings and forward-reference checks, so reject loudly
+    if (ctx.nonEmpty) {
+      val dup = steps.groupBy(_.kind).collect { case (k, g) if g.size > 1 => k }
+      require(dup.isEmpty, "context predicates require DISTINCT step kinds " +
+        s"(duplicated: ${dup.mkString(", ")}) — navigation references " +
+        "resolve pattern variables by kind")
+    }
     val stepIdxOf: Map[String, Int] = steps.zipWithIndex.map {
       case (st, i) => st.kind -> i
     }.toMap
@@ -501,6 +510,11 @@ object PatternNFA {
             sub.map(s => ILeaf(s.name, bitFor(s.kind), One, None, Nil)),
             lo, hi)
         case q =>
+          q match {
+            case TimesOrMore(n, _) => require(n >= 1,
+              "TimesOrMore requires n >= 1 — use ZeroOrMore for {0,}")
+            case _ =>
+          }
           val untilBit = q match {
             case OneOrMore(Some(uk), _) => Some(bitFor(uk))
             case ZeroOrMore(Some(uk), _) => Some(bitFor(uk))

@@ -1194,5 +1194,63 @@ object CepExtras extends QueryGroup {
           |         P AS event_type = 'purchase' AND P.value > AVG(B.value)
           |           AND SUM(B.value) > 100
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // AFTER MATCH SKIP TO LAST B (AfterMatchSkipStrategy.java
+    // skipToLast — cep13's mirror): anchors re-arm AT the LAST event
+    // bound to B (inclusive). With the B+ absorb loop the bound set is
+    // every click before the purchase, so the re-arm point is the last
+    // such click — strictly later than cep13's first-click re-arm
+    // whenever the loop bound more than one event, which is where the
+    // two strategies provably diverge at this horizon. Recursive-CTE
+    // oracle = cep13's greedy re-arm scan with the re-arm row switched
+    // to max(click rn before the purchase).
+    q("cep21_skip_to_last",
+      s"""WITH RECURSIVE $evSql,
+        |cand AS (
+        |  SELECT a.user_id, a.a_id, a.a_rn, a.a_us, b.b_id,
+        |    p.p_id, p.p_us,
+        |    (SELECT max(e.rn) FROM ev e WHERE e.user_id = a.user_id
+        |      AND e.event_type = 'click' AND e.ts_us > a.a_us
+        |      AND e.ts_us < p.p_us AND e.ts_us <= a.a_us + $H72) AS bk_rn
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.rn AS b_rn,
+        |      e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |rec AS (
+        |  SELECT user_id, a_id, a_rn, a_us, b_id, bk_rn, p_id, p_us FROM (
+        |    SELECT c.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY a_rn) AS pick
+        |    FROM cand c) WHERE pick = 1
+        |  UNION ALL
+        |  SELECT user_id, a_id, a_rn, a_us, b_id, bk_rn, p_id, p_us FROM (
+        |    SELECT c.user_id, c.a_id, c.a_rn, c.a_us, c.b_id, c.bk_rn,
+        |      c.p_id, c.p_us,
+        |      row_number() OVER (PARTITION BY c.user_id ORDER BY c.a_rn) AS pick
+        |    FROM cand c JOIN rec r ON c.user_id = r.user_id
+        |      AND c.a_rn >= r.bk_rn)
+        |  WHERE pick = 1)
+        |SELECT r.user_id AS key, r.a_id AS anchor_id, r.p_id AS end_id,
+        |  r.a_id || ',' || r.b_id || ',' || r.p_id AS chain,
+        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = r.user_id
+        |    AND e.event_type = 'click' AND e.ts_us > r.a_us
+        |    AND e.ts_us < r.p_us AND e.ts_us <= r.a_us + $H72) AS counts
+        |FROM rec r ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("B", "click", OneOrMore()),
+          Step("P", "purchase")),
+        withinMicros = H72,
+        afterMatch = SkipToLast("B"))
+        .orderBy("key", "anchor_id")
     })
 }

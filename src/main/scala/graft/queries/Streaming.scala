@@ -1495,5 +1495,95 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out, OutputMode.Append, "st41_out")
         .orderBy("key", "match_seq")
+    },
+
+    // STREAMING RELUCTANT quantifier B+? through the CEP API door
+    // (mr7's streaming twin): the loop binds the FEWEST clicks whose
+    // remainder completes — here always exactly the first eligible
+    // click (a purchase after any later click is also after the
+    // first), so the chain pins the first click and counts pin B:1.
+    // Oracle = mr7's earliest-binding scan in PMatch shape, cut at
+    // anchors mature at the final watermark.
+    q("st42_stream_reluctant",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, b.b_id, p.p_id
+        |  FROM a
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS b_id, e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (
+        |    SELECT e.event_id AS p_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || b_id || ',' || p_id AS chain, 'B:1' AS counts
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{OneOrMore, Step}
+      val out = graft.streaming.StreamingMatchRecognize.pattern(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"),
+          Step("B", "click", OneOrMore(reluctant = true)),
+          Step("P", "purchase")),
+        withinMicros = H72, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st42_out")
+        .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING B{2,} (Pattern.timesOrMore(2) — cep18's streaming
+    // twin, the other half of the r8 batch-only CEP rows): the first
+    // two clicks bind successively, the purchase binds after the
+    // second, and the loop absorbs every further click before it —
+    // all evaluated at anchor maturity in keyed state. Oracle = cep18
+    // cut at the final watermark.
+    q("st43_stream_times_or_more",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, b1.event_id AS b1_id,
+        |    p.event_id AS p_id, p.ts_us AS p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || b1_id || ',' || p_id AS chain,
+        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
+        |    AND e.event_type = 'click' AND e.ts_us > m.a_us
+        |    AND e.ts_us < m.p_us AND e.ts_us <= m.a_us + $H72) AS counts
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{Step, TimesOrMore}
+      val out = graft.streaming.StreamingMatchRecognize.pattern(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"),
+          Step("B", "click", TimesOrMore(2)),
+          Step("P", "purchase")),
+        withinMicros = H72, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st43_out")
+        .orderBy("key", "anchor_id")
     })
 }

@@ -181,6 +181,7 @@ object StreamingMatchRecognize {
       st.quant match {
         case PatternNFA.GroupTimes(sub, _, _) => kindsOf(sub)
         case PatternNFA.OneOrMore(Some(uk), _) => Seq(st.kind, uk)
+        case PatternNFA.ZeroOrMore(Some(uk), _) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }
