@@ -102,6 +102,13 @@ object MatchRecognize {
   // marker
   private val varRe = """(\w+)(\+\??|\*\??|\?|\{\d+(?:,\d*)?\}\??)?""".r
   private val rangeQuantRe = """\{(\d+)(?:,(\d*))?\}(\??)""".r
+  // SUBSET U = (A, B) [, V = (...)] — union pattern variables
+  // (SQL:2016; the reference plans subsets in StreamExecMatch.scala:
+  // 117-118 and the vendored SqlMatchRecognize grammar). Clause sits
+  // between PATTERN and DEFINE.
+  private val subsetRe =
+    """(?is)SUBSET\s+(.*?)(?=DEFINE\s|PATTERN\s*\(|WITHIN\s|$)""".r
+  private val subsetOneRe = """(\w+)\s*=\s*\(([^)]*)\)""".r
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s*(?=ONE\s+ROW\s+PER|ALL\s+ROWS\s+PER|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val allRowsRe = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
@@ -177,7 +184,12 @@ object MatchRecognize {
                             measures: Seq[Measure] = Seq.empty,
                             allRows: Boolean = false,
                             navCols: Seq[String] = Seq.empty,
-                            ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+                            ctx: Map[String, Seq[CtxCmp]] = Map.empty,
+                            subsets: Map[String, Seq[String]] = Map.empty) {
+    /** A measure/navigation variable's member variables: subset →
+      * members, plain variable → itself. */
+    def membersOf(v: String): Seq[String] = subsets.getOrElse(v, Seq(v))
+  }
 
   /** Split a DEFINE body on TOP-LEVEL ANDs (paren- and string-literal
     * aware) — each conjunct is independently classified as row-local
@@ -219,7 +231,10 @@ object MatchRecognize {
     * `sum cmpop sum` over literals, bare/VAR-qualified columns,
     * FIRST/LAST/PREV navigation, + - * / and parens. */
   private final class CtxParser(toks: Array[String], curVar: String,
-                                vars: Set[String], colIdx: String => Int) {
+                                vars: Set[String], colIdx: String => Int,
+                                subsets: Map[String, Seq[String]]) {
+    private def expand(v: String): Seq[String] =
+      subsets.getOrElse(v, Seq(v))
     private var p = 0
     // aggregate-argument parse mode: V.col refs become per-row Cur
     // columns and the qualifying variable is collected (exactly one
@@ -266,6 +281,10 @@ object MatchRecognize {
       case "(" => next(); val e = sum(); expect(")"); e
       case "-" => next(); NavExpr.Bin('-', NavExpr.Lit(0d), atom())
       case t if t.nonEmpty && t.head.isDigit => next(); NavExpr.Lit(t.toDouble)
+      case t if t.nonEmpty && t.head == '\'' =>
+        // string literal ('' = escaped quote) — typed navigation operand
+        next()
+        NavExpr.LitS(t.substring(1, t.length - 1).replace("''", "'"))
       case t if t.equalsIgnoreCase("PREV") && lookahead1 == "(" =>
         if (inAgg > 0) sys.error("PREV is not allowed inside a DEFINE aggregate")
         next(); next()
@@ -282,7 +301,7 @@ object MatchRecognize {
         if (v.isEmpty) sys.error("FIRST/LAST navigation requires VAR.col")
         val off = optOffset(0)
         expect(")")
-        NavExpr.VarNav(v, colIdx(c), first, off)
+        NavExpr.VarNav(expand(v), colIdx(c), first, off)
       case t if CtxAggFns(t.toUpperCase) && lookahead1 == "(" =>
         // running aggregate over one variable's bound rows:
         // SUM(B.price * B.rate), AVG(A.value), COUNT(A.id) ...
@@ -300,7 +319,7 @@ object MatchRecognize {
           sys.error(s"a DEFINE aggregate must reference exactly one pattern " +
             s"variable's columns (qualify them, e.g. $fn(B.col)): got " +
             (if (qual.isEmpty) "none" else qual.mkString(", ")))
-        NavExpr.VarAgg(fn, qual.head, arg)
+        NavExpr.VarAgg(fn, expand(qual.head), arg)
       case _ =>
         val (v, c) = ref()
         if (inAgg > 0) {
@@ -312,8 +331,9 @@ object MatchRecognize {
         }
         else if (v.isEmpty || v == curVar) NavExpr.Cur(colIdx(c))
         // a bare earlier-variable reference means its latest binding —
-        // SQL running semantics: A.price ≡ LAST(A.price)
-        else NavExpr.VarNav(v, colIdx(c), first = false, off = 0)
+        // SQL running semantics: A.price ≡ LAST(A.price); a subset
+        // reference expands to its members' merged bindings
+        else NavExpr.VarNav(expand(v), colIdx(c), first = false, off = 0)
     }
     private def lookahead1: String = if (p + 1 < toks.length) toks(p + 1) else ""
     private def optOffset(default: Int): Int =
@@ -332,10 +352,11 @@ object MatchRecognize {
   }
 
   private def parseCtx(body: String, curVar: String, vars: Set[String],
-                       colIdx: String => Int): CtxCmp = {
-    val toks = """>=|<=|<>|!=|[-+*/()=<>.,]|\d+(?:\.\d+)?|\w+""".r
+                       colIdx: String => Int,
+                       subsets: Map[String, Seq[String]]): CtxCmp = {
+    val toks = """'(?:[^']|'')*'|>=|<=|<>|!=|[-+*/()=<>.,]|\d+(?:\.\d+)?|\w+""".r
       .findAllIn(body).toArray
-    new CtxParser(toks, curVar, vars, colIdx).cmp()
+    new CtxParser(toks, curVar, vars, colIdx, subsets).cmp()
   }
 
   def compile(clause: String): Compiled = {
@@ -346,6 +367,24 @@ object MatchRecognize {
         .map(d => d.group(1).toUpperCase -> d.group(2).trim).toSeq)
       .getOrElse(Seq.empty)
     val defined = rawDefines.map(_._1).toSet
+    // SUBSET union variables: usable wherever a pattern variable is
+    // navigable (MEASURES aggregates/navigation, DEFINE navigation) —
+    // NOT in PATTERN or as a DEFINE name.
+    val subsets: Map[String, Seq[String]] =
+      subsetRe.findFirstMatchIn(clause).map { m =>
+        subsetOneRe.findAllMatchIn(m.group(1)).map { sm =>
+          val sname = sm.group(1).toUpperCase
+          val members = sm.group(2).split(",").map(_.trim.toUpperCase)
+            .filter(_.nonEmpty).toSeq
+          require(members.nonEmpty, s"SUBSET $sname has no members")
+          require(!defined(sname),
+            s"SUBSET $sname collides with a DEFINE pattern variable")
+          members.foreach(v => require(defined(v),
+            s"SUBSET $sname references undefined pattern variable $v"))
+          sname -> members
+        }.toMap
+      }.getOrElse(Map.empty)
+    val navigable = defined ++ subsets.keySet
 
     // Split each DEFINE body: row-local conjuncts → bitmask residue;
     // navigation conjuncts → CtxCmp trees. A conjunct referencing ONLY
@@ -362,11 +401,11 @@ object MatchRecognize {
         val hasNavFn = navFnRe.findFirstIn(conj).isDefined ||
           aggFnRe.findFirstIn(conj).isDefined
         val varRefs = varDotRe.findAllMatchIn(conj)
-          .map(_.group(1).toUpperCase).filter(defined).toSet
+          .map(_.group(1).toUpperCase).filter(navigable).toSet
         if (!hasNavFn && varRefs.isEmpty) locals += conj
         else if (!hasNavFn && varRefs == Set(name))
           locals += conj.replaceAll(s"(?i)\\b$name\\s*\\.\\s*", "")
-        else ctxs += parseCtx(conj, name, defined, colIdx)
+        else ctxs += parseCtx(conj, name, navigable, colIdx, subsets)
       }
       val cs = ctxs.result()
       if (cs.nonEmpty) ctxB(name) = cs
@@ -425,7 +464,7 @@ object MatchRecognize {
       .getOrElse(Seq.empty)
     measures.filter(m => m.func != "MATCH_NUMBER" && m.varName.nonEmpty)
       .foreach { m =>
-        if (!defined(m.varName))
+        if (!navigable(m.varName))
           sys.error(s"MEASURES references undefined pattern variable ${m.varName}")
       }
     require(measures.map(_.alias).distinct.size == measures.size,
@@ -434,7 +473,7 @@ object MatchRecognize {
     if (allRows && measures.isEmpty)
       sys.error("ALL ROWS PER MATCH requires a MEASURES clause here")
     Compiled(steps, defines, withinMicros, afterMatch, measures, allRows,
-      navColsOrder.keys.toSeq, ctxB.toMap)
+      navColsOrder.keys.toSeq, ctxB.toMap, subsets)
   }
 
   /** Run the clause over (key, tsMicros, id, kind, ...) events — extra
@@ -466,9 +505,15 @@ object MatchRecognize {
         .drop("_bkey").drop(evJ("id"))
       def aggFor(m: Measure): Column = {
         // an unqualified measure aggregates over ALL rows of the match
-        // — no classifier FILTER (COUNT(*) / COUNT(price) / FIRST(id))
+        // — no classifier FILTER (COUNT(*) / COUNT(price) / FIRST(id));
+        // a SUBSET variable filters over its members' classifiers
         val filt = if (m.varName.isEmpty) ""
-          else s" FILTER (WHERE var_name = '${m.varName}')"
+          else {
+            val mems = c.membersOf(m.varName)
+            if (mems.size == 1) s" FILTER (WHERE var_name = '${mems.head}')"
+            else mems.map(v => s"'$v'")
+              .mkString(" FILTER (WHERE var_name IN (", ", ", "))")
+          }
         val base = m.func match {
           case "MATCH_NUMBER" => expr("any_value(match_no)")
           case "FIRST" => expr(s"min_by(${m.colName}, pos)$filt")

@@ -181,27 +181,35 @@ object PatternNFA {
   sealed trait NavExpr
   object NavExpr {
     final case class Lit(v: Double) extends NavExpr
+    /** String literal (typed navigation operands — the reference's
+      * IterativeCondition.java:52 allows arbitrary-typed conditions;
+      * string columns ride the scan in a parallel string array). */
+    final case class LitS(s: String) extends NavExpr
     /** The candidate row's own column. */
     final case class Cur(col: Int) extends NavExpr
     /** Physical navigation: n rows before the candidate, bounded to
       * the match window (NULL before the anchor). */
     final case class Prev(col: Int, n: Int) extends NavExpr
-    /** Logical navigation over the rows bound to `variable` so far:
-      * FIRST(v.col, off) / LAST(v.col, off). */
-    final case class VarNav(variable: String, col: Int, first: Boolean,
+    /** Logical navigation over the rows bound to `variables` so far:
+      * FIRST(v.col, off) / LAST(v.col, off). More than one variable =
+      * a SUBSET union variable (SQL:2016 SUBSET U = (A, B); the
+      * reference plans it in StreamExecMatch.scala:117-118): the
+      * members' bound rows merged in sequence order. */
+    final case class VarNav(variables: Seq[String], col: Int, first: Boolean,
                             off: Int) extends NavExpr
     /** Arithmetic: op ∈ + - * /. */
     final case class Bin(op: Char, l: NavExpr, r: NavExpr) extends NavExpr
-    /** Running SQL aggregate over the rows bound to `variable`
+    /** Running SQL aggregate over the rows bound to `variables`
       * (MatchRecognizeITCase testAggregates — `SUM(A.price) < 6`,
       * `SUM(B.price * B.rate) < SUM(A.price)`): fn ∈ SUM/AVG/COUNT/
       * MIN/MAX; `arg` is evaluated PER BOUND ROW (Cur = that row's
       * column; only Lit/Cur/Bin allowed — validated at resolve). SQL
       * NULL semantics: NULL (NaN) evaluations are skipped, COUNT
       * counts the non-NULL ones, SUM/AVG/MIN/MAX over nothing is
-      * NULL. While `variable` is the step being matched the candidate
-      * row counts as its latest binding (running semantics). */
-    final case class VarAgg(fn: String, variable: String,
+      * NULL. While a member is the step being matched the candidate
+      * row counts as its latest binding (running semantics). Multiple
+      * variables = a SUBSET union (merged bound rows). */
+    final case class VarAgg(fn: String, variables: Seq[String],
                             arg: NavExpr) extends NavExpr
   }
   /** One comparison conjunct: op ∈ > >= < <= = <>. */
@@ -234,17 +242,26 @@ object PatternNFA {
   private final case class RCmp(op: String, l: RNav, r: RNav)
   private sealed trait RNav
   private final case class RLit(v: Double) extends RNav
+  private final case class RLitS(s: String) extends RNav
   private final case class RCur(col: Int) extends RNav
   private final case class RPrev(col: Int, n: Int) extends RNav
-  private final case class RVar(step: Int, col: Int, first: Boolean,
+  private final case class RVar(steps: Seq[Int], col: Int, first: Boolean,
                                 off: Int) extends RNav
   private final case class RBin(op: Char, l: RNav, r: RNav) extends RNav
-  private final case class RVarAgg(fn: String, step: Int,
+  private final case class RVarAgg(fn: String, steps: Seq[Int],
                                    arg: RNav) extends RNav
 
+  /** `nav` carries numeric navigation columns (NaN = NULL), `navS` the
+    * string ones (null = NULL / numeric slot) — SAME index space, so a
+    * column reference needs no type-aware remap. */
   private final case class Ev(ts: Long, id: Long, sat: Long, idx: Int,
-                              nav: Array[Double])
+                              nav: Array[Double], navS: Array[String])
   @inline private def hasBit(e: Ev, i: Int): Boolean = (e.sat & (1L << i)) != 0
+
+  /** Typed navigation value of column `c`: String if the string slot
+    * is populated, else the boxed Double (NaN = SQL NULL). */
+  @inline private def navVal(e: Ev, c: Int): Any =
+    if (c < e.navS.length && e.navS(c) != null) e.navS(c) else e.nav(c)
 
   /** kind-equality surface compiled onto the predicate NFA: one
     * variable per distinct kind (incl. OneOrMore until-kinds),
@@ -348,7 +365,7 @@ object PatternNFA {
     * matches exactly as the main scan advances it, so the timeout
     * stream sees the same offered anchors. */
   private[graft] def matureTimeouts(
-      key: Long, quads: Seq[(Long, Long, Long, Array[Double])],
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
       ctx: Map[String, Seq[CtxCmp]] = Map.empty)
@@ -419,10 +436,38 @@ object PatternNFA {
     * variable bits, resolve context predicates onto step indices, and
     * project events down to the NFA's (key, ts, id, bitmask, nav)
     * dataset with row-local predicates pre-evaluated map-side. */
+  /** Which navigation columns are STRING-typed in `events` — those
+    * ride the scan in the parallel string array (same index space;
+    * their numeric slot holds NaN and vice versa). */
+  private[graft] def navStringFlags(events: DataFrame,
+                                    navCols: Seq[String]): Seq[Boolean] =
+    if (navCols.isEmpty) Nil
+    else events.select(navCols.map(col): _*).schema
+      .map(_.dataType == org.apache.spark.sql.types.StringType).toSeq
+
+  /** The two typed navigation projections mirrored by the streaming
+    * operator's state columns (NaN / null = SQL NULL). */
+  private[graft] def navProjections(navCols: Seq[String],
+                                    isStr: Seq[Boolean])
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val navD =
+      if (navCols.isEmpty) lit(Array.empty[Double])
+      else array(navCols.zip(isStr).map { case (c, s) =>
+        if (s) lit(Double.NaN)
+        else coalesce(col(c).cast("double"), lit(Double.NaN))
+      }: _*)
+    val navS =
+      if (navCols.isEmpty) lit(Array.empty[String])
+      else array(navCols.zip(isStr).map { case (c, s) =>
+        if (s) col(c).cast("string") else lit(null).cast("string")
+      }: _*)
+    (navD, navS)
+  }
+
   private def prepare(events: DataFrame, steps: Seq[Step],
                       varPreds: Seq[(String, org.apache.spark.sql.Column)],
                       navCols: Seq[String], ctx: Map[String, Seq[CtxCmp]])
-      : (Seq[INode], org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Array[Double])]) = {
+      : (Seq[INode], org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Array[Double], Array[String])]) = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty && steps.head.quant == One,
       "first step must be quantifier One (anchor)")
@@ -433,15 +478,13 @@ object PatternNFA {
     val satCol = varPreds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val navCol =
-      if (navCols.isEmpty) lit(Array.empty[Double])
-      else array(navCols.map(c =>
-        coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
+    val (navCol, navSCol) =
+      navProjections(navCols, navStringFlags(events, navCols))
     val ds = events.select(
         col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"),
-        navCol.as("_nav"))
-      .as[(Long, Long, Long, Long, Array[Double])]
+        navCol.as("_nav"), navSCol.as("_navS"))
+      .as[(Long, Long, Long, Long, Array[Double], Array[String])]
     (isteps, ds)
   }
 
@@ -463,29 +506,32 @@ object PatternNFA {
     val stepIdxOf: Map[String, Int] = steps.zipWithIndex.map {
       case (st, i) => st.kind -> i
     }.toMap
-    def resolveNav(e: NavExpr, curIdx: Int): RNav = e match {
-      case NavExpr.Lit(v) => RLit(v)
-      case NavExpr.Cur(c) => RCur(c)
-      case NavExpr.Prev(c, n) =>
-        require(n >= 1, s"PREV offset must be >= 1, got $n"); RPrev(c, n)
-      case NavExpr.VarNav(v, c, first, off) =>
+    def stepsFor(vs: Seq[String], curIdx: Int, what: String): Seq[Int] = {
+      require(vs.nonEmpty, s"$what resolves no pattern variables")
+      vs.map { v =>
         val i = stepIdxOf.getOrElse(v,
-          sys.error(s"context predicate references unknown pattern variable $v"))
+          sys.error(s"$what references unknown pattern variable $v"))
         require(i <= curIdx,
           s"DEFINE may not reference a LATER pattern variable ($v) — " +
             "forward references are invalid in row-pattern DEFINE (SQL:2016)")
+        i
+      }
+    }
+    def resolveNav(e: NavExpr, curIdx: Int): RNav = e match {
+      case NavExpr.Lit(v) => RLit(v)
+      case NavExpr.LitS(s) => RLitS(s)
+      case NavExpr.Cur(c) => RCur(c)
+      case NavExpr.Prev(c, n) =>
+        require(n >= 1, s"PREV offset must be >= 1, got $n"); RPrev(c, n)
+      case NavExpr.VarNav(vs, c, first, off) =>
         require(off >= 0, s"FIRST/LAST offset must be >= 0, got $off")
-        RVar(i, c, first, off)
+        RVar(stepsFor(vs, curIdx, "context predicate"), c, first, off)
       case NavExpr.Bin(op, l, r) =>
         RBin(op, resolveNav(l, curIdx), resolveNav(r, curIdx))
-      case NavExpr.VarAgg(fn, v, arg) =>
+      case NavExpr.VarAgg(fn, vs, arg) =>
         require(Set("SUM", "AVG", "COUNT", "MIN", "MAX")(fn),
           s"unsupported DEFINE aggregate: $fn")
-        val i = stepIdxOf.getOrElse(v,
-          sys.error(s"aggregate references unknown pattern variable $v"))
-        require(i <= curIdx,
-          s"DEFINE may not aggregate over a LATER pattern variable ($v) — " +
-            "forward references are invalid in row-pattern DEFINE (SQL:2016)")
+        val is = stepsFor(vs, curIdx, "DEFINE aggregate")
         def argOnly(e: NavExpr): Unit = e match {
           case NavExpr.Lit(_) | NavExpr.Cur(_) => ()
           case NavExpr.Bin(_, al, ar) => argOnly(al); argOnly(ar)
@@ -493,7 +539,7 @@ object PatternNFA {
             s"arithmetic expression over the variable's columns, got $other")
         }
         argOnly(arg)
-        RVarAgg(fn, i, resolveNav(arg, curIdx))
+        RVarAgg(fn, is, resolveNav(arg, curIdx))
     }
     steps.zipWithIndex.map { case (st, i) =>
       st.quant match {
@@ -550,48 +596,64 @@ object PatternNFA {
     case g: IGroup => g.sub.exists { case l: ILeaf => l.ctx.nonEmpty; case _ => false }
   }
 
-  /** Evaluate a navigation expression to a Double; NaN = SQL NULL.
-    * `acc` holds bindings of all steps consumed so far (anchor first);
-    * `curStep` is the step being matched and `curPartial` its bound
-    * events so far — the candidate counts as its latest binding
-    * (running semantics). */
+  /** Bound rows a (possibly SUBSET-merged) navigation target resolves
+    * to. Steps bind in sequence order (every event of step i precedes
+    * step i+1's — eligibility requires ts > previous binding), so
+    * ascending-step concatenation IS (ts, id) order. */
+  private def rowsOf(steps: Seq[Int], acc: Vector[Vector[Ev]], curStep: Int,
+                     curPartial: Vector[Ev], cand: Ev): Vector[Ev] = {
+    if (steps.size == 1) {
+      val s = steps.head
+      if (s == curStep) curPartial :+ cand
+      else if (s < acc.size) acc(s)
+      else Vector.empty
+    } else steps.sorted.iterator.flatMap { s =>
+      if (s == curStep) curPartial :+ cand
+      else if (s < acc.size) acc(s)
+      else Vector.empty
+    }.toVector
+  }
+
+  /** Evaluate a navigation expression to a TYPED value: boxed Double
+    * (NaN = SQL NULL) or String (null = NULL). `acc` holds bindings of
+    * all steps consumed so far (anchor first); `curStep` is the step
+    * being matched and `curPartial` its bound events so far — the
+    * candidate counts as its latest binding (running semantics). */
   private def evalNav(n: RNav, evs: Vector[Ev], cand: Ev, anchorIdx: Int,
                       acc: Vector[Vector[Ev]], curStep: Int,
-                      curPartial: Vector[Ev]): Double = n match {
+                      curPartial: Vector[Ev]): Any = n match {
     case RLit(v) => v
-    case RCur(c) => cand.nav(c)
+    case RLitS(s) => s
+    case RCur(c) => navVal(cand, c)
     case RPrev(c, off) =>
       val i = cand.idx - off
-      if (i >= anchorIdx) evs(i).nav(c) else Double.NaN
-    case RVar(step, c, first, off) =>
-      val rows: Vector[Ev] =
-        if (step == curStep) curPartial :+ cand
-        else if (step < acc.size) acc(step)
-        else Vector.empty
+      if (i >= anchorIdx) navVal(evs(i), c) else Double.NaN
+    case RVar(steps, c, first, off) =>
+      val rows = rowsOf(steps, acc, curStep, curPartial, cand)
       val i = if (first) off else rows.size - 1 - off
-      if (i >= 0 && i < rows.size) rows(i).nav(c) else Double.NaN
+      if (i >= 0 && i < rows.size) navVal(rows(i), c) else Double.NaN
     case RBin(op, l, r) =>
       val a = evalNav(l, evs, cand, anchorIdx, acc, curStep, curPartial)
       val b = evalNav(r, evs, cand, anchorIdx, acc, curStep, curPartial)
-      op match {
-        case '+' => a + b
-        case '-' => a - b
-        case '*' => a * b
-        case '/' => a / b
+      (a, b) match {
+        case (x: Double, y: Double) => op match {
+          case '+' => x + y
+          case '-' => x - y
+          case '*' => x * y
+          case '/' => x / y
+        }
+        case _ => Double.NaN // arithmetic over strings/NULL is NULL
       }
-    case RVarAgg(fn, step, arg) =>
-      // running semantics: while the aggregated variable IS the step
+    case RVarAgg(fn, steps, arg) =>
+      // running semantics: while an aggregated variable IS the step
       // being matched, the candidate counts as its latest binding;
       // per-row arg evaluation reuses evalNav with that row as `cand`
       // (arg contains only Lit/Cur/Bin by resolve-time validation, so
       // the other context arguments are inert)
-      val rows: Vector[Ev] =
-        if (step == curStep) curPartial :+ cand
-        else if (step < acc.size) acc(step)
-        else Vector.empty
-      val vs = rows.map(r =>
+      val rows = rowsOf(steps, acc, curStep, curPartial, cand)
+      val vs = rows.iterator.map(r =>
           evalNav(arg, evs, r, anchorIdx, acc, curStep, curPartial))
-        .filterNot(_.isNaN)
+        .collect { case d: Double if !d.isNaN => d }.toVector
       fn match {
         case "COUNT" => vs.size.toDouble
         case _ if vs.isEmpty => Double.NaN // SQL: aggregate of nothing is NULL
@@ -603,21 +665,35 @@ object PatternNFA {
   }
 
   /** All context conjuncts of `st` hold for candidate `cand` given the
-    * partial match. NaN (NULL) operands fail every comparison. */
+    * partial match. NULL operands (NaN / null string) fail every
+    * comparison, as do mixed-type comparisons (SQL WHERE semantics:
+    * a navigation that resolved to the wrong type is NULL here). */
   private def ctxOk(st: ILeaf, evs: Vector[Ev], cand: Ev, anchorIdx: Int,
                     acc: Vector[Vector[Ev]], curPartial: Vector[Ev]): Boolean =
     st.ctx.forall { c =>
       val curStep = acc.size
       val l = evalNav(c.l, evs, cand, anchorIdx, acc, curStep, curPartial)
       val r = evalNav(c.r, evs, cand, anchorIdx, acc, curStep, curPartial)
-      if (l.isNaN || r.isNaN) false
-      else c.op match {
-        case ">" => l > r
-        case ">=" => l >= r
-        case "<" => l < r
-        case "<=" => l <= r
-        case "=" => l == r
-        case "<>" => l != r
+      (l, r) match {
+        case (a: Double, b: Double) =>
+          if (a.isNaN || b.isNaN) false
+          else c.op match {
+            case ">" => a > b
+            case ">=" => a >= b
+            case "<" => a < b
+            case "<=" => a <= b
+            case "=" => a == b
+            case "<>" => a != b
+          }
+        case (a: String, b: String) => c.op match {
+          case ">" => a > b
+          case ">=" => a >= b
+          case "<" => a < b
+          case "<=" => a <= b
+          case "=" => a == b
+          case "<>" => a != b
+        }
+        case _ => false
       }
     }
 
@@ -645,7 +721,7 @@ object PatternNFA {
     * `minStart` is the skip high-water [[Mark]] carried in state; the
     * updated mark is returned with the matches. */
   private[graft] def matchesMature(
-      key: Long, quads: Seq[(Long, Long, Long, Array[Double])],
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
       ctx: Map[String, Seq[CtxCmp]] = Map.empty)
@@ -660,7 +736,7 @@ object PatternNFA {
     * path: per emitted match, the per-step bound events as (ts, id)
     * pairs in sequence order. Same maturity/eviction/skip contract. */
   private[graft] def matureBindingsRaw(
-      quads: Seq[(Long, Long, Long, Array[Double])], steps: Seq[Step],
+      quads: Seq[(Long, Long, Long, Array[Double], Array[String])], steps: Seq[Step],
       varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
       wmMicros: Long, minStart: Option[Mark],
       ctx: Map[String, Seq[CtxCmp]] = Map.empty)
@@ -684,7 +760,7 @@ object PatternNFA {
     * partials costs extra matchFrom calls, so it only runs when
     * `collectTimeouts` is set. */
   private def matureScan(
-      key: Long, quads: Seq[(Long, Long, Long, Array[Double])],
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
       ctx: Map[String, Seq[CtxCmp]], collectTimeouts: Boolean)
@@ -692,7 +768,8 @@ object PatternNFA {
     val isteps = compileByName(steps, varNames, ctx)
     val hasCtx = anyCtx(isteps)
     val evs = quads.toVector.sortBy(t => (t._1, t._2))
-      .zipWithIndex.map { case ((ts, id, s, nv), i) => Ev(ts, id, s, i, nv) }
+      .zipWithIndex.map { case ((ts, id, s, nv, ns), i) =>
+        Ev(ts, id, s, i, nv, ns) }
     val out = Vector.newBuilder[Vector[Vector[Ev]]]
     val tmos = Vector.newBuilder[PTimeout]
     var mark = minStart
@@ -824,7 +901,7 @@ object PatternNFA {
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       val evs = it.map(e => (e._2, e._3, e._4)).toVector.sortBy(e => (e._1, e._2))
         .zipWithIndex.map { case ((ts, id, s), i) =>
-          Ev(ts, id, s, i, Array.empty[Double]) }
+          Ev(ts, id, s, i, Array.empty[Double], Array.empty[String]) }
       val out = Vector.newBuilder[PMatch]
       evs.foreach { a =>
         if (hasBit(a, 0)) {
@@ -846,10 +923,10 @@ object PatternNFA {
     }.toDF()
   }
 
-  private def sortKey(it: Iterator[(Long, Long, Long, Long, Array[Double])])
+  private def sortKey(it: Iterator[(Long, Long, Long, Long, Array[Double], Array[String])])
       : Vector[Ev] =
-    it.map(e => (e._2, e._3, e._4, e._5)).toVector.sortBy(e => (e._1, e._2))
-      .zipWithIndex.map { case ((ts, id, s, nv), i) => Ev(ts, id, s, i, nv) }
+    it.map(e => (e._2, e._3, e._4, e._5, e._6)).toVector.sortBy(e => (e._1, e._2))
+      .zipWithIndex.map { case ((ts, id, s, nv, ns), i) => Ev(ts, id, s, i, nv, ns) }
 
   /** Bind `steps` after `prev`, earliest-first with backtracking.
     * Returns one Vector[Ev] of bound events per step (empty Vector for

@@ -1252,5 +1252,121 @@ object CepExtras extends QueryGroup {
         withinMicros = H72,
         afterMatch = SkipToLast("B"))
         .orderBy("key", "anchor_id")
+    },
+
+    // SUBSET union variables (SQL:2016 SUBSET U = (A, B); the
+    // reference plans subsets in StreamExecMatch.scala:117-118 and the
+    // vendored SqlMatchRecognize grammar): U = (C, P) is navigable in
+    // MEASURES (FIRST/LAST/SUM/COUNT over the members' merged
+    // bindings) and in DEFINE (P's predicate reads FIRST(U.value) —
+    // the click's value, since the candidate is U's latest binding).
+    // Every measure here provably differs from any single member:
+    // FIRST(U)=C, LAST(U)=P, SUM(U)=C+P, COUNT(U)=2.
+    q("mr10_subset",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val,
+        |    p.event_id AS p_id, p.value AS p_val
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.value, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72 AND p2.value > e.value)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.value FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.value > c.value
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, c_val AS first_u, p_val AS last_u,
+        |  round(c_val + p_val, 6) AS sum_u, CAST(2 AS BIGINT) AS n_u
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr10_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr10_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           FIRST(U.value) AS first_u,
+          |           LAST(U.value) AS last_u,
+          |           ROUND(SUM(U.value), 6) AS sum_u,
+          |           COUNT(U.event_id) AS n_u
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A C P)
+          |  SUBSET U = (C, P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         C AS event_type = 'click',
+          |         P AS event_type = 'purchase' AND P.value > FIRST(U.value)
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // TYPE-GENERAL navigation operands (IterativeCondition.java:52
+    // allows arbitrary-typed conditions; r8's NavExpr algebra was
+    // numeric-bound): string columns ride the NFA scan in a parallel
+    // string array — B compares its props against LAST(A.props)
+    // (string inequality on a varying column), and P's PREV navigates
+    // the PHYSICAL predecessor's event_type against a string literal.
+    // NULL string semantics match SQL (comparison with NULL is false).
+    q("mr12_string_navigation",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, props, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us,
+        |        props AS a_props FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_props, p.p_id
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.props AS b_props,
+        |      e.ts_us AS b_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.props <> a.a_props
+        |      AND EXISTS (SELECT 1 FROM ev p2 JOIN ev pr
+        |            ON pr.user_id = p2.user_id AND pr.rn = p2.rn - 1
+        |          WHERE p2.user_id = a.user_id AND p2.event_type = 'purchase'
+        |            AND p2.ts_us > e.ts_us AND p2.ts_us <= a.a_us + $H72
+        |            AND pr.event_type <> 'error')
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (SELECT p2.event_id AS p_id FROM ev p2 JOIN ev pr
+        |      ON pr.user_id = p2.user_id AND pr.rn = p2.rn - 1
+        |    WHERE p2.user_id = a.user_id AND p2.event_type = 'purchase'
+        |      AND p2.ts_us > b.b_us AND p2.ts_us <= a.a_us + $H72
+        |      AND pr.event_type <> 'error'
+        |    ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, b_id, b_props, p_id
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr12_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr12_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           LAST(B.event_id) AS b_id,
+          |           B.props AS b_props,
+          |           P.event_id AS p_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         B AS event_type = 'click' AND B.props <> LAST(A.props),
+          |         P AS event_type = 'purchase'
+          |           AND PREV(event_type, 1) <> 'error'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
     })
 }

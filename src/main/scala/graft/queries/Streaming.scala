@@ -1585,5 +1585,59 @@ object Streaming extends QueryGroup {
         withinMicros = H72, watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st43_out")
         .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING SUBSET union variables (mr10's streaming twin —
+    // StreamExecMatch.scala:117-118 subsets on the unbounded stream):
+    // U = (C, P) navigated in DEFINE (FIRST(U.value) inside the keyed
+    // NFA scan) and folded in MEASURES (the members' merged bindings)
+    // — all in state at anchor maturity. Oracle = mr10 cut at the
+    // final watermark.
+    q("st44_stream_subset",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val,
+        |    p.value AS p_val
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.value, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72 AND p2.value > e.value)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
+        |  JOIN LATERAL (SELECT e.event_id, e.value FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.value > c.value
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, c_val AS first_u, p_val AS last_u,
+        |  round(c_val + p_val, 6) AS sum_u, CAST(2 AS BIGINT) AS n_u
+        |FROM m ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize.measures(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.id) AS a_id,
+          |           FIRST(U.value) AS first_u,
+          |           LAST(U.value) AS last_u,
+          |           ROUND(SUM(U.value), 6) AS sum_u,
+          |           COUNT(U.id) AS n_u
+          |  ONE ROW PER MATCH
+          |  PATTERN (A C P)
+          |  SUBSET U = (C, P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup', C AS kind = 'click',
+          |         P AS kind = 'purchase' AND P.value > FIRST(U.value))""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out, OutputMode.Append, "st44_out")
+        .orderBy("key", "match_seq")
     })
 }

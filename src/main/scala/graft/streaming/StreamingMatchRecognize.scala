@@ -37,17 +37,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingMatchRecognize {
 
-  /** Buffered events are (tsMicros, id, satMask, navValues) quads —
-    * `nav` carries the context predicates' column values (empty when
-    * the clause has no navigation). `markIncl` distinguishes the
+  /** Buffered events are (tsMicros, id, satMask, nav, navS) quints —
+    * `nav`/`navS` carry the context predicates' TYPED column values
+    * (numeric / string slots of the same index space; empty when the
+    * clause has no navigation). `markIncl` distinguishes the
     * SKIP TO FIRST/LAST (inclusive re-arm) mark from SKIP PAST LAST
     * ROW (exclusive). */
-  case class MRState(evs: List[(Long, Long, Long, Array[Double])],
+  case class MRState(evs: List[(Long, Long, Long, Array[Double], Array[String])],
                      markTs: Long, markId: Long, hasMark: Boolean,
                      markIncl: Boolean = false)
 
   case class MRMeasState(
-      evs: List[(Long, Long, Long, Seq[Option[Double]], Array[Double])],
+      evs: List[(Long, Long, Long, Seq[Option[Double]], Array[Double], Array[String])],
       markTs: Long, markId: Long, hasMark: Boolean,
       matchSeq: Long, idleSinceMicros: Long = 0L,
       markIncl: Boolean = false)
@@ -72,7 +73,7 @@ object StreamingMatchRecognize {
   private def runKeyed[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, events: DataFrame, clause: String,
       watermarkDelay: String, requireMsg: String)(
-      fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double])], Long,
+      fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double], Array[String])], Long,
              Option[PatternNFA.Mark]) => (Seq[T], Option[PatternNFA.Mark]))
       : Dataset[T] = {
     val c = MatchRecognize.compile(clause)
@@ -92,7 +93,7 @@ object StreamingMatchRecognize {
       preds: Seq[(String, org.apache.spark.sql.Column)], withinMicros: Long,
       afterMatch: PatternNFA.AfterMatch, navCols: Seq[String],
       defCtx: Map[String, Seq[PatternNFA.CtxCmp]], watermarkDelay: String)(
-      fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double])], Long,
+      fire: (ScanCtx, Long, List[(Long, Long, Long, Array[Double], Array[String])], Long,
              Option[PatternNFA.Mark]) => (Seq[T], Option[PatternNFA.Mark]))
       : Dataset[T] = {
     import spark.implicits._
@@ -100,12 +101,11 @@ object StreamingMatchRecognize {
     val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // nav projection must mirror PatternNFA.prepare exactly (NaN=NULL)
-    // — the streaming scan evaluates the same RCmp trees
-    val navCol =
-      if (navCols.isEmpty) lit(Array.empty[Double])
-      else array(navCols.map(n =>
-        coalesce(col(n).cast("double"), lit(Double.NaN))): _*)
+    // nav projections must mirror PatternNFA.prepare exactly (NaN/null
+    // = NULL; typed slots) — the streaming scan evaluates the same
+    // RCmp trees
+    val (navCol, navSCol) = PatternNFA.navProjections(navCols,
+      PatternNFA.navStringFlags(events, navCols))
     val ctx = ScanCtx(steps, preds.map(_._1), withinMicros, afterMatch,
       defCtx)
     val within = withinMicros
@@ -117,17 +117,17 @@ object StreamingMatchRecognize {
       .withWatermark("_et", watermarkDelay)
       .select(col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"),
-        navCol.as("_nav"), col("_et"))
-      .as[(Long, Long, Long, Long, Array[Double], java.sql.Timestamp)]
+        navCol.as("_nav"), navSCol.as("_navS"), col("_et"))
+      .as[(Long, Long, Long, Long, Array[Double], Array[String], java.sql.Timestamp)]
 
     ds.groupByKey(_._1).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: Long,
-       rows: Iterator[(Long, Long, Long, Long, Array[Double], java.sql.Timestamp)],
+       rows: Iterator[(Long, Long, Long, Long, Array[Double], Array[String], java.sql.Timestamp)],
        state: GroupState[MRState]) =>
         val cur = state.getOption.getOrElse(MRState(Nil, 0L, 0L, hasMark = false))
         val buffered = rows.foldLeft(cur.evs) {
-          case (acc, (_, ts, id, sat, nav, _)) => (ts, id, sat, nav) :: acc
+          case (acc, (_, ts, id, sat, nav, navS, _)) => (ts, id, sat, nav, navS) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
         val mark0 = if (cur.hasMark)
@@ -135,7 +135,7 @@ object StreamingMatchRecognize {
         val (emitted, mark) = fire(ctx, key, buffered, wm, mark0)
         // eviction bound == maturity bound: kept events are exactly the
         // not-yet-mature suffix of the buffer
-        val kept = buffered.filter { case (ts, _, _, _) => ts + within > wm }
+        val kept = buffered.filter { case (ts, _, _, _, _) => ts + within > wm }
         if (kept.isEmpty) {
           if (state.exists) state.remove()
         } else {
@@ -267,48 +267,48 @@ object StreamingMatchRecognize {
     val within = c.withinMicros
     val steps = c.steps
     val afterMatch = c.afterMatch
-    // step index each measure reads its bound events from (pattern
-    // variables are unique in this grammar)
-    val stepIdxOf: Map[String, Int] =
+    // step indices each measure reads its bound events from (pattern
+    // variables are unique in this grammar; a SUBSET variable reads
+    // its members' bindings merged in sequence order)
+    val stepIdxsOf: Map[String, Seq[Int]] =
       measures.filter(m => m.func != "MATCH_NUMBER" && m.varName.nonEmpty)
         .map(_.varName).distinct
-        .map(v => v -> steps.indexWhere(_.kind == v)).toMap
+        .map(v => v -> c.membersOf(v).map(mv =>
+          steps.indexWhere(_.kind == mv)).sorted).toMap
 
     val navCols = c.navCols
     val defCtx = c.ctx
-    val navCol =
-      if (navCols.isEmpty) lit(Array.empty[Double])
-      else array(navCols.map(n =>
-        coalesce(col(n).cast("double"), lit(Double.NaN))): _*)
+    val (navCol, navSCol) = PatternNFA.navProjections(navCols,
+      PatternNFA.navStringFlags(events, navCols))
     val ds = events
       .withColumn("_et", timestamp_micros(col("tsMicros")))
       .withWatermark("_et", watermarkDelay)
       .select(col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"),
         array(mcols.map(n => expr(n).cast("double")): _*).as("_mv"),
-        navCol.as("_nav"), col("_et"))
+        navCol.as("_nav"), navSCol.as("_navS"), col("_et"))
       .as[(Long, Long, Long, Long, Seq[Option[Double]], Array[Double],
-           java.sql.Timestamp)]
+           Array[String], java.sql.Timestamp)]
 
     val emitted = ds.groupByKey(_._1).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: Long,
        rows: Iterator[(Long, Long, Long, Long, Seq[Option[Double]],
-                       Array[Double], java.sql.Timestamp)],
+                       Array[Double], Array[String], java.sql.Timestamp)],
        state: GroupState[MRMeasState]) =>
         val cur = state.getOption.getOrElse(
           MRMeasState(Nil, 0L, 0L, hasMark = false, matchSeq = 0L))
         var newRows = 0
         val buffered = rows.foldLeft(cur.evs) {
-          case (acc, (_, ts, id, sat, mv, nav, _)) =>
-            newRows += 1; (ts, id, sat, mv, nav) :: acc
+          case (acc, (_, ts, id, sat, mv, nav, navS, _)) =>
+            newRows += 1; (ts, id, sat, mv, nav, navS) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
         val mark0 = if (cur.hasMark)
           Some(PatternNFA.Mark(cur.markTs, cur.markId, cur.markIncl)) else None
-        val quads = buffered.map { case (ts, id, sat, _, nav) =>
-          (ts, id, sat, nav) }
-        val mvalsOf = buffered.map { case (ts, id, _, mv, _) =>
+        val quads = buffered.map { case (ts, id, sat, _, nav, navS) =>
+          (ts, id, sat, nav, navS) }
+        val mvalsOf = buffered.map { case (ts, id, _, mv, _, _) =>
           (ts, id) -> mv }.toMap
         val (rawMatches, mark) = PatternNFA.matureBindingsRaw(
           quads, steps, varNames, within, afterMatch, wm, mark0, defCtx)
@@ -317,9 +317,10 @@ object StreamingMatchRecognize {
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
           if (m.func == "MATCH_NUMBER") return Some(seq.toDouble)
           // unqualified measures aggregate over ALL rows of the match
-          // (steps bind in order, so flatten preserves match order)
+          // (steps bind in order, so flatten — and a SUBSET's
+          // ascending-step concatenation — preserves match order)
           val bound = if (m.varName.isEmpty) bindings.flatten
-            else bindings(stepIdxOf(m.varName))
+            else stepIdxsOf(m.varName).flatMap(bindings(_))
           if (m.colName == "*") // COUNT(*): all rows, null-insensitive
             return (Some(bound.size.toDouble), m.roundTo) match {
               case (Some(v), Some(n)) => Some(BigDecimal(v)
@@ -355,7 +356,7 @@ object StreamingMatchRecognize {
           seq += 1
           MeasuresEmit(key, seq, measures.map(m => fold(m, bindings)))
         }
-        val kept = buffered.filter { case (ts, _, _, _, _) => ts + within > wm }
+        val kept = buffered.filter { case (ts, _, _, _, _, _) => ts + within > wm }
         val (mkTs, mkId, mkIncl) = (mark.map(_.ts).getOrElse(0L),
           mark.map(_.id).getOrElse(0L), mark.exists(_.inclusive))
         if (kept.isEmpty && seq == 0L) {

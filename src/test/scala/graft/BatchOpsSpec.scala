@@ -353,8 +353,75 @@ class BatchOpsSpec extends AnyFunSuite {
       "B" -> "kind = 'b' AND value > 100"))
     assert(c.navCols == Seq("value"))
     assert(c.ctx == Map("B" -> Seq(CtxCmp(">", NavExpr.Cur(0),
-      NavExpr.Bin('+', NavExpr.VarNav("A", 0, first = false, off = 0),
+      NavExpr.Bin('+', NavExpr.VarNav(Seq("A"), 0, first = false, off = 0),
         NavExpr.Lit(1.0))))))
+  }
+
+  test("MATCH_RECOGNIZE SUBSET clause grammar: parse, expand, validate") {
+    import graft.operators.MatchRecognize
+    import graft.operators.PatternNFA.{CtxCmp, NavExpr}
+    val c = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES SUM(U.value) AS sum_u, COUNT(U.id) AS n_u
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B C)
+        |  SUBSET U = (B, C)
+        |  WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b',
+        |         C AS kind = 'c' AND C.value > FIRST(U.value)
+        |)""".stripMargin)
+    assert(c.subsets == Map("U" -> Seq("B", "C")))
+    // subset navigation expands to the member list at parse time
+    assert(c.ctx == Map("C" -> Seq(CtxCmp(">", NavExpr.Cur(0),
+      NavExpr.VarNav(Seq("B", "C"), 0, first = true, off = 0)))))
+    assert(c.measures.map(_.varName) == Seq("U", "U"))
+    // unknown member / collision with a DEFINE name are loud
+    val bad = intercept[IllegalArgumentException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A) SUBSET U = (A, X) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS kind = 'a')""".stripMargin)
+    }
+    assert(bad.getMessage.contains("undefined pattern variable X"))
+    val collide = intercept[IllegalArgumentException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A B) SUBSET B = (A) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
+    }
+    assert(collide.getMessage.contains("collides"))
+  }
+
+  test("MATCH_RECOGNIZE typed navigation: string literals and columns") {
+    import graft.operators.MatchRecognize
+    import graft.operators.PatternNFA.{CtxCmp, NavExpr}
+    import spark.implicits._
+    val c = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a',
+        |         B AS kind = 'b' AND B.tag <> LAST(A.tag)
+        |           AND PREV(tag, 1) <> 'it''s'
+        |)""".stripMargin)
+    assert(c.ctx("B") == Seq(
+      CtxCmp("<>", NavExpr.Cur(0),
+        NavExpr.VarNav(Seq("A"), 0, first = false, off = 0)),
+      CtxCmp("<>", NavExpr.Prev(0, 1), NavExpr.LitS("it's"))))
+    // end-to-end: string inequality against the earlier binding — the
+    // (x, x) pair fails, (x, y) matches; NULL tag fails (SQL semantics)
+    val events = Seq(
+      (1L, 10L, 1L, "a", "x"), (1L, 20L, 2L, "b", "x"),   // equal → no
+      (2L, 10L, 3L, "a", "x"), (2L, 20L, 4L, "b", "y"),   // differ → yes
+      (3L, 10L, 5L, "a", "x"), (3L, 20L, 6L, "b", null)   // NULL → no
+    ).toDF("key", "tsMicros", "id", "kind", "tag")
+    val out = MatchRecognize.run(spark, events,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a',
+        |         B AS kind = 'b' AND B.tag <> LAST(A.tag))""".stripMargin)
+      .select("key", "anchor_id", "end_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((2L, 3L, 4L)))
   }
 
   test("MATCH_RECOGNIZE running aggregates in DEFINE + aggregate MEASURES") {
