@@ -135,7 +135,21 @@ object MatchRecognize {
     out.result().filter(_.nonEmpty)
   }
 
+  // RUNNING / FINAL measure keywords (SQL:2016; the reference's
+  // MatchCodeGenerator.scala:355 handles FINAL explicitly and RUNNING
+  // semantics in ALL ROWS PER MATCH): RUNNING evaluates the measure
+  // over the match's rows UP TO the current output row; FINAL over the
+  // whole match. This engine's default is FINAL in both row modes
+  // (ONE ROW PER MATCH evaluates at the final row, where the two
+  // coincide), so the keyword only changes ALL ROWS PER MATCH output.
+  private val runFinalRe = """(?is)^(RUNNING|FINAL)\s+(.*)$""".r
+
   private def parseMeasure(item: String): Measure = item.trim match {
+    case runFinalRe(kw, rest) =>
+      val m = parseMeasure(rest)
+      require(m.func != "MATCH_NUMBER",
+        s"$kw does not apply to MATCH_NUMBER()")
+      m.copy(running = kw.equalsIgnoreCase("RUNNING"))
     case mnRe(alias) => Measure("MATCH_NUMBER", "", "", None, alias)
     case roundAggRe(f, arg, n, alias) => mkAgg(f, arg, Some(n.toInt), alias)
     case aggRe(f, arg, alias) => mkAgg(f, arg, None, alias)
@@ -170,9 +184,12 @@ object MatchRecognize {
   }
 
   /** One parsed MEASURES item. func ∈ FIRST/LAST/AVG/SUM/COUNT/MIN/
-    * MAX/MATCH_NUMBER; `roundTo` is the optional ROUND(…, n) wrapper. */
+    * MAX/MATCH_NUMBER; `roundTo` is the optional ROUND(…, n) wrapper;
+    * `running` = the RUNNING keyword (per-row prefix semantics in ALL
+    * ROWS PER MATCH; equal to FINAL in ONE ROW PER MATCH). */
   final case class Measure(func: String, varName: String, colName: String,
-                           roundTo: Option[Int], alias: String)
+                           roundTo: Option[Int], alias: String,
+                           running: Boolean = false)
 
   /** steps reference `defines` entries by variable name; `defines`
     * keeps clause order, body = the ROW-LOCAL residue of the DEFINE
@@ -523,18 +540,55 @@ object MatchRecognize {
         }
         m.roundTo.map(n => round(base, n)).getOrElse(base).as(m.alias)
       }
-      val aggs = c.measures.map(aggFor)
-      // group on an internally-named match column so a measure aliased
-      // `match_no` (MATCH_NUMBER() is usually aliased exactly that)
-      // can't collide with the grouping column.
-      val perMatch = joined.groupBy(col("key"), col("match_no").as("_mno"))
-        .agg(aggs.head, aggs.tail: _*)
-      if (!c.allRows) perMatch.drop("_mno")
-      else joined
-        .select(col("key"), col("match_no"),
-          col("var_name").as("classifier"), col("event_id"))
-        .join(perMatch.withColumnRenamed("_mno", "match_no"),
-          Seq("key", "match_no"))
+      if (!c.allRows) {
+        val aggs = c.measures.map(aggFor)
+        // group on an internally-named match column so a measure aliased
+        // `match_no` (MATCH_NUMBER() is usually aliased exactly that)
+        // can't collide with the grouping column.
+        joined.groupBy(col("key"), col("match_no").as("_mno"))
+          .agg(aggs.head, aggs.tail: _*)
+          .drop("_mno")
+      } else {
+        // ALL ROWS PER MATCH with RUNNING/FINAL semantics
+        // (MatchCodeGenerator.scala:355): every measure is a window
+        // aggregate over the match's rows in sequence order — RUNNING
+        // frames to the current row, FINAL spans the match. Both
+        // frames share one (key, match_no) shuffle + pos sort; all
+        // aggregates are codegen'd built-ins (min_by/max_by keep the
+        // FIRST/LAST boundary-null semantics of the ONE-ROW path).
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{avg, count, lit, max, max_by, min, min_by, sum, when}
+        val wBase = Window.partitionBy(col("key"), col("match_no"))
+          .orderBy(col("pos"))
+        val wRun = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = wBase.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        def perRow(m: Measure): Column = {
+          val w = if (m.running) wRun else wAll
+          val cond: Column =
+            if (m.varName.isEmpty) lit(true)
+            else {
+              val mems = c.membersOf(m.varName)
+              if (mems.size == 1) col("var_name") === lit(mems.head)
+              else col("var_name").isin(mems: _*)
+            }
+          val argC = if (m.colName == "*") lit(1) else expr(m.colName)
+          val base = m.func match {
+            case "MATCH_NUMBER" => col("match_no")
+            case "COUNT" => count(when(cond, argC)).over(w)
+            case "FIRST" => min_by(when(cond, argC), when(cond, col("pos"))).over(w)
+            case "LAST" => max_by(when(cond, argC), when(cond, col("pos"))).over(w)
+            case "SUM" => sum(when(cond, argC)).over(w)
+            case "AVG" => avg(when(cond, argC)).over(w)
+            case "MIN" => min(when(cond, argC)).over(w)
+            case "MAX" => max(when(cond, argC)).over(w)
+          }
+          m.roundTo.map(n => round(base, n)).getOrElse(base).as(m.alias)
+        }
+        joined.select(Seq(col("key"), col("match_no"),
+          col("var_name").as("classifier"), col("event_id")) ++
+          c.measures.map(perRow): _*)
+      }
     }
   }
 }

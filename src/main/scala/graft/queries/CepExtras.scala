@@ -1311,6 +1311,85 @@ object CepExtras extends QueryGroup {
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
     },
 
+    // RUNNING vs FINAL measure keywords in ALL ROWS PER MATCH
+    // (SQL:2016; the reference's MatchCodeGenerator.scala:355 handles
+    // FINAL explicitly and RUNNING semantics in ALL ROWS): per output
+    // row, RUNNING aggregates frame to the current row — diverging
+    // from FINAL on every multi-row match — and RUNNING LAST tracks
+    // the latest bound value so far (NULL before the first B row).
+    // Oracle: the match's exploded rows with the same two window
+    // frames (running prefix / whole match).
+    q("mr11_running_measures",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, p.p_id, p.p_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
+        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
+        |        AND p2.ts_us <= a.a_us + $H72)
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
+        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |mm AS (
+        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_no
+        |  FROM m),
+        |rws AS (
+        |  SELECT user_id, match_no, 'A' AS classifier, a_id AS event_id,
+        |    a_us AS r_us, CAST(NULL AS BIGINT) AS b_id,
+        |    CAST(NULL AS DOUBLE) AS b_val FROM mm
+        |  UNION ALL
+        |  SELECT mm.user_id, mm.match_no, 'B', e.event_id, e.ts_us,
+        |    e.event_id, e.value
+        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
+        |    AND e.ts_us <= mm.a_us + $H72
+        |  UNION ALL
+        |  SELECT user_id, match_no, 'P', p_id, p_us, NULL, NULL FROM mm)
+        |SELECT user_id AS key, match_no, classifier, event_id,
+        |  count(b_id) OVER w AS rn_b,
+        |  round(sum(b_val) OVER w, 6) AS rsum_b,
+        |  arg_max(b_val, CASE WHEN b_id IS NOT NULL
+        |    THEN CAST(r_us AS HUGEINT) * 100000000 + event_id END)
+        |    OVER w AS rlast_b,
+        |  round(sum(b_val) OVER (PARTITION BY user_id, match_no), 6) AS fsum_b,
+        |  count(b_id) OVER (PARTITION BY user_id, match_no) AS n_b
+        |FROM rws
+        |WINDOW w AS (PARTITION BY user_id, match_no ORDER BY r_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY key, match_no, event_id""".stripMargin) { (s, dir) =>
+      graft.operators.MatchRecognize.run(s,
+          t(s, dir)("events").select(
+            col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("id"), col("event_type").as("kind"),
+            col("value")),
+          """MATCH_RECOGNIZE (
+            |  PARTITION BY key ORDER BY ts
+            |  MEASURES RUNNING COUNT(B.event_id) AS rn_b,
+            |           RUNNING ROUND(SUM(B.value), 6) AS rsum_b,
+            |           RUNNING LAST(B.value) AS rlast_b,
+            |           FINAL ROUND(SUM(B.value), 6) AS fsum_b,
+            |           FINAL COUNT(B.event_id) AS n_b
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+ P)
+            |  WITHIN INTERVAL '72' HOUR
+            |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+            |         P AS kind = 'purchase'
+            |)""".stripMargin)
+        .orderBy("key", "match_no", "event_id")
+    },
+
     // TYPE-GENERAL navigation operands (IterativeCondition.java:52
     // allows arbitrary-typed conditions; r8's NavExpr algebra was
     // numeric-bound): string columns ride the NFA scan in a parallel

@@ -392,6 +392,42 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(collide.getMessage.contains("collides"))
   }
 
+  test("MATCH_RECOGNIZE RUNNING/FINAL measure keywords") {
+    import graft.operators.MatchRecognize
+    import spark.implicits._
+    val c = MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES RUNNING SUM(B.value) AS rs, FINAL SUM(B.value) AS fs,
+        |           SUM(B.value) AS ds
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
+    assert(c.measures.map(_.running) == Seq(true, false, false))
+    // RUNNING does not apply to MATCH_NUMBER()
+    intercept[IllegalArgumentException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES RUNNING MATCH_NUMBER() AS m
+          |  ONE ROW PER MATCH
+          |  PATTERN (A) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS kind = 'a')""".stripMargin)
+    }
+    // ONE ROW PER MATCH: RUNNING evaluates at the final row, where it
+    // coincides with FINAL (SQL:2016) — same single output row
+    val events = Seq(
+      (1L, 10L, 1L, "a", 1.0), (1L, 20L, 2L, "b", 2.0),
+      (1L, 30L, 3L, "b", 3.0)
+    ).toDF("key", "tsMicros", "id", "kind", "value")
+    val one = MatchRecognize.run(spark, events,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES RUNNING SUM(B.value) AS rs, FINAL SUM(B.value) AS fs
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
+      .select("rs", "fs").as[(Double, Double)].collect().toSeq
+    assert(one == Seq((5.0, 5.0)))
+  }
+
   test("MATCH_RECOGNIZE typed navigation: string literals and columns") {
     import graft.operators.MatchRecognize
     import graft.operators.PatternNFA.{CtxCmp, NavExpr}
