@@ -357,6 +357,62 @@ class BatchOpsSpec extends AnyFunSuite {
         NavExpr.Lit(1.0))))))
   }
 
+  test("batch NFA scan: hot-key buffer is WITHIN-bounded, results exact") {
+    import graft.operators.PatternNFA
+    import graft.operators.PatternNFA.{OneOrMore, Step}
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // ONE hot key, 60k events at 1s spacing, within = 60s: a whole-key
+    // scan would buffer all 60k; the sliding scan may hold only ~one
+    // window (+ the pending-anchor horizon). Pattern fires every 20
+    // events so matches, skip handling, and eviction all interleave.
+    val n = 60000
+    val rows = (0 until n).map { i =>
+      val kind = (i % 20) match {
+        case 0 => "a"; case 5 => "b"; case 10 => "p"; case _ => "x"
+      }
+      (1L, i.toLong * 1000000L, i.toLong, kind)
+    }
+    val df = rows.toDF("key", "tsMicros", "id", "kind")
+    val gauge = spark.sparkContext.longAccumulator("nfaBufPeak")
+    val preds = Seq("a" -> (col("kind") === lit("a")),
+      "b" -> (col("kind") === lit("b")), "p" -> (col("kind") === lit("p")))
+    val out = PatternNFA.runPredicates(spark, df, Seq(
+        Step("A", "a"), Step("B", "b", OneOrMore()), Step("P", "p")),
+      preds, withinMicros = 60L * 1000000L, bufGauge = Some(gauge))
+      .collect()
+    assert(out.length == n / 20, s"expected ${n / 20} matches, got ${out.length}")
+    // single key → the accumulator holds exactly that key's peak
+    assert(gauge.value <= 200,
+      s"hot-key buffer peaked at ${gauge.value} events — not window-bounded")
+  }
+
+  test("runTimeouts honors every AfterMatch strategy (same offered anchors)") {
+    import graft.operators.PatternNFA
+    import graft.operators.PatternNFA.{NotNext, SkipToFirst, Step}
+    import spark.implicits._
+    // a2 sits between a1 and the match's first B; under SKIP TO FIRST B
+    // it is never OFFERED, so the timeout side output must not surface
+    // it either (a2's NotNext fails against the adjacent error — the
+    // old SkipPastLastEvent-only scan emitted a bogus timeout for it)
+    val events = Seq(
+      (1L, 1000000L, 0L, "a"), (1L, 2000000L, 1L, "a"),
+      (1L, 3000000L, 2L, "error"), (1L, 4000000L, 3L, "b"),
+      (1L, 5000000L, 4L, "p")
+    ).toDF("key", "tsMicros", "id", "kind")
+    val steps = Seq(Step("A", "a"), Step("N", "error", NotNext),
+      Step("B", "b"), Step("P", "p"))
+    val matches = PatternNFA.run(spark, events, steps,
+      withinMicros = 100000000L, afterMatch = SkipToFirst("B"))
+      .select("anchor_id").as[Long].collect().toSeq
+    assert(matches == Seq(0L))
+    val tmos = PatternNFA.runTimeouts(spark, events, steps,
+      withinMicros = 100000000L, afterMatch = SkipToFirst("B"))
+      .collect()
+    assert(tmos.isEmpty,
+      s"skipped anchors must not emit timeouts, got ${tmos.mkString(",")}")
+  }
+
   test("MATCH_RECOGNIZE SUBSET clause grammar: parse, expand, validate") {
     import graft.operators.MatchRecognize
     import graft.operators.PatternNFA.{CtxCmp, NavExpr}
