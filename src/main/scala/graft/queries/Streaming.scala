@@ -1639,5 +1639,66 @@ object Streaming extends QueryGroup {
         watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out, OutputMode.Append, "st44_out")
         .orderBy("key", "match_seq")
+    },
+
+    // Windowing-TVF TEXT on a STREAM (the reference's primary TVF
+    // spelling, previously rejected loudly — r8 verdict item 5): the
+    // statement is rewritten to the watermark-preserving GROUP BY
+    // window(ts, …) form — window_start/window_end GROUP BY keys
+    // collapse into the single window() grouping key, projections
+    // become window.start/.end — and Spark plans its incremental
+    // windowed aggregation (Append, state dropped at maturity).
+    // Oracle = st32's batch tumble with the same watermark cutoff.
+    q("st45_tumble_tvf_stream",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT wstart, wend, event_type, n, total FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart,
+        |    date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |    event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2, 3), wm
+        |WHERE epoch_us(wend) <= wm.wm_us
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      eventStream(s, dir).withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("st45_events")
+      val agg = s.sql(
+        """SELECT window_start AS wstart, window_end AS wend, event_type,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM TABLE(TUMBLE(TABLE st45_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, event_type""".stripMargin)
+      require(agg.isStreaming, "st45: streaming TUMBLE TVF lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st45_out")
+        .orderBy("wstart", "event_type")
+    },
+
+    // UPDATE_BEFORE emission (the reference's retract mode —
+    // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
+    // pairs): st29's LEFT OUTER join with updateBefore on — the pad
+    // replacement rides -U/+U instead of -D/+I. The changelog
+    // round-trip (net +I/+U minus -U/-D per pair) reconstructs the
+    // batch LEFT OUTER JOIN regardless of batching; the exact -U/+U
+    // pairing is pinned by the StreamingOpsSpec fold spec.
+    q("ty21_update_before",
+      """SELECT l.user_id, l.event_id AS purchase_id,
+        |  coalesce(r.event_id, -1) AS signup_id
+        |FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') r
+        |  USING (user_id)
+        |ORDER BY user_id, purchase_id, signup_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = asGEvents(s, dir)
+      val out = StreamingLeftOuterJoin(s,
+        left = ev.filter(col("kind") === "purchase").as[GEvent],
+        right = ev.filter(col("kind") === "signup").as[GEvent],
+        updateBefore = true)
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "ty21_out")
+        .groupBy(col("key"), col("leftId"), col("rightId"))
+        .agg(sum(when(col("_change_kind").isin("+I", "+U"), 1).otherwise(-1))
+          .as("_net"))
+        .filter(col("_net") > 0)
+        .select(col("key").as("user_id"), col("leftId").as("purchase_id"),
+          col("rightId").as("signup_id"))
+        .orderBy("user_id", "purchase_id", "signup_id")
     })
 }

@@ -112,8 +112,17 @@ object GroupWindowSql {
     * rows (gap merge), which no per-row mapping can express — fail
     * loudly toward the GROUP BY spelling, which covers the
     * capability. */
-  private def rewriteTvf(toks: Vector[S.Tok], i: Int,
-                         sql: String): Option[(S.Splice, Int)] = {
+  /** One parsed `TABLE(FN(TABLE src [PARTITION BY …], DESCRIPTOR(ts),
+    * …intervals))` call: everything both the batch rewrite and the
+    * streaming GROUP-BY-form rewrite need. `start`/`outerClose` span
+    * the whole TABLE(...) text. */
+  private final case class TvfCall(fn: String, src: String,
+                                   partKeys: List[String], tsCol: String,
+                                   args: Seq[(Int, Int)],
+                                   start: Int, outerClose: Int)
+
+  private def parseTvfCall(toks: Vector[S.Tok], i: Int,
+                           sql: String): Option[TvfCall] = {
     def is(j: Int, kw: String) = j < toks.length && toks(j).is(kw)
     def sym(j: Int, s: String) =
       j < toks.length && toks(j).kind == S.Sym && toks(j).text == s
@@ -162,6 +171,15 @@ object GroupWindowSql {
     require(is(args(1)._1, "DESCRIPTOR"),
       s"$fn TVF second argument must be DESCRIPTOR(<time col>): $sql")
     val tsCol = S.textOf(sql, toks, args(1)._1 + 2, args(1)._2 - 1)
+    Some(TvfCall(fn, src, partKeys, tsCol, args, toks(i).start,
+      toks(outerClose).end))
+  }
+
+  private def rewriteTvf(toks: Vector[S.Tok], i: Int,
+                         sql: String): Option[(S.Splice, Int)] = {
+    val call = parseTvfCall(toks, i, sql).getOrElse(return None)
+    val TvfCall(fn, src, partKeys, tsCol, args, _, _) = call
+    val outerClose = S.closeParen(toks, i + 1)
     val repl = fn match {
       case "TUMBLE" =>
         val dur = duration(toks, args(2)._1, args(2)._2)
@@ -248,6 +266,130 @@ object GroupWindowSql {
     Some((S.Splice(toks(i).start, toks(outerClose).end, repl), outerClose + 1))
   }
 
+  private def isStreamingView(name: String): Boolean =
+    scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.table(name).isStreaming)
+      .getOrElse(false)
+
+  /** Windowing-TVF text over a STREAMING view — the reference's
+    * primary spelling, previously rejected loudly: the batch rewrite
+    * projects `window(ts, …).start` BEFORE aggregation, which severs
+    * Spark's watermark linkage, so here the statement is rewritten to
+    * the WATERMARK-PRESERVING `GROUP BY window(ts, …)` form instead:
+    *
+    *  - the `TABLE(TUMBLE/HOP(TABLE src, DESCRIPTOR(ts), …))` span
+    *    becomes just `src`;
+    *  - `window_start`/`window_end`/`window_time` appearing as
+    *    TOP-LEVEL GROUP BY items collapse into ONE `window(ts, …)`
+    *    grouping key (Spark's incremental windowed aggregation —
+    *    exactly what the `GROUP BY TUMBLE(...)` legacy spelling
+    *    plans, st32/st35);
+    *  - every other occurrence becomes `window.start` / `window.end`
+    *    / the end−1ms rowtime — resolvable AFTER the aggregate.
+    *
+    * TUMBLE maps to `window(ts, size)`, HOP to `window(ts, size,
+    * slide)` — both natively incremental in Spark. CUMULATE and
+    * SESSION TVF text on a stream stay loud: CUMULATE's growing-end
+    * fan-out has no native streaming window, and the SESSION TVF's
+    * gaps-and-islands form needs window functions Spark does not
+    * stream — `GROUP BY SESSION(ts, gap)` covers that capability.
+    * Returns None when the statement has no streaming TVF. */
+  private def rewriteStreamingTvfs(sql: String): Option[String] = {
+    val toks = S.lex(sql)
+    var i = 0
+    while (i < toks.length) {
+      parseTvfCall(toks, i, sql) match {
+        case Some(call) if isStreamingView(call.src) =>
+          if (call.fn == "CUMULATE" || call.fn == "SESSION")
+            sys.error(s"${call.fn} TVF text on a STREAMING view is not " +
+              "supported here: " +
+              (if (call.fn == "SESSION")
+                 "use the GROUP BY SESSION(ts, gap) spelling, which plans " +
+                 "Spark's incremental merging session aggregation"
+               else "CUMULATE's growing-end fan-out has no incremental " +
+                 "Spark window — aggregate each step with TUMBLE and roll " +
+                 "up, or run the TVF on a batch view"))
+          val winExpr = call.fn match {
+            case "TUMBLE" =>
+              val size = duration(toks, call.args(2)._1, call.args(2)._2)
+              s"window(${call.tsCol}, '$size')"
+            case "HOP" =>
+              val slide = duration(toks, call.args(2)._1, call.args(2)._2)
+              val size = duration(toks, call.args(3)._1, call.args(3)._2)
+              s"window(${call.tsCol}, '$size', '$slide')"
+          }
+          return Some(spliceStreamingTvf(sql, toks, call, winExpr))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val winCols = Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")
+  private val gbTerminators = Set("HAVING", "ORDER", "LIMIT", "WINDOW",
+    "UNION", "INTERSECT", "EXCEPT", "QUALIFY")
+
+  /** The token-level statement rewrite for one streaming TVF (see
+    * [[rewriteStreamingTvfs]]). */
+  private def spliceStreamingTvf(sql: String, toks: Vector[S.Tok],
+                                 call: TvfCall, winExpr: String): String = {
+    val edits = Seq.newBuilder[S.Splice]
+    edits += S.Splice(call.start, call.outerClose, call.src)
+    var depth = 0
+    var inGroupBy = false
+    var gbDepth = 0
+    var gbKeyDone = false
+    var i = 0
+    def scalarFor(up: String): String = up match {
+      case "WINDOW_START" => "window.start"
+      case "WINDOW_END" => "window.end"
+      case _ => "(window.end - INTERVAL '0.001' SECOND)"
+    }
+    while (i < toks.length) {
+      val t = toks(i)
+      // skip the TVF span itself (already spliced)
+      if (t.start >= call.start && t.end <= call.outerClose) { i += 1 }
+      else {
+        if (t.kind == S.Sym && t.text == "(") depth += 1
+        else if (t.kind == S.Sym && t.text == ")") {
+          depth -= 1
+          if (inGroupBy && depth < gbDepth) inGroupBy = false
+        }
+        if (t.is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
+          inGroupBy = true; gbDepth = depth; gbKeyDone = false; i += 1
+        } else if (inGroupBy && depth == gbDepth && t.kind == S.Ident &&
+            gbTerminators(t.text.toUpperCase)) {
+          inGroupBy = false
+        } else if (t.kind == S.Ident && winCols(t.text.toUpperCase)) {
+          val up = t.text.toUpperCase
+          // a bare top-level GROUP BY item: neighbors are BY/commas/
+          // clause boundaries — anything else means the column sits
+          // inside a bigger expression and gets the scalar form
+          val prevTok = if (i > 0) toks(i - 1) else null
+          val nextTok = if (i + 1 < toks.length) toks(i + 1) else null
+          val bareItem = inGroupBy && depth == gbDepth &&
+            (prevTok == null || prevTok.is("BY") ||
+              (prevTok.kind == S.Sym && prevTok.text == ",")) &&
+            (nextTok == null ||
+              (nextTok.kind == S.Sym && (nextTok.text == "," || nextTok.text == ")")) ||
+              (nextTok.kind == S.Ident && gbTerminators(nextTok.text.toUpperCase)))
+          if (bareItem) {
+            if (!gbKeyDone) { edits += S.Splice(t.start, t.end, winExpr); gbKeyDone = true }
+            else {
+              // drop the duplicate key together with its leading comma
+              val from = if (prevTok != null && prevTok.kind == S.Sym &&
+                prevTok.text == ",") prevTok.start else t.start
+              edits += S.Splice(from, t.end, "")
+            }
+          } else edits += S.Splice(t.start, t.end, scalarFor(up))
+        }
+        i += 1
+      }
+    }
+    S.splice(sql, edits.result())
+  }
+
   /** Rewrite every group-window call in the statement; text without
     * any is returned unchanged. Unrecognized *_PROCTIME (or a
     * malformed call) fails loudly — silently passing it to Spark
@@ -255,6 +397,10 @@ object GroupWindowSql {
     * dialect. */
   def rewrite(sql: String): String = {
     if (!mentionsGroupWindow(sql)) return sql
+    rewriteStreamingTvfs(sql) match {
+      case Some(rewritten) => return rewrite(rewritten)
+      case None =>
+    }
     val toks = S.lex(sql)
     val edits = Seq.newBuilder[S.Splice]
     var i = 0

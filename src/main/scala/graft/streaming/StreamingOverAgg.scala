@@ -163,8 +163,17 @@ object StreamingLeftOuterJoin {
   case class State(lefts: List[(Long, Long, Boolean)],
                    rights: List[(Long, Long)])
 
+  /** `updateBefore = true` switches the pad replacement to the
+    * reference's RETRACT mode (StreamingJoinOperator.java:277 emits
+    * UPDATE_BEFORE/UPDATE_AFTER): the first match of a previously
+    * null-padded left emits `-U (left, null)` then `+U (left, right)`
+    * — an exact retraction pair for consumers that need RowKind
+    * parity — while genuinely new pairs stay `+I`. The default keeps
+    * the upsert-style `-D` pad delete. Folds are identical either
+    * way: net (+I/+U) minus (-U/-D) per (key, leftId, rightId). */
   def apply(spark: SparkSession, left: Dataset[GEvent], right: Dataset[GEvent],
-            idleRetentionMicros: Long = Long.MaxValue): Dataset[OuterJoinEmit] = {
+            idleRetentionMicros: Long = Long.MaxValue,
+            updateBefore: Boolean = false): Dataset[OuterJoinEmit] = {
     import spark.implicits._
     val tagged = left.map(_.copy(kind = "L")).union(right.map(_.copy(kind = "R")))
     tagged.groupByKey(_.key).flatMapGroupsWithState(
@@ -186,10 +195,13 @@ object StreamingLeftOuterJoin {
               st = st.copy(lefts = (e.tsMicros, e.id, true) :: st.lefts)
             }
           } else {
-            // first match of a previously-unmatched left retracts its pad
+            // first match of a previously-unmatched left retracts its
+            // pad: -D/+I upsert-style, or the -U/+U retract pair
             st.lefts.foreach { case (_, l, matched) =>
-              if (!matched) out += OuterJoinEmit(key, l, -1L, "-D")
-              out += OuterJoinEmit(key, l, e.id, "+I")
+              if (!matched) {
+                out += OuterJoinEmit(key, l, -1L, if (updateBefore) "-U" else "-D")
+                out += OuterJoinEmit(key, l, e.id, if (updateBefore) "+U" else "+I")
+              } else out += OuterJoinEmit(key, l, e.id, "+I")
             }
             st = st.copy(
               lefts = st.lefts.map { case (ts, l, _) => (ts, l, true) },

@@ -1487,4 +1487,35 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq("key"), Seq("seq"), "upsert", N)
     assert(table() == snapshot, "redelivery must be a no-op")
   }
+
+  test("left outer join UPDATE_BEFORE mode: -U/+U pairs reconstruct the join") {
+    import graft.streaming.{GEvent, StreamingLeftOuterJoin}
+    val sp = StreamHarness.spark
+    import org.apache.spark.sql.streaming.OutputMode
+    import sp.implicits._
+    val batches = Seq(
+      Seq(GEvent(1L, 1000000L, 10L, "l", 0.0)),  // left first → pad
+      Seq(GEvent(1L, 2000000L, 20L, "r", 0.0)),  // match → -U pad, +U pair
+      Seq(GEvent(1L, 3000000L, 11L, "l", 0.0)))  // later left → plain +I
+    val out = StreamHarness.run(batches, OutputMode.Append, "ub_join_spec") {
+      ds =>
+        StreamingLeftOuterJoin(sp,
+          left = ds.filter(_.kind == "l"),
+          right = ds.filter(_.kind == "r"),
+          updateBefore = true).toDF()
+    }
+    val rows = out.select("leftId", "rightId", "_change_kind")
+      .as[(Long, Long, String)].collect().toSeq
+    // the pad replacement is an exact retract pair; the never-padded
+    // second left is a plain insert
+    assert(rows.toSet == Set(
+      (10L, -1L, "+I"), (10L, -1L, "-U"), (10L, 20L, "+U"), (11L, 20L, "+I")),
+      rows.toString)
+    assert(rows.count(_._3 == "-U") == 1 && rows.count(_._3 == "+U") == 1)
+    // changelog round-trip: net additions reconstruct the batch join
+    val folded = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      k -> g.map(r => if (r._3 == "-U" || r._3 == "-D") -1 else 1).sum
+    }.collect { case (k, n) if n > 0 => k }.toSet
+    assert(folded == Set((10L, 20L), (11L, 20L)))
+  }
 }
