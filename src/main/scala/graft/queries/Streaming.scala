@@ -1672,6 +1672,42 @@ object Streaming extends QueryGroup {
         .orderBy("wstart", "event_type")
     },
 
+    // CUMULATE TVF text on a STREAM (FLIP-145's fourth TVF on the
+    // unbounded side — gw19's streaming twin): window [W, W+k·step)
+    // is the max-size tumbling window restricted to rows in the first
+    // k step slices — a ROW-LOCAL epoch-offset filter — so the
+    // statement rewrites to a UNION ALL of max/step independent
+    // incremental tumbling aggregates (bounded state each; values
+    // exact, emission at the MAX window's maturity). Oracle = gw19's
+    // fan-out cut at windows whose max window closed by the final
+    // watermark.
+    q("st46_cumulate_tvf_stream",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |x AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |    value,
+        |    unnest(generate_series(CAST(floor(hour(ts) / 6) AS INT) + 1, 4)) AS k
+        |  FROM events)
+        |SELECT window_start, window_start + to_hours(6 * k) AS window_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x, wm
+        |WHERE epoch_us(window_start) + 86400000000 <= wm.wm_us
+        |GROUP BY 1, 2
+        |ORDER BY window_start, window_end""".stripMargin) { (s, dir) =>
+      eventStream(s, dir).withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("st46_events")
+      val agg = s.sql(
+        """SELECT window_start, window_end, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM TABLE(CUMULATE(TABLE st46_events, DESCRIPTOR(ts),
+          |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
+          |GROUP BY window_start, window_end""".stripMargin)
+      require(agg.isStreaming, "st46: streaming CUMULATE TVF lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st46_out")
+        .orderBy("window_start", "window_end")
+    },
+
     // UPDATE_BEFORE emission (the reference's retract mode —
     // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
     // pairs): st29's LEFT OUTER join with updateBefore on — the pad

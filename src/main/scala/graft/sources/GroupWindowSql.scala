@@ -300,15 +300,53 @@ object GroupWindowSql {
     while (i < toks.length) {
       parseTvfCall(toks, i, sql) match {
         case Some(call) if isStreamingView(call.src) =>
-          if (call.fn == "CUMULATE" || call.fn == "SESSION")
-            sys.error(s"${call.fn} TVF text on a STREAMING view is not " +
-              "supported here: " +
-              (if (call.fn == "SESSION")
-                 "use the GROUP BY SESSION(ts, gap) spelling, which plans " +
-                 "Spark's incremental merging session aggregation"
-               else "CUMULATE's growing-end fan-out has no incremental " +
-                 "Spark window — aggregate each step with TUMBLE and roll " +
-                 "up, or run the TVF on a batch view"))
+          if (call.fn == "SESSION")
+            sys.error("SESSION TVF text on a STREAMING view is not " +
+              "supported here: use the GROUP BY SESSION(ts, gap) " +
+              "spelling, which plans Spark's incremental merging " +
+              "session aggregation")
+          if (call.fn == "CUMULATE") {
+            // CUMULATE on a stream: window [W, W+k·step) is the
+            // max-size tumbling window restricted to rows whose
+            // epoch-aligned offset falls in the first k steps — a
+            // ROW-LOCAL filter, so each k is an independent
+            // incremental tumbling aggregate; the statement becomes a
+            // UNION ALL over k = 1..max/step. State is max/step
+            // tumbling windows per key (bounded); each branch emits at
+            // the MAX window's maturity (values exact, emission
+            // deferred to W+max — the one delta vs the reference's
+            // per-end firing, documented).
+            val step = duration(toks, call.args(2)._1, call.args(2)._2)
+            val size = duration(toks, call.args(3)._1, call.args(3)._2)
+            val stepMs = millisOf(step)
+            val sizeMs = millisOf(size)
+            require(sizeMs % stepMs == 0,
+              s"CUMULATE max size must be an integral multiple of step: $sql")
+            require(stepMs % 1000 == 0 && sizeMs % 1000 == 0,
+              s"CUMULATE on a stream needs whole-second step/max: $sql")
+            val m = (sizeMs / stepMs).toInt
+            // a top-level ORDER BY / LIMIT cannot survive the UNION
+            // duplication — reject loudly (streams reject them anyway)
+            var d = 0
+            toks.foreach { t =>
+              if (t.kind == S.Sym && t.text == "(") d += 1
+              else if (t.kind == S.Sym && t.text == ")") d -= 1
+              else if (d == 0 && (t.is("ORDER") || t.is("LIMIT")))
+                sys.error("CUMULATE TVF on a STREAMING view cannot carry " +
+                  s"a top-level ORDER BY/LIMIT (UNION ALL rewrite): $sql")
+            }
+            val branches = (1 to m).map { k =>
+              val endSec = k * stepMs / 1000
+              val filteredSrc = s"(SELECT * FROM ${call.src} WHERE " +
+                s"(unix_micros(${call.tsCol}) % ${sizeMs * 1000L}) < " +
+                s"${k * stepMs * 1000L})"
+              spliceStreamingTvf(sql, toks,
+                call.copy(src = filteredSrc),
+                winExpr = s"window(${call.tsCol}, '$size')",
+                endExpr = s"(window.start + INTERVAL '$endSec' SECOND)")
+            }
+            return Some(branches.mkString("\n", "\nUNION ALL\n", "\n"))
+          }
           val winExpr = call.fn match {
             case "TUMBLE" =>
               val size = duration(toks, call.args(2)._1, call.args(2)._2)
@@ -331,20 +369,25 @@ object GroupWindowSql {
     "UNION", "INTERSECT", "EXCEPT", "QUALIFY")
 
   /** The token-level statement rewrite for one streaming TVF (see
-    * [[rewriteStreamingTvfs]]). */
+    * [[rewriteStreamingTvfs]]). `endExpr` is the scalar replacement
+    * for `window_end` — `window.end` for TUMBLE/HOP, the growing
+    * `window.start + k·step` for a CUMULATE branch. */
   private def spliceStreamingTvf(sql: String, toks: Vector[S.Tok],
-                                 call: TvfCall, winExpr: String): String = {
+                                 call: TvfCall, winExpr: String,
+                                 endExpr: String = "window.end"): String = {
     val edits = Seq.newBuilder[S.Splice]
     edits += S.Splice(call.start, call.outerClose, call.src)
     var depth = 0
     var inGroupBy = false
     var gbDepth = 0
     var gbKeyDone = false
+    var inSelect = false
+    var selDepth = 0
     var i = 0
     def scalarFor(up: String): String = up match {
       case "WINDOW_START" => "window.start"
-      case "WINDOW_END" => "window.end"
-      case _ => "(window.end - INTERVAL '0.001' SECOND)"
+      case "WINDOW_END" => endExpr
+      case _ => s"($endExpr - INTERVAL '0.001' SECOND)"
     }
     while (i < toks.length) {
       val t = toks(i)
@@ -356,6 +399,8 @@ object GroupWindowSql {
           depth -= 1
           if (inGroupBy && depth < gbDepth) inGroupBy = false
         }
+        if (t.is("SELECT")) { inSelect = true; selDepth = depth }
+        else if (inSelect && depth == selDepth && t.is("FROM")) inSelect = false
         if (t.is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
           inGroupBy = true; gbDepth = depth; gbKeyDone = false; i += 1
         } else if (inGroupBy && depth == gbDepth && t.kind == S.Ident &&
@@ -382,7 +427,16 @@ object GroupWindowSql {
                 prevTok.text == ",") prevTok.start else t.start
               edits += S.Splice(from, t.end, "")
             }
-          } else edits += S.Splice(t.start, t.end, scalarFor(up))
+          } else {
+            // a BARE select-list item keeps its output name: the next
+            // token ends the item (comma / FROM) and no alias follows
+            val bareSelectItem = inSelect && depth == selDepth &&
+              nextTok != null && (nextTok.is("FROM") ||
+                (nextTok.kind == S.Sym && nextTok.text == ","))
+            val repl = if (bareSelectItem)
+              s"${scalarFor(up)} AS ${t.text}" else scalarFor(up)
+            edits += S.Splice(t.start, t.end, repl)
+          }
         }
         i += 1
       }

@@ -718,4 +718,75 @@ class SqlTextSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, 1L, 2L)), s"streaming MR statement match: $rows")
   }
+
+  // ---- streaming windowing-TVF rewrite (r9) ----
+
+  test("streaming TVF text rewrites to the GROUP BY window() form") {
+    import org.apache.spark.sql.functions._
+    // a genuinely STREAMING view (rate source; never started)
+    spark.readStream.format("rate").load()
+      .withColumn("ts", col("timestamp"))
+      .createOrReplaceTempView("gw_stream_v")
+    val out = GroupWindowSql.rewrite(
+      """SELECT window_start, window_end AS we, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_stream_v, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end""".stripMargin)
+    // grouping keys collapse into ONE window() call
+    assert(out.contains("GROUP BY window(ts, '1 hour')"), out)
+    assert(!out.toUpperCase.contains("TUMBLE"), out)
+    // bare select item keeps its output name; aliased item keeps its alias
+    assert(out.contains("window.start AS window_start"), out)
+    assert(out.contains("window.end AS we"), out)
+    // HOP maps to the sliding window form
+    val hop = GroupWindowSql.rewrite(
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(HOP(TABLE gw_stream_v, DESCRIPTOR(ts),
+        |               INTERVAL '1' HOUR, INTERVAL '2' HOUR))
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(hop.contains("GROUP BY window(ts, '2 hour', '1 hour')"), hop)
+    // a BATCH view keeps the batch subquery rewrite (projection form)
+    spark.range(1).selectExpr("timestamp_micros(id) AS ts")
+      .createOrReplaceTempView("gw_batch_v")
+    val batch = GroupWindowSql.rewrite(
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_batch_v, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(batch.contains("AS window_start"), batch)
+    assert(!batch.contains("GROUP BY window(ts"), batch)
+  }
+
+  test("streaming CUMULATE TVF = UNION ALL of per-step tumbling branches") {
+    import org.apache.spark.sql.functions._
+    spark.readStream.format("rate").load()
+      .withColumn("ts", col("timestamp"))
+      .createOrReplaceTempView("gw_stream_cum")
+    val out = GroupWindowSql.rewrite(
+      """SELECT window_start, window_end, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
+        |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end""".stripMargin)
+    // 4 branches (max/step), each a max-size tumbling agg over the
+    // row-local first-k-steps filter, ends growing by step
+    assert(out.split("UNION ALL").length == 4, out)
+    assert(out.contains("% 86400000000) < 21600000000"), out)
+    assert(out.contains("(window.start + INTERVAL '21600' SECOND) AS window_end"), out)
+    assert(out.contains("(window.start + INTERVAL '86400' SECOND) AS window_end"), out)
+    assert(out.contains("GROUP BY window(ts, '1 day')"), out)
+    // top-level ORDER BY cannot survive the union duplication — loud
+    val e = intercept[RuntimeException] {
+      GroupWindowSql.rewrite(
+        """SELECT window_start, count(*) AS n
+          |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
+          |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
+          |GROUP BY window_start ORDER BY window_start""".stripMargin)
+    }
+    assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+    // SESSION TVF on a stream points at the GROUP BY spelling
+    val se = intercept[RuntimeException] {
+      GroupWindowSql.rewrite(
+        """SELECT window_start FROM TABLE(SESSION(TABLE gw_stream_cum,
+          |DESCRIPTOR(ts), INTERVAL '30' MINUTE)) GROUP BY window_start""".stripMargin)
+    }
+    assert(se.getMessage.contains("GROUP BY SESSION"), se.getMessage)
+  }
 }
