@@ -1708,6 +1708,32 @@ object Streaming extends QueryGroup {
         .orderBy("window_start", "window_end")
     },
 
+    // HOP TVF text on a STREAM (st45's sliding sibling): the rewrite
+    // maps to Spark's native sliding window(ts, size, slide) grouping
+    // key, so the statement plans the incremental sliding-window
+    // aggregation — each hop emits once at watermark passage. Oracle
+    // = st10's hop fan-out with the same cutoff.
+    q("st47_hop_tvf_stream",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events)
+        |SELECT window_start, n FROM (
+        |  SELECT tb - to_seconds(k * 1800) AS window_start, count(*) AS n
+        |  FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |    unnest([0, 1]) AS u(k)
+        |  GROUP BY 1), wm
+        |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= wm.wm_us
+        |ORDER BY window_start""".stripMargin) { (s, dir) =>
+      eventStream(s, dir).withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("st47_events")
+      val agg = s.sql(
+        """SELECT window_start, count(*) AS n
+          |FROM TABLE(HOP(TABLE st47_events, DESCRIPTOR(ts),
+          |               INTERVAL '30' MINUTE, INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end""".stripMargin)
+      require(agg.isStreaming, "st47: streaming HOP TVF lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st47_out")
+        .orderBy("window_start")
+    },
+
     // UPDATE_BEFORE emission (the reference's retract mode —
     // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
     // pairs): st29's LEFT OUTER join with updateBefore on — the pad
