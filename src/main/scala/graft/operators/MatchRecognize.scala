@@ -458,6 +458,14 @@ object MatchRecognize {
         // and the measures silently return null/0.
         Step(name.toUpperCase, name.toUpperCase, quant)
       }.toSeq
+    // SUBSET members must be PATTERN variables — a DEFINE-only name
+    // has no step to read bindings from (the streaming measures fold
+    // would otherwise index bindings(-1))
+    val stepKinds = steps.map(_.kind).toSet
+    subsets.foreach { case (n, mems) =>
+      mems.foreach(v => require(stepKinds(v),
+        s"SUBSET $n member $v does not appear in PATTERN"))
+    }
     val withinMicros = withinRe.findFirstMatchIn(clause).map { m =>
       val unit = m.group(2).toUpperCase match {
         case "HOUR" => 3600000000L

@@ -301,7 +301,10 @@ object PatternNFA {
       if (i >= base && i < size) Some(buf(i - base)) else None
     def iteratorFrom(i: Int): Iterator[Ev] =
       if (i >= size) Iterator.empty
-      else buf.iterator.drop(math.max(i, base) - base)
+      else {
+        require(i >= base, s"evicted index $i read (base $base) — scan bug")
+        buf.iterator.drop(i - base)
+      }
     def evictBelow(i: Int): Unit = {
       val k = math.min(i, size) - base
       if (k > 0) { buf.remove(0, k); base += k }
@@ -361,7 +364,7 @@ object PatternNFA {
     val (isteps, ds) = prepare(events, steps, kindPreds(steps), Nil, Map.empty)
     sortedByKey(ds).mapPartitions { it =>
       scanSortedPartition[PTimeout](it, isteps, withinMicros, afterMatch,
-        collectTimeouts = true, bufGauge)(
+        collectTimeouts = true, bufGauge, wantMatches = false)(
         (_, _, _) => Nil,
         (_, t) => Seq(t))
     }.toDF()
@@ -559,14 +562,22 @@ object PatternNFA {
     }.toMap
     def stepsFor(vs: Seq[String], curIdx: Int, what: String): Seq[Int] = {
       require(vs.nonEmpty, s"$what resolves no pattern variables")
-      vs.map { v =>
-        val i = stepIdxOf.getOrElse(v,
+      val idxs = vs.map { v =>
+        stepIdxOf.getOrElse(v,
           sys.error(s"$what references unknown pattern variable $v"))
-        require(i <= curIdx,
-          s"DEFINE may not reference a LATER pattern variable ($v) — " +
-            "forward references are invalid in row-pattern DEFINE (SQL:2016)")
-        i
       }
+      // single variables: strict no-forward-reference (SQL:2016). A
+      // SUBSET union variable is legal as long as SOME member is at or
+      // before the current step — later members simply contribute no
+      // rows yet (running semantics; the reference's subsets behave
+      // the same way)
+      if (idxs.size == 1) require(idxs.head <= curIdx,
+        s"DEFINE may not reference a LATER pattern variable (${vs.head}) — " +
+          "forward references are invalid in row-pattern DEFINE (SQL:2016)")
+      else require(idxs.exists(_ <= curIdx),
+        s"$what references a SUBSET whose members are ALL later pattern " +
+          s"variables (${vs.mkString(", ")}) — nothing can be bound yet")
+      idxs
     }
     def resolveNav(e: NavExpr, curIdx: Int): RNav = e match {
       case NavExpr.Lit(v) => RLit(v)
@@ -702,16 +713,29 @@ object PatternNFA {
       // (arg contains only Lit/Cur/Bin by resolve-time validation, so
       // the other context arguments are inert)
       val rows = rowsOf(steps, acc, curStep, curPartial, cand)
-      val vs = rows.iterator.map(r =>
+      // SQL null-skipping over TYPED values: COUNT counts every
+      // non-NULL value (strings included); MIN/MAX over an all-string
+      // column compare lexically; SUM/AVG are numeric (non-numeric
+      // values are NULL-skipped like SQL's implicit-cast failure)
+      val vals = rows.iterator.map(r =>
           evalNav(arg, evs, r, anchorIdx, acc, curStep, curPartial))
-        .collect { case d: Double if !d.isNaN => d }.toVector
+        .filter {
+          case d: Double => !d.isNaN
+          case st: String => st != null
+          case _ => false
+        }.toVector
+      def nums = vals.collect { case d: Double => d }
       fn match {
-        case "COUNT" => vs.size.toDouble
-        case _ if vs.isEmpty => Double.NaN // SQL: aggregate of nothing is NULL
-        case "SUM" => vs.sum
-        case "AVG" => vs.sum / vs.size
-        case "MIN" => vs.min
-        case "MAX" => vs.max
+        case "COUNT" => vals.size.toDouble
+        case _ if vals.isEmpty => Double.NaN // SQL: aggregate of nothing is NULL
+        case "MIN" | "MAX" if vals.forall(_.isInstanceOf[String]) =>
+          val ss = vals.collect { case st: String => st }
+          if (fn == "MIN") ss.min else ss.max
+        case _ if nums.isEmpty => Double.NaN
+        case "SUM" => nums.sum
+        case "AVG" => nums.sum / nums.size
+        case "MIN" => nums.min
+        case "MAX" => nums.max
       }
   }
 
@@ -927,7 +951,8 @@ object PatternNFA {
       rows: Iterator[(Long, Long, Long, Long, Array[Double], Array[String])],
       isteps: Seq[INode], withinMicros: Long, afterMatch: AfterMatch,
       collectTimeouts: Boolean,
-      gauge: Option[org.apache.spark.util.LongAccumulator])(
+      gauge: Option[org.apache.spark.util.LongAccumulator],
+      wantMatches: Boolean = true)(
       onMatch: (Long, Vector[Vector[Ev]], Long) => Seq[O],
       onTimeout: (Long, PTimeout) => Seq[O]): Iterator[O] = new Iterator[O] {
 
@@ -948,13 +973,18 @@ object PatternNFA {
       val deadline = a.ts + withinMicros
       if (enumerateAll) {
         val all = matchAll(buf, isteps.drop(1), a, deadline, a.idx,
-          Vector(Vector(a)), hasCtx).toVector
-        if (all.nonEmpty) all.foreach { rest =>
+          Vector(Vector(a)), hasCtx)
+        if (!all.hasNext) {
+          if (collectTimeouts)
+            out ++= onTimeout(curKey,
+              timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx))
+        } else if (wantMatches) all.foreach { rest =>
+          // lazy: completions stream straight into the output queue —
+          // never materialized; a matches-discarding caller
+          // (runTimeouts) stops at the hasNext probe above
           matchNo += 1
           out ++= onMatch(curKey, Vector(Vector(a)) ++ rest, matchNo)
-        } else if (collectTimeouts)
-          out ++= onTimeout(curKey,
-            timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx))
+        }
       } else matchFrom(buf, isteps.drop(1), a, deadline, a.idx,
           Vector(Vector(a)), hasCtx) match {
         case Some(rest) =>
@@ -1074,11 +1104,6 @@ object PatternNFA {
       out.result().iterator
     }.toDF()
   }
-
-  private def sortKey(it: Iterator[(Long, Long, Long, Long, Array[Double], Array[String])])
-      : Vector[Ev] =
-    it.map(e => (e._2, e._3, e._4, e._5, e._6)).toVector.sortBy(e => (e._1, e._2))
-      .zipWithIndex.map { case ((ts, id, s, nv, ns), i) => Ev(ts, id, s, i, nv, ns) }
 
   /** Bind `steps` after `prev`, earliest-first with backtracking.
     * Returns one Vector[Ev] of bound events per step (empty Vector for

@@ -325,15 +325,19 @@ object GroupWindowSql {
             require(stepMs % 1000 == 0 && sizeMs % 1000 == 0,
               s"CUMULATE on a stream needs whole-second step/max: $sql")
             val m = (sizeMs / stepMs).toInt
-            // a top-level ORDER BY / LIMIT cannot survive the UNION
-            // duplication — reject loudly (streams reject them anyway)
+            // the statement is DUPLICATED per branch, so anything
+            // that binds to the whole statement — top-level ORDER BY /
+            // LIMIT / a WITH prefix — cannot survive the UNION ALL
+            // rewrite; reject loudly (streams reject ORDER BY anyway)
             var d = 0
             toks.foreach { t =>
               if (t.kind == S.Sym && t.text == "(") d += 1
               else if (t.kind == S.Sym && t.text == ")") d -= 1
-              else if (d == 0 && (t.is("ORDER") || t.is("LIMIT")))
+              else if (d == 0 &&
+                  (t.is("ORDER") || t.is("LIMIT") || t.is("WITH")))
                 sys.error("CUMULATE TVF on a STREAMING view cannot carry " +
-                  s"a top-level ORDER BY/LIMIT (UNION ALL rewrite): $sql")
+                  "a top-level ORDER BY/LIMIT/WITH (the statement is " +
+                  s"duplicated per step branch): $sql")
             }
             val branches = (1 to m).map { k =>
               val endSec = k * stepMs / 1000
@@ -377,6 +381,34 @@ object GroupWindowSql {
                                  endExpr: String = "window.end"): String = {
     val edits = Seq.newBuilder[S.Splice]
     edits += S.Splice(call.start, call.outerClose, call.src)
+    // the TVF's own query BLOCK: the innermost paren pair enclosing it
+    // (the whole statement when the TVF sits at top level). window_*
+    // references OUTSIDE the block belong to other scopes — an outer
+    // query's window_start is a plain output-column reference and is
+    // not this rewrite's to touch.
+    var blockFrom = 0
+    var blockTo = Int.MaxValue
+    locally {
+      val stack = scala.collection.mutable.Stack[Int]()
+      var j = 0
+      var found = false
+      while (j < toks.length && !found) {
+        val tj = toks(j)
+        if (tj.start >= call.start) {
+          if (stack.nonEmpty) {
+            val open = stack.top
+            val close = S.closeParen(toks, open)
+            blockFrom = toks(open).end
+            blockTo = toks(close).start
+          }
+          found = true
+        } else if (tj.kind == S.Sym && tj.text == "(") stack.push(j)
+        else if (tj.kind == S.Sym && tj.text == ")") {
+          if (stack.nonEmpty) { stack.pop(); () }
+        }
+        j += 1
+      }
+    }
     var depth = 0
     var inGroupBy = false
     var gbDepth = 0
@@ -391,8 +423,10 @@ object GroupWindowSql {
     }
     while (i < toks.length) {
       val t = toks(i)
-      // skip the TVF span itself (already spliced)
-      if (t.start >= call.start && t.end <= call.outerClose) { i += 1 }
+      // skip the TVF span itself (already spliced) and everything
+      // outside the TVF's query block
+      if ((t.start >= call.start && t.end <= call.outerClose) ||
+          t.start < blockFrom || t.end > blockTo) { i += 1 }
       else {
         if (t.kind == S.Sym && t.text == "(") depth += 1
         else if (t.kind == S.Sym && t.text == ")") {

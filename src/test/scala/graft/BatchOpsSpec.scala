@@ -446,6 +446,49 @@ class BatchOpsSpec extends AnyFunSuite {
           |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
     }
     assert(collide.getMessage.contains("collides"))
+    // a member with a DEFINE entry but absent from PATTERN has no step
+    // to read bindings from — loud at compile, not bindings(-1) later
+    val notInPattern = intercept[IllegalArgumentException] {
+      MatchRecognize.compile(
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  PATTERN (A B) SUBSET U = (B, C) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c')""".stripMargin)
+    }
+    assert(notInPattern.getMessage.contains("does not appear in PATTERN"))
+    // a union variable may include LATER members in DEFINE (they bind
+    // nothing yet — running semantics); only all-later is rejected
+    MatchRecognize.compile(
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES COUNT(U.id) AS n ONE ROW PER MATCH
+        |  PATTERN (A B C) SUBSET U = (B, C)
+        |  WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a',
+        |         B AS kind = 'b' AND SUM(U.value) < 10,
+        |         C AS kind = 'c')""".stripMargin)
+  }
+
+  test("DEFINE aggregates over typed values: COUNT strings, MIN/MAX lexical") {
+    import graft.operators.MatchRecognize
+    import spark.implicits._
+    // COUNT counts non-null STRING values; key 2's second b has a null
+    // tag, so its running COUNT stays 1 and the pattern needs a third b
+    val events = Seq(
+      (1L, 10L, 1L, "a", "x"), (1L, 20L, 2L, "b", "p"),
+      (1L, 30L, 3L, "b", "q"), (1L, 40L, 4L, "c", "z"),
+      (2L, 10L, 5L, "a", "x"), (2L, 20L, 6L, "b", "p"),
+      (2L, 30L, 7L, "b", null), (2L, 40L, 8L, "c", "z")
+    ).toDF("key", "tsMicros", "id", "kind", "tag")
+    val out = MatchRecognize.run(spark, events,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES COUNT(B.id) AS n_b ONE ROW PER MATCH
+        |  PATTERN (A B+ C) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a',
+        |         B AS kind = 'b' AND COUNT(B.tag) <= 2,
+        |         C AS kind = 'c' AND MIN(B.tag) = 'p')""".stripMargin)
+      .select("key", "n_b").as[(Long, Long)].collect().toMap
+    // key 1: both b's have tags (COUNT(B.tag) = 1, 2 <= 2; MIN = 'p')
+    // key 2: the null tag is skipped by COUNT and MIN — still matches
+    assert(out == Map(1L -> 2L, 2L -> 2L), out.toString)
   }
 
   test("MATCH_RECOGNIZE RUNNING/FINAL measure keywords") {

@@ -744,6 +744,15 @@ class SqlTextSpec extends AnyFunSuite {
         |               INTERVAL '1' HOUR, INTERVAL '2' HOUR))
         |GROUP BY window_start, window_end""".stripMargin)
     assert(hop.contains("GROUP BY window(ts, '2 hour', '1 hour')"), hop)
+    // the rewrite is BLOCK-SCOPED: an outer query's window_start is a
+    // plain output-column reference and must survive untouched
+    val nested = GroupWindowSql.rewrite(
+      """SELECT window_start, n FROM (
+        |  SELECT window_start, count(*) AS n
+        |  FROM TABLE(TUMBLE(TABLE gw_stream_v, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |  GROUP BY window_start, window_end) WHERE n > 0""".stripMargin)
+    assert(nested.startsWith("SELECT window_start, n FROM ("), nested)
+    assert(nested.contains("window.start AS window_start"), nested)
     // a BATCH view keeps the batch subquery rewrite (projection form)
     spark.range(1).selectExpr("timestamp_micros(id) AS ts")
       .createOrReplaceTempView("gw_batch_v")
@@ -781,6 +790,16 @@ class SqlTextSpec extends AnyFunSuite {
           |GROUP BY window_start ORDER BY window_start""".stripMargin)
     }
     assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+    // a WITH prefix cannot survive the per-branch duplication — loud
+    val we = intercept[RuntimeException] {
+      GroupWindowSql.rewrite(
+        """WITH f AS (SELECT 1 AS one)
+          |SELECT window_start, count(*) AS n
+          |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
+          |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
+          |GROUP BY window_start""".stripMargin)
+    }
+    assert(we.getMessage.contains("WITH"), we.getMessage)
     // SESSION TVF on a stream points at the GROUP BY spelling
     val se = intercept[RuntimeException] {
       GroupWindowSql.rewrite(
