@@ -1734,6 +1734,43 @@ object Streaming extends QueryGroup {
         .orderBy("window_start")
     },
 
+    // SESSION TVF text on a STREAM (the fourth TVF spelling closed on
+    // the unbounded side): the rewrite maps to Spark's native
+    // session_window(ts, gap) grouping key — the incremental MERGING
+    // session aggregation st35's GROUP BY spelling plans — with the
+    // PTF's PARTITION BY keys carried by the consumer's own GROUP BY.
+    // Oracle = st35's gaps-and-islands with the same cutoff.
+    q("st48_session_tvf_stream",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, window_start, window_end, n FROM (
+        |  SELECT user_id, min(ts) AS window_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS window_end, count(*) AS n
+        |  FROM sess GROUP BY user_id, sid), wm
+        |WHERE epoch_us(window_end) <= wm.wm_us
+        |ORDER BY user_id, window_start""".stripMargin) { (s, dir) =>
+      eventStream(s, dir).withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("st48_events")
+      val agg = s.sql(
+        """SELECT user_id, window_start, window_end, count(*) AS n
+          |FROM TABLE(SESSION(TABLE st48_events PARTITION BY user_id,
+          |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+          |GROUP BY user_id, window_start, window_end""".stripMargin)
+      require(agg.isStreaming, "st48: streaming SESSION TVF lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st48_out")
+        .orderBy("user_id", "window_start")
+    },
+
     // UPDATE_BEFORE emission (the reference's retract mode —
     // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
     // pairs): st29's LEFT OUTER join with updateBefore on — the pad

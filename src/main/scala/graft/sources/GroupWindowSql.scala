@@ -300,11 +300,20 @@ object GroupWindowSql {
     while (i < toks.length) {
       parseTvfCall(toks, i, sql) match {
         case Some(call) if isStreamingView(call.src) =>
-          if (call.fn == "SESSION")
-            sys.error("SESSION TVF text on a STREAMING view is not " +
-              "supported here: use the GROUP BY SESSION(ts, gap) " +
-              "spelling, which plans Spark's incremental merging " +
-              "session aggregation")
+          if (call.fn == "SESSION") {
+            // the STREAMING side has exactly what the batch islands
+            // rewrite lacks: Spark's native session_window() grouping
+            // key plans the incremental MERGING session aggregation
+            // (st35's GROUP BY spelling) — so the TVF text maps to it.
+            // The PTF's PARTITION BY keys are inert here: Spark keys
+            // sessions by the consumer's other GROUP BY columns, which
+            // is where the standard requires them to appear anyway.
+            val gap = duration(toks, call.args(2)._1, call.args(2)._2)
+            return Some(spliceStreamingTvf(sql, toks, call,
+              winExpr = s"session_window(${call.tsCol}, '$gap')",
+              endExpr = "session_window.end",
+              startExpr = "session_window.start"))
+          }
           if (call.fn == "CUMULATE") {
             // CUMULATE on a stream: window [W, W+k·step) is the
             // max-size tumbling window restricted to rows whose
@@ -373,12 +382,14 @@ object GroupWindowSql {
     "UNION", "INTERSECT", "EXCEPT", "QUALIFY")
 
   /** The token-level statement rewrite for one streaming TVF (see
-    * [[rewriteStreamingTvfs]]). `endExpr` is the scalar replacement
-    * for `window_end` — `window.end` for TUMBLE/HOP, the growing
-    * `window.start + k·step` for a CUMULATE branch. */
+    * [[rewriteStreamingTvfs]]). `endExpr`/`startExpr` are the scalar
+    * replacements for `window_end`/`window_start` — `window.*` for
+    * TUMBLE/HOP, `session_window.*` for SESSION, the growing
+    * `window.start + k·step` end for a CUMULATE branch. */
   private def spliceStreamingTvf(sql: String, toks: Vector[S.Tok],
                                  call: TvfCall, winExpr: String,
-                                 endExpr: String = "window.end"): String = {
+                                 endExpr: String = "window.end",
+                                 startExpr: String = "window.start"): String = {
     val edits = Seq.newBuilder[S.Splice]
     edits += S.Splice(call.start, call.outerClose, call.src)
     // the TVF's own query BLOCK: the innermost paren pair enclosing it
@@ -417,7 +428,7 @@ object GroupWindowSql {
     var selDepth = 0
     var i = 0
     def scalarFor(up: String): String = up match {
-      case "WINDOW_START" => "window.start"
+      case "WINDOW_START" => startExpr
       case "WINDOW_END" => endExpr
       case _ => s"($endExpr - INTERVAL '0.001' SECOND)"
     }

@@ -800,12 +800,14 @@ class SqlTextSpec extends AnyFunSuite {
           |GROUP BY window_start""".stripMargin)
     }
     assert(we.getMessage.contains("WITH"), we.getMessage)
-    // SESSION TVF on a stream points at the GROUP BY spelling
-    val se = intercept[RuntimeException] {
-      GroupWindowSql.rewrite(
-        """SELECT window_start FROM TABLE(SESSION(TABLE gw_stream_cum,
-          |DESCRIPTOR(ts), INTERVAL '30' MINUTE)) GROUP BY window_start""".stripMargin)
-    }
-    assert(se.getMessage.contains("GROUP BY SESSION"), se.getMessage)
+    // SESSION TVF on a stream maps to the native merging session key
+    val se = GroupWindowSql.rewrite(
+      """SELECT k, window_start, window_end AS we, count(*) AS n
+        |FROM TABLE(SESSION(TABLE gw_stream_cum PARTITION BY k,
+        |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin)
+    assert(se.contains("GROUP BY k, session_window(ts, '30 minute')"), se)
+    assert(se.contains("session_window.start AS window_start"), se)
+    assert(se.contains("session_window.end AS we"), se)
   }
 }
