@@ -724,7 +724,7 @@ object PatternNFA {
           case st: String => st != null
           case _ => false
         }.toVector
-      def nums = vals.collect { case d: Double => d }
+      lazy val nums = vals.collect { case d: Double => d }
       fn match {
         case "COUNT" => vals.size.toDouble
         case _ if vals.isEmpty => Double.NaN // SQL: aggregate of nothing is NULL

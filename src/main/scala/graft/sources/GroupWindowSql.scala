@@ -288,12 +288,13 @@ object GroupWindowSql {
     *    / the end−1ms rowtime — resolvable AFTER the aggregate.
     *
     * TUMBLE maps to `window(ts, size)`, HOP to `window(ts, size,
-    * slide)` — both natively incremental in Spark. CUMULATE and
-    * SESSION TVF text on a stream stay loud: CUMULATE's growing-end
-    * fan-out has no native streaming window, and the SESSION TVF's
-    * gaps-and-islands form needs window functions Spark does not
-    * stream — `GROUP BY SESSION(ts, gap)` covers that capability.
-    * Returns None when the statement has no streaming TVF. */
+    * slide)`, SESSION to `session_window(ts, gap)` (Spark's native
+    * incremental MERGING session aggregation; the PTF's PARTITION BY
+    * keys must appear in the consumer's GROUP BY — enforced loudly,
+    * since dropping them would silently sessionize globally), and
+    * CUMULATE to a UNION ALL of max/step per-step tumbling branches
+    * (see the branch comment). Returns None when the statement has no
+    * streaming TVF. */
   private def rewriteStreamingTvfs(sql: String): Option[String] = {
     val toks = S.lex(sql)
     var i = 0
@@ -305,10 +306,18 @@ object GroupWindowSql {
             // rewrite lacks: Spark's native session_window() grouping
             // key plans the incremental MERGING session aggregation
             // (st35's GROUP BY spelling) — so the TVF text maps to it.
-            // The PTF's PARTITION BY keys are inert here: Spark keys
-            // sessions by the consumer's other GROUP BY columns, which
-            // is where the standard requires them to appear anyway.
+            // Spark keys sessions by the consumer's OTHER GROUP BY
+            // columns, so the PTF's PARTITION BY keys must appear
+            // there — silently dropping one would sessionize globally
+            // (wrong rows), so a missing key is loud.
             val gap = duration(toks, call.args(2)._1, call.args(2)._2)
+            val gbIdents = groupByIdents(toks)
+            call.partKeys.foreach { k =>
+              require(gbIdents(k.toUpperCase),
+                s"SESSION TVF on a STREAMING view: PARTITION BY key $k " +
+                  "must also appear in the consumer's GROUP BY (Spark " +
+                  "keys merging sessions by the grouping columns): " + sql)
+            }
             return Some(spliceStreamingTvf(sql, toks, call,
               winExpr = s"session_window(${call.tsCol}, '$gap')",
               endExpr = "session_window.end",
@@ -377,6 +386,29 @@ object GroupWindowSql {
     None
   }
 
+  /** Uppercased identifier tokens appearing after any GROUP BY in the
+    * statement (a containment probe for the SESSION key check — the
+    * splice itself re-derives structure). */
+  private def groupByIdents(toks: Vector[S.Tok]): Set[String] = {
+    val out = Set.newBuilder[String]
+    var inGb = false
+    var d = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == S.Sym && t.text == "(") d += 1
+      else if (t.kind == S.Sym && t.text == ")") d -= 1
+      if (t.is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
+        inGb = true; i += 1
+      } else if (inGb && t.kind == S.Ident &&
+          gbTerminators(t.text.toUpperCase)) inGb = false
+      else if (inGb && (t.kind == S.Ident || t.kind == S.QIdent))
+        out += t.ident.toUpperCase
+      i += 1
+    }
+    out.result()
+  }
+
   private val winCols = Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")
   private val gbTerminators = Set("HAVING", "ORDER", "LIMIT", "WINDOW",
     "UNION", "INTERSECT", "EXCEPT", "QUALIFY")
@@ -438,6 +470,16 @@ object GroupWindowSql {
       // outside the TVF's query block
       if ((t.start >= call.start && t.end <= call.outerClose) ||
           t.start < blockFrom || t.end > blockTo) { i += 1 }
+      else if (t.kind == S.Sym && t.text == "(" && {
+          // a SIBLING scope (a paren subtree that does NOT contain the
+          // TVF — CTE bodies, scalar subqueries, other derived tables)
+          // has its own name resolution: its window_* columns are not
+          // this rewrite's to touch — skip the whole subtree
+          val close = S.closeParen(toks, i)
+          !(t.start <= call.start && toks(close).end >= call.outerClose) && {
+            i = close + 1; true
+          }
+        }) { /* skipped to the subtree's end */ }
       else {
         if (t.kind == S.Sym && t.text == "(") depth += 1
         else if (t.kind == S.Sym && t.text == ")") {
@@ -453,10 +495,19 @@ object GroupWindowSql {
           inGroupBy = false
         } else if (t.kind == S.Ident && winCols(t.text.toUpperCase)) {
           val up = t.text.toUpperCase
+          // a source-alias qualifier (t.window_start — the TVF's
+          // derived-table alias) folds into the replacement span: the
+          // window struct is unqualified after the rewrite
+          val prev1 = if (i > 0) toks(i - 1) else null
+          val qualified = prev1 != null && prev1.kind == S.Sym &&
+            prev1.text == "." && i >= 2 &&
+            (toks(i - 2).kind == S.Ident || toks(i - 2).kind == S.QIdent)
+          val spliceFrom = if (qualified) toks(i - 2).start else t.start
           // a bare top-level GROUP BY item: neighbors are BY/commas/
           // clause boundaries — anything else means the column sits
           // inside a bigger expression and gets the scalar form
-          val prevTok = if (i > 0) toks(i - 1) else null
+          val prevTok =
+            if (qualified) { if (i >= 3) toks(i - 3) else null } else prev1
           val nextTok = if (i + 1 < toks.length) toks(i + 1) else null
           val bareItem = inGroupBy && depth == gbDepth &&
             (prevTok == null || prevTok.is("BY") ||
@@ -465,11 +516,11 @@ object GroupWindowSql {
               (nextTok.kind == S.Sym && (nextTok.text == "," || nextTok.text == ")")) ||
               (nextTok.kind == S.Ident && gbTerminators(nextTok.text.toUpperCase)))
           if (bareItem) {
-            if (!gbKeyDone) { edits += S.Splice(t.start, t.end, winExpr); gbKeyDone = true }
+            if (!gbKeyDone) { edits += S.Splice(spliceFrom, t.end, winExpr); gbKeyDone = true }
             else {
               // drop the duplicate key together with its leading comma
               val from = if (prevTok != null && prevTok.kind == S.Sym &&
-                prevTok.text == ",") prevTok.start else t.start
+                prevTok.text == ",") prevTok.start else spliceFrom
               edits += S.Splice(from, t.end, "")
             }
           } else {
@@ -480,7 +531,7 @@ object GroupWindowSql {
                 (nextTok.kind == S.Sym && nextTok.text == ","))
             val repl = if (bareSelectItem)
               s"${scalarFor(up)} AS ${t.text}" else scalarFor(up)
-            edits += S.Splice(t.start, t.end, repl)
+            edits += S.Splice(spliceFrom, t.end, repl)
           }
         }
         i += 1

@@ -470,8 +470,10 @@ class BatchOpsSpec extends AnyFunSuite {
   test("DEFINE aggregates over typed values: COUNT strings, MIN/MAX lexical") {
     import graft.operators.MatchRecognize
     import spark.implicits._
-    // COUNT counts non-null STRING values; key 2's second b has a null
-    // tag, so its running COUNT stays 1 and the pattern needs a third b
+    // COUNT counts non-null STRING values; key 2's second b has a NULL
+    // tag, so COUNT(B.tag) stays 1 there and MIN skips it — the
+    // two-b match survives on both keys (the old numeric-only
+    // aggregate returned COUNT 0 / MIN NULL and killed every match)
     val events = Seq(
       (1L, 10L, 1L, "a", "x"), (1L, 20L, 2L, "b", "p"),
       (1L, 30L, 3L, "b", "q"), (1L, 40L, 4L, "c", "z"),

@@ -800,6 +800,24 @@ class SqlTextSpec extends AnyFunSuite {
           |GROUP BY window_start""".stripMargin)
     }
     assert(we.getMessage.contains("WITH"), we.getMessage)
+    // qualified references (the TVF derived table's alias) fold into
+    // the unqualified window struct
+    val qual = GroupWindowSql.rewrite(
+      """SELECT t.window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_stream_cum, DESCRIPTOR(ts), INTERVAL '1' DAY)) t
+        |GROUP BY t.window_start, t.window_end""".stripMargin)
+    assert(qual.contains("GROUP BY window(ts, '1 day')"), qual)
+    assert(qual.contains("window.start AS window_start"), qual)
+    assert(!qual.contains("t.window"), qual)
+    // a SIBLING scope (CTE body over another source) keeps its own
+    // window_* columns untouched
+    val cte = GroupWindowSql.rewrite(
+      """WITH hist AS (SELECT window_start, n FROM precomputed)
+        |SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_stream_cum, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(cte.contains("WITH hist AS (SELECT window_start, n FROM precomputed)"), cte)
+    assert(cte.contains("GROUP BY window(ts, '1 day')"), cte)
     // SESSION TVF on a stream maps to the native merging session key
     val se = GroupWindowSql.rewrite(
       """SELECT k, window_start, window_end AS we, count(*) AS n
@@ -809,5 +827,15 @@ class SqlTextSpec extends AnyFunSuite {
     assert(se.contains("GROUP BY k, session_window(ts, '30 minute')"), se)
     assert(se.contains("session_window.start AS window_start"), se)
     assert(se.contains("session_window.end AS we"), se)
+    // a PARTITION BY key missing from the consumer's GROUP BY would
+    // silently sessionize globally — loud instead
+    val miss = intercept[IllegalArgumentException] {
+      GroupWindowSql.rewrite(
+        """SELECT window_start, count(*) AS n
+          |FROM TABLE(SESSION(TABLE gw_stream_cum PARTITION BY k,
+          |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+          |GROUP BY window_start, window_end""".stripMargin)
+    }
+    assert(miss.getMessage.contains("must also appear"), miss.getMessage)
   }
 }
