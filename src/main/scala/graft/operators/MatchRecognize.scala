@@ -113,6 +113,7 @@ object MatchRecognize {
     """(?is)MEASURES\s+(.*?)\s*(?=ONE\s+ROW\s+PER|ALL\s+ROWS\s+PER|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val allRowsRe = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
   private val mnRe = """(?i)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$""".r
+  private val classifierRe = """(?i)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$""".r
   private val aggRe =
     """(?i)^(FIRST|LAST|AVG|SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val roundAggRe =
@@ -151,6 +152,10 @@ object MatchRecognize {
         s"$kw does not apply to MATCH_NUMBER()")
       m.copy(running = kw.equalsIgnoreCase("RUNNING"))
     case mnRe(alias) => Measure("MATCH_NUMBER", "", "", None, alias)
+    // CLASSIFIER() (SQL:2016; the reference's MATCH_RECOGNIZE supports
+    // it): the pattern variable of the LAST row of the match under
+    // FINAL semantics — per-row under RUNNING in ALL ROWS PER MATCH
+    case classifierRe(alias) => Measure("CLASSIFIER", "", "", None, alias)
     case roundAggRe(f, arg, n, alias) => mkAgg(f, arg, Some(n.toInt), alias)
     case aggRe(f, arg, alias) => mkAgg(f, arg, None, alias)
     case bareRe(v, c, alias) => // bare VAR.col ≡ LAST (final semantics)
@@ -541,6 +546,7 @@ object MatchRecognize {
           }
         val base = m.func match {
           case "MATCH_NUMBER" => expr("any_value(match_no)")
+          case "CLASSIFIER" => expr("max_by(var_name, pos)")
           case "FIRST" => expr(s"min_by(${m.colName}, pos)$filt")
           case "LAST" => expr(s"max_by(${m.colName}, pos)$filt")
           case "COUNT" if m.colName == "*" => expr(s"count(1)$filt")
@@ -583,6 +589,7 @@ object MatchRecognize {
           val argC = if (m.colName == "*") lit(1) else expr(m.colName)
           val base = m.func match {
             case "MATCH_NUMBER" => col("match_no")
+            case "CLASSIFIER" => max_by(col("var_name"), col("pos")).over(w)
             case "COUNT" => count(when(cond, argC)).over(w)
             case "FIRST" => min_by(when(cond, argC), when(cond, col("pos"))).over(w)
             case "LAST" => max_by(when(cond, argC), when(cond, col("pos"))).over(w)

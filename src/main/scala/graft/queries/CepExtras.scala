@@ -1390,6 +1390,57 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "match_no", "event_id")
     },
 
+    // CLASSIFIER() measure (SQL:2016; the reference's MATCH_RECOGNIZE
+    // exposes it): the pattern variable of the match's LAST row —
+    // non-vacuous here because the trailing variable is OPTIONAL, so
+    // the classifier is 'C' when a purchase bound and 'B' when the
+    // greedy click loop ended the match.
+    q("mr13_classifier",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, c.c_id, c.c_us
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
+        |  LEFT JOIN LATERAL (SELECT e.event_id AS c_id, e.ts_us AS c_us
+        |    FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id,
+        |  (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
+        |    AND e.event_type = 'click' AND e.ts_us > m.a_us
+        |    AND e.ts_us <= m.a_us + $H72
+        |    AND e.ts_us < coalesce(m.c_us, m.a_us + $H72 + 1)) AS n_b,
+        |  CASE WHEN c_id IS NOT NULL THEN 'C' ELSE 'B' END AS last_var
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr13_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr13_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           COUNT(B.event_id) AS n_b,
+          |           CLASSIFIER() AS last_var
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B+ C?)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         B AS event_type = 'click',
+          |         C AS event_type = 'purchase'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
     // TYPE-GENERAL navigation operands (IterativeCondition.java:52
     // allows arbitrary-typed conditions; r8's NavExpr algebra was
     // numeric-bound): string columns ride the NFA scan in a parallel

@@ -243,6 +243,10 @@ object StreamingMatchRecognize {
     require(c.measures.nonEmpty, "no MEASURES in clause — use apply()")
     require(!c.allRows, "streaming MATCH_RECOGNIZE is ONE ROW PER MATCH only " +
       "(the reference has the same restriction)")
+    require(!c.measures.exists(_.func == "CLASSIFIER"),
+      "CLASSIFIER() is batch-only here: streaming measures ride keyed " +
+        "state as numerics (carried-column design) and the classifier " +
+        "is a string")
     val preds = c.defines.map { case (n, body) => n -> expr(body) }
     val varNames = preds.map(_._1)
     val satCol = preds.zipWithIndex.map { case ((_, p), i) =>

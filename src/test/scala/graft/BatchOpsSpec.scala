@@ -527,6 +527,18 @@ class BatchOpsSpec extends AnyFunSuite {
         |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
       .select("rs", "fs").as[(Double, Double)].collect().toSeq
     assert(one == Seq((5.0, 5.0)))
+    // CLASSIFIER() under both keywords in ALL ROWS PER MATCH: RUNNING
+    // = the current row's variable (last-so-far), FINAL = the match's
+    // last variable on every row
+    val cls = MatchRecognize.run(spark, events,
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  MEASURES RUNNING CLASSIFIER() AS rc, FINAL CLASSIFIER() AS fc
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
+      .select("event_id", "rc", "fc").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(cls == Seq((1L, "A", "B"), (2L, "B", "B"), (3L, "B", "B")), cls)
   }
 
   test("MATCH_RECOGNIZE typed navigation: string literals and columns") {
