@@ -1673,14 +1673,15 @@ object Streaming extends QueryGroup {
     },
 
     // CUMULATE TVF text on a STREAM (FLIP-145's fourth TVF on the
-    // unbounded side — gw19's streaming twin): window [W, W+k·step)
-    // is the max-size tumbling window restricted to rows in the first
-    // k step slices — a ROW-LOCAL epoch-offset filter — so the
-    // statement rewrites to a UNION ALL of max/step independent
-    // incremental tumbling aggregates (bounded state each; values
-    // exact, emission at the MAX window's maturity). Oracle = gw19's
-    // fan-out cut at windows whose max window closed by the final
-    // watermark.
+    // unbounded side — gw19's streaming twin) with the reference's
+    // PER-END firing (r10; r9 deferred every step's emission to the
+    // MAX window's maturity): each row fans out to its cumulate
+    // windows k, timestamp-shifted into the k-th window's final step
+    // slice, so ONE incremental tumbling step-window aggregate fires
+    // each window [W, W+k·step) exactly when the watermark passes
+    // W+k·step. Oracle = gw19's fan-out cut at windows whose OWN end
+    // closed by the final watermark (partial last-day windows now
+    // emit — the per-end semantics this query pins).
     q("st46_cumulate_tvf_stream",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
         |x AS (
@@ -1692,7 +1693,7 @@ object Streaming extends QueryGroup {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM x, wm
-        |WHERE epoch_us(window_start) + 86400000000 <= wm.wm_us
+        |WHERE epoch_us(window_start + to_hours(6 * k)) <= wm.wm_us
         |GROUP BY 1, 2
         |ORDER BY window_start, window_end""".stripMargin) { (s, dir) =>
       eventStream(s, dir).withWatermark("ts", "1 minute")

@@ -292,9 +292,10 @@ object GroupWindowSql {
     * incremental MERGING session aggregation; the PTF's PARTITION BY
     * keys must appear in the consumer's GROUP BY — enforced loudly,
     * since dropping them would silently sessionize globally), and
-    * CUMULATE to a UNION ALL of max/step per-step tumbling branches
-    * (see the branch comment). Returns None when the statement has no
-    * streaming TVF. */
+    * CUMULATE to ONE tumbling step-window aggregate over a per-row
+    * shifted fan-out view with per-end firing (see the branch
+    * comment). Returns None when the statement has no streaming
+    * TVF. */
   private def rewriteStreamingTvfs(sql: String): Option[String] = {
     val toks = S.lex(sql)
     var i = 0
@@ -309,14 +310,19 @@ object GroupWindowSql {
             // Spark keys sessions by the consumer's OTHER GROUP BY
             // columns, so the PTF's PARTITION BY keys must appear
             // there — silently dropping one would sessionize globally
-            // (wrong rows), so a missing key is loud.
+            // (wrong rows), so a missing key is loud. The probe reads
+            // the bare top-level items of the GROUP BY in the TVF's
+            // OWN query block — a statement-global identifier sweep
+            // would accept a key grouped only in some unrelated
+            // subquery or inside an expression (advisor r9).
             val gap = duration(toks, call.args(2)._1, call.args(2)._2)
-            val gbIdents = groupByIdents(toks)
+            val gbIdents = blockGroupByBareItems(toks, call)
             call.partKeys.foreach { k =>
               require(gbIdents(k.toUpperCase),
                 s"SESSION TVF on a STREAMING view: PARTITION BY key $k " +
-                  "must also appear in the consumer's GROUP BY (Spark " +
-                  "keys merging sessions by the grouping columns): " + sql)
+                  "must appear as a bare item of the consumer's own " +
+                  "GROUP BY (Spark keys merging sessions by the " +
+                  "grouping columns): " + sql)
             }
             return Some(spliceStreamingTvf(sql, toks, call,
               winExpr = s"session_window(${call.tsCol}, '$gap')",
@@ -324,50 +330,72 @@ object GroupWindowSql {
               startExpr = "session_window.start"))
           }
           if (call.fn == "CUMULATE") {
-            // CUMULATE on a stream: window [W, W+k·step) is the
-            // max-size tumbling window restricted to rows whose
-            // epoch-aligned offset falls in the first k steps — a
-            // ROW-LOCAL filter, so each k is an independent
-            // incremental tumbling aggregate; the statement becomes a
-            // UNION ALL over k = 1..max/step. State is max/step
-            // tumbling windows per key (bounded); each branch emits at
-            // the MAX window's maturity (values exact, emission
-            // deferred to W+max — the one delta vs the reference's
-            // per-end firing, documented).
+            // CUMULATE on a stream — PER-END firing, single pass
+            // (FLIP-145's SqlCumulateTableFunction; the reference
+            // fires each cumulate window [W, W+k·step) at ITS OWN end
+            // — r9's UNION-ALL-of-branches deferred every emission to
+            // the MAX window's maturity and rescanned the source once
+            // per branch, VERDICT r9 #1/#3). Each row — slice j =
+            // (its offset within the max-aligned window) div step —
+            // belongs to the cumulate windows k = j+1..max/step; fan
+            // it out per k with its timestamp SHIFTED into the k-th
+            // window's FINAL step slice: ts' = ts + (k−1−j)·step. The
+            // tumbling window(ts', step) group is then exactly
+            // [W+(k−1)·step, W+k·step), which (a) decodes losslessly
+            // — window_start = max-floor of its start = W, window_end
+            // = its end = W+k·step — and (b) is evicted by Spark when
+            // the watermark passes W+k·step: per-end firing with the
+            // source's own watermark, because the shift never touches
+            // the EventTimeWatermark node computing it. One scan, one
+            // incremental tumbling aggregate; per-key live state is
+            // the ≤ max/step open step-slices (bounded, same as the
+            // reference's slice assigner). SQL text cannot attach
+            // watermark metadata to the shifted column, so the
+            // fan-out is a registered DataFrame view re-attaching the
+            // source column's delay metadata to the shifted alias —
+            // the analyzer check reads the metadata; the watermark
+            // VALUE still comes from the source node below.
             val step = duration(toks, call.args(2)._1, call.args(2)._2)
             val size = duration(toks, call.args(3)._1, call.args(3)._2)
             val stepMs = millisOf(step)
             val sizeMs = millisOf(size)
             require(sizeMs % stepMs == 0,
               s"CUMULATE max size must be an integral multiple of step: $sql")
-            require(stepMs % 1000 == 0 && sizeMs % 1000 == 0,
-              s"CUMULATE on a stream needs whole-second step/max: $sql")
             val m = (sizeMs / stepMs).toInt
-            // the statement is DUPLICATED per branch, so anything
-            // that binds to the whole statement — top-level ORDER BY /
-            // LIMIT / a WITH prefix — cannot survive the UNION ALL
-            // rewrite; reject loudly (streams reject ORDER BY anyway)
-            var d = 0
-            toks.foreach { t =>
-              if (t.kind == S.Sym && t.text == "(") d += 1
-              else if (t.kind == S.Sym && t.text == ")") d -= 1
-              else if (d == 0 &&
-                  (t.is("ORDER") || t.is("LIMIT") || t.is("WITH")))
-                sys.error("CUMULATE TVF on a STREAMING view cannot carry " +
-                  "a top-level ORDER BY/LIMIT/WITH (the statement is " +
-                  s"duplicated per step branch): $sql")
+            val stepUs = stepMs * 1000L
+            val sizeUs = sizeMs * 1000L
+            val ts = call.tsCol
+            val spark = org.apache.spark.sql.SparkSession.active
+            val src = spark.table(call.src)
+            val tsField = src.schema.fields
+              .find(_.name.equalsIgnoreCase(
+                ts.stripPrefix("`").stripSuffix("`")))
+              .getOrElse(sys.error(
+                s"CUMULATE TVF: DESCRIPTOR column $ts not in ${call.src}"))
+            require(tsField.metadata.contains("spark.watermarkDelayMs"),
+              s"CUMULATE TVF on a STREAMING view needs a watermark on $ts " +
+                s"(the per-end firing rides its eviction): $sql")
+            // j = offset-in-max-window in step units; pmod keeps
+            // pre-1970 timestamps aligned the same way window() does
+            val jExpr = s"(pmod(unix_micros($ts), $sizeUs) div $stepUs)"
+            val shifted = s"timestampadd(MICROSECOND, " +
+              s"(CAST(_graft_k AS BIGINT) - 1 - $jExpr) * $stepUs, $ts)"
+            import org.apache.spark.sql.functions.{col, explode, expr}
+            val cols = src.columns.toSeq.map { c =>
+              if (c == tsField.name) expr(shifted).as(c, tsField.metadata)
+              else col(c)
             }
-            val branches = (1 to m).map { k =>
-              val endSec = k * stepMs / 1000
-              val filteredSrc = s"(SELECT * FROM ${call.src} WHERE " +
-                s"(unix_micros(${call.tsCol}) % ${sizeMs * 1000L}) < " +
-                s"${k * stepMs * 1000L})"
-              spliceStreamingTvf(sql, toks,
-                call.copy(src = filteredSrc),
-                winExpr = s"window(${call.tsCol}, '$size')",
-                endExpr = s"(window.start + INTERVAL '$endSec' SECOND)")
-            }
-            return Some(branches.mkString("\n", "\nUNION ALL\n", "\n"))
+            val view = (call.src + s"_graft_cum_${stepMs}_$sizeMs")
+              .replaceAll("[^A-Za-z0-9_]", "_")
+            src.withColumn("_graft_k",
+                explode(expr(s"sequence($jExpr + 1, CAST($m AS BIGINT))")))
+              .select(cols: _*)
+              .createOrReplaceTempView(view)
+            return Some(spliceStreamingTvf(sql, toks, call.copy(src = view),
+              winExpr = s"window($ts, '$step')",
+              startExpr = s"timestamp_micros(unix_micros(window.start) " +
+                s"- pmod(unix_micros(window.start), $sizeUs))",
+              endExpr = "window.end"))
           }
           val winExpr = call.fn match {
             case "TUMBLE" =>
@@ -386,26 +414,105 @@ object GroupWindowSql {
     None
   }
 
-  /** Uppercased identifier tokens appearing after any GROUP BY in the
-    * statement (a containment probe for the SESSION key check — the
-    * splice itself re-derives structure). */
-  private def groupByIdents(toks: Vector[S.Tok]): Set[String] = {
+  /** Character-offset bounds of the TVF's own query BLOCK: the
+    * innermost paren pair enclosing the call (the whole statement when
+    * the TVF sits at top level). window_* references outside the
+    * block belong to other scopes. */
+  private def blockBounds(toks: Vector[S.Tok], call: TvfCall): (Int, Int) = {
+    var blockFrom = 0
+    var blockTo = Int.MaxValue
+    val stack = scala.collection.mutable.Stack[Int]()
+    var j = 0
+    var found = false
+    while (j < toks.length && !found) {
+      val tj = toks(j)
+      if (tj.start >= call.start) {
+        if (stack.nonEmpty) {
+          val open = stack.top
+          val close = S.closeParen(toks, open)
+          blockFrom = toks(open).end
+          blockTo = toks(close).start
+        }
+        found = true
+      } else if (tj.kind == S.Sym && tj.text == "(") stack.push(j)
+      else if (tj.kind == S.Sym && tj.text == ")") {
+        if (stack.nonEmpty) { stack.pop(); () }
+      }
+      j += 1
+    }
+    (blockFrom, blockTo)
+  }
+
+  /** Does the paren at token index `open` start a separate
+    * name-resolution SCOPE — a derived table, scalar subquery, or CTE
+    * body, i.e. its first non-paren token is SELECT or WITH?
+    * Expression parens (function arguments, CASE arms, arithmetic) are
+    * NOT scopes: window_* inside them still belongs to the enclosing
+    * query block and must be rewritten (advisor r9 —
+    * date_format(window_start, …) was previously skipped wholesale and
+    * failed analysis or silently bound to a same-named source
+    * column). */
+  private def opensScope(toks: Vector[S.Tok], open: Int): Boolean = {
+    var j = open + 1
+    while (j < toks.length && toks(j).kind == S.Sym && toks(j).text == "(")
+      j += 1
+    j < toks.length && (toks(j).is("SELECT") || toks(j).is("WITH"))
+  }
+
+  /** Bare top-level items of the GROUP BY in the TVF's own query block
+    * — the uppercased (trailing) identifier of single- or
+    * qualified-identifier items; expression items (`f(k)`, `k + 1`)
+    * contribute nothing. Drives the SESSION TVF partition-key guard:
+    * a statement-global sweep would accept a key grouped only in an
+    * unrelated subquery or inside an expression, and the sessions
+    * would then silently merge across partition keys. */
+  private def blockGroupByBareItems(toks: Vector[S.Tok],
+                                    call: TvfCall): Set[String] = {
+    val (blockFrom, blockTo) = blockBounds(toks, call)
     val out = Set.newBuilder[String]
     var inGb = false
-    var d = 0
+    // item accumulator: last identifier seen, token count, paren flag
+    var itemToks = 0
+    var itemLastIdent: String = null
+    var itemQualOk = true // shape stays IDENT (. IDENT)* so far
+    var itemParens = false
+    def flush(): Unit = {
+      if (itemLastIdent != null && itemQualOk && !itemParens &&
+          (itemToks == 1 || itemToks == 3))
+        out += itemLastIdent
+      itemToks = 0; itemLastIdent = null; itemQualOk = true
+      itemParens = false
+    }
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      if (t.kind == S.Sym && t.text == "(") d += 1
-      else if (t.kind == S.Sym && t.text == ")") d -= 1
-      if (t.is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
-        inGb = true; i += 1
-      } else if (inGb && t.kind == S.Ident &&
-          gbTerminators(t.text.toUpperCase)) inGb = false
-      else if (inGb && (t.kind == S.Ident || t.kind == S.QIdent))
-        out += t.ident.toUpperCase
-      i += 1
+      if ((t.start >= call.start && t.end <= call.outerClose) ||
+          t.start < blockFrom || t.end > blockTo) { i += 1 }
+      else if (t.kind == S.Sym && t.text == "(") {
+        // any paren subtree: a subquery's GROUP BY is not this block's;
+        // a paren inside an item makes it an expression, not a bare key
+        if (inGb) itemParens = true
+        i = S.closeParen(toks, i) + 1
+      } else {
+        if (t.is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
+          inGb = true; i += 1
+        } else if (inGb && t.kind == S.Ident &&
+            gbTerminators(t.text.toUpperCase)) {
+          flush(); inGb = false
+        } else if (inGb && t.kind == S.Sym && t.text == ",") flush()
+        else if (inGb && (t.kind == S.Ident || t.kind == S.QIdent)) {
+          itemToks += 1
+          itemLastIdent = t.ident.toUpperCase
+          if (itemToks % 2 == 0) itemQualOk = false // ident in a '.' slot
+        } else if (inGb) {
+          itemToks += 1
+          if (!(t.kind == S.Sym && t.text == "." && itemToks % 2 == 0))
+            itemQualOk = false
+        }
+        i += 1
+      }
     }
+    if (inGb) flush()
     out.result()
   }
 
@@ -424,34 +531,11 @@ object GroupWindowSql {
                                  startExpr: String = "window.start"): String = {
     val edits = Seq.newBuilder[S.Splice]
     edits += S.Splice(call.start, call.outerClose, call.src)
-    // the TVF's own query BLOCK: the innermost paren pair enclosing it
-    // (the whole statement when the TVF sits at top level). window_*
+    // the TVF's own query BLOCK (see [[blockBounds]]): window_*
     // references OUTSIDE the block belong to other scopes — an outer
     // query's window_start is a plain output-column reference and is
     // not this rewrite's to touch.
-    var blockFrom = 0
-    var blockTo = Int.MaxValue
-    locally {
-      val stack = scala.collection.mutable.Stack[Int]()
-      var j = 0
-      var found = false
-      while (j < toks.length && !found) {
-        val tj = toks(j)
-        if (tj.start >= call.start) {
-          if (stack.nonEmpty) {
-            val open = stack.top
-            val close = S.closeParen(toks, open)
-            blockFrom = toks(open).end
-            blockTo = toks(close).start
-          }
-          found = true
-        } else if (tj.kind == S.Sym && tj.text == "(") stack.push(j)
-        else if (tj.kind == S.Sym && tj.text == ")") {
-          if (stack.nonEmpty) { stack.pop(); () }
-        }
-        j += 1
-      }
-    }
+    val (blockFrom, blockTo) = blockBounds(toks, call)
     var depth = 0
     var inGroupBy = false
     var gbDepth = 0
@@ -471,14 +555,21 @@ object GroupWindowSql {
       if ((t.start >= call.start && t.end <= call.outerClose) ||
           t.start < blockFrom || t.end > blockTo) { i += 1 }
       else if (t.kind == S.Sym && t.text == "(" && {
-          // a SIBLING scope (a paren subtree that does NOT contain the
-          // TVF — CTE bodies, scalar subqueries, other derived tables)
-          // has its own name resolution: its window_* columns are not
-          // this rewrite's to touch — skip the whole subtree
+          // a SIBLING scope — a paren subtree that does NOT contain
+          // the TVF AND opens a genuinely separate name-resolution
+          // scope (first non-paren token SELECT/WITH: CTE bodies,
+          // scalar subqueries, other derived tables) — is skipped
+          // wholesale: its window_* columns are not this rewrite's to
+          // touch. Plain EXPRESSION parens (function arguments, CASE
+          // arms) stay in scope: window_* inside them gets the scalar
+          // form — date_format(window_start, …) in the select list or
+          // a HAVING over max(window_time) must rewrite, not skip
+          // (advisor r9).
           val close = S.closeParen(toks, i)
-          !(t.start <= call.start && toks(close).end >= call.outerClose) && {
-            i = close + 1; true
-          }
+          !(t.start <= call.start && toks(close).end >= call.outerClose) &&
+            opensScope(toks, i) && {
+              i = close + 1; true
+            }
         }) { /* skipped to the subtree's end */ }
       else {
         if (t.kind == S.Sym && t.text == "(") depth += 1

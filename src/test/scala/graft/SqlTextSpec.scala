@@ -764,42 +764,57 @@ class SqlTextSpec extends AnyFunSuite {
     assert(!batch.contains("GROUP BY window(ts"), batch)
   }
 
-  test("streaming CUMULATE TVF = UNION ALL of per-step tumbling branches") {
+  test("streaming CUMULATE TVF = one shifted-fan-out tumbling step aggregate") {
     import org.apache.spark.sql.functions._
     spark.readStream.format("rate").load()
       .withColumn("ts", col("timestamp"))
+      .withWatermark("ts", "1 minute")
       .createOrReplaceTempView("gw_stream_cum")
     val out = GroupWindowSql.rewrite(
       """SELECT window_start, window_end, count(*) AS n
         |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
         |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
         |GROUP BY window_start, window_end""".stripMargin)
-    // 4 branches (max/step), each a max-size tumbling agg over the
-    // row-local first-k-steps filter, ends growing by step
-    assert(out.split("UNION ALL").length == 4, out)
-    assert(out.contains("% 86400000000) < 21600000000"), out)
-    assert(out.contains("(window.start + INTERVAL '21600' SECOND) AS window_end"), out)
-    assert(out.contains("(window.start + INTERVAL '86400' SECOND) AS window_end"), out)
-    assert(out.contains("GROUP BY window(ts, '1 day')"), out)
-    // top-level ORDER BY cannot survive the union duplication — loud
-    val e = intercept[RuntimeException] {
+    // ONE statement (r10 per-end firing; no UNION ALL branch rescans):
+    // the group key is the STEP-size tumbling window over the fan-out
+    // view, window_start decodes via the max-floor, window_end is the
+    // step window's own end
+    assert(!out.contains("UNION ALL"), out)
+    assert(out.contains("GROUP BY window(ts, '6 hour')"), out)
+    assert(out.contains(
+      "timestamp_micros(unix_micros(window.start) - " +
+        "pmod(unix_micros(window.start), 86400000000)) AS window_start"), out)
+    assert(out.contains("window.end AS window_end"), out)
+    assert(out.contains("gw_stream_cum_graft_cum_21600000_86400000"), out)
+    // the registered fan-out view: still streaming, same columns, and
+    // the shifted ts re-carries the source's watermark delay metadata
+    // (the analyzer's append-mode check reads it; eviction — per-end
+    // firing — still rides the source's own watermark node)
+    val v = spark.table("gw_stream_cum_graft_cum_21600000_86400000")
+    assert(v.isStreaming)
+    assert(v.columns.toSeq == spark.table("gw_stream_cum").columns.toSeq)
+    assert(v.schema("ts").metadata.contains("spark.watermarkDelayMs"))
+    // a WITH prefix survives (single splice — no per-branch duplication)
+    val withOut = GroupWindowSql.rewrite(
+      """WITH f AS (SELECT 1 AS one)
+        |SELECT window_start, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
+        |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
+        |GROUP BY window_start""".stripMargin)
+    assert(withOut.startsWith("WITH f AS (SELECT 1 AS one)"), withOut)
+    assert(!withOut.contains("UNION ALL"), withOut)
+    // an unwatermarked streaming source cannot fire per-end — loud
+    spark.readStream.format("rate").load()
+      .withColumn("ts", col("timestamp"))
+      .createOrReplaceTempView("gw_stream_cum_nowm")
+    val noWm = intercept[IllegalArgumentException] {
       GroupWindowSql.rewrite(
         """SELECT window_start, count(*) AS n
-          |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
+          |FROM TABLE(CUMULATE(TABLE gw_stream_cum_nowm, DESCRIPTOR(ts),
           |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
-          |GROUP BY window_start ORDER BY window_start""".stripMargin)
+          |GROUP BY window_start, window_end""".stripMargin)
     }
-    assert(e.getMessage.contains("ORDER BY"), e.getMessage)
-    // a WITH prefix cannot survive the per-branch duplication — loud
-    val we = intercept[RuntimeException] {
-      GroupWindowSql.rewrite(
-        """WITH f AS (SELECT 1 AS one)
-          |SELECT window_start, count(*) AS n
-          |FROM TABLE(CUMULATE(TABLE gw_stream_cum, DESCRIPTOR(ts),
-          |                    INTERVAL '6' HOUR, INTERVAL '1' DAY))
-          |GROUP BY window_start""".stripMargin)
-    }
-    assert(we.getMessage.contains("WITH"), we.getMessage)
+    assert(noWm.getMessage.contains("watermark"), noWm.getMessage)
     // qualified references (the TVF derived table's alias) fold into
     // the unqualified window struct
     val qual = GroupWindowSql.rewrite(
@@ -836,6 +851,67 @@ class SqlTextSpec extends AnyFunSuite {
           |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
           |GROUP BY window_start, window_end""".stripMargin)
     }
-    assert(miss.getMessage.contains("must also appear"), miss.getMessage)
+    assert(miss.getMessage.contains("must appear as a bare item"), miss.getMessage)
+  }
+
+  test("streaming TVF splice: window_* inside expression parens rewrites; " +
+      "SESSION key guard is scoped to the TVF's own GROUP BY") {
+    import org.apache.spark.sql.functions._
+    spark.readStream.format("rate").load()
+      .withColumn("ts", col("timestamp"))
+      .withWatermark("ts", "1 minute")
+      .createOrReplaceTempView("gw_stream_expr")
+    // (advisor r9) window_start inside a FUNCTION CALL in the select
+    // list — previously the paren subtree was skipped wholesale and
+    // the column was left unrewritten
+    val fn = GroupWindowSql.rewrite(
+      """SELECT date_format(window_start, 'yyyy-MM-dd') AS day, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_stream_expr, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(fn.contains("date_format(window.start, 'yyyy-MM-dd') AS day"), fn)
+    // ... and inside HAVING / nested arithmetic parens
+    val hav = GroupWindowSql.rewrite(
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_stream_expr, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end
+        |HAVING max(unix_micros(window_time)) > 0""".stripMargin)
+    assert(hav.contains(
+      "max(unix_micros((window.end - INTERVAL '0.001' SECOND))) > 0"), hav)
+    // a scalar SUBQUERY is still a separate scope — untouched
+    val sub = GroupWindowSql.rewrite(
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gw_stream_expr, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |WHERE value > (SELECT avg(window_start) FROM hist)
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(sub.contains("(SELECT avg(window_start) FROM hist)"), sub)
+    // (advisor r9) the SESSION guard must NOT be satisfied by the key
+    // appearing in a DIFFERENT query block's GROUP BY...
+    val other = intercept[IllegalArgumentException] {
+      GroupWindowSql.rewrite(
+        """SELECT window_start, count(*) AS n
+          |FROM TABLE(SESSION(TABLE gw_stream_expr PARTITION BY k,
+          |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE)),
+          |     (SELECT k AS kk FROM other GROUP BY k) o
+          |GROUP BY window_start, window_end""".stripMargin)
+    }
+    assert(other.getMessage.contains("must appear as a bare item"),
+      other.getMessage)
+    // ...nor by the key appearing only INSIDE an expression item
+    val exprItem = intercept[IllegalArgumentException] {
+      GroupWindowSql.rewrite(
+        """SELECT window_start, count(*) AS n
+          |FROM TABLE(SESSION(TABLE gw_stream_expr PARTITION BY k,
+          |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+          |GROUP BY abs(k), window_start, window_end""".stripMargin)
+    }
+    assert(exprItem.getMessage.contains("must appear as a bare item"),
+      exprItem.getMessage)
+    // a qualified bare item (t.k) satisfies the guard
+    val qualOk = GroupWindowSql.rewrite(
+      """SELECT t.k, window_start, count(*) AS n
+        |FROM TABLE(SESSION(TABLE gw_stream_expr PARTITION BY k,
+        |                   DESCRIPTOR(ts), INTERVAL '30' MINUTE)) t
+        |GROUP BY t.k, window_start, window_end""".stripMargin)
+    assert(qualOk.contains("session_window(ts, '30 minute')"), qualOk)
   }
 }

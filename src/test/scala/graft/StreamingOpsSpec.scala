@@ -1518,4 +1518,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     }.collect { case (k, n) if n > 0 => k }.toSet
     assert(folded == Set((10L, 20L), (11L, 20L)))
   }
+
+  test("streaming CUMULATE TVF fires each window at ITS OWN end (per-end firing)") {
+    // The reference fires cumulate window [W, W+k·step) when the
+    // watermark passes W+k·step (FLIP-145 / CumulativeWindowAssigner);
+    // r9's UNION-ALL design deferred every step to W+max. This pins the
+    // r10 per-end semantics batch by batch: step 10s, max 40s,
+    // watermark delay 10s.
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("cum_pe_out")
+    input.toDF()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .createOrReplaceTempView("cum_pe_src")
+    val agg = spark.sql(
+      """SELECT window_start, window_end, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_pe_src, DESCRIPTOR(ts),
+        |                    INTERVAL '10' SECOND, INTERVAL '40' SECOND))
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cum_pe_out").start()
+    def emitted(): Set[(Long, Long, Long)] =
+      spark.table("cum_pe_out")
+        .selectExpr("unix_seconds(window_start)", "unix_seconds(window_end)", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // slice 0 of W=0: contributes to [0,10) [0,20) [0,30) [0,40)
+      input.addData(Seq(ev(1, 2, 1), ev(1, 5, 2)))
+      q.processAllAvailable()
+      assert(emitted() == Set.empty, s"wm<0: ${emitted()}")
+      // t=25 (slice 2 of W=0) → wm=15: ONLY [0,10) has ended — the
+      // old design would emit nothing until wm>=40
+      input.addData(Seq(ev(1, 25, 3)))
+      q.processAllAvailable()
+      assert(emitted() == Set((0L, 10L, 2L)), s"wm=15: ${emitted()}")
+      // t=45 (W=40) → wm=35: [0,20) n=2 and [0,30) n=3 fire
+      input.addData(Seq(ev(1, 45, 4)))
+      q.processAllAvailable()
+      assert(emitted() == Set((0L, 10L, 2L), (0L, 20L, 2L), (0L, 30L, 3L)),
+        s"wm=35: ${emitted()}")
+      // t=95 → wm=85: [0,40) n=3 and every window of W=40 (n=1) fire
+      input.addData(Seq(ev(1, 95, 5)))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (0L, 10L, 2L), (0L, 20L, 2L), (0L, 30L, 3L), (0L, 40L, 3L),
+        (40L, 50L, 1L), (40L, 60L, 1L), (40L, 70L, 1L), (40L, 80L, 1L)),
+        s"wm=85: ${emitted()}")
+    } finally q.stop()
+  }
 }
