@@ -93,6 +93,14 @@ object Bench {
         s""""cpu_sec":${fmt(processCpuSec() - cpuStart)},"wall_sec":${fmt(wall)}}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Contamination guard (VERDICT r9 #1 — two rounds of artifact
+    // confusion): a run recorded while the host was ALREADY loaded by
+    // other processes measures the contention, not this code. When
+    // load_start exceeds the quiet-host envelope, the run goes to a
+    // timestamped side artifact and bench_out.json (the committed
+    // quiet record) is left untouched; the stdout line still prints so
+    // the driver's capture is never empty, tagged contaminated=true.
+    val contaminated = loadStart > 1.5
     // Full per-query detail goes to a file; the stdout line must stay
     // SHORT. The driver keeps only the last ~2000 chars of output
     // ("tail"), so a 173-query JSON line gets its opening brace cut off
@@ -110,13 +118,22 @@ object Bench {
       "st1_stream_tumble", "st9_stream_join_unbounded", "ty3_cogroup")
     val qs = (headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       :+ ("\"n_queries\":" + results.size)).mkString("{", ",", "}")
+    val flag = s""""contaminated":$contaminated,"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$health,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$flag$health,"sf":"$sfDir"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,$health,"sf":"$sfDir"}""" + "\n")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,$flag$health,"sf":"$sfDir"}""" + "\n"
+    val target = if (!contaminated) "bench_out.json"
+      else {
+        val side = s"bench_contaminated_${System.currentTimeMillis()}.json"
+        System.err.println(s"[bench] load_start ${fmt(loadStart)} > 1.5: " +
+          s"host contaminated by outside load — writing $side, " +
+          "refusing to overwrite bench_out.json; re-run on a quiet host")
+        side
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(target), fullLine)
     spark.stop()
     System.out.flush()
     println(json)

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftDDL {
 
+  /** Marks a PROCTIME() computed column (TimeIndicatorTypeInfo's
+    * proctime flag in the reference's type system): proc-time-aware
+    * consumers — streaming MATCH_RECOGNIZE's zero-delay ordering —
+    * recognize the attribute by this key. */
+  val proctimeKey = "graft.proctime"
+  val proctimeMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(proctimeKey, true).build()
+
   import graft.sources.{SqlText => S}
 
   /** Everything a CREATE TABLE statement declares, structurally parsed
@@ -349,7 +358,10 @@ object GraftDDL {
     // computed columns first: a WATERMARK may be declared on a
     // computed rowtime (the reference's derived-rowtime pattern)
     val df1 = b.computed.foldLeft(df0) { case (d, (n, e)) =>
-      d.withColumn(n, expr(e))
+      if (e.equalsIgnoreCase("PROCTIME()"))
+        d.select(col("*"),
+          expr("current_timestamp()").as(n, GraftDDL.proctimeMeta))
+      else d.withColumn(n, expr(e))
     }
     val df = b.watermark match {
       case Some((tsCol, delay)) => df1.withWatermark(tsCol, delay)
@@ -967,10 +979,13 @@ object GraftDDL {
       case computedRe(_, _) => true
       case _ => false
     }
-    val computed = computedCols.map { case computedRe(n, e) =>
-      n -> (if (e.trim.equalsIgnoreCase("PROCTIME()")) "current_timestamp()"
-            else e.trim)
-    }
+    // PROCTIME() keeps its own spelling in the binding: [[register]]
+    // translates it to current_timestamp() (micro-batch evaluation
+    // time is the reference's proctime one batch at a time) AND tags
+    // the column with graft.proctime metadata, so proc-time consumers
+    // (streaming MATCH_RECOGNIZE's zero-delay ordering, r10) can
+    // recognize the attribute.
+    val computed = computedCols.map { case computedRe(n, e) => n -> e.trim }
     val schema =
       if (physicalCols.isEmpty) new StructType()
       else StructType.fromDDL(physicalCols.mkString(", "))

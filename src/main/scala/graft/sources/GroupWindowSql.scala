@@ -33,7 +33,11 @@ import graft.sources.{SqlText => S}
   * window's (the same rule the reference's validator enforces); they
   * are not re-checked here because the rewrite never reads them — the
   * struct field is the same regardless. Proctime auxiliaries
-  * (`*_PROCTIME`) have no Spark analog and fail loudly.
+  * (`*_PROCTIME`) map to the window END — the proctime property
+  * convention (r10); processing-time group windows themselves run by
+  * grouping on a PROCTIME() computed column (= micro-batch evaluation
+  * time), which the TUMBLE/HOP/SESSION rewrites accept like any other
+  * timestamp column.
   */
 object GroupWindowSql {
 
@@ -41,7 +45,15 @@ object GroupWindowSql {
     "TUMBLE" -> "window", "HOP" -> "window", "SESSION" -> "session_window")
   private val auxSuffix = Map(
     "_START" -> ".start", "_END" -> ".end",
-    "_ROWTIME" -> ".end - INTERVAL '0.001' SECOND")
+    "_ROWTIME" -> ".end - INTERVAL '0.001' SECOND",
+    // the proctime property of a group window is its END (no −1ms:
+    // proc-time has no watermark boundary — the reference's
+    // WindowProperties proctime attribute convention); over this
+    // engine's PROCTIME() (= micro-batch evaluation time, GraftDDL)
+    // a cascaded window on it buckets by the emitting batch's time,
+    // the same one-batch-at-a-time proctime the reference's
+    // processing-time windows see (r10 — previously failed loudly)
+    "_PROCTIME" -> ".end")
 
   /** Fast probe: does the text mention any group-window name at all?
     * (Callers on the hot parse path skip the full lex when not.) */
@@ -632,10 +644,9 @@ object GroupWindowSql {
   }
 
   /** Rewrite every group-window call in the statement; text without
-    * any is returned unchanged. Unrecognized *_PROCTIME (or a
-    * malformed call) fails loudly — silently passing it to Spark
-    * would produce an unresolved-function error naming the wrong
-    * dialect. */
+    * any is returned unchanged. A malformed call fails loudly —
+    * silently passing it to Spark would produce an
+    * unresolved-function error naming the wrong dialect. */
   def rewrite(sql: String): String = {
     if (!mentionsGroupWindow(sql)) return sql
     rewriteStreamingTvfs(sql) match {
@@ -691,10 +702,6 @@ object GroupWindowSql {
         sys.error("CUMULATE is a windowing TVF: use FROM TABLE(" +
           "CUMULATE(TABLE t, DESCRIPTOR(ts), step, max)) — there is " +
           "no GROUP BY CUMULATE form")
-      } else if (isCall && groupFns.keys.exists(f => up == s"${f}_PROCTIME")) {
-        sys.error(s"$up has no analog here: processing-time group windows " +
-          "are micro-batch boundaries in this engine (SURVEY §2.9), use " +
-          "the rowtime auxiliaries")
       } else i += 1
       }
     }

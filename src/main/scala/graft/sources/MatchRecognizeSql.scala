@@ -161,9 +161,24 @@ object MatchRecognizeSql {
     val p = parse(stmt)
     val src = spark.table(p.table)
     val events = canonicalize(src, p)
+    // a PROCTIME() ORDER BY (StreamExecMatch.scala:197 isProctime —
+    // the reference accepts proc-time MATCH_RECOGNIZE) is in-order by
+    // construction (micro-batch evaluation time is monotone), so the
+    // ordering needs no out-of-orderness allowance: zero watermark
+    // delay makes the within-timer fire as soon as processing time
+    // passes anchor+within, the reference's proc-time firing (r10).
+    // Micro-batch granularity is the documented delta: events of ONE
+    // batch share a proctime, and the NFA chains strictly increasing
+    // timestamps, so consecutive pattern steps must arrive in
+    // different batches (the reference stamps per-event arrival
+    // times; a micro-batch engine has no sub-batch arrival order)
+    val isProctime = src.schema.fields.find(_.name == p.orderCol)
+      .exists(_.metadata.contains(GraftDDL.proctimeKey))
     val out0 =
       if (src.isStreaming)
-        graft.streaming.StreamingMatchRecognize(spark, events, p.clause).toDF()
+        graft.streaming.StreamingMatchRecognize(spark, events, p.clause,
+          watermarkDelay =
+            if (isProctime) "0 seconds" else "10 minutes").toDF()
       else graft.operators.MatchRecognize.run(spark, events, p.clause)
     // the partition column keeps its declared name in the output
     val out = if (p.partCol == "key") out0

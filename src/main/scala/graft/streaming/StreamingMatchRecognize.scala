@@ -54,7 +54,8 @@ object StreamingMatchRecognize {
       markIncl: Boolean = false)
 
   case class MeasuresEmit(key: Long, match_seq: Long,
-                          values: Seq[Option[Double]])
+                          values: Seq[Option[Double]],
+                          classifier: String = null)
 
   /** Per-key fire context: the compiled pattern the scan needs. */
   private final case class ScanCtx(steps: Seq[PatternNFA.Step],
@@ -220,9 +221,13 @@ object StreamingMatchRecognize {
     * the reference's full streaming surface. Measure columns must be
     * numeric (they are carried through keyed state as doubles; exact
     * for integral values below 2^53, and integral-sourced FIRST/LAST/
-    * MIN/MAX re-emit as longs). Output: (key, one column per measure
-    * alias) — MATCH_NUMBER() is the per-key 1-based sequence of
-    * EMITTED matches, carried in state across micro-batches.
+    * MIN/MAX re-emit as longs). CLASSIFIER() (r10) is the one string
+    * measure: per-match single-valued, derived from the bindings at
+    * emission (no carried column needed) — this EXCEEDS the reference,
+    * whose MatchCodeGenerator has no CLASSIFIER support at all.
+    * Output: (key, one column per measure alias) — MATCH_NUMBER() is
+    * the per-key 1-based sequence of EMITTED matches, carried in state
+    * across micro-batches.
     *
     * Idle-state retention (`idleRetentionMicros`): once a key's event
     * buffer drains, the only state left is the residual MATCH_NUMBER
@@ -243,10 +248,6 @@ object StreamingMatchRecognize {
     require(c.measures.nonEmpty, "no MEASURES in clause — use apply()")
     require(!c.allRows, "streaming MATCH_RECOGNIZE is ONE ROW PER MATCH only " +
       "(the reference has the same restriction)")
-    require(!c.measures.exists(_.func == "CLASSIFIER"),
-      "CLASSIFIER() is batch-only here: streaming measures ride keyed " +
-        "state as numerics (carried-column design) and the classifier " +
-        "is a string")
     val preds = c.defines.map { case (n, body) => n -> expr(body) }
     val varNames = preds.map(_._1)
     val satCol = preds.zipWithIndex.map { case ((_, p), i) =>
@@ -257,7 +258,8 @@ object StreamingMatchRecognize {
     // path's SUM(B.price * B.rate) form) — resolve them with expr();
     // COUNT(*) carries no column at all
     val mcols = measures
-      .filter(m => m.func != "MATCH_NUMBER" && m.colName != "*")
+      .filter(m => m.func != "MATCH_NUMBER" && m.func != "CLASSIFIER" &&
+        m.colName != "*")
       .map(_.colName).distinct
     val colIdx = mcols.zipWithIndex.toMap
     val integralCol: Set[String] = if (mcols.isEmpty) Set.empty else {
@@ -320,6 +322,7 @@ object StreamingMatchRecognize {
         def fold(m: MatchRecognize.Measure,
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
           if (m.func == "MATCH_NUMBER") return Some(seq.toDouble)
+          if (m.func == "CLASSIFIER") return None // rides the string slot
           // unqualified measures aggregate over ALL rows of the match
           // (steps bind in order, so flatten — and a SUBSET's
           // ascending-step concatenation — preserves match order)
@@ -356,9 +359,28 @@ object StreamingMatchRecognize {
             case _ => raw
           }
         }
+        val needClassifier = measures.exists(_.func == "CLASSIFIER")
         val out = rawMatches.map { bindings =>
           seq += 1
-          MeasuresEmit(key, seq, measures.map(m => fold(m, bindings)))
+          // CLASSIFIER() under ONE ROW PER MATCH (FINAL semantics) =
+          // the variable that bound the match's LAST row — mirrors the
+          // batch path's max_by(var_name, pos); steps bind sequential
+          // (ts, id)-ordered segments, so the max event across all
+          // bindings names it
+          val classifier = if (!needClassifier) null else {
+            var bestTs = Long.MinValue; var bestId = Long.MinValue
+            var bv: String = null
+            bindings.indices.foreach { i =>
+              bindings(i).foreach { case (ts, id) =>
+                if (ts > bestTs || (ts == bestTs && id > bestId)) {
+                  bestTs = ts; bestId = id; bv = steps(i).kind
+                }
+              }
+            }
+            bv
+          }
+          MeasuresEmit(key, seq, measures.map(m => fold(m, bindings)),
+            classifier)
         }
         val kept = buffered.filter { case (ts, _, _, _, _, _) => ts + within > wm }
         val (mkTs, mkId, mkIncl) = (mark.map(_.ts).getOrElse(0L),
@@ -406,6 +428,7 @@ object StreamingMatchRecognize {
     val named = measures.zipWithIndex.map { case (m, i) =>
       val base = m.func match {
         case "MATCH_NUMBER" => col("match_seq")
+        case "CLASSIFIER" => col("classifier")
         case "COUNT" => col("values")(i).cast("long")
         case "FIRST" | "LAST" | "MIN" | "MAX" if integralCol(m.colName) =>
           col("values")(i).cast("long")

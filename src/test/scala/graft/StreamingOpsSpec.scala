@@ -1519,6 +1519,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(folded == Set((10L, 20L), (11L, 20L)))
   }
 
+  test("StreamingCountWindow: blocks of N in (ts,id) order, emitted at the " +
+      "N-th member's maturity, batching-invariant") {
+    import graft.streaming.StreamingCountWindow
+    // 7 events for key 1 (two complete blocks of 3 + a pending tail),
+    // delivered in three different batch splits — including an
+    // out-of-order arrival INSIDE the still-immature region — plus a
+    // key-9 watermark driver. Emitted blocks must equal the batch
+    // row_number computation regardless of the split.
+    val evs = Seq(
+      ev(1, 10, 1, value = 1.0), ev(1, 11, 2, value = 2.0),
+      ev(1, 12, 3, value = 3.0), ev(1, 14, 5, value = 5.0),
+      ev(1, 15, 6, value = 6.0), ev(1, 13, 4, value = 4.0),
+      ev(1, 16, 7, value = 7.0))
+    val expected = Set(
+      (1L, 0L, 3L, 10L, 12L, 6.0),   // ids 1,2,3
+      (1L, 1L, 3L, 13L, 15L, 15.0))  // ids 4,5,6 (ts order!)
+    // delay 5s keeps the out-of-order ts=13 arrival admissible after
+    // batch 1's max=15 (Spark drops sub-watermark rows before the
+    // operator — the reference's late-data rule)
+    val splits = Seq(
+      Seq(evs, Seq(ev(9, 10000, 99))),
+      Seq(evs.take(2), evs.drop(2), Seq(ev(9, 10000, 99))),
+      Seq(evs.take(5), evs.drop(5) :+ ev(9, 10000, 99)))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val out = StreamHarness.run(batches, OutputMode.Append, s"cw_spec_$i") {
+        ds => StreamingCountWindow(spark, ds, n = 3, watermarkDelay = "5 seconds").toDF()
+      }
+      val rows = out.filter(col("key") === 1)
+        .select("key", "wid", "n", "firstTsMicros", "lastTsMicros", "total")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3) / 1000000L, r.getLong(4) / 1000000L, r.getDouble(5)))
+        .toSet
+      assert(rows == expected, s"split $i: $rows")
+    }
+    // the quiet-key flush: a complete block with NO later traffic on
+    // its key still fires via the event-time timer when the watermark
+    // (driven by another key) passes its last member
+    val timerOut = StreamHarness.run(
+      Seq(Seq(ev(2, 10, 1, value = 1.0), ev(2, 11, 2, value = 1.0),
+              ev(2, 12, 3, value = 1.0)),
+          Seq(ev(9, 10000, 99))), OutputMode.Append, "cw_spec_timer") {
+      ds => StreamingCountWindow(spark, ds, n = 3, watermarkDelay = "5 seconds").toDF()
+    }
+    assert(timerOut.filter(col("key") === 2).count() == 1)
+  }
+
   test("streaming CUMULATE TVF fires each window at ITS OWN end (per-end firing)") {
     // The reference fires cumulate window [W, W+k·step) when the
     // watermark passes W+k·step (FLIP-145 / CumulativeWindowAssigner);
