@@ -439,6 +439,34 @@ object TypedOps extends QueryGroup {
           |FROM ty16_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Avro NESTED records (r10 — flink-avro's AvroSchemaConverter maps
+    // rows-in-rows, arrays, and maps; GraftAvro previously failed
+    // loudly on nesting): pack each order into struct-in-struct +
+    // array + map columns, round-trip through the container format,
+    // unpack and aggregate — equal to aggregating the source, which is
+    // the oracle. The sum deliberately reads the MAP value and the
+    // group key the inner struct, so every nested branch is exercised.
+    q("ty22_avro_nested",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("ty22_avro").toString
+      val src = t(s, dir)("orders").select(
+        col("o_orderkey"),
+        struct(col("o_orderkey").as("k"),
+          struct(col("o_orderstatus").as("st")).as("inner")).as("s"),
+        array(col("o_totalprice")).as("arr"),
+        map(lit("price"), col("o_totalprice")).as("m"))
+      graft.sources.GraftAvro.write(src, out, overwrite = true)
+      graft.sources.GraftAvro.read(s, out)
+        .select(col("s.inner.st").as("o_orderstatus"),
+          col("m")(lit("price")).as("price"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast(dec18_2)).cast(DoubleType).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // zipWithIndex (flink-java utils/DataSetUtils.java:93 — two-phase
     // contiguous index assignment: count elements per partition, then
     // offset each partition by the prefix sum of the counts). Spark's

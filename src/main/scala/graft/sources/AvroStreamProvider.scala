@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** STREAMING read of [[GraftAvro]] container files (SURVEY.md §2.1 —
+  * the reference's flink-avro feeds streaming pipelines through
+  * AvroFormatFactory's DeserializationSchema; Spark ships no avro
+  * module in this container, so this is a from-scratch DSv2
+  * MicroBatchStream playing the FileStreamSource role for the one
+  * format Spark's file stream source cannot read):
+  *
+  *  - an Offset is the SET of container files already processed
+  *    (sorted names — the same seen-files contract FileStreamSource
+  *    keeps in its log; files are immutable once written, the
+  *    format's writer never appends to a published file);
+  *  - each micro-batch plans one InputPartition per NEW file —
+  *    distributed, no driver row materialization;
+  *  - rows convert GenericRecord → external Row ([[GraftAvro]]'s
+  *    recursive converters, nested records included) → InternalRow
+  *    via the Catalyst converter for the declared schema.
+  *
+  * Usage: `spark.readStream.format(classOf[AvroStreamProvider]
+  * .getName).load(dir)` — schema inferred from the first file's
+  * header, or supplied with `.schema(...)` for a not-yet-populated
+  * directory (what the DDL facade passes from the declared columns).
+  */
+class AvroStreamProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = AvroStreamProvider.pathOf(options)
+    val files = GraftAvro.listFiles(dir)
+    require(files.nonEmpty,
+      s"avro stream: no .avro files under $dir to infer a schema from — " +
+        "declare the schema explicitly (.schema(...) / DDL columns)")
+    GraftAvro.structType(
+      new org.apache.avro.Schema.Parser().parse(
+        GraftAvro.headerSchemaJson(files.head)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new AvroStreamProvider.AvroTable(schema,
+      AvroStreamProvider.pathOf(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object AvroStreamProvider {
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "avro stream: a path is required")
+    p
+  }
+
+  private final class AvroTable(declared: StructType, dir: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"avro-stream($dir)"
+    override def schema(): StructType = declared
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new AvroScan(declared, dir)
+  }
+
+  private final class AvroScan(declared: StructType, dir: String) extends Scan {
+    override def readSchema(): StructType = declared
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new AvroMicroBatchStream(declared, dir)
+  }
+
+  /** Offset = sorted processed-file names, JSON-encoded. */
+  private final case class AvroOffset(files: Seq[String]) extends Offset {
+    override def json(): String =
+      files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+  }
+
+  private object AvroOffset {
+    private val strRe = """"((?:[^"\\]|\\.)*)"""".r
+    def fromJson(s: String): AvroOffset = AvroOffset(
+      strRe.findAllMatchIn(s).map(
+        _.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+  }
+
+  private final class AvroMicroBatchStream(declared: StructType, dir: String)
+      extends MicroBatchStream {
+    override def initialOffset(): Offset = AvroOffset(Seq.empty)
+    override def latestOffset(): Offset = AvroOffset(GraftAvro.listFiles(dir))
+    override def deserializeOffset(json: String): Offset =
+      AvroOffset.fromJson(json)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+    override def planInputPartitions(start: Offset,
+                                     end: Offset): Array[InputPartition] = {
+      val seen = start.asInstanceOf[AvroOffset].files.toSet
+      val fresh = end.asInstanceOf[AvroOffset].files.filterNot(seen)
+      if (fresh.isEmpty) return Array.empty
+      // the avro writer schema travels with the partition so executors
+      // never re-open the header file
+      val schemaJson = GraftAvro.headerSchemaJson(fresh.head)
+      fresh.map(f =>
+        AvroFilePartition(f, schemaJson, declared): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new AvroReaderFactory
+  }
+
+  private final case class AvroFilePartition(file: String, schemaJson: String,
+                                             declared: StructType)
+      extends InputPartition
+
+  private final class AvroReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val part = p.asInstanceOf[AvroFilePartition]
+      val toInternal =
+        CatalystTypeConverters.createToCatalystConverter(part.declared)
+      val rows = GraftAvro.fileRows(part.file, part.schemaJson, part.declared)
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          if (!rows.hasNext) return false
+          cur = toInternal(rows.next()).asInstanceOf[InternalRow]
+          true
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+  }
+}

@@ -17,13 +17,15 @@ import org.apache.spark.sql.types._
   *  - read: file list → one Spark partition per container file →
   *    DataFileReader streams records off the FS; the Avro schema is
   *    read once from the first file's header and mapped back to a
-  *    StructType.
+  *    StructType. Streaming read = [[AvroStreamProvider]] (DSv2
+  *    MicroBatchStream over the same container files, r10).
   *
-  * Type mapping (both directions): boolean/int/long/float/double/
-  * string/bytes plus logical timestamp-micros and date, every field a
-  * nullable union — the same physical subset the reference's format
-  * binds for flat rows. Nested records are out of scope and fail
-  * loudly.
+  * Type mapping (both directions, RECURSIVE as of r10 — the
+  * reference's flink-avro AvroSchemaConverter maps nested rows,
+  * arrays, and maps the same way): boolean/int/long/float/double/
+  * string/bytes plus logical timestamp-micros and date, records ↔
+  * structs, arrays ↔ arrays, string-keyed maps ↔ maps — every field
+  * and element a nullable union.
   */
 object GraftAvro {
 
@@ -34,7 +36,13 @@ object GraftAvro {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private def baseAvroType(dt: DataType): Schema = dt match {
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.NULL), s))
+
+  /** Spark type → Avro schema, recursive; nested record names come
+    * from `fresh` (Avro requires unique names within one schema). */
+  private def avroType(dt: DataType, fresh: () => String): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
     case LongType => Schema.create(Schema.Type.LONG)
@@ -46,18 +54,29 @@ object GraftAvro {
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case st: StructType => recordSchema(st, fresh(), fresh)
+    case ArrayType(elem, _) =>
+      Schema.createArray(nullable(avroType(elem, fresh)))
+    case MapType(StringType, v, _) =>
+      Schema.createMap(nullable(avroType(v, fresh)))
     case t => sys.error(s"avro format: unsupported Spark type ${t.simpleString}")
+  }
+
+  private def recordSchema(st: StructType, name: String,
+                           fresh: () => String): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      fields.add(new Schema.Field(f.name, nullable(avroType(f.dataType, fresh)),
+        null, Schema.Field.NULL_DEFAULT_VALUE))
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields)
   }
 
   /** StructType → Avro record schema, every field union(null, T). */
   def avroSchema(st: StructType): Schema = {
-    val fields = new java.util.ArrayList[Schema.Field]()
-    st.fields.foreach { f =>
-      val u = Schema.createUnion(java.util.Arrays.asList(
-        Schema.create(Schema.Type.NULL), baseAvroType(f.dataType)))
-      fields.add(new Schema.Field(f.name, u, null, Schema.Field.NULL_DEFAULT_VALUE))
-    }
-    Schema.createRecord("row", null, "graft.avro", false, fields)
+    var n = 0
+    def fresh(): String = { n += 1; s"r$n" }
+    recordSchema(st, "row", () => fresh())
   }
 
   private def nonNull(s: Schema): Schema = s.getType match {
@@ -71,29 +90,147 @@ object GraftAvro {
     case _ => s
   }
 
+  /** Avro schema → Spark type (inverse of [[avroType]], recursive). */
+  private def sparkType(s0: Schema): DataType = {
+    val t = nonNull(s0)
+    t.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT =>
+        if (t.getLogicalType != null &&
+          t.getLogicalType.getName == "date") DateType else IntegerType
+      case Schema.Type.LONG =>
+        if (t.getLogicalType != null &&
+          t.getLogicalType.getName.startsWith("timestamp")) TimestampType
+        else LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+      case Schema.Type.RECORD => structType(t)
+      case Schema.Type.ARRAY => ArrayType(sparkType(t.getElementType))
+      case Schema.Type.MAP => MapType(StringType, sparkType(t.getValueType))
+      case other => sys.error(s"avro format: unsupported Avro type $other")
+    }
+  }
+
   /** Avro record schema → StructType (inverse of [[avroSchema]]). */
   def structType(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD,
       s"avro format: root must be a record, got ${schema.getType}")
     StructType(schema.getFields.toArray(Array.empty[Schema.Field]).map { f =>
-      val t = nonNull(f.schema())
-      val dt = t.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT =>
-          if (t.getLogicalType != null &&
-            t.getLogicalType.getName == "date") DateType else IntegerType
-        case Schema.Type.LONG =>
-          if (t.getLogicalType != null &&
-            t.getLogicalType.getName.startsWith("timestamp")) TimestampType
-          else LongType
-        case Schema.Type.FLOAT => FloatType
-        case Schema.Type.DOUBLE => DoubleType
-        case Schema.Type.STRING => StringType
-        case Schema.Type.BYTES => BinaryType
-        case other => sys.error(s"avro format: unsupported Avro type $other")
-      }
-      StructField(f.name, dt, nullable = true)
+      StructField(f.name, sparkType(f.schema()), nullable = true)
     })
+  }
+
+  // ---- value conversion (recursive, null-preserving) --------------
+
+  /** Spark EXTERNAL value (Row/Seq/Map/java.sql.*) → Avro generic
+    * value of the matching (non-null branch of) `sch0`. */
+  private def toAvroConv(dt: DataType, sch0: Schema): Any => AnyRef = {
+    val sch = nonNull(sch0)
+    dt match {
+      case TimestampType => v =>
+        java.lang.Long.valueOf(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp]))
+      case TimestampNTZType => v =>
+        java.lang.Long.valueOf(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime]))
+      case DateType => v =>
+        java.lang.Integer.valueOf(
+          v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case BinaryType => v =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      // declared as avro INT — avro's union resolution is
+      // `instanceof Integer`, so Short/Byte must widen
+      case ShortType => v =>
+        java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Short].intValue)
+      case ByteType => v =>
+        java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Byte].intValue)
+      case st: StructType =>
+        val convs = st.fields.zipWithIndex.map { case (f, i) =>
+          toAvroConv(f.dataType, sch.getFields.get(i).schema())
+        }
+        v => {
+          val row = v.asInstanceOf[Row]
+          val rec = new GenericData.Record(sch)
+          var i = 0
+          while (i < convs.length) {
+            val x = row.get(i)
+            rec.put(i, if (x == null) null else convs(i)(x))
+            i += 1
+          }
+          rec
+        }
+      case ArrayType(elem, _) =>
+        val c = toAvroConv(elem, sch.getElementType)
+        v => {
+          val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+          val out = new java.util.ArrayList[AnyRef](xs.size)
+          xs.foreach(x => out.add(if (x == null) null else c(x)))
+          out
+        }
+      case MapType(_, mv, _) =>
+        val c = toAvroConv(mv, sch.getValueType)
+        v => {
+          val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+          val out = new java.util.HashMap[String, AnyRef]()
+          m.foreach { case (k, x) =>
+            out.put(k, if (x == null) null else c(x))
+          }
+          out
+        }
+      case _ => v => v.asInstanceOf[AnyRef]
+    }
+  }
+
+  /** Avro generic value → Spark EXTERNAL value of `dt`. */
+  private def fromAvroConv(dt: DataType): Any => Any = dt match {
+    case TimestampType => v =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(v.asInstanceOf[java.lang.Long])
+    case DateType => v =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[java.lang.Integer].longValue()))
+    case StringType => v => v.toString // Utf8 → String
+    case BinaryType => v => {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer]
+      val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+    }
+    case st: StructType =>
+      val convs = st.fields.map(f => fromAvroConv(f.dataType))
+      v => {
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(st.fields.indices.map { i =>
+          val x = rec.get(i)
+          if (x == null) null else convs(i)(x)
+        })
+      }
+    case ArrayType(elem, _) =>
+      val c = fromAvroConv(elem)
+      v => {
+        val xs = v.asInstanceOf[java.util.List[AnyRef]]
+        val out = Vector.newBuilder[Any]
+        val it = xs.iterator()
+        while (it.hasNext) {
+          val x = it.next()
+          out += (if (x == null) null else c(x))
+        }
+        out.result()
+      }
+    case MapType(_, mv, _) =>
+      val c = fromAvroConv(mv)
+      v => {
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val out = Map.newBuilder[String, Any]
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += e.getKey.toString ->
+            (if (e.getValue == null) null else c(e.getValue))
+        }
+        out.result()
+      }
+    case _ => identity
   }
 
   /** Distributed write: one container file per partition under `dir`.
@@ -110,6 +247,9 @@ object GraftAvro {
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     df.rdd.foreachPartition { it =>
       val schema = new Schema.Parser().parse(schemaJson)
+      val convs = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+        toAvroConv(f.dataType, schema.getFields.get(i).schema())
+      }
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val out = new Path(dir, f"part-$pid%05d-$stamp.avro")
       val taskFs = out.getFileSystem(new Configuration())
@@ -120,28 +260,7 @@ object GraftAvro {
         var i = 0
         while (i < sparkSchema.length) {
           val v = row.get(i)
-          val converted =
-            if (v == null) null
-            else sparkSchema(i).dataType match {
-              case TimestampType =>
-                java.lang.Long.valueOf(org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp]))
-              case TimestampNTZType =>
-                java.lang.Long.valueOf(org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime]))
-              case DateType =>
-                java.lang.Integer.valueOf(v.asInstanceOf[java.sql.Date].toLocalDate
-                  .toEpochDay.toInt)
-              case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-              case ShortType =>
-                // declared as avro INT — avro's union resolution is
-                // `instanceof Integer`, so Short/Byte must widen
-                java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Short].intValue)
-              case ByteType =>
-                java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Byte].intValue)
-              case _ => v.asInstanceOf[AnyRef]
-            }
-          rec.put(i, converted)
+          rec.put(i, if (v == null) null else convs(i)(v))
           i += 1
         }
         w.append(rec)
@@ -158,52 +277,55 @@ object GraftAvro {
     fs.exists(root) && fs.listStatus(root).exists(_.getPath.getName.endsWith(".avro"))
   }
 
+  /** Current .avro files under `dir`, sorted (shared with the
+    * streaming source's per-batch listing). */
+  private[sources] def listFiles(dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new Configuration())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".avro")).map(_.toString).sorted.toSeq
+  }
+
+  /** The avro-header schema of the first file (all files written by
+    * this format carry the same one). */
+  private[sources] def headerSchemaJson(file: String): String = {
+    val header = new DataFileReader[GenericRecord](
+      new FsInput(new Path(file), new Configuration()),
+      new GenericDatumReader[GenericRecord]())
+    try header.getSchema.toString finally header.close()
+  }
+
+  /** Iterator of EXTERNAL Rows from one container file — the shared
+    * per-file scan of the batch read and the streaming source. */
+  private[sources] def fileRows(file: String, schemaJson: String,
+                                sparkSchema: StructType): Iterator[Row] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val convs = sparkSchema.fields.map(f => fromAvroConv(f.dataType))
+    val r = new DataFileReader[GenericRecord](
+      new FsInput(new Path(file), new Configuration()),
+      new GenericDatumReader[GenericRecord](schema))
+    new Iterator[Row] {
+      def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
+      def next(): Row = {
+        val rec = r.next()
+        Row.fromSeq(sparkSchema.fields.indices.map { i =>
+          val v = rec.get(i)
+          if (v == null) null else convs(i)(v)
+        })
+      }
+    }
+  }
+
   /** Distributed read: one Spark partition per container file. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val conf = new Configuration()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
+    val files = listFiles(dir)
     require(files.nonEmpty, s"avro format: no .avro files under $dir")
-    // schema off the first file's header (every file written by this
-    // format carries the same one)
-    val header = new DataFileReader[GenericRecord](
-      new FsInput(new Path(files.head), conf),
-      new GenericDatumReader[GenericRecord]())
-    val schemaJson = try header.getSchema.toString finally header.close()
+    val schemaJson = headerSchemaJson(files.head)
     val sparkSchema = structType(new Schema.Parser().parse(schemaJson))
     val rows = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
-      .flatMap { file =>
-        val schema = new Schema.Parser().parse(schemaJson)
-        val r = new DataFileReader[GenericRecord](
-          new FsInput(new Path(file), new Configuration()),
-          new GenericDatumReader[GenericRecord](schema))
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
-          def next(): Row = {
-            val rec = r.next()
-            Row.fromSeq(sparkSchema.fields.indices.map { i =>
-              val v = rec.get(i)
-              if (v == null) null
-              else sparkSchema(i).dataType match {
-                case TimestampType =>
-                  org.apache.spark.sql.catalyst.util.DateTimeUtils
-                    .toJavaTimestamp(v.asInstanceOf[java.lang.Long])
-                case DateType =>
-                  java.sql.Date.valueOf(
-                    java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue()))
-                case StringType => v.toString
-                case BinaryType =>
-                  val bb = v.asInstanceOf[java.nio.ByteBuffer]
-                  val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
-                case _ => v
-              }
-            })
-          }
-        }
-      }
+      .flatMap(file => fileRows(file, schemaJson, sparkSchema))
     spark.createDataFrame(rows, sparkSchema)
   }
 }

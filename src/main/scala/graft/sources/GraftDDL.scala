@@ -420,11 +420,21 @@ object GraftDDL {
   private def registerFilesystem(spark: SparkSession, b: Binding): DataFrame = {
     if (b.format == "avro") {
       // the engine's own Avro format (GraftAvro — avro-core is on the
-      // classpath even though the spark-avro module is not): batch
-      // only, re-landed on the DECLARED schema so column order and
-      // types follow the DDL like every other format
-      require(!b.streaming, "avro format: batch only in this engine " +
-        "(the file-stream source has no avro reader here)")
+      // classpath even though the spark-avro module is not),
+      // re-landed on the DECLARED schema so column order and types
+      // follow the DDL like every other format. Streaming reads run
+      // the DSv2 MicroBatchStream (AvroStreamProvider, r10) — Spark's
+      // file stream source has no avro reader here.
+      if (b.streaming) {
+        require(b.schema.nonEmpty,
+          "avro format: a streaming table needs declared columns " +
+            "(the stream may start before any file exists)")
+        val raw = spark.readStream
+          .format(classOf[AvroStreamProvider].getName)
+          .schema(b.schema).load(b.path)
+        return raw.select(b.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
       // a freshly-created sink table has no files yet: an empty frame
       // of the declared schema (what spark.read gives parquet too)
       val raw =

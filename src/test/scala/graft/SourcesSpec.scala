@@ -470,6 +470,62 @@ class SourcesSpec extends AnyFunSuite {
       Seq((0, 0), (1, 1), (2, 2)))
   }
 
+  test("avro nested records round-trip; streaming read discovers new files per batch") {
+    import graft.sources.{GraftAvro, GraftDDL}
+    val spark = StreamHarness.spark
+    // ---- nested structs / arrays of structs / maps / nested
+    // timestamps, with a NULL struct (r10 — previously loud) ----
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_nested").toString
+    val nested = spark.sql(
+      """SELECT id AS k,
+        |  named_struct('a', id * 2, 'b', concat('x', id),
+        |    'inner', named_struct('c', CAST(id AS DOUBLE),
+        |                          'ts', timestamp'2024-01-02 03:04:05')) AS s,
+        |  array(named_struct('p', id), named_struct('p', id + 1)) AS arr,
+        |  map('m1', id, 'm2', id + 10) AS m,
+        |  CASE WHEN id = 1 THEN NULL
+        |       ELSE named_struct('q', concat('v', id)) END AS maybe
+        |FROM range(0, 3)""".stripMargin)
+    GraftAvro.write(nested, dir, overwrite = true)
+    val back = GraftAvro.read(spark, dir)
+    // read-back is all-nullable (every avro field is union(null, T))
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      nested.schema.fields.map(f =>
+        (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq)
+    val exp = nested.orderBy("k").collect().map(_.toString).toSeq
+    val got = back.orderBy("k").collect().map(_.toString).toSeq
+    assert(got == exp, s"nested avro round-trip:\n$got\nvs\n$exp")
+    // ---- streaming read: DSv2 MicroBatchStream over container files;
+    // new files land in the NEXT micro-batch, already-read files never
+    // re-emit (the Offset is the processed-file set) ----
+    val sdir = java.nio.file.Files.createTempDirectory("graft_avro_stream").toString
+    GraftDDL.execute(spark,
+      s"""CREATE TABLE avro_stream_t (k BIGINT, v STRING)
+         |WITH ('connector'='filesystem', 'path'='$sdir',
+         |      'format'='avro', 'mode'='streaming')""".stripMargin)
+    val st = spark.table("avro_stream_t")
+    assert(st.isStreaming, "avro DDL table with mode=streaming must stream")
+    GraftAvro.write(
+      spark.sql("SELECT id AS k, concat('a', id) AS v FROM range(0, 3)"),
+      sdir, overwrite = false)
+    spark.catalog.dropTempView("avro_stream_out")
+    val q = st.writeStream.format("memory").queryName("avro_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_stream_out").count() == 3)
+      GraftAvro.write(
+        spark.sql("SELECT id AS k, concat('b', id) AS v FROM range(10, 12)"),
+        sdir, overwrite = false)
+      q.processAllAvailable()
+      val rows = spark.table("avro_stream_out").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((0L, "a0"), (1L, "a1"), (2L, "a2"),
+        (10L, "b10"), (11L, "b11")), rows)
+    } finally q.stop()
+    GraftDDL.executeDrop(spark, "DROP TABLE avro_stream_t")
+  }
+
   test("broadcast state pattern: rules re-broadcast to every key per micro-batch") {
     import graft.streaming.GEvent
     val sp = StreamHarness.spark
