@@ -1799,6 +1799,39 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "wid")
     },
 
+    // Streaming SLIDING count window (countWindow(size, slide) —
+    // CountTrigger(slide) + CountEvictor(size)): window wid covers
+    // ranks [wid*5+1, wid*5+10] per key in (ts, id) order, complete
+    // windows only (gw9's batch semantics), each emitted when its last
+    // element is strictly below the watermark. Oracle = gw9's fan-out
+    // over the mature prefix.
+    q("st51_sliding_count_stream",
+      """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |r AS (SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nrows
+        |  FROM events, wm WHERE epoch_us(ts) < wm.wm_us),
+        |x AS (SELECT user_id, ts, value, nrows,
+        |    unnest(generate_series(
+        |      greatest(0, CAST(ceil((rn - 10) / 5.0) AS BIGINT)),
+        |      CAST(floor((rn - 1) / 5.0) AS BIGINT))) AS wid
+        |  FROM r)
+        |SELECT user_id, wid, count(*) AS n,
+        |  min(ts) AS w_first, max(ts) AS w_last,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x WHERE wid * 5 + 10 <= nrows
+        |GROUP BY user_id, wid HAVING count(*) = 10
+        |ORDER BY user_id, wid""".stripMargin) { (s, dir) =>
+      val out = StreamingCountWindow.sliding(s, asGEvents(s, dir),
+        size = 10, slide = 5)
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st51_out")
+        .select(col("key").as("user_id"), col("wid"), col("n"),
+          timestamp_micros(col("firstTsMicros")).as("w_first"),
+          timestamp_micros(col("lastTsMicros")).as("w_last"),
+          col("total"))
+        .orderBy("user_id", "wid")
+    },
+
     // Streaming CLASSIFIER() (r10 — mr13's twin on the unbounded
     // side): the one STRING measure rides the measures door derived
     // from the match bindings at emission, no carried state column.

@@ -252,19 +252,28 @@ object GraftAvro {
       }
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val out = new Path(dir, f"part-$pid%05d-$stamp.avro")
+      // write under a temp name, publish by rename: a concurrent
+      // STREAMING reader ([[AvroStreamProvider]]) lists only *.avro,
+      // so it can never observe a half-written container (the same
+      // atomic-publish convention file stream sources rely on)
+      val tmp = new Path(dir, out.getName + ".tmp")
       val taskFs = out.getFileSystem(new Configuration())
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, taskFs.create(out, true))
-      try it.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < sparkSchema.length) {
-          val v = row.get(i)
-          rec.put(i, if (v == null) null else convs(i)(v))
-          i += 1
+      w.create(schema, taskFs.create(tmp, true))
+      try {
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < sparkSchema.length) {
+            val v = row.get(i)
+            rec.put(i, if (v == null) null else convs(i)(v))
+            i += 1
+          }
+          w.append(rec)
         }
-        w.append(rec)
       } finally w.close()
+      require(taskFs.rename(tmp, out),
+        s"avro format: failed to publish $tmp -> $out")
     }
   }
 
@@ -297,10 +306,20 @@ object GraftAvro {
   }
 
   /** Iterator of EXTERNAL Rows from one container file — the shared
-    * per-file scan of the batch read and the streaming source. */
+    * per-file scan of the batch read and the streaming source. Fields
+    * resolve BY NAME against the file's writer schema (the streaming
+    * source reads into a DECLARED schema whose order may differ from
+    * a foreign writer's; extra writer fields are ignored, a missing
+    * one is loud). */
   private[sources] def fileRows(file: String, schemaJson: String,
                                 sparkSchema: StructType): Iterator[Row] = {
     val schema = new Schema.Parser().parse(schemaJson)
+    val pos = sparkSchema.fields.map { f =>
+      val wf = schema.getField(f.name)
+      require(wf != null,
+        s"avro format: declared column '${f.name}' not in $file's schema")
+      wf.pos()
+    }
     val convs = sparkSchema.fields.map(f => fromAvroConv(f.dataType))
     val r = new DataFileReader[GenericRecord](
       new FsInput(new Path(file), new Configuration()),
@@ -310,7 +329,7 @@ object GraftAvro {
       def next(): Row = {
         val rec = r.next()
         Row.fromSeq(sparkSchema.fields.indices.map { i =>
-          val v = rec.get(i)
+          val v = rec.get(pos(i))
           if (v == null) null else convs(i)(v)
         })
       }

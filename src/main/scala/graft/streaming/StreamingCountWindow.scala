@@ -96,4 +96,88 @@ object StreamingCountWindow {
         out.result().iterator
     }
   }
+
+  /** SLIDING count-window state: events not yet evicted, the count of
+    * front-evicted events (their ranks are final), and the next window
+    * END rank to emit. */
+  case class CWSState(evs: List[(Long, Long, Double)], evicted: Long,
+                      nextEnd: Long)
+
+  /** Sliding COUNT window — the reference's `countWindow(size, slide)`
+    * (KeyedStream.java; CountTrigger(slide) + CountEvictor(size): fire
+    * every `slide` elements with the last `size`). Deterministic twin
+    * of the batch `gw9`: window `wid` covers ranks
+    * [wid·slide+1, wid·slide+size] in (ts, id) order, COMPLETE windows
+    * only, emitted when the window's last element is strictly below
+    * the watermark. Ranks are only final for MATURE elements (a
+    * not-yet-mature element's position can still shift), so eviction
+    * drops exactly the mature prefix no future window covers — state
+    * per key is ≤ size−1 retained mature elements (+ ≤ slide gap
+    * elements when slide > size) plus the immature suffix. */
+  def sliding(spark: SparkSession, events: Dataset[GEvent], size: Int,
+              slide: Int, watermarkDelay: String = "1 minute")
+      : Dataset[CWEmit] = {
+    import spark.implicits._
+    require(size > 0 && slide > 0,
+      s"countWindow(size, slide) must be positive: ($size, $slide)")
+    val ds = events.toDF()
+      .withColumn("_et", timestamp_micros(col("tsMicros")))
+      .withWatermark("_et", watermarkDelay)
+      .select(col("key").cast("long"), col("tsMicros").cast("long"),
+        col("id").cast("long"), col("value").cast("double"), col("_et"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+
+    ds.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long,
+       rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+       state: GroupState[CWSState]) =>
+        val cur = state.getOption.getOrElse(CWSState(Nil, 0L, size.toLong))
+        val buffered = rows.foldLeft(cur.evs) {
+          case (acc, (_, ts, id, v, _)) => (ts, id, v) :: acc
+        }
+        val wm = state.getCurrentWatermarkMs() * 1000L
+        val sorted = buffered.sortBy(e => (e._1, e._2)).toVector
+        val evicted = cur.evicted
+        var nextEnd = cur.nextEnd
+        val out = Seq.newBuilder[CWEmit]
+        // rank r sits at sorted index r - evicted - 1
+        def idxOf(rank: Long): Int = (rank - evicted - 1).toInt
+        while (idxOf(nextEnd) < sorted.length && idxOf(nextEnd) >= 0 &&
+            sorted(idxOf(nextEnd))._1 < wm) {
+          val endIdx = idxOf(nextEnd)
+          val startIdx = idxOf(nextEnd - size + 1)
+          // eviction keeps every rank a future window covers, so the
+          // window's start is always still buffered
+          require(startIdx >= 0,
+            s"sliding count window invariant: evicted rank ${nextEnd - size + 1}")
+          val block = sorted.slice(startIdx, endIdx + 1)
+          val total = block.iterator
+            .map(e => BigDecimal(e._3)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum
+          out += CWEmit(key, (nextEnd - size) / slide, size.toLong,
+            block.head._1, block.last._1, total.toDouble)
+          nextEnd += slide
+        }
+        // evict the mature prefix below the next window's first rank
+        val maturePrefix = sorted.segmentLength(_._1 < wm)
+        val evictN = math.min(
+          math.max(0L, nextEnd - size + 1 - evicted - 1),
+          maturePrefix.toLong).toInt
+        val rest = sorted.drop(evictN)
+        if (rest.isEmpty && nextEnd == size.toLong) {
+          if (state.exists) state.remove()
+        } else {
+          state.update(CWSState(rest.toList, evicted + evictN, nextEnd))
+          // flush when the pending window's end element matures
+          val endIdx = (nextEnd - (evicted + evictN) - 1).toInt
+          if (endIdx >= 0 && endIdx < rest.length) {
+            state.setTimeoutTimestamp((rest(endIdx)._1 / 1000L + 1)
+              max (state.getCurrentWatermarkMs() + 1))
+          }
+        }
+        out.result().iterator
+    }
+  }
 }

@@ -1565,6 +1565,48 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(timerOut.filter(col("key") === 2).count() == 1)
   }
 
+  test("StreamingCountWindow.sliding: overlapping windows, rank continuity " +
+      "across evictions, slide>size gaps") {
+    import graft.streaming.StreamingCountWindow
+    // size 4, slide 2 over 8 events → windows at end ranks 4, 6, 8:
+    // wid 0 = ranks 1-4, wid 1 = ranks 3-6, wid 2 = ranks 5-8
+    val evs = (1 to 8).map(i => ev(1, 10 + i, i, value = i.toDouble))
+    val expected = Set(
+      (1L, 0L, 4L, 11L, 14L, 10.0),
+      (1L, 1L, 4L, 13L, 16L, 18.0),
+      (1L, 2L, 4L, 15L, 18L, 26.0))
+    val splits = Seq(
+      Seq(evs, Seq(ev(9, 10000, 99))),
+      Seq(evs.take(3), evs.slice(3, 5), evs.drop(5), Seq(ev(9, 10000, 99))),
+      Seq(evs.take(6), evs.drop(6) :+ ev(9, 10000, 99)))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val out = StreamHarness.run(batches, OutputMode.Append, s"cws_spec_$i") {
+        ds => StreamingCountWindow.sliding(spark, ds, size = 4, slide = 2,
+          watermarkDelay = "2 seconds").toDF()
+      }
+      val rows = out.filter(col("key") === 1)
+        .select("key", "wid", "n", "firstTsMicros", "lastTsMicros", "total")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3) / 1000000L, r.getLong(4) / 1000000L, r.getDouble(5)))
+        .toSet
+      assert(rows == expected, s"sliding split $i: $rows")
+    }
+    // slide > size (sampled windows with GAPS): size 2, slide 4 over 8
+    // events → wid 0 = ranks 3-4... window end ranks 2, 6: wid 0 =
+    // ranks 1-2, wid 1 = ranks 5-6; ranks 3-4, 7-8 belong to no window
+    val gapOut = StreamHarness.run(
+      Seq(evs.take(5), evs.drop(5), Seq(ev(9, 10000, 99))),
+      OutputMode.Append, "cws_gap_spec") {
+      ds => StreamingCountWindow.sliding(spark, ds, size = 2, slide = 4,
+        watermarkDelay = "2 seconds").toDF()
+    }
+    val gapRows = gapOut.filter(col("key") === 1)
+      .select("wid", "firstTsMicros", "lastTsMicros")
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+        r.getLong(2) / 1000000L)).toSet
+    assert(gapRows == Set((0L, 11L, 12L), (1L, 15L, 16L)), gapRows.toString)
+  }
+
   test("streaming CUMULATE TVF fires each window at ITS OWN end (per-end firing)") {
     // The reference fires cumulate window [W, W+k·step) when the
     // watermark passes W+k·step (FLIP-145 / CumulativeWindowAssigner);
