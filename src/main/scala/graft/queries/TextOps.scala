@@ -897,5 +897,64 @@ object TextOps extends QueryGroup {
         .select(col("doc_id"), col("n_tok"), col("dsir_weight"),
           when(col("_kid").isNotNull, 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Cross-corpus segment REMOVAL with reassembly (r10 — the
+    // C4/Dolma "dedup at sub-document granularity" TRANSFORM; x25
+    // only SCORES duplication): each doc splits into non-overlapping
+    // 10-token segments, a segment text's single global keeper is its
+    // first occurrence (min (doc_id, pos)), every other occurrence —
+    // cross-doc AND within-doc — is cut, and the survivors reassemble
+    // in position order into the cleaned text. Shape at 100 TB: one
+    // shuffle on segment hash for the two-phase min-rank (hot
+    // boilerplate segments absorb into map-side partials), the
+    // keeper join reuses that key, reassembly shuffles by doc_id;
+    // no corpus-wide window, no doc×doc comparison.
+    q("x31_segment_dedup",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |segs AS (
+         |  SELECT doc_id, k AS pos,
+         |    array_to_string(t[(k*10+1):(k*10+10)], ' ') AS seg
+         |  FROM toks,
+         |    unnest(generate_series(0,
+         |      CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS u(k)),
+         |g AS (SELECT seg, min(doc_id * 100000 + pos) AS first_rank
+         |      FROM segs GROUP BY seg),
+         |kept AS (SELECT s.doc_id, s.pos, s.seg
+         |  FROM segs s JOIN g USING (seg)
+         |  WHERE s.doc_id * 100000 + s.pos = g.first_rank),
+         |per AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+         |SELECT per.doc_id, per.n_segs,
+         |  coalesce(k.n_kept, 0) AS n_kept, k.clean_text
+         |FROM per LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id) k USING (doc_id)
+         |ORDER BY per.doc_id""".stripMargin) { (s, dir) =>
+      val segs = t(s, dir)("documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            ceil(size(col("t")) / 10.0).cast(LongType) - 1)).as("pos"),
+          col("t"))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("t"), (col("pos") * 10 + 1).cast("int"), lit(10)),
+            " ").as("seg"))
+        .persist() // feeds the keeper min, the join, and per-doc counts
+      // two-phase global first-occurrence per segment text
+      val g = segs.groupBy("seg")
+        .agg(min(col("doc_id") * 100000 + col("pos")).as("first_rank"))
+      val kept = segs.join(g, "seg")
+        .filter(col("doc_id") * 100000 + col("pos") === col("first_rank"))
+      val reassembled = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ").as("clean_text"))
+      segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_text"))
+        .orderBy("doc_id")
     })
 }
