@@ -1607,6 +1607,77 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(gapRows == Set((0L, 11L, 12L), (1L, 15L, 16L)), gapRows.toString)
   }
 
+  test("streaming CUMULATE TVF: a late row is dropped from FIRED windows but " +
+      "still counts into the open cumulative windows") {
+    // the reference's WindowOperator drops an element only for windows
+    // already fired (isWindowLate per window), not wholesale — the
+    // per-k exploded rows inherit exactly that: the k=1 slice's shifted
+    // window has already been evicted, the later ks are still open
+    val input = StreamHarness.mkStream()
+    spark.catalog.dropTempView("cum_late_out")
+    input.toDF()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .createOrReplaceTempView("cum_late_src")
+    val agg = spark.sql(
+      """SELECT window_start, window_end, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_late_src, DESCRIPTOR(ts),
+        |                    INTERVAL '10' SECOND, INTERVAL '40' SECOND))
+        |GROUP BY window_start, window_end""".stripMargin)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cum_late_out").start()
+    def emitted(): Set[(Long, Long, Long)] =
+      spark.table("cum_late_out")
+        .selectExpr("unix_seconds(window_start)", "unix_seconds(window_end)", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      input.addData(Seq(ev(1, 2, 1), ev(1, 5, 2)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(1, 25, 3))) // wm -> 15: [0,10) fires n=2
+      q.processAllAvailable()
+      assert(emitted() == Set((0L, 10L, 2L)), s"pre-late: ${emitted()}")
+      input.addData(Seq(ev(1, 7, 4))) // LATE (7 < wm 15): [0,10) already fired
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 95, 99))) // wm -> 85: every W=0 window fires
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (0L, 10L, 2L),  // fired before the late row — Append never retracts
+        (0L, 20L, 3L),  // 2, 5, LATE 7
+        (0L, 30L, 4L),  // + 25
+        (0L, 40L, 4L)), s"post-late: ${emitted()}")
+    } finally q.stop()
+  }
+
+  test("StreamingCountWindow state (leftover events + block counter) survives restart") {
+    import graft.streaming.StreamingCountWindow
+    implicit val sql = spark.sqlContext
+    val chk = java.nio.file.Files.createTempDirectory("graft_cw_resume").toString
+    val input = StreamHarness.mkStream()
+    val got = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    def start() = StreamingCountWindow(spark, input.toDS(), n = 3,
+        watermarkDelay = "5 seconds")
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(3) / 1000000L, r.getLong(4) / 1000000L)); ()
+      }.start()
+    val q1 = start()
+    // block 0 (t=10..12) fires; t=13 stays buffered across the restart
+    input.addData(Seq(ev(1, 10, 1), ev(1, 11, 2), ev(1, 12, 3),
+      ev(1, 13, 4), ev(9, 10000, 90)))
+    q1.processAllAvailable(); q1.stop()
+    assert(got.toSeq.filter(_._1 == 1L) == Seq((1L, 0L, 10L, 12L)),
+      s"pre-restart: $got")
+    val q2 = start()
+    // the restored leftover t=13 must HEAD block 1, and the restored
+    // counter must number it wid=1 (a lost counter would re-emit wid=0)
+    input.addData(Seq(ev(1, 10010, 5), ev(1, 10020, 6), ev(9, 20000, 91)))
+    q2.processAllAvailable(); q2.stop()
+    assert(got.toSeq.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 10L, 12L), (1L, 1L, 13L, 10020L)), s"post-restart: $got")
+  }
+
   test("streaming CUMULATE TVF fires each window at ITS OWN end (per-end firing)") {
     // The reference fires cumulate window [W, W+k·step) when the
     // watermark passes W+k·step (FLIP-145 / CumulativeWindowAssigner);
