@@ -125,7 +125,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,$flag$health,"sf":"$sfDir"}""" + "\n"
-    val target = if (!contaminated) "bench_out.json"
+    // a SPARK_GRAFT_ONLY subset run is an iteration aid, never the
+    // record — it must not shadow the committed full-corpus file
+    val target = if (only.isDefined) "bench_subset.json"
+      else if (!contaminated) "bench_out.json"
       else {
         val side = s"bench_contaminated_${System.currentTimeMillis()}.json"
         System.err.println(s"[bench] load_start ${fmt(loadStart)} > 1.5: " +
