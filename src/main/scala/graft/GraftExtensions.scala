@@ -27,6 +27,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // like the reference's table.optimizer.distinct-agg.split.enabled.
     e.injectOptimizerRule(_ => graft.plans.SplitDistinctAggRule)
     e.injectFunction((
+      FunctionIdentifier("hash_code"),
+      new ExpressionInfo(classOf[graft.functions.HashCode].getName, "hash_code"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HashCode(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("sha224"),
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.Sha2", "sha224"),
+      graft.functions.GraftFunctions.shaN(224)))
+    e.injectFunction((
+      FunctionIdentifier("sha384"),
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.Sha2", "sha384"),
+      graft.functions.GraftFunctions.shaN(384)))
+    e.injectFunction((
+      FunctionIdentifier("sha512"),
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.Sha2", "sha512"),
+      graft.functions.GraftFunctions.shaN(512)))
+    e.injectFunction((
       FunctionIdentifier("is_alpha"),
       new ExpressionInfo(classOf[IsAlpha].getName, "is_alpha"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => IsAlpha(es.head)))

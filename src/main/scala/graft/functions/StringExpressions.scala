@@ -99,6 +99,20 @@ object GraftStrings {
   }
 }
 
+/** HASH_CODE(s) — the reference's deterministic 32-bit string hash
+  * (FlinkSqlOperatorTable HASH_CODE → Java String.hashCode: the
+  * 31-polynomial over UTF-16 code units with silent int wraparound).
+  * A native expression rather than a built-in composition because the
+  * wraparound must stay silent under ANSI mode. */
+case class HashCode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    v.asInstanceOf[UTF8String].toString.hashCode
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.toString().hashCode()")
+  override protected def withNewChildInternal(c: Expression): HashCode = copy(c)
+}
+
 abstract class StringPredicate extends UnaryExpression {
   override def dataType: DataType = BooleanType
   protected def helper: String
@@ -265,9 +279,23 @@ object GraftFunctions {
     case _ => sys.error(s"similar_to takes 2 or 3 arguments, got ${es.length}")
   }
 
+  def hash_code(c: Column): Column = column(HashCode(expression(c)))
+
+  /** SHA224/SHA384/SHA512 by the reference's NAMED spellings
+    * (FlinkSqlOperatorTable) — thin builders over Spark's sha2. */
+  private[graft] def shaN(bits: Int)(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"sha$bits takes one argument, got ${es.length}")
+    org.apache.spark.sql.catalyst.expressions.Sha2(es.head,
+      org.apache.spark.sql.catalyst.expressions.Literal(bits))
+  }
+
   /** Register SQL names (the reference's FlinkSqlOperatorTable gaps). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hash_code", es => HashCode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sha224", shaN(224), "built-in")
+    reg.createOrReplaceTempFunction("sha384", shaN(384), "built-in")
+    reg.createOrReplaceTempFunction("sha512", shaN(512), "built-in")
     reg.createOrReplaceTempFunction("is_alpha", es => IsAlpha(es.head), "built-in")
     reg.createOrReplaceTempFunction("is_digit", es => IsDigit(es.head), "built-in")
     reg.createOrReplaceTempFunction("is_decimal", es => IsDecimal(es.head), "built-in")

@@ -113,6 +113,8 @@ object MatchRecognize {
     """(?is)MEASURES\s+(.*?)\s*(?=ONE\s+ROW\s+PER|ALL\s+ROWS\s+PER|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val allRowsRe = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
   private val mnRe = """(?i)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$""".r
+  private val mrtRe = """(?i)^MATCH_ROWTIME\s*\(\s*\)\s+AS\s+(\w+)$""".r
+  private val mptRe = """(?i)^MATCH_PROCTIME\s*\(\s*\)\s+AS\s+(\w+)$""".r
   private val classifierRe = """(?i)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$""".r
   private val aggRe =
     """(?i)^(FIRST|LAST|AVG|SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+(\w+)$""".r
@@ -152,6 +154,15 @@ object MatchRecognize {
         s"$kw does not apply to MATCH_NUMBER()")
       m.copy(running = kw.equalsIgnoreCase("RUNNING"))
     case mnRe(alias) => Measure("MATCH_NUMBER", "", "", None, alias)
+    // MATCH_ROWTIME() (FlinkSqlOperatorTable MATCH_ROWTIME — the
+    // match's event-time attribute for cascading windows): the rowtime
+    // of the match's LAST row under FINAL semantics, the current row's
+    // under RUNNING in ALL ROWS PER MATCH
+    case mrtRe(alias) => Measure("MATCH_ROWTIME", "", "", None, alias)
+    case mptRe(_) => sys.error(
+      "MATCH_PROCTIME() has no analog here: proc-time MATCH_RECOGNIZE " +
+        "orders by a PROCTIME() attribute (micro-batch time) — read " +
+        "that column, or use MATCH_ROWTIME()")
     // CLASSIFIER() (SQL:2016; the reference's MATCH_RECOGNIZE supports
     // it): the pattern variable of the LAST row of the match under
     // FINAL semantics — per-row under RUNNING in ALL ROWS PER MATCH
@@ -546,6 +557,7 @@ object MatchRecognize {
           }
         val base = m.func match {
           case "MATCH_NUMBER" => expr("any_value(match_no)")
+          case "MATCH_ROWTIME" => expr("timestamp_micros(max(tsMicros))")
           case "CLASSIFIER" => expr("max_by(var_name, pos)")
           case "FIRST" => expr(s"min_by(${m.colName}, pos)$filt")
           case "LAST" => expr(s"max_by(${m.colName}, pos)$filt")
@@ -589,6 +601,9 @@ object MatchRecognize {
           val argC = if (m.colName == "*") lit(1) else expr(m.colName)
           val base = m.func match {
             case "MATCH_NUMBER" => col("match_no")
+            case "MATCH_ROWTIME" =>
+              org.apache.spark.sql.functions.timestamp_micros(
+                max(col("tsMicros")).over(w))
             case "CLASSIFIER" => max_by(col("var_name"), col("pos")).over(w)
             case "COUNT" => count(when(cond, argC)).over(w)
             case "FIRST" => min_by(when(cond, argC), when(cond, col("pos"))).over(w)

@@ -1441,6 +1441,43 @@ object CepExtras extends QueryGroup {
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
     },
 
+    // MATCH_ROWTIME() measure (FlinkSqlOperatorTable MATCH_ROWTIME —
+    // the match's event-time attribute, used to cascade a window onto
+    // MATCH_RECOGNIZE output; r10): the rowtime of the match's LAST
+    // row. Oracle = each signup's first purchase within the window;
+    // the purchase's own ts is the match rowtime.
+    q("mr14_match_rowtime",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, ts
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS s_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, a.s_id, p.ts AS mrt
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.ts FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id, s_id, mrt
+        |FROM m ORDER BY user_id, s_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr14_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr14_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES FIRST(A.event_id) AS s_id,
+          |           MATCH_ROWTIME() AS mrt
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A E*? P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         E AS event_type <> 'purchase',
+          |         P AS event_type = 'purchase'
+          |) AS T ORDER BY user_id, s_id""".stripMargin)
+    },
+
     // TYPE-GENERAL navigation operands (IterativeCondition.java:52
     // allows arbitrary-typed conditions; r8's NavExpr algebra was
     // numeric-bound): string columns ride the NFA scan in a parallel

@@ -510,5 +510,29 @@ object Functions extends QueryGroup {
           |  o_totalprice BETWEEN SYMMETRIC 200000 AND 100000 AS inband,
           |  element(array(o_orderkey)) AS el
           |FROM f19_orders ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // HASH_CODE(s) (FlinkSqlOperatorTable HASH_CODE — Java
+    // String.hashCode: the 31-polynomial over UTF-16 code units with
+    // silent int32 wraparound; r10). The oracle re-derives the exact
+    // arithmetic in DuckDB: fold 31·h + ord(c), wrapping each step
+    // into signed-int range (6442450944 = 2^32 + 2^31). The
+    // sha224/sha384/sha512 named spellings registered alongside are
+    // spec-gated (DuckDB core ships sha256 only).
+    q("f20_hash_code",
+      """SELECT event_type,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(event_type, ''),
+        |                     c -> CAST(ord(c) AS BIGINT))),
+        |    (a, x) -> ((((a * 31 + x) % 4294967296) + 6442450944)
+        |               % 4294967296) - 2147483648) AS hc
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("f20_events")
+      s.sql(
+        """SELECT event_type, CAST(hash_code(event_type) AS BIGINT) AS hc
+          |FROM (SELECT DISTINCT event_type FROM f20_events)
+          |ORDER BY event_type""".stripMargin)
     })
 }

@@ -1832,6 +1832,43 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "wid")
     },
 
+    // Streaming MATCH_ROWTIME() (r10 — mr14's twin at anchor
+    // maturity): the match's event-time attribute, folded from the
+    // bindings' last row at emission (exact — micros < 2^53).
+    q("st52_stream_match_rowtime",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, ts
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS s_id, ts_us AS a_us
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |m AS (
+        |  SELECT a.user_id, a.s_id, p.ts AS mrt
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.ts FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, s_id, mrt
+        |FROM m ORDER BY key, s_id""".stripMargin) { (s, dir) =>
+      val out = graft.streaming.StreamingMatchRecognize.measures(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES FIRST(A.id) AS s_id,
+          |           MATCH_ROWTIME() AS mrt
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A E*? P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup',
+          |         E AS kind <> 'purchase',
+          |         P AS kind = 'purchase')""".stripMargin,
+        watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out, OutputMode.Append, "st52_out")
+        .select(col("key"), col("s_id"), col("mrt"))
+        .orderBy("key", "s_id")
+    },
+
     // Streaming CLASSIFIER() (r10 — mr13's twin on the unbounded
     // side): the one STRING measure rides the measures door derived
     // from the match bindings at emission, no carried state column.

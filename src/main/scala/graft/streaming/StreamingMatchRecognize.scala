@@ -259,7 +259,7 @@ object StreamingMatchRecognize {
     // COUNT(*) carries no column at all
     val mcols = measures
       .filter(m => m.func != "MATCH_NUMBER" && m.func != "CLASSIFIER" &&
-        m.colName != "*")
+        m.func != "MATCH_ROWTIME" && m.colName != "*")
       .map(_.colName).distinct
     val colIdx = mcols.zipWithIndex.toMap
     val integralCol: Set[String] = if (mcols.isEmpty) Set.empty else {
@@ -323,6 +323,8 @@ object StreamingMatchRecognize {
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
           if (m.func == "MATCH_NUMBER") return Some(seq.toDouble)
           if (m.func == "CLASSIFIER") return None // rides the string slot
+          if (m.func == "MATCH_ROWTIME") // last row's ts (exact < 2^53)
+            return Some(bindings.iterator.flatten.map(_._1).max.toDouble)
           // unqualified measures aggregate over ALL rows of the match
           // (steps bind in order, so flatten — and a SUBSET's
           // ascending-step concatenation — preserves match order)
@@ -428,6 +430,7 @@ object StreamingMatchRecognize {
     val named = measures.zipWithIndex.map { case (m, i) =>
       val base = m.func match {
         case "MATCH_NUMBER" => col("match_seq")
+        case "MATCH_ROWTIME" => timestamp_micros(col("values")(i).cast("long"))
         case "CLASSIFIER" => col("classifier")
         case "COUNT" => col("values")(i).cast("long")
         case "FIRST" | "LAST" | "MIN" | "MAX" if integralCol(m.colName) =>

@@ -74,4 +74,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "2024-01-15 07:00:00")   // EST = UTC-5 in January
     assert(r.getString(2) == "2024-06-01 09:30:00")   // JST = UTC+9
   }
+
+  test("hash_code = Java String.hashCode; sha224/384/512 named spellings (r10)") {
+    val spark = StreamHarness.spark
+    val r = spark.sql(
+      """SELECT hash_code('abc'), hash_code(''), hash_code('graft engine'),
+        |  hash_code(CAST(NULL AS STRING)),
+        |  sha224('abc'), sha384('abc'), sha512('abc'), sha2('abc', 224)"""
+        .stripMargin).head
+    assert(r.getInt(0) == "abc".hashCode)          // 96354
+    assert(r.getInt(1) == 0)
+    assert(r.getInt(2) == "graft engine".hashCode) // wraps through negatives
+    assert(r.isNullAt(3))
+    // the named spellings ARE sha2(x, n): equality + the standard
+    // digest lengths (hex chars = bits / 4)
+    assert(r.getString(4) == r.getString(7))
+    assert(r.getString(4).length == 56 && r.getString(5).length == 96 &&
+      r.getString(6).length == 128)
+    // NIST test vector for SHA-224("abc")
+    assert(r.getString(4) ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    // codegen path: the expression evaluates inside whole-stage codegen
+    // over a column, not just constant-folded
+    val col = spark.range(3).selectExpr("hash_code(CAST(id AS STRING)) AS h")
+      .collect().map(_.getInt(0)).toSeq
+    assert(col == Seq("0".hashCode, "1".hashCode, "2".hashCode))
+    // MATCH_PROCTIME() names the proc-time attribute route — loud
+    val e = intercept[RuntimeException] {
+      graft.operators.MatchRecognize.compile(
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES MATCH_PROCTIME() AS p ONE ROW PER MATCH
+          |  PATTERN (A) WITHIN INTERVAL '1' HOUR
+          |  DEFINE A AS kind = 'x')""".stripMargin)
+    }
+    assert(e.getMessage.contains("MATCH_PROCTIME"), e.getMessage)
+  }
 }
