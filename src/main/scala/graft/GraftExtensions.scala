@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // like the reference's table.optimizer.distinct-agg.split.enabled.
     e.injectOptimizerRule(_ => graft.plans.SplitDistinctAggRule)
     e.injectFunction((
+      FunctionIdentifier("keyvalue"),
+      new ExpressionInfo(classOf[graft.functions.KeyValue].getName, "keyvalue"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KeyValue(es(0), es(1), es(2), es(3))))
+    e.injectFunction((
+      FunctionIdentifier("truncate"),
+      new ExpressionInfo(classOf[graft.functions.NumericTruncate].getName, "truncate"),
+      graft.functions.GraftFunctions.truncateBuilder))
+    e.injectFunction((
       FunctionIdentifier("hash_code"),
       new ExpressionInfo(classOf[graft.functions.HashCode].getName, "hash_code"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -32,6 +32,36 @@ object GraftStrings {
   def isDecimal(s: UTF8String): Boolean =
     decimalRe.findFirstIn(s.toString).isDefined
 
+  /** KEYVALUE: first pair (split by psep) whose prefix before its
+    * first ksep equals key → the remainder; null otherwise
+    * (SqlFunctionUtils.keyValue semantics). */
+  def keyValue(s: UTF8String, psep: UTF8String, ksep: UTF8String,
+               key: UTF8String): UTF8String = {
+    if (s == null || s.numBytes == 0 || psep == null || ksep == null ||
+        key == null) return null
+    val ps = psep.toString
+    val ks = ksep.toString
+    if (ps.isEmpty || ks.isEmpty) return null
+    val k = key.toString
+    s.toString.split(java.util.regex.Pattern.quote(ps), -1).foreach { pair =>
+      if (pair.nonEmpty) {
+        val i = pair.indexOf(ks)
+        if (i >= 0 && pair.substring(0, i) == k)
+          return UTF8String.fromString(pair.substring(i + ks.length))
+      }
+    }
+    null
+  }
+
+  /** Calcite SqlFunctions.struncate for doubles: decimal-string
+    * truncation toward zero (BigDecimal.valueOf keeps the shortest
+    * round-trip representation, so 0.29 truncates to 0.29 at d=2, not
+    * 0.28 as a binary-scaled floor would). */
+  def struncate(v: Double, d: Int): Double =
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal.valueOf(v)
+      .setScale(d, BigDecimal.RoundingMode.DOWN).toDouble
+
   /** 0-based split element, null when index is out of range. */
   def splitIndex(s: UTF8String, sep: UTF8String, idx: Int): UTF8String = {
     if (idx < 0) return null
@@ -97,6 +127,47 @@ object GraftStrings {
         k => java.util.regex.Pattern.compile(similarRegex(k._1, k._2)))
     p.matcher(s.toString).matches()
   }
+}
+
+/** KEYVALUE(str, pairSep, kvSep, key) — the reference's kv-string
+  * extractor (SqlFunctionUtils.keyValue:403): split on pairSep, the
+  * FIRST pair whose text before its first kvSep equals key yields the
+  * remainder; null when absent, when str is empty, or when any input
+  * is null. */
+case class KeyValue(first: Expression, second: Expression,
+                    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(s: Any, p: Any, k: Any, key: Any): Any =
+    GraftStrings.keyValue(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], k.asInstanceOf[UTF8String],
+      key.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, k, key) => {
+      s"""${ev.value} = graft.functions.GraftStrings.keyValue($s, $p, $k, $key);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): KeyValue =
+    copy(a, b, c, d)
+}
+
+/** TRUNCATE(x[, d]) — numeric truncation toward zero at d decimals
+  * (FlinkSqlOperatorTable TRUNCATE → Calcite SqlFunctions.struncate:
+  * BigDecimal.valueOf(x).setScale(d, DOWN); negative d zeroes integer
+  * digits). Spark has date trunc only. Double-typed here (the builder
+  * casts numeric inputs); silent under ANSI. */
+case class NumericTruncate(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any, d: Any): Any =
+    GraftStrings.struncate(v.asInstanceOf[Double], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, d) => s"graft.functions.GraftStrings.struncate($v, $d)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NumericTruncate = copy(l, r)
 }
 
 /** HASH_CODE(s) — the reference's deterministic 32-bit string hash
@@ -289,9 +360,22 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(bits))
   }
 
+  /** TRUNCATE(x[, d]): numeric inputs cast to double, d defaults 0. */
+  private[graft] def truncateBuilder(es: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    es match {
+      case Seq(x) => NumericTruncate(Cast(x, DoubleType), Literal(0))
+      case Seq(x, d) => NumericTruncate(Cast(x, DoubleType), Cast(d, IntegerType))
+      case _ => sys.error(s"truncate takes (x) or (x, d), got ${es.length}")
+    }
+  }
+
   /** Register SQL names (the reference's FlinkSqlOperatorTable gaps). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("keyvalue",
+      es => KeyValue(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("truncate", truncateBuilder, "built-in")
     reg.createOrReplaceTempFunction("hash_code", es => HashCode(es.head), "built-in")
     reg.createOrReplaceTempFunction("sha224", shaN(224), "built-in")
     reg.createOrReplaceTempFunction("sha384", shaN(384), "built-in")

@@ -534,5 +534,30 @@ object Functions extends QueryGroup {
         """SELECT event_type, CAST(hash_code(event_type) AS BIGINT) AS hc
           |FROM (SELECT DISTINCT event_type FROM f20_events)
           |ORDER BY event_type""".stripMargin)
+    },
+
+    // KEYVALUE(str, pairSep, kvSep, key) (SqlFunctionUtils.keyValue —
+    // first matching pair's value, null when absent) and numeric
+    // TRUNCATE(x, d) (Calcite struncate: decimal-string truncation
+    // toward zero). The kv string is assembled from event columns so
+    // the extraction round-trips; the oracle truncates through the
+    // same shortest-decimal route (CAST to VARCHAR → DECIMAL → scaled
+    // floor — prices are positive).
+    q("f21_keyvalue_truncate",
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS uid,
+        |  NULL AS missing,
+        |  CAST(floor(CAST(CAST(value AS VARCHAR) AS DECIMAL(28, 10)) * 10)
+        |       / 10.0 AS DOUBLE) AS v_trunc
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("f21_events")
+      s.sql(
+        """SELECT event_id,
+          |  keyvalue(concat('type=', event_type, ';uid=', user_id),
+          |           ';', '=', 'uid') AS uid,
+          |  keyvalue(concat('type=', event_type, ';uid=', user_id),
+          |           ';', '=', 'absent') AS missing,
+          |  truncate(value, 1) AS v_trunc
+          |FROM f21_events ORDER BY event_id""".stripMargin)
     })
 }

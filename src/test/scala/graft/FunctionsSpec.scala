@@ -99,6 +99,27 @@ class FunctionsSpec extends AnyFunSuite {
     val col = spark.range(3).selectExpr("hash_code(CAST(id AS STRING)) AS h")
       .collect().map(_.getInt(0)).toSeq
     assert(col == Seq("0".hashCode, "1".hashCode, "2".hashCode))
+    // KEYVALUE: first-match wins, value may contain the kv separator
+    // (split at the FIRST occurrence), missing key / empty str → null
+    val kv = spark.sql(
+      """SELECT keyvalue('a=1;b=2;a=3', ';', '=', 'a'),
+        |  keyvalue('k==v;x=y', ';', '=', 'k'),
+        |  keyvalue('a=1;b=2', ';', '=', 'z'),
+        |  keyvalue('', ';', '=', 'a')""".stripMargin).head
+    assert(kv.getString(0) == "1")   // first match, not last
+    assert(kv.getString(1) == "=v")  // split at first kvSep
+    assert(kv.isNullAt(2) && kv.isNullAt(3))
+    // TRUNCATE: toward zero, shortest-decimal semantics (0.29 stays
+    // 0.29 — a binary-scaled floor would give 0.28), negative scale
+    // zeroes integer digits, negatives truncate toward zero
+    val tr = spark.sql(
+      """SELECT truncate(0.29D, 2), truncate(12.345D, 2), truncate(12.999D),
+        |  truncate(1234, -2), truncate(-12.345D, 2)""".stripMargin).head
+    assert(tr.getDouble(0) == 0.29)
+    assert(tr.getDouble(1) == 12.34)
+    assert(tr.getDouble(2) == 12.0)
+    assert(tr.getDouble(3) == 1200.0)
+    assert(tr.getDouble(4) == -12.34)
     // MATCH_PROCTIME() names the proc-time attribute route — loud
     val e = intercept[RuntimeException] {
       graft.operators.MatchRecognize.compile(
