@@ -103,11 +103,13 @@ object AvroStreamProvider {
       val seen = start.asInstanceOf[AvroOffset].files.toSet
       val fresh = end.asInstanceOf[AvroOffset].files.filterNot(seen)
       if (fresh.isEmpty) return Array.empty
-      // the avro writer schema travels with the partition so executors
-      // never re-open the header file
-      val schemaJson = GraftAvro.headerSchemaJson(fresh.head)
+      // each file's OWN writer schema travels with its partition (so
+      // executors never re-open the header, and one schema-evolved
+      // file in a batch cannot poison its siblings' name resolution —
+      // review r10)
       fresh.map(f =>
-        AvroFilePartition(f, schemaJson, declared): InputPartition).toArray
+        AvroFilePartition(f, GraftAvro.headerSchemaJson(f),
+          declared): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new AvroReaderFactory
@@ -122,7 +124,8 @@ object AvroStreamProvider {
       val part = p.asInstanceOf[AvroFilePartition]
       val toInternal =
         CatalystTypeConverters.createToCatalystConverter(part.declared)
-      val rows = GraftAvro.fileRows(part.file, part.schemaJson, part.declared)
+      val (rows, closer) =
+        GraftAvro.openFileRows(part.file, part.schemaJson, part.declared)
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean = {
@@ -131,7 +134,9 @@ object AvroStreamProvider {
           true
         }
         override def get(): InternalRow = cur
-        override def close(): Unit = ()
+        // a cancelled/limited read must release the file handle —
+        // exhaustion-close alone leaks it (review r10)
+        override def close(): Unit = closer()
       }
     }
   }

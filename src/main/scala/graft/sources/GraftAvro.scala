@@ -188,13 +188,27 @@ object GraftAvro {
     case TimestampType => v =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils
         .toJavaTimestamp(v.asInstanceOf[java.lang.Long])
+    case TimestampNTZType => v =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(v.asInstanceOf[java.lang.Long])
     case DateType => v =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
         v.asInstanceOf[java.lang.Integer].longValue()))
     case StringType => v => v.toString // Utf8 → String
-    case BinaryType => v => {
-      val bb = v.asInstanceOf[java.nio.ByteBuffer]
-      val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+    // a DECLARED streaming schema may narrow avro INT (the writer
+    // widens Short/Byte at write time — see toAvroConv)
+    case ShortType => v =>
+      java.lang.Short.valueOf(v.asInstanceOf[java.lang.Number].shortValue())
+    case ByteType => v =>
+      java.lang.Byte.valueOf(v.asInstanceOf[java.lang.Number].byteValue())
+    case BinaryType => {
+      // BYTES decodes as ByteBuffer, FIXED as GenericFixed — both land
+      // in BinaryType (sparkType maps FIXED there too)
+      case bb: java.nio.ByteBuffer =>
+        val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+      case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
+      case other => sys.error(
+        s"avro format: unexpected binary value ${other.getClass.getName}")
     }
     case st: StructType =>
       val convs = st.fields.map(f => fromAvroConv(f.dataType))
@@ -250,13 +264,16 @@ object GraftAvro {
       val convs = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
         toAvroConv(f.dataType, schema.getFields.get(i).schema())
       }
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val out = new Path(dir, f"part-$pid%05d-$stamp.avro")
-      // write under a temp name, publish by rename: a concurrent
-      // STREAMING reader ([[AvroStreamProvider]]) lists only *.avro,
-      // so it can never observe a half-written container (the same
-      // atomic-publish convention file stream sources rely on)
-      val tmp = new Path(dir, out.getName + ".tmp")
+      // write under an ATTEMPT-unique temp name, publish by rename: a
+      // concurrent STREAMING reader ([[AvroStreamProvider]]) lists
+      // only *.avro, so it can never observe a half-written container,
+      // and a speculative/retried attempt writes its own tmp instead
+      // of interleaving into a sibling's (the same atomic-publish
+      // convention file stream sinks rely on)
+      val tmp = new Path(dir, out.getName + s".${tc.taskAttemptId()}.tmp")
       val taskFs = out.getFileSystem(new Configuration())
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, taskFs.create(tmp, true))
@@ -272,8 +289,15 @@ object GraftAvro {
           w.append(rec)
         }
       } finally w.close()
-      require(taskFs.rename(tmp, out),
-        s"avro format: failed to publish $tmp -> $out")
+      if (!taskFs.rename(tmp, out)) {
+        // a racing attempt of this partition may have published first
+        // (rename refuses an existing destination on HDFS semantics):
+        // the data is identical, so tolerate and drop our tmp
+        require(taskFs.exists(out),
+          s"avro format: failed to publish $tmp -> $out")
+        taskFs.delete(tmp, false)
+        ()
+      }
     }
   }
 
@@ -311,8 +335,9 @@ object GraftAvro {
     * source reads into a DECLARED schema whose order may differ from
     * a foreign writer's; extra writer fields are ignored, a missing
     * one is loud). */
-  private[sources] def fileRows(file: String, schemaJson: String,
-                                sparkSchema: StructType): Iterator[Row] = {
+  private[sources] def openFileRows(file: String, schemaJson: String,
+                                    sparkSchema: StructType)
+      : (Iterator[Row], () => Unit) = {
     val schema = new Schema.Parser().parse(schemaJson)
     val pos = sparkSchema.fields.map { f =>
       val wf = schema.getField(f.name)
@@ -324,7 +349,7 @@ object GraftAvro {
     val r = new DataFileReader[GenericRecord](
       new FsInput(new Path(file), new Configuration()),
       new GenericDatumReader[GenericRecord](schema))
-    new Iterator[Row] {
+    val it = new Iterator[Row] {
       def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
       def next(): Row = {
         val rec = r.next()
@@ -334,6 +359,18 @@ object GraftAvro {
         })
       }
     }
+    (it, () => r.close())
+  }
+
+  /** Exhaustion-closing iterator for the batch RDD path; a partially
+    * consumed task (limit, cancellation) closes at task completion —
+    * the reader must not leak its file handle (review r10). */
+  private[sources] def fileRows(file: String, schemaJson: String,
+                                sparkSchema: StructType): Iterator[Row] = {
+    val (it, close) = openFileRows(file, schemaJson, sparkSchema)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    it
   }
 
   /** Distributed read: one Spark partition per container file. */

@@ -397,7 +397,12 @@ object GroupWindowSql {
               if (c == tsField.name) expr(shifted).as(c, tsField.metadata)
               else col(c)
             }
-            val view = (call.src + s"_graft_cum_${stepMs}_$sizeMs")
+            // the name carries EVERY parameter that shapes the view
+            // (source, DESCRIPTOR column, step, max) so two CUMULATEs
+            // differing only in the time column cannot clobber each
+            // other's registration (review r10)
+            val view = (call.src + "_graft_cum_" + ts +
+                s"_${stepMs}_$sizeMs")
               .replaceAll("[^A-Za-z0-9_]", "_")
             src.withColumn("_graft_k",
                 explode(expr(s"sequence($jExpr + 1, CAST($m AS BIGINT))")))
@@ -489,8 +494,10 @@ object GroupWindowSql {
     var itemQualOk = true // shape stays IDENT (. IDENT)* so far
     var itemParens = false
     def flush(): Unit = {
+      // any odd-length IDENT (. IDENT)* chain is a bare (possibly
+      // multi-part qualified) column — db.t.k included (review r10)
       if (itemLastIdent != null && itemQualOk && !itemParens &&
-          (itemToks == 1 || itemToks == 3))
+          itemToks % 2 == 1)
         out += itemLastIdent
       itemToks = 0; itemLastIdent = null; itemQualOk = true
       itemParens = false

@@ -29,8 +29,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingCountWindow {
 
   /** (tsMicros, id, value) triples not yet emitted; `emitted` = blocks
-    * already emitted (the next block's wid). */
-  case class CWState(evs: List[(Long, Long, Double)], emitted: Long)
+    * already emitted (the next block's wid). `idleSinceMicros` tracks
+    * when the buffer drained (for the optional residual-state
+    * retention). */
+  case class CWState(evs: List[(Long, Long, Double)], emitted: Long,
+                     idleSinceMicros: Long = 0L)
 
   /** One emitted block — the batch `gw4` output shape: per-element
     * DECIMAL(18,2) rounding before the exact sum, so the total matches
@@ -39,8 +42,18 @@ object StreamingCountWindow {
   case class CWEmit(key: Long, wid: Long, n: Long,
                     firstTsMicros: Long, lastTsMicros: Long, total: Double)
 
+  /** `idleRetentionMicros`: once a key's buffer drains, the only
+    * state left is the block counter — without an eviction path that
+    * residue grows with the number of distinct keys ever windowed.
+    * With retention set, the residue is evicted after the key stays
+    * idle for the given event-time span; a block formed AFTER
+    * eviction restarts wid at 0 for that key (the reference's
+    * idle-state-retention trade, exactly as the MATCH_RECOGNIZE
+    * measures door documents it). None (default) keeps strict wid
+    * continuity at the cost of per-windowed-key residual state. */
   def apply(spark: SparkSession, events: Dataset[GEvent], n: Int,
-            watermarkDelay: String = "1 minute"): Dataset[CWEmit] = {
+            watermarkDelay: String = "1 minute",
+            idleRetentionMicros: Option[Long] = None): Dataset[CWEmit] = {
     import spark.implicits._
     require(n > 0, s"countWindow size must be positive: $n")
     val ds = events.toDF()
@@ -56,8 +69,9 @@ object StreamingCountWindow {
        rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
        state: GroupState[CWState]) =>
         val cur = state.getOption.getOrElse(CWState(Nil, 0L))
+        var newRows = 0
         val buffered = rows.foldLeft(cur.evs) {
-          case (acc, (_, ts, id, v, _)) => (ts, id, v) :: acc
+          case (acc, (_, ts, id, v, _)) => newRows += 1; (ts, id, v) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
         // (ts, id) order = the batch row_number order; strict maturity
@@ -80,11 +94,29 @@ object StreamingCountWindow {
         }
         if (rest.isEmpty && emitted == 0L) {
           if (state.exists) state.remove()
-        } else {
-          // `emitted` must survive even with an empty buffer — block
+        } else if (rest.isEmpty) {
+          // residual state: only the block counter survives — wid
           // numbering continues across quiet spells (the reference's
           // per-key window counter lives in keyed state the same way)
-          state.update(CWState(rest, emitted))
+          idleRetentionMicros match {
+            case None =>
+              state.update(CWState(Nil, emitted, 0L))
+            case Some(ret) =>
+              val active = newRows > 0 || emitted != cur.emitted ||
+                cur.evs.nonEmpty || cur.idleSinceMicros == 0L
+              val idleSince = if (active) wm else cur.idleSinceMicros
+              if (!active && wm >= idleSince + ret) {
+                // retention elapsed: evict — wid restarts at 0 if the
+                // key ever fills a block again (the documented delta)
+                state.remove()
+              } else {
+                state.update(CWState(Nil, emitted, idleSince))
+                state.setTimeoutTimestamp(((idleSince + ret) / 1000L + 1)
+                  max (state.getCurrentWatermarkMs() + 1))
+              }
+          }
+        } else {
+          state.update(CWState(rest, emitted, 0L))
           if (rest.lengthCompare(n) >= 0) {
             // a complete-but-immature block: flush when its N-th
             // event matures even if the key goes quiet
@@ -101,7 +133,7 @@ object StreamingCountWindow {
     * front-evicted events (their ranks are final), and the next window
     * END rank to emit. */
   case class CWSState(evs: List[(Long, Long, Double)], evicted: Long,
-                      nextEnd: Long)
+                      nextEnd: Long, idleSinceMicros: Long = 0L)
 
   /** Sliding COUNT window — the reference's `countWindow(size, slide)`
     * (KeyedStream.java; CountTrigger(slide) + CountEvictor(size): fire
@@ -115,7 +147,8 @@ object StreamingCountWindow {
     * per key is ≤ size−1 retained mature elements (+ ≤ slide gap
     * elements when slide > size) plus the immature suffix. */
   def sliding(spark: SparkSession, events: Dataset[GEvent], size: Int,
-              slide: Int, watermarkDelay: String = "1 minute")
+              slide: Int, watermarkDelay: String = "1 minute",
+              idleRetentionMicros: Option[Long] = None)
       : Dataset[CWEmit] = {
     import spark.implicits._
     require(size > 0 && slide > 0,
@@ -133,8 +166,9 @@ object StreamingCountWindow {
        rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
        state: GroupState[CWSState]) =>
         val cur = state.getOption.getOrElse(CWSState(Nil, 0L, size.toLong))
+        var newRows = 0
         val buffered = rows.foldLeft(cur.evs) {
-          case (acc, (_, ts, id, v, _)) => (ts, id, v) :: acc
+          case (acc, (_, ts, id, v, _)) => newRows += 1; (ts, id, v) :: acc
         }
         val wm = state.getCurrentWatermarkMs() * 1000L
         val sorted = buffered.sortBy(e => (e._1, e._2)).toVector
@@ -168,8 +202,27 @@ object StreamingCountWindow {
         val rest = sorted.drop(evictN)
         if (rest.isEmpty && nextEnd == size.toLong) {
           if (state.exists) state.remove()
+        } else if (rest.isEmpty) {
+          // residual: only the rank/window counters — same optional
+          // idle-retention trade as the tumbling path
+          idleRetentionMicros match {
+            case None =>
+              state.update(CWSState(Nil, evicted + evictN, nextEnd, 0L))
+            case Some(ret) =>
+              val active = newRows > 0 || nextEnd != cur.nextEnd ||
+                cur.evs.nonEmpty || cur.idleSinceMicros == 0L
+              val idleSince = if (active) wm else cur.idleSinceMicros
+              if (!active && wm >= idleSince + ret) {
+                state.remove()
+              } else {
+                state.update(CWSState(Nil, evicted + evictN, nextEnd,
+                  idleSince))
+                state.setTimeoutTimestamp(((idleSince + ret) / 1000L + 1)
+                  max (state.getCurrentWatermarkMs() + 1))
+              }
+          }
         } else {
-          state.update(CWSState(rest.toList, evicted + evictN, nextEnd))
+          state.update(CWSState(rest.toList, evicted + evictN, nextEnd, 0L))
           // flush when the pending window's end element matures
           val endIdx = (nextEnd - (evicted + evictN) - 1).toInt
           if (endIdx >= 0 && endIdx < rest.length) {

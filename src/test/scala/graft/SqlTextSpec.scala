@@ -786,12 +786,12 @@ class SqlTextSpec extends AnyFunSuite {
       "timestamp_micros(unix_micros(window.start) - " +
         "pmod(unix_micros(window.start), 86400000000)) AS window_start"), out)
     assert(out.contains("window.end AS window_end"), out)
-    assert(out.contains("gw_stream_cum_graft_cum_21600000_86400000"), out)
+    assert(out.contains("gw_stream_cum_graft_cum_ts_21600000_86400000"), out)
     // the registered fan-out view: still streaming, same columns, and
     // the shifted ts re-carries the source's watermark delay metadata
     // (the analyzer's append-mode check reads it; eviction — per-end
     // firing — still rides the source's own watermark node)
-    val v = spark.table("gw_stream_cum_graft_cum_21600000_86400000")
+    val v = spark.table("gw_stream_cum_graft_cum_ts_21600000_86400000")
     assert(v.isStreaming)
     assert(v.columns.toSeq == spark.table("gw_stream_cum").columns.toSeq)
     assert(v.schema("ts").metadata.contains("spark.watermarkDelayMs"))

@@ -1648,6 +1648,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingCountWindow idle retention evicts the residual block counter") {
+    import graft.streaming.StreamingCountWindow
+    // key 1 fills exactly one block, then stays idle past the
+    // retention span (driven by key-9 watermark traffic); the next
+    // block must restart wid at 0 (the documented eviction trade).
+    // Without retention the counter survives and wid continues at 1 —
+    // covered by the restart spec below.
+    val out = StreamHarness.run(Seq(
+      Seq(ev(1, 10, 1), ev(1, 11, 2), ev(1, 12, 3)),
+      Seq(ev(9, 1000, 90)),             // block 0 matures; key 1 idles
+      Seq(ev(9, 5000, 91)),             // idle span exceeds 1000s
+      Seq(ev(1, 6000, 4), ev(1, 6001, 5), ev(1, 6002, 6)),
+      Seq(ev(9, 9000, 92))), OutputMode.Append, "cw_idle_spec") { ds =>
+      StreamingCountWindow(spark, ds, n = 3, watermarkDelay = "5 seconds",
+        idleRetentionMicros = Some(1000L * 1000000L)).toDF()
+    }
+    val wids = out.filter(col("key") === 1)
+      .orderBy("firstTsMicros").select("wid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(wids == Seq(0L, 0L), s"retention must reset wid: $wids")
+  }
+
   test("StreamingCountWindow state (leftover events + block counter) survives restart") {
     import graft.streaming.StreamingCountWindow
     implicit val sql = spark.sqlContext
