@@ -103,19 +103,16 @@ object AvroStreamProvider {
       val seen = start.asInstanceOf[AvroOffset].files.toSet
       val fresh = end.asInstanceOf[AvroOffset].files.filterNot(seen)
       if (fresh.isEmpty) return Array.empty
-      // each file's OWN writer schema travels with its partition (so
-      // executors never re-open the header, and one schema-evolved
-      // file in a batch cannot poison its siblings' name resolution —
+      // the executor resolves each file against its OWN header at open
+      // time (per-file schema correctness with zero extra driver I/O —
       // review r10)
-      fresh.map(f =>
-        AvroFilePartition(f, GraftAvro.headerSchemaJson(f),
-          declared): InputPartition).toArray
+      fresh.map(f => AvroFilePartition(f, declared): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new AvroReaderFactory
   }
 
-  private final case class AvroFilePartition(file: String, schemaJson: String,
+  private final case class AvroFilePartition(file: String,
                                              declared: StructType)
       extends InputPartition
 
@@ -125,7 +122,7 @@ object AvroStreamProvider {
       val toInternal =
         CatalystTypeConverters.createToCatalystConverter(part.declared)
       val (rows, closer) =
-        GraftAvro.openFileRows(part.file, part.schemaJson, part.declared)
+        GraftAvro.openFileRows(part.file, part.declared)
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean = {

@@ -183,68 +183,90 @@ object GraftAvro {
     }
   }
 
-  /** Avro generic value → Spark EXTERNAL value of `dt`. */
-  private def fromAvroConv(dt: DataType): Any => Any = dt match {
-    case TimestampType => v =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .toJavaTimestamp(v.asInstanceOf[java.lang.Long])
-    case TimestampNTZType => v =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .microsToLocalDateTime(v.asInstanceOf[java.lang.Long])
-    case DateType => v =>
-      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-        v.asInstanceOf[java.lang.Integer].longValue()))
-    case StringType => v => v.toString // Utf8 → String
-    // a DECLARED streaming schema may narrow avro INT (the writer
-    // widens Short/Byte at write time — see toAvroConv)
-    case ShortType => v =>
-      java.lang.Short.valueOf(v.asInstanceOf[java.lang.Number].shortValue())
-    case ByteType => v =>
-      java.lang.Byte.valueOf(v.asInstanceOf[java.lang.Number].byteValue())
-    case BinaryType => {
-      // BYTES decodes as ByteBuffer, FIXED as GenericFixed — both land
-      // in BinaryType (sparkType maps FIXED there too)
-      case bb: java.nio.ByteBuffer =>
-        val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
-      case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
-      case other => sys.error(
-        s"avro format: unexpected binary value ${other.getClass.getName}")
+  /** Avro generic value → Spark EXTERNAL value of `dt`; `sch0` is the
+    * WRITER schema of the value (logical-type aware: a foreign
+    * timestamp-millis scales to micros instead of being misread
+    * 1000× off — review r10). */
+  private def fromAvroConv(dt: DataType, sch0: Schema): Any => Any = {
+    val sch = nonNull(sch0)
+    def tsMicros(v: Any): Long = {
+      val raw = v.asInstanceOf[java.lang.Long].longValue()
+      if (sch.getLogicalType != null &&
+          sch.getLogicalType.getName.endsWith("millis")) raw * 1000L
+      else raw
     }
-    case st: StructType =>
-      val convs = st.fields.map(f => fromAvroConv(f.dataType))
-      v => {
-        val rec = v.asInstanceOf[GenericRecord]
-        Row.fromSeq(st.fields.indices.map { i =>
-          val x = rec.get(i)
-          if (x == null) null else convs(i)(x)
-        })
+    dt match {
+      case TimestampType => v =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(tsMicros(v))
+      case TimestampNTZType => v =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(tsMicros(v))
+      case DateType => v =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue()))
+      case StringType => v => v.toString // Utf8 → String
+      // a DECLARED streaming schema may narrow avro INT back to the
+      // declared type (the writer widens Short/Byte at write time —
+      // see toAvroConv); out-of-range foreign values fail LOUDLY
+      // instead of wrapping (review r10)
+      case ShortType => v =>
+        val n = v.asInstanceOf[java.lang.Number].intValue()
+        require(n >= Short.MinValue && n <= Short.MaxValue,
+          s"avro format: value $n overflows declared SMALLINT")
+        java.lang.Short.valueOf(n.toShort)
+      case ByteType => v =>
+        val n = v.asInstanceOf[java.lang.Number].intValue()
+        require(n >= Byte.MinValue && n <= Byte.MaxValue,
+          s"avro format: value $n overflows declared TINYINT")
+        java.lang.Byte.valueOf(n.toByte)
+      case BinaryType => {
+        // BYTES decodes as ByteBuffer, FIXED as GenericFixed — both
+        // land in BinaryType (sparkType maps FIXED there too)
+        case bb: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+        case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
+        case other => sys.error(
+          s"avro format: unexpected binary value ${other.getClass.getName}")
       }
-    case ArrayType(elem, _) =>
-      val c = fromAvroConv(elem)
-      v => {
-        val xs = v.asInstanceOf[java.util.List[AnyRef]]
-        val out = Vector.newBuilder[Any]
-        val it = xs.iterator()
-        while (it.hasNext) {
-          val x = it.next()
-          out += (if (x == null) null else c(x))
+      case st: StructType =>
+        val convs = st.fields.zipWithIndex.map { case (f, i) =>
+          fromAvroConv(f.dataType, sch.getFields.get(i).schema())
         }
-        out.result()
-      }
-    case MapType(_, mv, _) =>
-      val c = fromAvroConv(mv)
-      v => {
-        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
-        val out = Map.newBuilder[String, Any]
-        val it = m.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          out += e.getKey.toString ->
-            (if (e.getValue == null) null else c(e.getValue))
+        v => {
+          val rec = v.asInstanceOf[GenericRecord]
+          Row.fromSeq(st.fields.indices.map { i =>
+            val x = rec.get(i)
+            if (x == null) null else convs(i)(x)
+          })
         }
-        out.result()
-      }
-    case _ => identity
+      case ArrayType(elem, _) =>
+        val c = fromAvroConv(elem, sch.getElementType)
+        v => {
+          val xs = v.asInstanceOf[java.util.List[AnyRef]]
+          val out = Vector.newBuilder[Any]
+          val it = xs.iterator()
+          while (it.hasNext) {
+            val x = it.next()
+            out += (if (x == null) null else c(x))
+          }
+          out.result()
+        }
+      case MapType(_, mv, _) =>
+        val c = fromAvroConv(mv, sch.getValueType)
+        v => {
+          val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+          val out = Map.newBuilder[String, Any]
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out += e.getKey.toString ->
+              (if (e.getValue == null) null else c(e.getValue))
+          }
+          out.result()
+        }
+      case _ => identity
+    }
   }
 
   /** Distributed write: one container file per partition under `dir`.
@@ -298,6 +320,11 @@ object GraftAvro {
         taskFs.delete(tmp, false)
         ()
       }
+      // sweep dead attempts' tmp litter for THIS output file (a killed
+      // attempt can't clean up after itself — review r10); one glob on
+      // the published name's prefix, best effort
+      taskFs.globStatus(new Path(dir, out.getName + ".*.tmp"))
+        .foreach(st => taskFs.delete(st.getPath, false))
     }
   }
 
@@ -335,20 +362,27 @@ object GraftAvro {
     * source reads into a DECLARED schema whose order may differ from
     * a foreign writer's; extra writer fields are ignored, a missing
     * one is loud). */
-  private[sources] def openFileRows(file: String, schemaJson: String,
+  private[sources] def openFileRows(file: String,
                                     sparkSchema: StructType)
       : (Iterator[Row], () => Unit) = {
-    val schema = new Schema.Parser().parse(schemaJson)
+    // ONE open per file: the reader's own header supplies the writer
+    // schema (per-file, so a schema-evolved sibling in the same batch
+    // resolves against ITS schema — review r10), columns resolve by
+    // NAME against the declared schema
+    val r = new DataFileReader[GenericRecord](
+      new FsInput(new Path(file), new Configuration()),
+      new GenericDatumReader[GenericRecord]())
+    val schema = r.getSchema
     val pos = sparkSchema.fields.map { f =>
       val wf = schema.getField(f.name)
       require(wf != null,
         s"avro format: declared column '${f.name}' not in $file's schema")
       wf.pos()
     }
-    val convs = sparkSchema.fields.map(f => fromAvroConv(f.dataType))
-    val r = new DataFileReader[GenericRecord](
-      new FsInput(new Path(file), new Configuration()),
-      new GenericDatumReader[GenericRecord](schema))
+    val convs = sparkSchema.fields.map { f =>
+      fromAvroConv(f.dataType,
+        schema.getField(f.name).schema())
+    }
     val it = new Iterator[Row] {
       def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
       def next(): Row = {
@@ -365,9 +399,9 @@ object GraftAvro {
   /** Exhaustion-closing iterator for the batch RDD path; a partially
     * consumed task (limit, cancellation) closes at task completion —
     * the reader must not leak its file handle (review r10). */
-  private[sources] def fileRows(file: String, schemaJson: String,
+  private[sources] def fileRows(file: String,
                                 sparkSchema: StructType): Iterator[Row] = {
-    val (it, close) = openFileRows(file, schemaJson, sparkSchema)
+    val (it, close) = openFileRows(file, sparkSchema)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     it
@@ -381,7 +415,7 @@ object GraftAvro {
     val sparkSchema = structType(new Schema.Parser().parse(schemaJson))
     val rows = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
-      .flatMap(file => fileRows(file, schemaJson, sparkSchema))
+      .flatMap(file => fileRows(file, sparkSchema))
     spark.createDataFrame(rows, sparkSchema)
   }
 }

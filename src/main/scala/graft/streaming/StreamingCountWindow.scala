@@ -102,10 +102,16 @@ object StreamingCountWindow {
             case None =>
               state.update(CWState(Nil, emitted, 0L))
             case Some(ret) =>
+              // the clock starts AT the last activity (max 1 keeps the
+              // stored value distinguishable from the fresh-state 0
+              // even on a first batch whose watermark is still 0)
               val active = newRows > 0 || emitted != cur.emitted ||
-                cur.evs.nonEmpty || cur.idleSinceMicros == 0L
-              val idleSince = if (active) wm else cur.idleSinceMicros
-              if (!active && wm >= idleSince + ret) {
+                cur.evs.nonEmpty
+              val idleSince =
+                if (active || cur.idleSinceMicros == 0L) wm max 1L
+                else cur.idleSinceMicros
+              if (!active && cur.idleSinceMicros != 0L &&
+                  wm >= idleSince + ret) {
                 // retention elapsed: evict — wid restarts at 0 if the
                 // key ever fills a block again (the documented delta)
                 state.remove()
@@ -115,14 +121,33 @@ object StreamingCountWindow {
                   max (state.getCurrentWatermarkMs() + 1))
               }
           }
-        } else {
+        } else if (rest.lengthCompare(n) >= 0) {
           state.update(CWState(rest, emitted, 0L))
-          if (rest.lengthCompare(n) >= 0) {
-            // a complete-but-immature block: flush when its N-th
-            // event matures even if the key goes quiet
-            val deadlineMs = rest(n - 1)._1 / 1000L + 1
-            state.setTimeoutTimestamp(
-              deadlineMs max (state.getCurrentWatermarkMs() + 1))
+          // a complete-but-immature block: flush when its N-th
+          // event matures even if the key goes quiet
+          val deadlineMs = rest(n - 1)._1 / 1000L + 1
+          state.setTimeoutTimestamp(
+            deadlineMs max (state.getCurrentWatermarkMs() + 1))
+        } else {
+          // an INCOMPLETE leftover can only grow with new data — with
+          // retention set it must still expire, or a long tail of
+          // never-filling keys grows state without bound (review r10;
+          // eviction DROPS the partial block, the same data-loss trade
+          // as the reference's state TTL)
+          idleRetentionMicros match {
+            case None => state.update(CWState(rest, emitted, 0L))
+            case Some(ret) =>
+              val active = newRows > 0 || emitted != cur.emitted
+              val idleSince =
+                if (active || cur.idleSinceMicros == 0L) wm max 1L
+                else cur.idleSinceMicros
+              if (!active && cur.idleSinceMicros != 0L &&
+                  wm >= idleSince + ret) state.remove()
+              else {
+                state.update(CWState(rest, emitted, idleSince))
+                state.setTimeoutTimestamp(((idleSince + ret) / 1000L + 1)
+                  max (state.getCurrentWatermarkMs() + 1))
+              }
           }
         }
         out.result().iterator
@@ -210,9 +235,12 @@ object StreamingCountWindow {
               state.update(CWSState(Nil, evicted + evictN, nextEnd, 0L))
             case Some(ret) =>
               val active = newRows > 0 || nextEnd != cur.nextEnd ||
-                cur.evs.nonEmpty || cur.idleSinceMicros == 0L
-              val idleSince = if (active) wm else cur.idleSinceMicros
-              if (!active && wm >= idleSince + ret) {
+                cur.evs.nonEmpty
+              val idleSince =
+                if (active || cur.idleSinceMicros == 0L) wm max 1L
+                else cur.idleSinceMicros
+              if (!active && cur.idleSinceMicros != 0L &&
+                  wm >= idleSince + ret) {
                 state.remove()
               } else {
                 state.update(CWSState(Nil, evicted + evictN, nextEnd,
@@ -222,12 +250,31 @@ object StreamingCountWindow {
               }
           }
         } else {
-          state.update(CWSState(rest.toList, evicted + evictN, nextEnd, 0L))
           // flush when the pending window's end element matures
           val endIdx = (nextEnd - (evicted + evictN) - 1).toInt
           if (endIdx >= 0 && endIdx < rest.length) {
+            state.update(CWSState(rest.toList, evicted + evictN, nextEnd, 0L))
             state.setTimeoutTimestamp((rest(endIdx)._1 / 1000L + 1)
               max (state.getCurrentWatermarkMs() + 1))
+          } else idleRetentionMicros match {
+            // the buffer cannot complete the pending window without
+            // new data — same retention rule as the tumbling path
+            // (review r10)
+            case None =>
+              state.update(CWSState(rest.toList, evicted + evictN, nextEnd, 0L))
+            case Some(ret) =>
+              val active = newRows > 0 || nextEnd != cur.nextEnd
+              val idleSince =
+                if (active || cur.idleSinceMicros == 0L) wm max 1L
+                else cur.idleSinceMicros
+              if (!active && cur.idleSinceMicros != 0L &&
+                  wm >= idleSince + ret) state.remove()
+              else {
+                state.update(CWSState(rest.toList, evicted + evictN,
+                  nextEnd, idleSince))
+                state.setTimeoutTimestamp(((idleSince + ret) / 1000L + 1)
+                  max (state.getCurrentWatermarkMs() + 1))
+              }
           }
         }
         out.result().iterator

@@ -1668,6 +1668,38 @@ class StreamingOpsSpec extends AnyFunSuite {
       .orderBy("firstTsMicros").select("wid")
       .collect().map(_.getLong(0)).toSeq
     assert(wids == Seq(0L, 0L), s"retention must reset wid: $wids")
+    // an INCOMPLETE leftover also expires (review r10): key 2 sends a
+    // partial block (2 of 3), idles past retention, then sends 2 more
+    // — the expired leftover is dropped, so no block ever completes
+    val partial = StreamHarness.run(Seq(
+      Seq(ev(2, 10, 1), ev(2, 11, 2)),
+      Seq(ev(9, 1000, 90)),
+      Seq(ev(9, 5000, 91)),             // leftover expires
+      Seq(ev(2, 6000, 3), ev(2, 6001, 4)),
+      Seq(ev(9, 9000, 92))), OutputMode.Append, "cw_idle_partial_spec") { ds =>
+      StreamingCountWindow(spark, ds, n = 3, watermarkDelay = "5 seconds",
+        idleRetentionMicros = Some(1000L * 1000000L)).toDF()
+    }
+    assert(partial.filter(col("key") === 2).count() == 0,
+      "expired leftover must not head a later block")
+    // SLIDING retention: key 3's rank/window counters reset after the
+    // idle span — the post-idle events form window wid=0 again
+    val slid = StreamHarness.run(Seq(
+      Seq(ev(3, 10, 1), ev(3, 11, 2)),
+      Seq(ev(9, 1000, 90)),
+      Seq(ev(9, 5000, 91)),
+      Seq(ev(3, 6000, 3), ev(3, 6001, 4)),
+      Seq(ev(9, 9000, 92))), OutputMode.Append, "cws_idle_spec") { ds =>
+      StreamingCountWindow.sliding(spark, ds, size = 2, slide = 2,
+        watermarkDelay = "5 seconds",
+        idleRetentionMicros = Some(1000L * 1000000L)).toDF()
+    }
+    val slidRows = slid.filter(col("key") === 3)
+      .orderBy("firstTsMicros")
+      .select("wid", "firstTsMicros")
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000L)).toSeq
+    assert(slidRows == Seq((0L, 10L), (0L, 6000L)),
+      s"sliding retention must reset ranks: $slidRows")
   }
 
   test("StreamingCountWindow state (leftover events + block counter) survives restart") {
