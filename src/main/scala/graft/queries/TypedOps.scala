@@ -467,6 +467,47 @@ object TypedOps extends QueryGroup {
         .orderBy("o_orderstatus")
     },
 
+    // LIVE JDBC round-trip (r10 — JdbcDynamicTableSource/Sink,
+    // flink-connector-jdbc; the option binding existed since r7 but
+    // nothing could execute until the embedded-Derby realization:
+    // Spark ships Derby for the Hive metastore, so a real zero-egress
+    // database IS in the container). Orders project through a
+    // 'connector'='jdbc' sink into Derby, read back through the
+    // partitioned scan (scan.partition.* → 4 parallel range reads),
+    // and aggregate — equal to aggregating the source, the oracle.
+    q("ty23_jdbc_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val url = "jdbc:derby:memory:ty23db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        try conn.createStatement().execute(
+          "CREATE TABLE t_orders (o_orderkey BIGINT, " +
+            "o_orderstatus VARCHAR(8), o_totalprice DOUBLE)")
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+          () // table exists from a prior run in this JVM
+        }
+      } finally conn.close()
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("ty23_src")
+      graft.sources.GraftDDL.execute(s,
+        s"""CREATE TABLE ty23_orders (o_orderkey BIGINT,
+           |  o_orderstatus STRING, o_totalprice DOUBLE)
+           |WITH ('connector'='jdbc', 'url'='$url', 'table-name'='t_orders',
+           |      'scan.partition.column'='o_orderkey',
+           |      'scan.partition.num'='4',
+           |      'scan.partition.lower-bound'='0',
+           |      'scan.partition.upper-bound'='6000000')""".stripMargin)
+      graft.sources.GraftDDL.executeInsert(s,
+        "INSERT OVERWRITE ty23_orders SELECT * FROM ty23_src")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM ty23_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // zipWithIndex (flink-java utils/DataSetUtils.java:93 — two-phase
     // contiguous index assignment: count elements per partition, then
     // offset each partition by the prefix sum of the counts). Spark's

@@ -351,6 +351,21 @@ object GraftDDL {
   private def register(spark: SparkSession, name: String, b: Binding): DataFrame = {
     val df0 = b.connector match {
       case "datagen" => DataGen.frame(spark, b)
+      case "jdbc" =>
+        // LIVE execution through Spark's JDBC source (r10 — the
+        // option translation existed since r7; an embedded-Derby
+        // round-trip spec-drives it in this container, and the
+        // scan.partition.* quadruple becomes N parallel range reads).
+        // Spark's jdbc relation is batch-only, as is the reference's
+        // JdbcDynamicTableSource scan.
+        require(!b.streaming,
+          "jdbc connector: batch scan only (the reference's JDBC scan " +
+            "source is bounded too)")
+        val raw = spark.read.format("jdbc")
+          .options(JdbcConnector.sourceOptions(b.options)).load()
+        if (b.schema.isEmpty) raw
+        else raw.select(b.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "print" | "blackhole" =>
         sys.error(s"connector '${b.connector}' is a sink; it cannot be read")
       case _ => registerFilesystem(spark, b)
@@ -527,6 +542,20 @@ object GraftDDL {
           // `noop` source is exactly that sink (the write still executes
           // the query, which is the connector's point: benchmarking)
           df.write.format("noop").mode("overwrite").save()
+        case "jdbc" =>
+          // live write through Spark's JDBC sink; INTO appends to the
+          // existing table, OVERWRITE truncates it first (the
+          // reference's JdbcDynamicTableSink append/upsert split keys
+          // on the PK instead — the upsert half lives in UpsertSink)
+          require(b.partitions.isEmpty,
+            "jdbc connector: PARTITIONED BY does not apply")
+          df.write.format("jdbc")
+            .options(JdbcConnector.sinkOptions(b.options))
+            .option("truncate", "true")
+            .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite"
+                  else "append")
+            .save()
+          register(spark, name, b)
         case _ if b.format == "avro" =>
           require(b.partitions.isEmpty,
             "avro format: PARTITIONED BY not supported in this engine")
@@ -1073,7 +1102,8 @@ object GraftDDL {
       mergedPk, mergedPartitions)
   }
 
-  private val connectors = Set("filesystem", "datagen", "print", "blackhole")
+  private val connectors =
+    Set("filesystem", "datagen", "print", "blackhole", "jdbc")
 
   /** Assemble a Binding from a resolved option map + schema pieces —
     * shared by the plain and LIKE paths so both validate identically. */

@@ -470,6 +470,49 @@ class SourcesSpec extends AnyFunSuite {
       Seq((0, 0), (1, 1), (2, 2)))
   }
 
+  test("jdbc connector executes LIVE against embedded Derby: insert, scan, " +
+      "partitioned parallel read, overwrite") {
+    import graft.sources.GraftDDL
+    val spark = StreamHarness.spark
+    // Spark ships Derby for the Hive metastore, so a real zero-egress
+    // JDBC database IS available — the option binding stops being
+    // spec-only here (r10; previously 'no live execution possible')
+    val url = "jdbc:derby:memory:graft_jdbc_spec;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE people (id BIGINT, name VARCHAR(32), score DOUBLE)")
+    finally conn.close()
+    GraftDDL.execute(spark,
+      s"""CREATE TABLE jdbc_people (id BIGINT, name STRING, score DOUBLE)
+         |WITH ('connector'='jdbc', 'url'='$url', 'table-name'='people',
+         |      'scan.partition.column'='id', 'scan.partition.num'='3',
+         |      'scan.partition.lower-bound'='0',
+         |      'scan.partition.upper-bound'='100')""".stripMargin)
+    GraftDDL.executeInsert(spark,
+      """INSERT INTO jdbc_people
+        |SELECT id, concat('n', id) AS name, id * 1.5 AS score
+        |FROM range(0, 10)""".stripMargin)
+    val back = spark.table("jdbc_people")
+    // the scan.partition.* quadruple became N parallel range reads —
+    // the scale surface, observable as the scan's partition count
+    assert(back.rdd.getNumPartitions == 3,
+      s"partitioned scan: ${back.rdd.getNumPartitions}")
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == (0L until 10L).map(i => (i, s"n$i", i * 1.5)), rows)
+    // INTO appends; OVERWRITE truncates first
+    GraftDDL.executeInsert(spark,
+      "INSERT INTO jdbc_people SELECT id, 'x' AS name, 0.0 AS score FROM range(10, 12)")
+    assert(spark.table("jdbc_people").count() == 12)
+    GraftDDL.executeInsert(spark,
+      "INSERT OVERWRITE jdbc_people SELECT id, 'y' AS name, 1.0 AS score FROM range(0, 4)")
+    assert(spark.table("jdbc_people").count() == 4)
+    // SQL text runs against the live table through the bound view
+    assert(spark.sql("SELECT sum(score) AS s FROM jdbc_people")
+      .head.getDouble(0) == 4.0)
+    GraftDDL.executeDrop(spark, "DROP TABLE jdbc_people")
+  }
+
   test("avro nested records round-trip; streaming read discovers new files per batch") {
     import graft.sources.{GraftAvro, GraftDDL}
     val spark = StreamHarness.spark
