@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/format round-trips (SURVEY.md §2.1: CSV/JSON/Parquet formats
-  * map to native Spark formats; Kafka/JDBC need external systems not
-  * present in this container and are covered by the same DataFrame
-  * surface). */
+  * map to native Spark formats; JDBC executes LIVE against embedded
+  * Derby as of r10; Kafka needs a broker this container lacks and is
+  * covered at the option-binding surface). */
 class SourcesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = StreamHarness.spark
   private val dir = "/root/testdata/sf0.001"
@@ -510,6 +510,14 @@ class SourcesSpec extends AnyFunSuite {
     // SQL text runs against the live table through the bound view
     assert(spark.sql("SELECT sum(score) AS s FROM jdbc_people")
       .head.getDouble(0) == 4.0)
+    // JDBC LOOKUP JOIN (JdbcRowDataLookupFunction's pattern): the live
+    // Derby table is the dimension side of the broadcast lookup
+    val facts = spark.range(0, 8).selectExpr("id AS fid", "id % 4 AS did")
+    val looked = graft.operators.LookupJoin.broadcastLookup(spark, facts,
+      "did", spark.table("jdbc_people"), "id", "name", "dim_name")
+    assert(looked.count() == 8)
+    assert(looked.filter(org.apache.spark.sql.functions.col("dim_name") === "y")
+      .count() == 8)
     GraftDDL.executeDrop(spark, "DROP TABLE jdbc_people")
   }
 
