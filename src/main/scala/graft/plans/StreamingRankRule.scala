@@ -46,26 +46,58 @@ import org.apache.spark.sql.types.IntegerType
   */
 object StreamingRankRule {
 
-  /** The recognized rank shape: rank attribute, limit N, window
+  /** The recognized rank shape: rank attribute, limit N (and the
+    * range start — 1 unless the filter carries a lower bound), window
     * partition/order, and the plan BELOW the Window node (the input
     * the stateful operator consumes). */
-  case class RankShape(limit: Long, partition: Seq[Attribute],
+  case class RankShape(limit: Long, startRank: Long,
+                       partition: Seq[Attribute],
                        order: Seq[SortOrder], child: LogicalPlan)
 
-  /** `rn <= N` / `rn < N+1` / `rn = 1` / reversed — (rank attr, N). */
-  private def rankLimit(cond: Expression): Option[(Attribute, Long)] = cond match {
+  /** Upper bound: `rn <= N` / `rn < N+1` / reversed — (rank attr, N). */
+  private def upperBound(cond: Expression): Option[(Attribute, Long)] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(n: Int, IntegerType)) =>
       Some((a, n.toLong))
     case LessThan(a: AttributeReference, Literal(n: Int, IntegerType)) =>
       Some((a, n.toLong - 1))
-    case EqualTo(a: AttributeReference, Literal(1, IntegerType)) => Some((a, 1L))
-    case EqualTo(Literal(1, IntegerType), a: AttributeReference) => Some((a, 1L))
     case GreaterThanOrEqual(Literal(n: Int, IntegerType), a: AttributeReference) =>
       Some((a, n.toLong))
     case GreaterThan(Literal(n: Int, IntegerType), a: AttributeReference) =>
       Some((a, n.toLong - 1))
     case _ => None
   }
+
+  /** Lower bound: `rn > L` / `rn >= L+1` / reversed — (rank attr, first
+    * SELECTED rank). */
+  private def lowerBound(cond: Expression): Option[(Attribute, Long)] = cond match {
+    case GreaterThan(a: AttributeReference, Literal(n: Int, IntegerType)) =>
+      Some((a, n.toLong + 1))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(n: Int, IntegerType)) =>
+      Some((a, n.toLong))
+    case LessThan(Literal(n: Int, IntegerType), a: AttributeReference) =>
+      Some((a, n.toLong + 1))
+    case LessThanOrEqual(Literal(n: Int, IntegerType), a: AttributeReference) =>
+      Some((a, n.toLong))
+    case _ => None
+  }
+
+  /** `rn <= N` / `rn = K` / `rn > L AND rn <= N` (the reference's
+    * RankRange — AbstractTopNFunction rankStart/rankEnd; r10) —
+    * (rank attr, startRank, limit). */
+  private def rankLimit(cond: Expression): Option[(Attribute, Long, Long)] =
+    cond match {
+      case EqualTo(a: AttributeReference, Literal(n: Int, IntegerType)) =>
+        Some((a, n.toLong, n.toLong))
+      case EqualTo(Literal(n: Int, IntegerType), a: AttributeReference) =>
+        Some((a, n.toLong, n.toLong))
+      case And(l, r) =>
+        for {
+          (ua, hi) <- upperBound(l).orElse(upperBound(r))
+          (la, lo) <- lowerBound(l).orElse(lowerBound(r))
+          if ua.exprId == la.exprId && lo <= hi
+        } yield (ua, lo, hi)
+      case _ => upperBound(cond).map { case (a, hi) => (a, 1L, hi) }
+    }
 
   /** Descend from the rank filter to the Window that produced the rank
     * attribute, crossing ONLY pass-through nodes (Project that keeps
@@ -95,7 +127,7 @@ object StreamingRankRule {
   private def shapeAt(plan: LogicalPlan): Option[RankShape] = plan match {
     case Filter(cond, fchild) =>
       for {
-        (rn, limit) <- rankLimit(cond)
+        (rn, startRank, limit) <- rankLimit(cond)
         (spec, child) <- findWindow(fchild, rn)
         parts <- Some(spec.partitionSpec).collect {
           case ps if ps.nonEmpty && ps.forall(_.isInstanceOf[AttributeReference]) =>
@@ -103,7 +135,7 @@ object StreamingRankRule {
         }
         if spec.orderSpec.nonEmpty &&
           spec.orderSpec.forall(_.child.isInstanceOf[AttributeReference])
-      } yield RankShape(limit, parts, spec.orderSpec, child)
+      } yield RankShape(limit, startRank, parts, spec.orderSpec, child)
     case _ => None
   }
 
@@ -176,11 +208,14 @@ object StreamingRankRule {
       require(s.limit >= 1,
         s"rank limit ${s.limit} selects no rows: refusing to route to an " +
           "operator that would emit an empty changelog")
+      require(s.startRank >= 1 && s.startRank <= s.limit,
+        s"rank range [${s.startRank}, ${s.limit}] selects no rows")
       import spark.implicits._
       val child = GraftSqlBridge.ofRows(spark, s.child)
       val orderCol = s.order.head.child.asInstanceOf[AttributeReference].name
       val ascending = s.order.head.direction == Ascending
       if (s.limit == 1L && ascending) {
+        require(s.startRank == 1L, "dedup route is rank 1 only")
         // keep-first dedup (StreamExecDeduplicateRule's keep-first):
         // ORDER BY <time> ASC, rn = 1. Canonical shape → the
         // EVENT-TIME dedup operator (rowtime
@@ -240,7 +275,8 @@ object StreamingRankRule {
           col("id").cast("long"),
           col("kind"),
           col(orderCol).cast("double").as("value")).as[GEvent]
-        StreamingTopN(spark, ds, n = s.limit.toInt).toDF()
+        StreamingTopN(spark, ds, n = s.limit.toInt,
+          startRank = s.startRank.toInt).toDF()
       }
     }
   }

@@ -1832,6 +1832,35 @@ object Streaming extends QueryGroup {
         .orderBy("user_id", "wid")
     },
 
+    // Streaming rank RANGE (r10 — the reference's RankRange,
+    // AbstractTopNFunction rankStart/rankEnd: `rn > 2 AND rn <= 5`
+    // selects ranks 3..5): the routed top-n operator buffers the full
+    // top-5 (displacement above the range moves rows INTO it) but
+    // emits revisions only when the ranks-3..5 slice changes. Keys
+    // with fewer than 3 events never emit — matching the oracle's
+    // range filter. Folded by max(emitSeq) like st4/st24.
+    q("st53_stream_rank_range",
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank > 2 AND rank <= 5
+        |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
+      asGEvents(s, dir).toDF().createOrReplaceTempView("rank_range_events")
+      val routed = graft.plans.StreamingRankRule.sql(s,
+        """SELECT key, id, value, rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+          |  FROM rank_range_events)
+          |WHERE rn > 2 AND rn <= 5""".stripMargin)
+      val table = StreamRunner.toTable(s, routed, OutputMode.Update, "st53_out")
+      val lastSeq = table.groupBy(col("key")).agg(max("emitSeq").as("emitSeq"))
+        .select(col("key").as("_k"), col("emitSeq").as("_s"))
+      table.join(lastSeq, col("key") === col("_k") && col("emitSeq") === col("_s"))
+        .select(col("key").as("user_id"), col("rank"), col("id").as("event_id"),
+          col("value"))
+        .orderBy("user_id", "rank")
+    },
+
     // Streaming MATCH_ROWTIME() (r10 — mr14's twin at anchor
     // maturity): the match's event-time attribute, folded from the
     // bindings' last row at emission (exact — micros < 2^53).

@@ -34,11 +34,21 @@ object StreamingTopN {
     * EventTimeTimeout — without it, per-key state is bounded at n rows
     * but the key set itself grows without bound. Long.MaxValue (the
     * default) keeps the original no-timeout behavior for feeds with
-    * fixed key cardinality. */
+    * fixed key cardinality.
+    *
+    * `startRank` (r10 — the reference's RankRange,
+    * runtime/operators/rank/AbstractTopNFunction rankStart/rankEnd:
+    * `rn > lo AND rn <= hi` selects ranks lo+1..hi): the buffer still
+    * holds the full top-`n` (displacement above the range moves rows
+    * INTO it), but revisions emit — and `emitSeq` advances — only when
+    * the ranks-startRank..n SLICE changes. */
   def apply(spark: SparkSession, ds: Dataset[GEvent], n: Int,
             idleRetentionMicros: Long = Long.MaxValue,
-            watermarkDelay: String = "10 seconds"): Dataset[TopNEmit] = {
+            watermarkDelay: String = "10 seconds",
+            startRank: Int = 1): Dataset[TopNEmit] = {
     import spark.implicits._
+    require(startRank >= 1 && startRank <= n,
+      s"rank range start $startRank outside [1, $n]")
     val ttl = idleRetentionMicros != Long.MaxValue
     // EventTimeTimeout needs a watermarked input; the no-TTL path must
     // not impose one (st4 feeds an unwatermarked stream).
@@ -63,19 +73,25 @@ object StreamingTopN {
             top = ((r.value, r.id) :: top)
               .sortBy { case (v, id) => (-v, id) }.take(n)
           }
-          val changed = top != cur.top
-          val ns = if (changed) State(cur.seq + 1, top) else cur
-          if (changed) state.update(ns)
+          val bufChanged = top != cur.top
+          // a revision is a change of the EMITTED slice; the buffer
+          // below startRank must still persist (it defines
+          // displacement into the range)
+          val sliceChanged =
+            top.drop(startRank - 1) != cur.top.drop(startRank - 1)
+          val ns = State(if (sliceChanged) cur.seq + 1 else cur.seq, top)
+          if (bufChanged) state.update(ns)
           if (ttl && state.exists) {
             // evict when the watermark passes last activity + retention
             // (must stay above the current watermark to be settable)
             val fireMs = (lastActivityMicros / 1000L) + (idleRetentionMicros / 1000L)
             state.setTimeoutTimestamp(fireMs max (state.getCurrentWatermarkMs() + 1))
           }
-          if (changed)
-            top.zipWithIndex.iterator.map { case ((v, id), i) =>
-              TopNEmit(key, i + 1, id, v, ns.seq)
-            }
+          if (sliceChanged)
+            top.zipWithIndex.iterator.drop(startRank - 1)
+              .map { case ((v, id), i) =>
+                TopNEmit(key, i + 1, id, v, ns.seq)
+              }
           else Iterator.empty
         }
     }

@@ -1648,6 +1648,44 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingTopN rank RANGE emits only the [startRank, n] slice, " +
+      "revisions keyed to slice changes") {
+    // range [2,3]: rank 1 is buffered (it defines displacement) but
+    // never emitted; a below-range value produces no revision
+    val batches = Seq(
+      Seq(ev(1, 10, 100, value = 5.0)),  // slice empty (only rank 1)
+      Seq(ev(1, 11, 101, value = 9.0)),  // 5.0 shifts to rank 2 → rev 1
+      Seq(ev(1, 12, 102, value = 1.0)),  // enters rank 3 → rev 2
+      Seq(ev(1, 13, 103, value = 7.0)),  // rank 2; 5.0→3, 1.0 evicted → rev 3
+      Seq(ev(1, 14, 104, value = 0.5)))  // below the buffer → no revision
+    val out = StreamHarness.run(batches, OutputMode.Update, "topn_range_spec") {
+      ds => graft.streaming.StreamingTopN(spark, ds, n = 3, startRank = 2).toDF()
+    }
+    assert(out.agg(max("emitSeq")).head.getLong(0) == 3)
+    // no emission ever names rank 1
+    assert(out.filter(col("rank") === 1).count() == 0)
+    // final ranks: 1=9.0(101) [not emitted], 2=7.0(103), 3=5.0(100)
+    val ranks = out.filter(col("emitSeq") === 3)
+      .orderBy("rank").select("rank", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(ranks == Seq((2, 103L), (3, 100L)), s"final slice: $ranks")
+    // the SQL route recognizes the conjunction and the EqualTo form
+    import graft.plans.StreamingRankRule
+    spark.range(0).selectExpr("id AS key", "id AS tsMicros", "id AS id",
+      "'x' AS kind", "CAST(id AS DOUBLE) AS value")
+      .createOrReplaceTempView("rank_range_probe") // batch view: recognize only
+    val shape = StreamingRankRule.recognize(spark.sql(
+      """SELECT key, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+        |  FROM rank_range_probe) WHERE rn > 2 AND rn <= 5""".stripMargin))
+    assert(shape.exists(s => s.startRank == 3 && s.limit == 5), shape.toString)
+    val eq = StreamingRankRule.recognize(spark.sql(
+      """SELECT key, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY value DESC, id) AS rn
+        |  FROM rank_range_probe) WHERE rn = 4""".stripMargin))
+    assert(eq.exists(s => s.startRank == 4 && s.limit == 4), eq.toString)
+  }
+
   test("StreamingCountWindow idle retention evicts the residual block counter") {
     import graft.streaming.StreamingCountWindow
     // key 1 fills exactly one block, then stays idle past the
