@@ -95,7 +95,9 @@ object StreamingRankRule {
           (ua, hi) <- upperBound(l).orElse(upperBound(r))
           (la, lo) <- lowerBound(l).orElse(lowerBound(r))
           if ua.exprId == la.exprId && lo <= hi
-        } yield (ua, lo, hi)
+          // a redundant lower bound (`rn >= 0`) clamps to rank 1 — it
+          // selects 1..hi, the plain top-n
+        } yield (ua, lo max 1L, hi)
       case _ => upperBound(cond).map { case (a, hi) => (a, 1L, hi) }
     }
 
@@ -215,7 +217,7 @@ object StreamingRankRule {
       val orderCol = s.order.head.child.asInstanceOf[AttributeReference].name
       val ascending = s.order.head.direction == Ascending
       if (s.limit == 1L && ascending) {
-        require(s.startRank == 1L, "dedup route is rank 1 only")
+        // startRank is necessarily 1 here (1 <= startRank <= limit == 1)
         // keep-first dedup (StreamExecDeduplicateRule's keep-first):
         // ORDER BY <time> ASC, rn = 1. Canonical shape → the
         // EVENT-TIME dedup operator (rowtime

@@ -9,7 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state, converted to TimestampType at the edges). */
 case class GEvent(key: Long, tsMicros: Long, id: Long, kind: String, value: Double)
 
-/** Emitted by StreamingTopN: full top-n snapshot per state revision;
+/** Emitted by StreamingTopN: the [startRank, n] SLICE snapshot per
+  * state revision (the full top-n when startRank = 1, the default;
+  * ranks below a RANGE's start are buffered but never emitted);
   * `emitSeq` is the per-key revision — folding to max(emitSeq) yields
   * the final ranking (the changelog-fold convention for Spark's
   * missing per-row RowKind, SURVEY.md §7.2). */
