@@ -1478,6 +1478,90 @@ object CepExtras extends QueryGroup {
           |) AS T ORDER BY user_id, s_id""".stripMargin)
     },
 
+    // WINDOWED GROUPING APPLIED TO MATCH_RECOGNIZE (the reference's
+    // MatchRecognizeITCase.testWindowedGroupingAppliedToMatchRecognize
+    // — the composition MATCH_ROWTIME() exists for): the statement
+    // facade's output re-enters the group-window text surface, and
+    // matches bucket into tumbling days by their OWN rowtime. One
+    // pass each: the NFA scan shuffles on (key), the window agg on
+    // the day bucket.
+    q("mr15_windowed_match",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, ts
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS s_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |m AS (
+        |  SELECT a.user_id, p.ts AS mrt
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.ts FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT CAST(date_trunc('day', mrt) AS TIMESTAMP) AS day,
+        |  count(*) AS n_matches
+        |FROM m GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr15_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr15_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_ROWTIME() AS mrt
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A E*? P)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         E AS event_type <> 'purchase',
+          |         P AS event_type = 'purchase')""".stripMargin)
+        .createOrReplaceTempView("mr15_matches")
+      s.sql(
+        """SELECT TUMBLE_START(mrt, INTERVAL '1' DAY) AS day,
+          |       count(*) AS n_matches
+          |FROM mr15_matches
+          |GROUP BY TUMBLE(mrt, INTERVAL '1' DAY)
+          |ORDER BY day""".stripMargin)
+    },
+
+    // MATCH_RECOGNIZE APPLIED TO WINDOWED GROUPING (the converse
+    // composition — MatchRecognizeITCase
+    // .testMatchRecognizeAppliedToWindowedGrouping): hourly per-user
+    // counts from the group-window text surface feed the NFA, which
+    // finds consecutive buckets with a RISING count (cross-variable
+    // DEFINE n > FIRST(A.n)).
+    q("mr16_match_over_windows",
+      s"""WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, hr, n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY hr) AS rn
+        |  FROM h)
+        |SELECT a.user_id AS user_id, a.hr AS a_hr, b.n AS b_n
+        |FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |  AND b.n > a.n AND epoch_us(b.hr) <= epoch_us(a.hr) + $H72
+        |ORDER BY a.user_id, a_hr""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr16_events")
+      s.sql(
+        """SELECT user_id, TUMBLE_START(ts, INTERVAL '1' HOUR) AS hr,
+          |  count(*) AS n,
+          |  unix_seconds(TUMBLE_START(ts, INTERVAL '1' HOUR)) AS id
+          |FROM mr16_events
+          |GROUP BY user_id, TUMBLE(ts, INTERVAL '1' HOUR)""".stripMargin)
+        .createOrReplaceTempView("mr16_hourly")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr16_hourly MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY hr
+          |  MEASURES FIRST(A.hr) AS a_hr, LAST(R.n) AS b_n
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A R)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS n > 0,
+          |         R AS n > FIRST(A.n)
+          |) AS T ORDER BY user_id, a_hr""".stripMargin)
+    },
+
     // TYPE-GENERAL navigation operands (IterativeCondition.java:52
     // allows arbitrary-typed conditions; r8's NavExpr algebra was
     // numeric-bound): string columns ride the NFA scan in a parallel
