@@ -6,8 +6,22 @@ import org.apache.spark.sql.functions.{col, expr, round}
 /** MATCH_RECOGNIZE SQL surface (SURVEY.md §2.9 —
   * flink-table/.../physical/stream/StreamExecMatch.scala:68, SQL
   * standard row-pattern recognition): parses the clause text and
-  * compiles it onto [[PatternNFA]]. Supported grammar (the subset the
-  * NFA algebra covers, which is the reference's CEP-backed subset):
+  * compiles it onto [[PatternNFA]]'s STRICT row-pattern mode.
+  *
+  * CONTIGUITY IS STRICT (SQL:2016; the reference's
+  * match_recognize.md:349 "a pattern like `(A B)` means that the
+  * contiguity is strict", and its planner compiles concatenation to
+  * the CEP library's `next()` and every loop to `.consecutive()` —
+  * StreamExecMatch.scala:420-449 applyQuantifier): a match is a
+  * CONTIGUOUS run of rows in the per-key (ORDER BY, id) sequence;
+  * every row between match start and end is bound to some pattern
+  * variable. Greedy quantifiers bind as many rows as possible and
+  * backtrack by shrinking from the end; reluctant (`+?` `*?`
+  * `{..}?`) as few as possible. The relaxed relations (followedBy
+  * etc.) remain the CEP API doors' contract — they are the CEP
+  * LIBRARY's own semantics, not the clause's.
+  *
+  * Supported grammar:
   *
   * {{{
   * MATCH_RECOGNIZE (
@@ -18,11 +32,21 @@ import org.apache.spark.sql.functions.{col, expr, round}
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW
   *    | SKIP TO FIRST var | SKIP TO LAST var]
-  *   PATTERN (A B+ C? D{2} E{1,3} F* G{2,})   -- +? *? {..}? = reluctant
+  *   PATTERN (A B+ C? D{2} E{1,3} F{,4} G{2,} H*?)
   *   [WITHIN INTERVAL 'n' HOUR|MINUTE|SECOND]
-  *   DEFINE A AS kind = 'signup', B AS value > 100 AND kind = 'click', ...
+  *   [DEFINE A AS kind = 'signup', B AS value > 100 AND kind = 'click', ...]
   * )
   * }}}
+  *
+  * Pattern-shape rules, all the reference's own
+  * (StreamExecMatch.scala:179-190, 409, 445; match_recognize.md:
+  * 349-363): variables must be unique; a variable without a DEFINE
+  * entry gets the default always-true condition; patterns that could
+  * produce an EMPTY match are rejected; a greedy variable-extent loop
+  * may not end the pattern; the reluctant optional (`A??`) is
+  * rejected. A quantified or optional FIRST variable is legal (the
+  * reference's `PATTERN (A+ C)` doc examples) — the attempt row is
+  * the first row the match binds.
   *
   * MEASURES (ref StreamExecMatch.scala:68; per-variable measure
   * compilation in flink-table-planner-blink/.../codegen/
@@ -53,9 +77,9 @@ import org.apache.spark.sql.functions.{col, expr, round}
   * bitmask pre-evaluation), matching the reference's per-variable
   * predicate compilation (flink-table-planner-blink/.../codegen/
   * MatchCodeGenerator.scala, flink-cep/.../pattern/Pattern.java:155
-  * `where()`). Variables without a DEFINE entry are rejected (ALL ROWS
-  * semantics like an always-true variable would make `within`
-  * unbounded).
+  * `where()`). Variables without a DEFINE entry default to TRUE
+  * (match_recognize.md:257) — bounded under strict contiguity, since
+  * an always-true variable binds adjacent rows, never a gap.
   *
   * CROSS-VARIABLE DEFINE predicates (the reference's ITERATIVE
   * conditions — flink-cep/.../pattern/conditions/
@@ -97,11 +121,12 @@ object MatchRecognize {
   // SKIP TO NEXT ROW form stays with its own check below
   private val skipToVarRe =
     """(?i)AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
-  // quantifier suffix: + +? * *? ? {n} {n,} {n,}? {lo,hi} {lo,hi}? —
-  // a trailing ? on a loop form is the SQL reluctant (non-greedy)
-  // marker
-  private val varRe = """(\w+)(\+\??|\*\??|\?|\{\d+(?:,\d*)?\}\??)?""".r
-  private val rangeQuantRe = """\{(\d+)(?:,(\d*))?\}(\??)""".r
+  // quantifier suffix: + +? * *? ? {n} {n,} {n,}? {,m} {lo,hi}
+  // {lo,hi}? — a trailing ? on a loop form is the SQL reluctant
+  // (non-greedy) marker; ?? (reluctant optional) parses so it can be
+  // rejected LOUDLY (the reference rejects it too)
+  private val varRe = """(\w+)(\+\??|\*\??|\?\??|\{\d*(?:,\d*)?\}\??)?""".r
+  private val rangeQuantRe = """\{(\d*)(?:,(\d*))?\}(\??)""".r
   // SUBSET U = (A, B) [, V = (...)] — union pattern variables
   // (SQL:2016; the reference plans subsets in StreamExecMatch.scala:
   // 117-118 and the vendored SqlMatchRecognize grammar). Clause sits
@@ -171,8 +196,22 @@ object MatchRecognize {
     case aggRe(f, arg, alias) => mkAgg(f, arg, None, alias)
     case bareRe(v, c, alias) => // bare VAR.col ≡ LAST (final semantics)
       Measure("LAST", v.toUpperCase, c, None, alias)
+    // bare EXPRESSION of one variable's columns (the reference's
+    // `UP.price + UP.tax AS end_total` — testLogicalOffsets) ≡ LAST
+    // over the expression; functions are rejected (they belong to the
+    // agg forms above)
+    case bareExprRe(e, alias) if {
+      val vars = measVarRe.findAllMatchIn(e).map(_.group(1).toUpperCase)
+        .toSeq.distinct
+      vars.size == 1 && !measFnRe.findFirstIn(e).isDefined
+    } =>
+      val v = measVarRe.findFirstMatchIn(e).get.group(1).toUpperCase
+      Measure("LAST", v, measVarRe.replaceAllIn(e, "").trim, None, alias)
     case other => sys.error(s"unsupported MEASURES item: $other")
   }
+  private val bareExprRe = """(?is)^(.*\S)\s+AS\s+(\w+)$""".r
+  private val measFnRe =
+    """(?i)\b(SUM|AVG|COUNT|MIN|MAX|FIRST|LAST|PREV|CLASSIFIER|MATCH_NUMBER|MATCH_ROWTIME|ROUND)\s*\(""".r
 
   /** Build an aggregate measure from its raw argument text: `*` (COUNT
     * only), ONE variable's qualified columns — possibly inside an
@@ -185,7 +224,16 @@ object MatchRecognize {
   private def mkAgg(f0: String, arg0: String, roundTo: Option[Int],
                     alias: String): Measure = {
     val f = f0.toUpperCase
-    val arg = arg0.trim
+    var arg = arg0.trim
+    // FIRST/LAST take an optional logical offset: FIRST(A.price, 3)
+    var off = 0
+    if (f == "FIRST" || f == "LAST") {
+      val parts = splitTopLevel(arg)
+      if (parts.size == 2 && parts(1).matches("""\d+""")) {
+        arg = parts.head; off = parts(1).toInt
+      } else require(parts.size == 1,
+        s"$f takes one argument and an optional integer offset: $arg0")
+    }
     if (arg == "*") {
       require(f == "COUNT", s"only COUNT accepts * as its argument, got $f(*)")
       Measure("COUNT", "", "*", roundTo, alias)
@@ -195,17 +243,21 @@ object MatchRecognize {
       require(vars.size <= 1,
         s"a MEASURES aggregate may reference ONE pattern variable: $arg0")
       val stripped = measVarRe.replaceAllIn(arg, "").trim
-      Measure(f, vars.headOption.getOrElse(""), stripped, roundTo, alias)
+      Measure(f, vars.headOption.getOrElse(""), stripped, roundTo, alias,
+        off = off)
     }
   }
 
   /** One parsed MEASURES item. func ∈ FIRST/LAST/AVG/SUM/COUNT/MIN/
     * MAX/MATCH_NUMBER; `roundTo` is the optional ROUND(…, n) wrapper;
     * `running` = the RUNNING keyword (per-row prefix semantics in ALL
-    * ROWS PER MATCH; equal to FINAL in ONE ROW PER MATCH). */
+    * ROWS PER MATCH; equal to FINAL in ONE ROW PER MATCH); `off` is
+    * FIRST/LAST's logical offset (`FIRST(A.price, 3)` — the 4th bound
+    * row; out of range is NULL, the reference's
+    * testLogicalOffsetOutsideOfRangeInMeasures). */
   final case class Measure(func: String, varName: String, colName: String,
                            roundTo: Option[Int], alias: String,
-                           running: Boolean = false)
+                           running: Boolean = false, off: Int = 0)
 
   /** steps reference `defines` entries by variable name; `defines`
     * keeps clause order, body = the ROW-LOCAL residue of the DEFINE
@@ -281,20 +333,41 @@ object MatchRecognize {
       if (g != t) sys.error(s"context predicate: expected '$t', got '$g'")
     }
 
+    /** Entry: a disjunction of comparisons — `cmp (OR cmp)*` (the
+      * reference's down-run idiom `price < LAST(price, 1) OR
+      * LAST(price, 1) IS NULL`), chained into [[CtxCmp.orElse]]
+      * left-to-right. */
     def cmp(): CtxCmp = {
-      val l = sum()
-      val op = next() match {
-        case "!=" => "<>"
-        case o if Set(">", ">=", "<", "<=", "=", "<>")(o) => o
-        case o => sys.error(s"context predicate: expected a comparison " +
-          s"operator, got '$o' (context conjuncts are single comparisons " +
-          "joined by top-level AND)")
-      }
-      val r = sum()
+      val alts = Seq.newBuilder[CtxCmp]
+      alts += cmpOne()
+      while (peek.equalsIgnoreCase("OR")) { next(); alts += cmpOne() }
       if (p != toks.length)
         sys.error(s"context predicate: trailing tokens after comparison: " +
           toks.drop(p).mkString(" "))
-      CtxCmp(op, l, r)
+      val all = alts.result()
+      all.init.foldRight(all.last)((c, rest) => c.copy(orElse = Some(rest)))
+    }
+    private def cmpOne(): CtxCmp = {
+      val l = sum()
+      if (peek.equalsIgnoreCase("IS")) {
+        next()
+        val not = peek.equalsIgnoreCase("NOT")
+        if (not) next()
+        val t = next()
+        if (!t.equalsIgnoreCase("NULL"))
+          sys.error(s"context predicate: expected NULL after IS, got '$t'")
+        CtxCmp(if (not) "IS NOT NULL" else "IS NULL", l, NavExpr.Lit(0d))
+      } else {
+        val op = next() match {
+          case "!=" => "<>"
+          case o if Set(">", ">=", "<", "<=", "=", "<>")(o) => o
+          case o => sys.error(s"context predicate: expected a comparison " +
+            s"operator or IS [NOT] NULL, got '$o' (context conjuncts are " +
+            "comparisons joined by top-level AND, each optionally an OR " +
+            "of comparisons)")
+        }
+        CtxCmp(op, l, sum())
+      }
     }
     private def sum(): NavExpr = {
       var l = term()
@@ -331,10 +404,12 @@ object MatchRecognize {
           sys.error("FIRST/LAST navigation is not allowed inside a DEFINE aggregate")
         val first = next().equalsIgnoreCase("FIRST"); next()
         val (v, c) = ref()
-        if (v.isEmpty) sys.error("FIRST/LAST navigation requires VAR.col")
         val off = optOffset(0)
         expect(")")
-        NavExpr.VarNav(expand(v), colIdx(c), first, off)
+        // unqualified FIRST/LAST = the DEFAULT pattern variable (all
+        // rows of the match so far — match_recognize.md:589,812)
+        NavExpr.VarNav(if (v.isEmpty) Seq.empty else expand(v),
+          colIdx(c), first, off)
       case t if CtxAggFns(t.toUpperCase) && lookahead1 == "(" =>
         // running aggregate over one variable's bound rows:
         // SUM(B.price * B.rate), AVG(A.value), COUNT(A.id) ...
@@ -395,10 +470,28 @@ object MatchRecognize {
   def compile(clause: String): Compiled = {
     val patternText = patternRe.findFirstMatchIn(clause)
       .map(_.group(1)).getOrElse(sys.error("missing PATTERN (...)"))
-    val rawDefines: Seq[(String, String)] = defineRe.findFirstMatchIn(clause)
-      .map(m => defOneRe.findAllMatchIn(m.group(1))
-        .map(d => d.group(1).toUpperCase -> d.group(2).trim).toSeq)
-      .getOrElse(Seq.empty)
+    // pattern variable NAMES first: a variable without a DEFINE entry
+    // gets the default always-true condition (the reference:
+    // match_recognize.md:257 "a default condition will be used which
+    // evaluates to true for every row" — safe here because clause
+    // patterns match with STRICT contiguity, so an always-true
+    // variable binds the single adjacent row, not an unbounded gap)
+    val patternVars = varRe.findAllMatchIn(patternText.trim)
+      .filter(_.group(1).nonEmpty).map(_.group(1).toUpperCase).toSeq
+    require(patternVars.nonEmpty, "PATTERN ( ) names no variables")
+    require(patternVars.distinct.size == patternVars.size,
+      "pattern variables must be unique (the reference throws " +
+        "\"Pattern variables must be unique\" — StreamExecMatch.scala:409)")
+    val explicitDefines: Seq[(String, String)] =
+      defineRe.findFirstMatchIn(clause)
+        .map(m => defOneRe.findAllMatchIn(m.group(1))
+          .map(d => d.group(1).toUpperCase -> d.group(2).trim).toSeq)
+        .getOrElse(Seq.empty)
+    // default-TRUE entries for undefined pattern variables, in
+    // pattern order after the explicit ones
+    val explicitNames = explicitDefines.map(_._1).toSet
+    val rawDefines: Seq[(String, String)] = explicitDefines ++
+      patternVars.filterNot(explicitNames).map(_ -> "true")
     val defined = rawDefines.map(_._1).toSet
     // SUBSET union variables: usable wherever a pattern variable is
     // navigable (MEASURES aggregates/navigation, DEFINE navigation) —
@@ -448,8 +541,6 @@ object MatchRecognize {
     val steps = varRe.findAllMatchIn(patternText.trim).filter(_.group(1).nonEmpty)
       .map { m =>
         val name = m.group(1)
-        if (!defined(name.toUpperCase))
-          sys.error(s"PATTERN variable $name has no DEFINE entry")
         val quant = Option(m.group(2)).getOrElse("") match {
           case ""   => One
           case "+"  => OneOrMore()
@@ -457,12 +548,30 @@ object MatchRecognize {
           case "*"  => ZeroOrMore()
           case "*?" => ZeroOrMore(reluctant = true)
           case "?"  => Optional
-          case rangeQuantRe(n, null, _) => Times(n.toInt) // {n}? ≡ {n}
+          case "??" => sys.error(s"reluctant optional ($name??) is not " +
+            "supported (the reference rejects it: StreamExecMatch.scala:445 " +
+            "\"Reluctant optional variables are not supported yet\")")
+          case rangeQuantRe("", null, _) =>
+            sys.error(s"empty quantifier {} on $name")
+          // {,m} ≡ {0,m} (match_recognize.md:357 — between 0 and m
+          // rows, m > 0)
+          case rangeQuantRe("", hi, r) =>
+            require(hi.nonEmpty && hi.toInt > 0, s"{,m} requires m > 0")
+            TimesRange(0, hi.toInt, reluctant = r == "?")
+          case rangeQuantRe(n, null, _) => // {n}? ≡ {n}
+            require(n.toInt > 0, s"{n} requires n > 0 " +
+              "(match_recognize.md:355)")
+            Times(n.toInt)
           // {0,} ≡ * (TimesOrMore requires n >= 1 — its first-n-bind
           // run would be empty): map to the ZeroOrMore loop directly
           case rangeQuantRe("0", "", r) => ZeroOrMore(reluctant = r == "?")
+          case rangeQuantRe("0", "1", "?") => sys.error(
+            s"reluctant optional ($name{0,1}?) is not supported (the " +
+              "reference rejects it: StreamExecMatch.scala:445)")
           case rangeQuantRe(n, "", r)   => TimesOrMore(n.toInt, r == "?")
           case rangeQuantRe(lo, hi, r)  =>
+            require(lo.toInt <= hi.toInt && hi.toInt > 0,
+              s"quantifier {$lo,$hi} out of range (0 <= n <= m, m > 0)")
             TimesRange(lo.toInt, hi.toInt, reluctant = r == "?")
           case other => sys.error(s"unsupported quantifier: $other")
         }
@@ -474,6 +583,27 @@ object MatchRecognize {
         // and the measures silently return null/0.
         Step(name.toUpperCase, name.toUpperCase, quant)
       }.toSeq
+    // the reference's two pattern-shape rejections
+    // (StreamExecMatch.scala:179-190): a pattern where EVERY variable
+    // can bind zero rows could produce an empty match; a GREEDY
+    // variable-extent loop may not end the pattern (finish with a
+    // simple variable or a reluctant quantifier)
+    if (steps.forall(s => PatternNFA.canBindEmpty(s.quant)))
+      sys.error("pattern can produce an empty match — at least one " +
+        "variable must be non-optional (the reference rejects this: " +
+        "StreamExecMatch.scala:181, match_recognize.md:360)")
+    steps.last.quant match {
+      case OneOrMore(_, false) | ZeroOrMore(_, false) |
+           TimesOrMore(_, false) =>
+        sys.error("a greedy quantifier may not end the pattern — finish " +
+          "with a simple variable or a reluctant quantifier (the " +
+          "reference rejects this: StreamExecMatch.scala:188)")
+      case TimesRange(lo, hi, false) if lo != hi =>
+        sys.error("a greedy quantifier may not end the pattern — finish " +
+          "with a simple variable or a reluctant quantifier (the " +
+          "reference rejects this: StreamExecMatch.scala:188)")
+      case _ =>
+    }
     // SUBSET members must be PATTERN variables — a DEFINE-only name
     // has no step to read bindings from (the streaming measures fold
     // would otherwise index bindings(-1))
@@ -527,7 +657,7 @@ object MatchRecognize {
     val preds = c.defines.map { case (n, body) => n -> expr(body) }
     if (c.measures.isEmpty)
       PatternNFA.runPredicates(spark, events, c.steps, preds,
-        c.withinMicros, c.afterMatch, c.navCols, c.ctx)
+        c.withinMicros, c.afterMatch, c.navCols, c.ctx, strict = true)
     else {
       // Exploded bindings → equi-join back to the event rows → the
       // measures are one distributed groupBy over (key, match_no).
@@ -535,7 +665,8 @@ object MatchRecognize {
       // the NFA's typed scan) keeps the scan narrow AND the measure
       // aggregation codegen'd.
       val b = PatternNFA.runPredicatesBindings(spark, events, c.steps,
-          preds, c.withinMicros, c.afterMatch, c.navCols, c.ctx)
+          preds, c.withinMicros, c.afterMatch, c.navCols, c.ctx,
+          strict = true)
         .withColumnRenamed("key", "_bkey")
       // the canonical statement frame may carry an `event_id` copy of
       // the id (for DEFINE-side references) — drop it before the
@@ -559,8 +690,15 @@ object MatchRecognize {
           case "MATCH_NUMBER" => expr("any_value(match_no)")
           case "MATCH_ROWTIME" => expr("timestamp_micros(max(tsMicros))")
           case "CLASSIFIER" => expr("max_by(var_name, pos)")
-          case "FIRST" => expr(s"min_by(${m.colName}, pos)$filt")
-          case "LAST" => expr(s"max_by(${m.colName}, pos)$filt")
+          case "FIRST" if m.off == 0 => expr(s"min_by(${m.colName}, pos)$filt")
+          case "LAST" if m.off == 0 => expr(s"max_by(${m.colName}, pos)$filt")
+          // logical offset: the (off+1)-th bound row from the start /
+          // end — get() is NULL out of range (the reference's
+          // testLogicalOffsetOutsideOfRangeInMeasures semantics)
+          case "FIRST" => expr(s"get(sort_array(collect_list(" +
+            s"named_struct('p', pos, 'v', ${m.colName}))$filt), ${m.off}).v")
+          case "LAST" => expr(s"get(reverse(sort_array(collect_list(" +
+            s"named_struct('p', pos, 'v', ${m.colName}))$filt)), ${m.off}).v")
           case "COUNT" if m.colName == "*" => expr(s"count(1)$filt")
           case f => expr(s"$f(${m.colName})$filt")
         }
@@ -590,6 +728,8 @@ object MatchRecognize {
         val wAll = wBase.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)
         def perRow(m: Measure): Column = {
+          require(m.off == 0, "FIRST/LAST logical offsets are " +
+            "ONE ROW PER MATCH only here")
           val w = if (m.running) wRun else wAll
           val cond: Column =
             if (m.varName.isEmpty) lit(true)

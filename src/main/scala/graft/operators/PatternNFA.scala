@@ -194,7 +194,10 @@ object PatternNFA {
       * FIRST(v.col, off) / LAST(v.col, off). More than one variable =
       * a SUBSET union variable (SQL:2016 SUBSET U = (A, B); the
       * reference plans it in StreamExecMatch.scala:117-118): the
-      * members' bound rows merged in sequence order. */
+      * members' bound rows merged in sequence order. An EMPTY
+      * `variables` is the DEFAULT pattern variable (the reference's
+      * match_recognize.md:589 — `FIRST(price, 3)` unqualified): all
+      * rows of the match so far, the candidate included. */
     final case class VarNav(variables: Seq[String], col: Int, first: Boolean,
                             off: Int) extends NavExpr
     /** Arithmetic: op ∈ + - * /. */
@@ -212,11 +215,19 @@ object PatternNFA {
     final case class VarAgg(fn: String, variables: Seq[String],
                             arg: NavExpr) extends NavExpr
   }
-  /** One comparison conjunct: op ∈ > >= < <= = <>. */
-  final case class CtxCmp(op: String, l: NavExpr, r: NavExpr)
+  /** One comparison conjunct: op ∈ > >= < <= = <> plus the unary
+    * `IS NULL` / `IS NOT NULL` (r is an inert Lit(0) for those — the
+    * reference's down-run idiom `LAST(DOWN.price, 1) IS NULL`).
+    * `orElse` chains OR-alternatives: a DEFINE conjunct may be a
+    * top-level disjunction of comparisons (`price < LAST(price, 1) OR
+    * LAST(price, 1) IS NULL`) — the chain is evaluated left-to-right,
+    * first true wins. */
+  final case class CtxCmp(op: String, l: NavExpr, r: NavExpr,
+                          orElse: Option[CtxCmp] = None)
 
   final case class PMatch(key: Long, anchor_id: Long, end_id: Long,
                           chain: String, counts: String)
+
 
   /** One row per (match, pattern variable, bound event) — the exploded
     * form the MEASURES clause aggregates over. `match_no` is the
@@ -238,8 +249,10 @@ object PatternNFA {
                                   lo: Int, hi: Int) extends INode
 
   /** Resolved context comparison: variable names resolved to step
-    * indices (position in the compiled step list). */
-  private final case class RCmp(op: String, l: RNav, r: RNav)
+    * indices (position in the compiled step list); `orElse` mirrors
+    * [[CtxCmp.orElse]]'s OR chain. */
+  private final case class RCmp(op: String, l: RNav, r: RNav,
+                                orElse: Option[RCmp] = None)
   private sealed trait RNav
   private final case class RLit(v: Double) extends RNav
   private final case class RLitS(s: String) extends RNav
@@ -405,11 +418,11 @@ object PatternNFA {
       key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
-      ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty, strict: Boolean = false)
       : (Seq[PTimeout], Option[Mark]) = {
     val (_, tmos, mark) = matureScan(key, quads, steps, varNames,
       withinMicros, afterMatch, wmMicros, minStart, ctx,
-      collectTimeouts = true)
+      collectTimeouts = true, strict = strict)
     (tmos, mark)
   }
 
@@ -443,13 +456,14 @@ object PatternNFA {
                     afterMatch: AfterMatch = SkipToNextRow,
                     navCols: Seq[String] = Nil,
                     ctx: Map[String, Seq[CtxCmp]] = Map.empty,
-                    bufGauge: Option[org.apache.spark.util.LongAccumulator] = None)
+                    bufGauge: Option[org.apache.spark.util.LongAccumulator] = None,
+                    strict: Boolean = false)
       : DataFrame = {
     import spark.implicits._
-    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx)
+    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx, strict)
     sortedByKey(ds).mapPartitions { it =>
       scanSortedPartition[PMatch](it, isteps, withinMicros, afterMatch,
-        collectTimeouts = false, bufGauge)(
+        collectTimeouts = false, bufGauge, strict = strict)(
         (key, bindings, _) => Seq(emit(key, isteps, bindings)),
         (_, _) => Nil)
     }.toDF()
@@ -468,15 +482,18 @@ object PatternNFA {
                             afterMatch: AfterMatch = SkipToNextRow,
                             navCols: Seq[String] = Nil,
                             ctx: Map[String, Seq[CtxCmp]] = Map.empty,
-                            bufGauge: Option[org.apache.spark.util.LongAccumulator] = None)
+                            bufGauge: Option[org.apache.spark.util.LongAccumulator] = None,
+                            strict: Boolean = false)
       : DataFrame = {
     import spark.implicits._
-    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx)
+    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx, strict)
     sortedByKey(ds).mapPartitions { it =>
       scanSortedPartition[BindingRow](it, isteps, withinMicros, afterMatch,
-        collectTimeouts = false, bufGauge)(
+        collectTimeouts = false, bufGauge, strict = strict)(
         (key, bindings, matchNo) => {
-          val anchorId = bindings.head.head.id
+          // in strict mode an optional first step may bind nothing —
+          // the anchor is the first BOUND row
+          val anchorId = bindings.find(_.nonEmpty).get.head.id
           isteps.zip(bindings).flatMap { case (st, bound) =>
             bound.map(e =>
               BindingRow(key, matchNo, anchorId, st.name, e.id, e.idx))
@@ -520,10 +537,14 @@ object PatternNFA {
 
   private def prepare(events: DataFrame, steps: Seq[Step],
                       varPreds: Seq[(String, org.apache.spark.sql.Column)],
-                      navCols: Seq[String], ctx: Map[String, Seq[CtxCmp]])
+                      navCols: Seq[String], ctx: Map[String, Seq[CtxCmp]],
+                      strict: Boolean = false)
       : (Seq[INode], org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Array[Double], Array[String])]) = {
     import events.sparkSession.implicits._
-    require(steps.nonEmpty && steps.head.quant == One,
+    // strict mode has no anchor-shape restriction: the attempt row is
+    // the match's first BOUND row, so a quantified/optional first
+    // variable is legal (the reference's PATTERN (A+ C) doc example)
+    require(steps.nonEmpty && (strict || steps.head.quant == One),
       "first step must be quantifier One (anchor)")
     require(varPreds.size <= 64, "at most 64 pattern variables")
     val bitOf = varPreds.map(_._1).zipWithIndex.toMap
@@ -587,7 +608,12 @@ object PatternNFA {
         require(n >= 1, s"PREV offset must be >= 1, got $n"); RPrev(c, n)
       case NavExpr.VarNav(vs, c, first, off) =>
         require(off >= 0, s"FIRST/LAST offset must be >= 0, got $off")
-        RVar(stepsFor(vs, curIdx, "context predicate"), c, first, off)
+        // empty = the DEFAULT pattern variable (match_recognize.md:589):
+        // every step bound so far, candidate included
+        val navSteps =
+          if (vs.isEmpty) (0 to curIdx).toSeq
+          else stepsFor(vs, curIdx, "context predicate")
+        RVar(navSteps, c, first, off)
       case NavExpr.Bin(op, l, r) =>
         RBin(op, resolveNav(l, curIdx), resolveNav(r, curIdx))
       case NavExpr.VarAgg(fn, vs, arg) =>
@@ -628,8 +654,10 @@ object PatternNFA {
             case ZeroOrMore(Some(uk), _) => Some(bitFor(uk))
             case _ => None
           }
-          val rcmp = ctx.getOrElse(st.kind, Nil).map(c =>
-            RCmp(c.op, resolveNav(c.l, i), resolveNav(c.r, i)))
+          def resolveCmp(c: CtxCmp): RCmp =
+            RCmp(c.op, resolveNav(c.l, i), resolveNav(c.r, i),
+              c.orElse.map(resolveCmp))
+          val rcmp = ctx.getOrElse(st.kind, Nil).map(resolveCmp)
           ILeaf(st.name, bitFor(st.kind), q, untilBit, rcmp)
       }
     }
@@ -742,35 +770,53 @@ object PatternNFA {
   /** All context conjuncts of `st` hold for candidate `cand` given the
     * partial match. NULL operands (NaN / null string) fail every
     * comparison, as do mixed-type comparisons (SQL WHERE semantics:
-    * a navigation that resolved to the wrong type is NULL here). */
+    * a navigation that resolved to the wrong type is NULL here);
+    * IS [NOT] NULL tests the left operand; an orElse chain is a
+    * left-to-right OR. */
   private def ctxOk(st: ILeaf, evs: EvSeq, cand: Ev, anchorIdx: Int,
-                    acc: Vector[Vector[Ev]], curPartial: Vector[Ev]): Boolean =
-    st.ctx.forall { c =>
-      val curStep = acc.size
-      val l = evalNav(c.l, evs, cand, anchorIdx, acc, curStep, curPartial)
-      val r = evalNav(c.r, evs, cand, anchorIdx, acc, curStep, curPartial)
-      (l, r) match {
-        case (a: Double, b: Double) =>
-          if (a.isNaN || b.isNaN) false
-          else c.op match {
-            case ">" => a > b
-            case ">=" => a >= b
-            case "<" => a < b
-            case "<=" => a <= b
-            case "=" => a == b
-            case "<>" => a != b
+                    acc: Vector[Vector[Ev]], curPartial: Vector[Ev]): Boolean = {
+    val curStep = acc.size
+    def holds(c: RCmp): Boolean = {
+      val one = c.op match {
+        case "IS NULL" | "IS NOT NULL" =>
+          val v = evalNav(c.l, evs, cand, anchorIdx, acc, curStep, curPartial)
+          val isNull = v match {
+            case d: Double => d.isNaN
+            case s: String => s == null
+            case _ => false
           }
-        case (a: String, b: String) => c.op match {
-          case ">" => a > b
-          case ">=" => a >= b
-          case "<" => a < b
-          case "<=" => a <= b
-          case "=" => a == b
-          case "<>" => a != b
-        }
-        case _ => false
+          if (c.op == "IS NULL") isNull else !isNull
+        case op =>
+          val l = evalNav(c.l, evs, cand, anchorIdx, acc, curStep, curPartial)
+          val r = evalNav(c.r, evs, cand, anchorIdx, acc, curStep, curPartial)
+          (l, r) match {
+            case (a: Double, b: Double) =>
+              if (a.isNaN || b.isNaN) false
+              else op match {
+                case ">" => a > b
+                case ">=" => a >= b
+                case "<" => a < b
+                case "<=" => a <= b
+                case "=" => a == b
+                case "<>" => a != b
+              }
+            case (a: String, b: String) =>
+              if (a == null || b == null) false
+              else op match {
+                case ">" => a > b
+                case ">=" => a >= b
+                case "<" => a < b
+                case "<=" => a <= b
+                case "=" => a == b
+                case "<>" => a != b
+              }
+            case _ => false
+          }
       }
+      one || c.orElse.exists(holds)
     }
+    st.ctx.forall(holds)
+  }
 
   /** Anchor eligibility: bit + context (anchor ctx sees only itself —
     * acc is empty, curStep 0). */
@@ -799,10 +845,11 @@ object PatternNFA {
       key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
-      ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty, strict: Boolean = false)
       : (Seq[PMatch], Option[Mark]) = {
     val (raw, _, mark) = matureScan(key, quads, steps, varNames, withinMicros,
-      afterMatch, wmMicros, minStart, ctx, collectTimeouts = false)
+      afterMatch, wmMicros, minStart, ctx, collectTimeouts = false,
+      strict = strict)
     val isteps = compileByName(steps, varNames, ctx)
     (raw.map { bindings => emit(key, isteps, bindings) }, mark)
   }
@@ -814,10 +861,11 @@ object PatternNFA {
       quads: Seq[(Long, Long, Long, Array[Double], Array[String])], steps: Seq[Step],
       varNames: Seq[String], withinMicros: Long, afterMatch: AfterMatch,
       wmMicros: Long, minStart: Option[Mark],
-      ctx: Map[String, Seq[CtxCmp]] = Map.empty)
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty, strict: Boolean = false)
       : (Seq[Seq[Seq[(Long, Long)]]], Option[Mark]) = {
     val (raw, _, mark) = matureScan(0L, quads, steps, varNames, withinMicros,
-      afterMatch, wmMicros, minStart, ctx, collectTimeouts = false)
+      afterMatch, wmMicros, minStart, ctx, collectTimeouts = false,
+      strict = strict)
     (raw.map(_.map(_.map(e => (e.ts, e.id)))), mark)
   }
 
@@ -838,10 +886,12 @@ object PatternNFA {
       key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
-      ctx: Map[String, Seq[CtxCmp]], collectTimeouts: Boolean)
+      ctx: Map[String, Seq[CtxCmp]], collectTimeouts: Boolean,
+      strict: Boolean = false)
       : (Seq[Vector[Vector[Ev]]], Seq[PTimeout], Option[Mark]) = {
     val isteps = compileByName(steps, varNames, ctx)
     val hasCtx = anyCtx(isteps)
+    val startMask = if (strict) strictStartMask(isteps) else 0L
     val evs = quads.toVector.sortBy(t => (t._1, t._2))
       .zipWithIndex.map { case ((ts, id, s, nv, ns), i) =>
         Ev(ts, id, s, i, nv, ns) }
@@ -858,19 +908,28 @@ object PatternNFA {
     val enumerateAll = afterMatch == NoSkip ||
       (afterMatch == SkipToNextRow && hasAnyOne(isteps))
     evs.foreach { a =>
-      if (anchorOk(a, isteps) && afterMark(a) &&
+      val startable =
+        if (strict) (a.sat & startMask) != 0 else anchorOk(a, isteps)
+      if (startable && afterMark(a) &&
           a.ts + withinMicros <= wmMicros) {
         val deadline = a.ts + withinMicros
         if (enumerateAll) {
+          require(!strict, "strict row-pattern mode has no NoSkip/" +
+            "followedByAny form")
           val all = matchAll(seq, isteps.drop(1), a, deadline, a.idx,
             Vector(Vector(a)), hasCtx).toVector
           if (all.nonEmpty) all.foreach(rest => out += Vector(Vector(a)) ++ rest)
           else if (collectTimeouts)
             tmos += timeoutPartial(key, seq, isteps, a, deadline, hasCtx)
-        } else matchFrom(seq, isteps.drop(1), a, deadline, a.idx,
-            Vector(Vector(a)), hasCtx) match {
-          case Some(rest) =>
-            val bindings = Vector(Vector(a)) ++ rest
+        } else {
+          val res =
+            if (strict)
+              strictFrom(seq, isteps, strictPrev(a), deadline, a.idx,
+                Vector.empty)
+            else matchFrom(seq, isteps.drop(1), a, deadline, a.idx,
+              Vector(Vector(a)), hasCtx).map(Vector(Vector(a)) ++ _)
+          res match {
+          case Some(bindings) =>
             out += bindings
             // under SkipToNextRow no mark is needed: a mature anchor is
             // evicted in the same invocation (maturity bound == eviction
@@ -888,8 +947,13 @@ object PatternNFA {
               case _ => mark
             }
           case None if collectTimeouts =>
-            tmos += timeoutPartial(key, seq, isteps, a, deadline, hasCtx)
+            if (strict)
+              strictTimeoutPartial(key, seq, isteps, a, deadline)
+                .foreach(tmos += _)
+            else
+              tmos += timeoutPartial(key, seq, isteps, a, deadline, hasCtx)
           case None =>
+          }
         }
       }
     }
@@ -952,13 +1016,17 @@ object PatternNFA {
       isteps: Seq[INode], withinMicros: Long, afterMatch: AfterMatch,
       collectTimeouts: Boolean,
       gauge: Option[org.apache.spark.util.LongAccumulator],
-      wantMatches: Boolean = true)(
+      wantMatches: Boolean = true, strict: Boolean = false)(
       onMatch: (Long, Vector[Vector[Ev]], Long) => Seq[O],
       onTimeout: (Long, PTimeout) => Seq[O]): Iterator[O] = new Iterator[O] {
 
     private val hasCtx = anyCtx(isteps)
     private val enumerateAll = afterMatch == NoSkip ||
       (afterMatch == SkipToNextRow && hasAnyOne(isteps))
+    require(!(strict && enumerateAll),
+      "strict row-pattern mode has no NoSkip/followedByAny form " +
+        "(no MATCH_RECOGNIZE clause produces them)")
+    private val startMask = if (strict) strictStartMask(isteps) else 0L
     private val buf = new SlidingEvs
     private val pending = scala.collection.mutable.Queue.empty[Ev]
     private val out = scala.collection.mutable.Queue.empty[O]
@@ -985,29 +1053,37 @@ object PatternNFA {
           matchNo += 1
           out ++= onMatch(curKey, Vector(Vector(a)) ++ rest, matchNo)
         }
-      } else matchFrom(buf, isteps.drop(1), a, deadline, a.idx,
-          Vector(Vector(a)), hasCtx) match {
-        case Some(rest) =>
-          val bindings = Vector(Vector(a)) ++ rest
-          matchNo += 1
-          out ++= onMatch(curKey, bindings, matchNo)
-          afterMatch match {
-            case SkipPastLastEvent =>
-              minAnchorIdx = bindings.flatten.map(_.idx).max + 1
-            case SkipToFirst(v) =>
-              minAnchorIdx = skipTarget(isteps, bindings, v, first = true, a).idx
-            case SkipToLast(v) =>
-              minAnchorIdx = skipTarget(isteps, bindings, v, first = false, a).idx
-            case _ =>
-          }
-          // anchors the skip strategy passed over can never scan —
-          // dropping them eagerly is what lets the buffer evict
-          while (pending.nonEmpty && pending.head.idx < minAnchorIdx)
-            pending.dequeue()
-        case None if collectTimeouts =>
-          out ++= onTimeout(curKey,
-            timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx))
-        case None =>
+      } else {
+        val res =
+          if (strict)
+            strictFrom(buf, isteps, strictPrev(a), deadline, a.idx,
+              Vector.empty)
+          else matchFrom(buf, isteps.drop(1), a, deadline, a.idx,
+            Vector(Vector(a)), hasCtx).map(Vector(Vector(a)) ++ _)
+        res match {
+          case Some(bindings) =>
+            matchNo += 1
+            out ++= onMatch(curKey, bindings, matchNo)
+            afterMatch match {
+              case SkipPastLastEvent =>
+                minAnchorIdx = bindings.flatten.map(_.idx).max + 1
+              case SkipToFirst(v) =>
+                minAnchorIdx = skipTarget(isteps, bindings, v, first = true, a).idx
+              case SkipToLast(v) =>
+                minAnchorIdx = skipTarget(isteps, bindings, v, first = false, a).idx
+              case _ =>
+            }
+            // anchors the skip strategy passed over can never scan —
+            // dropping them eagerly is what lets the buffer evict
+            while (pending.nonEmpty && pending.head.idx < minAnchorIdx)
+              pending.dequeue()
+          case None if collectTimeouts =>
+            val tmo =
+              if (strict) strictTimeoutPartial(curKey, buf, isteps, a, deadline)
+              else Some(timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx))
+            tmo.foreach(t => out ++= onTimeout(curKey, t))
+          case None =>
+        }
       }
     }
 
@@ -1045,8 +1121,12 @@ object PatternNFA {
       nextIdx += 1
       buf.append(e) // append FIRST: NotNext peeks one past the deadline
       drainMature(ts)
-      // a skip strategy that already advanced past e can never offer it
-      if (anchorOk(e, isteps) && e.idx >= minAnchorIdx) pending.enqueue(e)
+      // a skip strategy that already advanced past e can never offer
+      // it; strict attempts start at any row the start mask admits
+      // (the attempt itself re-checks context predicates)
+      val startable =
+        if (strict) (e.sat & startMask) != 0 else anchorOk(e, isteps)
+      if (startable && e.idx >= minAnchorIdx) pending.enqueue(e)
       else if (pending.isEmpty) buf.evictBelow(nextIdx) // nothing reads e
     }
 
@@ -1474,6 +1554,203 @@ object PatternNFA {
       }
     }
     Some(out)
+  }
+
+  // ---------------------------------------------------------------
+  // STRICT row-pattern mode (SQL:2016 / the reference's
+  // MATCH_RECOGNIZE — StreamExecMatch.scala:420-449 applyQuantifier:
+  // concatenation is `next()`, every loop is `.consecutive()`;
+  // match_recognize.md:349 "a pattern like `(A B)` means that the
+  // contiguity is strict"): a match is a CONTIGUOUS run of rows in
+  // the per-key (ts, id) order — every row between match start and
+  // end is bound to some pattern variable. Matching is textbook
+  // regex backtracking from the attempt row: greedy loops try the
+  // largest extent first and shrink from the end, reluctant loops
+  // the smallest first; adjacency is positional, so equal-timestamp
+  // neighbors chain (the relaxed algebra's strictly-increasing-ts
+  // rule does not apply here — ORDER BY ties break by id, pinned).
+  // WITHIN still bounds every bound row to anchor.ts + within. The
+  // relaxed algebra (the CEP library doors — followedBy etc.) is
+  // untouched; `strict` is only set by the MATCH_RECOGNIZE clause
+  // surfaces (batch facade, SQL statement, streaming operator).
+  // ---------------------------------------------------------------
+
+  /** Can this quantifier bind zero rows? (Drives the attempt-start
+    * mask and the clause compiler's empty-match rejection.) */
+  private[graft] def canBindEmpty(q: Quant): Boolean = q match {
+    case Optional | Not | NotNext => true
+    case _: ZeroOrMore => true
+    case TimesRange(0, _, _) => true
+    case GroupTimes(_, 0, _) => true
+    case _ => false
+  }
+
+  /** Bitmask of variables that may bind the FIRST row of a strict
+    * match: each step's bit up to and INCLUDING the first step that
+    * cannot bind empty. (A strict match starting at row r binds r to
+    * the earliest step that binds any rows, so r must satisfy one of
+    * these.) Patterns where every step can bind empty are rejected at
+    * compile time (empty matches), so the prefix is always proper. */
+  private def strictStartMask(isteps: Seq[INode]): Long = {
+    var mask = 0L
+    val it = isteps.iterator
+    var open = true
+    while (open && it.hasNext) it.next() match {
+      case l: ILeaf =>
+        mask |= (1L << l.bit)
+        if (!canBindEmpty(l.quant)) open = false
+      case g: IGroup =>
+        sys.error(s"group pattern ${g.name} is not part of the strict " +
+          "row-pattern algebra (the reference's MATCH_RECOGNIZE has no " +
+          "group patterns either)")
+    }
+    mask
+  }
+
+  /** Virtual predecessor for a strict attempt at row index `idx`:
+    * only `idx` is read by the strict matcher (adjacency is
+    * positional), the rest is inert. */
+  private def strictPrev(a: Ev): Ev =
+    Ev(a.ts, 0L, 0L, a.idx - 1, Array.empty[Double], Array.empty[String])
+
+  /** Bind all `steps` as a contiguous run starting at prev.idx + 1.
+    * Returns one Vector[Ev] per step (empty for a zero-extent
+    * optional/loop), or None. Same acc/ctx conventions as
+    * [[matchFrom]]; `anchorIdx` is the attempt row's index (PREV
+    * navigation is NULL before it). */
+  private def strictFrom(evs: EvSeq, steps: Seq[INode], prev: Ev,
+                         deadline: Long, anchorIdx: Int,
+                         acc: Vector[Vector[Ev]])
+      : Option[Vector[Vector[Ev]]] = {
+    if (steps.isEmpty) return Some(Vector.empty)
+    steps.head match {
+      case g: IGroup => sys.error(s"group pattern ${g.name} is not part " +
+        "of the strict row-pattern algebra")
+      case st: ILeaf => strictLeaf(evs, st, steps.tail, prev, deadline,
+        anchorIdx, acc)
+    }
+  }
+
+  private def strictLeaf(evs: EvSeq, st: ILeaf, rest: Seq[INode],
+                         prev: Ev, deadline: Long, anchorIdx: Int,
+                         acc: Vector[Vector[Ev]])
+      : Option[Vector[Vector[Ev]]] = {
+    // take-condition: DEFINE bit + context against the run-so-far —
+    // the window bound is NOT part of it (a greedy loop that munches
+    // past the window dies, it does not shrink — see tryRange)
+    def take(e: Ev, partial: Vector[Ev]): Boolean =
+      hasBit(e, st.bit) && ctxOk(st, evs, e, anchorIdx, acc, partial)
+    def cont(last: Ev, bound: Vector[Ev]): Option[Vector[Vector[Ev]]] =
+      strictFrom(evs, rest, last, deadline, anchorIdx, acc :+ bound)
+        .map(Vector(bound) ++ _)
+    def contEmpty(): Option[Vector[Vector[Ev]]] =
+      strictFrom(evs, rest, prev, deadline, anchorIdx, acc :+ Vector.empty)
+        .map(Vector(Vector.empty[Ev]) ++ _)
+    /** Maximal consecutive take-run starting at prev.idx + 1, capped
+      * at `cap` elements. Returns (run, died): with `stopAtDeadline`
+      * unset (greedy), a take-satisfying element BEYOND the window
+      * kills the committed munch (died = true — the reference prunes
+      * the partial when the window expires, it never re-splits the
+      * run); with it set (reluctant), the deadline just ends the run
+      * (longer-extent branches are exactly the ones that would die). */
+    def munch(cap: Int, stopAtDeadline: Boolean): (Vector[Ev], Boolean) = {
+      var out = Vector.empty[Ev]
+      var i = prev.idx + 1
+      while (out.size < cap) {
+        evs.lift(i) match {
+          case Some(e) if take(e, out) =>
+            if (e.ts > deadline)
+              return if (stopAtDeadline) (out, false) else (out, true)
+            out :+= e; i += 1
+          case _ => return (out, false)
+        }
+      }
+      (out, false)
+    }
+    /** Loop with extent in [lo, hi]. GREEDY is committed maximal
+      * munch — the reference's NFA removes the proceed edge while the
+      * take-condition holds (NFACompiler.updateWithGreedyCondition),
+      * so the loop exits ONLY at a row that fails its own DEFINE; if
+      * the remainder then fails, the whole attempt fails (the doc's
+      * AFTER-MATCH example omits exactly the match a backtracking
+      * regex would add). RELUCTANT branches: smallest extent first,
+      * longer extents still explored when the remainder fails. */
+    def tryRange(lo: Int, hi: Int, reluctant: Boolean)
+        : Option[Vector[Vector[Ev]]] = {
+      if (reluctant) {
+        val (run, _) = munch(hi, stopAtDeadline = true)
+        if (run.size < lo) None
+        else (lo to run.size).iterator.flatMap { k =>
+          if (k == 0) contEmpty() else cont(run(k - 1), run.take(k))
+        }.nextOption()
+      } else {
+        val (run, died) = munch(hi, stopAtDeadline = false)
+        if (died || run.size < lo) None
+        else if (run.isEmpty) contEmpty()
+        else cont(run.last, run)
+      }
+    }
+    /** Optional (`?` / `{0,1}` — the reference leaves it UNMARKED, so
+      * its NFA explores BOTH branches and the match whose final state
+      * is reached on the EARLIEST event wins; a same-event tie goes to
+      * the bind branch, which consumed the event. Pinned against the
+      * reference's testAggregates vector (`D? E` → D empty, the match
+      * ends one event earlier) while a TRAILING optional still binds
+      * (both branches complete on the same event). Completion event =
+      * the last consumed row, except an all-empty tail still needs the
+      * next (peeked) event to drive the NFA's proceed chain — hence
+      * max(consumed, 1). */
+    def optional(): Option[Vector[Vector[Ev]]] = {
+      val bound = evs.lift(prev.idx + 1)
+        .filter(e => e.ts <= deadline && take(e, Vector.empty))
+        .flatMap(e => cont(e, Vector(e)))
+      val empty = contEmpty()
+      (bound, empty) match {
+        case (Some(b), Some(emp)) =>
+          def completion(v: Vector[Vector[Ev]]) =
+            math.max(v.iterator.map(_.size).sum, 1)
+          if (completion(emp) < completion(b)) Some(emp) else Some(b)
+        case (b, e) => b.orElse(e)
+      }
+    }
+    st.quant match {
+      case One =>
+        evs.lift(prev.idx + 1)
+          .filter(e => e.ts <= deadline && take(e, Vector.empty))
+          .flatMap(e => cont(e, Vector(e)))
+      case Optional => optional()
+      case TimesRange(0, 1, false) => optional() // {0,1} ≡ ? (unmarked)
+      case OneOrMore(_, rel) => tryRange(1, Int.MaxValue, rel)
+      case ZeroOrMore(_, rel) => tryRange(0, Int.MaxValue, rel)
+      case Times(n, _) => tryRange(n, n, reluctant = false)
+      case TimesRange(lo, hi, rel) => tryRange(lo, hi, rel)
+      case TimesOrMore(n, rel) => tryRange(n, Int.MaxValue, rel)
+      case other => sys.error(s"quantifier $other is not part of the " +
+        "strict row-pattern algebra (no clause form exists for it)")
+    }
+  }
+
+  /** Strict analog of [[timeoutPartial]]: the longest pattern PREFIX
+    * that binds contiguously from the attempt row — None when not even
+    * one row binds (a row offered by the start mask whose own step's
+    * context predicate failed starts no partial). */
+  private def strictTimeoutPartial(key: Long, evs: EvSeq,
+                                   isteps: Seq[INode], a: Ev,
+                                   deadline: Long): Option[PTimeout] = {
+    val vprev = strictPrev(a)
+    (isteps.length - 1 to 1 by -1).iterator
+      .map(k => strictFrom(evs, isteps.take(k), vprev, deadline, a.idx,
+        Vector.empty))
+      .collectFirst { case Some(b) if b.exists(_.nonEmpty) => b }
+      .map { bound =>
+        val ids = isteps.zip(bound).flatMap {
+          case (l: ILeaf, b) if isLoop(l.quant) => b.headOption.map(_.id).toSeq
+          case (_, b) => b.map(_.id)
+        }
+        val lastEv = bound.flatten.maxBy(e => (e.ts, e.id))
+        PTimeout(key, a.id, lastEv.id, ids.mkString(","),
+          bound.count(_.nonEmpty))
+      }
   }
 
   /** Chain convention (kept from round 1 so oracles stay in plain SQL):

@@ -163,7 +163,7 @@ object StreamingMatchRecognize {
       "MEASURES is batch-only (the reference restricts streaming MATCH_RECOGNIZE too)") {
       (c, key, buffered, wm, mark0) =>
         PatternNFA.matchesMature(key, buffered, c.steps, c.varNames,
-          c.withinMicros, c.afterMatch, wm, mark0, c.ctx)
+          c.withinMicros, c.afterMatch, wm, mark0, c.ctx, strict = true)
     }
   }
 
@@ -213,7 +213,7 @@ object StreamingMatchRecognize {
       "timeout side output carries bindings, not MEASURES") {
       (c, key, buffered, wm, mark0) =>
         PatternNFA.matureTimeouts(key, buffered, c.steps, c.varNames,
-          c.withinMicros, c.afterMatch, wm, mark0, c.ctx)
+          c.withinMicros, c.afterMatch, wm, mark0, c.ctx, strict = true)
     }
   }
 
@@ -317,7 +317,8 @@ object StreamingMatchRecognize {
         val mvalsOf = buffered.map { case (ts, id, _, mv, _, _) =>
           (ts, id) -> mv }.toMap
         val (rawMatches, mark) = PatternNFA.matureBindingsRaw(
-          quads, steps, varNames, within, afterMatch, wm, mark0, defCtx)
+          quads, steps, varNames, within, afterMatch, wm, mark0, defCtx,
+          strict = true)
         var seq = cur.matchSeq
         def fold(m: MatchRecognize.Measure,
                  bindings: Seq[Seq[(Long, Long)]]): Option[Double] = {
@@ -347,8 +348,10 @@ object StreamingMatchRecognize {
           val vals = opts.flatten
           val raw = m.func match {
             case "COUNT" => Some(vals.size.toDouble)
-            case "FIRST" => opts.headOption.flatten
-            case "LAST" => opts.lastOption.flatten
+            // logical offsets ride the ordered bound list; out of
+            // range is NULL (mirrors the batch get() path)
+            case "FIRST" => opts.lift(m.off).flatten
+            case "LAST" => opts.lift(opts.size - 1 - m.off).flatten
             case _ if vals.isEmpty => None
             case "SUM" => Some(vals.sum)
             case "AVG" => Some(vals.sum / vals.size)
