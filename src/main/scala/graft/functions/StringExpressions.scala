@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -136,7 +136,10 @@ object GraftStrings {
   * is null. */
 case class KeyValue(first: Expression, second: Expression,
                     third: Expression, fourth: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType, StringType)
   override def dataType: DataType = StringType
   override protected def nullSafeEval(s: Any, p: Any, k: Any, key: Any): Any =
     GraftStrings.keyValue(s.asInstanceOf[UTF8String],
@@ -159,7 +162,9 @@ case class KeyValue(first: Expression, second: Expression,
   * digits). Spark has date trunc only. Double-typed here (the builder
   * casts numeric inputs); silent under ANSI. */
 case class NumericTruncate(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any, d: Any): Any =
     GraftStrings.struncate(v.asInstanceOf[Double], d.asInstanceOf[Int])
@@ -175,7 +180,12 @@ case class NumericTruncate(left: Expression, right: Expression)
   * 31-polynomial over UTF-16 code units with silent int wraparound).
   * A native expression rather than a built-in composition because the
   * wraparound must stay silent under ANSI mode. */
-case class HashCode(child: Expression) extends UnaryExpression {
+case class HashCode(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // misuse (non-castable input) is an ANALYSIS error, not a codegen
+  // crash (advisor r10); integral/numeric inputs cast to their string
+  // rendering first, the reference's implicit-cast behavior
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(v: Any): Any =
     v.asInstanceOf[UTF8String].toString.hashCode
@@ -184,7 +194,9 @@ case class HashCode(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): HashCode = copy(c)
 }
 
-abstract class StringPredicate extends UnaryExpression {
+abstract class StringPredicate extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = BooleanType
   protected def helper: String
   override protected def nullSafeEval(v: Any): Any = evalImpl(v.asInstanceOf[UTF8String])

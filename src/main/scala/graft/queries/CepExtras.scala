@@ -39,6 +39,26 @@ object CepExtras extends QueryGroup {
       col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
       col("event_id").as("id"), col("event_type").as("kind"))
 
+  /** STRICT-contiguity oracle scaffold for the `A B+ …` clause family
+    * (B = click): per signup anchor, `erun` is the rn of the first row
+    * AFTER the anchor that is not a click — the committed greedy loop
+    * exits exactly there (NULL when clicks run to the key's end). The
+    * loop's bound rows are rn ∈ (a_rn, erun); a run crossing the
+    * WITHIN deadline kills the attempt (checked via the LAST run row's
+    * ts — rows are ts-ordered), it never shrinks. */
+  private val evRunSql =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
+      |      FROM ev WHERE event_type = 'signup'),
+      |r AS (
+      |  SELECT a.*, (SELECT min(x.rn) FROM ev x
+      |    WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+      |      AND x.event_type <> 'click') AS erun
+      |  FROM a)""".stripMargin
+
   override def queries = Seq(
 
     // optional: signup → click? → purchase within 2h. The optional
@@ -253,35 +273,32 @@ object CepExtras extends QueryGroup {
     },
 
     // MATCH_RECOGNIZE SQL surface (StreamExecMatch.scala:68): the
-    // clause text compiles onto PatternNFA; semantics (and oracle)
-    // identical to cep5's optional pattern — the SQL facade is the
-    // thing under test.
+    // clause text compiles onto PatternNFA's STRICT mode — a match is
+    // a CONTIGUOUS row run (match_recognize.md:349), so the optional
+    // click must be the row IMMEDIATELY after the signup and the
+    // purchase immediately after that (or immediately after the
+    // signup when C binds empty). Oracle = rn adjacency.
     q("mr1_match_recognize",
       s"""WITH $evSql,
-        |wcp AS (
-        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |j AS (
+        |  SELECT a.user_id, a.a_id, a.a_us,
+        |    n1.event_type AS t1, n1.event_id AS id1, n1.ts_us AS us1,
+        |    n2.event_type AS t2, n2.event_id AS id2, n2.ts_us AS us2
         |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (SELECT e.event_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H2
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |ap AS (
-        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
-        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
-        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
-        |UNION ALL
-        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
-        |FROM ap WHERE NOT EXISTS (SELECT 1 FROM wcp
-        |  WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id)
+        |  LEFT JOIN ev n1 ON n1.user_id = a.user_id AND n1.rn = a.a_rn + 1
+        |  LEFT JOIN ev n2 ON n2.user_id = a.user_id AND n2.rn = a.a_rn + 2),
+        |sel AS (
+        |  SELECT *,
+        |    (t1 = 'click' AND us1 <= a_us + $H2 AND t2 = 'purchase'
+        |      AND us2 <= a_us + $H2) AS withc,
+        |    (t1 = 'purchase' AND us1 <= a_us + $H2) AS noc
+        |  FROM j)
+        |SELECT user_id AS key, a_id AS anchor_id,
+        |  CASE WHEN withc THEN id2 ELSE id1 END AS end_id,
+        |  CASE WHEN withc THEN a_id || ',' || id1 || ',' || id2
+        |       ELSE a_id || ',' || id1 END AS chain,
+        |  '' AS counts
+        |FROM sel WHERE withc OR noc
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s, events(s, dir),
           """MATCH_RECOGNIZE (
@@ -299,21 +316,22 @@ object CepExtras extends QueryGroup {
     // (MatchCodeGenerator.scala compiles arbitrary per-variable
     // conditions; Pattern.java:155 where()): the purchase step
     // requires value > 100, evaluated into the NFA's pre-shuffle
-    // bitmask — any boolean SQL expression over the event row works.
+    // bitmask. STRICT contiguity: the purchase must be the row
+    // immediately after the signup AND pass the value cut — a
+    // low-value adjacent purchase kills the match, it is not skipped.
     q("mr2_match_define_predicate",
       s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |      FROM ev WHERE event_type = 'signup')
         |SELECT a.user_id AS key, a.a_id AS anchor_id, p.event_id AS end_id,
         |  a.a_id || ',' || p.event_id AS chain, '' AS counts
         |FROM a
-        |JOIN LATERAL (SELECT e.event_id FROM ev e
-        |  WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |    AND e.value > 100
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
-        |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
+        |JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 1
+        |  AND p.event_type = 'purchase' AND p.value > 100
+        |  AND p.ts_us <= a.a_us + $H6
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s,
           t(s, dir)("events").select(
@@ -368,50 +386,32 @@ object CepExtras extends QueryGroup {
     // path, MatchCodeGenerator.scala): signup → click+ → purchase
     // within 72h, one output row per match carrying per-variable
     // FIRST/LAST/COUNT/AVG aggregates over the bound events plus
-    // MATCH_NUMBER(). Oracle: earliest-first bindings via LATERAL, the
-    // B+ loop = every click strictly between anchor and purchase.
+    // MATCH_NUMBER(). STRICT contiguity: B+ is the maximal consecutive
+    // click run right after the anchor, and the purchase must be the
+    // row that ends the run.
     q("mr3_measures",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
+      s"""WITH $evRunSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |mm AS (
-        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY a_us, a_id) AS match_seq
-        |  FROM m),
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    p.value AS p_val, lc.ts_us AS lc_us
+        |  FROM r
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
         |agg AS (
-        |  SELECT mm.user_id, mm.match_seq, mm.a_us, mm.p_id,
-        |    count(*) AS n_clicks,
-        |    round(avg(e.value), 6) AS avg_click_value,
-        |    max(e.ts_us) AS last_click_us
-        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
-        |    AND e.ts_us <= mm.a_us + $H72
+        |  SELECT m.user_id, m.a_id, m.a_us, m.p_val, m.lc_us,
+        |    count(*) AS n_clicks, round(avg(b.value), 6) AS avg_click_value
+        |  FROM m JOIN ev b ON b.user_id = m.user_id
+        |    AND b.rn BETWEEN m.a_rn + 1 AND m.erun - 1
         |  GROUP BY ALL)
-        |SELECT agg.user_id AS key, agg.match_seq, agg.a_us AS start_us,
-        |  agg.n_clicks, agg.avg_click_value, agg.last_click_us,
-        |  pe.value AS purchase_value
-        |FROM agg JOIN ev pe ON pe.user_id = agg.user_id
-        |  AND pe.event_id = agg.p_id
-        |ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+        |SELECT user_id AS key,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY a_us, a_id)
+        |    AS match_seq,
+        |  a_us AS start_us, n_clicks, avg_click_value,
+        |  lc_us AS last_click_us, p_val AS purchase_value
+        |FROM agg ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s,
           t(s, dir)("events").select(
             col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
@@ -441,54 +441,34 @@ object CepExtras extends QueryGroup {
     // with its classifier (pattern variable) and the match's FINAL
     // measures.
     q("mr4_all_rows_per_match",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
+      s"""WITH $evRunSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
         |mm AS (
         |  SELECT m.*, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_no
         |  FROM m),
-        |agg AS (
-        |  SELECT mm.user_id, mm.match_no, count(*) AS n_clicks
-        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
-        |    AND e.ts_us <= mm.a_us + $H72
-        |  GROUP BY ALL),
         |rws AS (
-        |  SELECT user_id, match_no, 'A' AS classifier, a_id AS event_id
+        |  SELECT user_id, match_no, 'A' AS classifier, a_id AS event_id,
+        |    a_rn, erun
         |  FROM mm
         |  UNION ALL
-        |  SELECT mm.user_id, mm.match_no, 'B', e.event_id
-        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
-        |    AND e.ts_us <= mm.a_us + $H72
+        |  SELECT mm.user_id, mm.match_no, 'B', b.event_id, mm.a_rn, mm.erun
+        |  FROM mm JOIN ev b ON b.user_id = mm.user_id
+        |    AND b.rn BETWEEN mm.a_rn + 1 AND mm.erun - 1
         |  UNION ALL
-        |  SELECT user_id, match_no, 'P', p_id FROM mm)
-        |SELECT r.user_id AS key, r.match_no, r.classifier, r.event_id,
-        |  agg.n_clicks
-        |FROM rws r JOIN agg ON agg.user_id = r.user_id
-        |  AND agg.match_no = r.match_no
-        |ORDER BY key, r.match_no, classifier, event_id""".stripMargin) { (s, dir) =>
+        |  SELECT user_id, match_no, 'P', p_id, a_rn, erun FROM mm)
+        |SELECT user_id AS key, match_no, classifier, event_id,
+        |  erun - a_rn - 1 AS n_clicks
+        |FROM rws
+        |ORDER BY key, match_no, classifier, event_id""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s,
           t(s, dir)("events").select(
             col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
@@ -515,45 +495,26 @@ object CepExtras extends QueryGroup {
     // ORDER BY, routing to the same NFA + measure aggregation mr3
     // exercises. The statement surface is the thing under test.
     q("mr5_sql_text",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
+      s"""WITH $evRunSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |mm AS (
-        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY a_us, a_id) AS match_seq
-        |  FROM m),
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun, p.value AS p_val
+        |  FROM r
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
         |agg AS (
-        |  SELECT mm.user_id, mm.match_seq, mm.a_id, mm.p_id,
-        |    count(*) AS n_clicks,
-        |    round(avg(e.value), 6) AS avg_click_value
-        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
-        |    AND e.ts_us <= mm.a_us + $H72
+        |  SELECT m.user_id, m.a_id, m.a_us, m.p_val,
+        |    count(*) AS n_clicks, round(avg(b.value), 6) AS avg_click_value
+        |  FROM m JOIN ev b ON b.user_id = m.user_id
+        |    AND b.rn BETWEEN m.a_rn + 1 AND m.erun - 1
         |  GROUP BY ALL)
-        |SELECT agg.user_id, agg.match_seq, agg.a_id, agg.n_clicks,
-        |  agg.avg_click_value, pe.value AS purchase_value
-        |FROM agg JOIN ev pe ON pe.user_id = agg.user_id
-        |  AND pe.event_id = agg.p_id
-        |ORDER BY agg.user_id, agg.match_seq""".stripMargin) { (s, dir) =>
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY a_us, a_id)
+        |    AS match_seq,
+        |  a_id, n_clicks, avg_click_value, p_val AS purchase_value
+        |FROM agg ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr5_events")
       graft.sources.MatchRecognizeSql.sql(s,
         """SELECT * FROM mr5_events MATCH_RECOGNIZE (
@@ -614,50 +575,39 @@ object CepExtras extends QueryGroup {
     // anchor's value (LAST(A.value) navigation), and P's purchase must
     // beat the FIRST loop element's value — both evaluated DURING the
     // NFA scan against the partial match, not pre-evaluable map-side.
-    // Oracle encodes the pinned greedy-loop semantics: the eligible
-    // run is every qualifying click in order; the loop shrinks from
-    // the end to the largest extent k whose remainder completes.
+    // Oracle encodes STRICT committed-greedy semantics: the run is the
+    // maximal streak of ADJACENT clicks each beating the anchor's
+    // value; the loop exits only at a row failing its own DEFINE, and
+    // that exact row must be the qualifying purchase — no shrink.
     q("mr6_define_navigation",
       s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, value AS a_val
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn,
+        |        value AS a_val
         |      FROM ev WHERE event_type = 'signup'),
-        |bseq AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, e.event_id AS b_id,
-        |    e.ts_us AS b_us, e.value AS b_val,
-        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
-        |      ORDER BY e.ts_us, e.event_id) AS pos
-        |  FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'click'
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |    AND e.value > a.a_val),
-        |b1 AS (SELECT * FROM bseq WHERE pos = 1),
-        |ks AS (
-        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
-        |  FROM bseq b JOIN b1 ON b1.user_id = b.user_id AND b1.a_id = b.a_id
-        |  WHERE EXISTS (SELECT 1 FROM ev p WHERE p.user_id = b.user_id
-        |    AND p.event_type = 'purchase' AND p.ts_us > b.b_us
-        |    AND p.ts_us <= b.a_us + $H72 AND p.value > b1.b_val)
-        |  GROUP BY b.user_id, b.a_id),
+        |r AS (
+        |  SELECT a.*, (SELECT min(x.rn) FROM ev x
+        |    WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+        |      AND NOT (x.event_type = 'click' AND x.value > a.a_val)) AS erun
+        |  FROM a),
         |m AS (
-        |  SELECT ks.user_id, ks.a_id, ks.k, b1.a_us, b1.b_val AS b1_val,
-        |    bk.b_val AS bk_val, bk.b_us AS bk_us
-        |  FROM ks
-        |  JOIN b1 ON b1.user_id = ks.user_id AND b1.a_id = ks.a_id
-        |  JOIN bseq bk ON bk.user_id = ks.user_id AND bk.a_id = ks.a_id
-        |    AND bk.pos = ks.k),
-        |sel AS (
-        |  SELECT m.*, p.event_id AS p_id, p.value AS p_val
-        |  FROM m JOIN LATERAL (SELECT e.event_id, e.value FROM ev e
-        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
-        |      AND e.value > m.b1_val
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    b1.value AS b1_val, lc.value AS bk_val, p.value AS p_val
+        |  FROM r
+        |  JOIN ev b1 ON b1.user_id = r.user_id AND b1.rn = r.a_rn + 1
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.value > b1.value
+        |    AND p.ts_us <= r.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  a_id, b1_val AS b1_value, bk_val AS bk_value, k AS n_b,
-        |  p_val AS p_value
-        |FROM sel ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+        |  a_id, b1_val AS b1_value, bk_val AS bk_value,
+        |  erun - a_rn - 1 AS n_b, p_val AS p_value
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr6_events")
       graft.sources.MatchRecognizeSql.sql(s,
         """SELECT * FROM mr6_events MATCH_RECOGNIZE (
@@ -857,35 +807,27 @@ object CepExtras extends QueryGroup {
 
     // RELUCTANT quantifier B+? (the reference's non-greedy
     // MATCH_RECOGNIZE quantifiers): the loop binds the FEWEST elements
-    // whose remainder completes — here always exactly the first
-    // eligible click, so COUNT(B) pins 1 and LAST(B) pins the FIRST
-    // click where the greedy mr3 shape binds every click before the
-    // purchase. Full SQL statement surface.
+    // whose remainder completes. Under STRICT contiguity with disjoint
+    // kinds the viable extent is unique (the run of adjacent clicks —
+    // a shorter extent would ask P to bind a click), so reluctant and
+    // greedy coincide here; the grammar + k-ascending search is the
+    // thing under test (the divergent overlapping-DEFINE case is
+    // pinned by MatchStrictSpec's doc Ticker vector). Full SQL
+    // statement surface.
     q("mr7_reluctant",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
+      s"""WITH $evRunSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_us, p.p_id
-        |  FROM a
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS b_id, e.ts_us AS b_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS p_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    lc.event_id AS b_last_id, p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  a_id, CAST(1 AS BIGINT) AS n_b, b_id AS b_last_id, p_id
+        |  a_id, erun - a_rn - 1 AS n_b, b_last_id, p_id
         |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr7_events")
       graft.sources.MatchRecognizeSql.sql(s,
@@ -980,33 +922,27 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id")
     },
 
-    // timesOrMore (Pattern.timesOrMore(n) / SQL B{2,}): the first two
-    // clicks bind successively, the purchase binds after the second,
-    // and the loop absorbs every further click before it — the n-floor
-    // variant of the B+ absorb loop, via the CLAUSE grammar.
+    // timesOrMore via the CLAUSE grammar (SQL B{2,} — the reference
+    // compiles it to timesOrMore(2).consecutive().greedy(),
+    // StreamExecMatch.scala:437): STRICT contiguity — the committed
+    // run of ADJACENT clicks must reach length 2, and the purchase is
+    // the row that ends it. (The CEP API door's relaxed
+    // timesOrMore absorb loop stays pinned by st43.)
     q("cep18_times_or_more",
-      s"""WITH $evSql,
+      s"""WITH $evRunSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, b1.event_id AS b1_id,
-        |    p.event_id AS p_id, p.ts_us AS p_us
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  SELECT r.user_id, r.a_id, r.a_rn, r.erun,
+        |    b1.event_id AS b1_id, p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev b1 ON b1.user_id = r.user_id AND b1.rn = r.a_rn + 1
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 2
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b1_id || ',' || p_id AS chain,
-        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
-        |    AND e.event_type = 'click' AND e.ts_us > m.a_us
-        |    AND e.ts_us < m.p_us AND e.ts_us <= m.a_us + $H72) AS counts
+        |  'B:' || (erun - a_rn - 1) AS counts
         |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s, events(s, dir),
           """MATCH_RECOGNIZE (
@@ -1056,51 +992,26 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id", "chain")
     },
 
-    // Zero-or-more B* (Pattern.oneOrMore().optional()): the loop with
-    // the empty binding allowed — greedy prefers the bound branch and
-    // falls back to skipping the loop entirely; COUNT(B) pins which
-    // branch bound. Full SQL statement surface.
+    // Zero-or-more B* (Pattern.oneOrMore().optional().consecutive()):
+    // under STRICT contiguity the committed greedy run is the maximal
+    // streak of adjacent clicks (possibly empty — the purchase then
+    // sits right next to the signup); COUNT(B) pins the extent. Full
+    // SQL statement surface.
     q("mr8_zero_or_more",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
-        |wcp AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, b.b_us, p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.ts_us AS b_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H2)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
-        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H2
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |ap AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, p.event_id AS p_id
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |u AS (
-        |  SELECT w.user_id, w.a_id, w.a_us, w.p_id,
-        |    (SELECT count(*) FROM ev e WHERE e.user_id = w.user_id
-        |      AND e.event_type = 'click' AND e.ts_us > w.a_us
-        |      AND e.ts_us < w.p_us AND e.ts_us <= w.a_us + $H2) AS n_b
-        |  FROM wcp w
-        |  UNION ALL
-        |  SELECT ap.user_id, ap.a_id, ap.a_us, ap.p_id, 0 FROM ap
-        |  WHERE NOT EXISTS (SELECT 1 FROM wcp
-        |    WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id))
+      s"""WITH $evRunSql,
+        |m AS (
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  LEFT JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |    AND r.erun > r.a_rn + 1
+        |  WHERE p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H2
+        |    AND (r.erun = r.a_rn + 1 OR lc.ts_us <= r.a_us + $H2))
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  a_id, CAST(n_b AS BIGINT) AS n_b, p_id
-        |FROM u ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+        |  a_id, erun - a_rn - 1 AS n_b, p_id
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr8_events")
       graft.sources.MatchRecognizeSql.sql(s,
         """SELECT * FROM mr8_events MATCH_RECOGNIZE (
@@ -1123,56 +1034,35 @@ object CepExtras extends QueryGroup {
     // testAggregates: `SUM(A.price) < 6`, cross-variable
     // `SUM(B.price * B.rate) < SUM(A.price)`, `AVG(B.price) >= 1` —
     // aggregates over the partial match's bound rows evaluated DURING
-    // the NFA scan) plus aggregate/COUNT(*) MEASURES. The B loop
-    // self-caps through a running COUNT (first 4 clicks bind, later
-    // candidates fail the monotone count and are skipped); P's DEFINE
-    // compares against AVG/SUM over B's FINAL bound set, so the
-    // greedy shrink re-evaluates them per extent k. Oracle: running
-    // windows over the first-4 click sequence; k = the largest extent
-    // with a qualifying purchase (greedy shrink), purchase = earliest
-    // (ts, id) after the k-th click.
+    // the NFA scan) plus aggregate/COUNT(*) MEASURES. STRICT committed
+    // greedy: the B loop self-caps through the running COUNT — a 5th
+    // adjacent click fails B's own DEFINE, so the loop exits THERE and
+    // P must bind that very click (dead); only runs of 1..4 adjacent
+    // clicks whose ending row is a qualifying purchase match. P's
+    // DEFINE reads AVG/SUM over B's final bound set.
     q("mr9_define_aggregates",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
-        |bseq AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, e.ts_us AS b_us, e.value AS b_val,
-        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
-        |      ORDER BY e.ts_us, e.event_id) AS pos
-        |  FROM a JOIN ev e ON e.user_id = a.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72),
-        |brun AS (
-        |  SELECT *, sum(b_val) OVER w AS rsum, avg(b_val) OVER w AS ravg
-        |  FROM (SELECT * FROM bseq WHERE pos <= 4)
-        |  WINDOW w AS (PARTITION BY user_id, a_id ORDER BY pos)),
-        |ks AS (
-        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
-        |  FROM brun b
-        |  WHERE b.rsum > 100 AND EXISTS (SELECT 1 FROM ev p
-        |    WHERE p.user_id = b.user_id AND p.event_type = 'purchase'
-        |      AND p.ts_us > b.b_us AND p.ts_us <= b.a_us + $H72
-        |      AND p.value > b.ravg)
-        |  GROUP BY b.user_id, b.a_id),
+      s"""WITH $evRunSql,
+        |agg AS (
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    count(*) AS n_b, sum(b.value) AS sum_b, avg(b.value) AS avg_b,
+        |    max(b.ts_us) AS lc_us
+        |  FROM r JOIN ev b ON b.user_id = r.user_id
+        |    AND b.rn BETWEEN r.a_rn + 1 AND r.erun - 1
+        |  WHERE r.erun - r.a_rn - 1 BETWEEN 1 AND 4
+        |  GROUP BY ALL),
         |m AS (
-        |  SELECT ks.user_id, ks.a_id, ks.k, bk.b_us AS bk_us, bk.rsum,
-        |    bk.ravg, bk.a_us
-        |  FROM ks JOIN brun bk ON bk.user_id = ks.user_id
-        |    AND bk.a_id = ks.a_id AND bk.pos = ks.k),
-        |sel AS (
-        |  SELECT m.*, p.value AS p_val
-        |  FROM m JOIN LATERAL (SELECT e.value FROM ev e
-        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
-        |      AND e.value > m.ravg
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  SELECT g.*, p.value AS p_val
+        |  FROM agg g
+        |  JOIN ev p ON p.user_id = g.user_id AND p.rn = g.erun
+        |  WHERE g.lc_us <= g.a_us + $H72
+        |    AND g.sum_b > 100
+        |    AND p.event_type = 'purchase' AND p.ts_us <= g.a_us + $H72
+        |    AND p.value > g.avg_b)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  a_id, round(rsum, 6) AS sum_b, round(ravg, 6) AS avg_b,
-        |  k AS n_b, k + 2 AS n_rows, p_val AS p_value
-        |FROM sel ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+        |  a_id, round(sum_b, 6) AS sum_b, round(avg_b, 6) AS avg_b,
+        |  n_b, n_b + 2 AS n_rows, p_val AS p_value
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr9_events")
       graft.sources.MatchRecognizeSql.sql(s,
         """SELECT * FROM mr9_events MATCH_RECOGNIZE (
@@ -1264,26 +1154,19 @@ object CepExtras extends QueryGroup {
     // FIRST(U)=C, LAST(U)=P, SUM(U)=C+P, COUNT(U)=2.
     q("mr10_subset",
       s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |      FROM ev WHERE event_type = 'signup'),
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val,
-        |    p.event_id AS p_id, p.value AS p_val
+        |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val, p.value AS p_val
         |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.value, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72 AND p2.value > e.value)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (SELECT e.event_id, e.value FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H72
-        |      AND e.value > c.value
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  JOIN ev c ON c.user_id = a.user_id AND c.rn = a.a_rn + 1
+        |    AND c.event_type = 'click' AND c.ts_us <= a.a_us + $H72
+        |  JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 2
+        |    AND p.event_type = 'purchase' AND p.value > c.value
+        |    AND p.ts_us <= a.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, c_val AS first_u, p_val AS last_u,
@@ -1320,52 +1203,39 @@ object CepExtras extends QueryGroup {
     // Oracle: the match's exploded rows with the same two window
     // frames (running prefix / whole match).
     q("mr11_running_measures",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
+      s"""WITH $evRunSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
-        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.ts_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun
+        |  FROM r
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
         |mm AS (
         |  SELECT m.*, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_no
         |  FROM m),
         |rws AS (
-        |  SELECT user_id, match_no, 'A' AS classifier, a_id AS event_id,
-        |    a_us AS r_us, CAST(NULL AS BIGINT) AS b_id,
-        |    CAST(NULL AS DOUBLE) AS b_val FROM mm
-        |  UNION ALL
-        |  SELECT mm.user_id, mm.match_no, 'B', e.event_id, e.ts_us,
-        |    e.event_id, e.value
+        |  SELECT mm.user_id, mm.match_no, e.rn,
+        |    CASE WHEN e.rn = mm.a_rn THEN 'A'
+        |         WHEN e.rn = mm.erun THEN 'P' ELSE 'B' END AS classifier,
+        |    e.event_id,
+        |    CASE WHEN e.rn > mm.a_rn AND e.rn < mm.erun
+        |      THEN e.event_id END AS b_id,
+        |    CASE WHEN e.rn > mm.a_rn AND e.rn < mm.erun
+        |      THEN e.value END AS b_val
         |  FROM mm JOIN ev e ON e.user_id = mm.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
-        |    AND e.ts_us <= mm.a_us + $H72
-        |  UNION ALL
-        |  SELECT user_id, match_no, 'P', p_id, p_us, NULL, NULL FROM mm)
+        |    AND e.rn BETWEEN mm.a_rn AND mm.erun)
         |SELECT user_id AS key, match_no, classifier, event_id,
         |  count(b_id) OVER w AS rn_b,
         |  round(sum(b_val) OVER w, 6) AS rsum_b,
-        |  arg_max(b_val, CASE WHEN b_id IS NOT NULL
-        |    THEN CAST(r_us AS HUGEINT) * 100000000 + event_id END)
+        |  arg_max(b_val, CASE WHEN b_id IS NOT NULL THEN rn END)
         |    OVER w AS rlast_b,
         |  round(sum(b_val) OVER (PARTITION BY user_id, match_no), 6) AS fsum_b,
         |  count(b_id) OVER (PARTITION BY user_id, match_no) AS n_b
         |FROM rws
-        |WINDOW w AS (PARTITION BY user_id, match_no ORDER BY r_us, event_id
+        |WINDOW w AS (PARTITION BY user_id, match_no ORDER BY rn
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY key, match_no, event_id""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s,
@@ -1396,31 +1266,23 @@ object CepExtras extends QueryGroup {
     // the classifier is 'C' when a purchase bound and 'B' when the
     // greedy click loop ended the match.
     q("mr13_classifier",
-      s"""WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
-        |      FROM ev WHERE event_type = 'signup'),
+      s"""WITH $evRunSql,
+        |rr AS (
+        |  SELECT r.*, coalesce(r.erun,
+        |    (SELECT max(x.rn) + 1 FROM ev x
+        |     WHERE x.user_id = r.user_id)) AS eend
+        |  FROM r),
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.c_id, c.c_us
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
-        |  LEFT JOIN LATERAL (SELECT e.event_id AS c_id, e.ts_us AS c_us
-        |    FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true)
+        |  SELECT rr.user_id, rr.a_id, rr.a_us, rr.a_rn, rr.eend,
+        |    CASE WHEN p.event_type = 'purchase'
+        |      AND p.ts_us <= rr.a_us + $H72 THEN 'C' ELSE 'B' END AS last_var
+        |  FROM rr
+        |  JOIN ev lc ON lc.user_id = rr.user_id AND lc.rn = rr.eend - 1
+        |  LEFT JOIN ev p ON p.user_id = rr.user_id AND p.rn = rr.eend
+        |  WHERE rr.eend > rr.a_rn + 1 AND lc.ts_us <= rr.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  a_id,
-        |  (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
-        |    AND e.event_type = 'click' AND e.ts_us > m.a_us
-        |    AND e.ts_us <= m.a_us + $H72
-        |    AND e.ts_us < coalesce(m.c_us, m.a_us + $H72 + 1)) AS n_b,
-        |  CASE WHEN c_id IS NOT NULL THEN 'C' ELSE 'B' END AS last_var
+        |  a_id, eend - a_rn - 1 AS n_b, last_var
         |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr13_events")
       graft.sources.MatchRecognizeSql.sql(s,
@@ -1567,35 +1429,29 @@ object CepExtras extends QueryGroup {
     // numeric-bound): string columns ride the NFA scan in a parallel
     // string array — B compares its props against LAST(A.props)
     // (string inequality on a varying column), and P's PREV navigates
-    // the PHYSICAL predecessor's event_type against a string literal.
-    // NULL string semantics match SQL (comparison with NULL is false).
+    // the PHYSICAL predecessor's event_type against a string literal
+    // (under strict contiguity PREV(1) of P is the bound B click, so
+    // the conjunct holds by construction — it still exercises the
+    // typed-PREV scan path; the oracle mirrors it as b.event_type <>
+    // 'error'). NULL string semantics match SQL (NULL comparisons are
+    // false).
     q("mr12_string_navigation",
       s"""WITH ev AS (
         |  SELECT user_id, event_id, event_type, props, epoch_us(ts) AS ts_us,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
-        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us,
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn,
         |        props AS a_props FROM ev WHERE event_type = 'signup'),
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, b.b_id, b.b_props, p.p_id
+        |  SELECT a.user_id, a.a_id, a.a_us, b.event_id AS b_id,
+        |    b.props AS b_props, p.event_id AS p_id
         |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.props AS b_props,
-        |      e.ts_us AS b_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND e.props <> a.a_props
-        |      AND EXISTS (SELECT 1 FROM ev p2 JOIN ev pr
-        |            ON pr.user_id = p2.user_id AND pr.rn = p2.rn - 1
-        |          WHERE p2.user_id = a.user_id AND p2.event_type = 'purchase'
-        |            AND p2.ts_us > e.ts_us AND p2.ts_us <= a.a_us + $H72
-        |            AND pr.event_type <> 'error')
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
-        |  JOIN LATERAL (SELECT p2.event_id AS p_id FROM ev p2 JOIN ev pr
-        |      ON pr.user_id = p2.user_id AND pr.rn = p2.rn - 1
-        |    WHERE p2.user_id = a.user_id AND p2.event_type = 'purchase'
-        |      AND p2.ts_us > b.b_us AND p2.ts_us <= a.a_us + $H72
-        |      AND pr.event_type <> 'error'
-        |    ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true)
+        |  JOIN ev b ON b.user_id = a.user_id AND b.rn = a.a_rn + 1
+        |    AND b.event_type = 'click' AND b.props <> a.a_props
+        |    AND b.ts_us <= a.a_us + $H72
+        |  JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 2
+        |    AND p.event_type = 'purchase' AND p.ts_us <= a.a_us + $H72
+        |    AND b.event_type <> 'error')
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, b_id, b_props, p_id

@@ -771,35 +771,32 @@ object Streaming extends QueryGroup {
     // bounded stream's final watermark.
     q("st22_stream_match_recognize",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
         |       FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + 7200000000 <= wm.wm_us),
-        |wcp AS (
-        |  SELECT a.user_id, a.a_id, c.event_id AS c_id, p.event_id AS p_id
+        |j AS (
+        |  SELECT a.user_id, a.a_id, a.a_us,
+        |    n1.event_type AS t1, n1.event_id AS id1, n1.ts_us AS us1,
+        |    n2.event_type AS t2, n2.event_id AS id2, n2.ts_us AS us2
         |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (SELECT e.event_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + 7200000000
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |ap AS (
-        |  SELECT a.user_id, a.a_id, p.event_id AS p_id
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
-        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
-        |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
-        |UNION ALL
-        |SELECT ap.user_id, ap.a_id, ap.p_id, ap.a_id || ',' || ap.p_id, ''
-        |FROM ap WHERE NOT EXISTS (SELECT 1 FROM wcp
-        |  WHERE wcp.user_id = ap.user_id AND wcp.a_id = ap.a_id)
+        |  LEFT JOIN ev n1 ON n1.user_id = a.user_id AND n1.rn = a.a_rn + 1
+        |  LEFT JOIN ev n2 ON n2.user_id = a.user_id AND n2.rn = a.a_rn + 2),
+        |sel AS (
+        |  SELECT *,
+        |    (t1 = 'click' AND us1 <= a_us + 7200000000 AND t2 = 'purchase'
+        |      AND us2 <= a_us + 7200000000) AS withc,
+        |    (t1 = 'purchase' AND us1 <= a_us + 7200000000) AS noc
+        |  FROM j)
+        |SELECT user_id AS key, a_id AS anchor_id,
+        |  CASE WHEN withc THEN id2 ELSE id1 END AS end_id,
+        |  CASE WHEN withc THEN a_id || ',' || id1 || ',' || id2
+        |       ELSE a_id || ',' || id1 END AS chain,
+        |  '' AS counts
+        |FROM sel WHERE withc OR noc
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize(
         s, asGEvents(s, dir).toDF(),
@@ -823,46 +820,39 @@ object Streaming extends QueryGroup {
     // stream's final watermark.
     q("st23_stream_mr_measures",
       s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
         |       FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |r AS (
+        |  SELECT a.*, (SELECT min(x.rn) FROM ev x
+        |    WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+        |      AND x.event_type <> 'click') AS erun
+        |  FROM a),
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.c_us, p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS c_id, e.ts_us AS c_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (
-        |    SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.c_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |mm AS (
-        |  SELECT m.*, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY a_us, a_id) AS match_seq
-        |  FROM m),
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    p.value AS p_val, lc.ts_us AS lc_us
+        |  FROM r
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
         |agg AS (
-        |  SELECT mm.user_id, mm.match_seq, mm.p_id,
-        |    count(*) AS n_clicks,
-        |    round(avg(e.value), 6) AS avg_click_value,
-        |    max(e.ts_us) AS last_click_us
-        |  FROM mm JOIN ev e ON e.user_id = mm.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > mm.a_us AND e.ts_us < mm.p_us
-        |    AND e.ts_us <= mm.a_us + $H72
+        |  SELECT m.user_id, m.a_id, m.a_us, m.p_val, m.lc_us,
+        |    count(*) AS n_clicks, round(avg(b.value), 6) AS avg_click_value
+        |  FROM m JOIN ev b ON b.user_id = m.user_id
+        |    AND b.rn BETWEEN m.a_rn + 1 AND m.erun - 1
         |  GROUP BY ALL)
-        |SELECT agg.user_id AS key, agg.match_seq, agg.n_clicks,
-        |  agg.avg_click_value, agg.last_click_us, pe.value AS purchase_value
-        |FROM agg JOIN ev pe ON pe.user_id = agg.user_id
-        |  AND pe.event_id = agg.p_id
-        |ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+        |SELECT user_id AS key,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY a_us, a_id)
+        |    AS match_seq,
+        |  n_clicks, avg_click_value, lc_us AS last_click_us,
+        |  p_val AS purchase_value
+        |FROM agg ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize.measures(
         s, asGEvents(s, dir).toDF(),
         """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
@@ -1135,28 +1125,31 @@ object Streaming extends QueryGroup {
     // final watermark.
     q("st36_cep_timeouts",
       """WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
         |       FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + 7200000000 <= wm.wm_us),
+        |j AS (
+        |  SELECT a.user_id, a.a_id, a.a_us,
+        |    n1.event_type AS t1, n1.event_id AS id1, n1.ts_us AS us1,
+        |    n2.event_type AS t2, n2.ts_us AS us2
+        |  FROM a
+        |  LEFT JOIN ev n1 ON n1.user_id = a.user_id AND n1.rn = a.a_rn + 1
+        |  LEFT JOIN ev n2 ON n2.user_id = a.user_id AND n2.rn = a.a_rn + 2),
         |tmo AS (
-        |  SELECT a.user_id, a.a_id, a.a_us FROM a
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM ev c, ev p
-        |    WHERE c.user_id = a.user_id AND p.user_id = a.user_id
-        |      AND c.event_type = 'click' AND p.event_type = 'purchase'
-        |      AND c.ts_us > a.a_us AND c.ts_us <= a.a_us + 7200000000
-        |      AND p.ts_us > c.ts_us AND p.ts_us <= a.a_us + 7200000000))
-        |SELECT t.user_id AS key, t.a_id AS anchor_id,
-        |  coalesce(c.event_id, t.a_id) AS last_id,
-        |  CASE WHEN c.event_id IS NULL THEN 1 ELSE 2 END AS n_bound
-        |FROM tmo t
-        |LEFT JOIN LATERAL (SELECT e.event_id FROM ev e
-        |  WHERE e.user_id = t.user_id AND e.event_type = 'click'
-        |    AND e.ts_us > t.a_us AND e.ts_us <= t.a_us + 7200000000
-        |  ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |  SELECT *,
+        |    coalesce(t1 = 'click' AND us1 <= a_us + 7200000000, false)
+        |      AS boundc
+        |  FROM j
+        |  WHERE (t1 = 'click' AND us1 <= a_us + 7200000000
+        |    AND t2 = 'purchase' AND us2 <= a_us + 7200000000) IS NOT TRUE)
+        |SELECT user_id AS key, a_id AS anchor_id,
+        |  CASE WHEN boundc THEN id1 ELSE a_id END AS last_id,
+        |  CASE WHEN boundc THEN 2 ELSE 1 END AS n_bound
+        |FROM tmo ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize.timeouts(
         s, asGEvents(s, dir).toDF(),
         """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
@@ -1179,45 +1172,34 @@ object Streaming extends QueryGroup {
     // emitted set is batch-identical by the maturity contract).
     q("st37_stream_mr_navigation",
       s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
         |       FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, value AS a_val
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn,
+        |         value AS a_val
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
-        |bseq AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, e.event_id AS b_id,
-        |    e.ts_us AS b_us, e.value AS b_val,
-        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
-        |      ORDER BY e.ts_us, e.event_id) AS pos
-        |  FROM a JOIN ev e ON e.user_id = a.user_id AND e.event_type = 'click'
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |    AND e.value > a.a_val),
-        |b1 AS (SELECT * FROM bseq WHERE pos = 1),
-        |ks AS (
-        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
-        |  FROM bseq b JOIN b1 ON b1.user_id = b.user_id AND b1.a_id = b.a_id
-        |  WHERE EXISTS (SELECT 1 FROM ev p WHERE p.user_id = b.user_id
-        |    AND p.event_type = 'purchase' AND p.ts_us > b.b_us
-        |    AND p.ts_us <= b.a_us + $H72 AND p.value > b1.b_val)
-        |  GROUP BY b.user_id, b.a_id),
+        |r AS (
+        |  SELECT a.*, (SELECT min(x.rn) FROM ev x
+        |    WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+        |      AND NOT (x.event_type = 'click' AND x.value > a.a_val)) AS erun
+        |  FROM a),
         |m AS (
-        |  SELECT ks.user_id, ks.a_id, ks.k, b1.a_us, b1.b_id AS b1_id,
-        |    b1.b_val AS b1_val, bk.b_us AS bk_us
-        |  FROM ks
-        |  JOIN b1 ON b1.user_id = ks.user_id AND b1.a_id = ks.a_id
-        |  JOIN bseq bk ON bk.user_id = ks.user_id AND bk.a_id = ks.a_id
-        |    AND bk.pos = ks.k),
-        |sel AS (
-        |  SELECT m.*, p.event_id AS p_id
-        |  FROM m JOIN LATERAL (SELECT e.event_id FROM ev e
-        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
-        |      AND e.value > m.b1_val
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  SELECT r.user_id, r.a_id, r.a_rn, r.erun,
+        |    b1.event_id AS b1_id, p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev b1 ON b1.user_id = r.user_id AND b1.rn = r.a_rn + 1
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.value > b1.value
+        |    AND p.ts_us <= r.a_us + $H72)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b1_id || ',' || p_id AS chain,
-        |  'B:' || k AS counts
-        |FROM sel ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |  'B:' || (erun - a_rn - 1) AS counts
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize(
         s, asGEvents(s, dir).toDF(),
         """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
@@ -1232,12 +1214,14 @@ object Streaming extends QueryGroup {
 
     // STREAMING AFTER MATCH SKIP TO FIRST B: the inclusive re-arm mark
     // must survive in keyed state ACROSS micro-batches (the Mark the
-    // batch scan advances per match). Oracle = the cep13 recursive
-    // re-arm scan restricted to anchors mature at the final watermark
-    // (maturity follows anchor ts order, so the mature set is exactly
-    // the per-key prefix of the batch match chain).
+    // batch scan advances per match). Under STRICT contiguity with
+    // disjoint kinds the mark never excludes an anchor (no signup can
+    // sit inside a match's bound span), so the oracle is the plain
+    // strict match set — the cross-batch mark plumbing is what's
+    // exercised; the exclusion behavior itself is pinned batch-side by
+    // cep13 (the CEP API door, where relaxed gaps make it observable).
     q("st38_stream_skip_to_first",
-      s"""WITH RECURSIVE wm AS (
+      s"""WITH wm AS (
         |  SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
         |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -1245,41 +1229,25 @@ object Streaming extends QueryGroup {
         |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
-        |cand AS (
-        |  SELECT a.user_id, a.a_id, a.a_rn, a.a_us, b.b_id, b.b_rn,
-        |    p.p_id, p.p_us
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id AS b_id, e.rn AS b_rn,
-        |      e.ts_us AS b_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
-        |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
-        |rec AS (
-        |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
-        |    SELECT c.*, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY a_rn) AS pick
-        |    FROM cand c) WHERE pick = 1
-        |  UNION ALL
-        |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
-        |    SELECT c.user_id, c.a_id, c.a_rn, c.a_us, c.b_id, c.b_rn,
-        |      c.p_id, c.p_us,
-        |      row_number() OVER (PARTITION BY c.user_id ORDER BY c.a_rn) AS pick
-        |    FROM cand c JOIN rec r ON c.user_id = r.user_id
-        |      AND c.a_rn >= r.b_rn)
-        |  WHERE pick = 1)
-        |SELECT r.user_id AS key, r.a_id AS anchor_id, r.p_id AS end_id,
-        |  r.a_id || ',' || r.b_id || ',' || r.p_id AS chain,
-        |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = r.user_id
-        |    AND e.event_type = 'click' AND e.ts_us > r.a_us
-        |    AND e.ts_us < r.p_us AND e.ts_us <= r.a_us + $H72) AS counts
-        |FROM rec r ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |r AS (
+        |  SELECT a.*, (SELECT min(x.rn) FROM ev x
+        |    WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+        |      AND x.event_type <> 'click') AS erun
+        |  FROM a),
+        |m AS (
+        |  SELECT r.user_id, r.a_id, r.a_rn, r.erun,
+        |    b1.event_id AS b1_id, p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev b1 ON b1.user_id = r.user_id AND b1.rn = r.a_rn + 1
+        |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  WHERE r.erun > r.a_rn + 1
+        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || b1_id || ',' || p_id AS chain,
+        |  'B:' || (erun - a_rn - 1) AS counts
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize(
         s, asGEvents(s, dir).toDF(),
         """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
@@ -1432,51 +1400,43 @@ object Streaming extends QueryGroup {
     // the running COUNT cap and the cross-variable AVG/SUM conjuncts
     // are evaluated inside the keyed-state NFA scan per micro-batch;
     // COUNT(*) and the aggregate measures ride the same state. Oracle
-    // = mr9's greedy-shrink windows restricted to anchors mature at
-    // the final watermark.
+    // = mr9's strict committed-greedy run restricted to anchors mature
+    // at the final watermark.
     q("st41_stream_mr_aggregates",
       s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
         |       FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
-        |bseq AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, e.ts_us AS b_us, e.value AS b_val,
-        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
-        |      ORDER BY e.ts_us, e.event_id) AS pos
-        |  FROM a JOIN ev e ON e.user_id = a.user_id
-        |    AND e.event_type = 'click'
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72),
-        |brun AS (
-        |  SELECT *, sum(b_val) OVER w AS rsum, avg(b_val) OVER w AS ravg
-        |  FROM (SELECT * FROM bseq WHERE pos <= 4)
-        |  WINDOW w AS (PARTITION BY user_id, a_id ORDER BY pos)),
-        |ks AS (
-        |  SELECT b.user_id, b.a_id, max(b.pos) AS k
-        |  FROM brun b
-        |  WHERE b.rsum > 100 AND EXISTS (SELECT 1 FROM ev p
-        |    WHERE p.user_id = b.user_id AND p.event_type = 'purchase'
-        |      AND p.ts_us > b.b_us AND p.ts_us <= b.a_us + $H72
-        |      AND p.value > b.ravg)
-        |  GROUP BY b.user_id, b.a_id),
+        |r AS (
+        |  SELECT a.*, (SELECT min(x.rn) FROM ev x
+        |    WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+        |      AND x.event_type <> 'click') AS erun
+        |  FROM a),
+        |agg AS (
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    count(*) AS n_b, sum(b.value) AS sum_b, avg(b.value) AS avg_b,
+        |    max(b.ts_us) AS lc_us
+        |  FROM r JOIN ev b ON b.user_id = r.user_id
+        |    AND b.rn BETWEEN r.a_rn + 1 AND r.erun - 1
+        |  WHERE r.erun - r.a_rn - 1 BETWEEN 1 AND 4
+        |  GROUP BY ALL),
         |m AS (
-        |  SELECT ks.user_id, ks.a_id, ks.k, bk.b_us AS bk_us, bk.rsum,
-        |    bk.ravg, bk.a_us
-        |  FROM ks JOIN brun bk ON bk.user_id = ks.user_id
-        |    AND bk.a_id = ks.a_id AND bk.pos = ks.k),
-        |sel AS (
-        |  SELECT m.*, p.value AS p_val
-        |  FROM m JOIN LATERAL (SELECT e.value FROM ev e
-        |    WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > m.bk_us AND e.ts_us <= m.a_us + $H72
-        |      AND e.value > m.ravg
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  SELECT g.*, p.value AS p_val
+        |  FROM agg g
+        |  JOIN ev p ON p.user_id = g.user_id AND p.rn = g.erun
+        |  WHERE g.lc_us <= g.a_us + $H72
+        |    AND g.sum_b > 100
+        |    AND p.event_type = 'purchase' AND p.ts_us <= g.a_us + $H72
+        |    AND p.value > g.avg_b)
         |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  round(rsum, 6) AS sum_b, round(ravg, 6) AS avg_b,
-        |  k AS n_b, k + 2 AS n_rows, p_val AS p_value
-        |FROM sel ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
+        |  round(sum_b, 6) AS sum_b, round(avg_b, 6) AS avg_b,
+        |  n_b, n_b + 2 AS n_rows, p_val AS p_value
+        |FROM m ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize.measures(
         s, asGEvents(s, dir).toDF(),
         """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
@@ -1595,27 +1555,21 @@ object Streaming extends QueryGroup {
     // final watermark.
     q("st44_stream_subset",
       s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
         |       FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val,
-        |    p.value AS p_val
+        |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val, p.value AS p_val
         |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.value, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
-        |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72 AND p2.value > e.value)
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
-        |  JOIN LATERAL (SELECT e.event_id, e.value FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H72
-        |      AND e.value > c.value
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |  JOIN ev c ON c.user_id = a.user_id AND c.rn = a.a_rn + 1
+        |    AND c.event_type = 'click' AND c.ts_us <= a.a_us + $H72
+        |  JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 2
+        |    AND p.event_type = 'purchase' AND p.value > c.value
+        |    AND p.ts_us <= a.a_us + $H72)
         |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, c_val AS first_u, p_val AS last_u,
@@ -1907,32 +1861,31 @@ object Streaming extends QueryGroup {
     // watermark.
     q("st50_stream_classifier",
       s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
-        |ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |rr AS (
+        |  SELECT a.*, coalesce((SELECT min(x.rn) FROM ev x
+        |      WHERE x.user_id = a.user_id AND x.rn > a.a_rn
+        |        AND x.event_type <> 'click'),
+        |    (SELECT max(x.rn) + 1 FROM ev x
+        |     WHERE x.user_id = a.user_id)) AS eend
+        |  FROM a),
         |m AS (
-        |  SELECT a.user_id, a.a_id, a.a_us, c.c_id, c.c_us
-        |  FROM a
-        |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
-        |  LEFT JOIN LATERAL (SELECT e.event_id AS c_id, e.ts_us AS c_us
-        |    FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
-        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true)
+        |  SELECT rr.user_id, rr.a_id, rr.a_us, rr.a_rn, rr.eend,
+        |    CASE WHEN p.event_type = 'purchase'
+        |      AND p.ts_us <= rr.a_us + $H72 THEN 'C' ELSE 'B' END AS last_var
+        |  FROM rr
+        |  JOIN ev lc ON lc.user_id = rr.user_id AND lc.rn = rr.eend - 1
+        |  LEFT JOIN ev p ON p.user_id = rr.user_id AND p.rn = rr.eend
+        |  WHERE rr.eend > rr.a_rn + 1 AND lc.ts_us <= rr.a_us + $H72)
         |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
-        |  a_id,
-        |  (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
-        |    AND e.event_type = 'click' AND e.ts_us > m.a_us
-        |    AND e.ts_us <= m.a_us + $H72
-        |    AND e.ts_us < coalesce(m.c_us, m.a_us + $H72 + 1)) AS n_b,
-        |  CASE WHEN c_id IS NOT NULL THEN 'C' ELSE 'B' END AS last_var
+        |  a_id, eend - a_rn - 1 AS n_b, last_var
         |FROM m ORDER BY key, match_seq""".stripMargin) { (s, dir) =>
       val out = graft.streaming.StreamingMatchRecognize.measures(
         s, asGEvents(s, dir).toDF(),

@@ -19,7 +19,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - an Offset is the SET of container files already processed
   *    (sorted names — the same seen-files contract FileStreamSource
   *    keeps in its log; files are immutable once written, the
-  *    format's writer never appends to a published file);
+  *    format's writer never appends to a published file). GROWTH
+  *    BOUND (advisor r10): the offset re-serializes every seen name
+  *    each micro-batch, so offset-log entries and latestOffset cost
+  *    grow linearly with the files EVER written to the directory —
+  *    the file names carry no ordering a high-water mark could
+  *    compact on (UUID-stamped). FileStreamSource bounds the same
+  *    structure with log compaction + maxFileAge; a long-lived
+  *    production stream on this source should roll to a fresh
+  *    directory periodically (the sink side already supports
+  *    directory-per-day layouts), which resets the set;
   *  - each micro-batch plans one InputPartition per NEW file —
   *    distributed, no driver row materialization;
   *  - rows convert GenericRecord → external Row ([[GraftAvro]]'s

@@ -230,13 +230,23 @@ object GraftAvro {
           s"avro format: unexpected binary value ${other.getClass.getName}")
       }
       case st: StructType =>
+        // resolve nested fields BY NAME against the writer schema,
+        // mirroring the top-level contract (a schema-evolved writer
+        // may order nested fields differently — positional pairing
+        // would silently misread them; advisor r10)
+        val writerPos = st.fields.map { f =>
+          val wf = sch.getField(f.name)
+          require(wf != null, s"avro format: nested field '${f.name}' " +
+            s"missing from writer record schema ${sch.getFullName}")
+          wf.pos()
+        }
         val convs = st.fields.zipWithIndex.map { case (f, i) =>
-          fromAvroConv(f.dataType, sch.getFields.get(i).schema())
+          fromAvroConv(f.dataType, sch.getFields.get(writerPos(i)).schema())
         }
         v => {
           val rec = v.asInstanceOf[GenericRecord]
           Row.fromSeq(st.fields.indices.map { i =>
-            val x = rec.get(i)
+            val x = rec.get(writerPos(i))
             if (x == null) null else convs(i)(x)
           })
         }
@@ -320,12 +330,15 @@ object GraftAvro {
         taskFs.delete(tmp, false)
         ()
       }
-      // sweep dead attempts' tmp litter for THIS output file (a killed
-      // attempt can't clean up after itself — review r10); one glob on
-      // the published name's prefix, best effort
-      taskFs.globStatus(new Path(dir, out.getName + ".*.tmp"))
-        .foreach(st => taskFs.delete(st.getPath, false))
     }
+    // sweep dead attempts' tmp litter AFTER the job completes (a
+    // killed attempt can't clean up after itself): the driver-side
+    // pass runs when every task attempt — speculative ones included —
+    // has finished, so it can't yank a tmp out from under a
+    // still-writing attempt the way the old in-task sweep could
+    // (advisor r10). One glob, best effort.
+    fs.globStatus(new Path(dir, "*.tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Any container files under `dir` yet? (A freshly-created sink

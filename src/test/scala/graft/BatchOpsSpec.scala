@@ -281,7 +281,7 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(comb == Seq("1,2,3,4", "1,2,6,4", "1,3,6,4"))
   }
 
-  test("PatternNFA context predicates: cross-variable navigation, greedy shrink, window-bounded PREV") {
+  test("PatternNFA context predicates: cross-variable navigation, committed greedy, window-bounded PREV") {
     import graft.operators.{MatchRecognize, PatternNFA}
     import spark.implicits._
     def run(ev: Seq[(Long, Long, Long, String, Double)], clause: String) =
@@ -296,34 +296,49 @@ class BatchOpsSpec extends AnyFunSuite {
         |  DEFINE A AS kind = 'A',
         |         B AS kind = 'B' AND B.value > A.value,
         |         P AS kind = 'P' AND P.value > FIRST(B.value))""".stripMargin
-    // key 1: eligible clicks are v10 and v8 (v3 fails the A.value cut);
-    //   P must beat FIRST(B)=10 → the v9 purchase fails, v12 matches.
-    // key 2: greedy run [v5, v6]; no purchase beats 5 after v6, so the
-    //   loop SHRINKS to k=1 and the v6 purchase (after b1, >5) binds.
+    // STRICT contiguity: key 1's adjacent run [v10, v8] (both beat
+    //   A=5) ends at the adjacent P=12, which beats FIRST(B)=10 ✓.
+    // key 2: the adjacent B=3 FAILS the A.value cut, so the loop exits
+    //   THERE and P must bind that very row — a B-kind row → dead
+    //   (committed greedy never re-splits).
+    // key 5: the loop exits at the P row, which fails the value cut
+    //   (4 < FIRST(B)=5) → the attempt dies; no extent re-split (the
+    //   reference's updateWithGreedyCondition — the committed-greedy
+    //   divergence itself is pinned by MatchStrictSpec's doc vectors,
+    //   where DEFINEs overlap).
     val nav = run(Seq(
       (1L, 10L, 1L, "A", 5.0), (1L, 20L, 2L, "B", 10.0),
-      (1L, 30L, 3L, "B", 3.0), (1L, 40L, 4L, "B", 8.0),
-      (1L, 50L, 5L, "P", 9.0), (1L, 60L, 6L, "P", 12.0),
-      (2L, 10L, 7L, "A", 0.0), (2L, 20L, 8L, "B", 5.0),
-      (2L, 25L, 11L, "P", 6.0), (2L, 30L, 9L, "B", 6.0),
-      (2L, 35L, 10L, "P", 4.0)), navClause)
-    assert(nav == Seq((1L, "1,2,6", "B:2"), (2L, "7,8,11", "B:1")), nav)
+      (1L, 30L, 3L, "B", 8.0), (1L, 40L, 4L, "P", 12.0),
+      (2L, 10L, 7L, "A", 5.0), (2L, 20L, 8L, "B", 3.0),
+      (2L, 30L, 9L, "P", 6.0),
+      (5L, 10L, 12L, "A", 0.0), (5L, 20L, 13L, "B", 5.0),
+      (5L, 30L, 14L, "B", 6.0), (5L, 40L, 15L, "P", 4.0)), navClause)
+    assert(nav == Seq((1L, "1,2,4", "B:2")), nav)
 
     // PREV is PHYSICAL and bounded to the match window: rows before
     // the anchor read as NULL (and NULL fails every comparison)
     val prevClause =
       """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
-        |  PATTERN (A B) WITHIN INTERVAL '30' MINUTE
-        |  DEFINE A AS kind = 'A',
+        |  PATTERN (A X B) WITHIN INTERVAL '30' MINUTE
+        |  DEFINE A AS kind = 'A', X AS kind = 'X',
         |         B AS kind = 'B' AND B.value > PREV(value, 2))""".stripMargin
     val prev = run(Seq(
       // key 3: PREV(value,2) from B lands ON the anchor (v1) → 50>1 ✓
-      (3L, 5L, 20L, "X", 100.0), (3L, 10L, 21L, "A", 1.0),
-      (3L, 20L, 22L, "X", 2.0), (3L, 30L, 23L, "B", 50.0),
-      // key 4: PREV(value,2) from B lands BEFORE the anchor → NULL → ✗
-      (4L, 5L, 26L, "X", 0.0), (4L, 10L, 24L, "A", 1.0),
-      (4L, 20L, 25L, "B", 50.0)), prevClause)
-    assert(prev == Seq((3L, "21,23", "")), prev)
+      (3L, 5L, 20L, "Z", 100.0), (3L, 10L, 21L, "A", 1.0),
+      (3L, 20L, 22L, "X", 2.0), (3L, 30L, 23L, "B", 50.0)), prevClause)
+    assert(prev == Seq((3L, "21,22,23", "")), prev)
+    // pre-anchor rows read as NULL: in (A B), PREV(value,2) from B
+    // lands one row BEFORE the anchor — the Z there has value 0 (the
+    // comparison would pass if it were read), yet the window bound
+    // makes it NULL and NULL fails every comparison
+    val prevNull = run(Seq(
+      (4L, 2L, 27L, "Z", 0.0), (4L, 5L, 26L, "A", 1.0),
+      (4L, 10L, 24L, "B", 50.0)),
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B) WITHIN INTERVAL '30' MINUTE
+        |  DEFINE A AS kind = 'A',
+        |         B AS kind = 'B' AND B.value > PREV(value, 2))""".stripMargin)
+    assert(prevNull.isEmpty, prevNull)
 
     // forward references are rejected at compile time (SQL:2016)
     val fwd = intercept[RuntimeException] {
@@ -514,17 +529,19 @@ class BatchOpsSpec extends AnyFunSuite {
           |  DEFINE A AS kind = 'a')""".stripMargin)
     }
     // ONE ROW PER MATCH: RUNNING evaluates at the final row, where it
-    // coincides with FINAL (SQL:2016) — same single output row
+    // coincides with FINAL (SQL:2016) — same single output row. (The
+    // pattern ends with a simple variable — a greedy loop may not end
+    // a pattern under the reference's restriction.)
     val events = Seq(
       (1L, 10L, 1L, "a", 1.0), (1L, 20L, 2L, "b", 2.0),
-      (1L, 30L, 3L, "b", 3.0)
+      (1L, 30L, 3L, "b", 3.0), (1L, 40L, 4L, "c", 9.0)
     ).toDF("key", "tsMicros", "id", "kind", "value")
     val one = MatchRecognize.run(spark, events,
       """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
         |  MEASURES RUNNING SUM(B.value) AS rs, FINAL SUM(B.value) AS fs
         |  ONE ROW PER MATCH
-        |  PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
-        |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
+        |  PATTERN (A B+ C) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c')""".stripMargin)
       .select("rs", "fs").as[(Double, Double)].collect().toSeq
     assert(one == Seq((5.0, 5.0)))
     // CLASSIFIER() under both keywords in ALL ROWS PER MATCH: RUNNING
@@ -534,11 +551,12 @@ class BatchOpsSpec extends AnyFunSuite {
       """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
         |  MEASURES RUNNING CLASSIFIER() AS rc, FINAL CLASSIFIER() AS fc
         |  ALL ROWS PER MATCH
-        |  PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
-        |  DEFINE A AS kind = 'a', B AS kind = 'b')""".stripMargin)
+        |  PATTERN (A B+ C) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c')""".stripMargin)
       .select("event_id", "rc", "fc").as[(Long, String, String)]
       .collect().sortBy(_._1).toSeq
-    assert(cls == Seq((1L, "A", "B"), (2L, "B", "B"), (3L, "B", "B")), cls)
+    assert(cls == Seq((1L, "A", "C"), (2L, "B", "C"), (3L, "B", "C"),
+      (4L, "C", "C")), cls)
   }
 
   test("MATCH_RECOGNIZE typed navigation: string literals and columns") {
@@ -611,14 +629,15 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("count_all_price") == 7L, r)
     assert(r.getAs[Long]("end_id") == 9L, r)
 
-    // Expression aggregates + skip-and-continue: the loop candidate
-    // failing the running SUM(B.price * B.price) < 50 check (row 14,
-    // 34+16=50) is SKIPPED and the smaller row 15 still extends the
-    // run (the reference's relaxed-contiguity ignore branch); P then
-    // compares against AVG over the FINAL bound set.
+    // Expression aggregates under STRICT contiguity: the running
+    // SUM(B.price * B.price) < 50 holds for all four adjacent b rows
+    // (9, 34, 43, 47), the loop exits at the p row (kind fails), and
+    // P compares against AVG over the FINAL bound set. (A mid-run
+    // aggregate failure would END the run and kill the attempt — the
+    // committed-greedy contract — pinned in MatchStrictSpec.)
     val exprEv = Seq(
       (1L, 1L, 11L, "s", 0.0), (1L, 2L, 12L, "b", 3.0),
-      (1L, 3L, 13L, "b", 5.0), (1L, 4L, 14L, "b", 4.0),
+      (1L, 3L, 13L, "b", 5.0), (1L, 4L, 14L, "b", 3.0),
       (1L, 5L, 15L, "b", 2.0), (1L, 6L, 16L, "p", 4.0))
       .toDF("key", "tsMicros", "id", "name", "price")
     val exprOut = MatchRecognize.run(spark, exprEv,
@@ -635,10 +654,10 @@ class BatchOpsSpec extends AnyFunSuite {
       .collect()
     assert(exprOut.length == 1, exprOut.toSeq)
     val e = exprOut.head
-    assert(e.getAs[Double]("avg_b") == 3.333333, e)
-    assert(e.getAs[Double]("sumsq_b") == 38.0, e)
+    assert(e.getAs[Double]("avg_b") == 3.25, e)
+    assert(e.getAs[Double]("sumsq_b") == 47.0, e)
     assert(e.getAs[Double]("max_b") == 5.0, e)
-    assert(e.getAs[Long]("n_b") == 3L, e)
+    assert(e.getAs[Long]("n_b") == 4L, e)
 
     // loud failure modes
     def bad(clause: String): String = intercept[RuntimeException] {
@@ -760,16 +779,18 @@ class BatchOpsSpec extends AnyFunSuite {
       """MATCH_RECOGNIZE (
         |  PARTITION BY key ORDER BY ts
         |  AFTER MATCH SKIP PAST LAST ROW
-        |  PATTERN (A B+ C? D{2} E{1,3})
+        |  PATTERN (A B+ C? E{1,3} D{2})
         |  WITHIN INTERVAL '30' MINUTE
         |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c',
         |         D AS kind = 'd', E AS kind = 'e'
         |)""".stripMargin)
+    // (a variable-extent greedy loop may not END the pattern — the
+    // reference's restriction — so D{2} closes it)
     assert(c.steps == Seq(
       Step("A", "A", One), Step("B", "B", OneOrMore()),
-      Step("C", "C", Optional), Step("D", "D", Times(2)),
-      Step("E", "E", TimesRange(1, 3))))
-    assert(c.defines == Seq(
+      Step("C", "C", Optional), Step("E", "E", TimesRange(1, 3)),
+      Step("D", "D", Times(2))))
+    assert(c.defines.toMap == Map(
       "A" -> "kind = 'a'", "B" -> "kind = 'b'", "C" -> "kind = 'c'",
       "D" -> "kind = 'd'", "E" -> "kind = 'e'"))
     assert(c.withinMicros == 30L * 60000000L)
@@ -887,9 +908,9 @@ class BatchOpsSpec extends AnyFunSuite {
         |           ROUND(AVG(B.v), 6) AS avg_v, COUNT(B.id) AS nb,
         |           B.v AS last_v
         |  ALL ROWS PER MATCH
-        |  PATTERN (A B+)
+        |  PATTERN (A B+ C)
         |  WITHIN INTERVAL '1' MINUTE
-        |  DEFINE A AS kind = 'a', B AS kind = 'b'
+        |  DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'
         |)""".stripMargin)
     assert(c.measures == Seq(
       Measure("MATCH_NUMBER", "", "", None, "mno"),
@@ -946,11 +967,13 @@ class BatchOpsSpec extends AnyFunSuite {
   test("MATCH_RECOGNIZE DEFINE accepts arbitrary boolean predicates") {
     import spark.implicits._
     import graft.operators.MatchRecognize
-    // v > 50 only matched by event 3; predicate references a non-kind
+    // v > 50 only matched by event 2; predicate references a non-kind
     // column and composes AND/comparison — the general DEFINE surface.
+    // (strict contiguity: B must be the row ADJACENT to A)
     val events = Seq(
-      (1L, 100L, 1L, "a", 10.0), (1L, 200L, 2L, "b", 20.0),
-      (1L, 300L, 3L, "b", 80.0), (2L, 100L, 4L, "a", 99.0))
+      (1L, 100L, 1L, "a", 10.0), (1L, 200L, 2L, "b", 80.0),
+      (1L, 300L, 3L, "b", 20.0), (2L, 100L, 4L, "a", 99.0),
+      (3L, 100L, 5L, "a", 1.0), (3L, 200L, 6L, "b", 20.0))
       .toDF("key", "tsMicros", "id", "kind", "v")
     val out = MatchRecognize.run(spark, events,
       """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
@@ -958,7 +981,7 @@ class BatchOpsSpec extends AnyFunSuite {
         |  DEFINE A AS kind = 'a', B AS kind = 'b' AND v > 50
         |)""".stripMargin)
       .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("chain")))
-    assert(out.toSeq == Seq((1L, "1,3"))) // b@20.0 skipped, key 2 no B
+    assert(out.toSeq == Seq((1L, "1,2"))) // key 3's adjacent b fails v > 50
   }
 
   test("Changelog unfold/fold round-trips to final versions") {

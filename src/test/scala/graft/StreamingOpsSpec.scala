@@ -474,8 +474,9 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq(ev(1, 10, 1, "signup"), ev(1, 20, 2, "click")),
       Seq(ev(1, 30, 3, "click"), ev(1, 40, 4, "purchase"),
         ev(2, 15, 5, "signup")),
-      // second (overlapping) anchor for key 1; key 2 never completes
-      Seq(ev(1, 35, 6, "signup"), ev(1, 50, 7, "click"),
+      // second anchor for key 1 (strict: its click run starts right
+      // after it); key 2 never completes
+      Seq(ev(1, 45, 6, "signup"), ev(1, 50, 7, "click"),
         ev(1, 55, 8, "purchase")),
       Seq(ev(9, 300, 9, "flush"))) // advances the watermark past every deadline
     val allEvents = batches.flatten
@@ -518,26 +519,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     import graft.streaming.StreamingMatchRecognize
     implicit val sql = spark.sqlContext
     import spark.implicits._
+    // SKIP PAST LAST ROW is the strategy whose mark is OBSERVABLE
+    // under strict contiguity: suppressed anchor candidates are rows
+    // INSIDE the previous match's span, so A's condition must overlap
+    // B's (kind IN) for such candidates to exist at all.
     val clause =
       """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
-        |  AFTER MATCH SKIP TO FIRST B
+        |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
-        |  DEFINE A AS kind = 'A', B AS kind = 'B' AND B.value > A.value,
+        |  DEFINE A AS kind = 'A' OR kind = 'B',
+        |         B AS kind = 'B' AND B.value > A.value,
         |         P AS kind = 'P' AND P.value > FIRST(B.value))""".stripMargin
-    // Pre-restart batch: A1 matures and matches (mark re-arms AT B2,
-    // t=20, inclusive); A4 (t=15 < mark) and A6 (t=21 >= mark) stay
-    // buffered, immature. Post-restart: the RESTORED mark must
-    // suppress A4 and the RESTORED nav values must let A6 match.
+    // Pre-restart: A@10 matures (wm 75 > deadline 70) and matches rows
+    // 10..30; the mark re-arms strictly PAST the P@30 row. The B@20 /
+    // B@25 rows are also A-eligible anchors with deadlines 80/85 —
+    // still immature at wm 75, so their suppression happens AFTER the
+    // restart: a lost mark would admit the spurious B@20-anchored
+    // match (B@25 beats 5, P@30 beats 6). The B@40-anchored match
+    // needs its nav VALUES (5.0 / 6.0) restored from state.
     val batch1 = Seq(
-      ev(1, 10, 1, "A", 0.0), ev(1, 15, 4, "A", 0.0),
-      ev(1, 20, 2, "B", 5.0), ev(1, 21, 6, "A", 0.0),
-      ev(1, 25, 3, "P", 9.0), ev(1, 30, 7, "B", 5.0),
-      ev(1, 35, 8, "P", 9.0),
-      // wm → 71s: strictly past A1's 70s deadline (event-time timers
-      // fire only when the watermark moves BEYOND the timestamp), while
-      // A4 (75s) and A6 (81s) stay immature until after the restart
-      ev(9, 81, 90, "wm"))
-    val batch2 = Seq(ev(9, 120, 91, "wm"))
+      ev(1, 10, 1, "A", 0.0), ev(1, 20, 2, "B", 5.0),
+      ev(1, 25, 3, "B", 6.0), ev(1, 30, 4, "P", 9.0),
+      ev(1, 40, 5, "B", 5.0), ev(1, 42, 6, "B", 6.0),
+      ev(1, 45, 7, "P", 9.0),
+      ev(9, 85, 90, "wm"))
+    val batch2 = Seq(ev(9, 200, 91, "wm"))
     val chk = java.nio.file.Files.createTempDirectory("graft_mr_resume").toString
     val input = StreamHarness.mkStream()
     // the Append-mode memory sink cannot recover from a checkpoint;
@@ -586,15 +592,16 @@ class StreamingOpsSpec extends AnyFunSuite {
     // that revisits old timestamps after the watermark passed them is
     // late data, out of contract for ANY batching)
     val allEvents = Seq(
+      // strict run [10.0, 11.0] (both beat the anchor's 5.0) ends at
+      // the adjacent purchase, which beats FIRST(B)=10
       ev(1, 10, 1, "signup", 5.0), ev(1, 15, 2, "click", 10.0),
-      ev(1, 20, 3, "click", 3.0), ev(1, 25, 4, "click", 8.0),
-      ev(1, 30, 5, "purchase", 9.0), ev(1, 35, 6, "purchase", 12.0),
-      // greedy shrink: run [5.0, 6.0] shrinks to k=1 so the v=5.5
-      // purchase (beats FIRST=5.0, between the two clicks) can bind
+      ev(1, 20, 3, "click", 11.0), ev(1, 25, 5, "purchase", 12.0),
+      // the loop exits AT the purchase row (kind fails B) — the
+      // committed-greedy proceed row is the one P must bind
       ev(2, 10, 7, "signup", 0.0), ev(2, 15, 8, "click", 5.0),
       ev(2, 18, 9, "purchase", 5.5), ev(2, 22, 10, "click", 6.0),
       ev(2, 28, 11, "purchase", 4.0),
-      // never completes: no purchase beats the first eligible click
+      // never completes: the adjacent purchase fails the value cut
       ev(3, 10, 12, "signup", 1.0), ev(3, 15, 13, "click", 99.0),
       ev(3, 20, 14, "purchase", 50.0),
       ev(9, 300, 15, "flush")) // closes every window
