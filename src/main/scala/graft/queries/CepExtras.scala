@@ -1424,6 +1424,46 @@ object CepExtras extends QueryGroup {
           |) AS T ORDER BY user_id, a_hr""".stripMargin)
     },
 
+    // {,m} quantifier (match_recognize.md:357 — between 0 and m rows,
+    // m > 0; r10 flagged the grammar gap): B{,2} under strict
+    // committed-greedy munches at most TWO adjacent clicks; a THIRD
+    // adjacent click means the purchase must bind that click's row —
+    // dead. Oracle: the consecutive click run must be 0..2 long and
+    // the row ending it a purchase within the window.
+    q("mr17_zero_to_m",
+      s"""WITH $evRunSql,
+        |m AS (
+        |  SELECT r.user_id, r.a_id, r.a_us, r.a_rn, r.erun,
+        |    p.event_id AS p_id
+        |  FROM r
+        |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
+        |  LEFT JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
+        |    AND r.erun > r.a_rn + 1
+        |  WHERE r.erun - r.a_rn - 1 <= 2
+        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H2
+        |    AND (r.erun = r.a_rn + 1 OR lc.ts_us <= r.a_us + $H2))
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_us, a_id) AS match_seq,
+        |  a_id, erun - a_rn - 1 AS n_b, p_id
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr17_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr17_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           COUNT(B.event_id) AS n_b,
+          |           P.event_id AS p_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B{,2} P)
+          |  WITHIN INTERVAL '2' HOUR
+          |  DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+          |         P AS event_type = 'purchase'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
     // TYPE-GENERAL navigation operands (IterativeCondition.java:52
     // allows arbitrary-typed conditions; r8's NavExpr algebra was
     // numeric-bound): string columns ride the NFA scan in a parallel

@@ -1906,6 +1906,122 @@ object Streaming extends QueryGroup {
         .orderBy("key", "match_seq")
     },
 
+    // WINDOWED GROUPING APPLIED TO STREAMING MATCH_RECOGNIZE (mr15's
+    // streaming twin — MatchRecognizeITCase
+    // .testWindowedGroupingAppliedToMatchRecognize, the composition
+    // MATCH_ROWTIME() exists for): the match stream re-enters a
+    // tumbling DAY window keyed by its OWN rowtime (MATCH_ROWTIME).
+    // Spark's supported multi-stateful chains exclude
+    // flatMapGroupsWithState feeding another stateful operator (its
+    // late filtering would use the CURRENT global watermark, dropping
+    // every match the moment the watermark jumps), so the pinned
+    // recipe is a TWO-HOP cascade through a durable channel: hop 1
+    // sinks the match stream to parquet exactly-once, hop 2 is an
+    // ordinary streaming window aggregate reading that channel with
+    // its own watermark on mrt — the production shape for cascading
+    // past an unsupported chain, documented as the delta vs the
+    // reference's single topology. Oracle: day buckets of the mature
+    // matches, windows cut at the SECOND hop's watermark (max emitted
+    // mrt − its 1-minute delay).
+    q("st54_stream_mr_windowed",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, ts
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS s_id, ts_us AS a_us
+        |      FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |m AS (
+        |  SELECT a.user_id, p.ts AS mrt
+        |  FROM a
+        |  JOIN LATERAL (SELECT e.ts FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
+        |wm2 AS (SELECT max(epoch_us(mrt)) - 60000000 AS us FROM m),
+        |d AS (SELECT CAST(date_trunc('day', mrt) AS TIMESTAMP) AS day,
+        |        count(*) AS n_matches
+        |      FROM m GROUP BY 1)
+        |SELECT day, n_matches FROM d, wm2
+        |WHERE epoch_us(day + INTERVAL 1 DAY) <= wm2.us
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val matches = graft.streaming.StreamingMatchRecognize.measures(
+        s, asGEvents(s, dir).toDF(),
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES MATCH_ROWTIME() AS mrt
+          |  ONE ROW PER MATCH
+          |  PATTERN (A E*? P) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS kind = 'signup', E AS kind <> 'purchase',
+          |         P AS kind = 'purchase')""".stripMargin,
+        watermarkDelay = "1 minute")
+      // hop 1: exactly-once durable channel
+      val dirc = java.nio.file.Files.createTempDirectory("graft_st54").toString
+      val q1 = matches.writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", s"$dirc/matches")
+        .option("checkpointLocation", s"$dirc/chk").start()
+      try q1.processAllAvailable() finally q1.stop()
+      // hop 2: streaming DAY window over the channel, its own watermark
+      val agg = s.readStream.schema(matches.schema)
+        .parquet(s"$dirc/matches")
+        .withWatermark("mrt", "1 minute")
+        .groupBy(window(col("mrt"), "1 day"))
+        .agg(count(lit(1)).as("n_matches"))
+      require(agg.isStreaming, "st54: hop 2 lost the stream")
+      StreamRunner.toTable(s, agg, OutputMode.Append, "st54_out")
+        .select(col("window.start").as("day"), col("n_matches"))
+        .orderBy("day")
+    },
+
+    q("st55_stream_mr_over_windows",
+      s"""WITH wm1 AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS us FROM events),
+        |h AS (SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |emitted AS (SELECT h.* FROM h, wm1
+        |            WHERE epoch_us(hr + INTERVAL 1 HOUR) <= wm1.us),
+        |r AS (SELECT user_id, hr, n,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY hr) AS rn
+        |      FROM emitted)
+        |SELECT a.user_id, epoch_us(a.hr) AS a_us, b.n AS b_n
+        |FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |  AND b.n > a.n AND epoch_us(b.hr) <= epoch_us(a.hr) + $H72, wm1
+        |WHERE epoch_us(a.hr) + $H72 <= wm1.us
+        |ORDER BY a.user_id, a_us""".stripMargin) { (s, dir) =>
+      // the cascade input carries a FUTURE-SHIFTED copy of the bucket
+      // rowtime as the watermark-tagged _et: the tag satisfies the
+      // event-time-timeout analyzer and the shift keeps the
+      // pre-operator late filter from dropping freshly-emitted buckets
+      // (they trail the global watermark by construction); the
+      // watermark VALUE still comes from the source node below, which
+      // is what drives anchor maturity.
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("spark.watermarkDelayMs", 60000L).build()
+      val hourly = eventStream(s, dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id").cast("long").as("key"),
+          unix_micros(col("w.start")).as("tsMicros"),
+          unix_seconds(col("w.start")).as("id"),
+          col("n"),
+          (window_time(col("w")) + expr("INTERVAL 3650 DAYS"))
+            .as("_et", md))
+      require(hourly.isStreaming, "st55: hourly window agg lost the stream")
+      val out = graft.streaming.StreamingMatchRecognize.measures(
+        s, hourly,
+        """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+          |  MEASURES FIRST(A.tsMicros) AS a_us, LAST(R.n) AS b_n
+          |  ONE ROW PER MATCH
+          |  PATTERN (A R) WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS n > 0, R AS n > FIRST(A.n))""".stripMargin,
+        attachWatermark = false)
+      val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      s.conf.set(ck, "false") // agg->MR cascade; safe per attachWatermark doc
+      try
+        StreamRunner.toTable(s, out, OutputMode.Append, "st55_out")
+          .select(col("key").as("user_id"), col("a_us"), col("b_n"))
+          .orderBy("user_id", "a_us")
+      finally s.conf.set(ck, "true")
+    },
+
     // UPDATE_BEFORE emission (the reference's retract mode —
     // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
     // pairs): st29's LEFT OUTER join with updateBefore on — the pad

@@ -168,10 +168,10 @@ object MatchRecognizeSql {
     // delay makes the within-timer fire as soon as processing time
     // passes anchor+within, the reference's proc-time firing (r10).
     // Micro-batch granularity is the documented delta: events of ONE
-    // batch share a proctime, and the NFA chains strictly increasing
-    // timestamps, so consecutive pattern steps must arrive in
-    // different batches (the reference stamps per-event arrival
-    // times; a micro-batch engine has no sub-batch arrival order)
+    // batch share a proctime; strict row-pattern adjacency breaks the
+    // tie by id, so same-batch steps chain in id order (the reference
+    // stamps per-event arrival times; a micro-batch engine pins the
+    // id tiebreak as its sub-batch arrival order)
     val isProctime = src.schema.fields.find(_.name == p.orderCol)
       .exists(_.metadata.contains(GraftDDL.proctimeKey))
     val out0 =

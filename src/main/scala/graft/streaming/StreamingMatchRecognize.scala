@@ -240,9 +240,22 @@ object StreamingMatchRecognize {
     * (Flink's table.exec.state.ttl resets accumulators the same way).
     * `None` (default) keeps the reference's strict MATCH_NUMBER
     * continuity at the cost of per-matched-key residual state. */
+  /** `attachWatermark = false` skips the operator's own
+    * `withWatermark` node: for a CASCADE input (a windowed aggregate
+    * feeding MATCH_RECOGNIZE — the reference's
+    * testMatchRecognizeAppliedToWindowedGrouping shape) the SOURCE
+    * watermark below the aggregate drives maturity directly. A second
+    * node would start at 0 and pin the min-policy global watermark
+    * there forever (its column only sees rows the aggregate already
+    * emitted), deadlocking the pipeline; and the aggregate's output
+    * rows must NOT carry event-time metadata into this operator, or
+    * the pre-operator late filter would drop them (they trail the
+    * global watermark by construction) — strip it by projecting the
+    * window bound through unix_micros into a plain long. */
   def measures(spark: SparkSession, events: DataFrame, clause: String,
                watermarkDelay: String = "10 minutes",
-               idleRetentionMicros: Option[Long] = None): DataFrame = {
+               idleRetentionMicros: Option[Long] = None,
+               attachWatermark: Boolean = true): DataFrame = {
     import spark.implicits._
     val c = MatchRecognize.compile(clause)
     require(c.measures.nonEmpty, "no MEASURES in clause — use apply()")
@@ -286,9 +299,22 @@ object StreamingMatchRecognize {
     val defCtx = c.ctx
     val (navCol, navSCol) = PatternNFA.navProjections(navCols,
       PatternNFA.navStringFlags(events, navCols))
-    val ds = events
-      .withColumn("_et", timestamp_micros(col("tsMicros")))
-      .withWatermark("_et", watermarkDelay)
+    val withEt =
+      if (attachWatermark) events
+        .withColumn("_et", timestamp_micros(col("tsMicros")))
+        .withWatermark("_et", watermarkDelay)
+      else {
+        // cascade mode: the caller provides a watermark-TAGGED _et
+        // (typically the upstream window's rowtime, future-shifted
+        // past the late filter — see the method doc); a second
+        // withWatermark node here would pin the min-policy global
+        // watermark at zero
+        require(events.columns.contains("_et"),
+          "attachWatermark = false needs a caller-provided " +
+            "watermark-tagged _et column (see measures() doc)")
+        events
+      }
+    val ds = withEt
       .select(col("key").cast("long"), col("tsMicros").cast("long"),
         col("id").cast("long"), satCol.cast("long").as("_sat"),
         array(mcols.map(n => expr(n).cast("double")): _*).as("_mv"),

@@ -1012,9 +1012,9 @@ class SqlTextSpec extends AnyFunSuite {
     try {
       // A and P in SEPARATE batches: same-batch events share one
       // proctime (micro-batch granularity — the documented delta vs
-      // the reference's per-event arrival stamps) and the NFA binds
-      // strictly increasing timestamps, so pattern steps chain across
-      // batches; the match matures once a later batch's proctime
+      // the reference's per-event arrival stamps; strict adjacency
+      // breaks proctime ties by id, so same-batch chaining follows id
+      // order). The match matures once a later batch's proctime
       // passes anchor + within (zero-delay watermark). Data times
       // (999, 5) are deliberately inverted: ORDER BY pt must win.
       input.addData(Seq(StreamHarness.ev(1, 999, 1, kind = "signup")))
