@@ -664,17 +664,31 @@ object MatchRecognize {
       // Joining back (instead of dragging every event column through
       // the NFA's typed scan) keeps the scan narrow AND the measure
       // aggregation codegen'd.
+      // Rename the binding frame's (key, event_id) to internal names
+      // BEFORE the join so the joined frame's `key`/`id`/`event_id`
+      // are unambiguously the EVENTS frame's columns: `id` is the
+      // canonical sequence id, and `event_id` (when the canonical
+      // statement frame carries the copy) is the USER's id column —
+      // which differs from the sequence id when the clause declared
+      // secondary ORDER BY columns (canonical id = row_number there),
+      // so MEASURES like FIRST(A.event_id) keep reading the user's
+      // ids. Relying on join-dedup to disambiguate same-name columns
+      // is what this replaces.
       val b = PatternNFA.runPredicatesBindings(spark, events, c.steps,
           preds, c.withinMicros, c.afterMatch, c.navCols, c.ctx,
           strict = true)
         .withColumnRenamed("key", "_bkey")
-      // the canonical statement frame may carry an `event_id` copy of
-      // the id (for DEFINE-side references) — drop it before the
-      // join-back so MEASURES' event_id resolves to the binding row's
-      val evJ = events.drop("event_id")
-      val joined = b.join(evJ,
-          b("_bkey") === evJ("key") && b("event_id") === evJ("id"))
-        .drop("_bkey").drop(evJ("id"))
+        .withColumnRenamed("event_id", "_beid")
+      val joined0 = b.join(events,
+          b("_bkey") === events("key") && b("_beid") === events("id"))
+        .drop("_bkey")
+      // a facade frame without the statement door's `event_id` copy
+      // still supports measures over event_id: materialize it from the
+      // binding's canonical id (≡ the old behavior) as a REAL column —
+      // an alias in the final select would be an unsupported lateral
+      // alias inside the ALL-ROWS window measures
+      val joined = if (events.columns.contains("event_id")) joined0
+        else joined0.withColumn("event_id", col("_beid"))
       def aggFor(m: Measure): Column = {
         // an unqualified measure aggregates over ALL rows of the match
         // — no classifier FILTER (COUNT(*) / COUNT(price) / FIRST(id));

@@ -1515,5 +1515,90 @@ object CepExtras extends QueryGroup {
           |         P AS event_type = 'purchase'
           |           AND PREV(event_type, 1) <> 'error'
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
+    // MULTI-COLUMN, STRING-TYPED PARTITION BY (the reference allows
+    // any number of partition columns of any type —
+    // MatchRecognizeITCase testCodeSplitsAreProperlyGenerated
+    // partitions by two strings; r11 lifted this door's one-integral-
+    // column restriction): each (user_id, event_type) subsequence is
+    // its own contiguous stream — a match is an ADJACENT pair in THAT
+    // subsequence with a rising value. The surrogate state key is
+    // xxhash64 over the tuple with an injectivity gate; the output
+    // joins the tuple columns back. Oracle: rn-adjacency per
+    // (user_id, event_type).
+    q("mr18_multi_key_partition",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (
+        |  SELECT a.user_id, a.event_type, a.event_id AS a_id,
+        |    b.event_id AS r_id, a.rn AS a_rn
+        |  FROM ev a JOIN ev b ON b.user_id = a.user_id
+        |    AND b.event_type = a.event_type AND b.rn = a.rn + 1
+        |    AND b.value > a.value AND b.ts_us <= a.ts_us + $H72)
+        |SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY a_rn) AS match_seq,
+        |  a_id, r_id
+        |FROM m ORDER BY user_id, event_type, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr18_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr18_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id, event_type
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           LAST(R.event_id) AS r_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A R)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE R AS value > A.value
+          |) AS T ORDER BY user_id, event_type, match_seq""".stripMargin)
+    },
+
+    // SECONDARY ORDER BY COLUMNS (MatchRecognizeITCase
+    // testEventsAreProperlyOrdered orders by rowtime, secondaryOrder
+    // DESC, ternaryOrder ASC; r11): hour-truncated timestamps make
+    // REAL ties, which `value DESC, event_id` breaks — the canonical
+    // sequence id becomes row_number over the declared order (its
+    // window shuffle is the NFA's own key shuffle, reused), and
+    // strict adjacency follows that total order. A match is an
+    // adjacent click pair in the (hr, value DESC) order.
+    q("mr19_secondary_order",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    date_trunc('hour', ts) AS hr,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('hour', ts), value DESC, event_id) AS rn
+        |  FROM events),
+        |m AS (
+        |  SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |    a.rn AS a_rn
+        |  FROM ev a JOIN ev b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |    AND a.event_type = 'click' AND b.event_type = 'click'
+        |    AND epoch_us(b.hr) <= epoch_us(a.hr) + $H72)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_rn) AS match_seq, a_id, b_id
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), date_trunc("hour", col("ts")).as("hr"))
+        .createOrReplaceTempView("mr19_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr19_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY hr, value DESC
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           LAST(B.event_id) AS b_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'click', B AS event_type = 'click'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
     })
 }

@@ -34,18 +34,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * there, like the reference's restriction). The partition column
   * keeps its original name in the output, as the reference emits it.
   *
-  * Requirements the canonicalization enforces loudly: the partition
-  * column must be integral (it becomes the state key), the order
-  * column a timestamp or epoch-micros long, and the table must carry
-  * an `id`/`event_id` tiebreak column (the NFA's deterministic
+  * Requirements the canonicalization enforces loudly: the order
+  * column must be a timestamp or epoch-micros long, and the table must
+  * carry an `id`/`event_id` tiebreak column (the NFA's deterministic
   * within-timestamp order; the reference leaves equal-rowtime order
-  * undefined — this engine pins it).
+  * undefined — this engine pins it). PARTITION BY accepts any number
+  * of columns of any type on batch views (general surrogate-key path —
+  * see [[canonicalize]]); STREAMING views need one integral partition
+  * column and no secondary ORDER BY columns (the incremental
+  * operator's keyed-state shape).
   */
 object MatchRecognizeSql {
 
   private final case class Parsed(selStar: Boolean, selCols: Seq[String],
                                   table: String, clause: String,
-                                  partCol: String, orderCol: String,
+                                  partCols: Seq[String], orderCol: String,
+                                  orderExtra: Seq[(String, Boolean)],
                                   orderBy: Seq[(String, Boolean)])
 
   private def parse(sql: String): Parsed = {
@@ -76,24 +80,52 @@ object MatchRecognizeSql {
       s"expected MATCH_RECOGNIZE ( after FROM $table: $sql")
     val close = S.closeParen(toks, mrIdx + 1)
     val clause = sql.substring(toks(mrIdx).start, toks(close).end)
-    // clause-level PARTITION BY <col> ORDER BY <col>
-    var partCol: String = null
+    // clause-level PARTITION BY <col>[, <col>...] ORDER BY
+    // <timecol> [, <col> [ASC|DESC]]... (the reference accepts any
+    // number of partition columns of any type — MatchRecognizeITCase
+    // testCodeSplitsAreProperlyGenerated partitions by TWO STRING
+    // columns — and secondary sort keys after the time attribute —
+    // testEventsAreProperlyOrdered orders by rowtime, secondaryOrder
+    // DESC, ternaryOrder ASC)
+    val partCols = Seq.newBuilder[String]
     var orderCol: String = null
+    val orderExtra = Seq.newBuilder[(String, Boolean)]
     var i = mrIdx + 2
     while (i < close) {
       if (at(i, "PARTITION") && at(i + 1, "BY")) {
         require(i + 2 < close, "PARTITION BY needs a column")
-        partCol = toks(i + 2).ident
-        require(i + 3 >= close || toks(i + 3).text != ",",
-          "one PARTITION BY column (the reference's streaming key shape here)")
+        partCols += toks(i + 2).ident
         i += 3
+        while (i < close && isSym(i, ",")) {
+          require(i + 1 < close, "PARTITION BY: trailing comma")
+          partCols += toks(i + 1).ident
+          i += 2
+        }
       } else if (at(i, "ORDER") && at(i + 1, "BY") && orderCol == null) {
         require(i + 2 < close, "ORDER BY needs a column")
         orderCol = toks(i + 2).ident
         i += 3
+        // the primary (time) column must sort ascending — the
+        // reference rejects a DESC time attribute ("You must specify
+        // either rowtime or proctime ... ascending")
+        if (i < close && toks(i).is("ASC")) i += 1
+        require(i >= close || !toks(i).is("DESC"),
+          "the MATCH_RECOGNIZE ORDER BY time attribute must be ascending")
+        while (i < close && isSym(i, ",")) {
+          require(i + 1 < close, "ORDER BY: trailing comma")
+          val c = toks(i + 1).ident
+          i += 2
+          var asc = true
+          if (i < close && toks(i).is("DESC")) { asc = false; i += 1 }
+          else if (i < close && toks(i).is("ASC")) i += 1
+          orderExtra += ((c, asc))
+        }
       } else i += 1
     }
-    require(partCol != null, s"MATCH_RECOGNIZE requires PARTITION BY: $sql")
+    val pCols = partCols.result()
+    require(pCols.nonEmpty, s"MATCH_RECOGNIZE requires PARTITION BY: $sql")
+    require(pCols.distinct.size == pCols.size,
+      s"duplicate PARTITION BY column: ${pCols.mkString(", ")}")
     require(orderCol != null, s"MATCH_RECOGNIZE requires ORDER BY: $sql")
     // optional [AS alias] then optional statement ORDER BY
     var j = close + 1
@@ -112,21 +144,65 @@ object MatchRecognizeSql {
     require(j >= toks.length || (isSym(j, ";") && j == toks.length - 1),
       s"unsupported trailing text after MATCH_RECOGNIZE: " +
         S.textOf(sql, toks, j, toks.length))
-    Parsed(selStar, selCols, table, clause, partCol, orderCol,
-      orderBy.result())
+    Parsed(selStar, selCols, table, clause, pCols, orderCol,
+      orderExtra.result(), orderBy.result())
   }
+
+  /** Canonicalized event frame plus, for the general (non-integral /
+    * multi-column) PARTITION BY path, the surrogate-key → partition
+    * tuple map the output joins back through. */
+  private final case class Canon(events: DataFrame, keyMap: Option[DataFrame])
 
   /** Canonicalize the source columns for the NFA: key/tsMicros/id
     * derived from the clause's PARTITION BY / ORDER BY; every original
-    * column stays visible to DEFINE and MEASURES. */
-  private def canonicalize(src: DataFrame, p: Parsed): DataFrame = {
+    * column (the partition columns included) stays visible to DEFINE
+    * and MEASURES.
+    *
+    * PARTITION BY shapes:
+    *  - ONE INTEGRAL column — the fast path: it casts straight into
+    *    the NFA's long state key, zero extra work (and the only shape
+    *    the incremental STREAMING operator accepts).
+    *  - anything else (string keys, multiple columns — the reference
+    *    allows both, e.g. MatchRecognizeITCase
+    *    testCodeSplitsAreProperlyGenerated's PARTITION BY key1, key2
+    *    over strings): BATCH-only general path. The state key is
+    *    xxhash64 over the partition columns (deterministic, so
+    *    re-evaluated plan branches agree); the door verifies
+    *    injectivity on this input with one distinct-aggregate job
+    *    over the DISTINCT partition tuples (count(distinct tuple) per
+    *    hash > 1 → loud error, never a silent partition merge), and
+    *    the output joins the surrogate back to the tuple columns.
+    *    Scale shape: the distinct-agg's map-side partial absorbs the
+    *    event volume; the join-back is an equi-join on the hash (AQE
+    *    broadcasts the map when small). No global sort, no collect.
+    *
+    * Secondary ORDER BY columns (`ORDER BY ts, v DESC, u`): the
+    * canonical sequence id becomes row_number() over (key; ts,
+    * extras..., idCol) — the NFA's (ts, id) sort then equals the
+    * declared total order, so strict adjacency follows the clause's
+    * ordering on timestamp TIES exactly as the reference's
+    * testEventsAreProperlyOrdered pins. Costs one extra hash shuffle
+    * on the same key ahead of the NFA's own (narrow — the projected
+    * canonical columns only), paid only when secondary columns are
+    * declared. The original id column keeps riding as `event_id` for
+    * MEASURES/DEFINE. Batch-only (a streaming row_number over the key
+    * is unbounded state).
+    */
+  private def canonicalize(src: DataFrame, p: Parsed): Canon = {
     val fields = src.schema.fields.map(f => f.name -> f.dataType).toMap
-    val keyT = fields.getOrElse(p.partCol,
-      sys.error(s"PARTITION BY column '${p.partCol}' not in ${p.table}"))
-    require(Seq("tinyint", "smallint", "int", "bigint")
-        .contains(keyT.simpleString),
-      s"PARTITION BY column must be integral (becomes the state key), " +
-        s"got ${p.partCol}: $keyT")
+    p.partCols.foreach(c => require(fields.contains(c),
+      s"PARTITION BY column '$c' not in ${p.table}"))
+    val integralFast = p.partCols.size == 1 &&
+      Seq("tinyint", "smallint", "int", "bigint")
+        .contains(fields(p.partCols.head).simpleString)
+    if (src.isStreaming) {
+      require(integralFast, "streaming MATCH_RECOGNIZE needs ONE integral " +
+        s"PARTITION BY column (the incremental operator's state key); got " +
+        s"${p.partCols.map(c => s"$c: ${fields(c).simpleString}").mkString(", ")}" +
+        " — run on a batch view, or pre-map the key to an integral column")
+      require(p.orderExtra.isEmpty, "streaming MATCH_RECOGNIZE orders by " +
+        "(time attribute, id) only — secondary ORDER BY columns are batch-only")
+    }
     val tsExpr = fields.getOrElse(p.orderCol,
       sys.error(s"ORDER BY column '${p.orderCol}' not in ${p.table}")) match {
       case TimestampType | TimestampNTZType => unix_micros(col(p.orderCol).cast("timestamp"))
@@ -135,23 +211,56 @@ object MatchRecognizeSql {
         s"ORDER BY column must be a timestamp or epoch-micros long, " +
           s"got ${p.orderCol}: $other")
     }
+    p.orderExtra.foreach { case (c, _) => require(fields.contains(c),
+      s"ORDER BY column '$c' not in ${p.table}") }
     val idCol = Seq("id", "event_id").find(fields.contains).getOrElse(
       sys.error(s"${p.table} needs an id/event_id column (the deterministic " +
         "within-timestamp tiebreak)"))
+    // general-path partition columns may not collide with the
+    // canonical frame's own names: the surrogate overwrites `key`, and
+    // tsMicros/id/event_id are consumed by the canonicalization — a
+    // DEFINE/MEASURES reference to the original would silently read
+    // the canonical value instead
+    if (!integralFast) {
+      val clash = p.partCols.toSet
+        .intersect(Set("key", "tsMicros", "id", "event_id"))
+      require(clash.isEmpty, "multi-column/non-integral PARTITION BY " +
+        s"columns may not be named ${clash.mkString(", ")} (canonical " +
+        "frame names) — rename the column(s) in a view first")
+    }
+    val keyExpr =
+      if (integralFast) col(p.partCols.head).cast("long")
+      else xxhash64(p.partCols.map(col): _*)
     // the id column moves into the canonical `id`, and a copy is ALSO
     // exposed as `event_id`: DEFINE-side references (a running
     // COUNT(B.event_id)) read it from the events frame, while a
     // MEASURES reference like FIRST(A.event_id) resolves to the
     // bindings frame's event_id after the join-back (run() drops the
     // events-side copy before joining, so the reference stays
-    // unambiguous)
+    // unambiguous). With secondary order columns the canonical id is
+    // the row_number sequence instead — the user id stays readable as
+    // event_id.
+    val idExpr =
+      if (p.orderExtra.isEmpty) col(idCol).cast("long")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val ord = (tsExpr.asc +: p.orderExtra.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }) :+ col(idCol).asc
+        row_number().over(
+          Window.partitionBy(keyExpr).orderBy(ord: _*)).cast("long")
+      }
     val passThrough = src.columns.toSeq
       .filterNot(Set("key", "tsMicros", "id", "event_id", idCol).contains)
       .map(col)
-    src.select(Seq(col(p.partCol).cast("long").as("key"),
-      tsExpr.cast("long").as("tsMicros"), col(idCol).cast("long").as("id"),
+    val events = src.select(Seq(keyExpr.as("key"),
+      tsExpr.cast("long").as("tsMicros"), idExpr.as("id"),
       col(idCol).cast("long").as("event_id"))
       ++ passThrough: _*)
+    val keyMap =
+      if (integralFast) None
+      else Some(src.select(p.partCols.map(col): _*).distinct()
+        .withColumn("key", xxhash64(p.partCols.map(col): _*)))
+    Canon(events, keyMap)
   }
 
   /** Execute the full statement. Batch views run the batch NFA +
@@ -160,7 +269,18 @@ object MatchRecognizeSql {
   def sql(spark: SparkSession, stmt: String): DataFrame = {
     val p = parse(stmt)
     val src = spark.table(p.table)
-    val events = canonicalize(src, p)
+    val Canon(events, keyMap) = canonicalize(src, p)
+    // general-path injectivity gate: two distinct partition tuples
+    // sharing a surrogate would silently merge their sequences — check
+    // over the DISTINCT tuples (one agg job, partials absorb the
+    // event volume) and fail loudly instead
+    keyMap.foreach { km =>
+      val collided = km.groupBy(col("key")).count()
+        .filter(col("count") > 1).limit(1).count() > 0
+      require(!collided, "PARTITION BY surrogate-key collision across " +
+        s"distinct (${p.partCols.mkString(", ")}) tuples — re-key the " +
+        "partition columns (e.g. add a disambiguating column)")
+    }
     // a PROCTIME() ORDER BY (StreamExecMatch.scala:197 isProctime —
     // the reference accepts proc-time MATCH_RECOGNIZE) is in-order by
     // construction (micro-batch evaluation time is monotone), so the
@@ -180,9 +300,19 @@ object MatchRecognizeSql {
           watermarkDelay =
             if (isProctime) "0 seconds" else "10 minutes").toDF()
       else graft.operators.MatchRecognize.run(spark, events, p.clause)
-    // the partition column keeps its declared name in the output
-    val out = if (p.partCol == "key") out0
-      else out0.withColumnRenamed("key", p.partCol)
+    // the partition columns keep their declared names in the output:
+    // fast path renames the canonical key back; general path joins the
+    // surrogate → tuple map and leads with the partition columns (the
+    // reference's SELECT * order)
+    val out = keyMap match {
+      case None =>
+        if (p.partCols.head == "key") out0
+        else out0.withColumnRenamed("key", p.partCols.head)
+      case Some(km) =>
+        val joined = out0.join(km, "key").drop("key")
+        val rest = out0.columns.toSeq.filterNot(_ == "key")
+        joined.select((p.partCols ++ rest).map(col): _*)
+    }
     val selected =
       if (p.selStar) out
       else out.select(p.selCols.map(col): _*)

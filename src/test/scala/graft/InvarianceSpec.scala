@@ -82,6 +82,36 @@ class InvarianceSpec extends AnyFunSuite {
     }(events)
   }
 
+  test("statement-door general partition path is partition-invariant") {
+    // the r11 surrogate-key (multi-column/string PARTITION BY) and
+    // secondary-ORDER-BY paths: the xxhash64 key, the injectivity
+    // gate, the row_number canonical id, and the tuple join-back must
+    // all be layout-independent — the executable any-executor-count
+    // claim for the new door shapes
+    assertInvariant("MatchRecognizeSql/general-path") { ev =>
+      ev.createOrReplaceTempView("inv_mr_general")
+      graft.sources.MatchRecognizeSql.sql(spark,
+        """SELECT * FROM inv_mr_general MATCH_RECOGNIZE (
+          |  PARTITION BY uid, kind
+          |  ORDER BY tsMicros, value DESC
+          |  MEASURES MATCH_NUMBER() AS mno, FIRST(A.event_id) AS a_id,
+          |           LAST(R.event_id) AS r_id
+          |  ONE ROW PER MATCH
+          |  PATTERN (A R) WITHIN INTERVAL '72' HOUR
+          |  DEFINE R AS value > A.value)""".stripMargin)
+    }(events.withColumnRenamed("id", "event_id")
+      .withColumnRenamed("key", "uid"))
+    // canonical-name collision on the general path is LOUD
+    events.createOrReplaceTempView("inv_mr_clash")
+    val e = intercept[RuntimeException](graft.sources.MatchRecognizeSql.sql(
+      spark,
+      """SELECT * FROM inv_mr_clash MATCH_RECOGNIZE (
+        |  PARTITION BY key, kind ORDER BY tsMicros
+        |  PATTERN (A R) WITHIN INTERVAL '72' HOUR
+        |  DEFINE A AS kind = 'signup', R AS kind = 'click')""".stripMargin))
+    assert(e.getMessage.contains("canonical"), e.getMessage)
+  }
+
   test("AsOfJoin.batch is partition-invariant on both sides") {
     val left = events.filter(col("kind") === "purchase")
     val right = events.filter(col("kind") === "click")

@@ -229,6 +229,125 @@ class MatchStrictSpec extends AnyFunSuite {
     assert(out == Seq((29.0, 7L, 5L, 8L, 6L, 8L)), out)
   }
 
+  test("ITCase testCodeSplitsAreProperlyGenerated: two STRING partition columns") {
+    // the reference partitions by TWO STRING columns (key1, key2) —
+    // the statement door's general surrogate-key path; DEFINE exercises
+    // LIKE (row-local), LAST(A.name, 2) IS NULL (out-of-range string
+    // navigation) and LAST(A.name) = 'a' (string navigation equality).
+    // Adaptation: ORDER BY proctime → ts = id seconds (the vectors are
+    // arrival-ordered); the maxGeneratedCodeLength config is a
+    // flink-codegen knob with no analog here.
+    import spark.implicits._
+    Seq(
+      (1L, "a", "key1", "second_key3"), (2L, "b", "key1", "second_key3"),
+      (3L, "c", "key1", "second_key3"), (4L, "d", "key", "second_key"),
+      (5L, "e", "key", "second_key"), (6L, "a", "key2", "second_key4"),
+      (7L, "b", "key2", "second_key4"), (8L, "c", "key2", "second_key4"),
+      (9L, "f", "key", "second_key"))
+      .map { case (id, n, k1, k2) =>
+        (id, new java.sql.Timestamp(id * 1000L), n, k1, k2) }
+      .toDF("id", "ts", "name", "key1", "key2")
+      .createOrReplaceTempView("codesplit_events")
+    val out = graft.sources.MatchRecognizeSql.sql(spark,
+      s"""SELECT * FROM codesplit_events MATCH_RECOGNIZE (
+         |  PARTITION BY key1, key2
+         |  ORDER BY ts
+         |  MEASURES A.id AS aid, A.key1 AS akey1, LAST(B.id) AS bid,
+         |           C.id AS cid, C.key2 AS ckey2
+         |  ONE ROW PER MATCH
+         |  PATTERN (A B C) $W
+         |  DEFINE A AS name = 'a' AND key1 LIKE '%key%' AND id > 0,
+         |         B AS name = 'b' AND LAST(A.name, 2) IS NULL,
+         |         C AS name = 'c' AND LAST(A.name) = 'a')""".stripMargin)
+    assert(out.columns.take(2).toSeq == Seq("key1", "key2"), out.columns.toSeq)
+    val rows = out.select("key1", "key2", "aid", "akey1", "bid", "cid", "ckey2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getString(6)))
+      .toSeq.sortBy(_._3)
+    assert(rows == Seq(
+      ("key1", "second_key3", 1L, "key1", 2L, 3L, "second_key3"),
+      ("key2", "second_key4", 6L, "key2", 7L, 8L, "second_key4")), rows)
+  }
+
+  test("ITCase testEventsAreProperlyOrdered: secondary/ternary ORDER BY columns") {
+    // ORDER BY rowtime, secondaryOrder DESC, ternaryOrder ASC — only
+    // the last (a b c) triple survives the declared tie-break order;
+    // the first three candidate triples are each broken by event-time,
+    // secondary (DESC) or ternary (ASC) ordering respectively.
+    // Adaptation: measures read A.event_id (the canonical copy of the
+    // user id column — the canonical sequence id is the row_number of
+    // the declared order here).
+    import spark.implicits._
+    Seq(
+      (2L, 12L, 1L, "a", 1L), (1L, 11L, 2L, "b", 2L), (3L, 10L, 3L, "c", 3L),
+      (4L, 8L, 4L, "a", 4L), (4L, 9L, 5L, "b", 5L), (5L, 7L, 6L, "c", 6L),
+      (6L, 6L, 8L, "a", 7L), (6L, 6L, 7L, "b", 8L), (8L, 4L, 9L, "c", 9L),
+      (9L, 3L, 10L, "a", 10L), (10L, 2L, 11L, "b", 11L), (11L, 1L, 12L, "c", 12L))
+      .map { case (ts, sec, ter, n, id) =>
+        (0L, new java.sql.Timestamp(ts * 1000L), sec, ter, n, id) }
+      .toDF("part", "rowtime", "secondaryOrder", "ternaryOrder", "name", "id")
+      .createOrReplaceTempView("ordered_events")
+    val out = graft.sources.MatchRecognizeSql.sql(spark,
+      s"""SELECT aid, bid, cid FROM ordered_events MATCH_RECOGNIZE (
+         |  PARTITION BY part
+         |  ORDER BY rowtime, secondaryOrder DESC, ternaryOrder ASC
+         |  MEASURES A.event_id AS aid, B.event_id AS bid, C.event_id AS cid
+         |  ONE ROW PER MATCH
+         |  PATTERN (A B C) $W
+         |  DEFINE A AS name = 'a', B AS name = 'b', C AS name = 'c')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((10L, 11L, 12L)), out)
+  }
+
+  test("ITCase testAccessingCurrentTime: CURRENT_TIMESTAMP in DEFINE") {
+    // the reference gates A on `proctime >= CURRENT_TIMESTAMP -
+    // INTERVAL '1' day` over a single-row source; here the event
+    // carries a wall-clock timestamp column the row-local predicate
+    // compares the same way (the proctime measure columns are not
+    // asserted by the reference either — non-deterministic)
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val ev = Seq((0L, 1000000L, 1L, "a", now))
+      .toDF("key", "tsMicros", "id", "name", "arrival")
+    val out = MatchRecognize.run(spark, ev,
+      s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+         |  MEASURES A.id AS aid
+         |  ONE ROW PER MATCH
+         |  PATTERN (A) $W
+         |  DEFINE A AS arrival >= CURRENT_TIMESTAMP - INTERVAL '1' DAY)""".stripMargin)
+      .select("aid").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L), out)
+  }
+
+  test("ITCase testUserDefinedFunctions: scalar UDF in DEFINE and MEASURES") {
+    // the reference registers prefix (scalar, open()-parameterized to
+    // 'PREF') and countFrom (an agg UDF counting from start=4) —
+    // prefix transcribes directly as a registered Spark UDF in both a
+    // row-local DEFINE conjunct and a scalar measure; countFrom(x) =
+    // start + COUNT(x) rewrites onto the built-in running COUNT
+    // (countFrom(A.price) <= 8 ≡ COUNT(A.price) <= 4), with the
+    // measure asserting COUNT and the +4 applied in the expectation.
+    import spark.implicits._
+    spark.udf.register("prefix_fn", (s: String) => "PREF:" + s)
+    val ev = named(1 -> "a", 2 -> "a", 3 -> "a", 4 -> "a", 5 -> "a",
+      6 -> "b", 7 -> "a", 8 -> "a", 9 -> "f")
+    val out = MatchRecognize.run(spark, ev,
+      s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+         |  MEASURES FIRST(id) AS firstId,
+         |           prefix_fn(A.name) AS prefixedNameA,
+         |           COUNT(A.id) AS countA,
+         |           LAST(id) AS lastId
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A+ C) $W
+         |  DEFINE A AS prefix_fn(A.name) = 'PREF:a' AND COUNT(A.id) <= 4)""".stripMargin)
+      .select("firstId", "prefixedNameA", "countA", "lastId").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) + 4L, r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // reference expectation: "1,PREF:a,8,5" and "7,PREF:a,6,9"
+    assert(out == Seq((1L, "PREF:a", 8L, 5L), (7L, "PREF:a", 6L, 9L)), out)
+  }
+
   test("doc greedy vs reluctant Ticker example (match_recognize.md:372-420)") {
     import spark.implicits._
     val ev = Seq((2, 10), (3, 11), (4, 12), (5, 13), (6, 14), (7, 16))

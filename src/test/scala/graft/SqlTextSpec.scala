@@ -680,14 +680,22 @@ class SqlTextSpec extends AnyFunSuite {
         |  ORDER BY t_us PATTERN (A) WITHIN INTERVAL '1' HOUR
         |  DEFINE A AS etype = 'x')""".stripMargin))
     assert(e.getMessage.contains("PARTITION BY"), e.getMessage)
-    // non-integral partition column → loud (it becomes the state key)
-    Seq(("a", 1L, 1L, "x")).toDF("s", "t_us", "event_id", "etype")
-      .createOrReplaceTempView("mr_stmt_badkey")
-    val e2 = intercept[RuntimeException](MatchRecognizeSql.sql(spark,
-      """SELECT * FROM mr_stmt_badkey MATCH_RECOGNIZE (
+    // non-integral partition column: BATCH views take the general
+    // surrogate-key path (r11 — the reference allows any key type;
+    // MatchRecognizeITCase testCodeSplitsAreProperlyGenerated
+    // partitions by strings) — the output leads with the declared
+    // partition column under its own name
+    Seq(("a", 1L, 1L, "x"), ("b", 1L, 2L, "y"))
+      .toDF("s", "t_us", "event_id", "etype")
+      .createOrReplaceTempView("mr_stmt_strkey")
+    val strOut = MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_stmt_strkey MATCH_RECOGNIZE (
         |  PARTITION BY s ORDER BY t_us PATTERN (A)
-        |  WITHIN INTERVAL '1' HOUR DEFINE A AS etype = 'x')""".stripMargin))
-    assert(e2.getMessage.contains("integral"), e2.getMessage)
+        |  WITHIN INTERVAL '1' HOUR DEFINE A AS etype = 'x')""".stripMargin)
+    assert(strOut.columns.head == "s", strOut.columns.toSeq)
+    val strRows = strOut.select("s", "anchor_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(strRows == Seq(("a", 1L)), strRows)
   }
 
   test("MATCH_RECOGNIZE statement routes a STREAMING view to the incremental operator") {
@@ -718,6 +726,23 @@ class SqlTextSpec extends AnyFunSuite {
       .select("key", "anchor_id", "end_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, 1L, 2L)), s"streaming MR statement match: $rows")
+    // STREAMING views keep the one-integral-column requirement (the
+    // incremental operator's keyed-state shape) and reject secondary
+    // ORDER BY columns — both loud
+    input.toDS().toDF().selectExpr("cast(key AS string) AS skey",
+      "tsMicros", "id", "kind").createOrReplaceTempView("mr_sql_stream_str")
+    val eInt = intercept[RuntimeException](MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_sql_stream_str MATCH_RECOGNIZE (
+        |  PARTITION BY skey ORDER BY tsMicros PATTERN (A P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS kind = 'signup', P AS kind = 'purchase')""".stripMargin))
+    assert(eInt.getMessage.contains("integral"), eInt.getMessage)
+    val eOrd = intercept[RuntimeException](MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_sql_stream MATCH_RECOGNIZE (
+        |  PARTITION BY key ORDER BY tsMicros, id DESC PATTERN (A P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS kind = 'signup', P AS kind = 'purchase')""".stripMargin))
+    assert(eOrd.getMessage.contains("secondary ORDER BY"), eOrd.getMessage)
   }
 
   // ---- streaming windowing-TVF rewrite (r9) ----
