@@ -1559,6 +1559,45 @@ object CepExtras extends QueryGroup {
           |) AS T ORDER BY user_id, event_type, match_seq""".stripMargin)
     },
 
+    // SCALAR-EXPRESSION MEASURES AND DEFINE FUNCTION CALLS (r11 —
+    // MatchRecognizeITCase testUserDefinedFunctions registers scalar
+    // UDFs in both DEFINE and MEASURES; the oracle twin uses builtins
+    // both engines share): DEFINE's row-local conjunct calls
+    // upper(), the measure projects concat(upper(...)) over the
+    // matched variable's row. Strict adjacency: signup immediately
+    // followed by a click.
+    q("mr20_scalar_fn_measures",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, props, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (
+        |  SELECT a.user_id, a.event_id AS a_id, a.rn AS a_rn,
+        |    concat('T:', upper(b.props)) AS b_tag
+        |  FROM ev a JOIN ev b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |    AND a.event_type = 'signup'
+        |    AND upper(b.event_type) = 'CLICK'
+        |    AND b.ts_us <= a.ts_us + $H72)
+        |SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY a_rn) AS match_seq, a_id, b_tag
+        |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
+      t(s, dir)("events").createOrReplaceTempView("mr20_events")
+      graft.sources.MatchRecognizeSql.sql(s,
+        """SELECT * FROM mr20_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS match_seq,
+          |           FIRST(A.event_id) AS a_id,
+          |           concat('T:', upper(B.props)) AS b_tag
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B)
+          |  WITHIN INTERVAL '72' HOUR
+          |  DEFINE A AS event_type = 'signup',
+          |         B AS upper(B.event_type) = 'CLICK'
+          |) AS T ORDER BY user_id, match_seq""".stripMargin)
+    },
+
     // SECONDARY ORDER BY COLUMNS (MatchRecognizeITCase
     // testEventsAreProperlyOrdered orders by rowtime, secondaryOrder
     // DESC, ternaryOrder ASC; r11): hour-truncated timestamps make
