@@ -593,8 +593,8 @@ object MatchRecognize {
         "variable must be non-optional (the reference rejects this: " +
         "StreamExecMatch.scala:181, match_recognize.md:360)")
     steps.last.quant match {
-      case OneOrMore(_, false) | ZeroOrMore(_, false) |
-           TimesOrMore(_, false) =>
+      case OneOrMore(_, false, _) | ZeroOrMore(_, false, _) |
+           TimesOrMore(_, false, _) =>
         sys.error("a greedy quantifier may not end the pattern — finish " +
           "with a simple variable or a reluctant quantifier (the " +
           "reference rejects this: StreamExecMatch.scala:188)")

@@ -136,9 +136,16 @@ object PatternNFA {
   /** One or more occurrences. `reluctant` (SQL `B+?`, the reference's
     * non-greedy quantifier — MATCH_RECOGNIZE reluctant quantifiers /
     * Pattern.java greedy() absent) binds the FEWEST loop elements
-    * whose remainder completes instead of the absorbed/greedy run. */
+    * whose remainder completes instead of the absorbed/greedy run.
+    * `consecutive` (Pattern.java oneOrMore().consecutive() — the
+    * loop-interior STRICT consuming strategy): the loop binds a run
+    * of PHYSICALLY ADJACENT events — no event of any kind between
+    * loop elements — while the ENTRY into the loop keeps the step's
+    * own relaxed relation (the reference's NFAITCase
+    * testStrictOneOrMore binds m1,m2,m3 with a non-adjacent start). */
   final case class OneOrMore(untilKind: Option[String] = None,
-                             reluctant: Boolean = false) extends Quant
+                             reluctant: Boolean = false,
+                             consecutive: Boolean = false) extends Quant
   /** Exactly n successive occurrences (Pattern.times(n)); consecutive
     * requires strict contiguity in the event sequence. */
   final case class Times(n: Int, consecutive: Boolean = false) extends Quant
@@ -148,14 +155,18 @@ object PatternNFA {
                               reluctant: Boolean = false) extends Quant
   /** Zero or more occurrences (SQL `B*` / `B*?`; Pattern.oneOrMore()
     * .optional()): OneOrMore's loop semantics with the empty binding
-    * allowed — greedy prefers binding, reluctant prefers empty. */
+    * allowed — greedy prefers binding, reluctant prefers empty.
+    * `consecutive` as in [[OneOrMore]]. */
   final case class ZeroOrMore(untilKind: Option[String] = None,
-                              reluctant: Boolean = false) extends Quant
+                              reluctant: Boolean = false,
+                              consecutive: Boolean = false) extends Quant
   /** n or more occurrences (SQL `B{n,}` / `B{n,}?`;
     * Pattern.timesOrMore(n)): the first n bind successively like
     * Times(n); greedy then absorbs every further loop-kind event
-    * before the next binding, reluctant stops at the fewest. */
-  final case class TimesOrMore(n: Int, reluctant: Boolean = false)
+    * before the next binding, reluctant stops at the fewest.
+    * `consecutive` as in [[OneOrMore]]. */
+  final case class TimesOrMore(n: Int, reluctant: Boolean = false,
+                               consecutive: Boolean = false)
     extends Quant
   /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
     * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
@@ -332,8 +343,8 @@ object PatternNFA {
     def kindsOf(ss: Seq[Step]): Seq[String] = ss.flatMap { st =>
       st.quant match {
         case GroupTimes(sub, _, _) => kindsOf(sub)
-        case OneOrMore(Some(uk), _) => Seq(st.kind, uk)
-        case ZeroOrMore(Some(uk), _) => Seq(st.kind, uk)
+        case OneOrMore(Some(uk), _, _) => Seq(st.kind, uk)
+        case ZeroOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }
@@ -645,13 +656,13 @@ object PatternNFA {
             lo, hi)
         case q =>
           q match {
-            case TimesOrMore(n, _) => require(n >= 1,
+            case TimesOrMore(n, _, _) => require(n >= 1,
               "TimesOrMore requires n >= 1 — use ZeroOrMore for {0,}")
             case _ =>
           }
           val untilBit = q match {
-            case OneOrMore(Some(uk), _) => Some(bitFor(uk))
-            case ZeroOrMore(Some(uk), _) => Some(bitFor(uk))
+            case OneOrMore(Some(uk), _, _) => Some(bitFor(uk))
+            case ZeroOrMore(Some(uk), _, _) => Some(bitFor(uk))
             case _ => None
           }
           def resolveCmp(c: CtxCmp): RCmp =
@@ -1270,7 +1281,16 @@ object PatternNFA {
         else matchFrom(evs, rest, prev, deadline, anchorIdx,
           acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
 
-      case OneOrMore(_, true) =>
+      case OneOrMore(_, rel, true) =>
+        // loop-interior STRICT consuming strategy (Pattern.java
+        // consecutive()): entry is the step's own relaxed relation
+        // (earliest eligible, advancing while no run completes), the
+        // run then binds PHYSICALLY ADJACENT events only; greedy
+        // shrinks from the end, reluctant grows from the front
+        consecutiveLoop(evs, st, prev, deadline, anchorIdx, acc,
+          minK = 1, rel, eligible, cont)
+
+      case OneOrMore(_, true, _) =>
         // reluctant (B+?): the FEWEST successive earliest elements
         // whose remainder completes — k ascending (works identically
         // with and without context predicates)
@@ -1283,7 +1303,7 @@ object PatternNFA {
           .flatMap(b => cont(b.last, b))
           .nextOption()
 
-      case OneOrMore(_, _) if !hasCtx =>
+      case OneOrMore(_, _, _) if !hasCtx =>
         // absorb semantics (bit-only patterns): first element binds
         // like One, the loop then absorbs every event of the kind
         // before the next step's binding / the horizon / the until stop
@@ -1303,7 +1323,7 @@ object PatternNFA {
           }
         }.nextOption()
 
-      case OneOrMore(_, _) =>
+      case OneOrMore(_, _, _) =>
         // greedy-maximal run with shrink-from-the-end backtracking:
         // each element is tested against the run-so-far (context
         // predicates are order-dependent), then the remainder binds
@@ -1360,16 +1380,20 @@ object PatternNFA {
             .flatMap(b => cont(b.last, b))
         }.nextOption()
 
-      case ZeroOrMore(u, rel) =>
+      case ZeroOrMore(u, rel, consec) =>
         // the loop with the empty binding allowed: greedy prefers the
         // bound branch, reluctant the empty one
-        def bound = matchLeaf(evs, st.copy(quant = OneOrMore(u, rel)), rest,
-          prev, deadline, anchorIdx, acc, hasCtx)
+        def bound = matchLeaf(evs, st.copy(quant = OneOrMore(u, rel, consec)),
+          rest, prev, deadline, anchorIdx, acc, hasCtx)
         def empty = matchFrom(evs, rest, prev, deadline, anchorIdx,
           acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
         if (rel) empty.orElse(bound) else bound.orElse(empty)
 
-      case TimesOrMore(n, true) =>
+      case TimesOrMore(n, rel, true) =>
+        consecutiveLoop(evs, st, prev, deadline, anchorIdx, acc,
+          minK = n, rel, eligible, cont)
+
+      case TimesOrMore(n, true, _) =>
         // reluctant {n,}?: fewest successive elements, k = n ascending
         Iterator.from(n)
           .map(k => bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc))
@@ -1377,7 +1401,7 @@ object PatternNFA {
           .flatMap(b => cont(b.last, b))
           .nextOption()
 
-      case TimesOrMore(n, _) if !hasCtx =>
+      case TimesOrMore(n, _, _) if !hasCtx =>
         // greedy {n,}: the first n bind successively, the remainder
         // binds after the n-th, and the loop then absorbs every
         // further loop-kind event before the remainder's binding
@@ -1394,7 +1418,7 @@ object PatternNFA {
             }
           }
 
-      case TimesOrMore(n, _) =>
+      case TimesOrMore(n, _, _) =>
         // context predicates: greedy-maximal run, shrink no further
         // than the n floor
         var run = Vector.empty[Ev]
@@ -1481,7 +1505,11 @@ object PatternNFA {
             if (bad) Iterator.empty
             else matchAll(evs, steps.tail, prev, deadline, anchorIdx,
               acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
-          case OneOrMore(_, _) =>
+          case OneOrMore(_, _, true) =>
+            consecEnumAll(evs, st, prev, deadline, anchorIdx, acc,
+              minK = 1, eligible, enumAfter)
+
+          case OneOrMore(_, _, _) =>
             val stopTs = st.untilBit.flatMap(ub =>
               evs.iteratorFrom(prev.idx + 1)
                 .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
@@ -1506,22 +1534,28 @@ object PatternNFA {
               bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
                 .iterator.flatMap(b => enumAfter(b.last, b))
             }
-          case ZeroOrMore(_, _) =>
+          case ZeroOrMore(_, _, consec) =>
             val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx)
               .map(Vector(Vector.empty[Ev]) ++ _)
             val stopTs = st.untilBit.flatMap(ub =>
               evs.iteratorFrom(prev.idx + 1)
                 .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
-            val bound = Iterator.from(1).map { k =>
-              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc,
-                stopTs)
-            }.takeWhile(_.isDefined).flatMap { b =>
-              val run = b.get
-              enumAfter(run.last, run)
-            }
+            val bound =
+              if (consec) consecEnumAll(evs, st, prev, deadline, anchorIdx,
+                acc, minK = 1, eligible, enumAfter)
+              else Iterator.from(1).map { k =>
+                bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc,
+                  stopTs)
+              }.takeWhile(_.isDefined).flatMap { b =>
+                val run = b.get
+                enumAfter(run.last, run)
+              }
             unbound ++ bound
-          case TimesOrMore(n, _) =>
+          case TimesOrMore(n, _, true) =>
+            consecEnumAll(evs, st, prev, deadline, anchorIdx, acc,
+              minK = n, eligible, enumAfter)
+          case TimesOrMore(n, _, _) =>
             Iterator.from(n).map { k =>
               bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
             }.takeWhile(_.isDefined).flatMap { b =>
@@ -1532,6 +1566,88 @@ object PatternNFA {
             sys.error("unreachable: groups are compiled to IGroup")
         }
     }
+  }
+
+  /** Maximal run of PHYSICALLY ADJACENT events matching `st`, starting
+    * AT `entry` (the loop-interior STRICT consuming strategy —
+    * Pattern.java consecutive()): the run extends while the NEXT event
+    * in the per-key sequence matches the step; any other event —
+    * matching kind or not — ends it. Same-timestamp neighbors chain
+    * (adjacency is positional; the reference's NFA also binds
+    * equal-timestamp elements in arrival order). */
+  private def consecutiveRun(evs: EvSeq, st: ILeaf, entry: Ev,
+                             deadline: Long, anchorIdx: Int,
+                             acc: Vector[Vector[Ev]],
+                             stopTs: Option[Long]): Vector[Ev] = {
+    var run = Vector(entry)
+    var go = true
+    while (go) {
+      evs.lift(run.last.idx + 1) match {
+        case Some(e) if hasBit(e, st.bit) && e.ts <= deadline &&
+            stopTs.forall(e.ts < _) &&
+            ctxOk(st, evs, e, anchorIdx, acc, run) =>
+          run :+= e
+        case _ => go = false
+      }
+    }
+    run
+  }
+
+  /** Committed-scan consecutive loop (matchLeaf's OneOrMore/
+    * TimesOrMore with consecutive=true): entry keeps the step's own
+    * relaxed relation — earliest eligible, advancing to the next
+    * eligible entry while no run from it completes (the Times(n,
+    * consecutive) precedent); the run binds adjacent events only;
+    * greedy shrinks from the end, reluctant grows from minK. */
+  private def consecutiveLoop(evs: EvSeq, st: ILeaf, prev: Ev,
+                              deadline: Long, anchorIdx: Int,
+                              acc: Vector[Vector[Ev]], minK: Int,
+                              reluctant: Boolean,
+                              eligible: (Int, Vector[Ev]) => Iterator[Ev],
+                              cont: (Ev, Vector[Ev]) => Option[Vector[Vector[Ev]]])
+      : Option[Vector[Vector[Ev]]] = {
+    val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+      .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+    eligible(prev.idx + 1, Vector.empty)
+      .filter(e => stopTs.forall(e.ts < _))
+      .flatMap { entry =>
+        val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
+          stopTs)
+        if (run.size < minK) Iterator.empty
+        else {
+          val order = if (reluctant) minK to run.size
+            else run.size to minK by -1
+          order.iterator.flatMap { k =>
+            val rk = run.take(k)
+            cont(rk.last, rk)
+          }
+        }
+      }.nextOption()
+  }
+
+  /** NoSkip enumeration of a consecutive loop: commits to the EARLIEST
+    * eligible entry that yields any completion (the committed-entry
+    * determinism of One-steps; the reference's NFAITCase
+    * testStrictOneOrMore expects no shifted-entry variants), then
+    * enumerates extents ASCENDING over the adjacent run. */
+  private def consecEnumAll(evs: EvSeq, st: ILeaf, prev: Ev,
+                            deadline: Long, anchorIdx: Int,
+                            acc: Vector[Vector[Ev]], minK: Int,
+                            eligible: Vector[Ev] => Iterator[Ev],
+                            enumAfter: (Ev, Vector[Ev]) => Iterator[Vector[Vector[Ev]]])
+      : Iterator[Vector[Vector[Ev]]] = {
+    val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+      .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+    eligible(Vector.empty)
+      .filter(e => stopTs.forall(e.ts < _))
+      .map { entry =>
+        val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
+          stopTs)
+        (minK to run.size).iterator.flatMap { k =>
+          val rk = run.take(k)
+          enumAfter(rk.last, rk)
+        }
+      }.find(_.hasNext).getOrElse(Iterator.empty)
   }
 
   /** Earliest n successive events matching the step after prev
@@ -1720,11 +1836,11 @@ object PatternNFA {
           .flatMap(e => cont(e, Vector(e)))
       case Optional => optional()
       case TimesRange(0, 1, false) => optional() // {0,1} ≡ ? (unmarked)
-      case OneOrMore(_, rel) => tryRange(1, Int.MaxValue, rel)
-      case ZeroOrMore(_, rel) => tryRange(0, Int.MaxValue, rel)
+      case OneOrMore(_, rel, _) => tryRange(1, Int.MaxValue, rel)
+      case ZeroOrMore(_, rel, _) => tryRange(0, Int.MaxValue, rel)
       case Times(n, _) => tryRange(n, n, reluctant = false)
       case TimesRange(lo, hi, rel) => tryRange(lo, hi, rel)
-      case TimesOrMore(n, rel) => tryRange(n, Int.MaxValue, rel)
+      case TimesOrMore(n, rel, _) => tryRange(n, Int.MaxValue, rel)
       case other => sys.error(s"quantifier $other is not part of the " +
         "strict row-pattern algebra (no clause form exists for it)")
     }

@@ -1517,6 +1517,54 @@ object CepExtras extends QueryGroup {
           |) AS T ORDER BY user_id, match_seq""".stripMargin)
     },
 
+    // CONSECUTIVE (loop-interior STRICT) unbounded loops (r11 —
+    // Pattern.java oneOrMore().consecutive(); NFAITCase
+    // testStrictOneOrMore pins entry-relaxed/interior-strict): the
+    // click run must be PHYSICALLY ADJACENT in the per-user (ts, id)
+    // sequence — any other event ends it — while the entry into the
+    // run and the purchase after it keep the relaxed relation.
+    // Oracle: gaps-and-islands on the per-user rn — the committed
+    // match is the FIRST island after the anchor that lies fully
+    // inside the window and is followed by an in-window purchase
+    // (suffix entries of a failed island share its end, so they can
+    // never succeed where it failed — the island enumeration is
+    // exactly the engine's entry-advance).
+    q("cep22_consecutive_run",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |cl AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM ev WHERE event_type = 'click'),
+        |isl AS (
+        |  SELECT user_id, grp, min(rn) AS s_rn, max(rn) AS e_rn,
+        |    min(ts_us) AS s_us, max(ts_us) AS e_us, count(*) AS n,
+        |    arg_min(event_id, rn) AS s_id
+        |  FROM cl GROUP BY 1, 2),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
+        |      FROM ev WHERE event_type = 'signup'),
+        |cand AS (
+        |  SELECT a.user_id, a.a_id, i.s_rn, i.s_id, i.n, p.p_id
+        |  FROM a JOIN isl i ON i.user_id = a.user_id AND i.s_rn > a.a_rn
+        |    AND i.s_us <= a.a_us + $H72 AND i.e_us <= a.a_us + $H72
+        |  JOIN LATERAL (SELECT e.event_id AS p_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.rn > i.e_rn AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.rn LIMIT 1) p ON true),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id, a_id
+        |        ORDER BY s_rn) AS pick FROM cand)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || s_id || ',' || p_id AS chain, 'B:' || n AS counts
+        |FROM m WHERE pick = 1 ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("B", "click", OneOrMore(consecutive = true)),
+          Step("P", "purchase")),
+        withinMicros = H72)
+        .orderBy("key", "anchor_id")
+    },
+
     // MULTI-COLUMN, STRING-TYPED PARTITION BY (the reference allows
     // any number of partition columns of any type —
     // MatchRecognizeITCase testCodeSplitsAreProperlyGenerated

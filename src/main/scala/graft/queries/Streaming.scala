@@ -2022,6 +2022,52 @@ object Streaming extends QueryGroup {
       finally s.conf.set(ck, "true")
     },
 
+    // STREAMING consecutive (loop-interior STRICT) unbounded loop —
+    // cep22's streaming twin (r11; Pattern.java oneOrMore()
+    // .consecutive() through the streaming CEP door): the adjacent
+    // click run binds inside keyed state at anchor maturity. Oracle =
+    // cep22's islands cut at the final watermark.
+    q("st56_stream_consecutive_run",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |cl AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM ev WHERE event_type = 'click'),
+        |isl AS (
+        |  SELECT user_id, grp, min(rn) AS s_rn, max(rn) AS e_rn,
+        |    min(ts_us) AS s_us, max(ts_us) AS e_us, count(*) AS n,
+        |    arg_min(event_id, rn) AS s_id
+        |  FROM cl GROUP BY 1, 2),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
+        |       FROM ev WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
+        |cand AS (
+        |  SELECT a.user_id, a.a_id, i.s_rn, i.s_id, i.n, p.p_id
+        |  FROM a JOIN isl i ON i.user_id = a.user_id AND i.s_rn > a.a_rn
+        |    AND i.s_us <= a.a_us + $H72 AND i.e_us <= a.a_us + $H72
+        |  JOIN LATERAL (SELECT e.event_id AS p_id FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        |      AND e.rn > i.e_rn AND e.ts_us <= a.a_us + $H72
+        |    ORDER BY e.rn LIMIT 1) p ON true),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id, a_id
+        |        ORDER BY s_rn) AS pick FROM cand)
+        |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
+        |  a_id || ',' || s_id || ',' || p_id AS chain, 'B:' || n AS counts
+        |FROM m WHERE pick = 1 ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{OneOrMore, Step}
+      val out = graft.streaming.StreamingMatchRecognize.pattern(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"),
+          Step("B", "click", OneOrMore(consecutive = true)),
+          Step("P", "purchase")),
+        withinMicros = H72, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st56_out")
+        .orderBy("key", "anchor_id")
+    },
+
     // UPDATE_BEFORE emission (the reference's retract mode —
     // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
     // pairs): st29's LEFT OUTER join with updateBefore on — the pad

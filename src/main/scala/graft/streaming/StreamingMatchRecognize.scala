@@ -181,8 +181,8 @@ object StreamingMatchRecognize {
     def kindsOf(ss: Seq[PatternNFA.Step]): Seq[String] = ss.flatMap { st =>
       st.quant match {
         case PatternNFA.GroupTimes(sub, _, _) => kindsOf(sub)
-        case PatternNFA.OneOrMore(Some(uk), _) => Seq(st.kind, uk)
-        case PatternNFA.ZeroOrMore(Some(uk), _) => Seq(st.kind, uk)
+        case PatternNFA.OneOrMore(Some(uk), _, _) => Seq(st.kind, uk)
+        case PatternNFA.ZeroOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }

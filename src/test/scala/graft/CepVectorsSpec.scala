@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.PatternNFA
+import graft.operators.PatternNFA._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CEP-library parity pinned to the REFERENCE'S OWN expected match
+  * sets — the r10/r11 structural lesson (self-authored oracles can
+  * encode the engine's own semantics) applied to the CEP API doors,
+  * whose cep* oracles are all self-authored. Vectors transcribed from
+  * flink-libraries/flink-cep/src/test/java/org/apache/flink/cep/nfa/
+  * NFAITCase.java (line anchors at each test). All run with NO SKIP,
+  * the reference harness's default (feedNFA emits every match).
+  *
+  * Adaptations: the reference's where()-conditions become kind
+  * columns (condition evaluation is data prep for a kind-equality
+  * NFA — the engine's predicate generality is exercised by the
+  * MATCH_RECOGNIZE family); event timestamps are made DISTINCT where
+  * the reference reuses one (this engine's relaxed relations pin
+  * strictly-increasing timestamps between neighbor bindings — its
+  * deterministic (ts, id) order contract — while consecutive-interior
+  * runs chain same-timestamp ADJACENT events like the reference);
+  * match sets compare as (chain, counts) pairs — a loop's binding is
+  * its first element + extent, which uniquely names the reference's
+  * event lists under prefix-contiguous loop semantics.
+  *
+  * NOT transcribed (documented engine deltas): SKIP_TILL_ANY loops
+  * (allowCombinations beyond the times(2) pairs door), loop-FIRST
+  * patterns (the relaxed door anchors on a One-step; the STRICT
+  * MATCH_RECOGNIZE door does support quantified first variables),
+  * and next()-ENTRY into a loop (consecutive here is the loop
+  * INTERIOR; the entry keeps the step's own relation).
+  */
+class CepVectorsSpec extends AnyFunSuite {
+  lazy val spark = StreamHarness.spark
+
+  private val W = 3600000000L // 1 hour — wider than any vector's span
+
+  private def ev(rows: (Int, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, k) => (0L, id.toLong * 1000000L, id.toLong, k) }
+      .toDF("key", "tsMicros", "id", "kind")
+  }
+
+  private def matches(df: DataFrame, steps: Seq[Step],
+                      am: AfterMatch = NoSkip): Set[(String, String)] =
+    PatternNFA.run(spark, df, steps, W, am)
+      .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
+      .toSet
+
+  // the shared ConsecutiveData shape (NFAITCase:2606 + the
+  // testOneOrMore/testZeroOrMore feeders :2730/:2950): c, d, a, a, a,
+  // d, a, b — distinct ts (m2/m3 share one in the reference; see doc)
+  private val consecData = ev(1 -> "c", 2 -> "d", 3 -> "a", 4 -> "a",
+    5 -> "a", 6 -> "d", 7 -> "a", 8 -> "b")
+
+  test("NFAITCase testSimplePatternNFA:187 — one committed match across noise") {
+    val df = ev(1 -> "start", 2 -> "x", 3 -> "x2", 4 -> "mid",
+      5 -> "start", 6 -> "end")
+    val got = matches(df, Seq(Step("S", "start"), Step("M", "mid"),
+      Step("E", "end")))
+    // the second start has no mid after it — exactly one match
+    assert(got == Set(("1,4,6", "")), got)
+  }
+
+  test("NFAITCase testStrictContinuityWithResults:248 — next() binds the adjacent event") {
+    val got = matches(ev(1 -> "a", 2 -> "b"),
+      Seq(Step("M", "a"), Step("E", "b", Next)))
+    assert(got == Set(("1,2", "")), got)
+  }
+
+  test("NFAITCase testStrictContinuityNoResults:291 — an intervening event kills next()") {
+    val got = matches(ev(1 -> "a", 2 -> "c", 3 -> "b"),
+      Seq(Step("M", "a"), Step("E", "b", Next)))
+    assert(got.isEmpty, got)
+  }
+
+  test("NFAITCase testSkipTillNextOneOrMore:2642 — relaxed 1+ emits run prefixes") {
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore()), Step("E", "b")))
+    // prefixes of the eligible run m@3..m@7 (the d's are skipped),
+    // never shifted starts
+    assert(got == (1 to 4).map(k => ("1,3,8", s"M:$k")).toSet, got)
+  }
+
+  test("NFAITCase testSkipTillNextZeroOrMore:2930 — 0+ adds the empty extent") {
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", ZeroOrMore()), Step("E", "b")))
+    assert(got == ((1 to 4).map(k => ("1,3,8", s"M:$k")).toSet +
+      (("1,8", "M:0"))), got)
+  }
+
+  test("NFAITCase testStrictOneOrMore:2618 — consecutive() run ends at the first gap") {
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore(consecutive = true)), Step("E", "b")))
+    // adjacent run m@3,m@4,m@5 — d@6 ends it, m@7 is unreachable;
+    // entry m@3 is NOT adjacent to the start (entry stays relaxed)
+    assert(got == (1 to 3).map(k => ("1,3,8", s"M:$k")).toSet, got)
+  }
+
+  test("NFAITCase testStrictEagerZeroOrMore:2795 — consecutive 0+ adds the empty extent") {
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", ZeroOrMore(consecutive = true)), Step("E", "b")))
+    assert(got == ((1 to 3).map(k => ("1,3,8", s"M:$k")).toSet +
+      (("1,8", "M:0"))), got)
+  }
+
+  test("NFAITCase testEagerZeroOrMore:774 — relaxed run skips interleaved noise") {
+    val df = ev(1 -> "c", 3 -> "a", 4 -> "a", 5 -> "d", 6 -> "a", 7 -> "b")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", ZeroOrMore()), Step("E", "b")))
+    assert(got == ((1 to 3).map(k => ("1,3,7", s"M:$k")).toSet +
+      (("1,7", "M:0"))), got)
+  }
+
+  test("NFAITCase testOptional:1455 — NO SKIP emits both optional branches") {
+    val df = ev(1 -> "c", 5 -> "a", 6 -> "b")
+    val got = matches(df, Seq(Step("S", "c"), Step("M", "a", Optional),
+      Step("E", "b")))
+    assert(got == Set(("1,5,6", ""), ("1,6", "")), got)
+  }
+
+  test("NFAITCase testTimesStrict:2976 — times(2).consecutive() advances past a broken pair") {
+    val df = ev(1 -> "c", 2 -> "f", 3 -> "a", 4 -> "f", 5 -> "a",
+      6 -> "a", 7 -> "b")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", Times(2, consecutive = true)), Step("E", "b")))
+    // the pair from m@3 is broken by f@4; the committed entry advances
+    // to m@5 — exactly the reference's single (start, m2, m3, end);
+    // bounded Times chains every bound id (no counts entry)
+    assert(got == Set(("1,5,6,7", "")), got)
+  }
+
+  test("NFAITCase testTimesNonStrict:3039 — times(2).allowCombinations() emits every pair") {
+    val df = ev(1 -> "c", 2 -> "f", 3 -> "a", 4 -> "f", 5 -> "a",
+      6 -> "a", 7 -> "b")
+    val got = PatternNFA.runCombinationsPairs(spark, df, "c", "a", "b", W)
+      .collect().map(_.getAs[String]("chain")).toSet
+    assert(got == Set("1,3,5,7", "1,3,6,7", "1,5,6,7"), got)
+  }
+
+  test("NFAITCase testEndWithZeroOrMore:1928 — a trailing loop emits every extent") {
+    val df = ev(1 -> "c", 3 -> "a", 4 -> "a", 5 -> "a")
+    val got = matches(df, Seq(Step("S", "c"), Step("M", "a", ZeroOrMore())))
+    assert(got == ((1 to 3).map(k => ("1,3", s"M:$k")).toSet +
+      (("1", "M:0"))), got)
+  }
+
+  test("committed doors: consecutive loops bind the greedy adjacent run") {
+    // the committed (SkipToNextRow) scan of the same testStrictOneOrMore
+    // shape: one match per anchor, the full adjacent run
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore(consecutive = true)), Step("E", "b")),
+      am = SkipToNextRow)
+    assert(got == Set(("1,3,8", "M:3")), got)
+    // reluctant consecutive grows from the front instead
+    val rel = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore(reluctant = true, consecutive = true)),
+      Step("E", "b")), am = SkipToNextRow)
+    assert(rel == Set(("1,3,8", "M:1")), rel)
+    // timesOrMore(2).consecutive(): floor honored, greedy to the gap
+    val t2 = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", TimesOrMore(2, consecutive = true)), Step("E", "b")),
+      am = SkipToNextRow)
+    assert(t2 == Set(("1,3,8", "M:3")), t2)
+    // a gap directly after the only entry starves the 2-floor
+    val starved = matches(ev(1 -> "c", 3 -> "a", 4 -> "d", 5 -> "a",
+      6 -> "d", 7 -> "b"), Seq(Step("S", "c"),
+      Step("M", "a", TimesOrMore(2, consecutive = true)), Step("E", "b")),
+      am = SkipToNextRow)
+    assert(starved.isEmpty, starved)
+  }
+}
