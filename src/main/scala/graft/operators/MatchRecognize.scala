@@ -201,12 +201,12 @@ object MatchRecognize {
     // over the expression; functions are rejected (they belong to the
     // agg forms above)
     case bareExprRe(e, alias) if {
-      val vars = measVarRe.findAllMatchIn(e).map(_.group(1).toUpperCase)
-        .toSeq.distinct
-      vars.size == 1 && !measFnRe.findFirstIn(e).isDefined
+      val vars = qualifiers(e)
+      vars.size == 1 && !splitQuoted(e).exists { case (seg, lit) =>
+        !lit && measFnRe.findFirstIn(seg).isDefined }
     } =>
-      val v = measVarRe.findFirstMatchIn(e).get.group(1).toUpperCase
-      Measure("LAST", v, measVarRe.replaceAllIn(e, "").trim, None, alias)
+      val v = qualifiers(e).head
+      Measure("LAST", v, stripQualifiers(e), None, alias)
     case other => sys.error(s"unsupported MEASURES item: $other")
   }
   private val bareExprRe = """(?is)^(.*\S)\s+AS\s+(\w+)$""".r
@@ -221,6 +221,40 @@ object MatchRecognize {
     * reference's COUNT(*) / COUNT(price) / FIRST(id) measures —
     * MatchRecognizeITCase testAggregates[WithNullInputs]). */
   private val measVarRe = """([A-Za-z_]\w*)\s*\.""".r
+
+  /** (segment, isStringLiteral) decomposition of a measure expression
+    * — qualifier detection and stripping must not touch text inside
+    * '...' literals ('' = escaped quote; review r11: a literal
+    * containing "B." would otherwise be silently corrupted by the
+    * prefix strip). */
+  private def splitQuoted(s: String): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s(i)
+      if (!inQ && c == '\'') {
+        if (sb.nonEmpty) { out += ((sb.toString, false)); sb.clear() }
+        sb += c; inQ = true
+      } else if (inQ && c == '\'') {
+        if (i + 1 < s.length && s(i + 1) == '\'') { sb += c; sb += c; i += 1 }
+        else { sb += c; out += ((sb.toString, true)); sb.clear(); inQ = false }
+      } else sb += c
+      i += 1
+    }
+    if (sb.nonEmpty) out += ((sb.toString, inQ))
+    out.result()
+  }
+  /** Distinct VAR qualifiers (`VAR.`) OUTSIDE string literals. */
+  private def qualifiers(e: String): Seq[String] =
+    splitQuoted(e).collect { case (seg, false) => seg }
+      .flatMap(seg => measVarRe.findAllMatchIn(seg).map(_.group(1).toUpperCase))
+      .distinct
+  /** Strip `VAR.` prefixes OUTSIDE string literals. */
+  private def stripQualifiers(e: String): String =
+    splitQuoted(e).map { case (seg, lit) =>
+      if (lit) seg else measVarRe.replaceAllIn(seg, "") }.mkString.trim
   private def mkAgg(f0: String, arg0: String, roundTo: Option[Int],
                     alias: String): Measure = {
     val f = f0.toUpperCase
@@ -238,11 +272,10 @@ object MatchRecognize {
       require(f == "COUNT", s"only COUNT accepts * as its argument, got $f(*)")
       Measure("COUNT", "", "*", roundTo, alias)
     } else {
-      val vars = measVarRe.findAllMatchIn(arg).map(_.group(1).toUpperCase)
-        .toSeq.distinct
+      val vars = qualifiers(arg)
       require(vars.size <= 1,
         s"a MEASURES aggregate may reference ONE pattern variable: $arg0")
-      val stripped = measVarRe.replaceAllIn(arg, "").trim
+      val stripped = stripQualifiers(arg)
       Measure(f, vars.headOption.getOrElse(""), stripped, roundTo, alias,
         off = off)
     }
@@ -276,15 +309,16 @@ object MatchRecognize {
     def membersOf(v: String): Seq[String] = subsets.getOrElse(v, Seq(v))
   }
 
-  /** Split a DEFINE body on TOP-LEVEL ANDs (paren- and string-literal
-    * aware) — each conjunct is independently classified as row-local
-    * or context-dependent. */
-  private def splitTopLevelAnd(s: String): Seq[String] = {
+  /** Split a DEFINE body on a TOP-LEVEL keyword (paren- and
+    * string-literal aware) — each conjunct is independently classified
+    * as row-local or context-dependent. */
+  private def splitTopLevelKw(s: String, kw: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var depth = 0
     var quote = false
     var i = 0
+    val n = kw.length
     def boundary(j: Int): Boolean =
       j < 0 || j >= s.length || (!s(j).isLetterOrDigit && s(j) != '_')
     while (i < s.length) {
@@ -293,15 +327,17 @@ object MatchRecognize {
       else if (c == '\'') { quote = true; sb += c; i += 1 }
       else if (c == '(') { depth += 1; sb += c; i += 1 }
       else if (c == ')') { depth -= 1; sb += c; i += 1 }
-      else if (depth == 0 && i + 3 <= s.length &&
-          s.substring(i, i + 3).equalsIgnoreCase("AND") &&
-          boundary(i - 1) && boundary(i + 3)) {
-        out += sb.toString.trim; sb.clear(); i += 3
+      else if (depth == 0 && i + n <= s.length &&
+          s.substring(i, i + n).equalsIgnoreCase(kw) &&
+          boundary(i - 1) && boundary(i + n)) {
+        out += sb.toString.trim; sb.clear(); i += n
       } else { sb += c; i += 1 }
     }
     out += sb.toString.trim
     out.result().filter(_.nonEmpty)
   }
+  private def splitTopLevelAnd(s: String): Seq[String] =
+    splitTopLevelKw(s, "AND")
 
   private val navFnRe = """(?i)\b(PREV|FIRST|LAST)\s*\(""".r
   private val varDotRe = """(?i)\b(\w+)\s*\.""".r
@@ -523,7 +559,29 @@ object MatchRecognize {
     val defines: Seq[(String, String)] = rawDefines.map { case (name, body) =>
       val locals = Seq.newBuilder[String]
       val ctxs = Seq.newBuilder[CtxCmp]
-      splitTopLevelAnd(body).foreach { conj =>
+      // SQL precedence: AND binds tighter than OR, so a body with BOTH
+      // at top level (X AND Y OR Z) must NOT be split at its ANDs —
+      // that would regroup it as X AND (Y OR Z). A fully row-local
+      // body evaluates WHOLE through expr() (native precedence); one
+      // that needs the navigation compiler is rejected loudly (its
+      // conjunct grammar is a conjunction of [OR-chains of]
+      // comparisons — parenthesize to disambiguate). Review r11.
+      val mixedTopLevel = splitTopLevelKw(body, "OR").size > 1 &&
+        splitTopLevelAnd(body).size > 1
+      if (mixedTopLevel) {
+        val hasNavFn = navFnRe.findFirstIn(body).isDefined ||
+          aggFnRe.findFirstIn(body).isDefined
+        val varRefs = varDotRe.findAllMatchIn(body)
+          .map(_.group(1).toUpperCase).filter(navigable).toSet
+        if (!hasNavFn && varRefs.isEmpty) locals += s"($body)"
+        else if (!hasNavFn && varRefs == Set(name))
+          locals += "(" +
+            body.replaceAll(s"(?i)\\b$name\\s*\\.\\s*", "") + ")"
+        else sys.error(s"DEFINE $name mixes top-level AND and OR around " +
+          "navigation/aggregates — parenthesize (AND binds tighter than " +
+          "OR; the navigation compiler takes a conjunction of comparisons, " +
+          "each optionally an OR of comparisons)")
+      } else splitTopLevelAnd(body).foreach { conj =>
         val hasNavFn = navFnRe.findFirstIn(conj).isDefined ||
           aggFnRe.findFirstIn(conj).isDefined
         val varRefs = varDotRe.findAllMatchIn(conj)
@@ -554,9 +612,13 @@ object MatchRecognize {
           case rangeQuantRe("", null, _) =>
             sys.error(s"empty quantifier {} on $name")
           // {,m} ≡ {0,m} (match_recognize.md:357 — between 0 and m
-          // rows, m > 0)
+          // rows, m > 0); {,1}? is the reluctant optional under
+          // another spelling — rejected like ?? and {0,1}?
           case rangeQuantRe("", hi, r) =>
             require(hi.nonEmpty && hi.toInt > 0, s"{,m} requires m > 0")
+            if (hi.toInt == 1 && r == "?") sys.error(
+              s"reluctant optional ($name{,1}?) is not supported (the " +
+                "reference rejects it: StreamExecMatch.scala:445)")
             TimesRange(0, hi.toInt, reluctant = r == "?")
           case rangeQuantRe(n, null, _) => // {n}? ≡ {n}
             require(n.toInt > 0, s"{n} requires n > 0 " +

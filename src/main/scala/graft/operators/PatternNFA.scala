@@ -307,6 +307,19 @@ object PatternNFA {
     def lift(i: Int): Option[Ev] = None
     def iteratorFrom(i: Int): Iterator[Ev] = Iterator.empty
   }
+  /** View truncated to events with ts <= cap, for the STRICT timeout
+    * prefix scan: the full-match rule "a greedy munch crossing WITHIN
+    * dies" must not starve the timed-out PREFIX of its in-window loop
+    * bindings — the side output reports what was bound IN-window
+    * (review r11). Suffix truncation preserves positional adjacency
+    * of the surviving prefix; direct apply() stays untruncated (PREV
+    * navigation reads at-or-before the current row, always in cap). */
+  private final class CappedEvs(inner: EvSeq, cap: Long) extends EvSeq {
+    def apply(i: Int): Ev = inner(i)
+    def lift(i: Int): Option[Ev] = inner.lift(i).filter(_.ts <= cap)
+    def iteratorFrom(i: Int): Iterator[Ev] =
+      inner.iteratorFrom(i).takeWhile(_.ts <= cap)
+  }
   /** Per-key sliding buffer over GLOBAL (per-key) indices: events below
     * `base` are evicted — the batch scan's analog of the streaming
     * operator's WITHIN-bounded keyed state. Reading an evicted index is
@@ -1854,8 +1867,12 @@ object PatternNFA {
                                    isteps: Seq[INode], a: Ev,
                                    deadline: Long): Option[PTimeout] = {
     val vprev = strictPrev(a)
+    // cap the view at the deadline: an in-window loop run whose NEXT
+    // adjacent element lies beyond WITHIN must report its in-window
+    // bindings, not die under the full-match crossing rule (r11 review)
+    val capped = new CappedEvs(evs, deadline)
     (isteps.length - 1 to 1 by -1).iterator
-      .map(k => strictFrom(evs, isteps.take(k), vprev, deadline, a.idx,
+      .map(k => strictFrom(capped, isteps.take(k), vprev, deadline, a.idx,
         Vector.empty))
       .collectFirst { case Some(b) if b.exists(_.nonEmpty) => b }
       .map { bound =>

@@ -1953,8 +1953,14 @@ object Streaming extends QueryGroup {
           |  DEFINE A AS kind = 'signup', E AS kind <> 'purchase',
           |         P AS kind = 'purchase')""".stripMargin,
         watermarkDelay = "1 minute")
-      // hop 1: exactly-once durable channel
-      val dirc = java.nio.file.Files.createTempDirectory("graft_st54").toString
+      // hop 1: exactly-once durable channel — a FIXED per-JVM scratch
+      // path, pre-cleaned on entry so repeated runs don't accumulate
+      // parquet + checkpoint litter in the temp dir (review r11; the
+      // channel must outlive this closure — the returned frame reads
+      // it lazily — so at most one run's directory survives)
+      val dirc = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st54_channel").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirc))
       val q1 = matches.writeStream.outputMode(OutputMode.Append)
         .format("parquet").option("path", s"$dirc/matches")
         .option("checkpointLocation", s"$dirc/chk").start()
@@ -2014,12 +2020,13 @@ object Streaming extends QueryGroup {
           |  DEFINE A AS n > 0, R AS n > FIRST(A.n))""".stripMargin,
         attachWatermark = false)
       val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val ckPrev = s.conf.getOption(ck).getOrElse("true")
       s.conf.set(ck, "false") // agg->MR cascade; safe per attachWatermark doc
       try
         StreamRunner.toTable(s, out, OutputMode.Append, "st55_out")
           .select(col("key").as("user_id"), col("a_us"), col("b_n"))
           .orderBy("user_id", "a_us")
-      finally s.conf.set(ck, "true")
+      finally s.conf.set(ck, ckPrev)
     },
 
     // STREAMING consecutive (loop-interior STRICT) unbounded loop —

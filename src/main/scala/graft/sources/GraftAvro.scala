@@ -336,8 +336,11 @@ object GraftAvro {
     // pass runs when every task attempt — speculative ones included —
     // has finished, so it can't yank a tmp out from under a
     // still-writing attempt the way the old in-task sweep could
-    // (advisor r10). One glob, best effort.
-    fs.globStatus(new Path(dir, "*.tmp"))
+    // (advisor r10). Scoped to THIS job's stamp — a blanket *.tmp
+    // glob would delete a concurrently-appending job's in-flight
+    // attempts in the same directory (review r11). One glob, best
+    // effort.
+    fs.globStatus(new Path(dir, s"*-$stamp.avro.*.tmp"))
       .foreach(st => fs.delete(st.getPath, false))
   }
 

@@ -213,9 +213,21 @@ object MatchRecognizeSql {
     }
     p.orderExtra.foreach { case (c, _) => require(fields.contains(c),
       s"ORDER BY column '$c' not in ${p.table}") }
-    val idCol = Seq("id", "event_id").find(fields.contains).getOrElse(
-      sys.error(s"${p.table} needs an id/event_id column (the deterministic " +
-        "within-timestamp tiebreak)"))
+    // with secondary ORDER BY columns the canonical `id` becomes the
+    // row_number sequence — a source column named `id` would have its
+    // DEFINE/MEASURES references silently repointed at the surrogate,
+    // so that shape requires the unambiguous `event_id` spelling
+    // (review r11)
+    val idCol =
+      (if (p.orderExtra.isEmpty) Seq("id", "event_id") else Seq("event_id"))
+        .find(fields.contains).getOrElse(sys.error(
+          if (p.orderExtra.isEmpty)
+            s"${p.table} needs an id/event_id column (the deterministic " +
+              "within-timestamp tiebreak)"
+          else s"${p.table} needs an event_id column: secondary ORDER BY " +
+            "columns re-derive the canonical sequence id, and a column " +
+            "named `id` would be shadowed by it — rename the tiebreak " +
+            "column to event_id"))
     // general-path partition columns may not collide with the
     // canonical frame's own names: the surrogate overwrites `key`, and
     // tsMicros/id/event_id are consumed by the canonicalization — a

@@ -239,8 +239,9 @@ object StreamingMatchRecognize {
     * that key — exactly the reference's idle-state-retention trade
     * (Flink's table.exec.state.ttl resets accumulators the same way).
     * `None` (default) keeps the reference's strict MATCH_NUMBER
-    * continuity at the cost of per-matched-key residual state. */
-  /** `attachWatermark = false` skips the operator's own
+    * continuity at the cost of per-matched-key residual state.
+    *
+    * `attachWatermark = false` skips the operator's own
     * `withWatermark` node: for a CASCADE input (a windowed aggregate
     * feeding MATCH_RECOGNIZE — the reference's
     * testMatchRecognizeAppliedToWindowedGrouping shape) the SOURCE

@@ -285,7 +285,10 @@ class MatchStrictSpec extends AnyFunSuite {
       (9L, 3L, 10L, "a", 10L), (10L, 2L, 11L, "b", 11L), (11L, 1L, 12L, "c", 12L))
       .map { case (ts, sec, ter, n, id) =>
         (0L, new java.sql.Timestamp(ts * 1000L), sec, ter, n, id) }
-      .toDF("part", "rowtime", "secondaryOrder", "ternaryOrder", "name", "id")
+      .toDF("part", "rowtime", "secondaryOrder", "ternaryOrder", "name",
+        "event_id") // the secondary-order shape requires the
+                    // unambiguous event_id spelling (a column named
+                    // `id` would be shadowed by the sequence id)
       .createOrReplaceTempView("ordered_events")
     val out = graft.sources.MatchRecognizeSql.sql(spark,
       s"""SELECT aid, bid, cid FROM ordered_events MATCH_RECOGNIZE (
@@ -442,6 +445,45 @@ class MatchStrictSpec extends AnyFunSuite {
     assert(tied == Seq("1,2"), tied)
   }
 
+  test("DEFINE mixing top-level AND and OR keeps SQL precedence (r11 review)") {
+    // (name = 'a' AND id > 5) OR name = 'z' — splitting at the AND
+    // would regroup it as name='a' AND (id>5 OR name='z') and reject
+    // the z row; the row-local whole-body path keeps expr()'s native
+    // precedence
+    val ev = named(1 -> "z", 2 -> "b")
+    val out = MatchRecognize.run(spark, ev,
+      s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+         |  PATTERN (A B) $W
+         |  DEFINE A AS name = 'a' AND id > 5 OR name = 'z',
+         |         B AS name = 'b')""".stripMargin)
+      .select("chain").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("1,2"), out)
+    // ...and with navigation in the mix the ambiguity is LOUD
+    val e = intercept[RuntimeException] {
+      MatchRecognize.run(spark, named(1 -> "a", 2 -> "b"),
+        s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+           |  PATTERN (A B) $W
+           |  DEFINE A AS name = 'a',
+           |         B AS name = 'b' AND id > LAST(A.id) OR name = 'z')""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("parenthesize"), e.getMessage)
+  }
+
+  test("MEASURES string literals survive qualifier stripping (r11 review)") {
+    // a literal containing "B." must not be rewritten by the
+    // variable-prefix strip
+    val ev = named(1 -> "a", 2 -> "b")
+    val out = MatchRecognize.run(spark, ev,
+      s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+         |  MEASURES concat('B.', B.name) AS tag
+         |  ONE ROW PER MATCH
+         |  PATTERN (A B) $W
+         |  DEFINE A AS name = 'a', B AS name = 'b')""".stripMargin)
+      .select("tag").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("B.b"), out)
+  }
+
   test("pattern-shape rejections mirror the reference's") {
     def bad(pattern: String, defines: String = "A AS name = 'a'"): String =
       intercept[RuntimeException] {
@@ -471,10 +513,12 @@ class MatchStrictSpec extends AnyFunSuite {
       s"""MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
          |  PATTERN (A B?) $W
          |  DEFINE A AS name = 'a', B AS name = 'b')""".stripMargin)
-    // reluctant optional (:445)
+    // reluctant optional (:445) — all three spellings
     assert(bad("A B??", "A AS name = 'a', B AS name = 'b'")
       .contains("reluctant optional"))
     assert(bad("A B{0,1}?", "A AS name = 'a', B AS name = 'b'")
+      .contains("reluctant optional"))
+    assert(bad("A B{,1}?", "A AS name = 'a', B AS name = 'b'")
       .contains("reluctant optional"))
     // unique variables (:409)
     assert(bad("A B A", "A AS name = 'a', B AS name = 'b'")

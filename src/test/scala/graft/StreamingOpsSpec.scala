@@ -625,6 +625,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("strict timeout prefix keeps in-window loop bindings when the run crosses WITHIN (r11 review)") {
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // signup@10, click@30 (in window), click@80 (beyond 60s window),
+    // no purchase: the timed-out prefix must report the IN-window
+    // click (n_bound=2, last_id=2) — the full-match rule "a greedy
+    // munch crossing WITHIN dies" must not starve the prefix down to
+    // the bare anchor
+    val clause =
+      """MATCH_RECOGNIZE (PARTITION BY key ORDER BY ts
+        |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS kind = 'signup', B AS kind = 'click',
+        |         P AS kind = 'purchase')""".stripMargin
+    val batches = Seq(
+      Seq(ev(1, 10, 1, "signup"), ev(1, 30, 2, "click")),
+      Seq(ev(1, 80, 3, "click")),
+      Seq(ev(9, 300, 9, "flush")))
+    val out = StreamHarness.run(batches, OutputMode.Append, "strict_tmo_prefix") {
+      in => StreamingMatchRecognize.timeouts(spark, in.toDF(), clause,
+        watermarkDelay = "10 seconds").toDF()
+    }.select("key", "anchor_id", "last_id", "n_bound").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq((1L, 1L, 2L, 2)), out)
+  }
+
   test("streaming CEP timeout side output equals the batch scan, any batching") {
     import graft.streaming.StreamingMatchRecognize
     implicit val sql = spark.sqlContext
