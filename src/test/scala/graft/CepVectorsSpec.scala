@@ -147,6 +147,18 @@ class CepVectorsSpec extends AnyFunSuite {
       (("1", "M:0"))), got)
   }
 
+  test("NFAITCase testBranchingPattern:499 — followedByAny chains branch into the full cross product") {
+    // start, three qualifying middles, two next-ones, one end — every
+    // (middle, next) combination emits its own match: 3 × 2 × 1 = 6
+    val df = ev(1 -> "start", 3 -> "mid", 4 -> "mid", 5 -> "mid",
+      6 -> "nx", 7 -> "nx", 8 -> "end")
+    val got = matches(df, Seq(Step("S", "start"),
+      Step("M", "mid", AnyOne), Step("N", "nx", AnyOne),
+      Step("E", "end", AnyOne)))
+    assert(got == (for (m <- 3 to 5; n <- 6 to 7)
+      yield (s"1,$m,$n,8", "")).toSet, got)
+  }
+
   test("committed doors: consecutive loops bind the greedy adjacent run") {
     // the committed (SkipToNextRow) scan of the same testStrictOneOrMore
     // shape: one match per anchor, the full adjacent run
