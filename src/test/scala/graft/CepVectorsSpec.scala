@@ -159,6 +159,33 @@ class CepVectorsSpec extends AnyFunSuite {
       yield (s"1,$m,$n,8", "")).toSet, got)
   }
 
+  test("NFAITCase testNoConditionNFA:82 — condition-less steps commit to the next event") {
+    // begin.followedBy with NO conditions: every event anchors and the
+    // second step commits to the immediately-following event — exactly
+    // the reference's (a,b),(b,c),(c,d),(d,e)
+    import org.apache.spark.sql.functions.lit
+    val df = ev(1 -> "x", 2 -> "x", 3 -> "x", 4 -> "x", 5 -> "x")
+    val preds = Seq("S" -> lit(true), "E" -> lit(true))
+    val got = PatternNFA.runPredicates(spark, df,
+        Seq(Step("S", "S"), Step("E", "E")), preds, W, NoSkip)
+      .collect().map(_.getAs[String]("chain")).toSet
+    assert(got == Set("1,2", "2,3", "3,4", "4,5"), got)
+  }
+
+  test("NFAITCase testNoConditionLoopingNFA:113 — condition-less trailing 1+ emits every contiguous substring") {
+    import org.apache.spark.sql.functions.lit
+    val df = ev(1 -> "x", 2 -> "x", 3 -> "x", 4 -> "x", 5 -> "x")
+    val preds = Seq("S" -> lit(true), "E" -> lit(true))
+    val got = PatternNFA.runPredicates(spark, df,
+        Seq(Step("S", "S"), Step("E", "E", OneOrMore())), preds, W, NoSkip)
+      .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
+      .toSet
+    // the reference's ten substrings: anchors a..d, loop extents 1..4
+    val want = (for (a <- 1 to 4; k <- 1 to 5 - a)
+      yield (s"$a,${a + 1}", s"E:$k")).toSet
+    assert(got == want, got)
+  }
+
   test("committed doors: consecutive loops bind the greedy adjacent run") {
     // the committed (SkipToNextRow) scan of the same testStrictOneOrMore
     // shape: one match per anchor, the full adjacent run
