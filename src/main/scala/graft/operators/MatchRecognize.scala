@@ -341,6 +341,27 @@ object MatchRecognize {
 
   private val navFnRe = """(?i)\b(PREV|FIRST|LAST)\s*\(""".r
   private val varDotRe = """(?i)\b(\w+)\s*\.""".r
+  /** DEFINE-body classification, string-literal aware (review r12 —
+    * the MEASURES fix via splitQuoted is reused here: a literal like
+    * 'B.x' must neither count as a variable reference nor be touched
+    * by the self-prefix strip). Literal segments are replaced by a
+    * space so regex scans cannot bridge across them. */
+  private def defineNonLiteral(e: String): String =
+    splitQuoted(e).map { case (seg, lit) => if (lit) " " else seg }.mkString
+  private def defineHasFn(e: String): Boolean = {
+    val nl = defineNonLiteral(e)
+    navFnRe.findFirstIn(nl).isDefined || aggFnRe.findFirstIn(nl).isDefined
+  }
+  private def defineVarRefs(e: String): Set[String] =
+    splitQuoted(e).collect { case (seg, false) => seg }
+      .flatMap(seg => varDotRe.findAllMatchIn(seg).map(_.group(1).toUpperCase))
+      .toSet
+  /** Strip `NAME.` prefixes outside string literals. */
+  private def stripSelfQualifier(e: String, name: String): String = {
+    val re = s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\s*\\.\\s*"
+    splitQuoted(e).map { case (seg, lit) =>
+      if (lit) seg else seg.replaceAll(re, "") }.mkString
+  }
   /** Running aggregates a DEFINE conjunct may use — their presence
     * forces the conjunct onto the context path even when it only
     * references the current variable (a running SUM over the partial
@@ -569,26 +590,21 @@ object MatchRecognize {
       val mixedTopLevel = splitTopLevelKw(body, "OR").size > 1 &&
         splitTopLevelAnd(body).size > 1
       if (mixedTopLevel) {
-        val hasNavFn = navFnRe.findFirstIn(body).isDefined ||
-          aggFnRe.findFirstIn(body).isDefined
-        val varRefs = varDotRe.findAllMatchIn(body)
-          .map(_.group(1).toUpperCase).filter(navigable).toSet
+        val hasNavFn = defineHasFn(body)
+        val varRefs = defineVarRefs(body).filter(navigable)
         if (!hasNavFn && varRefs.isEmpty) locals += s"($body)"
         else if (!hasNavFn && varRefs == Set(name))
-          locals += "(" +
-            body.replaceAll(s"(?i)\\b$name\\s*\\.\\s*", "") + ")"
+          locals += "(" + stripSelfQualifier(body, name) + ")"
         else sys.error(s"DEFINE $name mixes top-level AND and OR around " +
           "navigation/aggregates — parenthesize (AND binds tighter than " +
           "OR; the navigation compiler takes a conjunction of comparisons, " +
           "each optionally an OR of comparisons)")
       } else splitTopLevelAnd(body).foreach { conj =>
-        val hasNavFn = navFnRe.findFirstIn(conj).isDefined ||
-          aggFnRe.findFirstIn(conj).isDefined
-        val varRefs = varDotRe.findAllMatchIn(conj)
-          .map(_.group(1).toUpperCase).filter(navigable).toSet
+        val hasNavFn = defineHasFn(conj)
+        val varRefs = defineVarRefs(conj).filter(navigable)
         if (!hasNavFn && varRefs.isEmpty) locals += conj
         else if (!hasNavFn && varRefs == Set(name))
-          locals += conj.replaceAll(s"(?i)\\b$name\\s*\\.\\s*", "")
+          locals += stripSelfQualifier(conj, name)
         else ctxs += parseCtx(conj, name, navigable, colIdx, subsets)
       }
       val cs = ctxs.result()

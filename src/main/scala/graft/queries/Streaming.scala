@@ -1953,13 +1953,16 @@ object Streaming extends QueryGroup {
           |  DEFINE A AS kind = 'signup', E AS kind <> 'purchase',
           |         P AS kind = 'purchase')""".stripMargin,
         watermarkDelay = "1 minute")
-      // hop 1: exactly-once durable channel — a FIXED per-JVM scratch
-      // path, pre-cleaned on entry so repeated runs don't accumulate
-      // parquet + checkpoint litter in the temp dir (review r11; the
-      // channel must outlive this closure — the returned frame reads
-      // it lazily — so at most one run's directory survives)
+      // hop 1: exactly-once durable channel — a PID-keyed scratch path
+      // (advisor r11: a fixed path is per-machine, and two concurrent
+      // bench/test JVMs would deleteQuietly each other's live parquet
+      // sink + checkpoint), pre-cleaned on entry so repeated runs in
+      // THIS process don't accumulate litter (the channel must outlive
+      // this closure — the returned frame reads it lazily — so at most
+      // one directory per live process survives)
       val dirc = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_st54_channel").toString
+        System.getProperty("java.io.tmpdir"),
+        s"graft_st54_channel_${ProcessHandle.current().pid()}").toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirc))
       val q1 = matches.writeStream.outputMode(OutputMode.Append)
         .format("parquet").option("path", s"$dirc/matches")

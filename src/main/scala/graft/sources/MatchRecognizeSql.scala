@@ -228,6 +228,14 @@ object MatchRecognizeSql {
             "columns re-derive the canonical sequence id, and a column " +
             "named `id` would be shadowed by it — rename the tiebreak " +
             "column to event_id"))
+    // the shadow check must also fire when BOTH id and event_id exist:
+    // idCol resolves to event_id, but a source `id` column would still
+    // be silently repointed at the row_number surrogate by every
+    // DEFINE/MEASURES reference (advisor r11) — reject it loudly
+    if (p.orderExtra.nonEmpty) require(!fields.contains("id"),
+      s"${p.table} has a column named `id`: with secondary ORDER BY " +
+        "columns the canonical sequence id is re-derived and would " +
+        "shadow it — rename the source column in a view first")
     // general-path partition columns may not collide with the
     // canonical frame's own names: the surrogate overwrites `key`, and
     // tsMicros/id/event_id are consumed by the canonicalization — a
@@ -240,9 +248,17 @@ object MatchRecognizeSql {
         s"columns may not be named ${clash.mkString(", ")} (canonical " +
         "frame names) — rename the column(s) in a view first")
     }
+    // xxhash64 SKIPS null inputs, so without discrimination the
+    // distinct tuples ('a', NULL) and (NULL, 'a') hash identically and
+    // the injectivity gate hard-fails legitimate nullable keys
+    // (advisor r11): append per-column isnull flags — non-null
+    // booleans always participate, so only true 64-bit collisions
+    // remain
+    def partHash = xxhash64(
+      (p.partCols.map(col) ++ p.partCols.map(c => isnull(col(c)))): _*)
     val keyExpr =
       if (integralFast) col(p.partCols.head).cast("long")
-      else xxhash64(p.partCols.map(col): _*)
+      else partHash
     // the id column moves into the canonical `id`, and a copy is ALSO
     // exposed as `event_id`: DEFINE-side references (a running
     // COUNT(B.event_id)) read it from the events frame, while a
@@ -271,7 +287,7 @@ object MatchRecognizeSql {
     val keyMap =
       if (integralFast) None
       else Some(src.select(p.partCols.map(col): _*).distinct()
-        .withColumn("key", xxhash64(p.partCols.map(col): _*)))
+        .withColumn("key", partHash))
     Canon(events, keyMap)
   }
 

@@ -698,6 +698,62 @@ class SqlTextSpec extends AnyFunSuite {
     assert(strRows == Seq(("a", 1L)), strRows)
   }
 
+  test("MR statement door: nullable multi-col keys, id-shadow guard, literal-safe DEFINE (advisor r11)") {
+    import graft.sources.MatchRecognizeSql
+    import spark.implicits._
+    // 1) xxhash64 skips NULL inputs; the isnull-flag discrimination
+    //    keeps ('a', NULL) and (NULL, 'a') DISTINCT so the injectivity
+    //    gate passes and the two partitions match independently
+    Seq(
+      (Some("a"), Option.empty[String], 10L, 1L, "signup"),
+      (Some("a"), Option.empty[String], 20L, 2L, "purchase"),
+      (Option.empty[String], Some("a"), 10L, 3L, "signup"),
+      (Option.empty[String], Some("a"), 20L, 4L, "purchase"))
+      .toDF("k1", "k2", "t_us", "event_id", "etype")
+      .createOrReplaceTempView("mr_null_key")
+    val nk = MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_null_key MATCH_RECOGNIZE (
+        |  PARTITION BY k1, k2 ORDER BY t_us
+        |  PATTERN (A P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS etype = 'signup', P AS etype = 'purchase')""".stripMargin)
+      .collect()
+    assert(nk.length == 2, s"null-discriminated partitions: ${nk.toSeq}")
+    // 2) secondary ORDER BY + a source column named `id`: the
+    //    row_number surrogate would silently shadow it — loud even
+    //    when event_id ALSO exists (the resolution picking event_id
+    //    must not mute the guard)
+    Seq((7L, 10L, 1L, 1L, "x", 1.0))
+      .toDF("uid", "t_us", "id", "event_id", "etype", "v")
+      .createOrReplaceTempView("mr_id_shadow")
+    val eShadow = intercept[IllegalArgumentException](MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_id_shadow MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY t_us, v DESC PATTERN (A)
+        |  WITHIN INTERVAL '1' HOUR DEFINE A AS etype = 'x')""".stripMargin))
+    assert(eShadow.getMessage.contains("id"), eShadow.getMessage)
+    // 3) DEFINE qualifier stripping is string-literal aware: the
+    //    literal 'P.x' must survive both the mixed AND/OR whole-body
+    //    strip and the per-conjunct strip (the row matches BECAUSE
+    //    etype equals the literal text 'P.x')
+    Seq((7L, 10L, 1L, "signup", 0.0), (7L, 20L, 2L, "P.x", 0.0))
+      .toDF("uid", "t_us", "event_id", "etype", "v")
+      .createOrReplaceTempView("mr_lit_def")
+    val lit1 = MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_lit_def MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY t_us
+        |  PATTERN (A P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS etype = 'signup',
+        |         P AS P.etype = 'P.x' OR P.v > 5 AND P.v < 100)""".stripMargin)
+      .collect()
+    assert(lit1.length == 1, s"mixed-path literal: ${lit1.toSeq}")
+    val lit2 = MatchRecognizeSql.sql(spark,
+      """SELECT * FROM mr_lit_def MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY t_us
+        |  PATTERN (A P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS etype = 'signup', P AS P.etype = 'P.x')""".stripMargin)
+      .collect()
+    assert(lit2.length == 1, s"per-conjunct literal: ${lit2.toSeq}")
+  }
+
   test("MATCH_RECOGNIZE statement routes a STREAMING view to the incremental operator") {
     import graft.sources.MatchRecognizeSql
     import org.apache.spark.sql.streaming.OutputMode
