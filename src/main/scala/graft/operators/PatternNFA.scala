@@ -316,9 +316,9 @@ object PatternNFA {
     * navigation reads at-or-before the current row, always in cap). */
   private final class CappedEvs(inner: EvSeq, cap: Long) extends EvSeq {
     def apply(i: Int): Ev = inner(i)
-    def lift(i: Int): Option[Ev] = inner.lift(i).filter(_.ts <= cap)
+    def lift(i: Int): Option[Ev] = inner.lift(i).filter(_.ts < cap)
     def iteratorFrom(i: Int): Iterator[Ev] =
-      inner.iteratorFrom(i).takeWhile(_.ts <= cap)
+      inner.iteratorFrom(i).takeWhile(_.ts < cap)
   }
   /** Per-key sliding buffer over GLOBAL (per-key) indices: events below
     * `base` are evicted — the batch scan's analog of the streaming
@@ -1112,9 +1112,12 @@ object PatternNFA {
     }
 
     /** Scan every pending anchor whose window closed strictly before
-      * `uptoTs` (events at ts == deadline still bind; the first event
-      * PAST the deadline proves completeness), evicting behind the
-      * oldest still-pending anchor as they drain. The just-appended
+      * `uptoTs` (WITHIN is boundary-EXCLUSIVE — the reference's
+      * advanceTime(t) expires a deadline-t anchor BEFORE processing an
+      * event at t, NFAITCase.testSimplePatternWithTimeWindowNFA — so an
+      * event AT the deadline already proves completeness; draining at
+      * `< uptoTs` is merely one event conservative), evicting behind
+      * the oldest still-pending anchor as they drain. The just-appended
       * trigger event (nextIdx - 1) is always retained — its own
       * anchorOk check hasn't run yet. */
     private def drainMature(uptoTs: Long): Unit = {
@@ -1194,8 +1197,8 @@ object PatternNFA {
           val deadline = a.ts + withinMicros
           // end binds earliest-first AFTER at least two loop events.
           val loops = evs.filter(e => hasBit(e, 1) && e.ts > a.ts &&
-            e.ts <= deadline)
-          val end = evs.find(e => hasBit(e, 2) && e.ts <= deadline &&
+            e.ts < deadline)
+          val end = evs.find(e => hasBit(e, 2) && e.ts < deadline &&
             loops.size >= 2 && e.ts > loops(1).ts)
           end.foreach { c =>
             val inWin = loops.filter(_.ts < c.ts)
@@ -1246,7 +1249,7 @@ object PatternNFA {
       : Option[Vector[Vector[Ev]]] = {
     def eligible(from: Int, partial: Vector[Ev]): Iterator[Ev] =
       evs.iteratorFrom(from).filter(e => hasBit(e, st.bit) &&
-        e.ts > prev.ts && e.ts <= deadline &&
+        e.ts > prev.ts && e.ts < deadline &&
         ctxOk(st, evs, e, anchorIdx, acc, partial))
     def cont(e: Ev, bound: Vector[Ev]): Option[Vector[Vector[Ev]]] =
       matchFrom(evs, rest, e, deadline, anchorIdx, acc :+ bound, hasCtx)
@@ -1263,7 +1266,7 @@ object PatternNFA {
         // physically adjacent event may bind
         evs.lift(prev.idx + 1)
           .filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
-            e.ts <= deadline &&
+            e.ts < deadline &&
             ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
           .flatMap(e => cont(e, Vector(e)))
 
@@ -1278,7 +1281,7 @@ object PatternNFA {
         // bind the remainder first, then check the forbidden interval
         matchFrom(evs, rest, prev, deadline, anchorIdx,
             acc :+ Vector.empty, hasCtx).flatMap { restB =>
-          val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
+          val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline)
           val bad = evs.iteratorFrom(prev.idx + 1).exists(e =>
             hasBit(e, st.bit) && e.ts > prev.ts && e.ts < hiTs &&
               ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
@@ -1327,10 +1330,10 @@ object PatternNFA {
           else matchFrom(evs, rest, first, deadline, anchorIdx,
               acc :+ Vector(first), hasCtx).map { restB =>
             val hiTs = math.min(
-              restB.flatten.headOption.map(_.ts).getOrElse(deadline + 1),
+              restB.flatten.headOption.map(_.ts).getOrElse(deadline),
               stopTs.getOrElse(Long.MaxValue))
             val loop = evs.iteratorFrom(prev.idx + 1)
-              .takeWhile(e => e.ts < hiTs && e.ts <= deadline)
+              .takeWhile(e => e.ts < hiTs && e.ts < deadline)
               .filter(e => hasBit(e, st.bit) && e.ts > prev.ts).toVector
             Vector(if (loop.isEmpty) Vector(first) else loop) ++ restB
           }
@@ -1348,7 +1351,7 @@ object PatternNFA {
         var go = true
         while (go) {
           val nxt = evs.iteratorFrom(cur.idx + 1).find(e =>
-            hasBit(e, st.bit) && e.ts > cur.ts && e.ts <= deadline &&
+            hasBit(e, st.bit) && e.ts > cur.ts && e.ts < deadline &&
               stopTs.forall(e.ts < _) &&
               ctxOk(st, evs, e, anchorIdx, acc, run))
           nxt match {
@@ -1374,7 +1377,7 @@ object PatternNFA {
             var i = 0
             while (ok && i < n) {
               evs.lift(s.idx + i) match {
-                case Some(e) if hasBit(e, st.bit) && e.ts <= deadline &&
+                case Some(e) if hasBit(e, st.bit) && e.ts < deadline &&
                     (i == 0 || ctxOk(st, evs, e, anchorIdx, acc, partial)) =>
                   run += e; partial :+= e; i += 1
                 case _ => ok = false
@@ -1423,9 +1426,9 @@ object PatternNFA {
             matchFrom(evs, rest, run.last, deadline, anchorIdx,
                 acc :+ run, hasCtx).map { restB =>
               val hiTs = restB.flatten.headOption.map(_.ts)
-                .getOrElse(deadline + 1)
+                .getOrElse(deadline)
               val extras = evs.iteratorFrom(run.last.idx + 1)
-                .takeWhile(e => e.ts < hiTs && e.ts <= deadline)
+                .takeWhile(e => e.ts < hiTs && e.ts < deadline)
                 .filter(e => hasBit(e, st.bit) && e.ts > run.last.ts).toVector
               Vector(run ++ extras) ++ restB
             }
@@ -1439,7 +1442,7 @@ object PatternNFA {
         var go = true
         while (go) {
           val nxt = evs.iteratorFrom(cur.idx + 1).find(e =>
-            hasBit(e, st.bit) && e.ts > cur.ts && e.ts <= deadline &&
+            hasBit(e, st.bit) && e.ts > cur.ts && e.ts < deadline &&
               ctxOk(st, evs, e, anchorIdx, acc, run))
           nxt match {
             case Some(e) => run :+= e; cur = e
@@ -1481,7 +1484,7 @@ object PatternNFA {
       case st: ILeaf =>
         def eligible(partial: Vector[Ev]): Iterator[Ev] =
           evs.iteratorFrom(prev.idx + 1).filter(e => hasBit(e, st.bit) &&
-            e.ts > prev.ts && e.ts <= deadline &&
+            e.ts > prev.ts && e.ts < deadline &&
             ctxOk(st, evs, e, anchorIdx, acc, partial))
         st.quant match {
           case One =>
@@ -1494,7 +1497,7 @@ object PatternNFA {
           case Next =>
             evs.lift(prev.idx + 1).iterator
               .filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
-                e.ts <= deadline &&
+                e.ts < deadline &&
                 ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
               .flatMap(e => enumAfter(e, Vector(e)))
           case Optional =>
@@ -1507,7 +1510,7 @@ object PatternNFA {
           case Not =>
             matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx).filter { restB =>
-              val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline + 1)
+              val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline)
               !evs.iteratorFrom(prev.idx + 1).exists(e =>
                 hasBit(e, st.bit) && e.ts > prev.ts && e.ts < hiTs &&
                   ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
@@ -1596,7 +1599,7 @@ object PatternNFA {
     var go = true
     while (go) {
       evs.lift(run.last.idx + 1) match {
-        case Some(e) if hasBit(e, st.bit) && e.ts <= deadline &&
+        case Some(e) if hasBit(e, st.bit) && e.ts < deadline &&
             stopTs.forall(e.ts < _) &&
             ctxOk(st, evs, e, anchorIdx, acc, run) =>
           run :+= e
@@ -1675,7 +1678,7 @@ object PatternNFA {
     var i = 0
     while (i < n) {
       val nxt = evs.iteratorFrom(cur.idx + 1).find(e => hasBit(e, st.bit) &&
-        e.ts > cur.ts && e.ts <= deadline && stopTs.forall(e.ts < _) &&
+        e.ts > cur.ts && e.ts < deadline && stopTs.forall(e.ts < _) &&
         ctxOk(st, evs, e, anchorIdx, acc, out))
       nxt match {
         case Some(e) => out :+= e; cur = e; i += 1
@@ -1788,7 +1791,7 @@ object PatternNFA {
       while (out.size < cap) {
         evs.lift(i) match {
           case Some(e) if take(e, out) =>
-            if (e.ts > deadline)
+            if (e.ts >= deadline)
               return if (stopAtDeadline) (out, false) else (out, true)
             out :+= e; i += 1
           case _ => return (out, false)
@@ -1831,7 +1834,7 @@ object PatternNFA {
       * max(consumed, 1). */
     def optional(): Option[Vector[Vector[Ev]]] = {
       val bound = evs.lift(prev.idx + 1)
-        .filter(e => e.ts <= deadline && take(e, Vector.empty))
+        .filter(e => e.ts < deadline && take(e, Vector.empty))
         .flatMap(e => cont(e, Vector(e)))
       val empty = contEmpty()
       (bound, empty) match {
@@ -1845,7 +1848,7 @@ object PatternNFA {
     st.quant match {
       case One =>
         evs.lift(prev.idx + 1)
-          .filter(e => e.ts <= deadline && take(e, Vector.empty))
+          .filter(e => e.ts < deadline && take(e, Vector.empty))
           .flatMap(e => cont(e, Vector(e)))
       case Optional => optional()
       case TimesRange(0, 1, false) => optional() // {0,1} ≡ ? (unmarked)

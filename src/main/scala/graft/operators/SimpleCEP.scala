@@ -28,7 +28,7 @@ object SimpleCEP {
     val joined = l.join(r,
       col("_k") === col("_rk") &&
       col("b_ts") > col("a_ts") &&
-      col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECOND"))
+      col("b_ts") < col("a_ts") + expr(s"INTERVAL $withinSeconds SECOND"))
     val w = Window.partitionBy("_k", "a_id").orderBy(col("b_ts").asc, col("b_id").asc)
     joined.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -71,18 +71,18 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H2
+        |      AND e.ts_us > c.ts_us AND e.ts_us < a.a_us + $H2
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |ap AS (
         |  SELECT a.user_id, a.a_id, p.event_id AS p_id
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
@@ -108,7 +108,7 @@ object CepExtras extends QueryGroup {
         |FROM a
         |JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |  WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |    AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2
         |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
         |WHERE NOT EXISTS (SELECT 1 FROM ev e
         |  WHERE e.user_id = a.user_id AND e.event_type = 'error'
@@ -136,17 +136,17 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H6
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H6
+        |      AND e.ts_us > c.ts_us AND e.ts_us < a.a_us + $H6
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT m.user_id AS key, m.a_id AS anchor_id, m.p_id AS end_id,
         |  m.a_id || ',' || m.c_id || ',' || m.p_id AS chain,
         |  'clicks:' || (SELECT count(*) FROM ev e
         |    WHERE e.user_id = m.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > m.a_us AND e.ts_us <= m.a_us + $H6
+        |      AND e.ts_us > m.a_us AND e.ts_us < m.a_us + $H6
         |      AND e.ts_us < least(m.p_us, coalesce(m.err_us, 9223372036854775807))) AS counts
         |FROM m WHERE m.err_us IS NULL OR m.err_us > m.c_us
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
@@ -168,23 +168,23 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b1.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
         |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b3 ON true
         |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b3.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b3.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p3 ON true
         |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true)
         |SELECT user_id AS key, a_id AS anchor_id,
         |  CASE WHEN b3_id IS NOT NULL AND p3_id IS NOT NULL THEN p3_id ELSE p2_id END AS end_id,
@@ -217,8 +217,8 @@ object CepExtras extends QueryGroup {
         |      ON e2.user_id = e1.user_id AND e2.rn = e1.rn + 1
         |    WHERE e1.user_id = a.user_id
         |      AND e1.event_type = 'click' AND e2.event_type = 'click'
-        |      AND e1.ts_us > a.a_us AND e1.ts_us <= a.a_us + $H72
-        |      AND e2.ts_us <= a.a_us + $H72
+        |      AND e1.ts_us > a.a_us AND e1.ts_us < a.a_us + $H72
+        |      AND e2.ts_us < a.a_us + $H72
         |    ORDER BY e1.ts_us, e1.event_id LIMIT 1) cc ON true
         |  WHERE true)
         |SELECT m.user_id AS key, m.a_id AS anchor_id, p.event_id AS end_id,
@@ -227,7 +227,7 @@ object CepExtras extends QueryGroup {
         |FROM m
         |JOIN LATERAL (SELECT e.event_id FROM ev e
         |  WHERE e.user_id = m.user_id AND e.event_type = 'purchase'
-        |    AND e.ts_us > m.c2_us AND e.ts_us <= (SELECT a2.a_us + $H72 FROM a a2
+        |    AND e.ts_us > m.c2_us AND e.ts_us < (SELECT a2.a_us + $H72 FROM a a2
         |      WHERE a2.user_id = m.user_id AND a2.a_id = m.a_id)
         |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
@@ -250,20 +250,20 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1 OFFSET 1) c2 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT m.user_id AS key, m.a_id AS anchor_id, m.p_id AS end_id,
         |  m.a_id || ',' || x.event_id || ',' || y.event_id || ',' || m.p_id AS chain,
         |  '' AS counts
         |FROM m
         |JOIN ev x ON x.user_id = m.user_id AND x.event_type = 'click'
-        |  AND x.ts_us > m.a_us AND x.ts_us < m.p_us AND x.ts_us <= m.a_us + $H72
+        |  AND x.ts_us > m.a_us AND x.ts_us < m.p_us AND x.ts_us < m.a_us + $H72
         |JOIN ev y ON y.user_id = m.user_id AND y.event_type = 'click'
-        |  AND y.ts_us > m.a_us AND y.ts_us < m.p_us AND y.ts_us <= m.a_us + $H72
+        |  AND y.ts_us > m.a_us AND y.ts_us < m.p_us AND y.ts_us < m.a_us + $H72
         |  AND (y.ts_us > x.ts_us OR (y.ts_us = x.ts_us AND y.event_id > x.event_id))
         |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
       PatternNFA.runCombinationsPairs(s, events(s, dir),
@@ -289,9 +289,9 @@ object CepExtras extends QueryGroup {
         |  LEFT JOIN ev n2 ON n2.user_id = a.user_id AND n2.rn = a.a_rn + 2),
         |sel AS (
         |  SELECT *,
-        |    (t1 = 'click' AND us1 <= a_us + $H2 AND t2 = 'purchase'
-        |      AND us2 <= a_us + $H2) AS withc,
-        |    (t1 = 'purchase' AND us1 <= a_us + $H2) AS noc
+        |    (t1 = 'click' AND us1 < a_us + $H2 AND t2 = 'purchase'
+        |      AND us2 < a_us + $H2) AS withc,
+        |    (t1 = 'purchase' AND us1 < a_us + $H2) AS noc
         |  FROM j)
         |SELECT user_id AS key, a_id AS anchor_id,
         |  CASE WHEN withc THEN id2 ELSE id1 END AS end_id,
@@ -331,7 +331,7 @@ object CepExtras extends QueryGroup {
         |FROM a
         |JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 1
         |  AND p.event_type = 'purchase' AND p.value > 100
-        |  AND p.ts_us <= a.a_us + $H6
+        |  AND p.ts_us < a.a_us + $H6
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       graft.operators.MatchRecognize.run(s,
           t(s, dir)("events").select(
@@ -359,7 +359,7 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.rn FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H6
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |rec AS (
         |  SELECT user_id, a_id, a_rn, p_id, p_rn FROM (
@@ -398,8 +398,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72),
         |agg AS (
         |  SELECT m.user_id, m.a_id, m.a_us, m.p_val, m.lc_us,
         |    count(*) AS n_clicks, round(avg(b.value), 6) AS avg_click_value
@@ -449,8 +449,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72),
         |mm AS (
         |  SELECT m.*, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_no
@@ -502,8 +502,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72),
         |agg AS (
         |  SELECT m.user_id, m.a_id, m.a_us, m.p_val,
         |    count(*) AS n_clicks, round(avg(b.value), 6) AS avg_click_value
@@ -549,15 +549,15 @@ object CepExtras extends QueryGroup {
         |    SELECT 1 FROM ev c, ev p
         |    WHERE c.user_id = a.user_id AND p.user_id = a.user_id
         |      AND c.event_type = 'click' AND p.event_type = 'purchase'
-        |      AND c.ts_us > a.a_us AND c.ts_us <= a.a_us + $H2
-        |      AND p.ts_us > c.ts_us AND p.ts_us <= a.a_us + $H2))
+        |      AND c.ts_us > a.a_us AND c.ts_us < a.a_us + $H2
+        |      AND p.ts_us > c.ts_us AND p.ts_us < a.a_us + $H2))
         |SELECT t.user_id AS key, t.a_id AS anchor_id,
         |  coalesce(c.event_id, t.a_id) AS last_id,
         |  CASE WHEN c.event_id IS NULL THEN 1 ELSE 2 END AS n_bound
         |FROM tmo t
         |LEFT JOIN LATERAL (SELECT e.event_id FROM ev e
         |  WHERE e.user_id = t.user_id AND e.event_type = 'click'
-        |    AND e.ts_us > t.a_us AND e.ts_us <= t.a_us + $H2
+        |    AND e.ts_us > t.a_us AND e.ts_us < t.a_us + $H2
         |  ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       PatternNFA.runTimeouts(s, events(s, dir), Seq(
@@ -600,9 +600,9 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND lc.ts_us < r.a_us + $H72
         |    AND p.event_type = 'purchase' AND p.value > b1.value
-        |    AND p.ts_us <= r.a_us + $H72)
+        |    AND p.ts_us < r.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, b1_val AS b1_value, bk_val AS bk_value,
@@ -644,14 +644,14 @@ object CepExtras extends QueryGroup {
         |  JOIN LATERAL (SELECT e.event_id AS b_id, e.rn AS b_rn,
         |      e.ts_us AS b_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
         |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
+        |        AND p2.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
         |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b.b_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |rec AS (
         |  SELECT user_id, a_id, a_rn, a_us, b_id, b_rn, p_id, p_us FROM (
@@ -670,7 +670,7 @@ object CepExtras extends QueryGroup {
         |  r.a_id || ',' || r.b_id || ',' || r.p_id AS chain,
         |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = r.user_id
         |    AND e.event_type = 'click' AND e.ts_us > r.a_us
-        |    AND e.ts_us < r.p_us AND e.ts_us <= r.a_us + $H72) AS counts
+        |    AND e.ts_us < r.p_us AND e.ts_us < r.a_us + $H72) AS counts
         |FROM rec r ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
@@ -699,51 +699,51 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
         |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
-        |        AND x1.ts_us <= a.a_us + $H72
+        |        AND x1.ts_us < a.a_us + $H72
         |        AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
         |          AND x2.event_type = 'click' AND x2.ts_us > x1.ts_us
-        |          AND x2.ts_us <= a.a_us + $H72
+        |          AND x2.ts_us < a.a_us + $H72
         |          AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
         |            AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
-        |            AND x3.ts_us <= a.a_us + $H72)))
+        |            AND x3.ts_us < a.a_us + $H72)))
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c1.ts_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
         |        AND x2.event_type = 'click' AND x2.ts_us > e.ts_us
-        |        AND x2.ts_us <= a.a_us + $H72
+        |        AND x2.ts_us < a.a_us + $H72
         |        AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
         |          AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
-        |          AND x3.ts_us <= a.a_us + $H72))
+        |          AND x3.ts_us < a.a_us + $H72))
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > p1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > p1.ts_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
         |        AND x3.event_type = 'purchase' AND x3.ts_us > e.ts_us
-        |        AND x3.ts_us <= a.a_us + $H72)
+        |        AND x3.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c2 ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true),
         |k1 AS (
         |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id, p1.event_id AS p1_id
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
         |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
-        |        AND x1.ts_us <= a.a_us + $H72)
+        |        AND x1.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c1.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p2_id AS end_id,
         |  a_id || ',' || c1_id || ',' || p1_id || ',' || c2_id || ',' || p2_id
@@ -774,21 +774,21 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2
         |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
         |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H2)
+        |        AND p2.ts_us < a.a_us + $H2)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + $H2
+        |      AND e.ts_us > c.ts_us AND e.ts_us < a.a_us + $H2
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |ap AS (
         |  SELECT a.user_id, a.a_id, p.event_id AS p_id
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
@@ -823,8 +823,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72)
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, erun - a_rn - 1 AS n_b, b_last_id, p_id
@@ -860,23 +860,23 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b1.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
         |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b3 ON true
         |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b3.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b3.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p3 ON true
         |  LEFT JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true)
         |SELECT user_id AS key, a_id AS anchor_id,
         |  CASE WHEN p2_id IS NOT NULL THEN p2_id ELSE p3_id END AS end_id,
@@ -908,7 +908,7 @@ object CepExtras extends QueryGroup {
         |FROM a
         |JOIN LATERAL (SELECT e.event_id FROM ev e
         |  WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |    AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |    AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |  ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true
         |WHERE NOT EXISTS (SELECT 1 FROM ev e
         |  WHERE e.user_id = a.user_id AND e.rn = a.a_rn + 1
@@ -938,8 +938,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 2
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72)
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b1_id || ',' || p_id AS chain,
         |  'B:' || (erun - a_rn - 1) AS counts
@@ -965,7 +965,7 @@ object CepExtras extends QueryGroup {
         |  a.a_id || ',' || e.event_id AS chain, '' AS counts
         |FROM a JOIN ev e ON e.user_id = a.user_id AND e.rn = a.a_rn + 1
         |  AND e.event_type = 'purchase'
-        |  AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H2
+        |  AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2
         |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
@@ -983,7 +983,7 @@ object CepExtras extends QueryGroup {
         |  a.a_id || ',' || e.event_id AS chain, '' AS counts
         |FROM a JOIN ev e ON e.user_id = a.user_id
         |  AND e.event_type = 'purchase'
-        |  AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H6
+        |  AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H6
         |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
@@ -1006,8 +1006,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  LEFT JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |    AND r.erun > r.a_rn + 1
-        |  WHERE p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H2
-        |    AND (r.erun = r.a_rn + 1 OR lc.ts_us <= r.a_us + $H2))
+        |  WHERE p.event_type = 'purchase' AND p.ts_us < r.a_us + $H2
+        |    AND (r.erun = r.a_rn + 1 OR lc.ts_us < r.a_us + $H2))
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, erun - a_rn - 1 AS n_b, p_id
@@ -1054,9 +1054,9 @@ object CepExtras extends QueryGroup {
         |  SELECT g.*, p.value AS p_val
         |  FROM agg g
         |  JOIN ev p ON p.user_id = g.user_id AND p.rn = g.erun
-        |  WHERE g.lc_us <= g.a_us + $H72
+        |  WHERE g.lc_us < g.a_us + $H72
         |    AND g.sum_b > 100
-        |    AND p.event_type = 'purchase' AND p.ts_us <= g.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < g.a_us + $H72
         |    AND p.value > g.avg_b)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
@@ -1102,19 +1102,19 @@ object CepExtras extends QueryGroup {
         |    p.p_id, p.p_us,
         |    (SELECT max(e.rn) FROM ev e WHERE e.user_id = a.user_id
         |      AND e.event_type = 'click' AND e.ts_us > a.a_us
-        |      AND e.ts_us < p.p_us AND e.ts_us <= a.a_us + $H72) AS bk_rn
+        |      AND e.ts_us < p.p_us AND e.ts_us < a.a_us + $H72) AS bk_rn
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id AS b_id, e.rn AS b_rn,
         |      e.ts_us AS b_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
         |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
+        |        AND p2.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
         |  JOIN LATERAL (SELECT e.event_id AS p_id, e.ts_us AS p_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b.b_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |rec AS (
         |  SELECT user_id, a_id, a_rn, a_us, b_id, bk_rn, p_id, p_us FROM (
@@ -1133,7 +1133,7 @@ object CepExtras extends QueryGroup {
         |  r.a_id || ',' || r.b_id || ',' || r.p_id AS chain,
         |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = r.user_id
         |    AND e.event_type = 'click' AND e.ts_us > r.a_us
-        |    AND e.ts_us < r.p_us AND e.ts_us <= r.a_us + $H72) AS counts
+        |    AND e.ts_us < r.p_us AND e.ts_us < r.a_us + $H72) AS counts
         |FROM rec r ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
@@ -1163,10 +1163,10 @@ object CepExtras extends QueryGroup {
         |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val, p.value AS p_val
         |  FROM a
         |  JOIN ev c ON c.user_id = a.user_id AND c.rn = a.a_rn + 1
-        |    AND c.event_type = 'click' AND c.ts_us <= a.a_us + $H72
+        |    AND c.event_type = 'click' AND c.ts_us < a.a_us + $H72
         |  JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 2
         |    AND p.event_type = 'purchase' AND p.value > c.value
-        |    AND p.ts_us <= a.a_us + $H72)
+        |    AND p.ts_us < a.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, c_val AS first_u, p_val AS last_u,
@@ -1210,8 +1210,8 @@ object CepExtras extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72),
         |mm AS (
         |  SELECT m.*, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_no
@@ -1275,11 +1275,11 @@ object CepExtras extends QueryGroup {
         |m AS (
         |  SELECT rr.user_id, rr.a_id, rr.a_us, rr.a_rn, rr.eend,
         |    CASE WHEN p.event_type = 'purchase'
-        |      AND p.ts_us <= rr.a_us + $H72 THEN 'C' ELSE 'B' END AS last_var
+        |      AND p.ts_us < rr.a_us + $H72 THEN 'C' ELSE 'B' END AS last_var
         |  FROM rr
         |  JOIN ev lc ON lc.user_id = rr.user_id AND lc.rn = rr.eend - 1
         |  LEFT JOIN ev p ON p.user_id = rr.user_id AND p.rn = rr.eend
-        |  WHERE rr.eend > rr.a_rn + 1 AND lc.ts_us <= rr.a_us + $H72)
+        |  WHERE rr.eend > rr.a_rn + 1 AND lc.ts_us < rr.a_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, eend - a_rn - 1 AS n_b, last_var
@@ -1319,7 +1319,7 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.ts FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id, s_id, mrt
         |FROM m ORDER BY user_id, s_id""".stripMargin) { (s, dir) =>
@@ -1358,7 +1358,7 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.ts FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT CAST(date_trunc('day', mrt) AS TIMESTAMP) AS day,
         |  count(*) AS n_matches
@@ -1400,7 +1400,7 @@ object CepExtras extends QueryGroup {
         |  FROM h)
         |SELECT a.user_id AS user_id, a.hr AS a_hr, b.n AS b_n
         |FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 1
-        |  AND b.n > a.n AND epoch_us(b.hr) <= epoch_us(a.hr) + $H72
+        |  AND b.n > a.n AND epoch_us(b.hr) < epoch_us(a.hr) + $H72
         |ORDER BY a.user_id, a_hr""".stripMargin) { (s, dir) =>
       t(s, dir)("events").createOrReplaceTempView("mr16_events")
       s.sql(
@@ -1440,8 +1440,8 @@ object CepExtras extends QueryGroup {
         |  LEFT JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |    AND r.erun > r.a_rn + 1
         |  WHERE r.erun - r.a_rn - 1 <= 2
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H2
-        |    AND (r.erun = r.a_rn + 1 OR lc.ts_us <= r.a_us + $H2))
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H2
+        |    AND (r.erun = r.a_rn + 1 OR lc.ts_us < r.a_us + $H2))
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, erun - a_rn - 1 AS n_b, p_id
@@ -1488,9 +1488,9 @@ object CepExtras extends QueryGroup {
         |  FROM a
         |  JOIN ev b ON b.user_id = a.user_id AND b.rn = a.a_rn + 1
         |    AND b.event_type = 'click' AND b.props <> a.a_props
-        |    AND b.ts_us <= a.a_us + $H72
+        |    AND b.ts_us < a.a_us + $H72
         |  JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 2
-        |    AND p.event_type = 'purchase' AND p.ts_us <= a.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < a.a_us + $H72
         |    AND b.event_type <> 'error')
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
@@ -1547,10 +1547,10 @@ object CepExtras extends QueryGroup {
         |cand AS (
         |  SELECT a.user_id, a.a_id, i.s_rn, i.s_id, i.n, p.p_id
         |  FROM a JOIN isl i ON i.user_id = a.user_id AND i.s_rn > a.a_rn
-        |    AND i.s_us <= a.a_us + $H72 AND i.e_us <= a.a_us + $H72
+        |    AND i.s_us < a.a_us + $H72 AND i.e_us < a.a_us + $H72
         |  JOIN LATERAL (SELECT e.event_id AS p_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.rn > i.e_rn AND e.ts_us <= a.a_us + $H72
+        |      AND e.rn > i.e_rn AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.rn LIMIT 1) p ON true),
         |m AS (SELECT *, row_number() OVER (PARTITION BY user_id, a_id
         |        ORDER BY s_rn) AS pick FROM cand)
@@ -1586,7 +1586,7 @@ object CepExtras extends QueryGroup {
         |    b.event_id AS r_id, a.rn AS a_rn
         |  FROM ev a JOIN ev b ON b.user_id = a.user_id
         |    AND b.event_type = a.event_type AND b.rn = a.rn + 1
-        |    AND b.value > a.value AND b.ts_us <= a.ts_us + $H72)
+        |    AND b.value > a.value AND b.ts_us < a.ts_us + $H72)
         |SELECT user_id, event_type, row_number() OVER (
         |    PARTITION BY user_id, event_type ORDER BY a_rn) AS match_seq,
         |  a_id, r_id
@@ -1625,7 +1625,7 @@ object CepExtras extends QueryGroup {
         |  FROM ev a JOIN ev b ON b.user_id = a.user_id AND b.rn = a.rn + 1
         |    AND a.event_type = 'signup'
         |    AND upper(b.event_type) = 'CLICK'
-        |    AND b.ts_us <= a.ts_us + $H72)
+        |    AND b.ts_us < a.ts_us + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_rn) AS match_seq, a_id, b_tag
         |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>
@@ -1666,7 +1666,7 @@ object CepExtras extends QueryGroup {
         |    a.rn AS a_rn
         |  FROM ev a JOIN ev b ON b.user_id = a.user_id AND b.rn = a.rn + 1
         |    AND a.event_type = 'click' AND b.event_type = 'click'
-        |    AND epoch_us(b.hr) <= epoch_us(a.hr) + $H72)
+        |    AND epoch_us(b.hr) < epoch_us(a.hr) + $H72)
         |SELECT user_id, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_rn) AS match_seq, a_id, b_id
         |FROM m ORDER BY user_id, match_seq""".stripMargin) { (s, dir) =>

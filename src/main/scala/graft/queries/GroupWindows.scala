@@ -381,7 +381,7 @@ object GroupWindows extends QueryGroup {
         |    row_number() OVER (PARTITION BY a.user_id, a.event_id ORDER BY b.ts, b.event_id) AS rn
         |  FROM (SELECT * FROM events WHERE event_type = 'signup') a
         |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-        |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR)
+        |    ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts < a.ts + INTERVAL 2 HOUR)
         |WHERE rn = 1
         |ORDER BY user_id, a_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir)("events")

@@ -652,7 +652,7 @@ object Streaming extends QueryGroup {
         |        row_number() OVER (PARTITION BY a.user_id, a.event_id
         |                           ORDER BY b.ts_us, b.event_id) AS rn
         |      FROM a JOIN b ON a.user_id = b.user_id
-        |        AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 7200000000
+        |        AND b.ts_us > a.ts_us AND b.ts_us < a.ts_us + 7200000000
         |      JOIN wm ON b.ts_us <= wm.wm_us)
         |SELECT user_id, a_id, b_id FROM m WHERE rn = 1
         |ORDER BY user_id, a_id""".stripMargin) { (s, dir) =>
@@ -787,9 +787,9 @@ object Streaming extends QueryGroup {
         |  LEFT JOIN ev n2 ON n2.user_id = a.user_id AND n2.rn = a.a_rn + 2),
         |sel AS (
         |  SELECT *,
-        |    (t1 = 'click' AND us1 <= a_us + 7200000000 AND t2 = 'purchase'
-        |      AND us2 <= a_us + 7200000000) AS withc,
-        |    (t1 = 'purchase' AND us1 <= a_us + 7200000000) AS noc
+        |    (t1 = 'click' AND us1 < a_us + 7200000000 AND t2 = 'purchase'
+        |      AND us2 < a_us + 7200000000) AS withc,
+        |    (t1 = 'purchase' AND us1 < a_us + 7200000000) AS noc
         |  FROM j)
         |SELECT user_id AS key, a_id AS anchor_id,
         |  CASE WHEN withc THEN id2 ELSE id1 END AS end_id,
@@ -839,8 +839,8 @@ object Streaming extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72),
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72),
         |agg AS (
         |  SELECT m.user_id, m.a_id, m.a_us, m.p_val, m.lc_us,
         |    count(*) AS n_clicks, round(avg(b.value), 6) AS avg_click_value
@@ -1141,11 +1141,11 @@ object Streaming extends QueryGroup {
         |  LEFT JOIN ev n2 ON n2.user_id = a.user_id AND n2.rn = a.a_rn + 2),
         |tmo AS (
         |  SELECT *,
-        |    coalesce(t1 = 'click' AND us1 <= a_us + 7200000000, false)
+        |    coalesce(t1 = 'click' AND us1 < a_us + 7200000000, false)
         |      AS boundc
         |  FROM j
-        |  WHERE (t1 = 'click' AND us1 <= a_us + 7200000000
-        |    AND t2 = 'purchase' AND us2 <= a_us + 7200000000) IS NOT TRUE)
+        |  WHERE (t1 = 'click' AND us1 < a_us + 7200000000
+        |    AND t2 = 'purchase' AND us2 < a_us + 7200000000) IS NOT TRUE)
         |SELECT user_id AS key, a_id AS anchor_id,
         |  CASE WHEN boundc THEN id1 ELSE a_id END AS last_id,
         |  CASE WHEN boundc THEN 2 ELSE 1 END AS n_bound
@@ -1193,9 +1193,9 @@ object Streaming extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
+        |    AND lc.ts_us < r.a_us + $H72
         |    AND p.event_type = 'purchase' AND p.value > b1.value
-        |    AND p.ts_us <= r.a_us + $H72)
+        |    AND p.ts_us < r.a_us + $H72)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b1_id || ',' || p_id AS chain,
         |  'B:' || (erun - a_rn - 1) AS counts
@@ -1242,8 +1242,8 @@ object Streaming extends QueryGroup {
         |  JOIN ev lc ON lc.user_id = r.user_id AND lc.rn = r.erun - 1
         |  JOIN ev p ON p.user_id = r.user_id AND p.rn = r.erun
         |  WHERE r.erun > r.a_rn + 1
-        |    AND lc.ts_us <= r.a_us + $H72
-        |    AND p.event_type = 'purchase' AND p.ts_us <= r.a_us + $H72)
+        |    AND lc.ts_us < r.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < r.a_us + $H72)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b1_id || ',' || p_id AS chain,
         |  'B:' || (erun - a_rn - 1) AS counts
@@ -1278,51 +1278,51 @@ object Streaming extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
         |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
-        |        AND x1.ts_us <= a.a_us + $H72
+        |        AND x1.ts_us < a.a_us + $H72
         |        AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
         |          AND x2.event_type = 'click' AND x2.ts_us > x1.ts_us
-        |          AND x2.ts_us <= a.a_us + $H72
+        |          AND x2.ts_us < a.a_us + $H72
         |          AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
         |            AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
-        |            AND x3.ts_us <= a.a_us + $H72)))
+        |            AND x3.ts_us < a.a_us + $H72)))
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c1.ts_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x2 WHERE x2.user_id = a.user_id
         |        AND x2.event_type = 'click' AND x2.ts_us > e.ts_us
-        |        AND x2.ts_us <= a.a_us + $H72
+        |        AND x2.ts_us < a.a_us + $H72
         |        AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
         |          AND x3.event_type = 'purchase' AND x3.ts_us > x2.ts_us
-        |          AND x3.ts_us <= a.a_us + $H72))
+        |          AND x3.ts_us < a.a_us + $H72))
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > p1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > p1.ts_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x3 WHERE x3.user_id = a.user_id
         |        AND x3.event_type = 'purchase' AND x3.ts_us > e.ts_us
-        |        AND x3.ts_us <= a.a_us + $H72)
+        |        AND x3.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c2 ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p2 ON true),
         |k1 AS (
         |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id, p1.event_id AS p1_id
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev x1 WHERE x1.user_id = a.user_id
         |        AND x1.event_type = 'purchase' AND x1.ts_us > e.ts_us
-        |        AND x1.ts_us <= a.a_us + $H72)
+        |        AND x1.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > c1.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p1 ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p2_id AS end_id,
         |  a_id || ',' || c1_id || ',' || p1_id || ',' || c2_id || ',' || p2_id
@@ -1362,21 +1362,21 @@ object Streaming extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + 7200000000
         |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
         |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + 7200000000)
+        |        AND p2.ts_us < a.a_us + 7200000000)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) c ON true
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > c.ts_us AND e.ts_us <= a.a_us + 7200000000
+        |      AND e.ts_us > c.ts_us AND e.ts_us < a.a_us + 7200000000
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |ap AS (
         |  SELECT a.user_id, a.a_id, p.event_id AS p_id
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + 7200000000
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + 7200000000
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || c_id || ',' || p_id AS chain, '' AS counts FROM wcp
@@ -1428,9 +1428,9 @@ object Streaming extends QueryGroup {
         |  SELECT g.*, p.value AS p_val
         |  FROM agg g
         |  JOIN ev p ON p.user_id = g.user_id AND p.rn = g.erun
-        |  WHERE g.lc_us <= g.a_us + $H72
+        |  WHERE g.lc_us < g.a_us + $H72
         |    AND g.sum_b > 100
-        |    AND p.event_type = 'purchase' AND p.ts_us <= g.a_us + $H72
+        |    AND p.event_type = 'purchase' AND p.ts_us < g.a_us + $H72
         |    AND p.value > g.avg_b)
         |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
@@ -1477,15 +1477,15 @@ object Streaming extends QueryGroup {
         |  JOIN LATERAL (
         |    SELECT e.event_id AS b_id, e.ts_us AS b_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |      AND EXISTS (SELECT 1 FROM ev p2 WHERE p2.user_id = a.user_id
         |        AND p2.event_type = 'purchase' AND p2.ts_us > e.ts_us
-        |        AND p2.ts_us <= a.a_us + $H72)
+        |        AND p2.ts_us < a.a_us + $H72)
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b ON true
         |  JOIN LATERAL (
         |    SELECT e.event_id AS p_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b.b_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b.b_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b_id || ',' || p_id AS chain, 'B:1' AS counts
@@ -1520,21 +1520,21 @@ object Streaming extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b1 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
-        |      AND e.ts_us > b1.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b1.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) b2 ON true
         |  JOIN LATERAL (SELECT e.event_id, e.ts_us FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > b2.ts_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > b2.ts_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || b1_id || ',' || p_id AS chain,
         |  'B:' || (SELECT count(*) FROM ev e WHERE e.user_id = m.user_id
         |    AND e.event_type = 'click' AND e.ts_us > m.a_us
-        |    AND e.ts_us < m.p_us AND e.ts_us <= m.a_us + $H72) AS counts
+        |    AND e.ts_us < m.p_us AND e.ts_us < m.a_us + $H72) AS counts
         |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       import graft.operators.PatternNFA.{Step, TimesOrMore}
       val out = graft.streaming.StreamingMatchRecognize.pattern(
@@ -1566,10 +1566,10 @@ object Streaming extends QueryGroup {
         |  SELECT a.user_id, a.a_id, a.a_us, c.value AS c_val, p.value AS p_val
         |  FROM a
         |  JOIN ev c ON c.user_id = a.user_id AND c.rn = a.a_rn + 1
-        |    AND c.event_type = 'click' AND c.ts_us <= a.a_us + $H72
+        |    AND c.event_type = 'click' AND c.ts_us < a.a_us + $H72
         |  JOIN ev p ON p.user_id = a.user_id AND p.rn = a.a_rn + 2
         |    AND p.event_type = 'purchase' AND p.value > c.value
-        |    AND p.ts_us <= a.a_us + $H72)
+        |    AND p.ts_us < a.a_us + $H72)
         |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, c_val AS first_u, p_val AS last_u,
@@ -1830,7 +1830,7 @@ object Streaming extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.ts FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
         |SELECT user_id AS key, s_id, mrt
         |FROM m ORDER BY key, s_id""".stripMargin) { (s, dir) =>
@@ -1878,11 +1878,11 @@ object Streaming extends QueryGroup {
         |m AS (
         |  SELECT rr.user_id, rr.a_id, rr.a_us, rr.a_rn, rr.eend,
         |    CASE WHEN p.event_type = 'purchase'
-        |      AND p.ts_us <= rr.a_us + $H72 THEN 'C' ELSE 'B' END AS last_var
+        |      AND p.ts_us < rr.a_us + $H72 THEN 'C' ELSE 'B' END AS last_var
         |  FROM rr
         |  JOIN ev lc ON lc.user_id = rr.user_id AND lc.rn = rr.eend - 1
         |  LEFT JOIN ev p ON p.user_id = rr.user_id AND p.rn = rr.eend
-        |  WHERE rr.eend > rr.a_rn + 1 AND lc.ts_us <= rr.a_us + $H72)
+        |  WHERE rr.eend > rr.a_rn + 1 AND lc.ts_us < rr.a_us + $H72)
         |SELECT user_id AS key, row_number() OVER (PARTITION BY user_id
         |    ORDER BY a_us, a_id) AS match_seq,
         |  a_id, eend - a_rn - 1 AS n_b, last_var
@@ -1935,7 +1935,7 @@ object Streaming extends QueryGroup {
         |  FROM a
         |  JOIN LATERAL (SELECT e.ts FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.ts_us > a.a_us AND e.ts_us <= a.a_us + $H72
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true),
         |wm2 AS (SELECT max(epoch_us(mrt)) - 60000000 AS us FROM m),
         |d AS (SELECT CAST(date_trunc('day', mrt) AS TIMESTAMP) AS day,
@@ -1991,7 +1991,7 @@ object Streaming extends QueryGroup {
         |      FROM emitted)
         |SELECT a.user_id, epoch_us(a.hr) AS a_us, b.n AS b_n
         |FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1
-        |  AND b.n > a.n AND epoch_us(b.hr) <= epoch_us(a.hr) + $H72, wm1
+        |  AND b.n > a.n AND epoch_us(b.hr) < epoch_us(a.hr) + $H72, wm1
         |WHERE epoch_us(a.hr) + $H72 <= wm1.us
         |ORDER BY a.user_id, a_us""".stripMargin) { (s, dir) =>
       // the cascade input carries a FUTURE-SHIFTED copy of the bucket
@@ -2057,10 +2057,10 @@ object Streaming extends QueryGroup {
         |cand AS (
         |  SELECT a.user_id, a.a_id, i.s_rn, i.s_id, i.n, p.p_id
         |  FROM a JOIN isl i ON i.user_id = a.user_id AND i.s_rn > a.a_rn
-        |    AND i.s_us <= a.a_us + $H72 AND i.e_us <= a.a_us + $H72
+        |    AND i.s_us < a.a_us + $H72 AND i.e_us < a.a_us + $H72
         |  JOIN LATERAL (SELECT e.event_id AS p_id FROM ev e
         |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.rn > i.e_rn AND e.ts_us <= a.a_us + $H72
+        |      AND e.rn > i.e_rn AND e.ts_us < a.a_us + $H72
         |    ORDER BY e.rn LIMIT 1) p ON true),
         |m AS (SELECT *, row_number() OVER (PARTITION BY user_id, a_id
         |        ORDER BY s_rn) AS pick FROM cand)

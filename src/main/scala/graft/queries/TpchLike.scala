@@ -596,12 +596,12 @@ object TpchLike extends QueryGroup {
         |  SELECT a.user_id, a.a_id, a.a_us, b.event_id AS b_id, b.ts_us AS b_us,
         |    row_number() OVER (PARTITION BY a.user_id, a.a_id ORDER BY b.ts_us, b.event_id) AS rn
         |  FROM a JOIN b ON a.user_id = b.user_id
-        |    AND b.ts_us > a.a_us AND b.ts_us <= a.a_us + 21600000000) WHERE rn = 1),
+        |    AND b.ts_us > a.a_us AND b.ts_us < a.a_us + 21600000000) WHERE rn = 1),
         |abc AS (SELECT * FROM (
         |  SELECT ab.user_id, ab.a_id, ab.a_us, ab.b_id, c.event_id AS c_id, c.ts_us AS c_us,
         |    row_number() OVER (PARTITION BY ab.user_id, ab.a_id ORDER BY c.ts_us, c.event_id) AS rn
         |  FROM ab JOIN c ON ab.user_id = c.user_id
-        |    AND c.ts_us > ab.b_us AND c.ts_us <= ab.a_us + 21600000000) WHERE rn = 1),
+        |    AND c.ts_us > ab.b_us AND c.ts_us < ab.a_us + 21600000000) WHERE rn = 1),
         |cnt AS (SELECT abc.user_id, abc.a_id, count(*) AS n
         |  FROM abc JOIN b ON abc.user_id = b.user_id
         |    AND b.ts_us > abc.a_us AND b.ts_us < abc.c_us
@@ -632,17 +632,17 @@ object TpchLike extends QueryGroup {
         |  SELECT a.user_id, a.a_id, a.a_us, b.event_id AS b1_id, b.ts_us AS b1_us,
         |    row_number() OVER (PARTITION BY a.user_id, a.a_id ORDER BY b.ts_us, b.event_id) AS rn
         |  FROM a JOIN b ON a.user_id = b.user_id
-        |    AND b.ts_us > a.a_us AND b.ts_us <= a.a_us + 86400000000) WHERE rn = 1),
+        |    AND b.ts_us > a.a_us AND b.ts_us < a.a_us + 86400000000) WHERE rn = 1),
         |s2 AS (SELECT * FROM (
         |  SELECT s1.user_id, s1.a_id, s1.a_us, s1.b1_id, b.event_id AS b2_id, b.ts_us AS b2_us,
         |    row_number() OVER (PARTITION BY s1.user_id, s1.a_id ORDER BY b.ts_us, b.event_id) AS rn
         |  FROM s1 JOIN b ON s1.user_id = b.user_id
-        |    AND b.ts_us > s1.b1_us AND b.ts_us <= s1.a_us + 86400000000) WHERE rn = 1),
+        |    AND b.ts_us > s1.b1_us AND b.ts_us < s1.a_us + 86400000000) WHERE rn = 1),
         |s3 AS (SELECT * FROM (
         |  SELECT s2.user_id, s2.a_id, s2.b1_id, s2.b2_id, c.event_id AS c_id,
         |    row_number() OVER (PARTITION BY s2.user_id, s2.a_id ORDER BY c.ts_us, c.event_id) AS rn
         |  FROM s2 JOIN c ON s2.user_id = c.user_id
-        |    AND c.ts_us > s2.b2_us AND c.ts_us <= s2.a_us + 86400000000) WHERE rn = 1)
+        |    AND c.ts_us > s2.b2_us AND c.ts_us < s2.a_us + 86400000000) WHERE rn = 1)
         |SELECT user_id AS key, a_id AS anchor_id, c_id AS end_id,
         |  a_id || ',' || b1_id || ',' || b2_id || ',' || c_id AS chain,
         |  '' AS counts
@@ -670,14 +670,14 @@ object TpchLike extends QueryGroup {
         |      row_number() OVER (PARTITION BY a.user_id, a.event_id ORDER BY b.ts, b.event_id) AS rn
         |    FROM (SELECT * FROM events WHERE event_type = 'signup') a
         |    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-        |      ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR)
+        |      ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts < a.ts + INTERVAL 6 HOUR)
         |  WHERE rn = 1),
         |abc AS (
         |  SELECT user_id, a_id, b_id, c_id FROM (
         |    SELECT ab.user_id, ab.a_id, ab.b_id, c.event_id AS c_id,
         |      row_number() OVER (PARTITION BY ab.user_id, ab.a_id ORDER BY c.ts, c.event_id) AS rn
         |    FROM ab JOIN (SELECT * FROM events WHERE event_type = 'error') c
-        |      ON ab.user_id = c.user_id AND c.ts > ab.b_ts AND c.ts <= ab.a_ts + INTERVAL 6 HOUR)
+        |      ON ab.user_id = c.user_id AND c.ts > ab.b_ts AND c.ts < ab.a_ts + INTERVAL 6 HOUR)
         |  WHERE rn = 1)
         |SELECT user_id, a_id, b_id, c_id FROM abc
         |ORDER BY user_id, a_id""".stripMargin) { (s, dir) =>
@@ -698,7 +698,7 @@ object TpchLike extends QueryGroup {
         .partitionBy("user_id", "a_id").orderBy(col("c_ts").asc, col("c_id").asc)
       ab.join(c, col("user_id") === col("_cu") &&
           col("c_ts") > col("b_ts") &&
-          col("c_ts") <= col("a_ts") + expr("INTERVAL 6 HOUR"))
+          col("c_ts") < col("a_ts") + expr("INTERVAL 6 HOUR"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select("user_id", "a_id", "b_id", "c_id")

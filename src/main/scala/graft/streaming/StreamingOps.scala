@@ -449,7 +449,7 @@ object StreamingCEP {
         val out = scala.collection.mutable.ListBuffer.empty[CepEmit]
         matureB.sortBy(b => (b._1, b._2)).foreach { case (bts, bid) =>
           as.filter { case (ats, _) =>
-            bts > ats && bts <= ats + withinMicros
+            bts > ats && bts < ats + withinMicros
           }.sortBy(a => (a._1, a._2)).foreach { a =>
             if (!matchedAs(a)) {
               matchedAs += a

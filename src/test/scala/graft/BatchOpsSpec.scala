@@ -207,17 +207,21 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "1,2,4", "bs:2"))) // B@50 is after C-binding → not counted
   }
 
-  test("PatternNFA includes matches exactly at the within-horizon boundary") {
+  test("PatternNFA WITHIN is boundary-exclusive (reference advanceTime-before-process order)") {
+    // r12 flip of the r8 inclusive pin: the reference NFA expires an
+    // anchor with deadline t BEFORE processing an event at t
+    // (NFAITCase.testSimplePatternWithTimeWindowNFA), so an event
+    // exactly AT anchor.ts + within can never bind.
     import graft.operators.PatternNFA._
     import spark.implicits._
     val ev = Seq(
       (1L, 0L, 1L, "A"), (1L, 100L, 2L, "B"),   // B exactly at deadline
-      (2L, 0L, 3L, "A"), (2L, 101L, 4L, "B"))   // B one past deadline
+      (2L, 0L, 3L, "A"), (2L, 99L, 4L, "B"))    // B inside the window
       .toDF("key", "tsMicros", "id", "kind")
     val got = graft.operators.PatternNFA.run(spark, ev,
         Seq(Step("a", "A"), Step("b", "B")), withinMicros = 100L)
       .select("key").collect().map(_.getLong(0)).toSeq
-    assert(got == Seq(1L)) // inclusive at the boundary, exclusive past it
+    assert(got == Seq(2L)) // exclusive at the boundary, inclusive inside
   }
 
   test("PatternNFA full algebra: optional, not, until, timesRange, consecutive, skip") {

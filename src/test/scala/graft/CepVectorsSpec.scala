@@ -25,12 +25,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * its first element + extent, which uniquely names the reference's
   * event lists under prefix-contiguous loop semantics.
   *
-  * NOT transcribed (documented engine deltas): SKIP_TILL_ANY loops
-  * (allowCombinations beyond the times(2) pairs door), loop-FIRST
-  * patterns (the relaxed door anchors on a One-step; the STRICT
-  * MATCH_RECOGNIZE door does support quantified first variables),
-  * and next()-ENTRY into a loop (consecutive here is the loop
-  * INTERIOR; the entry keeps the step's own relation).
+  * NOT transcribed (documented engine delta): loop-FIRST patterns
+  * (the relaxed door anchors on a One-step; the STRICT
+  * MATCH_RECOGNIZE door does support quantified first variables).
+  * r12 closed the other two r11 deltas: SKIP_TILL_ANY loops beyond
+  * the times(2) pairs door ([[PatternNFA.LoopAny]] — subset
+  * enumeration) and next()-ENTRY into a loop
+  * ([[PatternNFA.NextEntry]]), plus the WITHIN boundary flip and
+  * per-branch timeout emission ([[PatternNFA.runTimeoutBranches]]).
   */
 class CepVectorsSpec extends AnyFunSuite {
   lazy val spark = StreamHarness.spark
@@ -54,6 +56,25 @@ class CepVectorsSpec extends AnyFunSuite {
   // d, a, b — distinct ts (m2/m3 share one in the reference; see doc)
   private val consecData = ev(1 -> "c", 2 -> "d", 3 -> "a", 4 -> "a",
     5 -> "a", 6 -> "d", 7 -> "a", 8 -> "b")
+
+  test("NFAITCase testSimplePatternWithTimeWindowNFA:338 — WITHIN is boundary-exclusive") {
+    // start@1, start@2, middle@3, foobar@4, end@11, end@13, within 10:
+    // the reference expires a deadline-t anchor BEFORE processing an
+    // event at t (advanceTime-first order), so start@1 (deadline 11)
+    // must NOT match end@11 — only (start@2, middle@3, end@11) does.
+    // r12 acceptance vector for the boundary flip.
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1L, 1L, "start"), (0L, 2L, 2L, "start"), (0L, 3L, 3L, "middle"),
+      (0L, 4L, 4L, "foobar"), (0L, 11L, 5L, "end"), (0L, 13L, 6L, "end"))
+      .toDF("key", "tsMicros", "id", "kind")
+    val got = PatternNFA.run(spark, df,
+        Seq(Step("S", "start"), Step("M", "middle"), Step("E", "end")),
+        withinMicros = 10L, NoSkip)
+      .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
+      .toSet
+    assert(got == Set(("2,3,5", "")), got)
+  }
 
   test("NFAITCase testSimplePatternNFA:187 — one committed match across noise") {
     val df = ev(1 -> "start", 2 -> "x", 3 -> "x2", 4 -> "mid",
