@@ -168,6 +168,30 @@ object PatternNFA {
   final case class TimesOrMore(n: Int, reluctant: Boolean = false,
                                consecutive: Boolean = false)
     extends Quant
+  /** SKIP_TILL_ANY loop interior (Pattern.java allowCombinations()):
+    * the loop's FIRST element commits to the earliest eligible
+    * candidate — the ENTRY keeps the step's own relation (strictly
+    * ADJACENT when `entryNext`, i.e. Pattern.next(...) into the loop)
+    * — and the INTERIOR then branches on EVERY later eligible
+    * candidate: all in-order subsets with extent in [lo, hi]
+    * (hi = Int.MaxValue for unbounded). `zeroOk` allows the empty
+    * binding (oneOrMore().optional() / times(n).optional()).
+    * Enumeration-door semantics (NoSkip, and SkipToNextRow routes
+    * through matchAll); committed single-match doors bind the greedy
+    * successive run like the non-ANY loop. Reference vectors:
+    * NFAITCase testSkipTillAnyOneOrMore / testSkipTillAnyZeroOrMore /
+    * testTimesNonStrictWithNext / testOptionalTimesNonStrictWithNext.
+    * Generalizes the times(2) [[runCombinationsPairs]] door. */
+  final case class LoopAny(lo: Int, hi: Int, zeroOk: Boolean = false,
+                           entryNext: Boolean = false) extends Quant
+  /** next()-ENTRY into a non-ANY loop (Pattern.next(..).oneOrMore() /
+    * .times(n), optionally .consecutive()): the loop's first element
+    * must be PHYSICALLY ADJACENT to the previous binding; the interior
+    * keeps `inner`'s own consuming strategy. Reference vectors:
+    * NFAITCase testNextZeroOrMore /
+    * testTimesStrictWithNextAndConsecutive. For an ANY interior use
+    * [[LoopAny]] with `entryNext = true` instead. */
+  final case class NextEntry(inner: Quant) extends Quant
   /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
     * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
     * must be quantifier One. */
@@ -381,6 +405,14 @@ object PatternNFA {
   final case class PTimeout(key: Long, anchor_id: Long, last_id: Long,
                             chain: String, n_bound: Int)
 
+  /** One live-partial-BRANCH timeout ([[runTimeoutBranches]]):
+    * [[PTimeout]] plus the branch's expiry timestamp — the reference
+    * hands `Tuple2<match, timeoutTimestamp>` to the timeout function,
+    * stamped with the anchor's deadline (anchor.ts + within), not the
+    * watermark that surfaced it. */
+  final case class PTimeoutB(key: Long, anchor_id: Long, last_id: Long,
+                             chain: String, n_bound: Int, timeout_us: Long)
+
   /** Timed-out partial matches (flink-cep `PatternStream.java:175`
     * select(timeoutFunction) / `TimedOutPartialMatchHandler`): every
     * OFFERED anchor whose run cannot complete within its window emits
@@ -403,8 +435,92 @@ object PatternNFA {
       scanSortedPartition[PTimeout](it, isteps, withinMicros, afterMatch,
         collectTimeouts = true, bufGauge, wantMatches = false)(
         (_, _, _) => Nil,
-        (_, t) => Seq(t))
+        (_, t, _) => Seq(t))
     }.toDF()
+  }
+
+  /** EVERY live partial branch per expiry (flink-cep NFA.advanceTime /
+    * TimedOutPartialMatchHandler — NFAITCase
+    * testSimplePatternWithTimeoutHandling: FOUR timeouts, two per
+    * anchor, one pair for an anchor that ALSO fully matched): a
+    * forward NFA simulation per offered anchor over One / AnyOne /
+    * Next steps. A state waiting on an ANY step STAYS alive across
+    * takes (each take branches); waiting on a relaxed One step it
+    * advances on the first take (no stay — SKIP_TILL_NEXT removes the
+    * waiting state); waiting on a Next step it dies when the adjacent
+    * event does not match. States that bind the final step are full
+    * matches ([[run]]'s output) and emit nothing here; every state
+    * still live when the anchor's window expires emits one row with
+    * `timeout_us` = anchor.ts + within. Contrast [[runTimeouts]]: for
+    * the pure SKIP_TILL_NEXT family the live set is exactly ONE branch
+    * (no stays ever spawn), so the longest-prefix digest there already
+    * IS the reference's per-branch semantics — this door exists for
+    * the ANY family, and is NoSkip by construction (the reference's
+    * timeout contract; skip strategies cull anchors of the MATCH
+    * stream, not the timeout stream). */
+  def runTimeoutBranches(spark: SparkSession, events: DataFrame,
+                         steps: Seq[Step], withinMicros: Long): DataFrame = {
+    import spark.implicits._
+    require(steps.length >= 2,
+      "runTimeoutBranches needs at least two steps (a single-step " +
+        "pattern completes on its anchor — nothing can time out)")
+    steps.foreach(s => require(
+      s.quant == One || s.quant == AnyOne || s.quant == Next,
+      s"runTimeoutBranches supports One/AnyOne/Next steps (the " +
+        s"ANY-family per-branch timeout contract); got ${s.quant} on " +
+        s"step ${s.name} — use runTimeouts' longest-prefix digest"))
+    val (isteps, ds) = prepare(events, steps, kindPreds(steps), Nil, Map.empty)
+    sortedByKey(ds).mapPartitions { it =>
+      scanSortedPartition[PTimeoutB](it, isteps, withinMicros, NoSkip,
+        collectTimeouts = true, None, wantMatches = false,
+        branchTimeoutMode = true)(
+        (_, _, _) => Nil,
+        (_, t, dl) => Seq(PTimeoutB(t.key, t.anchor_id, t.last_id,
+          t.chain, t.n_bound, dl)))
+    }.toDF()
+  }
+
+  /** Live partial branches of anchor `a` at its expiry — the forward
+    * simulation behind [[runTimeoutBranches]]. */
+  private def branchTimeouts(key: Long, evs: EvSeq, isteps: Seq[INode],
+                             a: Ev, deadline: Long): Seq[PTimeout] = {
+    val leafs = isteps.map {
+      case l: ILeaf => l
+      case _: IGroup =>
+        sys.error("group patterns are not supported by runTimeoutBranches")
+    }
+    val n = leafs.length
+    final case class StB(step: Int, bound: Vector[Ev])
+    var live = List(StB(1, Vector(a)))
+    evs.iteratorFrom(a.idx + 1).takeWhile(_.ts < deadline).foreach { e =>
+      var next = List.empty[StB]
+      live.foreach { s =>
+        val st = leafs(s.step)
+        val last = s.bound.last
+        val ok = hasBit(e, st.bit) && e.ts > last.ts &&
+          ctxOk(st, evs, e, a.idx, s.bound.map(Vector(_)), Vector.empty)
+        st.quant match {
+          case AnyOne =>
+            next ::= s // the waiting state stays across ANY takes
+            if (ok) next ::= StB(s.step + 1, s.bound :+ e)
+          case One =>
+            if (ok) next ::= StB(s.step + 1, s.bound :+ e)
+            else next ::= s
+          case Next =>
+            // events arrive in idx order, so the first event a fresh
+            // state sees IS the adjacent one — match advances, any
+            // other outcome burns the only slot and the branch dies
+            if (e.idx == last.idx + 1 && ok)
+              next ::= StB(s.step + 1, s.bound :+ e)
+          case other =>
+            sys.error(s"runTimeoutBranches: unsupported quantifier $other")
+        }
+      }
+      // states that bound the final step are FULL matches — not live
+      live = next.filter(_.step < n)
+    }
+    live.reverse.map(s => PTimeout(key, a.id, s.bound.last.id,
+      s.bound.map(_.id).mkString(","), s.bound.size))
   }
 
   /** Longest prefix the NFA had bound when the window expired: greedy
@@ -420,6 +536,7 @@ object PatternNFA {
       .getOrElse((1, Vector.empty[Vector[Ev]]))
     val bound = Vector(Vector(a)) ++ rest
     val ids = isteps.take(m).zip(bound).flatMap {
+      case (l: ILeaf, b) if isAnyLoop(l.quant) => b.map(_.id)
       case (l: ILeaf, b) if isLoop(l.quant) => b.headOption.map(_.id).toSeq
       case (_, b) => b.map(_.id)
     }
@@ -489,7 +606,7 @@ object PatternNFA {
       scanSortedPartition[PMatch](it, isteps, withinMicros, afterMatch,
         collectTimeouts = false, bufGauge, strict = strict)(
         (key, bindings, _) => Seq(emit(key, isteps, bindings)),
-        (_, _) => Nil)
+        (_, _, _) => Nil)
     }.toDF()
   }
 
@@ -523,7 +640,7 @@ object PatternNFA {
               BindingRow(key, matchNo, anchorId, st.name, e.id, e.idx))
           }
         },
-        (_, _) => Nil)
+        (_, _, _) => Nil)
     }.toDF()
   }
 
@@ -671,6 +788,16 @@ object PatternNFA {
           q match {
             case TimesOrMore(n, _, _) => require(n >= 1,
               "TimesOrMore requires n >= 1 — use ZeroOrMore for {0,}")
+            case LoopAny(lo, hi, _, _) => require(lo >= 1 && hi >= lo,
+              s"LoopAny extent [$lo, $hi] out of range (lo >= 1; the " +
+                "empty binding is zeroOk, not lo = 0)")
+            case NextEntry(inner) => inner match {
+              case _: OneOrMore | _: ZeroOrMore | _: Times |
+                   _: TimesRange | _: TimesOrMore => // loop inner: ok
+              case other => sys.error(s"NextEntry wraps loop " +
+                s"quantifiers only, got $other — use " +
+                "LoopAny(entryNext = true) for ANY interiors")
+            }
             case _ =>
           }
           val untilBit = q match {
@@ -691,14 +818,37 @@ object PatternNFA {
     * element, the membership is summarized in `counts`. */
   private def isLoop(q: Quant): Boolean = q match {
     case _: OneOrMore | _: ZeroOrMore | _: TimesOrMore => true
+    case NextEntry(inner) => isLoop(inner)
     case _ => false
+  }
+
+  /** ANY-interior loops carry their FULL loop ids in the chain (the
+    * times(2) pairs door's convention — two subsets with the same
+    * first element and extent are otherwise indistinguishable) plus
+    * the extent in counts. */
+  private def isAnyLoop(q: Quant): Boolean = q match {
+    case _: LoopAny => true
+    case _ => false
+  }
+
+  /** (lo, hi, zeroOk, consecutive) of a loop quantifier — the shape
+    * [[NextEntry]] delegates its interior to. Reluctant/until flags
+    * are not supported under NextEntry (no reference vector pairs
+    * them; the ILeaf carries untilBit = None for wrapped quants). */
+  private def loopShape(q: Quant): (Int, Int, Boolean, Boolean) = q match {
+    case OneOrMore(_, _, c) => (1, Int.MaxValue, false, c)
+    case ZeroOrMore(_, _, c) => (1, Int.MaxValue, true, c)
+    case Times(n, c) => (n, n, false, c)
+    case TimesRange(lo, hi, _) => (math.max(lo, 1), hi, lo == 0, false)
+    case TimesOrMore(n, _, c) => (n, Int.MaxValue, false, c)
+    case other => sys.error(s"not a loop quantifier: $other")
   }
 
   /** followedByAny patterns enumerate every branch per anchor — the
     * matchAll path even under SkipToNextRow (Pattern.java
     * followedByAny: relaxed contiguity WITH any match). */
   private def hasAnyOne(isteps: Seq[INode]): Boolean = isteps.exists {
-    case l: ILeaf => l.quant == AnyOne
+    case l: ILeaf => l.quant == AnyOne || isAnyLoop(l.quant)
     case g: IGroup => g.sub.exists {
       case l: ILeaf => l.quant == AnyOne
       case _ => false
@@ -1040,9 +1190,10 @@ object PatternNFA {
       isteps: Seq[INode], withinMicros: Long, afterMatch: AfterMatch,
       collectTimeouts: Boolean,
       gauge: Option[org.apache.spark.util.LongAccumulator],
-      wantMatches: Boolean = true, strict: Boolean = false)(
+      wantMatches: Boolean = true, strict: Boolean = false,
+      branchTimeoutMode: Boolean = false)(
       onMatch: (Long, Vector[Vector[Ev]], Long) => Seq[O],
-      onTimeout: (Long, PTimeout) => Seq[O]): Iterator[O] = new Iterator[O] {
+      onTimeout: (Long, PTimeout, Long) => Seq[O]): Iterator[O] = new Iterator[O] {
 
     private val hasCtx = anyCtx(isteps)
     private val enumerateAll = afterMatch == NoSkip ||
@@ -1063,13 +1214,22 @@ object PatternNFA {
     private def scanAnchor(a: Ev): Unit = {
       if (a.idx < minAnchorIdx) return
       val deadline = a.ts + withinMicros
+      if (branchTimeoutMode) {
+        // per-branch expiry emission: match status never suppresses
+        // (the reference expires an anchor's stays even when it also
+        // fully matched), and NoSkip means no skip-mark bookkeeping
+        branchTimeouts(curKey, buf, isteps, a, deadline)
+          .foreach(t => out ++= onTimeout(curKey, t, deadline))
+        return
+      }
       if (enumerateAll) {
         val all = matchAll(buf, isteps.drop(1), a, deadline, a.idx,
           Vector(Vector(a)), hasCtx)
         if (!all.hasNext) {
           if (collectTimeouts)
             out ++= onTimeout(curKey,
-              timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx))
+              timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx),
+              deadline)
         } else if (wantMatches) all.foreach { rest =>
           // lazy: completions stream straight into the output queue —
           // never materialized; a matches-discarding caller
@@ -1105,7 +1265,7 @@ object PatternNFA {
             val tmo =
               if (strict) strictTimeoutPartial(curKey, buf, isteps, a, deadline)
               else Some(timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx))
-            tmo.foreach(t => out ++= onTimeout(curKey, t))
+            tmo.foreach(t => out ++= onTimeout(curKey, t, deadline))
           case None =>
         }
       }
@@ -1454,6 +1614,45 @@ object PatternNFA {
           cont(runK.last, runK)
         }.nextOption()
 
+      case LoopAny(lo, hi, zeroOk, entryNext) =>
+        // committed single-match door: the greedy maximal SUBSET is the
+        // successive run itself (every eligible taken in order) —
+        // shrink-from-the-end like the non-ANY greedy loop. Reference
+        // parity for the branch set is pinned via the enumeration door
+        // (hasAnyOne routes SkipToNextRow through matchAll).
+        def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+        val entry =
+          if (entryNext) adjacentEligible(evs, st, prev, deadline,
+            anchorIdx, acc)
+          else eligible(prev.idx + 1, Vector.empty).nextOption()
+        entry.flatMap { first =>
+          val full = successiveRunFrom(evs, st, first, deadline,
+            anchorIdx, acc, hi)
+          (math.min(full.size, hi) to lo by -1).iterator.flatMap { k =>
+            val rk = full.take(k)
+            cont(rk.last, rk)
+          }.nextOption()
+        }.orElse(if (zeroOk) zeroB else None)
+
+      case NextEntry(inner) =>
+        val (lo0, hi0, zeroOk, consec) = loopShape(inner)
+        def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+        adjacentEligible(evs, st, prev, deadline, anchorIdx, acc)
+          .flatMap { first =>
+            val full =
+              if (consec) consecutiveRun(evs, st, first, deadline,
+                anchorIdx, acc, None)
+              else successiveRunFrom(evs, st, first, deadline,
+                anchorIdx, acc, hi0)
+            (math.min(full.size, hi0) to math.max(lo0, 1) by -1).iterator
+              .flatMap { k =>
+                val rk = full.take(k)
+                cont(rk.last, rk)
+              }.nextOption()
+          }.orElse(if (zeroOk) zeroB else None)
+
       case GroupTimes(_, _, _) =>
         sys.error("unreachable: groups are compiled to IGroup")
     }
@@ -1578,10 +1777,100 @@ object PatternNFA {
               val run = b.get
               enumAfter(run.last, run)
             }
+          case LoopAny(lo, hi, zeroOk, entryNext) =>
+            // SKIP_TILL_ANY interior: entry commits (earliest eligible,
+            // or the adjacent event under entryNext), the interior then
+            // branches on EVERY later eligible — all in-order subsets
+            val unbound =
+              if (zeroOk) matchAll(evs, steps.tail, prev, deadline,
+                  anchorIdx, acc :+ Vector.empty, hasCtx)
+                .map(Vector(Vector.empty[Ev]) ++ _)
+              else Iterator.empty
+            val entry =
+              if (entryNext) adjacentEligible(evs, st, prev, deadline,
+                anchorIdx, acc).iterator
+              else eligible(Vector.empty).take(1)
+            val bound = entry.flatMap { first =>
+              anySubsets(evs, st, Vector(first), deadline, anchorIdx,
+                  acc, hi)
+                .filter(_.size >= lo)
+                .flatMap(run => enumAfter(run.last, run))
+            }
+            unbound ++ bound
+          case NextEntry(inner) =>
+            val (lo0, hi0, zeroOk, consec) = loopShape(inner)
+            val unbound =
+              if (zeroOk) matchAll(evs, steps.tail, prev, deadline,
+                  anchorIdx, acc :+ Vector.empty, hasCtx)
+                .map(Vector(Vector.empty[Ev]) ++ _)
+              else Iterator.empty
+            val bound = adjacentEligible(evs, st, prev, deadline,
+                anchorIdx, acc).iterator.flatMap { first =>
+              val full =
+                if (consec) consecutiveRun(evs, st, first, deadline,
+                  anchorIdx, acc, None)
+                else successiveRunFrom(evs, st, first, deadline,
+                  anchorIdx, acc, hi0)
+              (math.max(lo0, 1) to math.min(full.size.toLong,
+                  hi0.toLong).toInt).iterator
+                .flatMap { k =>
+                  val rk = full.take(k)
+                  enumAfter(rk.last, rk)
+                }
+            }
+            unbound ++ bound
           case GroupTimes(_, _, _) =>
             sys.error("unreachable: groups are compiled to IGroup")
         }
     }
+  }
+
+  /** The single PHYSICALLY ADJACENT candidate a next()-entry may bind
+    * (Pattern.next(...) into a loop): evs(prev.idx + 1), subject to
+    * the step's bit, the window, and context predicates. */
+  private def adjacentEligible(evs: EvSeq, st: ILeaf, prev: Ev,
+                               deadline: Long, anchorIdx: Int,
+                               acc: Vector[Vector[Ev]]): Option[Ev] =
+    evs.lift(prev.idx + 1).filter(e => hasBit(e, st.bit) &&
+      e.ts > prev.ts && e.ts < deadline &&
+      ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+
+  /** All in-order extensions of `run` by LATER eligible loop events —
+    * the SKIP_TILL_ANY interior's branch set (every eligible candidate
+    * is both taken and skipped), capped at `hi` elements. Emits `run`
+    * itself first, then extensions in DFS order. */
+  private def anySubsets(evs: EvSeq, st: ILeaf, run: Vector[Ev],
+                         deadline: Long, anchorIdx: Int,
+                         acc: Vector[Vector[Ev]], hi: Int)
+      : Iterator[Vector[Ev]] =
+    Iterator.single(run) ++ (
+      if (run.size >= hi) Iterator.empty
+      else evs.iteratorFrom(run.last.idx + 1)
+        .filter(e => hasBit(e, st.bit) && e.ts > run.last.ts &&
+          e.ts < deadline && ctxOk(st, evs, e, anchorIdx, acc, run))
+        .flatMap(e => anySubsets(evs, st, run :+ e, deadline, anchorIdx,
+          acc, hi)))
+
+  /** Maximal SUCCESSIVE (relaxed skip-till-next) run starting AT
+    * `first`: each further element is the earliest eligible after the
+    * previous one, capped at `hi` — the interior a [[NextEntry]] loop
+    * keeps after its adjacent entry. */
+  private def successiveRunFrom(evs: EvSeq, st: ILeaf, first: Ev,
+                                deadline: Long, anchorIdx: Int,
+                                acc: Vector[Vector[Ev]], hi: Int)
+      : Vector[Ev] = {
+    var run = Vector(first)
+    var go = true
+    while (go && run.size < hi) {
+      val nxt = evs.iteratorFrom(run.last.idx + 1).find(e =>
+        hasBit(e, st.bit) && e.ts > run.last.ts && e.ts < deadline &&
+          ctxOk(st, evs, e, anchorIdx, acc, run))
+      nxt match {
+        case Some(e) => run :+= e
+        case None => go = false
+      }
+    }
+    run
   }
 
   /** Maximal run of PHYSICALLY ADJACENT events matching `st`, starting
@@ -1898,11 +2187,13 @@ object PatternNFA {
   private def emit(key: Long, steps: Seq[INode],
                    bindings: Vector[Vector[Ev]]): PMatch = {
     val chain = steps.zip(bindings).flatMap {
+      case (l: ILeaf, b) if isAnyLoop(l.quant) => b.map(_.id)
       case (l: ILeaf, b) if isLoop(l.quant) => b.take(1).map(_.id)
       case (_, b) => b.map(_.id)
     }
     val counts = steps.zip(bindings).collect {
-      case (l: ILeaf, b) if isLoop(l.quant) => s"${l.name}:${b.size}"
+      case (l: ILeaf, b) if isLoop(l.quant) || isAnyLoop(l.quant) =>
+        s"${l.name}:${b.size}"
       case (g: IGroup, b) => s"${g.name}:${b.size / g.sub.size}"
     }.mkString(",")
     PMatch(key, chain.head, chain.last, chain.mkString(","), counts)

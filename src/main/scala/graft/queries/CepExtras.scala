@@ -1565,6 +1565,38 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id")
     },
 
+    // PER-BRANCH timeout side output (flink-cep NFA.advanceTime /
+    // NFAITCase testSimplePatternWithTimeoutHandling, r12): with ANY
+    // relations every live partial branch expires separately, stamped
+    // with the anchor's deadline — one bare-anchor stay per signup
+    // (waiting on the ANY click step) plus one branch per click bound
+    // inside the (exclusive) window, REGARDLESS of whether the anchor
+    // also fully matched. Oracle: anchors × (1 + in-window clicks).
+    q("cep23_timeout_branches",
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us FROM ev
+        |      WHERE event_type = 'signup')
+        |SELECT * FROM (
+        |  SELECT user_id AS key, a_id AS anchor_id, a_id AS last_id,
+        |    CAST(a_id AS VARCHAR) AS chain, 1 AS n_bound,
+        |    a_us + $H2 AS timeout_us
+        |  FROM a
+        |  UNION ALL
+        |  SELECT a.user_id, a.a_id, c.event_id,
+        |    a.a_id || ',' || c.event_id, 2, a.a_us + $H2
+        |  FROM a JOIN ev c ON c.user_id = a.user_id
+        |    AND c.event_type = 'click'
+        |    AND c.ts_us > a.a_us AND c.ts_us < a.a_us + $H2)
+        |ORDER BY key, anchor_id, n_bound, last_id""".stripMargin) { (s, dir) =>
+      PatternNFA.runTimeoutBranches(s, events(s, dir), Seq(
+          Step("A", "signup"),
+          Step("C", "click", AnyOne),
+          Step("P", "purchase", AnyOne)),
+        withinMicros = H2)
+        .orderBy("key", "anchor_id", "n_bound", "last_id")
+    },
+
     // MULTI-COLUMN, STRING-TYPED PARTITION BY (the reference allows
     // any number of partition columns of any type —
     // MatchRecognizeITCase testCodeSplitsAreProperlyGenerated

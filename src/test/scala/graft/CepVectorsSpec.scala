@@ -207,6 +207,102 @@ class CepVectorsSpec extends AnyFunSuite {
     assert(got == want, got)
   }
 
+  test("NFAITCase testSkipTillAnyOneOrMore:2674 — ANY-interior 1+ emits every in-order subset") {
+    // allowCombinations on a 1+ loop: entry commits to the earliest
+    // eligible (all reference matches start with middleEvent1), the
+    // interior branches on EVERY later eligible — 2^3 = 8 subsets.
+    // ANY-loop chains carry FULL loop ids (subsets are otherwise
+    // indistinguishable — the times(2) pairs door's convention).
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue)), Step("E", "b")))
+    val want = Set(
+      ("1,3,8", "M:1"), ("1,3,4,8", "M:2"), ("1,3,5,8", "M:2"),
+      ("1,3,7,8", "M:2"), ("1,3,4,5,8", "M:3"), ("1,3,4,7,8", "M:3"),
+      ("1,3,5,7,8", "M:3"), ("1,3,4,5,7,8", "M:4"))
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testSkipTillAnyZeroOrMore:2820 — ANY-interior 0+ adds the empty extent") {
+    val got = matches(consecData, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue, zeroOk = true)),
+      Step("E", "b")))
+    val want = Set(
+      ("1,8", "M:0"),
+      ("1,3,8", "M:1"), ("1,3,4,8", "M:2"), ("1,3,5,8", "M:2"),
+      ("1,3,7,8", "M:2"), ("1,3,4,5,8", "M:3"), ("1,3,4,7,8", "M:3"),
+      ("1,3,5,7,8", "M:3"), ("1,3,4,5,7,8", "M:4"))
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testNextZeroOrMore:1323 — next()-entry kills non-adjacent loop binds") {
+    // next(middle).oneOrMore().optional().consecutive(): the loop's
+    // first element must be ADJACENT to start; the noise event at 2
+    // kills every bound branch — only (start, end) survives.
+    val df = ev(1 -> "start", 2 -> "event", 3 -> "middle", 4 -> "middle",
+      5 -> "middle", 6 -> "end")
+    val got = matches(df, Seq(Step("S", "start"),
+      Step("M", "middle", NextEntry(ZeroOrMore(consecutive = true))),
+      Step("E", "end")))
+    assert(got == Set(("1,6", "M:0")), got)
+  }
+
+  test("NFAITCase testTimesNonStrictWithNext:1629 — next()-entry pairs with ANY interior") {
+    // next(middle).times(2).allowCombinations(): entry adjacent (m1@2
+    // IS adjacent to c@1), second element = every later eligible.
+    val df = ev(1 -> "c", 2 -> "a", 3 -> "f", 4 -> "a", 5 -> "f",
+      6 -> "a", 7 -> "b")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, 2, entryNext = true)), Step("E", "b")))
+    assert(got == Set(("1,2,4,7", "M:2"), ("1,2,6,7", "M:2")), got)
+  }
+
+  test("NFAITCase testOptionalTimesNonStrictWithNext:2535 — optional adds the empty branch") {
+    val df = ev(1 -> "c", 2 -> "a", 3 -> "f", 4 -> "a", 5 -> "f",
+      6 -> "a", 7 -> "b")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, 2, zeroOk = true, entryNext = true)),
+      Step("E", "b")))
+    assert(got == Set(("1,2,4,7", "M:2"), ("1,2,6,7", "M:2"),
+      ("1,7", "M:0")), got)
+  }
+
+  test("NFAITCase testTimesStrictWithNextAndConsecutive:1828 — adjacency gap starves the run") {
+    // next(middle).times(2).consecutive(): entry adjacent (m1@2), but
+    // the consecutive second element must be at index 3 — it's 'f'.
+    val df = ev(1 -> "c", 2 -> "a", 3 -> "f", 4 -> "a", 6 -> "a", 7 -> "b")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", NextEntry(Times(2, consecutive = true))),
+      Step("E", "b")))
+    assert(got.isEmpty, got)
+  }
+
+  test("NFAITCase testSimplePatternWithTimeoutHandling:403 — every live partial branch times out") {
+    // followedByAny twice, within 10: FOUR timeouts — two per anchor
+    // (the bare anchor's stay and the [start, middle] branch), each
+    // stamped with the anchor's deadline, INCLUDING the anchor that
+    // also fully matched (start@2's stays expire at 12).
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1L, 1L, "start"), (0L, 2L, 2L, "start"), (0L, 3L, 3L, "middle"),
+      (0L, 4L, 4L, "foobar"), (0L, 11L, 5L, "end"), (0L, 13L, 6L, "end"))
+      .toDF("key", "tsMicros", "id", "kind")
+    val steps = Seq(Step("S", "start"), Step("M", "middle", AnyOne),
+      Step("E", "end", AnyOne))
+    // the full-match side is unchanged: exactly one match
+    val full = PatternNFA.run(spark, df, steps, withinMicros = 10L, NoSkip)
+      .collect().map(_.getAs[String]("chain")).toSet
+    assert(full == Set("2,3,5"), full)
+    val tmo = PatternNFA.runTimeoutBranches(spark, df, steps,
+        withinMicros = 10L)
+      .collect().map(r => (r.getAs[Long]("anchor_id"),
+        r.getAs[String]("chain"), r.getAs[Int]("n_bound"),
+        r.getAs[Long]("timeout_us"))).toSet
+    val want = Set(
+      (1L, "1", 1, 11L), (1L, "1,3", 2, 11L),
+      (2L, "2", 1, 12L), (2L, "2,3", 2, 12L))
+    assert(tmo == want, tmo)
+  }
+
   test("committed doors: consecutive loops bind the greedy adjacent run") {
     // the committed (SkipToNextRow) scan of the same testStrictOneOrMore
     // shape: one match per anchor, the full adjacent run
