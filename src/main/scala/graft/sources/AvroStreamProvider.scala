@@ -20,15 +20,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (sorted names — the same seen-files contract FileStreamSource
   *    keeps in its log; files are immutable once written, the
   *    format's writer never appends to a published file). GROWTH
-  *    BOUND (advisor r10): the offset re-serializes every seen name
-  *    each micro-batch, so offset-log entries and latestOffset cost
-  *    grow linearly with the files EVER written to the directory —
-  *    the file names carry no ordering a high-water mark could
-  *    compact on (UUID-stamped). FileStreamSource bounds the same
-  *    structure with log compaction + maxFileAge; a long-lived
-  *    production stream on this source should roll to a fresh
-  *    directory periodically (the sink side already supports
-  *    directory-per-day layouts), which resets the set;
+  *    BOUND (advisor r10, closed r12): without options the offset
+  *    re-serializes every seen name each micro-batch — names carry
+  *    no ordering a high-water mark could compact on (UUID-stamped).
+  *    `.option("maxFileAgeMs", …)` bounds it the way FileStreamSource
+  *    does: names older than (newest mod time − maxFileAge) are
+  *    EVICTED from the offset and no longer planned, so the
+  *    serialized set holds at most one age-window of names; a file
+  *    must land within maxFileAge of the newest file to be read at
+  *    all (the documented maxFileAge trade). Directory rolling (the
+  *    sink's directory-per-day layouts) remains the zero-trade
+  *    alternative;
   *  - each micro-batch plans one InputPartition per NEW file —
   *    distributed, no driver row materialization;
   *  - rows convert GenericRecord → external Row ([[GraftAvro]]'s
@@ -54,9 +56,12 @@ class AvroStreamProvider extends TableProvider {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
     new AvroStreamProvider.AvroTable(schema,
-      AvroStreamProvider.pathOf(new CaseInsensitiveStringMap(properties)))
+      AvroStreamProvider.pathOf(opts),
+      Option(opts.get("maxFileAgeMs")).map(_.toLong))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -69,40 +74,74 @@ object AvroStreamProvider {
     p
   }
 
-  private final class AvroTable(declared: StructType, dir: String)
+  private final class AvroTable(declared: StructType, dir: String,
+                                maxFileAgeMs: Option[Long])
       extends Table with SupportsRead {
     override def name(): String = s"avro-stream($dir)"
     override def schema(): StructType = declared
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      () => new AvroScan(declared, dir)
+      () => new AvroScan(declared, dir, maxFileAgeMs)
   }
 
-  private final class AvroScan(declared: StructType, dir: String) extends Scan {
+  private final class AvroScan(declared: StructType, dir: String,
+                               maxFileAgeMs: Option[Long]) extends Scan {
     override def readSchema(): StructType = declared
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new AvroMicroBatchStream(declared, dir)
+      new AvroMicroBatchStream(declared, dir, maxFileAgeMs)
   }
 
-  /** Offset = sorted processed-file names, JSON-encoded. */
-  private final case class AvroOffset(files: Seq[String]) extends Offset {
-    override def json(): String =
-      files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
+  /** Offset = sorted processed-file names, JSON-encoded, plus the age
+    * cutoff (epoch ms) files older than which have been EVICTED from
+    * the set — the r12 compaction closing the advisor's growth bound:
+    * with `maxFileAgeMs` set, the serialized offset holds only names
+    * younger than (newest mod time − maxFileAge), exactly
+    * FileStreamSource's maxFileAge contract. The legacy bare-array
+    * JSON form deserializes with cutoff 0 (no eviction), so existing
+    * checkpoints resume unchanged. */
+  private final case class AvroOffset(files: Seq[String],
+                                      cutoffMs: Long = 0L) extends Offset {
+    override def json(): String = {
+      val arr =
+        files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          .mkString("[", ",", "]")
+      if (cutoffMs == 0L) arr else s"""{"cut":$cutoffMs,"files":$arr}"""
+    }
   }
 
   private object AvroOffset {
     private val strRe = """"((?:[^"\\]|\\.)*)"""".r
-    def fromJson(s: String): AvroOffset = AvroOffset(
-      strRe.findAllMatchIn(s).map(
-        _.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+    private val cutRe = """"cut"\s*:\s*(\d+)""".r
+    def fromJson(s: String): AvroOffset = {
+      val cut = cutRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      // both forms carry the names as the (only) JSON array — scan
+      // from its '[' so the object form's keys are never mis-read
+      val arrStart = s.indexOf('[')
+      val body = if (arrStart >= 0) s.substring(arrStart) else "[]"
+      AvroOffset(strRe.findAllMatchIn(body).map(
+        _.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq, cut)
+    }
   }
 
-  private final class AvroMicroBatchStream(declared: StructType, dir: String)
+  private final class AvroMicroBatchStream(declared: StructType, dir: String,
+                                           maxFileAgeMs: Option[Long])
       extends MicroBatchStream {
     override def initialOffset(): Offset = AvroOffset(Seq.empty)
-    override def latestOffset(): Offset = AvroOffset(GraftAvro.listFiles(dir))
+    override def latestOffset(): Offset = maxFileAgeMs match {
+      case None => AvroOffset(GraftAvro.listFiles(dir))
+      case Some(age) =>
+        val listed = GraftAvro.listFilesWithMtime(dir)
+        if (listed.isEmpty) AvroOffset(Seq.empty)
+        else {
+          // files that aged past the cutoff are evicted from the
+          // offset AND no longer planned — a file must land within
+          // maxFileAge of the newest file to be read at all
+          // (FileStreamSource's documented maxFileAge semantics)
+          val cut = math.max(0L, listed.map(_._2).max - age)
+          AvroOffset(listed.collect { case (f, m) if m >= cut => f }, cut)
+        }
+    }
     override def deserializeOffset(json: String): Offset =
       AvroOffset.fromJson(json)
     override def commit(end: Offset): Unit = ()

@@ -363,6 +363,18 @@ object GraftAvro {
       .filter(_.getName.endsWith(".avro")).map(_.toString).sorted.toSeq
   }
 
+  /** [[listFiles]] with modification times — the age dimension the
+    * streaming source's offset compaction evicts on (r12). */
+  private[sources] def listFilesWithMtime(dir: String): Seq[(String, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new Configuration())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(st => (st.getPath.toString, st.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
   /** The avro-header schema of the first file (all files written by
     * this format carry the same one). */
   private[sources] def headerSchemaJson(file: String): String = {

@@ -577,6 +577,59 @@ class SourcesSpec extends AnyFunSuite {
     GraftDDL.executeDrop(spark, "DROP TABLE avro_stream_t")
   }
 
+  test("avro stream offset compaction: maxFileAgeMs evicts aged names, checkpoint resumes (r12)") {
+    import graft.sources.{AvroStreamProvider, GraftAvro}
+    val spark = StreamHarness.spark
+    val sdir = java.nio.file.Files.createTempDirectory("graft_avro_compact").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_avro_compact_chk").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startQ() = spark.readStream
+      .format(classOf[AvroStreamProvider].getName)
+      .schema("k BIGINT").option("maxFileAgeMs", "60000").load(sdir)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    GraftAvro.write(spark.sql("SELECT id AS k FROM range(0, 3)").coalesce(1),
+      sdir, overwrite = false)
+    // age batch 1 an hour into the past; the cutoff is relative to the
+    // NEWEST file, so an all-old directory still reads fully
+    new java.io.File(sdir).listFiles().filter(_.getName.endsWith(".avro"))
+      .foreach(f => assert(f.setLastModified(f.lastModified() - 3600000L)))
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      assert(seen.size == 3, s"batch 1 rows: $seen")
+      // batch 2 lands with a fresh mtime: the cutoff jumps to
+      // (now - 60s) and batch 1's name is EVICTED from the offset
+      GraftAvro.write(
+        spark.sql("SELECT id AS k FROM range(10, 12)").coalesce(1),
+        sdir, overwrite = false)
+      q.processAllAvailable()
+      assert(seen.size == 5, s"after batch 2: $seen")
+      val offDir = new java.io.File(chk, "offsets")
+      val latest = offDir.listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+      val lines = java.nio.file.Files.readAllLines(latest.toPath)
+      val offJson = lines.get(lines.size - 1)
+      assert(offJson.contains("\"cut\":"), s"compacted offset form: $offJson")
+      val held = "\\.avro".r.findAllIn(offJson).size
+      assert(held == 1, s"offset holds $held names (want 1): $offJson")
+    } finally q.stop()
+    // restart from the compacted (object-form) offset: only batch 3 is
+    // new — nothing re-delivers, the aged batch-1 name stays evicted
+    GraftAvro.write(
+      spark.sql("SELECT id AS k FROM range(20, 22)").coalesce(1),
+      sdir, overwrite = false)
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val ks = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      assert(ks == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L),
+        s"resume delivers exactly batch 3 once: $ks")
+    } finally q2.stop()
+  }
+
   test("broadcast state pattern: rules re-broadcast to every key per micro-batch") {
     import graft.streaming.GEvent
     val sp = StreamHarness.spark
