@@ -684,9 +684,13 @@ object PatternNFA {
     import events.sparkSession.implicits._
     // strict mode has no anchor-shape restriction: the attempt row is
     // the match's first BOUND row, so a quantified/optional first
-    // variable is legal (the reference's PATTERN (A+ C) doc example)
-    require(steps.nonEmpty && (strict || steps.head.quant == One),
-      "first step must be quantifier One (anchor)")
+    // variable is legal (the reference's PATTERN (A+ C) doc example).
+    // r12: the relaxed door also accepts LOOP-first heads (every
+    // loop-kind event anchors its own run — enumFromAnchor)
+    require(steps.nonEmpty && (strict || steps.head.quant == One ||
+        loopFirstShape(steps.head.quant).isDefined),
+      "first step must be quantifier One (anchor) or a loop " +
+        "(loop-first anchoring)")
     require(varPreds.size <= 64, "at most 64 pattern variables")
     val bitOf = varPreds.map(_._1).zipWithIndex.toMap
     val isteps = compile(steps, k => bitOf.getOrElse(k,
@@ -994,12 +998,102 @@ object PatternNFA {
 
   /** Anchor eligibility: bit + context (anchor ctx sees only itself —
     * acc is empty, curStep 0). */
+  /** Loop-FIRST pattern shape (r12 — Pattern.begin(..).oneOrMore()
+    * and friends; the reference's NFA anchors a run on EVERY
+    * loop-kind event): (lo, hi, zeroOk, interior) where interior is
+    * 'R' relaxed (skip-till-next prefixes), 'C' consecutive (adjacent
+    * runs), 'A' any (in-order subsets). None = the step is a normal
+    * One-ish anchor. Pinned to NFAITCase testBeginWithZeroOrMore /
+    * testBeginWithAtLeastOne / testStartWithTimes /
+    * testStartWith{One,Zero}OrMoreStrict / testStartWithOptional. */
+  private def loopFirstShape(q: Quant): Option[(Int, Int, Boolean, Char)] =
+    q match {
+      case Optional => Some((1, 1, true, 'R'))
+      case OneOrMore(_, _, c) =>
+        Some((1, Int.MaxValue, false, if (c) 'C' else 'R'))
+      case ZeroOrMore(_, _, c) =>
+        Some((1, Int.MaxValue, true, if (c) 'C' else 'R'))
+      case Times(n, c) => Some((n, n, false, if (c) 'C' else 'R'))
+      case TimesRange(lo, hi, _) => Some((math.max(lo, 1), hi, lo == 0, 'R'))
+      case TimesOrMore(n, _, c) =>
+        Some((n, Int.MaxValue, false, if (c) 'C' else 'R'))
+      case LoopAny(lo, hi, z, _) => Some((lo, hi, z, 'A'))
+      case _ => None
+    }
+
+  private def hasLoopFirst(isteps: Seq[INode]): Boolean = isteps.head match {
+    case l: ILeaf => loopFirstShape(l.quant).isDefined
+    case _ => false
+  }
+
+  /** The empty-loop anchor class of a zero-allowed loop-first pattern:
+    * the REST's head event anchors directly (the reference's begin
+    * state proceeds past the unbound loop — testStartWithOptional's
+    * bare {end} match). Restricted to a One/AnyOne rest head. */
+  private def zeroAnchorOk(a: Ev, isteps: Seq[INode]): Boolean =
+    isteps.lift(1) match {
+      case Some(l2: ILeaf) if l2.quant == One || l2.quant == AnyOne =>
+        hasBit(a, l2.bit) &&
+          ctxOk(l2, EmptyEvs, a, a.idx, Vector(Vector.empty), Vector.empty)
+      case _ => false
+    }
+
   private def anchorOk(a: Ev, isteps: Seq[INode]): Boolean = isteps.head match {
     case l: ILeaf =>
-      hasBit(a, l.bit) &&
+      val bound = hasBit(a, l.bit) &&
         ctxOk(l, EmptyEvs, a, a.idx, Vector.empty, Vector.empty)
+      bound || (loopFirstShape(l.quant) match {
+        case Some((_, _, true, _)) => zeroAnchorOk(a, isteps)
+        case _ => false
+      })
     case _: IGroup => sys.error("pattern cannot start with a group " +
       "(the anchor defines the window)")
+  }
+
+  /** Enumerate every completion from anchor `a` — the NoSkip branch
+    * set. A One-ish head binds `a` to step 0 (the classic path); a
+    * loop-first head binds `a` as the loop's FIRST element and
+    * enumerates interior extensions from it (relaxed prefixes /
+    * adjacent runs / ANY subsets), plus — when the loop allows zero
+    * and `a` is eligible for the rest's head — the empty-loop branch
+    * with `a` bound to the rest head. Both classes can fire for one
+    * event when the kinds overlap, exactly like the reference's
+    * branching begin state. */
+  private def enumFromAnchor(evs: EvSeq, isteps: Seq[INode], a: Ev,
+                             deadline: Long, hasCtx: Boolean)
+      : Iterator[Vector[Vector[Ev]]] = isteps.head match {
+    case l: ILeaf if loopFirstShape(l.quant).isDefined =>
+      val (lo, hi, zeroOk, interior) = loopFirstShape(l.quant).get
+      val bound: Iterator[Vector[Vector[Ev]]] =
+        if (hasBit(a, l.bit) &&
+            ctxOk(l, evs, a, a.idx, Vector.empty, Vector.empty)) {
+          val runs: Iterator[Vector[Ev]] = interior match {
+            case 'A' =>
+              anySubsets(evs, l, Vector(a), deadline, a.idx, Vector.empty, hi)
+                .filter(_.size >= lo)
+            case 'C' =>
+              val full = consecutiveRun(evs, l, a, deadline, a.idx,
+                Vector.empty, None)
+              (lo to math.min(full.size, hi)).iterator.map(full.take)
+            case _ =>
+              val full = successiveRunFrom(evs, l, a, deadline, a.idx,
+                Vector.empty, hi)
+              (lo to math.min(full.size, hi)).iterator.map(full.take)
+          }
+          runs.flatMap(run =>
+            matchAll(evs, isteps.tail, run.last, deadline, a.idx,
+              Vector(run), hasCtx).map(Vector(run) ++ _))
+        } else Iterator.empty
+      val zero: Iterator[Vector[Vector[Ev]]] =
+        if (zeroOk && isteps.size >= 2 && zeroAnchorOk(a, isteps))
+          matchAll(evs, isteps.drop(2), a, deadline, a.idx,
+            Vector(Vector.empty, Vector(a)), hasCtx)
+            .map(rest => Vector(Vector.empty[Ev], Vector(a)) ++ rest)
+        else Iterator.empty
+      bound ++ zero
+    case _ =>
+      matchAll(evs, isteps.drop(1), a, deadline, a.idx,
+        Vector(Vector(a)), hasCtx).map(Vector(Vector(a)) ++ _)
   }
 
   // anchor ctx evaluation note: PREV before the anchor is NULL by the
@@ -1049,6 +1143,35 @@ object PatternNFA {
     compile(steps, bitOf, ctx)
   }
 
+  /** Streaming twin of [[runTimeoutBranches]] (the shape
+    * [[matureTimeouts]] is to [[runTimeouts]]): per-branch timeouts
+    * for MATURE anchors only — anchor.ts + within <= watermark — each
+    * stamped with the anchor's deadline. Match status never
+    * suppresses and no skip mark applies (NoSkip, the reference's
+    * timeout contract), so no mark threads through. An anchor is
+    * scanned exactly once across invocations: maturity bound ==
+    * eviction bound in the streaming operator. */
+  private[graft] def matureTimeoutBranches(
+      key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
+      steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
+      wmMicros: Long): Seq[PTimeoutB] = {
+    val isteps = compileByName(steps, varNames, Map.empty)
+    val evs = quads.toVector.sortBy(t => (t._1, t._2))
+      .zipWithIndex.map { case ((ts, id, s, nv, ns), i) =>
+        Ev(ts, id, s, i, nv, ns) }
+    val seq = new VecEvs(evs)
+    val out = Vector.newBuilder[PTimeoutB]
+    evs.foreach { a =>
+      if (anchorOk(a, isteps) && a.ts + withinMicros <= wmMicros) {
+        val deadline = a.ts + withinMicros
+        branchTimeouts(key, seq, isteps, a, deadline).foreach(t =>
+          out += PTimeoutB(t.key, t.anchor_id, t.last_id, t.chain,
+            t.n_bound, deadline))
+      }
+    }
+    out.result()
+  }
+
   /** ONE mature-anchor scan serving both streaming side outputs —
     * matches and timed-out partials share the anchor-offering, the
     * maturity bound, and the skip-mark discipline BY CONSTRUCTION (a
@@ -1080,7 +1203,13 @@ object PatternNFA {
       else e.ts > m.ts || (e.ts == m.ts && e.id > m.id)
     }
     val enumerateAll = afterMatch == NoSkip ||
-      (afterMatch == SkipToNextRow && hasAnyOne(isteps))
+      (afterMatch == SkipToNextRow &&
+        (hasAnyOne(isteps) || (!strict && hasLoopFirst(isteps))))
+    require(strict || !hasLoopFirst(isteps) || enumerateAll,
+      "loop-first patterns support NoSkip/SkipToNextRow (the " +
+        "enumeration doors)")
+    require(strict || !(hasLoopFirst(isteps) && collectTimeouts),
+      "timeout side outputs do not support loop-first patterns")
     evs.foreach { a =>
       val startable =
         if (strict) (a.sat & startMask) != 0 else anchorOk(a, isteps)
@@ -1090,9 +1219,8 @@ object PatternNFA {
         if (enumerateAll) {
           require(!strict, "strict row-pattern mode has no NoSkip/" +
             "followedByAny form")
-          val all = matchAll(seq, isteps.drop(1), a, deadline, a.idx,
-            Vector(Vector(a)), hasCtx).toVector
-          if (all.nonEmpty) all.foreach(rest => out += Vector(Vector(a)) ++ rest)
+          val all = enumFromAnchor(seq, isteps, a, deadline, hasCtx).toVector
+          if (all.nonEmpty) all.foreach(out += _)
           else if (collectTimeouts)
             tmos += timeoutPartial(key, seq, isteps, a, deadline, hasCtx)
         } else {
@@ -1197,10 +1325,18 @@ object PatternNFA {
 
     private val hasCtx = anyCtx(isteps)
     private val enumerateAll = afterMatch == NoSkip ||
-      (afterMatch == SkipToNextRow && hasAnyOne(isteps))
+      (afterMatch == SkipToNextRow &&
+        (hasAnyOne(isteps) || (!strict && hasLoopFirst(isteps))))
     require(!(strict && enumerateAll),
       "strict row-pattern mode has no NoSkip/followedByAny form " +
         "(no MATCH_RECOGNIZE clause produces them)")
+    require(strict || !hasLoopFirst(isteps) || enumerateAll ||
+        branchTimeoutMode,
+      "loop-first patterns support NoSkip/SkipToNextRow (the " +
+        "enumeration doors — skip marks have no committed single " +
+        "match to advance on)")
+    require(strict || !(hasLoopFirst(isteps) && collectTimeouts),
+      "timeout side outputs do not support loop-first patterns")
     private val startMask = if (strict) strictStartMask(isteps) else 0L
     private val buf = new SlidingEvs
     private val pending = scala.collection.mutable.Queue.empty[Ev]
@@ -1223,19 +1359,18 @@ object PatternNFA {
         return
       }
       if (enumerateAll) {
-        val all = matchAll(buf, isteps.drop(1), a, deadline, a.idx,
-          Vector(Vector(a)), hasCtx)
+        val all = enumFromAnchor(buf, isteps, a, deadline, hasCtx)
         if (!all.hasNext) {
           if (collectTimeouts)
             out ++= onTimeout(curKey,
               timeoutPartial(curKey, buf, isteps, a, deadline, hasCtx),
               deadline)
-        } else if (wantMatches) all.foreach { rest =>
+        } else if (wantMatches) all.foreach { bindings =>
           // lazy: completions stream straight into the output queue —
           // never materialized; a matches-discarding caller
           // (runTimeouts) stops at the hasNext probe above
           matchNo += 1
-          out ++= onMatch(curKey, Vector(Vector(a)) ++ rest, matchNo)
+          out ++= onMatch(curKey, bindings, matchNo)
         }
       } else {
         val res =

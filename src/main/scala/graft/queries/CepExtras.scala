@@ -1597,6 +1597,42 @@ object CepExtras extends QueryGroup {
         .orderBy("key", "anchor_id", "n_bound", "last_id")
     },
 
+    // LOOP-FIRST pattern on the relaxed door (r12 — the reference's
+    // NFA anchors a run on EVERY loop-kind event; NFAITCase
+    // testStartWithTimes shape, linear because the consecutive pair
+    // is adjacency-bounded): PATTERN (C{2 consecutive} P) — every
+    // ADJACENT click pair anchors, the earliest purchase after the
+    // pair inside the (exclusive) window completes. Oracle:
+    // rn-adjacency pairs + lateral earliest purchase.
+    q("cep24_loop_first",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |pr AS (
+        |  SELECT c1.user_id, c1.event_id AS c1_id, c1.ts_us AS c1_us,
+        |    c2.event_id AS c2_id, c2.ts_us AS c2_us
+        |  FROM ev c1 JOIN ev c2 ON c2.user_id = c1.user_id
+        |    AND c2.rn = c1.rn + 1
+        |  WHERE c1.event_type = 'click' AND c2.event_type = 'click'
+        |    AND c2.ts_us < c1.ts_us + $H72),
+        |m AS (
+        |  SELECT pr.user_id, pr.c1_id, pr.c2_id, p.p_id
+        |  FROM pr JOIN LATERAL (
+        |    SELECT e.event_id AS p_id FROM ev e
+        |    WHERE e.user_id = pr.user_id AND e.event_type = 'purchase'
+        |      AND e.ts_us > pr.c2_us AND e.ts_us < pr.c1_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) p ON true)
+        |SELECT user_id AS key, c1_id AS anchor_id, p_id AS end_id,
+        |  c1_id || ',' || c2_id || ',' || p_id AS chain, '' AS counts
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.run(s, events(s, dir), Seq(
+          Step("C", "click", Times(2, consecutive = true)),
+          Step("P", "purchase")),
+        withinMicros = H72, afterMatch = NoSkip)
+        .orderBy("key", "anchor_id")
+    },
+
     // MULTI-COLUMN, STRING-TYPED PARTITION BY (the reference allows
     // any number of partition columns of any type —
     // MatchRecognizeITCase testCodeSplitsAreProperlyGenerated

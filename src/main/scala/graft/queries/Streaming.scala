@@ -21,6 +21,7 @@ object Streaming extends QueryGroup {
 
   private val dec18_2 = DecimalType(18, 2)
   private val H72 = 259200000000L // 72 hours in µs (st23 pattern window)
+  private val H2 = 7200000000L    // 2 hours in µs (st57 branch timeouts)
 
   /** Recursively delete a scratch directory when the JVM exits (the
     * st33 checkpoint tree must outlive the LAZY state reader built
@@ -2076,6 +2077,42 @@ object Streaming extends QueryGroup {
         withinMicros = H72, watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st56_out")
         .orderBy("key", "anchor_id")
+    },
+
+    // STREAMING PER-BRANCH timeout side output (r12; cep23's streaming
+    // twin — NFA.advanceTime hands EVERY live partial branch to the
+    // timeout function at expiry, deadline-stamped, match status never
+    // suppressing): anchors cut at watermark maturity, one bare-anchor
+    // stay per matured signup plus one branch per click bound inside
+    // the (exclusive) window.
+    q("st57_stream_timeout_branches",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us FROM ev
+        |       WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H2 <= wm.wm_us)
+        |SELECT * FROM (
+        |  SELECT user_id AS key, a_id AS anchor_id, a_id AS last_id,
+        |    1 AS n_bound, a_us + $H2 AS timeout_us
+        |  FROM a
+        |  UNION ALL
+        |  SELECT a.user_id, a.a_id, c.event_id, 2, a.a_us + $H2
+        |  FROM a JOIN ev c ON c.user_id = a.user_id
+        |    AND c.event_type = 'click'
+        |    AND c.ts_us > a.a_us AND c.ts_us < a.a_us + $H2)
+        |ORDER BY key, anchor_id, n_bound, last_id""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{AnyOne, Step}
+      val out = graft.streaming.StreamingMatchRecognize.timeoutBranches(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"),
+          Step("C", "click", AnyOne),
+          Step("P", "purchase", AnyOne)),
+        withinMicros = H2, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st57_out")
+        .select(col("key"), col("anchor_id"), col("last_id"),
+          col("n_bound"), col("timeout_us"))
+        .orderBy("key", "anchor_id", "n_bound", "last_id")
     },
 
     // UPDATE_BEFORE emission (the reference's retract mode —

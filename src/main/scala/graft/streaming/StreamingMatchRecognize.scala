@@ -217,6 +217,34 @@ object StreamingMatchRecognize {
     }
   }
 
+  /** Streaming PER-BRANCH timeout side output (r12; the PATTERN-API
+    * door of [[PatternNFA.runTimeoutBranches]] — flink-cep
+    * NFA.advanceTime hands EVERY live partial branch to
+    * TimedOutPartialMatchHandler at expiry, deadline-stamped, match
+    * status never suppressing). One/AnyOne/Next steps only (for the
+    * pure SKIP_TILL_NEXT family the longest-prefix [[timeouts]] digest
+    * already IS the per-branch semantics); NoSkip by construction, so
+    * no skip mark threads through state. */
+  def timeoutBranches(spark: SparkSession, events: DataFrame,
+                      steps: Seq[PatternNFA.Step], withinMicros: Long,
+                      watermarkDelay: String = "10 minutes")
+      : Dataset[PatternNFA.PTimeoutB] = {
+    import spark.implicits._
+    steps.foreach(s => require(
+      s.quant == PatternNFA.One || s.quant == PatternNFA.AnyOne ||
+        s.quant == PatternNFA.Next,
+      s"timeoutBranches supports One/AnyOne/Next steps, got ${s.quant} " +
+        s"on step ${s.name}"))
+    val preds = steps.map(_.kind).distinct.filter(_.nonEmpty)
+      .map(k => k -> (col("kind") === lit(k)))
+    runKeyedSteps[PatternNFA.PTimeoutB](spark, events, steps, preds,
+      withinMicros, PatternNFA.NoSkip, Nil, Map.empty, watermarkDelay) {
+      (c, key, buffered, wm, mark0) =>
+        (PatternNFA.matureTimeoutBranches(key, buffered, c.steps,
+          c.varNames, c.withinMicros, wm), mark0)
+    }
+  }
+
   /** Streaming MATCH_RECOGNIZE WITH MEASURES (ONE ROW PER MATCH) —
     * the reference's full streaming surface. Measure columns must be
     * numeric (they are carried through keyed state as doubles; exact

@@ -25,14 +25,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * its first element + extent, which uniquely names the reference's
   * event lists under prefix-contiguous loop semantics.
   *
-  * NOT transcribed (documented engine delta): loop-FIRST patterns
-  * (the relaxed door anchors on a One-step; the STRICT
-  * MATCH_RECOGNIZE door does support quantified first variables).
-  * r12 closed the other two r11 deltas: SKIP_TILL_ANY loops beyond
-  * the times(2) pairs door ([[PatternNFA.LoopAny]] — subset
-  * enumeration) and next()-ENTRY into a loop
-  * ([[PatternNFA.NextEntry]]), plus the WITHIN boundary flip and
-  * per-branch timeout emission ([[PatternNFA.runTimeoutBranches]]).
+  * r12 closed all three r11 structural deltas: SKIP_TILL_ANY loops
+  * beyond the times(2) pairs door ([[PatternNFA.LoopAny]] — subset
+  * enumeration), next()-ENTRY into a loop ([[PatternNFA.NextEntry]]),
+  * and loop-FIRST patterns on the relaxed door (every loop-kind event
+  * anchors its own run — enumFromAnchor; the empty-loop class anchors
+  * on the rest head), plus the WITHIN boundary flip and per-branch
+  * timeout emission ([[PatternNFA.runTimeoutBranches]]). Remaining
+  * adaptation (not a delta): same-timestamp neighbor bindings in
+  * relaxed relations, see above.
   */
 class CepVectorsSpec extends AnyFunSuite {
   lazy val spark = StreamHarness.spark
@@ -301,6 +302,59 @@ class CepVectorsSpec extends AnyFunSuite {
       (1L, "1", 1, 11L), (1L, "1,3", 2, 11L),
       (2L, "2", 1, 12L), (2L, "2,3", 2, 12L))
     assert(tmo == want, tmo)
+  }
+
+  test("NFAITCase testBeginWithZeroOrMore:842 — loop-first anchors every loop event + one empty class") {
+    // begin(a).oneOrMore().optional() followedBy b: every 'a' anchors
+    // its own run (relaxed prefixes from that anchor), and every
+    // rest-head 'b' anchors the empty-loop branch.
+    val df = ev(3 -> "a", 4 -> "a", 5 -> "a", 6 -> "b")
+    val got = matches(df, Seq(Step("M", "a", ZeroOrMore()),
+      Step("E", "b")))
+    val want = Set(
+      ("3,6", "M:3"), ("3,6", "M:2"), ("4,6", "M:2"),
+      ("3,6", "M:1"), ("4,6", "M:1"), ("5,6", "M:1"), ("6", "M:0"))
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testBeginWithAtLeastOne:1267 — ANY-loop-first emits every subset per anchor") {
+    val df = ev(3 -> "a", 4 -> "a", 5 -> "a", 6 -> "b")
+    val got = matches(df, Seq(Step("S", "a", LoopAny(1, Int.MaxValue)),
+      Step("E", "b")))
+    val want = Set(
+      ("3,6", "S:1"), ("3,4,6", "S:2"), ("3,5,6", "S:2"),
+      ("3,4,5,6", "S:3"), ("4,6", "S:1"), ("4,5,6", "S:2"),
+      ("5,6", "S:1"))
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testStartWithTimes:1578 — times(2).consecutive() first anchors each adjacent pair") {
+    val df = ev(2 -> "a", 3 -> "a", 4 -> "a", 6 -> "b")
+    val got = matches(df, Seq(Step("M", "a", Times(2, consecutive = true)),
+      Step("E", "b")))
+    assert(got == Set(("2,3,6", ""), ("3,4,6", "")), got)
+  }
+
+  test("NFAITCase testStartWithOneOrMoreStrict:3133 / ZeroOrMoreStrict:3112 — loop-only pattern") {
+    // a+ consecutive as the WHOLE pattern: each 'a' anchors its
+    // adjacent run's prefixes; the zeroOrMore spelling emits the SAME
+    // set (a zero-width match with nothing else bound is no match)
+    val df = ev(1 -> "c", 3 -> "a", 4 -> "c", 5 -> "a", 6 -> "a")
+    // loop chains carry the FIRST element + extent (emit convention)
+    val want = Set(("3", "S:1"), ("5", "S:1"), ("5", "S:2"),
+      ("6", "S:1"))
+    val one = matches(df,
+      Seq(Step("S", "a", OneOrMore(consecutive = true))))
+    assert(one == want, one)
+    val zero = matches(df,
+      Seq(Step("S", "a", ZeroOrMore(consecutive = true))))
+    assert(zero == want, zero)
+  }
+
+  test("NFAITCase testStartWithOptional:1883 — optional-first emits both classes") {
+    val got = matches(ev(1 -> "c", 6 -> "b"),
+      Seq(Step("S", "c", Optional), Step("E", "b")))
+    assert(got == Set(("1,6", ""), ("6", "")), got)
   }
 
   test("committed doors: consecutive loops bind the greedy adjacent run") {
