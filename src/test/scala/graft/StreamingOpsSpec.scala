@@ -1851,4 +1851,50 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"wm=85: ${emitted()}")
     } finally q.stop()
   }
+
+  test("StreamingMatchRecognize.timeoutBranches: every live branch per expiry, " +
+      "deadline-stamped, batching-invariant, batch-equivalent (r12)") {
+    import graft.operators.PatternNFA
+    import graft.operators.PatternNFA.{AnyOne, Step}
+    // NFAITCase testSimplePatternWithTimeoutHandling scaled to seconds:
+    // start@1, start@2, middle@3, foobar@4, end@11, end@13, within 10s.
+    // FOUR timeouts — two per anchor (the bare stay + [start, middle]),
+    // each stamped anchor.ts + within, INCLUDING the anchor whose
+    // branch also fully matched (start@2, middle@3, end@11).
+    val steps = Seq(Step("S", "start"), Step("M", "middle", AnyOne),
+      Step("E", "end", AnyOne))
+    val within = 10L * 1000000L
+    val evs = Seq(
+      ev(1, 1, 1, kind = "start"), ev(1, 2, 2, kind = "start"),
+      ev(1, 3, 3, kind = "middle"), ev(1, 4, 4, kind = "foobar"),
+      ev(1, 11, 5, kind = "end"), ev(1, 13, 6, kind = "end"))
+    val expected = Set(
+      (1L, 1L, 1L, "1", 1, 11L), (1L, 1L, 3L, "1,3", 2, 11L),
+      (1L, 2L, 2L, "2", 1, 12L), (1L, 2L, 3L, "2,3", 2, 12L))
+    val splits = Seq(
+      Seq(evs, Seq(ev(9, 10000, 99))),
+      Seq(evs.take(1), evs.slice(1, 4), evs.drop(4), Seq(ev(9, 10000, 99))),
+      Seq(evs.take(5), evs.drop(5) :+ ev(9, 10000, 99)))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val out = StreamHarness.run(batches, OutputMode.Append, s"tmo_br_$i") {
+        ds => graft.streaming.StreamingMatchRecognize.timeoutBranches(
+          spark, ds.toDF(), steps, within, watermarkDelay = "5 seconds").toDF()
+      }
+      val rows = out.filter(col("key") === 1)
+        .select("key", "anchor_id", "last_id", "chain", "n_bound", "timeout_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getInt(4), r.getLong(5) / 1000000L)).toSet
+      assert(rows == expected, s"split $i: $rows")
+    }
+    // batch equivalence: runTimeoutBranches over the same rows
+    import spark.implicits._
+    val bdf = evs.map(e => (e.key, e.tsMicros, e.id, e.kind))
+      .toDF("key", "tsMicros", "id", "kind")
+    val batch = PatternNFA.runTimeoutBranches(spark, bdf, steps, within)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("anchor_id"),
+        r.getAs[Long]("last_id"), r.getAs[String]("chain"),
+        r.getAs[Int]("n_bound"), r.getAs[Long]("timeout_us") / 1000000L))
+      .toSet
+    assert(batch == expected, s"batch twin: $batch")
+  }
 }
