@@ -61,6 +61,22 @@ object Bench {
     val loadStart = loadAvg()
     val cpuStart = processCpuSec()
     val wallStart = System.nanoTime()
+    // Sample (wall, cpu) every 10 s so the end-of-run self-load estimate
+    // can use a window matching the 1-minute loadavg it is subtracted
+    // from (ADVICE r12: subtracting the WHOLE-RUN average parallelism
+    // from a 1-min loadavg biases load_end_ext whenever the final minute
+    // differs from the run average — a winding-down run masks a ramping
+    // external process, a ramping run self-flags a quiet host).
+    val cpuSamples = new java.util.concurrent.ConcurrentLinkedDeque[(Long, Double)]()
+    cpuSamples.add((wallStart, cpuStart))
+    val sampler = new java.util.Timer("bench-cpu-sampler", true)
+    sampler.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit = {
+        cpuSamples.add((System.nanoTime(), processCpuSec()))
+        // keep ~90 s of history
+        while (cpuSamples.size > 10) cpuSamples.pollFirst()
+      }
+    }, 10000L, 10000L)
     // Iterative queries launch many short driver-coordinated jobs per
     // run, so a single transient stall inflates them far more than a
     // one-job query — give them a third timed run (min-of-3) so the
@@ -89,12 +105,27 @@ object Bench {
     // outside contention and should be re-run, not believed.
     val wall = (System.nanoTime() - wallStart) / 1e9
     val cpuSec = processCpuSec() - cpuStart
+    sampler.cancel()
+    val wallEnd = System.nanoTime()
+    val cpuEnd = processCpuSec()
     val loadEnd = loadAvg()
     // load_end counts OUR OWN runnable threads (a 32-way local Spark
-    // keeps avg cpu_sec/wall of itself in the 1-minute loadavg), so
-    // the end-of-run external estimate subtracts this JVM's average
-    // parallelism — on a truly quiet host load_end_ext ≈ 0.
-    val loadEndExt = loadEnd - (if (wall > 0) cpuSec / wall else 0.0)
+    // keeps its own average parallelism in the 1-minute loadavg), so
+    // the end-of-run external estimate subtracts this JVM's recent
+    // parallelism — measured over the LAST ~60 s (the loadavg's own
+    // window) from the sampler, not the whole run — on a truly quiet
+    // host load_end_ext ≈ 0 regardless of how the run's load ramped.
+    val windowStart = {
+      val cutoff = wallEnd - 60L * 1000000000L
+      val it = cpuSamples.iterator()
+      var best = (wallStart, cpuStart)
+      while (it.hasNext) { val s = it.next(); if (s._1 <= cutoff) best = s }
+      best
+    }
+    val winWall = (wallEnd - windowStart._1) / 1e9
+    val selfPar = if (winWall > 1.0) (cpuEnd - windowStart._2) / winWall
+                  else if (wall > 0) cpuSec / wall else 0.0
+    val loadEndExt = loadEnd - selfPar
     val health =
       s""""health":{"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
         s""""load_end_ext":${fmt(loadEndExt)},""" +
@@ -110,7 +141,15 @@ object Bench {
     // a timestamped side artifact and bench_out.json (the committed
     // quiet record) is left untouched; the stdout line still prints so
     // the driver's capture is never empty, tagged contaminated=true.
-    val contaminated = loadStart > 1.5 || loadEndExt > 1.5
+    // Full-corpus records stay double-gated. Subset/solo runs judge
+    // load_end_ext ONLY (VERDICT r12 #2: a back-to-back JVM inflates
+    // load_start ~1.4-1.6 by loadavg decay even on an idle host, which
+    // mislabeled provably-idle solo artifacts as contaminated and cost
+    // r12 four refused attempts; load_start is still recorded for
+    // transparency but a short solo's verdict comes from the end gate).
+    val contaminated =
+      if (only.isDefined) loadEndExt > 1.5
+      else loadStart > 1.5 || loadEndExt > 1.5
     // Full per-query detail goes to a file; the stdout line must stay
     // SHORT. The driver keeps only the last ~2000 chars of output
     // ("tail"), so a 173-query JSON line gets its opening brace cut off

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * matches are selected EARLIEST-FIRST — each step binds the earliest
   * eligible event (by (ts, id) order) such that the REMAINDER of the
   * pattern can still complete (regex-style backtracking for Optional /
-  * TimesRange). One match per anchor under SkipToNextRow; under
+  * TimesRange). Contiguity between bindings is POSITIONAL (sequence
+  * order, (ts, id) with the id tiebreak), NOT temporal: neighbors that
+  * share a timestamp bind, exactly like the reference's NFA, whose
+  * tied-ts feeders (NFAITCase testOneOrMore, middleEvent2/3 both at
+  * ts 4) bind same-timestamp loop elements in arrival order. Only the
+  * WITHIN window is temporal (event.ts < anchor.ts + within). One match per anchor under SkipToNextRow; under
   * SkipPastLastEvent an anchor is only offered if it starts strictly
   * after the previous emitted match's last event (greedy
   * interval-scheduling, the reference's SKIP_PAST_LAST_EVENT).
@@ -147,8 +152,12 @@ object PatternNFA {
                              reluctant: Boolean = false,
                              consecutive: Boolean = false) extends Quant
   /** Exactly n successive occurrences (Pattern.times(n)); consecutive
-    * requires strict contiguity in the event sequence. */
-  final case class Times(n: Int, consecutive: Boolean = false) extends Quant
+    * requires strict contiguity in the event sequence. `zeroOk` is
+    * times(n).optional() (NFAITCase testTimesNonStrictOptional1): the
+    * step binds exactly n events or NONE — greedy prefers the bound
+    * branch, NoSkip enumerates both. */
+  final case class Times(n: Int, consecutive: Boolean = false,
+                         zeroOk: Boolean = false) extends Quant
   /** Between lo and hi occurrences, greedy (Pattern.times(from, to));
     * `reluctant` (`B{lo,hi}?`) tries the SMALLEST k first. */
   final case class TimesRange(lo: Int, hi: Int,
@@ -183,7 +192,16 @@ object PatternNFA {
     * testTimesNonStrictWithNext / testOptionalTimesNonStrictWithNext.
     * Generalizes the times(2) [[runCombinationsPairs]] door. */
   final case class LoopAny(lo: Int, hi: Int, zeroOk: Boolean = false,
-                           entryNext: Boolean = false) extends Quant
+                           entryNext: Boolean = false,
+                           entryAny: Boolean = false) extends Quant
+  /** followedByAny ENTRY into a non-ANY loop (Pattern.followedByAny(x)
+    * .times(n) / .oneOrMore() without allowCombinations — NFAITCase
+    * testTimesNonStrictOptional3): the loop's FIRST element branches
+    * on EVERY eligible candidate (the ANY relation), the interior then
+    * binds the successive relaxed run from that entry. The ANY-entry +
+    * ANY-interior combination is [[LoopAny]] with `entryAny = true`
+    * (testTimesNonStrictOptional2 / testComplexBranchingAfterZeroOrMore). */
+  final case class AnyEntry(inner: Quant) extends Quant
   /** next()-ENTRY into a non-ANY loop (Pattern.next(..).oneOrMore() /
     * .times(n), optionally .consecutive()): the loop's first element
     * must be PHYSICALLY ADJACENT to the previous binding; the interior
@@ -464,11 +482,10 @@ object PatternNFA {
     require(steps.length >= 2,
       "runTimeoutBranches needs at least two steps (a single-step " +
         "pattern completes on its anchor — nothing can time out)")
-    steps.foreach(s => require(
-      s.quant == One || s.quant == AnyOne || s.quant == Next,
-      s"runTimeoutBranches supports One/AnyOne/Next steps (the " +
-        s"ANY-family per-branch timeout contract); got ${s.quant} on " +
-        s"step ${s.name} — use runTimeouts' longest-prefix digest"))
+    // branchShape rejects unsupported quantifiers (until-loops,
+    // groups) loudly at compile; r13 extended the door to loop
+    // interiors (the r12 guard was One/AnyOne/Next only)
+    steps.foreach(s => branchShape(s.quant))
     val (isteps, ds) = prepare(events, steps, kindPreds(steps), Nil, Map.empty)
     sortedByKey(ds).mapPartitions { it =>
       scanSortedPartition[PTimeoutB](it, isteps, withinMicros, NoSkip,
@@ -480,8 +497,66 @@ object PatternNFA {
     }.toDF()
   }
 
+  /** (entry relation, interior relation, lo, hi) of a step for the
+    * branch-timeout simulation. Relations: 'R' = SKIP_TILL_NEXT
+    * (waiting state dies on a take — NFACompiler.getIgnoreCondition's
+    * RichNotCondition), 'A' = SKIP_TILL_ANY (ignore = trueFunction,
+    * the waiting state survives takes), 'N' = strict next()
+    * (no ignore edge at all), 'S' interior = consecutive(). */
+  private def branchShape(q: Quant): (Char, Char, Int, Int) = q match {
+    case One => ('R', 'R', 1, 1)
+    case AnyOne => ('A', 'R', 1, 1)
+    case Next => ('N', 'R', 1, 1)
+    case Optional => ('R', 'R', 1, 1) // zero handled via canBindEmpty
+    case OneOrMore(None, _, c) => ('R', if (c) 'S' else 'R', 1, Int.MaxValue)
+    case ZeroOrMore(None, _, c) => ('R', if (c) 'S' else 'R', 1, Int.MaxValue)
+    case Times(k, c, _) => ('R', if (c) 'S' else 'R', k, k)
+    case TimesRange(lo, hi, _) => ('R', 'R', math.max(lo, 1), hi)
+    case TimesOrMore(k, _, c) => ('R', if (c) 'S' else 'R', k, Int.MaxValue)
+    case LoopAny(lo, hi, _, en, ea) =>
+      (if (en) 'N' else if (ea) 'A' else 'R', 'A', lo, hi)
+    case NextEntry(inner) =>
+      val (_, int, lo, hi) = branchShape(inner); ('N', int, lo, hi)
+    case AnyEntry(inner) =>
+      val (_, int, lo, hi) = branchShape(inner); ('A', int, lo, hi)
+    case other =>
+      sys.error(s"runTimeoutBranches: unsupported quantifier $other " +
+        "(until-loops and group patterns have no per-branch timeout " +
+        "door — use runTimeouts' longest-prefix digest)")
+  }
+
   /** Live partial branches of anchor `a` at its expiry — the forward
-    * simulation behind [[runTimeoutBranches]]. */
+    * simulation behind [[runTimeoutBranches]], generalized to LOOP
+    * interiors (r13; the r12 door was One/AnyOne/Next only). The
+    * simulation mirrors the reference NFA's computation-state
+    * evolution (NFA.java:573-706 computeNextStates +
+    * NFACompiler.java:862-940 ignore conditions), per live branch and
+    * event:
+    *  - a WAITING state (k = 0 at its step) takes a matching event;
+    *    under SKIP_TILL_NEXT the waiting state itself dies on the
+    *    take (ignore = NOT(condition)), under ANY it survives, under
+    *    next() a non-adjacent or non-matching first event kills it;
+    *  - an IN-LOOP state (k >= 1) extends on a matching event
+    *    (adjacent-only for consecutive interiors); the relaxed
+    *    original dies on the extension — but its PROCEED sibling
+    *    lives on as a frozen waiting state at the NEXT step (the
+    *    reference spawns it once per take via ignore-after-PROCEED,
+    *    the "similar state without the PROCEED edge" of
+    *    NFACompiler.createLooping): `armed` models exactly that
+    *    one-shot — set on every take whose extent allows a proceed
+    *    (k >= lo, or a canBindEmpty step at k = 0), consumed by the
+    *    FIRST subsequent event (spawning either the proceed-take,
+    *    when that event matches the next step, or the frozen waiting
+    *    sibling);
+    *  - full matches leave the live set (match status never
+    *    suppresses OTHER branches' timeouts).
+    * Branches that materialize the same bound events (the active
+    * in-loop state and its frozen sibling) emit ONE row (pinned
+    * dedup; the reference's advanceTime materializes both
+    * computation states to the same pattern map).
+    * Patterns with two CONSECUTIVE zero-allowed steps are rejected
+    * (the reference resolves multi-step PROCEED chains within one
+    * event; this simulation proceeds one level per event). */
   private def branchTimeouts(key: Long, evs: EvSeq, isteps: Seq[INode],
                              a: Ev, deadline: Long): Seq[PTimeout] = {
     val leafs = isteps.map {
@@ -490,37 +565,90 @@ object PatternNFA {
         sys.error("group patterns are not supported by runTimeoutBranches")
     }
     val n = leafs.length
-    final case class StB(step: Int, bound: Vector[Ev])
-    var live = List(StB(1, Vector(a)))
+    val shapes = leafs.map(l => branchShape(l.quant))
+    val zeroOk = leafs.map(l => canBindEmpty(l.quant))
+    zeroOk.sliding(2).foreach { w =>
+      require(w.size < 2 || !(w(0) && w(1)),
+        "runTimeoutBranches: two consecutive zero-allowed steps are " +
+          "not supported (single-level proceed simulation)")
+    }
+    // step: index of the CURRENT step; perStep(i) = events bound to
+    // step i (perStep.size == step + 1, last entry may be empty =
+    // waiting); armed: the one-shot proceed window is open
+    final case class StB(step: Int, perStep: Vector[Vector[Ev]],
+                         armed: Boolean)
+    def lastBound(s: StB): Ev = {
+      val it = s.perStep.reverseIterator.find(_.nonEmpty)
+      it.map(_.last).getOrElse(a)
+    }
+    // bind e as the FIRST element of step j; a hi=1 step completes
+    // immediately and normalizes to waiting at j+1
+    def bindAt(perStep: Vector[Vector[Ev]], j: Int, e: Ev): Option[StB] = {
+      val (_, _, lo, hi) = shapes(j)
+      val filled = perStep.padTo(j, Vector.empty[Ev]) :+ Vector(e)
+      if (hi > 1) Some(StB(j, filled, armed = lo <= 1))
+      else if (j + 1 == n) None // full match — leaves the live set
+      else Some(StB(j + 1, filled :+ Vector.empty, armed = zeroOk(j + 1)))
+    }
+    var live = List(StB(1, Vector(Vector(a), Vector.empty),
+      armed = zeroOk(1)))
     evs.iteratorFrom(a.idx + 1).takeWhile(_.ts < deadline).foreach { e =>
       var next = List.empty[StB]
       live.foreach { s =>
         val st = leafs(s.step)
-        val last = s.bound.last
-        val ok = hasBit(e, st.bit) && e.ts > last.ts &&
-          ctxOk(st, evs, e, a.idx, s.bound.map(Vector(_)), Vector.empty)
-        st.quant match {
-          case AnyOne =>
-            next ::= s // the waiting state stays across ANY takes
-            if (ok) next ::= StB(s.step + 1, s.bound :+ e)
-          case One =>
-            if (ok) next ::= StB(s.step + 1, s.bound :+ e)
-            else next ::= s
-          case Next =>
-            // events arrive in idx order, so the first event a fresh
-            // state sees IS the adjacent one — match advances, any
-            // other outcome burns the only slot and the branch dies
-            if (e.idx == last.idx + 1 && ok)
-              next ::= StB(s.step + 1, s.bound :+ e)
-          case other =>
-            sys.error(s"runTimeoutBranches: unsupported quantifier $other")
+        val (entry, interior, lo, hi) = shapes(s.step)
+        val k = s.perStep(s.step).size
+        val last = lastBound(s)
+        val okHere = hasBit(e, st.bit) &&
+          ctxOk(st, evs, e, a.idx, s.perStep.init, s.perStep(s.step))
+        val okNext = s.step + 1 < n && {
+          val nx = leafs(s.step + 1)
+          hasBit(e, nx.bit) &&
+            ctxOk(nx, evs, e, a.idx, s.perStep, Vector.empty)
         }
+        val proceedable = s.armed && (k >= lo || (k == 0 && zeroOk(s.step)))
+        // 1. the one-shot PROCEED window (in priority order: a
+        // next-matching event proceeds-and-takes; anything else
+        // spawns the frozen waiting sibling at the next step)
+        if (proceedable) {
+          if (okNext) bindAt(s.perStep, s.step + 1, e).foreach(next ::= _)
+          else if (s.step + 1 < n)
+            next ::= StB(s.step + 1, s.perStep :+ Vector.empty[Ev],
+              armed = false)
+          // (step + 1 == n cannot happen with k >= lo: bindAt would
+          // have completed; a trailing zero-skip would be an empty
+          // tail the pattern compiler already rejects)
+        }
+        // 2. take at the current step
+        val adjacentOk = e.idx == last.idx + 1
+        val takeOk = okHere && k < hi &&
+          (if (k == 0) entry != 'N' || adjacentOk
+           else interior != 'S' || adjacentOk)
+        if (takeOk) {
+          if (k == 0) bindAt(s.perStep.init, s.step, e).foreach(next ::= _)
+          else {
+            val ext = s.perStep.updated(s.step, s.perStep(s.step) :+ e)
+            next ::= StB(s.step, ext, armed = s.perStep(s.step).size + 1 >= lo)
+          }
+        }
+        // 3. original survival (the ignore edge)
+        val rel = if (k == 0) entry else interior
+        val survives = rel match {
+          case 'A' => true
+          case 'R' => !okHere
+          case 'N' => false // the single slot is burned either way
+          case 'S' => false // strict interior: no ignore edge
+          case _ => false
+        }
+        if (survives) next ::= s.copy(armed = false)
       }
-      // states that bound the final step are FULL matches — not live
-      live = next.filter(_.step < n)
+      live = next
     }
-    live.reverse.map(s => PTimeout(key, a.id, s.bound.last.id,
-      s.bound.map(_.id).mkString(","), s.bound.size))
+    live.reverse.map { s =>
+      val chain = s.perStep.flatten
+      PTimeout(key, a.id, chain.last.id, chain.map(_.id).mkString(","),
+        s.perStep.count(_.nonEmpty))
+    }.distinct
   }
 
   /** Longest prefix the NFA had bound when the window expired: greedy
@@ -792,15 +920,25 @@ object PatternNFA {
           q match {
             case TimesOrMore(n, _, _) => require(n >= 1,
               "TimesOrMore requires n >= 1 — use ZeroOrMore for {0,}")
-            case LoopAny(lo, hi, _, _) => require(lo >= 1 && hi >= lo,
-              s"LoopAny extent [$lo, $hi] out of range (lo >= 1; the " +
-                "empty binding is zeroOk, not lo = 0)")
+            case LoopAny(lo, hi, _, en, ea) =>
+              require(lo >= 1 && hi >= lo,
+                s"LoopAny extent [$lo, $hi] out of range (lo >= 1; the " +
+                  "empty binding is zeroOk, not lo = 0)")
+              require(!(en && ea),
+                "LoopAny entry is next() OR followedByAny, not both")
             case NextEntry(inner) => inner match {
               case _: OneOrMore | _: ZeroOrMore | _: Times |
                    _: TimesRange | _: TimesOrMore => // loop inner: ok
               case other => sys.error(s"NextEntry wraps loop " +
                 s"quantifiers only, got $other — use " +
                 "LoopAny(entryNext = true) for ANY interiors")
+            }
+            case AnyEntry(inner) => inner match {
+              case _: OneOrMore | _: ZeroOrMore | _: Times |
+                   _: TimesRange | _: TimesOrMore => // loop inner: ok
+              case other => sys.error(s"AnyEntry wraps loop " +
+                s"quantifiers only, got $other — use " +
+                "LoopAny(entryAny = true) for ANY interiors")
             }
             case _ =>
           }
@@ -823,6 +961,7 @@ object PatternNFA {
   private def isLoop(q: Quant): Boolean = q match {
     case _: OneOrMore | _: ZeroOrMore | _: TimesOrMore => true
     case NextEntry(inner) => isLoop(inner)
+    case AnyEntry(inner) => isLoop(inner)
     case _ => false
   }
 
@@ -832,6 +971,8 @@ object PatternNFA {
     * the extent in counts. */
   private def isAnyLoop(q: Quant): Boolean = q match {
     case _: LoopAny => true
+    case _: AnyEntry => true // branching entry: first element + extent
+                             // no longer name the binding uniquely
     case _ => false
   }
 
@@ -842,7 +983,7 @@ object PatternNFA {
   private def loopShape(q: Quant): (Int, Int, Boolean, Boolean) = q match {
     case OneOrMore(_, _, c) => (1, Int.MaxValue, false, c)
     case ZeroOrMore(_, _, c) => (1, Int.MaxValue, true, c)
-    case Times(n, c) => (n, n, false, c)
+    case Times(n, c, z) => (n, n, z, c)
     case TimesRange(lo, hi, _) => (math.max(lo, 1), hi, lo == 0, false)
     case TimesOrMore(n, _, c) => (n, Int.MaxValue, false, c)
     case other => sys.error(s"not a loop quantifier: $other")
@@ -866,8 +1007,9 @@ object PatternNFA {
 
   /** Bound rows a (possibly SUBSET-merged) navigation target resolves
     * to. Steps bind in sequence order (every event of step i precedes
-    * step i+1's — eligibility requires ts > previous binding), so
-    * ascending-step concatenation IS (ts, id) order. */
+    * step i+1's — eligibility requires idx > previous binding's idx,
+    * and idx order IS (ts, id) order), so ascending-step concatenation
+    * IS (ts, id) order. */
   private def rowsOf(steps: Seq[Int], acc: Vector[Vector[Ev]], curStep: Int,
                      curPartial: Vector[Ev], cand: Ev): Vector[Ev] = {
     if (steps.size == 1) {
@@ -1013,11 +1155,11 @@ object PatternNFA {
         Some((1, Int.MaxValue, false, if (c) 'C' else 'R'))
       case ZeroOrMore(_, _, c) =>
         Some((1, Int.MaxValue, true, if (c) 'C' else 'R'))
-      case Times(n, c) => Some((n, n, false, if (c) 'C' else 'R'))
+      case Times(n, c, z) => Some((n, n, z, if (c) 'C' else 'R'))
       case TimesRange(lo, hi, _) => Some((math.max(lo, 1), hi, lo == 0, 'R'))
       case TimesOrMore(n, _, c) =>
         Some((n, Int.MaxValue, false, if (c) 'C' else 'R'))
-      case LoopAny(lo, hi, z, _) => Some((lo, hi, z, 'A'))
+      case LoopAny(lo, hi, z, _, _) => Some((lo, hi, z, 'A'))
       case _ => None
     }
 
@@ -1037,6 +1179,32 @@ object PatternNFA {
           ctxOk(l2, EmptyEvs, a, a.idx, Vector(Vector.empty), Vector.empty)
       case _ => false
     }
+
+  /** Loud guard for the zero-allowed loop-FIRST restriction (r12
+    * advisor finding): [[zeroAnchorOk]]'s empty-loop anchor class is
+    * implemented for a One/AnyOne rest head only — any other rest-head
+    * quantifier would SILENTLY drop the bare-rest matches the
+    * reference's branching begin state emits (e.g. ZeroOrMore then
+    * OneOrMore). Reject at scan setup instead, like the existing
+    * loop-first/skip-mode and loop-first/timeout guards. */
+  private def checkZeroLoopFirst(isteps: Seq[INode]): Unit = isteps.head match {
+    case l: ILeaf =>
+      loopFirstShape(l.quant) match {
+        case Some((_, _, true, _)) if isteps.size >= 2 =>
+          isteps(1) match {
+            case l2: ILeaf if l2.quant == One || l2.quant == AnyOne => ()
+            case l2: ILeaf => sys.error("zero-allowed loop-first " +
+              s"pattern: the step after the loop must be a plain " +
+              s"One/AnyOne step (the empty-loop anchor class binds the " +
+              s"rest head directly), got ${l2.quant} on step ${l2.name}")
+            case g: IGroup => sys.error("zero-allowed loop-first " +
+              s"pattern: the step after the loop must be a plain " +
+              s"One/AnyOne step, got group ${g.name}")
+          }
+        case _ => ()
+      }
+    case _ => ()
+  }
 
   private def anchorOk(a: Ev, isteps: Seq[INode]): Boolean = isteps.head match {
     case l: ILeaf =>
@@ -1210,6 +1378,7 @@ object PatternNFA {
         "enumeration doors)")
     require(strict || !(hasLoopFirst(isteps) && collectTimeouts),
       "timeout side outputs do not support loop-first patterns")
+    if (!strict) checkZeroLoopFirst(isteps)
     evs.foreach { a =>
       val startable =
         if (strict) (a.sat & startMask) != 0 else anchorOk(a, isteps)
@@ -1337,6 +1506,7 @@ object PatternNFA {
         "match to advance on)")
     require(strict || !(hasLoopFirst(isteps) && collectTimeouts),
       "timeout side outputs do not support loop-first patterns")
+    if (!strict) checkZeroLoopFirst(isteps)
     private val startMask = if (strict) strictStartMask(isteps) else 0L
     private val buf = new SlidingEvs
     private val pending = scala.collection.mutable.Queue.empty[Ev]
@@ -1490,13 +1660,14 @@ object PatternNFA {
       evs.foreach { a =>
         if (hasBit(a, 0)) {
           val deadline = a.ts + withinMicros
-          // end binds earliest-first AFTER at least two loop events.
-          val loops = evs.filter(e => hasBit(e, 1) && e.ts > a.ts &&
+          // end binds earliest-first AFTER at least two loop events
+          // (positional order — same-ts neighbors bind by id).
+          val loops = evs.filter(e => hasBit(e, 1) && e.idx > a.idx &&
             e.ts < deadline)
           val end = evs.find(e => hasBit(e, 2) && e.ts < deadline &&
-            loops.size >= 2 && e.ts > loops(1).ts)
+            loops.size >= 2 && e.idx > loops(1).idx)
           end.foreach { c =>
-            val inWin = loops.filter(_.ts < c.ts)
+            val inWin = loops.filter(_.idx < c.idx)
             for (i <- inWin.indices; j <- (i + 1) until inWin.size)
               out += PMatch(key, a.id, c.id,
                 s"${a.id},${inWin(i).id},${inWin(j).id},${c.id}", "")
@@ -1542,9 +1713,14 @@ object PatternNFA {
                         prev: Ev, deadline: Long, anchorIdx: Int,
                         acc: Vector[Vector[Ev]], hasCtx: Boolean)
       : Option[Vector[Vector[Ev]]] = {
+    // contiguity is POSITIONAL (r12 VERDICT #1 / NFAITCase's tied-ts
+    // feeders, e.g. testOneOrMore's middleEvent2/3 both at ts 4): the
+    // iterator starting at prev.idx + 1 already yields only events
+    // strictly after prev in the per-key (ts, id) order, so same-ts
+    // neighbors bind with the id tiebreak — no extra ts comparison.
     def eligible(from: Int, partial: Vector[Ev]): Iterator[Ev] =
       evs.iteratorFrom(from).filter(e => hasBit(e, st.bit) &&
-        e.ts > prev.ts && e.ts < deadline &&
+        e.ts < deadline &&
         ctxOk(st, evs, e, anchorIdx, acc, partial))
     def cont(e: Ev, bound: Vector[Ev]): Option[Vector[Vector[Ev]]] =
       matchFrom(evs, rest, e, deadline, anchorIdx, acc :+ bound, hasCtx)
@@ -1560,8 +1736,7 @@ object PatternNFA {
         // strict contiguity to the PREVIOUS binding: only the
         // physically adjacent event may bind
         evs.lift(prev.idx + 1)
-          .filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
-            e.ts < deadline &&
+          .filter(e => hasBit(e, st.bit) && e.ts < deadline &&
             ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
           .flatMap(e => cont(e, Vector(e)))
 
@@ -1576,9 +1751,12 @@ object PatternNFA {
         // bind the remainder first, then check the forbidden interval
         matchFrom(evs, rest, prev, deadline, anchorIdx,
             acc :+ Vector.empty, hasCtx).flatMap { restB =>
-          val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline)
+          // the forbidden interval is POSITIONAL: events strictly
+          // between prev and the next binding in sequence order (a
+          // trailing Not checks up to the window deadline)
+          val hiIdx = restB.flatten.headOption.map(_.idx).getOrElse(Int.MaxValue)
           val bad = evs.iteratorFrom(prev.idx + 1).exists(e =>
-            hasBit(e, st.bit) && e.ts > prev.ts && e.ts < hiTs &&
+            hasBit(e, st.bit) && e.idx < hiIdx && e.ts < deadline &&
               ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
           if (!bad) Some(Vector(Vector.empty[Ev]) ++ restB) else None
         }
@@ -1605,11 +1783,11 @@ object PatternNFA {
         // reluctant (B+?): the FEWEST successive earliest elements
         // whose remainder completes — k ascending (works identically
         // with and without context predicates)
-        val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
-          .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+        val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+          .find(e => hasBit(e, ub)).map(_.idx))
         Iterator.from(1)
           .map(k => bindSuccessive(evs, st, prev, deadline, k, anchorIdx,
-            acc, stopTs))
+            acc, stopIdx))
           .takeWhile(_.isDefined).map(_.get)
           .flatMap(b => cont(b.last, b))
           .nextOption()
@@ -1619,17 +1797,17 @@ object PatternNFA {
         // like One, the loop then absorbs every event of the kind
         // before the next step's binding / the horizon / the until stop
         eligible(prev.idx + 1, Vector.empty).flatMap { first =>
-          val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
-            .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
-          if (stopTs.exists(_ <= first.ts)) None
+          val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+            .find(e => hasBit(e, ub)).map(_.idx))
+          if (stopIdx.exists(_ < first.idx)) None
           else matchFrom(evs, rest, first, deadline, anchorIdx,
               acc :+ Vector(first), hasCtx).map { restB =>
-            val hiTs = math.min(
-              restB.flatten.headOption.map(_.ts).getOrElse(deadline),
-              stopTs.getOrElse(Long.MaxValue))
+            val hiIdx = math.min(
+              restB.flatten.headOption.map(_.idx).getOrElse(Int.MaxValue),
+              stopIdx.getOrElse(Int.MaxValue))
             val loop = evs.iteratorFrom(prev.idx + 1)
-              .takeWhile(e => e.ts < hiTs && e.ts < deadline)
-              .filter(e => hasBit(e, st.bit) && e.ts > prev.ts).toVector
+              .takeWhile(e => e.idx < hiIdx && e.ts < deadline)
+              .filter(e => hasBit(e, st.bit)).toVector
             Vector(if (loop.isEmpty) Vector(first) else loop) ++ restB
           }
         }.nextOption()
@@ -1639,15 +1817,15 @@ object PatternNFA {
         // each element is tested against the run-so-far (context
         // predicates are order-dependent), then the remainder binds
         // after the run's last element
-        val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
-          .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+        val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+          .find(e => hasBit(e, ub)).map(_.idx))
         var run = Vector.empty[Ev]
         var cur = prev
         var go = true
         while (go) {
           val nxt = evs.iteratorFrom(cur.idx + 1).find(e =>
-            hasBit(e, st.bit) && e.ts > cur.ts && e.ts < deadline &&
-              stopTs.forall(e.ts < _) &&
+            hasBit(e, st.bit) && e.ts < deadline &&
+              stopIdx.forall(e.idx < _) &&
               ctxOk(st, evs, e, anchorIdx, acc, run))
           nxt match {
             case Some(e) => run :+= e; cur = e
@@ -1659,8 +1837,10 @@ object PatternNFA {
           cont(runK.last, runK)
         }.nextOption()
 
-      case Times(n, consecutive) =>
-        if (!consecutive)
+      case Times(n, consecutive, zeroOk) =>
+        def timesEmpty = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+        val bound = if (!consecutive)
           bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
             .flatMap(b => cont(b.last, b))
         else {
@@ -1681,6 +1861,8 @@ object PatternNFA {
             if (ok) cont(partial.last, partial) else None
           }.nextOption()
         }
+        // times(n).optional(): greedy prefers the bound branch
+        if (zeroOk) bound.orElse(timesEmpty) else bound
 
       case TimesRange(lo, hi, rel) =>
         // greedy: largest k whose remainder still completes;
@@ -1720,11 +1902,11 @@ object PatternNFA {
           .flatMap { run =>
             matchFrom(evs, rest, run.last, deadline, anchorIdx,
                 acc :+ run, hasCtx).map { restB =>
-              val hiTs = restB.flatten.headOption.map(_.ts)
-                .getOrElse(deadline)
+              val hiIdx = restB.flatten.headOption.map(_.idx)
+                .getOrElse(Int.MaxValue)
               val extras = evs.iteratorFrom(run.last.idx + 1)
-                .takeWhile(e => e.ts < hiTs && e.ts < deadline)
-                .filter(e => hasBit(e, st.bit) && e.ts > run.last.ts).toVector
+                .takeWhile(e => e.idx < hiIdx && e.ts < deadline)
+                .filter(e => hasBit(e, st.bit)).toVector
               Vector(run ++ extras) ++ restB
             }
           }
@@ -1737,7 +1919,7 @@ object PatternNFA {
         var go = true
         while (go) {
           val nxt = evs.iteratorFrom(cur.idx + 1).find(e =>
-            hasBit(e, st.bit) && e.ts > cur.ts && e.ts < deadline &&
+            hasBit(e, st.bit) && e.ts < deadline &&
               ctxOk(st, evs, e, anchorIdx, acc, run))
           nxt match {
             case Some(e) => run :+= e; cur = e
@@ -1749,9 +1931,10 @@ object PatternNFA {
           cont(runK.last, runK)
         }.nextOption()
 
-      case LoopAny(lo, hi, zeroOk, entryNext) =>
+      case LoopAny(lo, hi, zeroOk, entryNext, _) =>
         // committed single-match door: the greedy maximal SUBSET is the
-        // successive run itself (every eligible taken in order) —
+        // successive run itself (every eligible taken in order; the
+        // entryAny branch set collapses to its earliest member) —
         // shrink-from-the-end like the non-ANY greedy loop. Reference
         // parity for the branch set is pinned via the enumeration door
         // (hasAnyOne routes SkipToNextRow through matchAll).
@@ -1788,6 +1971,13 @@ object PatternNFA {
               }.nextOption()
           }.orElse(if (zeroOk) zeroB else None)
 
+      case AnyEntry(inner) =>
+        // committed single-match door: the ANY entry's branch set
+        // collapses to its earliest member (One-step determinism) —
+        // exactly the inner quantifier's committed behavior
+        matchLeaf(evs, st.copy(quant = inner), rest, prev, deadline,
+          anchorIdx, acc, hasCtx)
+
       case GroupTimes(_, _, _) =>
         sys.error("unreachable: groups are compiled to IGroup")
     }
@@ -1818,7 +2008,7 @@ object PatternNFA {
       case st: ILeaf =>
         def eligible(partial: Vector[Ev]): Iterator[Ev] =
           evs.iteratorFrom(prev.idx + 1).filter(e => hasBit(e, st.bit) &&
-            e.ts > prev.ts && e.ts < deadline &&
+            e.ts < deadline &&
             ctxOk(st, evs, e, anchorIdx, acc, partial))
         st.quant match {
           case One =>
@@ -1830,8 +2020,7 @@ object PatternNFA {
             eligible(Vector.empty).flatMap(e => enumAfter(e, Vector(e)))
           case Next =>
             evs.lift(prev.idx + 1).iterator
-              .filter(e => hasBit(e, st.bit) && e.ts > prev.ts &&
-                e.ts < deadline &&
+              .filter(e => hasBit(e, st.bit) && e.ts < deadline &&
                 ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
               .flatMap(e => enumAfter(e, Vector(e)))
           case Optional =>
@@ -1844,9 +2033,10 @@ object PatternNFA {
           case Not =>
             matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx).filter { restB =>
-              val hiTs = restB.flatten.headOption.map(_.ts).getOrElse(deadline)
+              val hiIdx = restB.flatten.headOption.map(_.idx)
+                .getOrElse(Int.MaxValue)
               !evs.iteratorFrom(prev.idx + 1).exists(e =>
-                hasBit(e, st.bit) && e.ts > prev.ts && e.ts < hiTs &&
+                hasBit(e, st.bit) && e.idx < hiIdx && e.ts < deadline &&
                   ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
             }.map(Vector(Vector.empty[Ev]) ++ _)
           case NotNext =>
@@ -1860,25 +2050,34 @@ object PatternNFA {
               minK = 1, eligible, enumAfter)
 
           case OneOrMore(_, _, _) =>
-            val stopTs = st.untilBit.flatMap(ub =>
+            val stopIdx = st.untilBit.flatMap(ub =>
               evs.iteratorFrom(prev.idx + 1)
-                .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+                .find(e => hasBit(e, ub)).map(_.idx))
             Iterator.from(1).map { k =>
               bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc,
-                stopTs)
+                stopIdx)
             }.takeWhile(_.isDefined).flatMap { b =>
               val run = b.get
               enumAfter(run.last, run)
             }
-          case Times(n, false) =>
-            bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
-              .iterator.flatMap(b => enumAfter(b.last, b))
-          case Times(n, true) =>
-            matchLeaf(evs, st, Nil, prev, deadline, anchorIdx, acc, hasCtx)
-              .iterator.flatMap { only =>
-                val b = only.head
-                enumAfter(b.last, b)
-              }
+          case Times(n, consec, zeroOk) =>
+            val unbound =
+              if (zeroOk) matchAll(evs, steps.tail, prev, deadline,
+                  anchorIdx, acc :+ Vector.empty, hasCtx)
+                .map(Vector(Vector.empty[Ev]) ++ _)
+              else Iterator.empty
+            val bound =
+              if (!consec)
+                bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
+                  .iterator.flatMap(b => enumAfter(b.last, b))
+              else
+                matchLeaf(evs, st.copy(quant = Times(n, consec)), Nil,
+                    prev, deadline, anchorIdx, acc, hasCtx)
+                  .iterator.flatMap { only =>
+                    val b = only.head
+                    enumAfter(b.last, b)
+                  }
+            unbound ++ bound
           case TimesRange(lo, hi, _) =>
             (lo to hi).iterator.flatMap { k =>
               bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
@@ -1888,15 +2087,15 @@ object PatternNFA {
             val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx)
               .map(Vector(Vector.empty[Ev]) ++ _)
-            val stopTs = st.untilBit.flatMap(ub =>
+            val stopIdx = st.untilBit.flatMap(ub =>
               evs.iteratorFrom(prev.idx + 1)
-                .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+                .find(e => hasBit(e, ub)).map(_.idx))
             val bound =
               if (consec) consecEnumAll(evs, st, prev, deadline, anchorIdx,
                 acc, minK = 1, eligible, enumAfter)
               else Iterator.from(1).map { k =>
                 bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc,
-                  stopTs)
+                  stopIdx)
               }.takeWhile(_.isDefined).flatMap { b =>
                 val run = b.get
                 enumAfter(run.last, run)
@@ -1912,10 +2111,13 @@ object PatternNFA {
               val run = b.get
               enumAfter(run.last, run)
             }
-          case LoopAny(lo, hi, zeroOk, entryNext) =>
+          case LoopAny(lo, hi, zeroOk, entryNext, entryAny) =>
             // SKIP_TILL_ANY interior: entry commits (earliest eligible,
-            // or the adjacent event under entryNext), the interior then
-            // branches on EVERY later eligible — all in-order subsets
+            // or the adjacent event under entryNext) — or BRANCHES on
+            // every eligible under entryAny (followedByAny into the
+            // loop, NFAITCase testComplexBranchingAfterZeroOrMore) —
+            // the interior then branches on EVERY later eligible:
+            // all in-order subsets
             val unbound =
               if (zeroOk) matchAll(evs, steps.tail, prev, deadline,
                   anchorIdx, acc :+ Vector.empty, hasCtx)
@@ -1924,12 +2126,38 @@ object PatternNFA {
             val entry =
               if (entryNext) adjacentEligible(evs, st, prev, deadline,
                 anchorIdx, acc).iterator
+              else if (entryAny) eligible(Vector.empty)
               else eligible(Vector.empty).take(1)
             val bound = entry.flatMap { first =>
               anySubsets(evs, st, Vector(first), deadline, anchorIdx,
                   acc, hi)
                 .filter(_.size >= lo)
                 .flatMap(run => enumAfter(run.last, run))
+            }
+            unbound ++ bound
+          case AnyEntry(inner) =>
+            // followedByAny into a non-ANY loop: the entry branches on
+            // every eligible candidate, the interior binds the
+            // successive relaxed run from that entry (NFAITCase
+            // testTimesNonStrictOptional3: every pair (mK, mK+1))
+            val (lo0, hi0, zeroOk, consec) = loopShape(inner)
+            val unbound =
+              if (zeroOk) matchAll(evs, steps.tail, prev, deadline,
+                  anchorIdx, acc :+ Vector.empty, hasCtx)
+                .map(Vector(Vector.empty[Ev]) ++ _)
+              else Iterator.empty
+            val bound = eligible(Vector.empty).flatMap { first =>
+              val full =
+                if (consec) consecutiveRun(evs, st, first, deadline,
+                  anchorIdx, acc, None)
+                else successiveRunFrom(evs, st, first, deadline,
+                  anchorIdx, acc, hi0)
+              (math.max(lo0, 1) to math.min(full.size.toLong,
+                  hi0.toLong).toInt).iterator
+                .flatMap { k =>
+                  val rk = full.take(k)
+                  enumAfter(rk.last, rk)
+                }
             }
             unbound ++ bound
           case NextEntry(inner) =>
@@ -1967,7 +2195,7 @@ object PatternNFA {
                                deadline: Long, anchorIdx: Int,
                                acc: Vector[Vector[Ev]]): Option[Ev] =
     evs.lift(prev.idx + 1).filter(e => hasBit(e, st.bit) &&
-      e.ts > prev.ts && e.ts < deadline &&
+      e.ts < deadline &&
       ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
 
   /** All in-order extensions of `run` by LATER eligible loop events —
@@ -1981,7 +2209,7 @@ object PatternNFA {
     Iterator.single(run) ++ (
       if (run.size >= hi) Iterator.empty
       else evs.iteratorFrom(run.last.idx + 1)
-        .filter(e => hasBit(e, st.bit) && e.ts > run.last.ts &&
+        .filter(e => hasBit(e, st.bit) &&
           e.ts < deadline && ctxOk(st, evs, e, anchorIdx, acc, run))
         .flatMap(e => anySubsets(evs, st, run :+ e, deadline, anchorIdx,
           acc, hi)))
@@ -1998,7 +2226,7 @@ object PatternNFA {
     var go = true
     while (go && run.size < hi) {
       val nxt = evs.iteratorFrom(run.last.idx + 1).find(e =>
-        hasBit(e, st.bit) && e.ts > run.last.ts && e.ts < deadline &&
+        hasBit(e, st.bit) && e.ts < deadline &&
           ctxOk(st, evs, e, anchorIdx, acc, run))
       nxt match {
         case Some(e) => run :+= e
@@ -2018,13 +2246,13 @@ object PatternNFA {
   private def consecutiveRun(evs: EvSeq, st: ILeaf, entry: Ev,
                              deadline: Long, anchorIdx: Int,
                              acc: Vector[Vector[Ev]],
-                             stopTs: Option[Long]): Vector[Ev] = {
+                             stopIdx: Option[Int]): Vector[Ev] = {
     var run = Vector(entry)
     var go = true
     while (go) {
       evs.lift(run.last.idx + 1) match {
         case Some(e) if hasBit(e, st.bit) && e.ts < deadline &&
-            stopTs.forall(e.ts < _) &&
+            stopIdx.forall(e.idx < _) &&
             ctxOk(st, evs, e, anchorIdx, acc, run) =>
           run :+= e
         case _ => go = false
@@ -2046,13 +2274,13 @@ object PatternNFA {
                               eligible: (Int, Vector[Ev]) => Iterator[Ev],
                               cont: (Ev, Vector[Ev]) => Option[Vector[Vector[Ev]]])
       : Option[Vector[Vector[Ev]]] = {
-    val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
-      .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+    val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+      .find(e => hasBit(e, ub)).map(_.idx))
     eligible(prev.idx + 1, Vector.empty)
-      .filter(e => stopTs.forall(e.ts < _))
+      .filter(e => stopIdx.forall(e.idx < _))
       .flatMap { entry =>
         val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
-          stopTs)
+          stopIdx)
         if (run.size < minK) Iterator.empty
         else {
           val order = if (reluctant) minK to run.size
@@ -2076,13 +2304,13 @@ object PatternNFA {
                             eligible: Vector[Ev] => Iterator[Ev],
                             enumAfter: (Ev, Vector[Ev]) => Iterator[Vector[Vector[Ev]]])
       : Iterator[Vector[Vector[Ev]]] = {
-    val stopTs = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
-      .find(e => hasBit(e, ub) && e.ts > prev.ts).map(_.ts))
+    val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
+      .find(e => hasBit(e, ub)).map(_.idx))
     eligible(Vector.empty)
-      .filter(e => stopTs.forall(e.ts < _))
+      .filter(e => stopIdx.forall(e.idx < _))
       .map { entry =>
         val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
-          stopTs)
+          stopIdx)
         (minK to run.size).iterator.flatMap { k =>
           val rk = run.take(k)
           enumAfter(rk.last, rk)
@@ -2091,18 +2319,19 @@ object PatternNFA {
   }
 
   /** Earliest n successive events matching the step after prev
-    * (relaxed contiguity), each tested against the run-so-far for
-    * context predicates; `stopTs` bounds an until-loop. */
+    * (relaxed contiguity — POSITIONAL, same-ts neighbors bind in
+    * (ts, id) order), each tested against the run-so-far for
+    * context predicates; `stopIdx` bounds an until-loop. */
   private def bindSuccessive(evs: EvSeq, st: ILeaf, prev: Ev,
                              deadline: Long, n: Int, anchorIdx: Int,
                              acc: Vector[Vector[Ev]],
-                             stopTs: Option[Long] = None): Option[Vector[Ev]] = {
+                             stopIdx: Option[Int] = None): Option[Vector[Ev]] = {
     var cur = prev
     var out = Vector.empty[Ev]
     var i = 0
     while (i < n) {
       val nxt = evs.iteratorFrom(cur.idx + 1).find(e => hasBit(e, st.bit) &&
-        e.ts > cur.ts && e.ts < deadline && stopTs.forall(e.ts < _) &&
+        e.ts < deadline && stopIdx.forall(e.idx < _) &&
         ctxOk(st, evs, e, anchorIdx, acc, out))
       nxt match {
         case Some(e) => out :+= e; cur = e; i += 1
@@ -2137,6 +2366,7 @@ object PatternNFA {
     case Optional | Not | NotNext => true
     case _: ZeroOrMore => true
     case TimesRange(0, _, _) => true
+    case Times(_, _, true) => true
     case GroupTimes(_, 0, _) => true
     case _ => false
   }
@@ -2278,7 +2508,7 @@ object PatternNFA {
       case TimesRange(0, 1, false) => optional() // {0,1} ≡ ? (unmarked)
       case OneOrMore(_, rel, _) => tryRange(1, Int.MaxValue, rel)
       case ZeroOrMore(_, rel, _) => tryRange(0, Int.MaxValue, rel)
-      case Times(n, _) => tryRange(n, n, reluctant = false)
+      case Times(n, _, false) => tryRange(n, n, reluctant = false)
       case TimesRange(lo, hi, rel) => tryRange(lo, hi, rel)
       case TimesOrMore(n, rel, _) => tryRange(n, Int.MaxValue, rel)
       case other => sys.error(s"quantifier $other is not part of the " +

@@ -334,6 +334,40 @@ object GroupWindows extends QueryGroup {
         .orderBy("user_id", "wstart")
     },
 
+    // TimeEvictor analog (flink-streaming-java/.../evictors/
+    // TimeEvictor.java:80-95 — r12 VERDICT item 4, closing the
+    // evictors directory: Count gw6, Delta gw10, Time here): at the
+    // window's event-time firing, currentTime = the MAX element
+    // timestamp in the pane and elements with
+    // ts <= currentTime - windowSize are evicted (boundary-INCLUSIVE
+    // eviction: `record.getTimestamp() <= evictCutoff`); the
+    // aggregate sees only the trailing 2 hours of each daily pane.
+    // Same shape as gw10: one window-function pass + one groupBy —
+    // no self-join, scales as an ordinary windowed agg.
+    q("gw20_time_evictor",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS w
+        |  FROM events),
+        |mx AS (
+        |  SELECT user_id, w, max(ts) AS ts_max FROM ev GROUP BY 1, 2)
+        |SELECT e.user_id, e.w AS wstart, count(*) AS n_kept,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept
+        |FROM ev e JOIN mx ON mx.user_id = e.user_id AND mx.w = e.w
+        |WHERE e.ts > mx.ts_max - INTERVAL 2 HOUR
+        |GROUP BY e.user_id, e.w
+        |ORDER BY e.user_id, wstart""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+      t(s, dir)("events")
+        .withColumn("ts_max", max(col("ts")).over(w))
+        .filter(col("ts") > col("ts_max") - expr("INTERVAL 2 HOUR"))
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("wstart"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("value").cast(dec18_2)).cast(DoubleType).as("sum_kept"))
+        .orderBy("user_id", "wstart")
+    },
+
     // ContinuousEventTimeTrigger analog (flink-streaming-java/.../
     // triggers/ContinuousEventTimeTrigger.java): a 1-day event-time
     // window that ALSO fires every 6 hours, each firing emitting the

@@ -221,20 +221,21 @@ object StreamingMatchRecognize {
     * door of [[PatternNFA.runTimeoutBranches]] — flink-cep
     * NFA.advanceTime hands EVERY live partial branch to
     * TimedOutPartialMatchHandler at expiry, deadline-stamped, match
-    * status never suppressing). One/AnyOne/Next steps only (for the
-    * pure SKIP_TILL_NEXT family the longest-prefix [[timeouts]] digest
-    * already IS the per-branch semantics); NoSkip by construction, so
-    * no skip mark threads through state. */
+    * status never suppressing). r13: loop interiors supported (the
+    * full branchShape family — until-loops and groups stay loud);
+    * NoSkip by construction, so no skip mark threads through state. */
   def timeoutBranches(spark: SparkSession, events: DataFrame,
                       steps: Seq[PatternNFA.Step], withinMicros: Long,
                       watermarkDelay: String = "10 minutes")
       : Dataset[PatternNFA.PTimeoutB] = {
     import spark.implicits._
-    steps.foreach(s => require(
-      s.quant == PatternNFA.One || s.quant == PatternNFA.AnyOne ||
-        s.quant == PatternNFA.Next,
-      s"timeoutBranches supports One/AnyOne/Next steps, got ${s.quant} " +
-        s"on step ${s.name}"))
+    require(steps.length >= 2,
+      "timeoutBranches needs at least two steps (a single-step " +
+        "pattern completes on its anchor — nothing can time out); " +
+        "mirrors PatternNFA.runTimeoutBranches")
+    // quantifier support (incl. r13 loop interiors) is validated by
+    // PatternNFA.branchShape inside the shared simulation; loop-first
+    // patterns stay rejected by the shared scan guards
     val preds = steps.map(_.kind).distinct.filter(_.nonEmpty)
       .map(k => k -> (col("kind") === lit(k)))
     runKeyedSteps[PatternNFA.PTimeoutB](spark, events, steps, preds,

@@ -16,14 +16,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * Adaptations: the reference's where()-conditions become kind
   * columns (condition evaluation is data prep for a kind-equality
   * NFA — the engine's predicate generality is exercised by the
-  * MATCH_RECOGNIZE family); event timestamps are made DISTINCT where
-  * the reference reuses one (this engine's relaxed relations pin
-  * strictly-increasing timestamps between neighbor bindings — its
-  * deterministic (ts, id) order contract — while consecutive-interior
-  * runs chain same-timestamp ADJACENT events like the reference);
-  * match sets compare as (chain, counts) pairs — a loop's binding is
-  * its first element + extent, which uniquely names the reference's
-  * event lists under prefix-contiguous loop semantics.
+  * MATCH_RECOGNIZE family); match sets compare as (chain, counts)
+  * pairs — a loop's binding is its first element + extent, which
+  * uniquely names the reference's event lists under prefix-contiguous
+  * loop semantics. r13 removed the r12 distinct-timestamp adaptation:
+  * relaxed contiguity is now POSITIONAL ((ts, id) order with the id
+  * tiebreak), so the feeders below carry the reference's ORIGINAL
+  * timestamps, ties included (testOneOrMore's middleEvent2/3 share
+  * ts 4 — NFAITCase.java:2734-2735).
   *
   * r12 closed all three r11 structural deltas: SKIP_TILL_ANY loops
   * beyond the times(2) pairs door ([[PatternNFA.LoopAny]] — subset
@@ -31,9 +31,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * and loop-FIRST patterns on the relaxed door (every loop-kind event
   * anchors its own run — enumFromAnchor; the empty-loop class anchors
   * on the rest head), plus the WITHIN boundary flip and per-branch
-  * timeout emission ([[PatternNFA.runTimeoutBranches]]). Remaining
-  * adaptation (not a delta): same-timestamp neighbor bindings in
-  * relaxed relations, see above.
+  * timeout emission ([[PatternNFA.runTimeoutBranches]]). r13 closed
+  * the last structural delta: same-timestamp neighbor bindings in
+  * relaxed relations (positional contiguity).
   */
 class CepVectorsSpec extends AnyFunSuite {
   lazy val spark = StreamHarness.spark
@@ -46,6 +46,16 @@ class CepVectorsSpec extends AnyFunSuite {
       .toDF("key", "tsMicros", "id", "kind")
   }
 
+  /** Explicit (ts, id, kind) rows — for the feeders where the
+    * reference REUSES a timestamp across events (ties bind in (ts, id)
+    * order, positionally, like the reference's arrival order). */
+  private def evT(rows: (Int, Int, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (ts, id, k) =>
+      (0L, ts.toLong * 1000000L, id.toLong, k) }
+      .toDF("key", "tsMicros", "id", "kind")
+  }
+
   private def matches(df: DataFrame, steps: Seq[Step],
                       am: AfterMatch = NoSkip): Set[(String, String)] =
     PatternNFA.run(spark, df, steps, W, am)
@@ -53,10 +63,12 @@ class CepVectorsSpec extends AnyFunSuite {
       .toSet
 
   // the shared ConsecutiveData shape (NFAITCase:2606 + the
-  // testOneOrMore/testZeroOrMore feeders :2730/:2950): c, d, a, a, a,
-  // d, a, b — distinct ts (m2/m3 share one in the reference; see doc)
-  private val consecData = ev(1 -> "c", 2 -> "d", 3 -> "a", 4 -> "a",
-    5 -> "a", 6 -> "d", 7 -> "a", 8 -> "b")
+  // testOneOrMore/testZeroOrMore feeders :2730-2738): c@1, d@2, a@3,
+  // a@4, a@4 (the reference's TIED timestamp — middleEvent2 and
+  // middleEvent3 both fed at ts 4, ordered by insertion = id), d@5,
+  // a@6, b@7. Every vector below uses the reference's own timestamps.
+  private val consecData = evT((1, 1, "c"), (2, 2, "d"), (3, 3, "a"),
+    (4, 4, "a"), (4, 5, "a"), (5, 6, "d"), (6, 7, "a"), (7, 8, "b"))
 
   test("NFAITCase testSimplePatternWithTimeWindowNFA:338 — WITHIN is boundary-exclusive") {
     // start@1, start@2, middle@3, foobar@4, end@11, end@13, within 10:
@@ -75,6 +87,29 @@ class CepVectorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
       .toSet
     assert(got == Set(("2,3,5", "")), got)
+  }
+
+  test("tied timestamps bind positionally in every relaxed relation (r13)") {
+    // a@1, b@1, c@1 — one timestamp for the whole pattern: followedBy
+    // binds the same-ts successors in id order (the reference's NFA
+    // has no ts-increase requirement between bindings — arrival order
+    // decides), and next() chains same-ts ADJACENT events.
+    val df = evT((1, 1, "a"), (1, 2, "b"), (1, 3, "c"))
+    val relaxed = matches(df, Seq(Step("A", "a"), Step("B", "b"),
+      Step("C", "c")))
+    assert(relaxed == Set(("1,2,3", "")), relaxed)
+    val strict = matches(df, Seq(Step("A", "a"), Step("B", "b", Next),
+      Step("C", "c", Next)))
+    assert(strict == Set(("1,2,3", "")), strict)
+    // and the WITHIN window stays TEMPORAL: all three share ts 1, so
+    // even within=1µs (deadline 1µs + 1µs = 2µs > 1µs... use the
+    // smallest window that excludes nothing at one ts) — a window of
+    // 1µs has deadline ts+1 and ties at ts bind (ts < ts+1)
+    val tiny = PatternNFA.run(spark, df,
+        Seq(Step("A", "a"), Step("B", "b"), Step("C", "c")),
+        withinMicros = 1L, NoSkip)
+      .collect().map(_.getAs[String]("chain")).toSet
+    assert(tiny == Set("1,2,3"), tiny)
   }
 
   test("NFAITCase testSimplePatternNFA:187 — one committed match across noise") {
@@ -355,6 +390,202 @@ class CepVectorsSpec extends AnyFunSuite {
     val got = matches(ev(1 -> "c", 6 -> "b"),
       Seq(Step("S", "c", Optional), Step("E", "b")))
     assert(got == Set(("1,6", ""), ("6", "")), got)
+  }
+
+  test("NFAITCase testComplexBranchingAfterZeroOrMore:582 — ANY-entry ANY-loop × AnyOne tail cross product") {
+    // c, a, a, a, b, d, d, e; pattern c followedByAny a*(combinations)
+    // followedByAny b followedByAny d followedByAny e: EVERY in-order
+    // subset of the a's (entry branches too — followedByAny into the
+    // loop) × both d's = 16 matches.
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (5, 4, "a"),
+      (6, 5, "b"), (7, 6, "d"), (8, 7, "d"), (9, 8, "e"))
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue, zeroOk = true, entryAny = true)),
+      Step("E1", "b", AnyOne), Step("E2", "d", AnyOne),
+      Step("E3", "e", AnyOne)))
+    val msubs = Seq(Seq(), Seq(2), Seq(3), Seq(4), Seq(2, 3), Seq(2, 4),
+      Seq(3, 4), Seq(2, 3, 4))
+    val want = (for (m <- msubs; d <- Seq(6, 7)) yield
+      ((Seq(1) ++ m ++ Seq(5, d, 8)).mkString(","), s"M:${m.size}")).toSet
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testZeroOrMoreAfterBranching:982 — kleene subsets after an AnyOne branch") {
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (5, 4, "f"),
+      (6, 5, "d"), (7, 6, "d"), (8, 7, "e"))
+    val got = matches(df, Seq(Step("S", "c"), Step("B", "a", AnyOne),
+      Step("F", "f", AnyOne),
+      Step("K", "d", LoopAny(1, Int.MaxValue, zeroOk = true, entryAny = true)),
+      Step("E", "e")))
+    val ksubs = Seq(Seq(), Seq(5), Seq(6), Seq(5, 6))
+    val want = (for (b <- Seq(2, 3); k <- ksubs) yield
+      ((Seq(1, b, 4) ++ k ++ Seq(7)).mkString(","), s"K:${k.size}")).toSet
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testStartAndEndWithZeroOrMore:1981 — loop-only relaxed pattern, tied-ts noise") {
+    // a+ (optional) as the whole pattern; three 'd' noise events share
+    // ts 6 (the reference feeds end1/end2/end3 all at 6)
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (5, 4, "a"),
+      (6, 5, "d"), (6, 6, "d"), (6, 7, "d"))
+    val got = matches(df, Seq(Step("S", "a", ZeroOrMore())))
+    val want = Set(("2", "S:1"), ("2", "S:2"), ("2", "S:3"),
+      ("3", "S:1"), ("3", "S:2"), ("4", "S:1"))
+    assert(got == want, got)
+  }
+
+  test("NFAITCase testTimesNonStrictOptional1:2131 — times(3).optional() binds nothing cleanly") {
+    val df = evT((1, 1, "c"), (2, 2, "f"), (7, 3, "b"))
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", Times(3, zeroOk = true)), Step("E", "b")))
+    assert(got == Set(("1,3", "")), got)
+  }
+
+  test("NFAITCase testTimesNonStrictOptional2:2186 — ANY-entry pairs + the empty branch") {
+    val df = evT((1, 1, "c"), (2, 2, "f"), (3, 3, "a"), (4, 4, "f"),
+      (5, 5, "a"), (6, 6, "a"), (7, 7, "b"))
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, 2, zeroOk = true, entryAny = true)),
+      Step("E", "b")))
+    assert(got == Set(("1,3,5,7", "M:2"), ("1,3,6,7", "M:2"),
+      ("1,5,6,7", "M:2"), ("1,7", "M:0")), got)
+  }
+
+  test("NFAITCase testTimesNonStrictOptional3:2261 — ANY-entry successive pairs (no combinations)") {
+    // followedByAny(a).times(2).optional() WITHOUT allowCombinations:
+    // the entry branches on every 'a', the interior binds the
+    // successive pair from it — (m1,m2), (m2,m3), and the empty branch
+    val df = evT((1, 1, "c"), (2, 2, "f"), (3, 3, "a"), (4, 4, "f"),
+      (5, 5, "a"), (6, 6, "a"), (7, 7, "b"))
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(Times(2, zeroOk = true))), Step("E", "b")))
+    assert(got == Set(("1,3,5,7", "M:2"), ("1,5,6,7", "M:2"),
+      ("1,7", "M:0")), got)
+  }
+
+  test("NFAITCase testBranchingPatternMixedFollowedBy:3508 — Any, One, Any composition") {
+    val df = evT((1, 1, "s"), (3, 2, "m"), (4, 3, "m"), (5, 4, "m"),
+      (6, 5, "n"), (7, 6, "n"), (8, 7, "e"))
+    val got = matches(df, Seq(Step("S", "s"), Step("M", "m", AnyOne),
+      Step("N", "n"), Step("E", "e", AnyOne)))
+    assert(got == Set(("1,2,5,7", ""), ("1,3,5,7", ""), ("1,4,5,7", "")),
+      got)
+  }
+
+  test("NFAITCase testMultipleTakesVersionCollision:3588 — two adjacent ANY loops, exact multiset") {
+    // c, a×5, b; a+(comb) followedBy a+(comb) followedBy b: the
+    // reference's 20 matches arrive as a MULTISET (different loop
+    // splits flatten to the same event list); our (chain, counts)
+    // pairs are split-distinct, so the flattened-chain multiset must
+    // equal the reference's list exactly.
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (5, 4, "a"),
+      (6, 5, "a"), (7, 6, "a"), (10, 7, "b"))
+    val rows = PatternNFA.run(spark, df, Seq(Step("S", "c"),
+        Step("M1", "a", LoopAny(1, Int.MaxValue)),
+        Step("M2", "a", LoopAny(1, Int.MaxValue)),
+        Step("E", "b")), W, NoSkip)
+      .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
+    assert(rows.length == rows.distinct.length, "splits must be counts-distinct")
+    val gotMultiset = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    val want = Map(
+      "1,2,3,4,5,6,7" -> 4, "1,2,3,4,5,7" -> 3, "1,2,4,5,6,7" -> 2,
+      "1,2,3,4,6,7" -> 2, "1,2,3,5,6,7" -> 2, "1,2,3,4,7" -> 2,
+      "1,2,4,5,7" -> 1, "1,2,5,6,7" -> 1, "1,2,3,5,7" -> 1,
+      "1,2,3,6,7" -> 1, "1,2,3,7" -> 1)
+    assert(gotMultiset == want, gotMultiset)
+  }
+
+  test("NFAITCase *ClearingBuffer quartet:3180-3430 — WITHIN-8 match sets + post-expiry timeout digests") {
+    // The reference quartet asserts the partial-match buffer is pruned
+    // to the bare start state after advanceTime past the window. The
+    // observable twin here: (a) the match each pattern emits inside
+    // WITHIN 8, (b) with the end event REMOVED, the timeout digest
+    // emits exactly the pruned partial, once per anchor — the content
+    // the buffer held when the window expired.
+    val W8 = 8L * 1000000L
+    // times: c next(a).times(2) followedBy b (feeds 1,2,3,4,6)
+    val dtimes = evT((1, 1, "c"), (2, 2, "a"), (3, 3, "a"), (4, 4, "a"),
+      (6, 5, "b"))
+    val timesSteps = Seq(Step("S", "c"),
+      Step("M", "a", NextEntry(Times(2))), Step("E", "b"))
+    assert(matches(dtimes, timesSteps) == Set(("1,2,3,5", "")))
+    val dtimesCut = evT((1, 1, "c"), (2, 2, "a"), (3, 3, "a"), (4, 4, "a"))
+    val tmo1 = PatternNFA.runTimeouts(spark, dtimesCut, timesSteps, W8)
+      .collect().map(r => (r.getAs[Long]("anchor_id"),
+        r.getAs[String]("chain"), r.getAs[Int]("n_bound"))).toSet
+    assert(tmo1 == Set((1L, "1,2,3", 2)), tmo1)
+    // optional: c a? b (feeds 1,5,6)
+    val dopt = evT((1, 1, "c"), (5, 2, "a"), (6, 3, "b"))
+    val optSteps = Seq(Step("S", "c"), Step("M", "a", Optional),
+      Step("E", "b"))
+    assert(matches(dopt, optSteps) == Set(("1,2,3", ""), ("1,3", "")))
+    val tmo2 = PatternNFA.runTimeouts(spark,
+        evT((1, 1, "c"), (5, 2, "a")), optSteps, W8)
+      .collect().map(r => (r.getAs[Long]("anchor_id"),
+        r.getAs[String]("chain"), r.getAs[Int]("n_bound"))).toSet
+    assert(tmo2 == Set((1L, "1,2", 2)), tmo2)
+    // atLeastOne / zeroOrMore (allowCombinations): c a+(comb) b and
+    // c a*(comb) b (feeds 1,3,4,6)
+    val dloop = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (6, 4, "b"))
+    val got1 = matches(dloop, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue)), Step("E", "b")))
+    assert(got1 == Set(("1,2,4", "M:1"), ("1,2,3,4", "M:2")), got1)
+    val got0 = matches(dloop, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue, zeroOk = true)),
+      Step("E", "b")))
+    assert(got0 == Set(("1,4", "M:0"), ("1,2,4", "M:1"),
+      ("1,2,3,4", "M:2")), got0)
+    val tmo3 = PatternNFA.runTimeouts(spark,
+        evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a")),
+        Seq(Step("S", "c"), Step("M", "a", LoopAny(1, Int.MaxValue)),
+          Step("E", "b")), W8)
+      .collect().map(r => (r.getAs[Long]("anchor_id"),
+        r.getAs[String]("chain"), r.getAs[Int]("n_bound"))).toSet
+    assert(tmo3 == Set((1L, "1,2,3", 2)), tmo3)
+  }
+
+  test("per-branch timeouts for LOOP interiors (r13 — NFA.advanceTime over computation states)") {
+    // A B+ C within 10 — the r12 VERDICT's Missing #2 shape. Semantics
+    // derived from NFA.computeNextStates (NFA.java:573-706): each loop
+    // take arms a ONE-SHOT proceed window; the first subsequent event
+    // either proceed-takes (full match, leaves) or spawns the frozen
+    // waiting-at-next sibling (ignore-after-PROCEED); relaxed waiting
+    // states die on takes, survive non-matching events.
+    val steps = Seq(Step("S", "s"), Step("M", "c", OneOrMore()),
+      Step("E", "p"))
+    val W10 = 10L * 1000000L
+    def tmo(df: org.apache.spark.sql.DataFrame) =
+      PatternNFA.runTimeoutBranches(spark, df, steps, W10)
+        .collect().map(r => (r.getAs[String]("chain"),
+          r.getAs[Int]("n_bound"), r.getAs[Long]("timeout_us"))).toSet
+    // scenario 1: prefixes [a,c2] and [a,c2,c3] COMPLETE on p@5 (their
+    // frozen siblings take it), so only the post-purchase extension
+    // [a,c2,c3,c6] is live at expiry
+    val s1 = evT((1, 1, "s"), (2, 2, "c"), (3, 3, "c"), (4, 4, "x"),
+      (5, 5, "p"), (6, 6, "c"))
+    assert(tmo(s1) == Set(("1,2,3,6", 2, 11000000L)), tmo(s1))
+    // scenario 2: no purchase at all — every loop prefix is live
+    // (frozen siblings for k < K, the active run for k = K; the
+    // active/frozen pair at k = K dedups to one row)
+    val s2 = evT((1, 1, "s"), (2, 2, "c"), (3, 3, "c"), (4, 4, "x"))
+    assert(tmo(s2) == Set(("1,2", 2, 11000000L), ("1,2,3", 2, 11000000L)),
+      tmo(s2))
+    // scenario 3: no click — the bare anchor waits out its window
+    val s3 = evT((1, 1, "s"), (2, 2, "x"))
+    assert(tmo(s3) == Set(("1", 1, 11000000L)), tmo(s3))
+    // scenario 4: zero-allowed loop (A B* C): the anchor's zero branch
+    // fully matches on p@3, yet the anchor's own waiting state still
+    // times out (match status never suppresses)
+    val zsteps = Seq(Step("S", "s"), Step("M", "c", ZeroOrMore()),
+      Step("E", "p"))
+    val s4 = evT((1, 1, "s"), (2, 2, "x"), (3, 3, "p"))
+    val full4 = PatternNFA.run(spark, s4, zsteps, W10, NoSkip)
+      .collect().map(_.getAs[String]("chain")).toSet
+    assert(full4 == Set("1,3"), full4)
+    val t4 = PatternNFA.runTimeoutBranches(spark, s4, zsteps, W10)
+      .collect().map(r => (r.getAs[String]("chain"),
+        r.getAs[Int]("n_bound"))).toSet
+    assert(t4 == Set(("1", 1)), t4)
   }
 
   test("committed doors: consecutive loops bind the greedy adjacent run") {
