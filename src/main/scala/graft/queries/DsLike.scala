@@ -1016,5 +1016,134 @@ object DsLike extends QueryGroup {
           col("cum_n").cast(DoubleType).as("cum_n"))
         .filter(coalesce(col("cum_a"), lit(0)) > coalesce(col("cum_n"), lit(0)))
         .orderBy("sk", "ym")
+    },
+
+    // TPC-DS Q4/Q11-flavored (tpcds-tool/query/query4.sql): the
+    // year_total CTE consumed FOUR times — per-customer per-year
+    // per-channel revenue (channels via priority bands, the d24
+    // convention), self-joined store-y1 × store-y2 × web-y1 × web-y2,
+    // keeping customers whose WEB growth across the consecutive-year
+    // pair beats their STORE growth (Q11's ratio predicate with its
+    // > 0 first-year guards). Stresses the repeated-CTE persist
+    // decision beyond d24/d25's two consumers: year_total is a SMALL
+    // per-(customer, year, channel) aggregate atop the one expensive
+    // fact-fact join — persisted once, the four consumers then join
+    // on custkey only.
+    q("d30_customer_growth_chain",
+      """WITH year_total AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |         THEN 'store' ELSE 'web' END AS channel,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS amt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT s1.o_custkey AS custkey,
+        |  CAST(s1.amt AS DOUBLE) AS store_y1,
+        |  CAST(s2.amt AS DOUBLE) AS store_y2,
+        |  CAST(w1.amt AS DOUBLE) AS web_y1,
+        |  CAST(w2.amt AS DOUBLE) AS web_y2
+        |FROM year_total s1
+        |JOIN year_total s2 ON s2.o_custkey = s1.o_custkey
+        |  AND s2.channel = 'store' AND s2.yr = 1998
+        |JOIN year_total w1 ON w1.o_custkey = s1.o_custkey
+        |  AND w1.channel = 'web' AND w1.yr = 1997
+        |JOIN year_total w2 ON w2.o_custkey = s1.o_custkey
+        |  AND w2.channel = 'web' AND w2.yr = 1998
+        |WHERE s1.channel = 'store' AND s1.yr = 1997
+        |  AND CAST(s1.amt AS DOUBLE) > 0 AND CAST(w1.amt AS DOUBLE) > 0
+        |  AND CAST(w2.amt AS DOUBLE) / CAST(w1.amt AS DOUBLE)
+        |      > CAST(s2.amt AS DOUBLE) / CAST(s1.amt AS DOUBLE)
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      // the four consumers re-scan year_total; Catalyst does not
+      // reuse the exchange across differently-filtered consumers, so
+      // persist the per-(customer, year, channel) aggregate once —
+      // the expensive orders⋈lineitem join beneath it runs once
+      val yearTotal = o
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "store")
+            .otherwise("web").as("channel"))
+        .agg(sum(rev).as("amt"))
+        .persist()
+      def slice(ch: String, yr: Int, amtAs: String) =
+        yearTotal.filter(col("channel") === ch && col("yr") === yr)
+          .select(col("o_custkey").as(s"k_$amtAs"),
+            col("amt").cast(DoubleType).as(amtAs))
+      slice("store", 1997, "store_y1")
+        .join(slice("store", 1998, "store_y2"),
+          col("k_store_y2") === col("k_store_y1"))
+        .join(slice("web", 1997, "web_y1"),
+          col("k_web_y1") === col("k_store_y1"))
+        .join(slice("web", 1998, "web_y2"),
+          col("k_web_y2") === col("k_store_y1"))
+        .filter(col("store_y1") > 0 && col("web_y1") > 0 &&
+          col("web_y2") / col("web_y1") > col("store_y2") / col("store_y1"))
+        .select(col("k_store_y1").as("custkey"), col("store_y1"),
+          col("store_y2"), col("web_y1"), col("web_y2"))
+        .orderBy("custkey")
+    },
+
+    // TPC-DS Q14-flavored (tpcds-tool/query/query14.sql): cross_items
+    // — the INTERSECT of the part sets sold in ALL THREE channels —
+    // feeding a shared per-channel rollup gated by an avg-sales
+    // scalar from the union of channels. Spark-first shape: the
+    // intersect is a countDistinct(channel) = 3 filter over the
+    // per-(channel, part) aggregate (one pass, no 3-way INTERSECT
+    // shuffle chain), the final rollup REUSES that same aggregate
+    // (no third fact scan), and the avg threshold broadcasts.
+    q("d31_cross_channel_intersect",
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'store'
+        |              WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog'
+        |              ELSE 'web' END AS channel,
+        |    l_partkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |cross_parts AS (
+        |  SELECT l_partkey FROM ch WHERE channel = 'store'
+        |  INTERSECT SELECT l_partkey FROM ch WHERE channel = 'catalog'
+        |  INTERSECT SELECT l_partkey FROM ch WHERE channel = 'web'),
+        |avg_sales AS (SELECT avg(CAST(amt AS DOUBLE)) AS threshold FROM ch)
+        |SELECT channel, p_brand, count(*) AS n,
+        |  CAST(sum(amt) AS DOUBLE) AS amount
+        |FROM ch JOIN part ON p_partkey = l_partkey
+        |WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+        |GROUP BY channel, p_brand
+        |HAVING sum(CAST(amt AS DOUBLE)) > 100 * (SELECT threshold FROM avg_sales)
+        |ORDER BY channel, p_brand""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val p = t(s, dir)("part")
+      val channel = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "store")
+        .when(col("o_orderpriority") === "3-MEDIUM", "catalog")
+        .otherwise("web")
+      val base = o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(channel.as("channel"), col("l_partkey"), rev.as("amt"))
+      // per-(channel, part) partials: bounded by 3×|part| — persisted
+      // once, feeding BOTH the cross-channel intersect and the final
+      // brand rollup (Q14 scans its fact union three times; here the
+      // fact join runs once for the partials + once for the global
+      // avg, and everything else works on the small aggregate)
+      val chParts = base.groupBy("channel", "l_partkey")
+        .agg(sum(col("amt")).as("amt"), count(lit(1)).as("n"))
+        .persist()
+      val crossParts = chParts.groupBy("l_partkey")
+        .agg(countDistinct(col("channel")).as("nch"))
+        .filter(col("nch") === 3).select("l_partkey")
+      val threshold = base.agg(avg(col("amt").cast(DoubleType)).as("threshold"))
+      chParts
+        .join(crossParts, Seq("l_partkey"), "left_semi")
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .groupBy("channel", "p_brand")
+        .agg(sum(col("n")).as("n"), sum(col("amt")).as("amt_dec"))
+        .crossJoin(broadcast(threshold))
+        .filter(col("amt_dec").cast(DoubleType) > lit(100) * col("threshold"))
+        .select(col("channel"), col("p_brand"), col("n"),
+          col("amt_dec").cast(DoubleType).as("amount"))
+        .orderBy("channel", "p_brand")
     })
 }

@@ -2115,6 +2115,64 @@ object Streaming extends QueryGroup {
         .orderBy("key", "anchor_id", "n_bound", "last_id")
     },
 
+    // STREAMING per-branch timeouts over a LOOP interior (r13 — the
+    // streaming twin of cep26; shares PatternNFA.branchTimeouts via
+    // matureTimeoutBranches, so the live-branch set is the batch
+    // contract cut at anchor maturity: a_us + within <= watermark).
+    // Oracle: cep26's closed form (bare anchor iff no in-window
+    // click; prefix k < K iff no purchase after c_k; full run always)
+    // restricted to mature anchors.
+    q("st58_stream_timeout_branches_loop",
+      s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
+        |ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events),
+        |a0 AS (SELECT user_id, event_id AS a_id, ts_us AS a_us FROM ev
+        |       WHERE event_type = 'signup'),
+        |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H2 <= wm.wm_us),
+        |c AS (
+        |  SELECT a.user_id, a.a_id, a.a_us, e.event_id AS c_id,
+        |    e.ts_us AS c_us,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id) AS k
+        |  FROM a JOIN ev e ON e.user_id = a.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2),
+        |pref AS (
+        |  SELECT user_id, a_id, a_us, k, c_id, c_us,
+        |    string_agg(c_id, ',') OVER (PARTITION BY user_id, a_id
+        |      ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ids,
+        |    count(*) OVER (PARTITION BY user_id, a_id) AS kmax
+        |  FROM c)
+        |SELECT user_id AS key, a_id AS anchor_id, c_id AS last_id,
+        |  a_id || ',' || ids AS chain, 2 AS n_bound,
+        |  a_us + $H2 AS timeout_us
+        |FROM pref
+        |WHERE k = kmax
+        |   OR NOT EXISTS (SELECT 1 FROM ev p
+        |        WHERE p.user_id = pref.user_id
+        |          AND p.event_type = 'purchase'
+        |          AND p.ts_us > pref.c_us
+        |          AND p.ts_us < pref.a_us + $H2)
+        |UNION ALL
+        |SELECT a.user_id, a.a_id, a.a_id, CAST(a.a_id AS VARCHAR), 1,
+        |  a.a_us + $H2
+        |FROM a WHERE NOT EXISTS (SELECT 1 FROM ev e
+        |  WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H2)
+        |ORDER BY key, anchor_id, chain""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{OneOrMore, Step}
+      val out = graft.streaming.StreamingMatchRecognize.timeoutBranches(
+        s, asGEvents(s, dir).toDF(),
+        Seq(Step("A", "signup"),
+          Step("C", "click", OneOrMore()),
+          Step("P", "purchase")),
+        withinMicros = H2, watermarkDelay = "1 minute")
+      StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st58_out")
+        .select(col("key"), col("anchor_id"), col("last_id"),
+          col("chain"), col("n_bound"), col("timeout_us"))
+        .orderBy("key", "anchor_id", "chain")
+    },
+
     // UPDATE_BEFORE emission (the reference's retract mode —
     // StreamingJoinOperator.java:277 emits UPDATE_BEFORE/UPDATE_AFTER
     // pairs): st29's LEFT OUTER join with updateBefore on — the pad
