@@ -377,7 +377,9 @@ class PlanSpec extends AnyFunSuite {
       "x27_token_budget" ->
         "single-row budget + threshold broadcasts (histogram-derived scalars)",
       "x30_dsir_importance" ->
-        "single-row corpus-totals broadcast (the two model denominators)")
+        "single-row corpus-totals broadcast (the two model denominators)",
+      "d31_cross_channel_intersect" ->
+        "single-row avg-sales-threshold broadcast (the Q14 scalar gate)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
