@@ -193,7 +193,8 @@ object PatternNFA {
     * Generalizes the times(2) [[runCombinationsPairs]] door. */
   final case class LoopAny(lo: Int, hi: Int, zeroOk: Boolean = false,
                            entryNext: Boolean = false,
-                           entryAny: Boolean = false) extends Quant
+                           entryAny: Boolean = false,
+                           untilKind: Option[String] = None) extends Quant
   /** followedByAny ENTRY into a non-ANY loop (Pattern.followedByAny(x)
     * .times(n) / .oneOrMore() without allowCombinations — NFAITCase
     * testTimesNonStrictOptional3): the loop's FIRST element branches
@@ -400,6 +401,9 @@ object PatternNFA {
         case GroupTimes(sub, _, _) => kindsOf(sub)
         case OneOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case ZeroOrMore(Some(uk), _, _) => Seq(st.kind, uk)
+        case LoopAny(_, _, _, _, _, Some(uk)) => Seq(st.kind, uk)
+        case AnyEntry(OneOrMore(Some(uk), _, _)) => Seq(st.kind, uk)
+        case AnyEntry(ZeroOrMore(Some(uk), _, _)) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }
@@ -513,7 +517,7 @@ object PatternNFA {
     case Times(k, c, _) => ('R', if (c) 'S' else 'R', k, k)
     case TimesRange(lo, hi, _) => ('R', 'R', math.max(lo, 1), hi)
     case TimesOrMore(k, _, c) => ('R', if (c) 'S' else 'R', k, Int.MaxValue)
-    case LoopAny(lo, hi, _, en, ea) =>
+    case LoopAny(lo, hi, _, en, ea, None) =>
       (if (en) 'N' else if (ea) 'A' else 'R', 'A', lo, hi)
     case NextEntry(inner) =>
       val (_, int, lo, hi) = branchShape(inner); ('N', int, lo, hi)
@@ -920,7 +924,7 @@ object PatternNFA {
           q match {
             case TimesOrMore(n, _, _) => require(n >= 1,
               "TimesOrMore requires n >= 1 — use ZeroOrMore for {0,}")
-            case LoopAny(lo, hi, _, en, ea) =>
+            case LoopAny(lo, hi, _, en, ea, _) =>
               require(lo >= 1 && hi >= lo,
                 s"LoopAny extent [$lo, $hi] out of range (lo >= 1; the " +
                   "empty binding is zeroOk, not lo = 0)")
@@ -945,6 +949,9 @@ object PatternNFA {
           val untilBit = q match {
             case OneOrMore(Some(uk), _, _) => Some(bitFor(uk))
             case ZeroOrMore(Some(uk), _, _) => Some(bitFor(uk))
+            case LoopAny(_, _, _, _, _, Some(uk)) => Some(bitFor(uk))
+            case AnyEntry(OneOrMore(Some(uk), _, _)) => Some(bitFor(uk))
+            case AnyEntry(ZeroOrMore(Some(uk), _, _)) => Some(bitFor(uk))
             case _ => None
           }
           def resolveCmp(c: CtxCmp): RCmp =
@@ -1159,7 +1166,7 @@ object PatternNFA {
       case TimesRange(lo, hi, _) => Some((math.max(lo, 1), hi, lo == 0, 'R'))
       case TimesOrMore(n, _, c) =>
         Some((n, Int.MaxValue, false, if (c) 'C' else 'R'))
-      case LoopAny(lo, hi, z, _, _) => Some((lo, hi, z, 'A'))
+      case LoopAny(lo, hi, z, _, _, _) => Some((lo, hi, z, 'A'))
       case _ => None
     }
 
@@ -1931,7 +1938,7 @@ object PatternNFA {
           cont(runK.last, runK)
         }.nextOption()
 
-      case LoopAny(lo, hi, zeroOk, entryNext, _) =>
+      case LoopAny(lo, hi, zeroOk, entryNext, _, _) =>
         // committed single-match door: the greedy maximal SUBSET is the
         // successive run itself (every eligible taken in order; the
         // entryAny branch set collapses to its earliest member) —
@@ -1946,7 +1953,7 @@ object PatternNFA {
           else eligible(prev.idx + 1, Vector.empty).nextOption()
         entry.flatMap { first =>
           val full = successiveRunFrom(evs, st, first, deadline,
-            anchorIdx, acc, hi)
+            anchorIdx, acc, hi, stopAfter(evs, st, first))
           (math.min(full.size, hi) to lo by -1).iterator.flatMap { k =>
             val rk = full.take(k)
             cont(rk.last, rk)
@@ -2111,7 +2118,7 @@ object PatternNFA {
               val run = b.get
               enumAfter(run.last, run)
             }
-          case LoopAny(lo, hi, zeroOk, entryNext, entryAny) =>
+          case LoopAny(lo, hi, zeroOk, entryNext, entryAny, _) =>
             // SKIP_TILL_ANY interior: entry commits (earliest eligible,
             // or the adjacent event under entryNext) — or BRANCHES on
             // every eligible under entryAny (followedByAny into the
@@ -2130,7 +2137,7 @@ object PatternNFA {
               else eligible(Vector.empty).take(1)
             val bound = entry.flatMap { first =>
               anySubsets(evs, st, Vector(first), deadline, anchorIdx,
-                  acc, hi)
+                  acc, hi, stopAfter(evs, st, first))
                 .filter(_.size >= lo)
                 .flatMap(run => enumAfter(run.last, run))
             }
@@ -2139,7 +2146,8 @@ object PatternNFA {
             // followedByAny into a non-ANY loop: the entry branches on
             // every eligible candidate, the interior binds the
             // successive relaxed run from that entry (NFAITCase
-            // testTimesNonStrictOptional3: every pair (mK, mK+1))
+            // testTimesNonStrictOptional3: every pair (mK, mK+1));
+            // an until stop bounds each run from its OWN entry
             val (lo0, hi0, zeroOk, consec) = loopShape(inner)
             val unbound =
               if (zeroOk) matchAll(evs, steps.tail, prev, deadline,
@@ -2147,11 +2155,12 @@ object PatternNFA {
                 .map(Vector(Vector.empty[Ev]) ++ _)
               else Iterator.empty
             val bound = eligible(Vector.empty).flatMap { first =>
+              val stop = stopAfter(evs, st, first)
               val full =
                 if (consec) consecutiveRun(evs, st, first, deadline,
-                  anchorIdx, acc, None)
+                  anchorIdx, acc, stop)
                 else successiveRunFrom(evs, st, first, deadline,
-                  anchorIdx, acc, hi0)
+                  anchorIdx, acc, hi0, stop)
               (math.max(lo0, 1) to math.min(full.size.toLong,
                   hi0.toLong).toInt).iterator
                 .flatMap { k =>
@@ -2198,21 +2207,31 @@ object PatternNFA {
       e.ts < deadline &&
       ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
 
+  /** First until-kind event strictly after `entry` — the per-RUN stop
+    * of an until-bearing ANY/branching-entry loop
+    * (UntilConditionITCase testUntilConditionFollowedByAnyOneOrMore:
+    * a run may START after an earlier stop event — the stop bounds
+    * each run from its OWN entry, it is not a global cut). */
+  private def stopAfter(evs: EvSeq, st: ILeaf, entry: Ev): Option[Int] =
+    st.untilBit.flatMap(ub => evs.iteratorFrom(entry.idx + 1)
+      .find(e => hasBit(e, ub)).map(_.idx))
+
   /** All in-order extensions of `run` by LATER eligible loop events —
     * the SKIP_TILL_ANY interior's branch set (every eligible candidate
     * is both taken and skipped), capped at `hi` elements. Emits `run`
     * itself first, then extensions in DFS order. */
   private def anySubsets(evs: EvSeq, st: ILeaf, run: Vector[Ev],
                          deadline: Long, anchorIdx: Int,
-                         acc: Vector[Vector[Ev]], hi: Int)
+                         acc: Vector[Vector[Ev]], hi: Int,
+                         stopIdx: Option[Int] = None)
       : Iterator[Vector[Ev]] =
     Iterator.single(run) ++ (
       if (run.size >= hi) Iterator.empty
       else evs.iteratorFrom(run.last.idx + 1)
-        .filter(e => hasBit(e, st.bit) &&
+        .filter(e => hasBit(e, st.bit) && stopIdx.forall(e.idx < _) &&
           e.ts < deadline && ctxOk(st, evs, e, anchorIdx, acc, run))
         .flatMap(e => anySubsets(evs, st, run :+ e, deadline, anchorIdx,
-          acc, hi)))
+          acc, hi, stopIdx)))
 
   /** Maximal SUCCESSIVE (relaxed skip-till-next) run starting AT
     * `first`: each further element is the earliest eligible after the
@@ -2220,13 +2239,14 @@ object PatternNFA {
     * keeps after its adjacent entry. */
   private def successiveRunFrom(evs: EvSeq, st: ILeaf, first: Ev,
                                 deadline: Long, anchorIdx: Int,
-                                acc: Vector[Vector[Ev]], hi: Int)
+                                acc: Vector[Vector[Ev]], hi: Int,
+                                stopIdx: Option[Int] = None)
       : Vector[Ev] = {
     var run = Vector(first)
     var go = true
     while (go && run.size < hi) {
       val nxt = evs.iteratorFrom(run.last.idx + 1).find(e =>
-        hasBit(e, st.bit) && e.ts < deadline &&
+        hasBit(e, st.bit) && stopIdx.forall(e.idx < _) && e.ts < deadline &&
           ctxOk(st, evs, e, anchorIdx, acc, run))
       nxt match {
         case Some(e) => run :+= e

@@ -666,6 +666,107 @@ class CepVectorsSpec extends AnyFunSuite {
     assert(got == Set(("1,3,6,8", "")), got)
   }
 
+  // ---- UntilConditionITCase (r13 — the until-stop family against
+  // the reference's own vectors; the until condition becomes a kind
+  // column like every other where(), and the reference's end step
+  // REUSES the until condition, so the stop event binds E) ----
+
+  test("UntilConditionITCase testUntilConditionFollowedBy{One,Zero}OrMore:55/305 — until stops the loop, the stop binds the next step") {
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (6, 4, "u"),
+      (7, 5, "a"))
+    val one = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore(untilKind = Some("u"))), Step("E", "u")))
+    assert(one == Set(("1,2,4", "M:1"), ("1,2,4", "M:2")), one)
+    val zero = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", ZeroOrMore(untilKind = Some("u"))), Step("E", "u")))
+    assert(zero == Set(("1,2,4", "M:1"), ("1,2,4", "M:2"),
+      ("1,4", "M:0")), zero)
+  }
+
+  test("UntilConditionITCase testUntilConditionFollowedBy{One,Zero}OrMoreCombinations:116/367 — until bounds ANY subsets") {
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (5, 4, "a"),
+      (6, 5, "u"), (7, 6, "a"))
+    val one = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue, untilKind = Some("u"))),
+      Step("E", "u")))
+    val want = Set(("1,2,5", "M:1"), ("1,2,3,5", "M:2"),
+      ("1,2,4,5", "M:2"), ("1,2,3,4,5", "M:3"))
+    assert(one == want, one)
+    val zero = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, Int.MaxValue, zeroOk = true,
+        untilKind = Some("u"))),
+      Step("E", "u")))
+    assert(zero == want + (("1,5", "M:0")), zero)
+  }
+
+  test("UntilConditionITCase testUntilConditionFollowedBy{One,Zero}OrMoreConsecutive:182/435 + Consecutive2:243") {
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (7, 4, "u"),
+      (8, 5, "a"))
+    val one = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore(untilKind = Some("u"), consecutive = true)),
+      Step("E", "u")))
+    assert(one == Set(("1,2,4", "M:1"), ("1,2,4", "M:2")), one)
+    val zero = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", ZeroOrMore(untilKind = Some("u"), consecutive = true)),
+      Step("E", "u")))
+    assert(zero == Set(("1,2,4", "M:1"), ("1,2,4", "M:2"),
+      ("1,4", "M:0")), zero)
+    // Consecutive2: a 'b' breaks the adjacent run after m1 — the
+    // committed entry yields only the one-element run
+    val df2 = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "b"), (5, 4, "a"),
+      (7, 5, "u"), (8, 6, "a"))
+    val got2 = matches(df2, Seq(Step("S", "c"),
+      Step("M", "a", OneOrMore(untilKind = Some("u"), consecutive = true)),
+      Step("E", "u")))
+    assert(got2 == Set(("1,2,5", "M:1")), got2)
+  }
+
+  test("UntilConditionITCase testUntilConditionFollowedByAny{One,Zero}OrMore:498/553 — the stop bounds each run from its OWN entry") {
+    // trailing followedByAny loop: middleEvent3 arrives AFTER the
+    // breaking event and still anchors its own run (the reference's
+    // [startEvent, middleEvent3] match) — the until is per-run, not a
+    // global cut.
+    val df = evT((1, 1, "c"), (3, 2, "a"), (4, 3, "a"), (6, 4, "u"),
+      (7, 5, "a"))
+    val one = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(OneOrMore(untilKind = Some("u"))))))
+    val want = Set(("1,2", "M:1"), ("1,2,3", "M:2"), ("1,3", "M:1"),
+      ("1,5", "M:1"))
+    assert(one == want, one)
+    val zero = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(ZeroOrMore(untilKind = Some("u"))))))
+    assert(zero == want + (("1", "M:0")), zero)
+  }
+
+  test("UntilConditionITCase testUntilConditionWithEmptyWhere:610 — condition-less loop bounded only by the stop") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // events carry a price column; the loop has NO where (lit(true))
+    // so it absorbs a's AND the d — everything before the stop
+    val df = Seq(
+      (0L, 1000000L, 1L, "c", 1.0), (0L, 3000000L, 2L, "a", 2.0),
+      (0L, 4000000L, 3L, "a", 3.0), (0L, 5000000L, 4L, "d", 1.0),
+      (0L, 6000000L, 5L, "a", 5.0), (0L, 7000000L, 6L, "a", 6.0))
+      .toDF("key", "tsMicros", "id", "kind", "price")
+    val preds = Seq("S" -> (col("kind") === "c"), "M" -> lit(true),
+      "U" -> (col("price") === 5.0))
+    val got = PatternNFA.runPredicates(spark, df,
+        Seq(Step("S", "S"),
+          Step("M", "M", OneOrMore(untilKind = Some("U")))),
+        preds, W, NoSkip)
+      .collect().map(r => (r.getAs[String]("chain"), r.getAs[String]("counts")))
+      .toSet
+    assert(got == Set(("1,2", "M:1"), ("1,2", "M:2"), ("1,2", "M:3")),
+      got)
+  }
+
+  // UntilConditionITCase testIterativeUntilCondition{One,Zero}OrMore
+  // are NOT transcribed: their until is an ITERATIVE condition (a
+  // running SUM over the partial match's loop bindings); this
+  // engine's until is a per-event predicate bit. The VarAgg context
+  // machinery evaluates running aggregates as DEFINE conjuncts (the
+  // mr9 family), but not yet as a stop condition — documented gap.
+
   // NOT transcribed, with reasons: testNFAResultOrdering /
   // testNFAResultKeyOrdering assert the ORDER of the harness's
   // result-list collection — this engine emits DataFrame rows whose
