@@ -672,11 +672,11 @@ object MatchRecognize {
         "StreamExecMatch.scala:181, match_recognize.md:360)")
     steps.last.quant match {
       case OneOrMore(_, false, _) | ZeroOrMore(_, false, _) |
-           TimesOrMore(_, false, _) =>
+           TimesOrMore(_, false, _, _) =>
         sys.error("a greedy quantifier may not end the pattern — finish " +
           "with a simple variable or a reluctant quantifier (the " +
           "reference rejects this: StreamExecMatch.scala:188)")
-      case TimesRange(lo, hi, false) if lo != hi =>
+      case TimesRange(lo, hi, false, _, _) if lo != hi =>
         sys.error("a greedy quantifier may not end the pattern — finish " +
           "with a simple variable or a reluctant quantifier (the " +
           "reference rejects this: StreamExecMatch.scala:188)")

@@ -161,7 +161,9 @@ object PatternNFA {
   /** Between lo and hi occurrences, greedy (Pattern.times(from, to));
     * `reluctant` (`B{lo,hi}?`) tries the SMALLEST k first. */
   final case class TimesRange(lo: Int, hi: Int,
-                              reluctant: Boolean = false) extends Quant
+                              reluctant: Boolean = false,
+                              consecutive: Boolean = false,
+                              zeroOk: Boolean = false) extends Quant
   /** Zero or more occurrences (SQL `B*` / `B*?`; Pattern.oneOrMore()
     * .optional()): OneOrMore's loop semantics with the empty binding
     * allowed — greedy prefers binding, reluctant prefers empty.
@@ -175,7 +177,8 @@ object PatternNFA {
     * before the next binding, reluctant stops at the fewest.
     * `consecutive` as in [[OneOrMore]]. */
   final case class TimesOrMore(n: Int, reluctant: Boolean = false,
-                               consecutive: Boolean = false)
+                               consecutive: Boolean = false,
+                               zeroOk: Boolean = false)
     extends Quant
   /** SKIP_TILL_ANY loop interior (Pattern.java allowCombinations()):
     * the loop's FIRST element commits to the earliest eligible
@@ -515,8 +518,10 @@ object PatternNFA {
     case OneOrMore(None, _, c) => ('R', if (c) 'S' else 'R', 1, Int.MaxValue)
     case ZeroOrMore(None, _, c) => ('R', if (c) 'S' else 'R', 1, Int.MaxValue)
     case Times(k, c, _) => ('R', if (c) 'S' else 'R', k, k)
-    case TimesRange(lo, hi, _) => ('R', 'R', math.max(lo, 1), hi)
-    case TimesOrMore(k, _, c) => ('R', if (c) 'S' else 'R', k, Int.MaxValue)
+    case TimesRange(lo, hi, _, c, _) =>
+      ('R', if (c) 'S' else 'R', math.max(lo, 1), hi)
+    case TimesOrMore(k, _, c, _) =>
+      ('R', if (c) 'S' else 'R', k, Int.MaxValue)
     case LoopAny(lo, hi, _, en, ea, None) =>
       (if (en) 'N' else if (ea) 'A' else 'R', 'A', lo, hi)
     case NextEntry(inner) =>
@@ -922,7 +927,7 @@ object PatternNFA {
             lo, hi)
         case q =>
           q match {
-            case TimesOrMore(n, _, _) => require(n >= 1,
+            case TimesOrMore(n, _, _, _) => require(n >= 1,
               "TimesOrMore requires n >= 1 — use ZeroOrMore for {0,}")
             case LoopAny(lo, hi, _, en, ea, _) =>
               require(lo >= 1 && hi >= lo,
@@ -991,8 +996,8 @@ object PatternNFA {
     case OneOrMore(_, _, c) => (1, Int.MaxValue, false, c)
     case ZeroOrMore(_, _, c) => (1, Int.MaxValue, true, c)
     case Times(n, c, z) => (n, n, z, c)
-    case TimesRange(lo, hi, _) => (math.max(lo, 1), hi, lo == 0, false)
-    case TimesOrMore(n, _, c) => (n, Int.MaxValue, false, c)
+    case TimesRange(lo, hi, _, c, z) => (math.max(lo, 1), hi, lo == 0 || z, c)
+    case TimesOrMore(n, _, c, z) => (n, Int.MaxValue, z, c)
     case other => sys.error(s"not a loop quantifier: $other")
   }
 
@@ -1163,9 +1168,10 @@ object PatternNFA {
       case ZeroOrMore(_, _, c) =>
         Some((1, Int.MaxValue, true, if (c) 'C' else 'R'))
       case Times(n, c, z) => Some((n, n, z, if (c) 'C' else 'R'))
-      case TimesRange(lo, hi, _) => Some((math.max(lo, 1), hi, lo == 0, 'R'))
-      case TimesOrMore(n, _, c) =>
-        Some((n, Int.MaxValue, false, if (c) 'C' else 'R'))
+      case TimesRange(lo, hi, _, c, z) =>
+        Some((math.max(lo, 1), hi, lo == 0 || z, if (c) 'C' else 'R'))
+      case TimesOrMore(n, _, c, z) =>
+        Some((n, Int.MaxValue, z, if (c) 'C' else 'R'))
       case LoopAny(lo, hi, z, _, _, _) => Some((lo, hi, z, 'A'))
       case _ => None
     }
@@ -1871,14 +1877,30 @@ object PatternNFA {
         // times(n).optional(): greedy prefers the bound branch
         if (zeroOk) bound.orElse(timesEmpty) else bound
 
-      case TimesRange(lo, hi, rel) =>
+      case TimesRange(lo, hi, rel, consec, zero) =>
         // greedy: largest k whose remainder still completes;
-        // reluctant ({lo,hi}?): smallest k first
-        val order = if (rel) lo to hi else hi to lo by -1
-        order.iterator.flatMap { k =>
-          bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
-            .flatMap(b => cont(b.last, b))
-        }.nextOption()
+        // reluctant ({lo,hi}?): smallest k first. k = 0 (lo = 0 or
+        // .optional()) is the empty branch; consecutive interiors
+        // bind the earliest entry whose ADJACENT run reaches k.
+        def rangeEmpty = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+        def boundK(k: Int): Option[Vector[Vector[Ev]]] =
+          if (k == 0) rangeEmpty
+          else if (!consec)
+            bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
+              .flatMap(b => cont(b.last, b))
+          else eligible(prev.idx + 1, Vector.empty).flatMap { s0 =>
+            val run = consecutiveRun(evs, st, s0, deadline, anchorIdx,
+              acc, None)
+            if (run.size >= k) cont(run(k - 1), run.take(k)).iterator
+            else Iterator.empty
+          }.nextOption()
+        // valid extents: [max(lo,1), hi] plus 0 when zero-allowed
+        // (times(2,3).optional() is {0, 2, 3} — NOT 0..3)
+        val ks = (math.max(lo, 1) to hi) ++
+          (if (zero || lo == 0) Seq(0) else Seq.empty)
+        val order = if (rel) ks.sorted else ks.sorted.reverse
+        order.iterator.flatMap(k => boundK(k)).nextOption()
 
       case ZeroOrMore(u, rel, consec) =>
         // the loop with the empty binding allowed: greedy prefers the
@@ -1889,11 +1911,18 @@ object PatternNFA {
           acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
         if (rel) empty.orElse(bound) else bound.orElse(empty)
 
-      case TimesOrMore(n, rel, true) =>
+      case TimesOrMore(n, rel, consec, true) =>
+        // {n,}.optional(): the bound branch first (greedy), else empty
+        matchLeaf(evs, st.copy(quant = TimesOrMore(n, rel, consec)),
+            rest, prev, deadline, anchorIdx, acc, hasCtx)
+          .orElse(matchFrom(evs, rest, prev, deadline, anchorIdx,
+            acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _))
+
+      case TimesOrMore(n, rel, true, _) =>
         consecutiveLoop(evs, st, prev, deadline, anchorIdx, acc,
           minK = n, rel, eligible, cont)
 
-      case TimesOrMore(n, true, _) =>
+      case TimesOrMore(n, true, _, _) =>
         // reluctant {n,}?: fewest successive elements, k = n ascending
         Iterator.from(n)
           .map(k => bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc))
@@ -1901,7 +1930,7 @@ object PatternNFA {
           .flatMap(b => cont(b.last, b))
           .nextOption()
 
-      case TimesOrMore(n, _, _) if !hasCtx =>
+      case TimesOrMore(n, _, _, _) if !hasCtx =>
         // greedy {n,}: the first n bind successively, the remainder
         // binds after the n-th, and the loop then absorbs every
         // further loop-kind event before the remainder's binding
@@ -1918,7 +1947,7 @@ object PatternNFA {
             }
           }
 
-      case TimesOrMore(n, _, _) =>
+      case TimesOrMore(n, _, _, _) =>
         // context predicates: greedy-maximal run, shrink no further
         // than the n floor
         var run = Vector.empty[Ev]
@@ -2085,11 +2114,21 @@ object PatternNFA {
                     enumAfter(b.last, b)
                   }
             unbound ++ bound
-          case TimesRange(lo, hi, _) =>
-            (lo to hi).iterator.flatMap { k =>
-              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
-                .iterator.flatMap(b => enumAfter(b.last, b))
-            }
+          case TimesRange(lo, hi, _, consec, zero) =>
+            val unbound =
+              if (zero || lo == 0) matchAll(evs, steps.tail, prev,
+                  deadline, anchorIdx, acc :+ Vector.empty, hasCtx)
+                .map(Vector(Vector.empty[Ev]) ++ _)
+              else Iterator.empty
+            val bound =
+              if (consec)
+                consecEnumAll(evs, st, prev, deadline, anchorIdx, acc,
+                  minK = math.max(lo, 1), eligible, enumAfter, maxK = hi)
+              else (math.max(lo, 1) to hi).iterator.flatMap { k =>
+                bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
+                  .iterator.flatMap(b => enumAfter(b.last, b))
+              }
+            unbound ++ bound
           case ZeroOrMore(_, _, consec) =>
             val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx)
@@ -2108,16 +2147,22 @@ object PatternNFA {
                 enumAfter(run.last, run)
               }
             unbound ++ bound
-          case TimesOrMore(n, _, true) =>
-            consecEnumAll(evs, st, prev, deadline, anchorIdx, acc,
-              minK = n, eligible, enumAfter)
-          case TimesOrMore(n, _, _) =>
-            Iterator.from(n).map { k =>
-              bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
-            }.takeWhile(_.isDefined).flatMap { b =>
-              val run = b.get
-              enumAfter(run.last, run)
-            }
+          case TimesOrMore(n, _, consec, zero) =>
+            val unbound =
+              if (zero) matchAll(evs, steps.tail, prev, deadline,
+                  anchorIdx, acc :+ Vector.empty, hasCtx)
+                .map(Vector(Vector.empty[Ev]) ++ _)
+              else Iterator.empty
+            val bound =
+              if (consec) consecEnumAll(evs, st, prev, deadline,
+                anchorIdx, acc, minK = n, eligible, enumAfter)
+              else Iterator.from(n).map { k =>
+                bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
+              }.takeWhile(_.isDefined).flatMap { b =>
+                val run = b.get
+                enumAfter(run.last, run)
+              }
+            unbound ++ bound
           case LoopAny(lo, hi, zeroOk, entryNext, entryAny, _) =>
             // SKIP_TILL_ANY interior: entry commits (earliest eligible,
             // or the adjacent event under entryNext) — or BRANCHES on
@@ -2322,7 +2367,8 @@ object PatternNFA {
                             deadline: Long, anchorIdx: Int,
                             acc: Vector[Vector[Ev]], minK: Int,
                             eligible: Vector[Ev] => Iterator[Ev],
-                            enumAfter: (Ev, Vector[Ev]) => Iterator[Vector[Vector[Ev]]])
+                            enumAfter: (Ev, Vector[Ev]) => Iterator[Vector[Vector[Ev]]],
+                            maxK: Int = Int.MaxValue)
       : Iterator[Vector[Vector[Ev]]] = {
     val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
       .find(e => hasBit(e, ub)).map(_.idx))
@@ -2331,7 +2377,7 @@ object PatternNFA {
       .map { entry =>
         val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
           stopIdx)
-        (minK to run.size).iterator.flatMap { k =>
+        (minK to math.min(run.size, maxK)).iterator.flatMap { k =>
           val rk = run.take(k)
           enumAfter(rk.last, rk)
         }
@@ -2385,7 +2431,9 @@ object PatternNFA {
   private[graft] def canBindEmpty(q: Quant): Boolean = q match {
     case Optional | Not | NotNext => true
     case _: ZeroOrMore => true
-    case TimesRange(0, _, _) => true
+    case TimesRange(0, _, _, _, _) => true
+    case TimesRange(_, _, _, _, true) => true
+    case TimesOrMore(_, _, _, true) => true
     case Times(_, _, true) => true
     case GroupTimes(_, 0, _) => true
     case _ => false
@@ -2525,12 +2573,12 @@ object PatternNFA {
           .filter(e => e.ts < deadline && take(e, Vector.empty))
           .flatMap(e => cont(e, Vector(e)))
       case Optional => optional()
-      case TimesRange(0, 1, false) => optional() // {0,1} ≡ ? (unmarked)
+      case TimesRange(0, 1, false, _, _) => optional() // {0,1} ≡ ? (unmarked)
       case OneOrMore(_, rel, _) => tryRange(1, Int.MaxValue, rel)
       case ZeroOrMore(_, rel, _) => tryRange(0, Int.MaxValue, rel)
       case Times(n, _, false) => tryRange(n, n, reluctant = false)
-      case TimesRange(lo, hi, rel) => tryRange(lo, hi, rel)
-      case TimesOrMore(n, rel, _) => tryRange(n, Int.MaxValue, rel)
+      case TimesRange(lo, hi, rel, _, false) => tryRange(lo, hi, rel)
+      case TimesOrMore(n, rel, _, false) => tryRange(n, Int.MaxValue, rel)
       case other => sys.error(s"quantifier $other is not part of the " +
         "strict row-pattern algebra (no clause form exists for it)")
     }

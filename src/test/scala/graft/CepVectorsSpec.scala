@@ -666,6 +666,188 @@ class CepVectorsSpec extends AnyFunSuite {
     assert(got == Set(("1,3,6,8", "")), got)
   }
 
+  // ---- TimesOrMoreITCase (r13 — all 11 tests; {n,} across every
+  // entry relation × interior × optional combination) ----
+
+  test("TimesOrMoreITCase testTimesOrMore / NotStrictWithFollowedBy{,Any}") {
+    // committed-entry ANY interior: subsets >= 2 from the earliest a
+    val d1 = evT((1, 1, "c"), (2, 2, "a"), (3, 3, "a"), (4, 4, "a"),
+      (6, 5, "b"))
+    val g1 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, Int.MaxValue)), Step("E", "b")))
+    assert(g1 == Set(("1,2,3,4,5", "M:3"), ("1,2,3,5", "M:2"),
+      ("1,2,4,5", "M:2")), g1)
+    // plain {2,} via followedBy: successive k = 2, 3 (absorb door)
+    val d2 = evT((1, 1, "c"), (2, 2, "a"), (4, 3, "a"), (6, 4, "a"),
+      (7, 5, "b"))
+    val g2 = matches(d2, Seq(Step("S", "c"),
+      Step("M", "a", TimesOrMore(2)), Step("E", "b")))
+    assert(g2 == Set(("1,2,5", "M:2"), ("1,2,5", "M:3")), g2)
+    // followedByAny + combinations: every subset >= 2 from every entry
+    val g3 = matches(d2, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, Int.MaxValue, entryAny = true)),
+      Step("E", "b")))
+    assert(g3 == Set(("1,2,3,4,5", "M:3"), ("1,2,3,5", "M:2"),
+      ("1,2,4,5", "M:2"), ("1,3,4,5", "M:2")), g3)
+  }
+
+  test("TimesOrMoreITCase testTimesOrMore{NonStrict,Strict,StrictOptional}") {
+    val df = evT((1, 1, "c"), (2, 2, "f"), (3, 3, "a"), (4, 4, "f"),
+      (5, 5, "a"), (6, 6, "a"), (7, 7, "b"))
+    // followedByAny {2,} combinations: subsets >= 2, every entry
+    val non = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, Int.MaxValue, entryAny = true)),
+      Step("E", "b")))
+    assert(non == Set(("1,3,5,7", "M:2"), ("1,3,6,7", "M:2"),
+      ("1,3,5,6,7", "M:3"), ("1,5,6,7", "M:2")), non)
+    // followedByAny times(2).consecutive(): only the adjacent pair
+    val strict = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(Times(2, consecutive = true))),
+      Step("E", "b")))
+    assert(strict == Set(("1,5,6,7", "M:2")), strict)
+    // followedByAny {2,}.consecutive().optional(): the adjacent run
+    // >= 2 plus the empty branch
+    val opt = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(TimesOrMore(2, consecutive = true,
+        zeroOk = true))),
+      Step("E", "b")))
+    assert(opt == Set(("1,5,6,7", "M:2"), ("1,7", "M:0")), opt)
+  }
+
+  test("TimesOrMoreITCase testTimesOrMore{StrictOptional2,NonStrictOptional,NonStrictOptional2,NonStrictOptional3,NonStrictWithNext}") {
+    // next-entry {2,}.consecutive().optional(): adjacent run prefixes
+    // >= 2 from the adjacent entry, plus the empty branch
+    val d1 = evT((1, 1, "c"), (3, 2, "a"), (5, 3, "a"), (6, 4, "a"),
+      (7, 5, "b"))
+    val g1 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", NextEntry(TimesOrMore(2, consecutive = true,
+        zeroOk = true))),
+      Step("E", "b")))
+    assert(g1 == Set(("1,2,5", "M:2"), ("1,2,5", "M:3"),
+      ("1,5", "M:0")), g1)
+    // followedBy {2,}.optional() with NO loop events: the empty branch
+    val d2 = evT((1, 1, "c"), (2, 2, "f"), (7, 3, "b"))
+    val g2 = matches(d2, Seq(Step("S", "c"),
+      Step("M", "a", TimesOrMore(2, zeroOk = true)), Step("E", "b")))
+    assert(g2 == Set(("1,3", "M:0")), g2)
+    // followedByAny + combinations + optional
+    val d3 = evT((1, 1, "c"), (2, 2, "f"), (3, 3, "a"), (4, 4, "f"),
+      (5, 5, "a"), (6, 6, "a"), (7, 7, "b"))
+    val g3 = matches(d3, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, Int.MaxValue, zeroOk = true,
+        entryAny = true)),
+      Step("E", "b")))
+    assert(g3 == Set(("1,3,5,7", "M:2"), ("1,3,6,7", "M:2"),
+      ("1,3,5,6,7", "M:3"), ("1,5,6,7", "M:2"), ("1,7", "M:0")), g3)
+    // followedByAny (no combinations) + optional: successive runs
+    // >= 2 per entry, plus the empty branch
+    val g4 = matches(d3, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(TimesOrMore(2, zeroOk = true))),
+      Step("E", "b")))
+    assert(g4 == Set(("1,3,5,7", "M:2"), ("1,3,5,6,7", "M:3"),
+      ("1,5,6,7", "M:2"), ("1,7", "M:0")), g4)
+    // next-entry {2,} combinations: adjacent entry, ANY interior
+    val d5 = evT((1, 1, "c"), (2, 2, "a"), (3, 3, "f"), (4, 4, "a"),
+      (5, 5, "f"), (6, 6, "a"), (7, 7, "b"))
+    val g5 = matches(d5, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, Int.MaxValue, entryNext = true)),
+      Step("E", "b")))
+    assert(g5 == Set(("1,2,4,7", "M:2"), ("1,2,6,7", "M:2"),
+      ("1,2,4,6,7", "M:3")), g5)
+  }
+
+  // ---- TimesRangeITCase (r13 — all 12 tests; times(lo, hi) across
+  // the same relation × interior × optional grid) ----
+
+  test("TimesRangeITCase testTimesRange / FromZero / NonStrictWithNext (next-entry ANY ranges)") {
+    val d1 = evT((1, 1, "c"), (2, 2, "a"), (3, 3, "a"), (4, 4, "a"),
+      (6, 5, "b"))
+    val g1 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, 3, entryNext = true)), Step("E", "b")))
+    assert(g1 == Set(("1,2,3,4,5", "M:3"), ("1,2,3,5", "M:2"),
+      ("1,2,4,5", "M:2"), ("1,2,5", "M:1")), g1)
+    val g2 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, 2, zeroOk = true, entryNext = true)),
+      Step("E", "b")))
+    assert(g2 == Set(("1,2,3,5", "M:2"), ("1,2,4,5", "M:2"),
+      ("1,2,5", "M:1"), ("1,5", "M:0")), g2)
+    val d3 = evT((1, 1, "c"), (2, 2, "a"), (3, 3, "f"), (4, 4, "a"),
+      (5, 5, "f"), (6, 6, "a"), (7, 7, "b"))
+    val g3 = matches(d3, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, 3, entryNext = true)), Step("E", "b")))
+    assert(g3 == Set(("1,2,4,6,7", "M:3"), ("1,2,4,7", "M:2"),
+      ("1,2,6,7", "M:2")), g3)
+  }
+
+  test("TimesRangeITCase testTimesRange{NonStrict,Strict,StrictOptional,StrictOptional1}") {
+    val df = evT((1, 1, "c"), (2, 2, "f"), (3, 3, "a"), (4, 4, "f"),
+      (5, 5, "a"), (6, 6, "a"), (7, 7, "b"))
+    // followedByAny times(1,3) combinations: subsets 1..3, every entry
+    val non = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(1, 3, entryAny = true)), Step("E", "b")))
+    assert(non == Set(("1,3,7", "M:1"), ("1,3,5,7", "M:2"),
+      ("1,3,6,7", "M:2"), ("1,3,5,6,7", "M:3"), ("1,5,7", "M:1"),
+      ("1,5,6,7", "M:2"), ("1,6,7", "M:1")), non)
+    // followedByAny times(0,3).consecutive(): adjacent runs 1..3 per
+    // entry + the empty branch
+    val strict = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(TimesRange(0, 3, consecutive = true))),
+      Step("E", "b")))
+    val wantStrict = Set(("1,3,7", "M:1"), ("1,5,7", "M:1"),
+      ("1,5,6,7", "M:2"), ("1,6,7", "M:1"), ("1,7", "M:0"))
+    assert(strict == wantStrict, strict)
+    // times(1,3).consecutive().optional() — same set (0 or 1..3)
+    val opt = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(TimesRange(1, 3, consecutive = true,
+        zeroOk = true))),
+      Step("E", "b")))
+    assert(opt == wantStrict, opt)
+    // next-entry times(1,3).consecutive().optional()
+    val d1 = evT((1, 1, "c"), (3, 2, "a"), (5, 3, "a"), (6, 4, "a"),
+      (7, 5, "b"))
+    val g1 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", NextEntry(TimesRange(1, 3, consecutive = true,
+        zeroOk = true))),
+      Step("E", "b")))
+    assert(g1 == Set(("1,2,3,4,5", ""), ("1,2,3,5", ""), ("1,2,5", ""),
+      ("1,5", "")), g1)
+  }
+
+  test("TimesRangeITCase testTimesRangeNonStrictOptional{1,2,3} / NotStrictWithFollowedBy{,Any}") {
+    // followedBy times(1,3).optional() with no loop events
+    val d1 = evT((1, 1, "c"), (2, 2, "f"), (7, 3, "b"))
+    val g1 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", TimesRange(1, 3, zeroOk = true)), Step("E", "b")))
+    assert(g1 == Set(("1,3", "")), g1)
+    val df = evT((1, 1, "c"), (2, 2, "f"), (3, 3, "a"), (4, 4, "f"),
+      (5, 5, "a"), (6, 6, "a"), (7, 7, "b"))
+    // followedByAny times(2,3) combinations optional
+    val g2 = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, 3, zeroOk = true, entryAny = true)),
+      Step("E", "b")))
+    assert(g2 == Set(("1,3,5,6,7", "M:3"), ("1,3,5,7", "M:2"),
+      ("1,3,6,7", "M:2"), ("1,5,6,7", "M:2"), ("1,7", "M:0")), g2)
+    // followedByAny times(2,3).optional() (no combinations):
+    // successive runs of 2..3 per entry + the empty branch — {0, 2, 3},
+    // never 1
+    val g3 = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(TimesRange(2, 3, zeroOk = true))),
+      Step("E", "b")))
+    assert(g3 == Set(("1,3,5,6,7", "M:3"), ("1,3,5,7", "M:2"),
+      ("1,5,6,7", "M:2"), ("1,7", "M:0")), g3)
+    // plain followedBy times(2,3): successive k = 2 and 3
+    val d4 = evT((1, 1, "c"), (2, 2, "a"), (4, 3, "a"), (6, 4, "a"),
+      (7, 5, "b"))
+    val g4 = matches(d4, Seq(Step("S", "c"),
+      Step("M", "a", TimesRange(2, 3)), Step("E", "b")))
+    assert(g4 == Set(("1,2,3,5", ""), ("1,2,3,4,5", "")), g4)
+    // followedByAny + combinations
+    val g5 = matches(d4, Seq(Step("S", "c"),
+      Step("M", "a", LoopAny(2, 3, entryAny = true)), Step("E", "b")))
+    assert(g5 == Set(("1,2,3,4,5", "M:3"), ("1,2,3,5", "M:2"),
+      ("1,2,4,5", "M:2"), ("1,3,4,5", "M:2")), g5)
+  }
+
   // ---- UntilConditionITCase (r13 — the until-stop family against
   // the reference's own vectors; the until condition becomes a kind
   // column like every other where(), and the reference's end step
