@@ -214,6 +214,17 @@ object PatternNFA {
     * testTimesStrictWithNextAndConsecutive. For an ANY interior use
     * [[LoopAny]] with `entryNext = true` instead. */
   final case class NextEntry(inner: Quant) extends Quant
+  /** Pattern.greedy() on a loop (GreedyITCase; NFACompiler
+    * updateWithGreedyCondition removes the PROCEED edge while the
+    * take condition holds): a NON-trailing greedy loop binds the
+    * single MAXIMAL run — it exits only at a take-failure, and if the
+    * remainder then fails the attempt dies (no shrink, no zero branch
+    * when a take was possible); the zero branch fires only when NO
+    * eligible entry exists (zero-allowed inner). A TRAILING greedy
+    * loop emits every extent (each prefix completes at its own input
+    * point before the next take — the EndWith* vectors), identical to
+    * the non-greedy enumeration. */
+  final case class Greedy(inner: Quant) extends Quant
   /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
     * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
     * must be quantifier One. */
@@ -407,6 +418,8 @@ object PatternNFA {
         case LoopAny(_, _, _, _, _, Some(uk)) => Seq(st.kind, uk)
         case AnyEntry(OneOrMore(Some(uk), _, _)) => Seq(st.kind, uk)
         case AnyEntry(ZeroOrMore(Some(uk), _, _)) => Seq(st.kind, uk)
+        case Greedy(OneOrMore(Some(uk), _, _)) => Seq(st.kind, uk)
+        case Greedy(ZeroOrMore(Some(uk), _, _)) => Seq(st.kind, uk)
         case _ => Seq(st.kind)
       }
     }
@@ -949,6 +962,12 @@ object PatternNFA {
                 s"quantifiers only, got $other — use " +
                 "LoopAny(entryAny = true) for ANY interiors")
             }
+            case Greedy(inner) => inner match {
+              case _: OneOrMore | _: ZeroOrMore | _: Times |
+                   _: TimesRange | _: TimesOrMore => // loop inner: ok
+              case other => sys.error(s"Greedy wraps loop " +
+                s"quantifiers only, got $other")
+            }
             case _ =>
           }
           val untilBit = q match {
@@ -957,6 +976,8 @@ object PatternNFA {
             case LoopAny(_, _, _, _, _, Some(uk)) => Some(bitFor(uk))
             case AnyEntry(OneOrMore(Some(uk), _, _)) => Some(bitFor(uk))
             case AnyEntry(ZeroOrMore(Some(uk), _, _)) => Some(bitFor(uk))
+            case Greedy(OneOrMore(Some(uk), _, _)) => Some(bitFor(uk))
+            case Greedy(ZeroOrMore(Some(uk), _, _)) => Some(bitFor(uk))
             case _ => None
           }
           def resolveCmp(c: CtxCmp): RCmp =
@@ -974,6 +995,7 @@ object PatternNFA {
     case _: OneOrMore | _: ZeroOrMore | _: TimesOrMore => true
     case NextEntry(inner) => isLoop(inner)
     case AnyEntry(inner) => isLoop(inner)
+    case Greedy(inner) => isLoop(inner)
     case _ => false
   }
 
@@ -1173,6 +1195,9 @@ object PatternNFA {
       case TimesOrMore(n, _, c, z) =>
         Some((n, Int.MaxValue, z, if (c) 'C' else 'R'))
       case LoopAny(lo, hi, z, _, _, _) => Some((lo, hi, z, 'A'))
+      case Greedy(_) =>
+        sys.error("greedy loop-FIRST patterns are not supported " +
+          "(no reference vector pairs begin() with greedy())")
       case _ => None
     }
 
@@ -2014,6 +2039,29 @@ object PatternNFA {
         matchLeaf(evs, st.copy(quant = inner), rest, prev, deadline,
           anchorIdx, acc, hasCtx)
 
+      case Greedy(inner) =>
+        // maximal-or-nothing: the run exits only at a take-failure
+        // (until-stop / gap / hi); if the remainder then fails the
+        // attempt DIES — no shrink. The zero branch fires only when
+        // no eligible entry exists at all.
+        val (lo0, hi0, zeroOk, consec) = loopShape(inner)
+        def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+        val stop = stopAfter(evs, st, prev) // global: non-ANY relation
+        eligible(prev.idx + 1, Vector.empty)
+          .filter(e => stop.forall(e.idx < _)).nextOption() match {
+          case None => if (zeroOk) zeroB else None
+          case Some(first) =>
+            val full0 =
+              if (consec) consecutiveRun(evs, st, first, deadline,
+                anchorIdx, acc, stop)
+              else successiveRunFrom(evs, st, first, deadline,
+                anchorIdx, acc, hi0, stop)
+            val run = full0.take(hi0)
+            if (run.size >= math.max(lo0, 1)) cont(run.last, run)
+            else None
+        }
+
       case GroupTimes(_, _, _) =>
         sys.error("unreachable: groups are compiled to IGroup")
     }
@@ -2236,6 +2284,37 @@ object PatternNFA {
                 }
             }
             unbound ++ bound
+          case Greedy(inner) =>
+            if (steps.tail.isEmpty)
+              // TRAILING greedy loop: every extent completed at its
+              // own input point before the next take (proceed fires
+              // per event) — the non-greedy enumeration
+              matchAll(evs, st.copy(quant = inner) +: steps.tail, prev,
+                deadline, anchorIdx, acc, hasCtx)
+            else {
+              // committed MAXIMAL run; shorter extents suppressed
+              val (lo0, hi0, zeroOk, consec) = loopShape(inner)
+              val stop = stopAfter(evs, st, prev)
+              eligible(Vector.empty)
+                .filter(e => stop.forall(e.idx < _)).nextOption() match {
+                case None =>
+                  if (zeroOk)
+                    matchAll(evs, steps.tail, prev, deadline, anchorIdx,
+                        acc :+ Vector.empty, hasCtx)
+                      .map(Vector(Vector.empty[Ev]) ++ _)
+                  else Iterator.empty
+                case Some(first) =>
+                  val full0 =
+                    if (consec) consecutiveRun(evs, st, first, deadline,
+                      anchorIdx, acc, stop)
+                    else successiveRunFrom(evs, st, first, deadline,
+                      anchorIdx, acc, hi0, stop)
+                  val run = full0.take(hi0)
+                  if (run.size >= math.max(lo0, 1))
+                    enumAfter(run.last, run)
+                  else Iterator.empty
+              }
+            }
           case GroupTimes(_, _, _) =>
             sys.error("unreachable: groups are compiled to IGroup")
         }
@@ -2429,6 +2508,7 @@ object PatternNFA {
   /** Can this quantifier bind zero rows? (Drives the attempt-start
     * mask and the clause compiler's empty-match rejection.) */
   private[graft] def canBindEmpty(q: Quant): Boolean = q match {
+    case Greedy(inner) => canBindEmpty(inner)
     case Optional | Not | NotNext => true
     case _: ZeroOrMore => true
     case TimesRange(0, _, _, _, _) => true

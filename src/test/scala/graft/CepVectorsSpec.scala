@@ -848,6 +848,108 @@ class CepVectorsSpec extends AnyFunSuite {
       ("1,2,4,5", "M:2"), ("1,3,4,5", "M:2")), g5)
   }
 
+  // ---- GreedyITCase (r13 — all 17 tests; Pattern.greedy():
+  // NFACompiler.updateWithGreedyCondition removes the PROCEED edge
+  // while the take condition holds, so a non-trailing greedy loop
+  // yields the single MAXIMAL run and a trailing one emits every
+  // extent — each prefix completed before the next take) ----
+
+  test("GreedyITCase testGreedy{Zero,One}OrMore / InBetween / DummyEvents{After,Before}Quantifier") {
+    val steps0 = Seq(Step("S", "c"), Step("M", "a", Greedy(ZeroOrMore())),
+      Step("E", "d"))
+    val steps1 = Seq(Step("S", "c"), Step("M", "a", Greedy(OneOrMore())),
+      Step("E", "d"))
+    // plain: maximal run, NO shorter extents (the non-greedy door
+    // would emit M:1..3)
+    val d1 = ev(1 -> "c", 2 -> "a", 3 -> "a", 4 -> "a", 5 -> "d")
+    assert(matches(d1, steps0) == Set(("1,2,5", "M:3")))
+    assert(matches(d1, steps1) == Set(("1,2,5", "M:3")))
+    // interleaved noise: the relaxed run skips it
+    val d2 = ev(1 -> "c", 2 -> "x", 3 -> "a", 4 -> "x", 5 -> "a",
+      6 -> "x", 7 -> "a", 8 -> "d")
+    assert(matches(d2, steps0) == Set(("1,3,8", "M:3")))
+    assert(matches(d2, steps1) == Set(("1,3,8", "M:3")))
+    // noise after the loop events
+    val d3 = ev(1 -> "c", 2 -> "a", 3 -> "a", 4 -> "x", 5 -> "d")
+    assert(matches(d3, steps0) == Set(("1,2,5", "M:2")))
+    assert(matches(d3, steps1) == Set(("1,2,5", "M:2")))
+    // no loop event at all: zero branch for 0+, nothing for 1+
+    val d4 = ev(1 -> "c", 2 -> "x", 3 -> "d")
+    assert(matches(d4, steps0) == Set(("1,3", "M:0")))
+    assert(matches(d4, steps1).isEmpty)
+  }
+
+  test("GreedyITCase testGreedyUntil{Zero,One}OrMoreWithDummyEvents{After,Before}Quantifier") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // the reference's until condition is price == 5.0 and the
+    // breaking event ALSO matches the loop's where (name 'a') — the
+    // predicates door reproduces the overlapping bits exactly
+    def run(rows: Seq[(Long, Long, String, Double)], inner: Quant) = {
+      val df = rows.map { case (ts, id, k, p) => (0L, ts, id, k, p) }
+        .toDF("key", "tsMicros", "id", "kind", "price")
+      val preds = Seq("S" -> (col("kind") === "c"),
+        "M" -> (col("kind") === "a"), "U" -> (col("price") === 5.0),
+        "E" -> (col("kind") === "d"))
+      PatternNFA.runPredicates(spark, df,
+          Seq(Step("S", "S"), Step("M", "M", Greedy(inner)),
+            Step("E", "E")), preds, W, NoSkip)
+        .collect().map(r => (r.getAs[String]("chain"),
+          r.getAs[String]("counts"))).toSet
+    }
+    // breaking AFTER the loop events: the run stops before it
+    val after = Seq((1L, 1L, "c", 1.0), (2L, 2L, "a", 2.0),
+      (3L, 3L, "a", 3.0), (4L, 4L, "a", 4.0), (5L, 5L, "a", 5.0),
+      (6L, 6L, "d", 6.0))
+    assert(run(after, ZeroOrMore(untilKind = Some("U"))) ==
+      Set(("1,2,6", "M:3")))
+    assert(run(after, OneOrMore(untilKind = Some("U"))) ==
+      Set(("1,2,6", "M:3")))
+    // breaking BEFORE the loop events: the stop fires first — no
+    // entry ever; zero branch for 0+, nothing for 1+
+    val before = Seq((1L, 1L, "c", 1.0), (2L, 2L, "a", 5.0),
+      (3L, 3L, "a", 2.0), (4L, 4L, "a", 3.0), (5L, 5L, "a", 4.0),
+      (6L, 6L, "d", 6.0))
+    assert(run(before, ZeroOrMore(untilKind = Some("U"))) ==
+      Set(("1,6", "M:0")))
+    assert(run(before, OneOrMore(untilKind = Some("U"))).isEmpty)
+  }
+
+  test("GreedyITCase testGreedyZeroOrMoreBeforeGroupPattern:836 — greedy loop feeding a group") {
+    val df = ev(1 -> "c", 2 -> "a", 3 -> "a", 4 -> "x", 5 -> "a",
+      6 -> "d", 7 -> "e", 8 -> "d", 9 -> "e", 10 -> "f")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", Greedy(ZeroOrMore())),
+      Step("G", "", GroupTimes(Seq(Step("D", "d"), Step("Ee", "e")), 2, 2)),
+      Step("E", "f")))
+    assert(got == Set(("1,2,6,7,8,9,10", "M:3,G:2")), got)
+  }
+
+  test("GreedyITCase testEndWith{ZeroOrMoreGreedy,ZeroOrMoreConsecutiveGreedy,GreedyTimesRange} — trailing greedy emits every extent") {
+    val d1 = ev(1 -> "c", 2 -> "a", 3 -> "a", 4 -> "x", 5 -> "a")
+    val g1 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", Greedy(ZeroOrMore()))))
+    assert(g1 == Set(("1", "M:0"), ("1,2", "M:1"), ("1,2", "M:2"),
+      ("1,2", "M:3")), g1)
+    val g2 = matches(d1, Seq(Step("S", "c"),
+      Step("M", "a", Greedy(ZeroOrMore(consecutive = true)))))
+    assert(g2 == Set(("1", "M:0"), ("1,2", "M:1"), ("1,2", "M:2")), g2)
+    val d3 = ev(1 -> "c", 2 -> "a", 3 -> "a", 4 -> "a", 5 -> "a",
+      6 -> "x")
+    val g3 = matches(d3, Seq(Step("S", "c"),
+      Step("M", "a", Greedy(TimesRange(2, 5)))))
+    assert(g3 == Set(("1,2,3", ""), ("1,2,3,4", ""),
+      ("1,2,3,4,5", "")), g3)
+  }
+
+  test("GreedyITCase testGreedyTimesRange — non-trailing greedy range binds the maximal extent") {
+    val df = ev(1 -> "c", 2 -> "a", 3 -> "a", 4 -> "a", 5 -> "a",
+      6 -> "d")
+    val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", Greedy(TimesRange(2, 5))), Step("E", "d")))
+    assert(got == Set(("1,2,3,4,5,6", "")), got)
+  }
+
   // ---- UntilConditionITCase (r13 — the until-stop family against
   // the reference's own vectors; the until condition becomes a kind
   // column like every other where(), and the reference's end step
