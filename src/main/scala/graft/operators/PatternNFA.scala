@@ -505,7 +505,7 @@ object PatternNFA {
     // branchShape rejects unsupported quantifiers (until-loops,
     // groups) loudly at compile; r13 extended the door to loop
     // interiors (the r12 guard was One/AnyOne/Next only)
-    steps.foreach(s => branchShape(s.quant))
+    validateBranchShapes(steps)
     val (isteps, ds) = prepare(events, steps, kindPreds(steps), Nil, Map.empty)
     sortedByKey(ds).mapPartitions { it =>
       scanSortedPartition[PTimeoutB](it, isteps, withinMicros, NoSkip,
@@ -546,6 +546,13 @@ object PatternNFA {
         "(until-loops and group patterns have no per-branch timeout " +
         "door — use runTimeouts' longest-prefix digest)")
   }
+
+  /** Driver-side quantifier validation for the branch-timeout doors:
+    * lets operator CONSTRUCTION fail fast on unsupported shapes
+    * (until-loops, groups) instead of surfacing branchShape's
+    * sys.error inside executor tasks on the first micro-batch. */
+  private[graft] def validateBranchShapes(steps: Seq[Step]): Unit =
+    steps.foreach(s => branchShape(s.quant))
 
   /** Live partial branches of anchor `a` at its expiry — the forward
     * simulation behind [[runTimeoutBranches]], generalized to LOOP
@@ -633,7 +640,18 @@ object PatternNFA {
         // next-matching event proceeds-and-takes; anything else
         // spawns the frozen waiting sibling at the next step)
         if (proceedable) {
-          if (okNext) bindAt(s.perStep, s.step + 1, e).foreach(next ::= _)
+          if (okNext) {
+            bindAt(s.perStep, s.step + 1, e).foreach(next ::= _)
+            // ignore-after-PROCEED is gated by the proceed TARGET's
+            // ignore condition (NFACompiler.getIgnoreCondition): for
+            // a SKIP_TILL_ANY next step that is trueFunction, so the
+            // frozen waiting sibling survives even when the
+            // proceed-take fires (r13 advisor — A B+ C(AnyOne) keeps
+            // the waiting-at-C branch alive alongside the take)
+            if (shapes(s.step + 1)._1 == 'A')
+              next ::= StB(s.step + 1, s.perStep :+ Vector.empty[Ev],
+                armed = false)
+          }
           else if (s.step + 1 < n)
             next ::= StB(s.step + 1, s.perStep :+ Vector.empty[Ev],
               armed = false)
@@ -2509,6 +2527,9 @@ object PatternNFA {
     * mask and the clause compiler's empty-match rejection.) */
   private[graft] def canBindEmpty(q: Quant): Boolean = q match {
     case Greedy(inner) => canBindEmpty(inner)
+    case AnyEntry(inner) => canBindEmpty(inner)
+    case NextEntry(inner) => canBindEmpty(inner)
+    case LoopAny(lo, _, z, _, _, _) => z || lo == 0
     case Optional | Not | NotNext => true
     case _: ZeroOrMore => true
     case TimesRange(0, _, _, _, _) => true

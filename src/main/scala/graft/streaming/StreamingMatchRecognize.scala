@@ -233,9 +233,11 @@ object StreamingMatchRecognize {
       "timeoutBranches needs at least two steps (a single-step " +
         "pattern completes on its anchor — nothing can time out); " +
         "mirrors PatternNFA.runTimeoutBranches")
-    // quantifier support (incl. r13 loop interiors) is validated by
-    // PatternNFA.branchShape inside the shared simulation; loop-first
-    // patterns stay rejected by the shared scan guards
+    // fail fast at construction on unsupported quantifiers
+    // (until-loops, groups) instead of inside executor tasks on the
+    // first micro-batch (r13 advisor); loop-first patterns stay
+    // rejected by the shared scan guards
+    PatternNFA.validateBranchShapes(steps)
     val preds = steps.map(_.kind).distinct.filter(_.nonEmpty)
       .map(k => k -> (col("kind") === lit(k)))
     runKeyedSteps[PatternNFA.PTimeoutB](spark, events, steps, preds,
