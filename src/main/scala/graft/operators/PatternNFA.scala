@@ -312,7 +312,8 @@ object PatternNFA {
     * hold against the partial match. */
   private final case class ILeaf(name: String, bit: Int, quant: Quant,
                                  untilBit: Option[Int],
-                                 ctx: Seq[RCmp]) extends INode
+                                 ctx: Seq[RCmp],
+                                 untilCtx: Seq[RCmp] = Nil) extends INode
   private final case class IGroup(name: String, sub: Seq[INode],
                                   lo: Int, hi: Int) extends INode
 
@@ -766,10 +767,12 @@ object PatternNFA {
                     navCols: Seq[String] = Nil,
                     ctx: Map[String, Seq[CtxCmp]] = Map.empty,
                     bufGauge: Option[org.apache.spark.util.LongAccumulator] = None,
-                    strict: Boolean = false)
+                    strict: Boolean = false,
+                    untilCtx: Map[String, Seq[CtxCmp]] = Map.empty)
       : DataFrame = {
     import spark.implicits._
-    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx, strict)
+    val (isteps, ds) = prepare(events, steps, varPreds, navCols, ctx, strict,
+      untilCtx)
     sortedByKey(ds).mapPartitions { it =>
       scanSortedPartition[PMatch](it, isteps, withinMicros, afterMatch,
         collectTimeouts = false, bufGauge, strict = strict)(
@@ -847,7 +850,8 @@ object PatternNFA {
   private def prepare(events: DataFrame, steps: Seq[Step],
                       varPreds: Seq[(String, org.apache.spark.sql.Column)],
                       navCols: Seq[String], ctx: Map[String, Seq[CtxCmp]],
-                      strict: Boolean = false)
+                      strict: Boolean = false,
+                      untilCtx: Map[String, Seq[CtxCmp]] = Map.empty)
       : (Seq[INode], org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Array[Double], Array[String])]) = {
     import events.sparkSession.implicits._
     // strict mode has no anchor-shape restriction: the attempt row is
@@ -862,7 +866,8 @@ object PatternNFA {
     require(varPreds.size <= 64, "at most 64 pattern variables")
     val bitOf = varPreds.map(_._1).zipWithIndex.toMap
     val isteps = compile(steps, k => bitOf.getOrElse(k,
-      sys.error(s"step references undefined pattern variable $k")), ctx)
+      sys.error(s"step references undefined pattern variable $k")), ctx,
+      untilCtx)
     val satCol = varPreds.zipWithIndex.map { case ((_, p), i) =>
       when(p, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -881,11 +886,13 @@ object PatternNFA {
     * only self-reference; no forward references; groups are ctx-free
     * sequences of One). */
   private def compile(steps: Seq[Step], bitFor: String => Int,
-                      ctx: Map[String, Seq[CtxCmp]]): Seq[INode] = {
+                      ctx: Map[String, Seq[CtxCmp]],
+                      untilCtx: Map[String, Seq[CtxCmp]] = Map.empty)
+      : Seq[INode] = {
     // ctx variable references resolve BY KIND — with a kind appearing
     // in two steps the last-wins Map would silently mis-resolve
     // bindings and forward-reference checks, so reject loudly
-    if (ctx.nonEmpty) {
+    if (ctx.nonEmpty || untilCtx.nonEmpty) {
       val dup = steps.groupBy(_.kind).collect { case (k, g) if g.size > 1 => k }
       require(dup.isEmpty, "context predicates require DISTINCT step kinds " +
         s"(duplicated: ${dup.mkString(", ")}) — navigation references " +
@@ -1002,7 +1009,26 @@ object PatternNFA {
             RCmp(c.op, resolveNav(c.l, i), resolveNav(c.r, i),
               c.orElse.map(resolveCmp))
           val rcmp = ctx.getOrElse(st.kind, Nil).map(resolveCmp)
-          ILeaf(st.name, bitFor(st.kind), q, untilBit, rcmp)
+          // iterative UNTIL (Pattern.java:219 until(IterativeCondition)
+          // — UntilConditionITCase testIterativeUntilCondition*): a
+          // stop condition over the partial match, evaluated per event
+          // during the run. Supported on the relaxed One/ZeroOrMore
+          // loop family — the kind-based untilKind door covers the
+          // ANY/consecutive shapes, whose per-run stops are static.
+          val uCmps = untilCtx.getOrElse(st.kind, Nil)
+          if (uCmps.nonEmpty) {
+            q match {
+              case OneOrMore(None, _, false) | ZeroOrMore(None, _, false) => ()
+              case other => sys.error("iterative UNTIL conditions are " +
+                "supported on relaxed OneOrMore/ZeroOrMore loops only " +
+                s"(got $other on step ${st.kind}); use untilKind for " +
+                "per-event stop predicates on the other loop shapes")
+            }
+            require(i > 0, "iterative UNTIL on a loop-FIRST head is not " +
+              "supported (anchor the pattern on a preceding step)")
+          }
+          ILeaf(st.name, bitFor(st.kind), q, untilBit, rcmp,
+            uCmps.map(resolveCmp))
       }
     }
   }
@@ -1053,7 +1079,7 @@ object PatternNFA {
   }
 
   private def anyCtx(isteps: Seq[INode]): Boolean = isteps.exists {
-    case l: ILeaf => l.ctx.nonEmpty
+    case l: ILeaf => l.ctx.nonEmpty || l.untilCtx.nonEmpty
     case g: IGroup => g.sub.exists { case l: ILeaf => l.ctx.nonEmpty; case _ => false }
   }
 
@@ -1146,8 +1172,28 @@ object PatternNFA {
     * IS [NOT] NULL tests the left operand; an orElse chain is a
     * left-to-right OR. */
   private def ctxOk(st: ILeaf, evs: EvSeq, cand: Ev, anchorIdx: Int,
-                    acc: Vector[Vector[Ev]], curPartial: Vector[Ev]): Boolean = {
-    val curStep = acc.size
+                    acc: Vector[Vector[Ev]], curPartial: Vector[Ev]): Boolean =
+    cmpsHold(st.ctx, evs, cand, anchorIdx, acc, acc.size, curPartial)
+
+  /** Iterative UNTIL stop for loop step `st`: does the stop condition
+    * hold for event `e` given the run bound SO FAR? The reference
+    * (NFACompiler.extendWithUntilCondition) gates BOTH the take and
+    * the ignore edge with NOT(until), so the run TERMINATES at the
+    * first event — of ANY kind — where the stop holds; until is
+    * evaluated PRE-take (ctx.getEventsForPattern sees only
+    * already-bound events), so the run rides in `acc`'s extension as
+    * a COMPLETED step — the candidate does NOT count as a loop
+    * binding, while its own columns stay readable via Cur. */
+  @inline private def untilFires(st: ILeaf, evs: EvSeq, e: Ev,
+                                 anchorIdx: Int, acc: Vector[Vector[Ev]],
+                                 run: Vector[Ev]): Boolean =
+    st.untilCtx.nonEmpty &&
+      cmpsHold(st.untilCtx, evs, e, anchorIdx, acc :+ run, acc.size + 1,
+        Vector.empty)
+
+  private def cmpsHold(cmps: Seq[RCmp], evs: EvSeq, cand: Ev,
+                       anchorIdx: Int, acc: Vector[Vector[Ev]],
+                       curStep: Int, curPartial: Vector[Ev]): Boolean = {
     def holds(c: RCmp): Boolean = {
       val one = c.op match {
         case "IS NULL" | "IS NOT NULL" =>
@@ -1187,7 +1233,7 @@ object PatternNFA {
       }
       one || c.orElse.exists(holds)
     }
-    st.ctx.forall(holds)
+    cmps.forall(holds)
   }
 
   /** Anchor eligibility: bit + context (anchor ctx sees only itself —
@@ -1337,12 +1383,13 @@ object PatternNFA {
       key: Long, quads: Seq[(Long, Long, Long, Array[Double], Array[String])],
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
-      ctx: Map[String, Seq[CtxCmp]] = Map.empty, strict: Boolean = false)
+      ctx: Map[String, Seq[CtxCmp]] = Map.empty, strict: Boolean = false,
+      untilCtx: Map[String, Seq[CtxCmp]] = Map.empty)
       : (Seq[PMatch], Option[Mark]) = {
     val (raw, _, mark) = matureScan(key, quads, steps, varNames, withinMicros,
       afterMatch, wmMicros, minStart, ctx, collectTimeouts = false,
-      strict = strict)
-    val isteps = compileByName(steps, varNames, ctx)
+      strict = strict, untilCtx = untilCtx)
+    val isteps = compileByName(steps, varNames, ctx, untilCtx)
     (raw.map { bindings => emit(key, isteps, bindings) }, mark)
   }
 
@@ -1362,9 +1409,11 @@ object PatternNFA {
   }
 
   private def compileByName(steps: Seq[Step], varNames: Seq[String],
-                            ctx: Map[String, Seq[CtxCmp]]): Seq[INode] = {
+                            ctx: Map[String, Seq[CtxCmp]],
+                            untilCtx: Map[String, Seq[CtxCmp]] = Map.empty)
+      : Seq[INode] = {
     val bitOf = varNames.zipWithIndex.toMap
-    compile(steps, bitOf, ctx)
+    compile(steps, bitOf, ctx, untilCtx)
   }
 
   /** Streaming twin of [[runTimeoutBranches]] (the shape
@@ -1408,9 +1457,10 @@ object PatternNFA {
       steps: Seq[Step], varNames: Seq[String], withinMicros: Long,
       afterMatch: AfterMatch, wmMicros: Long, minStart: Option[Mark],
       ctx: Map[String, Seq[CtxCmp]], collectTimeouts: Boolean,
-      strict: Boolean = false)
+      strict: Boolean = false,
+      untilCtx: Map[String, Seq[CtxCmp]] = Map.empty)
       : (Seq[Vector[Vector[Ev]]], Seq[PTimeout], Option[Mark]) = {
-    val isteps = compileByName(steps, varNames, ctx)
+    val isteps = compileByName(steps, varNames, ctx, untilCtx)
     val hasCtx = anyCtx(isteps)
     val startMask = if (strict) strictStartMask(isteps) else 0L
     val evs = quads.toVector.sortBy(t => (t._1, t._2))
@@ -1879,7 +1929,11 @@ object PatternNFA {
         var cur = prev
         var go = true
         while (go) {
-          val nxt = evs.iteratorFrom(cur.idx + 1).find(e =>
+          val it =
+            if (st.untilCtx.isEmpty) evs.iteratorFrom(cur.idx + 1)
+            else evs.iteratorFrom(cur.idx + 1)
+              .takeWhile(e => !untilFires(st, evs, e, anchorIdx, acc, run))
+          val nxt = it.find(e =>
             hasBit(e, st.bit) && e.ts < deadline &&
               stopIdx.forall(e.idx < _) &&
               ctxOk(st, evs, e, anchorIdx, acc, run))
@@ -2493,7 +2547,14 @@ object PatternNFA {
     var out = Vector.empty[Ev]
     var i = 0
     while (i < n) {
-      val nxt = evs.iteratorFrom(cur.idx + 1).find(e => hasBit(e, st.bit) &&
+      // an iterative until TERMINATES the scan at the first event (of
+      // any kind) where the stop holds against the run-so-far — the
+      // reference gates both take and ignore with NOT(until)
+      val it =
+        if (st.untilCtx.isEmpty) evs.iteratorFrom(cur.idx + 1)
+        else evs.iteratorFrom(cur.idx + 1)
+          .takeWhile(e => !untilFires(st, evs, e, anchorIdx, acc, out))
+      val nxt = it.find(e => hasBit(e, st.bit) &&
         e.ts < deadline && stopIdx.forall(e.idx < _) &&
         ctxOk(st, evs, e, anchorIdx, acc, out))
       nxt match {

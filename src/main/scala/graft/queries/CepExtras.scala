@@ -1857,5 +1857,54 @@ object CepExtras extends QueryGroup {
           Step("purchase", "purchase")),
         withinMicros = H6)
         .orderBy("key", "anchor_id", "chain")
+    },
+
+    // ITERATIVE UNTIL (r14 — Pattern.java:219 until(IterativeCondition);
+    // UntilConditionITCase testIterativeUntilCondition*: the stop is a
+    // RUNNING AGGREGATE over the partial match, not a per-event kind).
+    // signup anchor; the click loop keeps absorbing while the SUM of
+    // the values bound SO FAR stays under 120 (until is evaluated
+    // PRE-take, so click k+1 binds iff sum(c_1..c_k) < 120). Values
+    // are positive, so the bound set is a PREFIX — the oracle's
+    // exclusive running sum mirrors the pre-take evaluation exactly.
+    // Committed door: one maximal run per signup anchor; chain/end_id
+    // carry the loop's FIRST element (the emit() loop convention).
+    q("cep27_iterative_until",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us FROM ev
+        |      WHERE event_type = 'signup'),
+        |c AS (
+        |  SELECT a.user_id, a.a_id, e.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id) AS k,
+        |    coalesce(sum(e.value) OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY e.ts_us, e.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_sum
+        |  FROM a JOIN ev e ON e.user_id = a.user_id
+        |    AND e.event_type = 'click'
+        |    AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H6),
+        |bound AS (SELECT * FROM c WHERE prev_sum < 120.0)
+        |SELECT user_id AS key, a_id AS anchor_id,
+        |  min(CASE WHEN k = 1 THEN c_id END) AS end_id,
+        |  a_id || ',' || min(CASE WHEN k = 1 THEN c_id END) AS chain,
+        |  'M:' || count(*) AS counts
+        |FROM bound GROUP BY user_id, a_id
+        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+      PatternNFA.runPredicates(s,
+        t(s, dir)("events").select(
+          col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+          col("event_id").as("id"), col("event_type").as("kind"),
+          col("value")),
+        Seq(Step("S", "S"), Step("M", "M", OneOrMore())),
+        Seq("S" -> (col("kind") === "signup"),
+            "M" -> (col("kind") === "click")),
+        withinMicros = H6,
+        navCols = Seq("value"),
+        untilCtx = Map("M" -> Seq(CtxCmp(">=",
+          NavExpr.VarAgg("SUM", Seq("M"), NavExpr.Cur(0)),
+          NavExpr.Lit(120.0)))))
+        .orderBy("key", "anchor_id")
     })
 }

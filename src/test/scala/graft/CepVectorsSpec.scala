@@ -1044,12 +1044,39 @@ class CepVectorsSpec extends AnyFunSuite {
       got)
   }
 
-  // UntilConditionITCase testIterativeUntilCondition{One,Zero}OrMore
-  // are NOT transcribed: their until is an ITERATIVE condition (a
-  // running SUM over the partial match's loop bindings); this
-  // engine's until is a per-event predicate bit. The VarAgg context
-  // machinery evaluates running aggregates as DEFINE conjuncts (the
-  // mr9 family), but not yet as a stop condition — documented gap.
+  test("UntilConditionITCase testIterativeUntilCondition{One,Zero}OrMore:662/727 — running-aggregate stop over the partial match") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // start c(1.0)@1; middle loop has NO where (lit(true)) and an
+    // ITERATIVE until: SUM of the prices bound to middle SO FAR
+    // == 6.0, evaluated pre-take (ctx.getEventsForPattern sees only
+    // already-bound events). m1(2.0)@3, m2(3.0)@4, m3(1.0)@5 bind
+    // (sums seen: 0, 2, 5); breaking(5.0)@6 sees sum 6 → the stop
+    // fires and the run terminates — ignored(6.0)@7 never binds.
+    // (SUM over the empty run is SQL NULL here vs the reference's
+    // 0.0 — comparisons with NULL are false either way for == 6.0.)
+    val df = Seq(
+      (0L, 1000000L, 1L, "c", 1.0), (0L, 3000000L, 2L, "a", 2.0),
+      (0L, 4000000L, 3L, "a", 3.0), (0L, 5000000L, 4L, "d", 1.0),
+      (0L, 6000000L, 5L, "a", 5.0), (0L, 7000000L, 6L, "a", 6.0))
+      .toDF("key", "tsMicros", "id", "kind", "price")
+    val preds = Seq("S" -> (col("kind") === "c"), "M" -> lit(true))
+    val stop = Seq(CtxCmp("=",
+      NavExpr.VarAgg("SUM", Seq("M"), NavExpr.Cur(0)), NavExpr.Lit(6.0)))
+    def got(q: Quant): Set[(String, String)] =
+      PatternNFA.runPredicates(spark, df,
+          Seq(Step("S", "S"), Step("M", "M", q)),
+          preds, W, NoSkip, navCols = Seq("price"),
+          untilCtx = Map("M" -> stop))
+        .collect().map(r => (r.getAs[String]("chain"),
+          r.getAs[String]("counts"))).toSet
+    val one = got(OneOrMore())
+    assert(one == Set(("1,2", "M:1"), ("1,2", "M:2"), ("1,2", "M:3")),
+      one)
+    val zero = got(ZeroOrMore())
+    assert(zero == Set(("1,2", "M:1"), ("1,2", "M:2"), ("1,2", "M:3"),
+      ("1", "M:0")), zero)
+  }
 
   // NOT transcribed, with reasons: testNFAResultOrdering /
   // testNFAResultKeyOrdering assert the ORDER of the harness's
