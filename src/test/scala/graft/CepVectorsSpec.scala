@@ -1078,6 +1078,140 @@ class CepVectorsSpec extends AnyFunSuite {
       ("1", "M:0")), zero)
   }
 
+  // ---- IterativeConditionsITCase (r14 — iterative WHERE conditions
+  // over the partial match, flink-cep/.../nfa/
+  // IterativeConditionsITCase.java; the reference harness's
+  // comparePatterns sorts each match, so the expected lists are event
+  // SETS — transcribed here as the engine's (chain, counts) pairs.
+  // Conditions become CtxCmp running aggregates with the candidate
+  // counting as the loop's latest binding (sum += value.getPrice()
+  // in every reference condition). 7/7. ----
+
+  private def evP(rows: (Int, Int, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (ts, id, k, p) =>
+      (0L, ts.toLong * 1000000L, id.toLong, k, p) }
+      .toDF("key", "tsMicros", "id", "kind", "price")
+  }
+  private def matchesCtx(df: DataFrame, steps: Seq[Step],
+                         preds: Seq[(String, org.apache.spark.sql.Column)],
+                         ctx: Map[String, Seq[CtxCmp]]): Set[(String, String)] =
+    PatternNFA.runPredicates(spark, df, steps, preds, W, NoSkip,
+        navCols = Seq("price"), ctx = ctx)
+      .collect().map(r => (r.getAs[String]("chain"),
+        r.getAs[String]("counts"))).toSet
+  private def kindIs(pairs: (String, String)*): Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.col
+    pairs.map { case (v, k) => v -> (col("kind") === k) }
+  }
+  /** sum(bound-to-v so far, candidate included) `op` `lim` — every
+    * IterativeConditionsITCase condition is this shape. */
+  private def sumCond(v: String, op: String, lim: Double): Map[String, Seq[CtxCmp]] =
+    Map(v -> Seq(CtxCmp(op,
+      NavExpr.VarAgg("SUM", Seq(v), NavExpr.Cur(0)), NavExpr.Lit(lim))))
+
+  test("IterativeConditionsITCase testIterativeWithBranchingPattern{Eager:58,Combinations:73}") {
+    // s1(1.0)@1, foo1(1.0)@2, foo2(2.0)@3, s2(3.0)@4, foo3(3.0)@5,
+    // foo4(1.0)@5 (TIED ts), next@6, end@8; middle loop takes while
+    // sum(bound)+cand < 5. Eager: foo3 fails (3+3=6) and is IGNORED —
+    // the run continues to foo4 (3+1=4), the reference's relaxed
+    // ignore edge on a failing iterative take.
+    val df = evP((1, 1, "start", 1.0), (2, 2, "foo", 1.0),
+      (3, 3, "foo", 2.0), (4, 4, "start", 3.0), (5, 5, "foo", 3.0),
+      (5, 6, "foo", 1.0), (6, 7, "next", 1.0), (8, 8, "end", 1.0))
+    val preds = kindIs("S" -> "start", "M" -> "foo", "E" -> "end")
+    val eager = matchesCtx(df,
+      Seq(Step("S", "S"), Step("M", "M", OneOrMore()), Step("E", "E")),
+      preds, sumCond("M", "<", 5.0))
+    assert(eager == Set(("1,2,8", "M:1"), ("1,2,8", "M:2"),
+      ("1,2,8", "M:3"), ("4,5,8", "M:1"), ("4,5,8", "M:2")), eager)
+    // allowCombinations: in-order SUBSETS, each take re-tested against
+    // ITS run — {m1,m3} (1+3=4) and {m1,m4} live alongside the eager
+    // prefixes; {m1,m3,m4} dies (4+1=5 not < 5)
+    val comb = matchesCtx(df,
+      Seq(Step("S", "S"), Step("M", "M", LoopAny(1, Int.MaxValue)),
+        Step("E", "E")),
+      preds, sumCond("M", "<", 5.0))
+    assert(comb == Set(("1,2,8", "M:1"), ("1,2,3,8", "M:2"),
+      ("1,2,5,8", "M:2"), ("1,2,6,8", "M:2"), ("1,2,3,6,8", "M:3"),
+      ("4,5,8", "M:1"), ("4,5,6,8", "M:2")), comb)
+  }
+
+  test("IterativeConditionsITCase testIterativeWithLoopingStarting{Eager:182,Combination:196}") {
+    // loop-FIRST zero-allowed head with an iterative condition:
+    // start* (sum+cand < 5) then end. s1(1.0)@1, s2(2.0)@2,
+    // s3(3.0)@3, end@4; the bare {end} match rides the empty-loop
+    // anchor class.
+    val df = evP((1, 1, "start", 1.0), (2, 2, "start", 2.0),
+      (3, 3, "start", 3.0), (4, 4, "end", 1.0))
+    val preds = kindIs("S" -> "start", "E" -> "end")
+    val eager = matchesCtx(df,
+      Seq(Step("S", "S", ZeroOrMore()), Step("E", "E")),
+      preds, sumCond("S", "<", 5.0))
+    assert(eager == Set(("1,4", "S:1"), ("1,4", "S:2"), ("2,4", "S:1"),
+      ("3,4", "S:1"), ("4", "S:0")), eager)
+    // combinations adds the {s1,s3} subset (1+3=4 < 5)
+    val comb = matchesCtx(df,
+      Seq(Step("S", "S", LoopAny(1, Int.MaxValue, zeroOk = true)),
+        Step("E", "E")),
+      preds, sumCond("S", "<", 5.0))
+    assert(comb == Set(("1,4", "S:1"), ("1,2,4", "S:2"),
+      ("1,3,4", "S:2"), ("2,4", "S:1"), ("3,4", "S:1"), ("4", "S:0")),
+      comb)
+  }
+
+  test("IterativeConditionsITCase testIterativeWithPrevPatternDependency:283 — iterative condition on a LATER step over the loop's bindings") {
+    // start+ then end where sum(start) >= 2 — the end candidate is
+    // NOT a start binding, so the aggregate sees only the loop's rows
+    // (rowsOf resolves a non-current step through acc). [s1] (sum 1)
+    // fails; [s1,s2] (3) and [s2] (2) pass.
+    val df = evP((1, 1, "start", 1.0), (2, 2, "start", 2.0),
+      (4, 3, "end", 1.0))
+    val got = matchesCtx(df,
+      Seq(Step("S", "S", OneOrMore()), Step("E", "E")),
+      kindIs("S" -> "start", "E" -> "end"), sumCond("E", ">=", 2.0)
+        .map { case (k, v) => k -> v.map(c => c.copy(l =
+          NavExpr.VarAgg("SUM", Seq("S"), NavExpr.Cur(0)))) })
+    assert(got == Set(("1,3", "S:2"), ("2,3", "S:1")), got)
+  }
+
+  test("IterativeConditionsITCase testIterativeWithABACPattern:336 — ANY branch then an iterative loop over a REUSED underlying kind") {
+    // A(start) B(foo, followedByAny) C(start, oneOrMore, sum+cand
+    // <= 5) E(end): two variables (A, C) over the same underlying
+    // kind; seven events share ts 2 (positional binding).
+    val df = evP((1, 1, "start", 1.0), (2, 2, "foo", 1.0),
+      (2, 3, "start", 2.0), (2, 4, "start", 3.0), (2, 5, "foo", 2.0),
+      (2, 6, "start", 4.0), (2, 7, "foo", 3.0), (2, 8, "foo", 1.0),
+      (4, 9, "end", 1.0))
+    val preds = kindIs("A" -> "start", "B" -> "foo", "C" -> "start",
+      "E" -> "end")
+    val got = matchesCtx(df,
+      Seq(Step("A", "A"), Step("B", "B", AnyOne),
+        Step("C", "C", OneOrMore()), Step("E", "E")),
+      preds, sumCond("C", "<=", 5.0))
+    assert(got == Set(("1,2,3,9", "C:1"), ("1,2,3,9", "C:2"),
+      ("1,5,6,9", "C:1"), ("3,5,6,9", "C:1"), ("4,5,6,9", "C:1")), got)
+  }
+
+  test("IterativeConditionsITCase testIterativeWithPrevPatternDependencyAfterBranching:425") {
+    // start+ (loop-FIRST) then followedByAny foo then followedByAny
+    // end with sum(start) >= 2: the [s1]-only runs die at the end
+    // condition, every longer run branches per foo.
+    val df = evP((1, 1, "start", 1.0), (2, 2, "start", 2.0),
+      (4, 3, "foo", 1.0), (5, 4, "start", 3.0), (6, 5, "foo", 2.0),
+      (7, 6, "end", 1.0))
+    val got = matchesCtx(df,
+      Seq(Step("S", "S", OneOrMore()), Step("B", "B", AnyOne),
+        Step("E", "E", AnyOne)),
+      kindIs("S" -> "start", "B" -> "foo", "E" -> "end"),
+      Map("E" -> Seq(CtxCmp(">=",
+        NavExpr.VarAgg("SUM", Seq("S"), NavExpr.Cur(0)),
+        NavExpr.Lit(2.0)))))
+    assert(got == Set(("1,3,6", "S:2"), ("2,3,6", "S:1"),
+      ("1,5,6", "S:2"), ("1,5,6", "S:3"), ("2,5,6", "S:2"),
+      ("2,5,6", "S:1"), ("4,5,6", "S:1")), got)
+  }
+
   // NOT transcribed, with reasons: testNFAResultOrdering /
   // testNFAResultKeyOrdering assert the ORDER of the harness's
   // result-list collection — this engine emits DataFrame rows whose
