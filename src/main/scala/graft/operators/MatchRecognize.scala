@@ -705,8 +705,11 @@ object MatchRecognize {
         if (!defined(v))
           sys.error(s"AFTER MATCH SKIP TO ${m.group(1).toUpperCase} $v: " +
             "no such pattern variable in DEFINE")
-        if (m.group(1).equalsIgnoreCase("FIRST")) SkipToFirst(v)
-        else SkipToLast(v)
+        // SQL MATCH_RECOGNIZE uses the reference's throwing mode
+        // (throwExceptionOnMiss — a degenerate skip would be an
+        // infinite loop in the standing operator)
+        if (m.group(1).equalsIgnoreCase("FIRST")) SkipToFirst(v, throwOnMiss = true)
+        else SkipToLast(v, throwOnMiss = true)
       }.getOrElse(SkipToNextRow)
     val measures = measuresRe.findFirstMatchIn(clause)
       .map(m => splitTopLevel(m.group(1)).map(parseMeasure))

@@ -98,16 +98,28 @@ import org.apache.spark.sql.functions._
   *  - Forward references (a DEFINE reading a variable that appears
   *    LATER in the pattern) are rejected at compile time, as in SQL.
   *
-  * AFTER MATCH strategies (AfterMatchSkipStrategy.java — all five):
-  *  - SkipToNextRow: every event may anchor a match (one match per
-  *    anchor under this engine's earliest-first determinism).
-  *  - SkipPastLastEvent: anchors re-arm strictly past the previous
-  *    match's last bound event.
+  * AFTER MATCH strategies (AfterMatchSkipStrategy.java — all five;
+  * r14: pinned to AfterMatchSkipITCase's 26 vectors, which encode
+  * NFA.java:391-430's emission discipline — matches EMIT in
+  * start-event order, a completion held while an earlier-start
+  * partial is live, and each emission's prune discards partial AND
+  * held-completed matches by START event):
+  *  - SkipToNextRow (skipToNext): ONE committed match per anchor —
+  *    the earliest completion; the reference's prune (start <= own
+  *    start) discards the anchor's sibling branches, so ANY-relation
+  *    branch sets collapse and a TRAILING loop binds its MINIMAL
+  *    extent (the shortest completion emits first — see
+  *    [[matchFrom]]'s tMin doc). Ties (several completions on one
+  *    event) are queue-order-arbitrary in the reference; this engine
+  *    pins the absorbed/greedy interior variant.
+  *  - SkipPastLastEvent: as SkipToNextRow per anchor; anchors re-arm
+  *    strictly past the emitted match's last bound event.
   *  - SkipToFirst(v)/SkipToLast(v): anchors re-arm AT the first/last
-  *    event bound to variable v in the previous match (inclusive);
-  *    a skip that would re-anchor at the match start, or names a
-  *    variable that bound no rows, throws — the reference's
-  *    AfterMatchSkipStrategy throws FlinkRuntimeException for both.
+  *    event bound to variable v (inclusive — prune is start <
+  *    pruningId). A MISS (v bound no rows) or a DEGENERATE skip (the
+  *    match's own start) prunes nothing — the reference's CEP
+  *    default; `throwOnMiss` (the reference's throwExceptionOnMiss,
+  *    the MATCH_RECOGNIZE contract) turns both into loud failures.
   *  - NoSkip: EVERY match is emitted — per anchor, all binding
   *    variants the pattern allows (loop extents ascending, Optional
   *    both branches); One-steps stay committed to their earliest
@@ -235,10 +247,20 @@ object PatternNFA {
   case object SkipPastLastEvent extends AfterMatch
   /** Emit EVERY match (AfterMatchSkipStrategy.noSkip()). */
   case object NoSkip extends AfterMatch
-  /** Re-arm at the first event bound to `variable` (inclusive). */
-  final case class SkipToFirst(variable: String) extends AfterMatch
-  /** Re-arm at the last event bound to `variable` (inclusive). */
-  final case class SkipToLast(variable: String) extends AfterMatch
+  /** Re-arm at the first event bound to `variable` (inclusive).
+    * `throwOnMiss` = the reference's throwExceptionOnMiss
+    * (SkipToElementStrategy.java:46-66): when set, a variable that
+    * bound no rows or a skip that re-anchors at the match start
+    * throws — the MATCH_RECOGNIZE contract. The CEP default (false)
+    * mirrors the reference's: a miss prunes nothing
+    * (pruningId stays null), a skip-to-own-start prunes nothing
+    * (start < start is false). */
+  final case class SkipToFirst(variable: String,
+                               throwOnMiss: Boolean = false) extends AfterMatch
+  /** Re-arm at the last event bound to `variable` (inclusive).
+    * `throwOnMiss` as in [[SkipToFirst]]. */
+  final case class SkipToLast(variable: String,
+                              throwOnMiss: Boolean = false) extends AfterMatch
 
   /** One pattern step: match events whose kind equals `kind`. */
   final case class Step(name: String, kind: String, quant: Quant = One)
@@ -313,7 +335,8 @@ object PatternNFA {
   private final case class ILeaf(name: String, bit: Int, quant: Quant,
                                  untilBit: Option[Int],
                                  ctx: Seq[RCmp],
-                                 untilCtx: Seq[RCmp] = Nil) extends INode
+                                 untilCtx: Seq[RCmp] = Nil,
+                                 prevLoopMin: Option[Int] = None) extends INode
   private final case class IGroup(name: String, sub: Seq[INode],
                                   lo: Int, hi: Int) extends INode
 
@@ -700,7 +723,7 @@ object PatternNFA {
                              a: Ev, deadline: Long, hasCtx: Boolean): PTimeout = {
     val (m, rest) = (isteps.length - 1 to 1 by -1).iterator
       .map(k => k -> matchFrom(evs, isteps.slice(1, k), a, deadline, a.idx,
-        Vector(Vector(a)), hasCtx))
+        Vector(Vector(a)), hasCtx, tMin = false))
       .collectFirst { case (k, Some(r)) => (k, r) }
       .getOrElse((1, Vector.empty[Vector[Ev]]))
     val bound = Vector(Vector(a)) ++ rest
@@ -1027,10 +1050,41 @@ object PatternNFA {
             require(i > 0, "iterative UNTIL on a loop-FIRST head is not " +
               "supported (anchor the pattern on a preceding step)")
           }
+          // NOT after a LOOP: the stop edge poisons the whole path
+          // (NFA.doProcess shouldDiscardPath discards every sibling
+          // branch on a stop) — the loop may not skip an event
+          // matching the NOT condition (NotPatternITCase
+          // test*AfterOneOrMore*). notFollowedBy rides EVERY
+          // loop-interior state (NFACompiler.addStopStateToLooping,
+          // called on each times/looping state) → poisoned from the
+          // FIRST binding; notNext is a separate state reached by the
+          // pending PROCEED → poisoned from the MIN-REACH binding.
+          val pMin = q match {
+            case Not if i > 0 =>
+              loopMinReach(steps(i - 1).quant).map(_ => 1)
+            case NotNext if i > 0 => loopMinReach(steps(i - 1).quant)
+            case _ => None
+          }
           ILeaf(st.name, bitFor(st.kind), q, untilBit, rcmp,
-            uCmps.map(resolveCmp))
+            uCmps.map(resolveCmp), prevLoopMin = pMin)
       }
     }
+  }
+
+  /** The ordinal at which a loop's PROCEED edge starts pending (its
+    * minimum extent; 0 for zero-allowed loops — pending from the
+    * PREVIOUS binding). None = the step is not a loop. */
+  private def loopMinReach(q: Quant): Option[Int] = q match {
+    case OneOrMore(_, _, _) => Some(1)
+    case ZeroOrMore(_, _, _) => Some(0)
+    case Times(n, _, z) => Some(if (z) 0 else n)
+    case TimesRange(lo, _, _, _, z) => Some(if (z) 0 else lo)
+    case TimesOrMore(n, _, _, z) => Some(if (z) 0 else n)
+    case LoopAny(lo, _, z, _, _, _) => Some(if (z) 0 else lo)
+    case NextEntry(inner) => loopMinReach(inner)
+    case AnyEntry(inner) => loopMinReach(inner)
+    case Greedy(inner) => loopMinReach(inner)
+    case _ => None
   }
 
   /** Loop-style quantifiers: chain contributes only the first bound
@@ -1067,9 +1121,11 @@ object PatternNFA {
     case other => sys.error(s"not a loop quantifier: $other")
   }
 
-  /** followedByAny patterns enumerate every branch per anchor — the
-    * matchAll path even under SkipToNextRow (Pattern.java
-    * followedByAny: relaxed contiguity WITH any match). */
+  /** followedByAny / ANY-loop patterns (Pattern.java followedByAny:
+    * relaxed contiguity WITH any match). r14: the branch set
+    * enumerates under NoSkip only — every committed strategy takes
+    * one match per anchor, the reference's skipToNext discipline
+    * (AfterMatchSkipITCase testSkipToNextWithFollowedByAny). */
   private def hasAnyOne(isteps: Seq[INode]): Boolean = isteps.exists {
     case l: ILeaf => l.quant == AnyOne || isAnyLoop(l.quant)
     case g: IGroup => g.sub.exists {
@@ -1259,9 +1315,15 @@ object PatternNFA {
       case TimesOrMore(n, _, c, z) =>
         Some((n, Int.MaxValue, z, if (c) 'C' else 'R'))
       case LoopAny(lo, hi, z, _, _, _) => Some((lo, hi, z, 'A'))
-      case Greedy(_) =>
-        sys.error("greedy loop-FIRST patterns are not supported " +
-          "(no reference vector pairs begin() with greedy())")
+      case Greedy(inner) =>
+        // begin(..).oneOrMore().greedy() — the AfterMatchSkipITCase
+        // docs examples: interior becomes its greedy variant
+        loopFirstShape(inner).map {
+          case (lo, hi, false, 'C') => (lo, hi, false, 'D')
+          case (lo, hi, false, 'R') => (lo, hi, false, 'S')
+          case other => sys.error("greedy loop-FIRST patterns support " +
+            s"non-zero consecutive/relaxed loop interiors only, got $other")
+        }
       case _ => None
     }
 
@@ -1276,7 +1338,8 @@ object PatternNFA {
     * bare {end} match). Restricted to a One/AnyOne rest head. */
   private def zeroAnchorOk(a: Ev, isteps: Seq[INode]): Boolean =
     isteps.lift(1) match {
-      case Some(l2: ILeaf) if l2.quant == One || l2.quant == AnyOne =>
+      case Some(l2: ILeaf) if l2.quant == One || l2.quant == AnyOne ||
+          l2.quant == Next =>
         hasBit(a, l2.bit) &&
           ctxOk(l2, EmptyEvs, a, a.idx, Vector(Vector.empty), Vector.empty)
       case _ => false
@@ -1294,7 +1357,8 @@ object PatternNFA {
       loopFirstShape(l.quant) match {
         case Some((_, _, true, _)) if isteps.size >= 2 =>
           isteps(1) match {
-            case l2: ILeaf if l2.quant == One || l2.quant == AnyOne => ()
+            case l2: ILeaf if l2.quant == One || l2.quant == AnyOne ||
+                l2.quant == Next => ()
             case l2: ILeaf => sys.error("zero-allowed loop-first " +
               s"pattern: the step after the loop must be a plain " +
               s"One/AnyOne step (the empty-loop anchor class binds the " +
@@ -1337,6 +1401,7 @@ object PatternNFA {
       val bound: Iterator[Vector[Vector[Ev]]] =
         if (hasBit(a, l.bit) &&
             ctxOk(l, evs, a, a.idx, Vector.empty, Vector.empty)) {
+          val trailing = isteps.size == 1
           val runs: Iterator[Vector[Ev]] = interior match {
             case 'A' =>
               anySubsets(evs, l, Vector(a), deadline, a.idx, Vector.empty, hi)
@@ -1345,6 +1410,21 @@ object PatternNFA {
               val full = consecutiveRun(evs, l, a, deadline, a.idx,
                 Vector.empty, None)
               (lo to math.min(full.size, hi)).iterator.map(full.take)
+            case 'D' | 'S' =>
+              // greedy: the single MAXIMAL run (the PROCEED edge is
+              // removed while the take holds); a TRAILING greedy loop
+              // emits every extent (each prefix completes at its own
+              // input point — the GreedyITCase EndWith* semantics)
+              val full =
+                if (interior == 'D') consecutiveRun(evs, l, a, deadline,
+                  a.idx, Vector.empty, None)
+                else successiveRunFrom(evs, l, a, deadline, a.idx,
+                  Vector.empty, hi)
+              if (trailing) (lo to math.min(full.size, hi)).iterator.map(full.take)
+              else {
+                val m = full.take(hi)
+                if (m.size >= lo) Iterator.single(m) else Iterator.empty
+              }
             case _ =>
               val full = successiveRunFrom(evs, l, a, deadline, a.idx,
                 Vector.empty, hi)
@@ -1476,15 +1556,20 @@ object PatternNFA {
       if (m.inclusive) e.ts > m.ts || (e.ts == m.ts && e.id >= m.id)
       else e.ts > m.ts || (e.ts == m.ts && e.id > m.id)
     }
-    val enumerateAll = afterMatch == NoSkip ||
-      (afterMatch == SkipToNextRow &&
-        (hasAnyOne(isteps) || (!strict && hasLoopFirst(isteps))))
-    require(strict || !hasLoopFirst(isteps) || enumerateAll,
-      "loop-first patterns support NoSkip/SkipToNextRow (the " +
-        "enumeration doors)")
+    val enumerateAll = afterMatch == NoSkip
     require(strict || !(hasLoopFirst(isteps) && collectTimeouts),
       "timeout side outputs do not support loop-first patterns")
     if (!strict) checkZeroLoopFirst(isteps)
+    // a skip mark only ever advances (the reference prunes by START
+    // id; an earlier pruning id from a later match prunes a subset of
+    // what is already consumed — never re-admits)
+    def advanceTo(t: Ev): Unit = {
+      val nm = Mark(t.ts, t.id, inclusive = true)
+      val keep = mark.exists { m =>
+        m.ts > nm.ts || (m.ts == nm.ts && m.id > nm.id)
+      }
+      if (!keep) mark = Some(nm)
+    }
     evs.foreach { a =>
       val startable =
         if (strict) (a.sat & startMask) != 0 else anchorOk(a, isteps)
@@ -1499,29 +1584,36 @@ object PatternNFA {
           else if (collectTimeouts)
             tmos += timeoutPartial(key, seq, isteps, a, deadline, hasCtx)
         } else {
+          // committed scan: ONE match per offered anchor — the
+          // earliest completion (the reference emits it first and its
+          // prune then discards the anchor's sibling branches, which
+          // all share the start event). Loop-first / ANY-branching
+          // patterns take the first enumerated completion.
           val res =
             if (strict)
               strictFrom(seq, isteps, strictPrev(a), deadline, a.idx,
                 Vector.empty)
+            else if (hasLoopFirst(isteps))
+              enumFromAnchor(seq, isteps, a, deadline, hasCtx).nextOption()
             else matchFrom(seq, isteps.drop(1), a, deadline, a.idx,
-              Vector(Vector(a)), hasCtx).map(Vector(Vector(a)) ++ _)
+              Vector(Vector(a)), hasCtx, tMin = true).map(Vector(Vector(a)) ++ _)
           res match {
           case Some(bindings) =>
             out += bindings
             // under SkipToNextRow no mark is needed: a mature anchor is
             // evicted in the same invocation (maturity bound == eviction
             // bound), so each is offered exactly once across invocations
-            mark = afterMatch match {
+            afterMatch match {
               case SkipPastLastEvent =>
                 val lastEv = bindings.flatten.maxBy(e => (e.ts, e.id))
-                Some(Mark(lastEv.ts, lastEv.id, inclusive = false))
-              case SkipToFirst(v) =>
-                val t = skipTarget(isteps, bindings, v, first = true, a)
-                Some(Mark(t.ts, t.id, inclusive = true))
-              case SkipToLast(v) =>
-                val t = skipTarget(isteps, bindings, v, first = false, a)
-                Some(Mark(t.ts, t.id, inclusive = true))
-              case _ => mark
+                mark = Some(Mark(lastEv.ts, lastEv.id, inclusive = false))
+              case SkipToFirst(v, thr) =>
+                skipTarget(isteps, bindings, v, first = true, a, thr)
+                  .foreach(advanceTo)
+              case SkipToLast(v, thr) =>
+                skipTarget(isteps, bindings, v, first = false, a, thr)
+                  .foreach(advanceTo)
+              case _ =>
             }
           case None if collectTimeouts =>
             if (strict)
@@ -1537,25 +1629,37 @@ object PatternNFA {
     (out.result(), tmos.result(), mark)
   }
 
-  /** Resolve the AFTER MATCH SKIP TO FIRST/LAST target event, with the
-    * reference's two loud failure modes (AfterMatchSkipStrategy.java:
-    * throwExceptionOnMiss / "Could not skip to first element of a
-    * match" for the infinite-loop case). */
+  /** Resolve the AFTER MATCH SKIP TO FIRST/LAST target event
+    * (SkipToElementStrategy.getPruningId). Default mode mirrors the
+    * reference's CEP default: a MISS — the variable bound no rows (or
+    * does not exist) — returns None and the mark stays put (pruningId
+    * null prunes nothing, AfterMatchSkipITCase
+    * testSkipToFirstNonExistentPositionWithoutException); a DEGENERATE
+    * skip re-anchoring at the match start returns the start itself,
+    * which prunes nothing (start < start —
+    * testSkipToFirstAtStartPosition). `throwOnMiss` turns both into
+    * the reference's loud failures (throwExceptionOnMiss / "Could not
+    * skip to first element of a match") — the MATCH_RECOGNIZE
+    * contract, where a degenerate skip would be an infinite loop. */
   private def skipTarget(isteps: Seq[INode], bindings: Vector[Vector[Ev]],
-                         v: String, first: Boolean, anchor: Ev): Ev = {
+                         v: String, first: Boolean, anchor: Ev,
+                         throwOnMiss: Boolean): Option[Ev] = {
     val i = isteps.indexWhere(_.name == v)
-    if (i < 0) sys.error(s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} " +
-      s"$v: no such pattern variable")
-    val b = bindings(i)
-    if (b.isEmpty) sys.error(s"AFTER MATCH SKIP TO " +
-      s"${if (first) "FIRST" else "LAST"} $v: the variable bound no rows in " +
-      "the match (the reference's skip strategy throws on a miss)")
-    val t = if (first) b.head else b.last
-    if (t.idx <= anchor.idx) sys.error(s"AFTER MATCH SKIP TO " +
-      s"${if (first) "FIRST" else "LAST"} $v would re-anchor at the match " +
-      "start — infinite loop (the reference throws here: " +
-      "AfterMatchSkipStrategy.java)")
-    t
+    val b = if (i >= 0) bindings(i) else Vector.empty
+    if (b.isEmpty) {
+      if (throwOnMiss) sys.error(s"AFTER MATCH SKIP TO " +
+        s"${if (first) "FIRST" else "LAST"} $v: the variable bound no rows " +
+        "in the match (the reference's skip strategy throws on a miss)")
+      None
+    } else {
+      val t = if (first) b.head else b.last
+      if (throwOnMiss && t.idx <= anchor.idx)
+        sys.error(s"AFTER MATCH SKIP TO " +
+          s"${if (first) "FIRST" else "LAST"} $v would re-anchor at the " +
+          "match start — infinite loop (the reference throws here: " +
+          "AfterMatchSkipStrategy.java)")
+      Some(t)
+    }
   }
 
   /** ONE shuffle on the key with the per-key (ts, id) sort done BY the
@@ -1599,17 +1703,10 @@ object PatternNFA {
       onTimeout: (Long, PTimeout, Long) => Seq[O]): Iterator[O] = new Iterator[O] {
 
     private val hasCtx = anyCtx(isteps)
-    private val enumerateAll = afterMatch == NoSkip ||
-      (afterMatch == SkipToNextRow &&
-        (hasAnyOne(isteps) || (!strict && hasLoopFirst(isteps))))
+    private val enumerateAll = afterMatch == NoSkip
     require(!(strict && enumerateAll),
       "strict row-pattern mode has no NoSkip/followedByAny form " +
         "(no MATCH_RECOGNIZE clause produces them)")
-    require(strict || !hasLoopFirst(isteps) || enumerateAll ||
-        branchTimeoutMode,
-      "loop-first patterns support NoSkip/SkipToNextRow (the " +
-        "enumeration doors — skip marks have no committed single " +
-        "match to advance on)")
     require(strict || !(hasLoopFirst(isteps) && collectTimeouts),
       "timeout side outputs do not support loop-first patterns")
     if (!strict) checkZeroLoopFirst(isteps)
@@ -1649,12 +1746,19 @@ object PatternNFA {
           out ++= onMatch(curKey, bindings, matchNo)
         }
       } else {
+        // committed scan: ONE match per offered anchor — the earliest
+        // completion (the reference emits it first; its prune then
+        // discards the anchor's sibling branches, all sharing the
+        // start event). Loop-first patterns take the first enumerated
+        // completion.
         val res =
           if (strict)
             strictFrom(buf, isteps, strictPrev(a), deadline, a.idx,
               Vector.empty)
+          else if (hasLoopFirst(isteps))
+            enumFromAnchor(buf, isteps, a, deadline, hasCtx).nextOption()
           else matchFrom(buf, isteps.drop(1), a, deadline, a.idx,
-            Vector(Vector(a)), hasCtx).map(Vector(Vector(a)) ++ _)
+            Vector(Vector(a)), hasCtx, tMin = true).map(Vector(Vector(a)) ++ _)
         res match {
           case Some(bindings) =>
             matchNo += 1
@@ -1662,10 +1766,12 @@ object PatternNFA {
             afterMatch match {
               case SkipPastLastEvent =>
                 minAnchorIdx = bindings.flatten.map(_.idx).max + 1
-              case SkipToFirst(v) =>
-                minAnchorIdx = skipTarget(isteps, bindings, v, first = true, a).idx
-              case SkipToLast(v) =>
-                minAnchorIdx = skipTarget(isteps, bindings, v, first = false, a).idx
+              case SkipToFirst(v, thr) =>
+                skipTarget(isteps, bindings, v, first = true, a, thr)
+                  .foreach(t => minAnchorIdx = math.max(minAnchorIdx, t.idx))
+              case SkipToLast(v, thr) =>
+                skipTarget(isteps, bindings, v, first = false, a, thr)
+                  .foreach(t => minAnchorIdx = math.max(minAnchorIdx, t.idx))
               case _ =>
             }
             // anchors the skip strategy passed over can never scan —
@@ -1790,10 +1896,41 @@ object PatternNFA {
     * flattened sub-bindings for a group). `acc` carries the bindings
     * of all consumed steps (anchor first) for context-predicate
     * evaluation; `hasCtx` selects the loop mode (see object doc). */
+  /** Stop-state poisoning for a NOT directly after a LOOP
+    * (NotPatternITCase test*AfterOneOrMore*): once the loop has
+    * reached its minimum extent, every event carries a pending
+    * PROCEED into the NOT-bearing state, whose stop edge discards the
+    * ENTIRE computation path (NFA.doProcess releases all sibling
+    * branches on a stop). Batch retrospect: the branch dies iff an
+    * event matching the NOT condition lies in (min-reach binding,
+    * last loop binding] — the loop cannot skip over it. */
+  private def notPoisoned(st: ILeaf, evs: EvSeq, acc: Vector[Vector[Ev]],
+                          prev: Ev, deadline: Long, anchorIdx: Int): Boolean =
+    st.prevLoopMin.exists { m =>
+      val lb = acc.lastOption.getOrElse(Vector.empty)
+      val left =
+        if (m >= 1) lb.lift(m - 1)
+        else acc.init.reverse.iterator.flatMap(_.lastOption).nextOption()
+      left.exists(l => evs.iteratorFrom(l.idx + 1).exists(e =>
+        e.idx <= prev.idx && hasBit(e, st.bit) && e.ts < deadline &&
+          ctxOk(st, evs, e, anchorIdx, acc, Vector.empty)))
+    }
+
+  /** `tMin` = trailing-minimal mode (the committed MATCH scan): a
+    * TRAILING loop binds its MINIMAL extent — the shortest completion
+    * is the one the reference EMITS (it completes first, at its own
+    * input event) and its after-match prune then discards the same
+    * anchor's longer extensions (AfterMatchSkipITCase
+    * testSkipToNextWithQuantifierAtTheEnd /
+    * testSkipTo{First,Last}WithOneOrMore). The timeout prefix scan
+    * ([[timeoutPartial]]) passes false: its sliced prefixes make
+    * interior loops trailing, and the digest reports the ABSORBED
+    * greedy run the buffer actually held (the ClearingBuffer
+    * vectors). */
   private def matchFrom(evs: EvSeq, steps: Seq[INode], prev: Ev,
                         deadline: Long, anchorIdx: Int,
-                        acc: Vector[Vector[Ev]], hasCtx: Boolean)
-      : Option[Vector[Vector[Ev]]] = {
+                        acc: Vector[Vector[Ev]], hasCtx: Boolean,
+                        tMin: Boolean): Option[Vector[Vector[Ev]]] = {
     if (steps.isEmpty) return Some(Vector.empty)
     steps.head match {
       case g: IGroup =>
@@ -1803,7 +1940,8 @@ object PatternNFA {
         // check, so acc misalignment inside the expansion is inert.
         (g.hi to g.lo by -1).iterator.flatMap { k =>
           val expanded = Seq.fill(k)(g.sub).flatten ++ steps.tail
-          matchFrom(evs, expanded, prev, deadline, anchorIdx, acc, hasCtx)
+          matchFrom(evs, expanded, prev, deadline, anchorIdx, acc, hasCtx,
+              tMin)
             .map { all =>
               val m = g.sub.size * k
               val (grp, rest) = all.splitAt(m)
@@ -1811,14 +1949,17 @@ object PatternNFA {
             }
         }.nextOption()
       case st: ILeaf => matchLeaf(evs, st, steps.tail, prev, deadline,
-        anchorIdx, acc, hasCtx)
+        anchorIdx, acc, hasCtx, tMin)
     }
   }
 
   private def matchLeaf(evs: EvSeq, st: ILeaf, rest: Seq[INode],
                         prev: Ev, deadline: Long, anchorIdx: Int,
-                        acc: Vector[Vector[Ev]], hasCtx: Boolean)
+                        acc: Vector[Vector[Ev]], hasCtx: Boolean,
+                        tMin: Boolean)
       : Option[Vector[Vector[Ev]]] = {
+    // trailing loops in trailing-minimal mode bind the minimal extent
+    val trailing = tMin && rest.isEmpty
     // contiguity is POSITIONAL (r12 VERDICT #1 / NFAITCase's tied-ts
     // feeders, e.g. testOneOrMore's middleEvent2/3 both at ts 4): the
     // iterator starting at prev.idx + 1 already yields only events
@@ -1829,7 +1970,7 @@ object PatternNFA {
         e.ts < deadline &&
         ctxOk(st, evs, e, anchorIdx, acc, partial))
     def cont(e: Ev, bound: Vector[Ev]): Option[Vector[Vector[Ev]]] =
-      matchFrom(evs, rest, e, deadline, anchorIdx, acc :+ bound, hasCtx)
+      matchFrom(evs, rest, e, deadline, anchorIdx, acc :+ bound, hasCtx, tMin)
         .map(Vector(bound) ++ _)
 
     st.quant match {
@@ -1847,20 +1988,26 @@ object PatternNFA {
           .flatMap(e => cont(e, Vector(e)))
 
       case Optional =>
-        val bound = eligible(prev.idx + 1, Vector.empty)
+        def bound = eligible(prev.idx + 1, Vector.empty)
           .flatMap(e => cont(e, Vector(e))).nextOption()
-        bound.orElse(
-          matchFrom(evs, rest, prev, deadline, anchorIdx,
-            acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _))
+        def empty = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
+        if (trailing) empty.orElse(bound) else bound.orElse(empty)
 
       case Not =>
         // bind the remainder first, then check the forbidden interval
-        matchFrom(evs, rest, prev, deadline, anchorIdx,
-            acc :+ Vector.empty, hasCtx).flatMap { restB =>
+        if (notPoisoned(st, evs, acc, prev, deadline, anchorIdx)) None
+        else matchFrom(evs, rest, prev, deadline, anchorIdx,
+            acc :+ Vector.empty, hasCtx, tMin).flatMap { restB =>
           // the forbidden interval is POSITIONAL: events strictly
-          // between prev and the next binding in sequence order (a
-          // trailing Not checks up to the window deadline)
-          val hiIdx = restB.flatten.headOption.map(_.idx).getOrElse(Int.MaxValue)
+          // between prev and the next binding in sequence order. When
+          // the later steps bound NOTHING the match completed AT prev
+          // (the reference's proceed-through-optionals, NotPatternITCase
+          // testNotFollowedByBeforeOptionalAtTheEnd) — the interval is
+          // EMPTY; only a literally-TRAILING Not (engine extension, no
+          // reference form) scans to the window deadline.
+          val hiIdx = restB.flatten.headOption.map(_.idx).getOrElse(
+            if (rest.isEmpty) Int.MaxValue else prev.idx + 1)
           val bad = evs.iteratorFrom(prev.idx + 1).exists(e =>
             hasBit(e, st.bit) && e.idx < hiIdx && e.ts < deadline &&
               ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
@@ -1869,12 +2016,15 @@ object PatternNFA {
 
       case NotNext =>
         // only the single physically-adjacent event is forbidden; the
-        // remainder then binds from the previous binding as usual
+        // remainder then binds from the previous binding as usual.
+        // After a LOOP the same stop-state poisoning as Not applies
+        // (NotPatternITCase testNotNextAfterOneOrMoreSkipTill{Next,Any}).
         val bad = evs.lift(prev.idx + 1).exists(e => hasBit(e, st.bit) &&
-          ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+          ctxOk(st, evs, e, anchorIdx, acc, Vector.empty)) ||
+          notPoisoned(st, evs, acc, prev, deadline, anchorIdx)
         if (bad) None
         else matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
 
       case OneOrMore(_, rel, true) =>
         // loop-interior STRICT consuming strategy (Pattern.java
@@ -1883,7 +2033,7 @@ object PatternNFA {
         // run then binds PHYSICALLY ADJACENT events only; greedy
         // shrinks from the end, reluctant grows from the front
         consecutiveLoop(evs, st, prev, deadline, anchorIdx, acc,
-          minK = 1, rel, eligible, cont)
+          minK = 1, rel || trailing, eligible, cont)
 
       case OneOrMore(_, true, _) =>
         // reluctant (B+?): the FEWEST successive earliest elements
@@ -1907,13 +2057,15 @@ object PatternNFA {
             .find(e => hasBit(e, ub)).map(_.idx))
           if (stopIdx.exists(_ < first.idx)) None
           else matchFrom(evs, rest, first, deadline, anchorIdx,
-              acc :+ Vector(first), hasCtx).map { restB =>
+              acc :+ Vector(first), hasCtx, tMin).map { restB =>
             val hiIdx = math.min(
               restB.flatten.headOption.map(_.idx).getOrElse(Int.MaxValue),
               stopIdx.getOrElse(Int.MaxValue))
-            val loop = evs.iteratorFrom(prev.idx + 1)
-              .takeWhile(e => e.idx < hiIdx && e.ts < deadline)
-              .filter(e => hasBit(e, st.bit)).toVector
+            val loop =
+              if (trailing) Vector(first)
+              else evs.iteratorFrom(prev.idx + 1)
+                .takeWhile(e => e.idx < hiIdx && e.ts < deadline)
+                .filter(e => hasBit(e, st.bit)).toVector
             Vector(if (loop.isEmpty) Vector(first) else loop) ++ restB
           }
         }.nextOption()
@@ -1942,14 +2094,15 @@ object PatternNFA {
             case None => go = false
           }
         }
-        (run.size to 1 by -1).iterator.flatMap { k =>
+        val order = if (trailing) 1 to run.size else run.size to 1 by -1
+        order.iterator.flatMap { k =>
           val runK = run.take(k)
           cont(runK.last, runK)
         }.nextOption()
 
       case Times(n, consecutive, zeroOk) =>
         def timesEmpty = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
         val bound = if (!consecutive)
           bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
             .flatMap(b => cont(b.last, b))
@@ -1971,8 +2124,11 @@ object PatternNFA {
             if (ok) cont(partial.last, partial) else None
           }.nextOption()
         }
-        // times(n).optional(): greedy prefers the bound branch
-        if (zeroOk) bound.orElse(timesEmpty) else bound
+        // times(n).optional(): greedy prefers the bound branch; a
+        // trailing committed step prefers the empty one (it completes
+        // at the previous binding's event, before any bound run)
+        if (zeroOk && trailing) timesEmpty.orElse(bound)
+        else if (zeroOk) bound.orElse(timesEmpty) else bound
 
       case TimesRange(lo, hi, rel, consec, zero) =>
         // greedy: largest k whose remainder still completes;
@@ -1980,7 +2136,7 @@ object PatternNFA {
         // .optional()) is the empty branch; consecutive interiors
         // bind the earliest entry whose ADJACENT run reaches k.
         def rangeEmpty = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
         def boundK(k: Int): Option[Vector[Vector[Ev]]] =
           if (k == 0) rangeEmpty
           else if (!consec)
@@ -1996,28 +2152,30 @@ object PatternNFA {
         // (times(2,3).optional() is {0, 2, 3} — NOT 0..3)
         val ks = (math.max(lo, 1) to hi) ++
           (if (zero || lo == 0) Seq(0) else Seq.empty)
-        val order = if (rel) ks.sorted else ks.sorted.reverse
+        val order = if (rel || trailing) ks.sorted else ks.sorted.reverse
         order.iterator.flatMap(k => boundK(k)).nextOption()
 
       case ZeroOrMore(u, rel, consec) =>
         // the loop with the empty binding allowed: greedy prefers the
         // bound branch, reluctant the empty one
         def bound = matchLeaf(evs, st.copy(quant = OneOrMore(u, rel, consec)),
-          rest, prev, deadline, anchorIdx, acc, hasCtx)
+          rest, prev, deadline, anchorIdx, acc, hasCtx, tMin)
         def empty = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
-        if (rel) empty.orElse(bound) else bound.orElse(empty)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
+        if (rel || trailing) empty.orElse(bound) else bound.orElse(empty)
 
       case TimesOrMore(n, rel, consec, true) =>
-        // {n,}.optional(): the bound branch first (greedy), else empty
-        matchLeaf(evs, st.copy(quant = TimesOrMore(n, rel, consec)),
-            rest, prev, deadline, anchorIdx, acc, hasCtx)
-          .orElse(matchFrom(evs, rest, prev, deadline, anchorIdx,
-            acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _))
+        // {n,}.optional(): the bound branch first (greedy), else
+        // empty; trailing committed prefers the empty branch
+        def tomBound = matchLeaf(evs, st.copy(quant = TimesOrMore(n, rel, consec)),
+          rest, prev, deadline, anchorIdx, acc, hasCtx, tMin)
+        def tomEmpty = matchFrom(evs, rest, prev, deadline, anchorIdx,
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
+        if (trailing) tomEmpty.orElse(tomBound) else tomBound.orElse(tomEmpty)
 
       case TimesOrMore(n, rel, true, _) =>
         consecutiveLoop(evs, st, prev, deadline, anchorIdx, acc,
-          minK = n, rel, eligible, cont)
+          minK = n, rel || trailing, eligible, cont)
 
       case TimesOrMore(n, true, _, _) =>
         // reluctant {n,}?: fewest successive elements, k = n ascending
@@ -2034,12 +2192,14 @@ object PatternNFA {
         bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
           .flatMap { run =>
             matchFrom(evs, rest, run.last, deadline, anchorIdx,
-                acc :+ run, hasCtx).map { restB =>
+                acc :+ run, hasCtx, tMin).map { restB =>
               val hiIdx = restB.flatten.headOption.map(_.idx)
                 .getOrElse(Int.MaxValue)
-              val extras = evs.iteratorFrom(run.last.idx + 1)
-                .takeWhile(e => e.idx < hiIdx && e.ts < deadline)
-                .filter(e => hasBit(e, st.bit)).toVector
+              val extras =
+                if (trailing) Vector.empty
+                else evs.iteratorFrom(run.last.idx + 1)
+                  .takeWhile(e => e.idx < hiIdx && e.ts < deadline)
+                  .filter(e => hasBit(e, st.bit)).toVector
               Vector(run ++ extras) ++ restB
             }
           }
@@ -2059,57 +2219,67 @@ object PatternNFA {
             case None => go = false
           }
         }
-        (run.size to n by -1).iterator.flatMap { k =>
+        val tomOrder = if (trailing) n to run.size else run.size to n by -1
+        tomOrder.iterator.flatMap { k =>
           val runK = run.take(k)
           cont(runK.last, runK)
         }.nextOption()
 
       case LoopAny(lo, hi, zeroOk, entryNext, _, _) =>
-        // committed single-match door: the greedy maximal SUBSET is the
-        // successive run itself (every eligible taken in order; the
-        // entryAny branch set collapses to its earliest member) —
-        // shrink-from-the-end like the non-ANY greedy loop. Reference
-        // parity for the branch set is pinned via the enumeration door
-        // (hasAnyOne routes SkipToNextRow through matchAll).
+        // committed single-match door: the greedy maximal SUBSET is
+        // the successive run itself (every eligible taken in order;
+        // the entryAny branch set collapses to its earliest member) —
+        // shrink-from-the-end like the non-ANY greedy loop. All
+        // subsets complete on the same downstream event, so the
+        // reference's pick is queue-order-arbitrary — this engine
+        // pins the maximal; the full branch set rides NoSkip
+        // (matchAll), where reference parity is pinned.
         def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
         val entry =
           if (entryNext) adjacentEligible(evs, st, prev, deadline,
             anchorIdx, acc)
           else eligible(prev.idx + 1, Vector.empty).nextOption()
-        entry.flatMap { first =>
+        def laBound = entry.flatMap { first =>
           val full = successiveRunFrom(evs, st, first, deadline,
             anchorIdx, acc, hi, stopAfter(evs, st, first))
-          (math.min(full.size, hi) to lo by -1).iterator.flatMap { k =>
+          val order = if (trailing) lo to math.min(full.size, hi)
+                      else math.min(full.size, hi) to lo by -1
+          order.iterator.flatMap { k =>
             val rk = full.take(k)
             cont(rk.last, rk)
           }.nextOption()
-        }.orElse(if (zeroOk) zeroB else None)
+        }
+        if (trailing && zeroOk) zeroB.orElse(laBound)
+        else laBound.orElse(if (zeroOk) zeroB else None)
 
       case NextEntry(inner) =>
         val (lo0, hi0, zeroOk, consec) = loopShape(inner)
         def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
-        adjacentEligible(evs, st, prev, deadline, anchorIdx, acc)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
+        def neBound = adjacentEligible(evs, st, prev, deadline, anchorIdx, acc)
           .flatMap { first =>
             val full =
               if (consec) consecutiveRun(evs, st, first, deadline,
                 anchorIdx, acc, None)
               else successiveRunFrom(evs, st, first, deadline,
                 anchorIdx, acc, hi0)
-            (math.min(full.size, hi0) to math.max(lo0, 1) by -1).iterator
-              .flatMap { k =>
-                val rk = full.take(k)
-                cont(rk.last, rk)
-              }.nextOption()
-          }.orElse(if (zeroOk) zeroB else None)
+            val order = if (trailing) math.max(lo0, 1) to math.min(full.size, hi0)
+                        else math.min(full.size, hi0) to math.max(lo0, 1) by -1
+            order.iterator.flatMap { k =>
+              val rk = full.take(k)
+              cont(rk.last, rk)
+            }.nextOption()
+          }
+        if (trailing && zeroOk) zeroB.orElse(neBound)
+        else neBound.orElse(if (zeroOk) zeroB else None)
 
       case AnyEntry(inner) =>
         // committed single-match door: the ANY entry's branch set
         // collapses to its earliest member (One-step determinism) —
         // exactly the inner quantifier's committed behavior
         matchLeaf(evs, st.copy(quant = inner), rest, prev, deadline,
-          anchorIdx, acc, hasCtx)
+          anchorIdx, acc, hasCtx, tMin)
 
       case Greedy(inner) =>
         // maximal-or-nothing: the run exits only at a take-failure
@@ -2118,7 +2288,7 @@ object PatternNFA {
         // no eligible entry exists at all.
         val (lo0, hi0, zeroOk, consec) = loopShape(inner)
         def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
+          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
         val stop = stopAfter(evs, st, prev) // global: non-ANY relation
         eligible(prev.idx + 1, Vector.empty)
           .filter(e => stop.forall(e.idx < _)).nextOption() match {
@@ -2129,7 +2299,9 @@ object PatternNFA {
                 anchorIdx, acc, stop)
               else successiveRunFrom(evs, st, first, deadline,
                 anchorIdx, acc, hi0, stop)
-            val run = full0.take(hi0)
+            val run =
+              if (trailing) full0.take(math.max(lo0, 1))
+              else full0.take(hi0)
             if (run.size >= math.max(lo0, 1)) cont(run.last, run)
             else None
         }
@@ -2187,17 +2359,22 @@ object PatternNFA {
               .find(_.hasNext).getOrElse(Iterator.empty)
             unbound ++ bound
           case Not =>
-            matchAll(evs, steps.tail, prev, deadline, anchorIdx,
+            if (notPoisoned(st, evs, acc, prev, deadline, anchorIdx))
+              Iterator.empty
+            else matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx).filter { restB =>
-              val hiIdx = restB.flatten.headOption.map(_.idx)
-                .getOrElse(Int.MaxValue)
+              // empty interval when later steps bound nothing (see
+              // the matchFrom twin); trailing Not = engine extension
+              val hiIdx = restB.flatten.headOption.map(_.idx).getOrElse(
+                if (steps.tail.isEmpty) Int.MaxValue else prev.idx + 1)
               !evs.iteratorFrom(prev.idx + 1).exists(e =>
                 hasBit(e, st.bit) && e.idx < hiIdx && e.ts < deadline &&
                   ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
             }.map(Vector(Vector.empty[Ev]) ++ _)
           case NotNext =>
             val bad = evs.lift(prev.idx + 1).exists(e => hasBit(e, st.bit) &&
-              ctxOk(st, evs, e, anchorIdx, acc, Vector.empty))
+              ctxOk(st, evs, e, anchorIdx, acc, Vector.empty)) ||
+              notPoisoned(st, evs, acc, prev, deadline, anchorIdx)
             if (bad) Iterator.empty
             else matchAll(evs, steps.tail, prev, deadline, anchorIdx,
               acc :+ Vector.empty, hasCtx).map(Vector(Vector.empty[Ev]) ++ _)
@@ -2228,7 +2405,7 @@ object PatternNFA {
                   .iterator.flatMap(b => enumAfter(b.last, b))
               else
                 matchLeaf(evs, st.copy(quant = Times(n, consec)), Nil,
-                    prev, deadline, anchorIdx, acc, hasCtx)
+                    prev, deadline, anchorIdx, acc, hasCtx, tMin = false)
                   .iterator.flatMap { only =>
                     val b = only.head
                     enumAfter(b.last, b)

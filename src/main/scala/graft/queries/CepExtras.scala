@@ -988,7 +988,7 @@ object CepExtras extends QueryGroup {
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
           Step("P", "purchase", AnyOne)),
-        withinMicros = H6)
+        withinMicros = H6, afterMatch = NoSkip)
         .orderBy("key", "anchor_id", "chain")
     },
 
@@ -1867,8 +1867,9 @@ object CepExtras extends QueryGroup {
     // PRE-take, so click k+1 binds iff sum(c_1..c_k) < 120). Values
     // are positive, so the bound set is a PREFIX — the oracle's
     // exclusive running sum mirrors the pre-take evaluation exactly.
-    // Committed door: one maximal run per signup anchor; chain/end_id
-    // carry the loop's FIRST element (the emit() loop convention).
+    // NO SKIP (the reference harness's default): one row per run
+    // PREFIX k = 1..n; chain/end_id carry the loop's FIRST element
+    // (the emit() loop convention), counts pins each extent.
     q("cep27_iterative_until",
       s"""WITH ev AS (
         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
@@ -1885,13 +1886,14 @@ object CepExtras extends QueryGroup {
         |  FROM a JOIN ev e ON e.user_id = a.user_id
         |    AND e.event_type = 'click'
         |    AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H6),
-        |bound AS (SELECT * FROM c WHERE prev_sum < 120.0)
-        |SELECT user_id AS key, a_id AS anchor_id,
-        |  min(CASE WHEN k = 1 THEN c_id END) AS end_id,
-        |  a_id || ',' || min(CASE WHEN k = 1 THEN c_id END) AS chain,
-        |  'M:' || count(*) AS counts
-        |FROM bound GROUP BY user_id, a_id
-        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |bound AS (SELECT * FROM c WHERE prev_sum < 120.0),
+        |f AS (SELECT user_id, a_id,
+        |        min(CASE WHEN k = 1 THEN c_id END) AS first_c
+        |      FROM bound GROUP BY user_id, a_id)
+        |SELECT f.user_id AS key, f.a_id AS anchor_id, f.first_c AS end_id,
+        |  f.a_id || ',' || f.first_c AS chain, 'M:' || b.k AS counts
+        |FROM f JOIN bound b ON b.user_id = f.user_id AND b.a_id = f.a_id
+        |ORDER BY key, anchor_id, counts""".stripMargin) { (s, dir) =>
       PatternNFA.runPredicates(s,
         t(s, dir)("events").select(
           col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
@@ -1901,10 +1903,11 @@ object CepExtras extends QueryGroup {
         Seq("S" -> (col("kind") === "signup"),
             "M" -> (col("kind") === "click")),
         withinMicros = H6,
+        afterMatch = NoSkip,
         navCols = Seq("value"),
         untilCtx = Map("M" -> Seq(CtxCmp(">=",
           NavExpr.VarAgg("SUM", Seq("M"), NavExpr.Cur(0)),
           NavExpr.Lit(120.0)))))
-        .orderBy("key", "anchor_id")
+        .orderBy("key", "anchor_id", "counts")
     })
 }

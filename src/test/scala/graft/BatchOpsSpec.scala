@@ -733,8 +733,12 @@ class BatchOpsSpec extends AnyFunSuite {
         |  AFTER MATCH SKIP TO %s
         |  PATTERN (A B+ P) WITHIN INTERVAL '1' MINUTE
         |  DEFINE A AS kind = 'A', B AS kind = 'B', P AS kind = 'P')""".stripMargin
-    assert(MatchRecognize.compile(base.format("FIRST B")).afterMatch == SkipToFirst("B"))
-    assert(MatchRecognize.compile(base.format("LAST B")).afterMatch == SkipToLast("B"))
+    // MR compiles the THROWING mode (the reference's
+    // throwExceptionOnMiss — the MATCH_RECOGNIZE contract)
+    assert(MatchRecognize.compile(base.format("FIRST B")).afterMatch ==
+      SkipToFirst("B", throwOnMiss = true))
+    assert(MatchRecognize.compile(base.format("LAST B")).afterMatch ==
+      SkipToLast("B", throwOnMiss = true))
     assert(MatchRecognize.compile(base.format("NEXT ROW")).afterMatch == SkipToNextRow)
     // unknown variable is rejected at compile time
     val unk = intercept[RuntimeException] {
@@ -761,19 +765,29 @@ class BatchOpsSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .flatMap(e => Option(e.getMessage)).toSeq
+    // r14: the loud modes ride the throwOnMiss flag (the reference's
+    // throwExceptionOnMiss); the CEP default silently prunes nothing —
+    // AfterMatchSkipVectorsSpec pins both against the reference vectors
     val loop = intercept[Exception] {
       graft.operators.PatternNFA.run(spark, ev,
-        Seq(Step("A", "A"), Step("P", "P")), 1000L, SkipToFirst("A")).collect()
+        Seq(Step("A", "A"), Step("P", "P")), 1000L,
+        SkipToFirst("A", throwOnMiss = true)).collect()
     }
     assert(messages(loop).exists(_.contains("re-anchor")), messages(loop))
+    val missEv = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "P"))
+      .toDF("key", "tsMicros", "id", "kind")
+    val missSteps = Seq(Step("A", "A"), Step("B", "B", Optional),
+      Step("P", "P"))
     val miss = intercept[Exception] {
-      graft.operators.PatternNFA.run(spark,
-        Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "P"))
-          .toDF("key", "tsMicros", "id", "kind"),
-        Seq(Step("A", "A"), Step("B", "B", Optional), Step("P", "P")),
-        1000L, SkipToFirst("B")).collect()
+      graft.operators.PatternNFA.run(spark, missEv, missSteps,
+        1000L, SkipToFirst("B", throwOnMiss = true)).collect()
     }
     assert(messages(miss).exists(_.contains("bound no rows")), messages(miss))
+    // the CEP default: the miss prunes nothing, the match still emits
+    val silent = graft.operators.PatternNFA.run(spark, missEv, missSteps,
+        1000L, SkipToFirst("B"))
+      .collect().map(_.getAs[String]("chain")).toSeq
+    assert(silent == Seq("1,2"), silent)
   }
 
   test("MatchRecognize compiles the clause grammar onto the NFA algebra") {
