@@ -11,11 +11,18 @@ import org.apache.spark.sql.functions._
   * — predicates over the partial match — in
   * flink-cep/.../pattern/conditions/IterativeCondition.java:52).
   *
-  * Determinism convention (kept so every query stays oracle-checkable):
-  * matches are selected EARLIEST-FIRST — each step binds the earliest
-  * eligible event (by (ts, id) order) such that the REMAINDER of the
-  * pattern can still complete (regex-style backtracking for Optional /
-  * TimesRange). Contiguity between bindings is POSITIONAL (sequence
+  * Determinism convention (r14 — the reference's NFA branch
+  * structure, not regex backtracking): a NON-ANY step binds the
+  * earliest TAKEABLE event (by (ts, id) order) with NO completion
+  * lookahead — the reference's SKIP_TILL_NEXT waiting state is
+  * CONSUMED by a takeable event (ignore = NOT(take),
+  * NFACompiler.getIgnoreCondition), so a failing continuation kills
+  * the attempt rather than retrying later candidates (GroupITCase
+  * testGroupNotFollowedBy). Backtracking exists exactly where the
+  * reference NFA has BRANCHES: Optional's bind/skip pair, loop
+  * extents (take vs proceed), and the ANY relations
+  * (AnyOne/AnyEntry/entryAny/LoopAny), whose committed pick is the
+  * first enumerated completion. Contiguity between bindings is POSITIONAL (sequence
   * order, (ts, id) with the id tiebreak), NOT temporal: neighbors that
   * share a timestamp bind, exactly like the reference's NFA, whose
   * tied-ts feeders (NFAITCase testOneOrMore, middleEvent2/3 both at
@@ -26,9 +33,10 @@ import org.apache.spark.sql.functions._
   * interval-scheduling, the reference's SKIP_PAST_LAST_EVENT).
   *
   * Step semantics:
-  *  - One: earliest eligible event of the kind.
-  *  - Optional: binds the earliest eligible event if the rest still
-  *    completes after it, else binds nothing (greedy-with-backtrack).
+  *  - One: the first TAKEABLE event of the kind (no retry — see the
+  *    determinism note above).
+  *  - Optional: takes the first TAKEABLE candidate if that branch
+  *    completes, else binds nothing (the take/proceed branch pair).
   *  - OneOrMore(until): first element binds like One; the loop then
   *    absorbs every event of the kind before the next step's binding,
   *    the horizon, and (if `until` is set) the first until-kind event
@@ -40,15 +48,20 @@ import org.apache.spark.sql.functions._
   *    shape, because absorb-after-the-fact cannot re-evaluate a
   *    binding-dependent predicate.
   *  - Times(n, consecutive=false): n successive earliest bindings
-  *    (relaxed contiguity). consecutive=true additionally requires the
-  *    n events to be ADJACENT in the per-key event sequence (strict
-  *    contiguity: any intervening event of any kind kills the run —
+  *    (relaxed contiguity). consecutive=true: the n events must be
+  *    ADJACENT starting at the FIRST takeable entry — a broken run
+  *    kills the attempt (entry branching rides AnyEntry —
   *    Pattern.java consecutive()).
   *  - TimesRange(lo, hi): greedy — binds the LARGEST k in [lo, hi]
   *    successive earliest events for which the remainder completes.
   *  - Not: no event of the kind strictly between the neighboring
-  *    bindings (notFollowedBy); a trailing Not checks the interval up
-  *    to the horizon deadline.
+  *    bindings (notFollowedBy); when the later steps bind NOTHING the
+  *    interval is EMPTY (the match completed at the previous
+  *    binding); a literally-TRAILING Not (engine extension — the
+  *    reference forbids it) checks to the horizon deadline. Directly
+  *    after a LOOP, stop-state POISONING applies: the loop cannot
+  *    skip an event matching the NOT condition past its first take
+  *    (NotPatternITCase test*AfterOneOrMore*; see [[notPoisoned]]).
   *  - ZeroOrMore: the loop with the empty binding allowed — greedy
   *    prefers binding, reluctant prefers empty (B* / B*?).
   *  - TimesOrMore(n): the first n bind successively; greedy absorbs
@@ -238,9 +251,27 @@ object PatternNFA {
     * the non-greedy enumeration. */
   final case class Greedy(inner: Quant) extends Quant
   /** GROUP pattern (GroupPattern.java): `sub` repeated lo..hi times as
-    * one step, greedy. The carrying Step's `kind` is ignored; sub-steps
-    * must be quantifier One. */
-  final case class GroupTimes(sub: Seq[Step], lo: Int, hi: Int) extends Quant
+    * one step, greedy (hi = Int.MaxValue for oneOrMore/zeroOrMore —
+    * extents probe data-bounded). The carrying Step's `kind` is
+    * ignored; sub-steps are quantifier One or NESTED [[GroupTimes]]
+    * (GroupITCase testGroupNest*). r14 grid, mirroring the leaf loop
+    * algebra at group granularity (GroupITCase):
+    *  - `zeroOk`: times(n).optional() — extents {0} ∪ [lo, hi];
+    *  - `consecutive`: each repetition's first event must be ADJACENT
+    *    to the previous repetition's last (group-level strict
+    *    consuming strategy);
+    *  - `combinations`: allowCombinations — every repetition's first
+    *    event branches over all later candidates (ANY interior);
+    *  - `untilKind`: Pattern.until — repetitions may not use events
+    *    at or past the first stop-kind event after the group's start;
+    *  - ENTRY relation via the wrappers: [[AnyEntry]](GroupTimes(..))
+    *    = followedByAny(group) (the first repetition's first event
+    *    branches), [[NextEntry]](GroupTimes(..)) = next(group). */
+  final case class GroupTimes(sub: Seq[Step], lo: Int, hi: Int,
+                              zeroOk: Boolean = false,
+                              consecutive: Boolean = false,
+                              combinations: Boolean = false,
+                              untilKind: Option[String] = None) extends Quant
 
   sealed trait AfterMatch
   case object SkipToNextRow extends AfterMatch
@@ -338,7 +369,10 @@ object PatternNFA {
                                  untilCtx: Seq[RCmp] = Nil,
                                  prevLoopMin: Option[Int] = None) extends INode
   private final case class IGroup(name: String, sub: Seq[INode],
-                                  lo: Int, hi: Int) extends INode
+                                  lo: Int, hi: Int,
+                                  zeroOk: Boolean = false,
+                                  entry: Char = 'O', interior: Char = 'R',
+                                  untilBit: Option[Int] = None) extends INode
 
   /** Resolved context comparison: variable names resolved to step
     * indices (position in the compiled step list); `orElse` mirrors
@@ -436,7 +470,9 @@ object PatternNFA {
   private def kindPreds(steps: Seq[Step]): Seq[(String, org.apache.spark.sql.Column)] = {
     def kindsOf(ss: Seq[Step]): Seq[String] = ss.flatMap { st =>
       st.quant match {
-        case GroupTimes(sub, _, _) => kindsOf(sub)
+        case g: GroupTimes => kindsOf(g.sub) ++ g.untilKind.toSeq
+        case AnyEntry(g: GroupTimes) => kindsOf(g.sub) ++ g.untilKind.toSeq
+        case NextEntry(g: GroupTimes) => kindsOf(g.sub) ++ g.untilKind.toSeq
         case OneOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case ZeroOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case LoopAny(_, _, _, _, _, Some(uk)) => Seq(st.kind, uk)
@@ -883,9 +919,10 @@ object PatternNFA {
     // r12: the relaxed door also accepts LOOP-first heads (every
     // loop-kind event anchors its own run — enumFromAnchor)
     require(steps.nonEmpty && (strict || steps.head.quant == One ||
-        loopFirstShape(steps.head.quant).isDefined),
-      "first step must be quantifier One (anchor) or a loop " +
-        "(loop-first anchoring)")
+        loopFirstShape(steps.head.quant).isDefined ||
+        steps.head.quant.isInstanceOf[GroupTimes]),
+      "first step must be quantifier One (anchor), a loop, or a " +
+        "group (loop/group-first anchoring)")
     require(varPreds.size <= 64, "at most 64 pattern variables")
     val bitOf = varPreds.map(_._1).zipWithIndex.toMap
     val isteps = compile(steps, k => bitOf.getOrElse(k,
@@ -974,18 +1011,18 @@ object PatternNFA {
     }
     steps.zipWithIndex.map { case (st, i) =>
       st.quant match {
-        case GroupTimes(sub, lo, hi) =>
-          require(lo >= 0 && hi >= math.max(lo, 1),
-            s"group pattern times($lo, $hi) out of range")
-          require(sub.nonEmpty, "group pattern body is empty")
-          require(sub.forall(_.quant == One),
-            "group pattern sub-steps must be quantifier One " +
-              "(the reference's group bodies are plain sequences)")
+        case g: GroupTimes =>
           require(ctx.isEmpty,
             "context predicates and group patterns cannot be combined")
-          IGroup(st.name,
-            sub.map(s => ILeaf(s.name, bitFor(s.kind), One, None, Nil)),
-            lo, hi)
+          compileGroup(st.name, g, 'O', bitFor)
+        case AnyEntry(g: GroupTimes) =>
+          require(ctx.isEmpty,
+            "context predicates and group patterns cannot be combined")
+          compileGroup(st.name, g, 'A', bitFor)
+        case NextEntry(g: GroupTimes) =>
+          require(ctx.isEmpty,
+            "context predicates and group patterns cannot be combined")
+          compileGroup(st.name, g, 'N', bitFor)
         case q =>
           q match {
             case TimesOrMore(n, _, _, _) => require(n >= 1,
@@ -998,15 +1035,17 @@ object PatternNFA {
                 "LoopAny entry is next() OR followedByAny, not both")
             case NextEntry(inner) => inner match {
               case _: OneOrMore | _: ZeroOrMore | _: Times |
-                   _: TimesRange | _: TimesOrMore => // loop inner: ok
-              case other => sys.error(s"NextEntry wraps loop " +
+                   _: TimesRange | _: TimesOrMore |
+                   _: GroupTimes => // loop/group inner: ok
+              case other => sys.error(s"NextEntry wraps loop/group " +
                 s"quantifiers only, got $other — use " +
                 "LoopAny(entryNext = true) for ANY interiors")
             }
             case AnyEntry(inner) => inner match {
               case _: OneOrMore | _: ZeroOrMore | _: Times |
-                   _: TimesRange | _: TimesOrMore => // loop inner: ok
-              case other => sys.error(s"AnyEntry wraps loop " +
+                   _: TimesRange | _: TimesOrMore |
+                   _: GroupTimes => // loop/group inner: ok
+              case other => sys.error(s"AnyEntry wraps loop/group " +
                 s"quantifiers only, got $other — use " +
                 "LoopAny(entryAny = true) for ANY interiors")
             }
@@ -1070,6 +1109,54 @@ object PatternNFA {
       }
     }
   }
+
+  /** Recursive GROUP compilation: sub-steps are quantifier One
+    * leaves or NESTED GroupTimes (entry 'O' — the reference nests via
+    * followedBy(groupPattern), GroupITCase testGroupNest*). */
+  private def compileGroup(name: String, g: GroupTimes, entry: Char,
+                           bitFor: String => Int): IGroup = {
+    require(g.lo >= 0 && g.hi >= math.max(g.lo, 1),
+      s"group pattern times(${g.lo}, ${g.hi}) out of range")
+    require(g.sub.nonEmpty, "group pattern body is empty")
+    val subNodes = g.sub.map { s =>
+      s.quant match {
+        case One => ILeaf(s.name, bitFor(s.kind), One, None, Nil)
+        case inner: GroupTimes => compileGroup(s.name, inner, 'O', bitFor)
+        case other => sys.error("group pattern sub-steps must be " +
+          s"quantifier One or a nested GroupTimes, got $other")
+      }
+    }
+    if (entry != 'O' || g.combinations || g.consecutive)
+      require(subNodes.head.isInstanceOf[ILeaf],
+        "a group with an ANY/next entry or a non-relaxed interior " +
+          "must start with a plain leaf step")
+    IGroup(name, subNodes, g.lo, g.hi, g.zeroOk, entry,
+      if (g.combinations) 'A' else if (g.consecutive) 'C' else 'R',
+      g.untilKind.map(bitFor))
+  }
+
+  /** The per-repetition EXPANSION of a group: `sub` inlined k times,
+    * each repetition's HEAD leaf carrying the group's entry relation
+    * (repetition 0) or interior consuming strategy (repetitions > 0):
+    * 'A' → AnyOne (followedByAny / allowCombinations), 'N'/'C' → Next
+    * (next-entry / group-level consecutive), else One. Matching the
+    * expansion IS matching the repeated group — the regroup split
+    * folds the bindings back into one step. */
+  private def expandGroup(g: IGroup, k: Int): Seq[INode] =
+    (0 until k).flatMap { i =>
+      val q: Quant =
+        if (i == 0) (g.entry match {
+          case 'A' => AnyOne; case 'N' => Next; case _ => One })
+        else (g.interior match {
+          case 'A' => AnyOne; case 'C' => Next; case _ => One })
+      g.sub.head match {
+        case l: ILeaf => l.copy(quant = q) +: g.sub.tail
+        case _ =>
+          require(q == One, "a group whose head is a nested group " +
+            "supports the relaxed entry/interior only")
+          g.sub
+      }
+    }
 
   /** The ordinal at which a loop's PROCEED edge starts pending (its
     * minimum extent; 0 for zero-allowed loops — pending from the
@@ -1329,7 +1416,7 @@ object PatternNFA {
 
   private def hasLoopFirst(isteps: Seq[INode]): Boolean = isteps.head match {
     case l: ILeaf => loopFirstShape(l.quant).isDefined
-    case _ => false
+    case _: IGroup => true // group-first anchors route via enumFromAnchor
   }
 
   /** The empty-loop anchor class of a zero-allowed loop-first pattern:
@@ -1380,8 +1467,14 @@ object PatternNFA {
         case Some((_, _, true, _)) => zeroAnchorOk(a, isteps)
         case _ => false
       })
-    case _: IGroup => sys.error("pattern cannot start with a group " +
-      "(the anchor defines the window)")
+    case g: IGroup =>
+      // group-FIRST pattern (GroupITCase testGroupBegin): the anchor
+      // is the first repetition's head-leaf binding
+      g.sub.head match {
+        case l: ILeaf => hasBit(a, l.bit)
+        case _ => sys.error("a group-first pattern must start with a " +
+          "plain leaf step")
+      }
   }
 
   /** Enumerate every completion from anchor `a` — the NoSkip branch
@@ -1396,6 +1489,42 @@ object PatternNFA {
   private def enumFromAnchor(evs: EvSeq, isteps: Seq[INode], a: Ev,
                              deadline: Long, hasCtx: Boolean)
       : Iterator[Vector[Vector[Ev]]] = isteps.head match {
+    case g: IGroup =>
+      // group-FIRST (Pattern.begin(group).times(..) — GroupITCase
+      // testGroupBegin): the anchor binds the first repetition's head
+      // leaf; extents ascending, remainder enumerated per extent. The
+      // zero-extent class has no anchor event — rejected at compile
+      // shape (no reference vector pairs begin(group) with optional).
+      require(g.hi != Int.MaxValue || g.sub.head.isInstanceOf[ILeaf],
+        "group-first patterns need a leaf head")
+      require(!(g.zeroOk || g.lo == 0),
+        "zero-allowed group-FIRST patterns are not supported (the " +
+          "empty-group anchor class has no anchoring event)")
+      val headLeaf = g.sub.head match {
+        case l: ILeaf => l
+        case _ => sys.error("a group-first pattern must start with a " +
+          "plain leaf step")
+      }
+      if (!hasBit(a, headLeaf.bit)) Iterator.empty
+      else {
+        def feasibleAlone(k: Int): Boolean =
+          matchAll(evs, expandGroup(g, k).tail, a, deadline, a.idx,
+            Vector(Vector(a)), hasCtx).hasNext
+        val loB = math.max(g.lo, 1)
+        val boundKs: Iterator[Int] =
+          if (g.hi != Int.MaxValue) (loB to g.hi).iterator
+          else Iterator.from(loB).takeWhile(feasibleAlone)
+        boundKs.flatMap { k =>
+          val expansion = expandGroup(g, k)
+          matchAll(evs, expansion.tail ++ isteps.tail, a, deadline, a.idx,
+              Vector(Vector(a)), hasCtx)
+            .map { all =>
+              val m = g.sub.size * k - 1
+              val (grp, rest) = all.splitAt(m)
+              Vector((Vector(a) +: grp).flatten.toVector) ++ rest
+            }
+        }
+      }
     case l: ILeaf if loopFirstShape(l.quant).isDefined =>
       val (lo, hi, zeroOk, interior) = loopFirstShape(l.quant).get
       val bound: Iterator[Vector[Vector[Ev]]] =
@@ -1938,16 +2067,37 @@ object PatternNFA {
         // expansion is matched in place, then regrouped into ONE step
         // binding (flattened). Groups are ctx-free by compile-time
         // check, so acc misalignment inside the expansion is inert.
-        (g.hi to g.lo by -1).iterator.flatMap { k =>
-          val expanded = Seq.fill(k)(g.sub).flatten ++ steps.tail
-          matchFrom(evs, expanded, prev, deadline, anchorIdx, acc, hasCtx,
-              tMin)
+        // Unbounded extents probe ascending while the group ALONE
+        // still binds (monotone: a k-repeat prefix of any k+1 match);
+        // the until stop caps repetitions at the first stop-kind
+        // event after the group's start (per-run, like leaf loops).
+        val stopIdx = g.untilBit.flatMap(ub =>
+          evs.iteratorFrom(prev.idx + 1).find(e => hasBit(e, ub)).map(_.idx))
+        def groupOk(gb: Vector[Ev]): Boolean =
+          stopIdx.forall(si => gb.forall(_.idx < si))
+        def attempt(k: Int): Option[Vector[Vector[Ev]]] =
+          matchFrom(evs, expandGroup(g, k) ++ steps.tail, prev, deadline,
+              anchorIdx, acc, hasCtx, tMin)
             .map { all =>
               val m = g.sub.size * k
               val (grp, rest) = all.splitAt(m)
               Vector(grp.flatten.toVector) ++ rest
-            }
-        }.nextOption()
+            }.filter(r => groupOk(r.head))
+        def feasibleAlone(k: Int): Boolean =
+          matchFrom(evs, expandGroup(g, k), prev, deadline, anchorIdx,
+            acc, hasCtx, tMin = false).exists(gb => groupOk(gb.flatten))
+        val loB = math.max(g.lo, 1)
+        val zero = g.zeroOk || g.lo == 0
+        val maxK =
+          if (g.hi != Int.MaxValue) g.hi
+          else Iterator.from(loB).takeWhile(feasibleAlone)
+            .foldLeft(loB - 1)((_, k) => k)
+        val boundKs = loB to math.min(maxK, g.hi)
+        val trailingG = tMin && steps.tail.isEmpty
+        val ks: Seq[Int] =
+          if (trailingG) (if (zero) Seq(0) else Seq.empty[Int]) ++ boundKs
+          else boundKs.reverse ++ (if (zero) Seq(0) else Seq.empty[Int])
+        ks.iterator.flatMap(k => attempt(k).iterator).nextOption()
       case st: ILeaf => matchLeaf(evs, st, steps.tail, prev, deadline,
         anchorIdx, acc, hasCtx, tMin)
     }
@@ -1974,10 +2124,21 @@ object PatternNFA {
         .map(Vector(bound) ++ _)
 
     st.quant match {
-      case One | AnyOne => // AnyOne's branching lives in matchAll —
-        // on the single-match path it commits like One
-        eligible(prev.idx + 1, Vector.empty)
-          .flatMap(e => cont(e, Vector(e))).nextOption()
+      case One =>
+        // first TAKEABLE candidate, no completion lookahead: the
+        // reference's SKIP_TILL_NEXT waiting state is consumed by a
+        // takeable event (ignore = NOT(take)) — if the continuation
+        // then dies the whole attempt dies (GroupITCase
+        // testGroupNotFollowedBy: (a1, b2) never forms)
+        eligible(prev.idx + 1, Vector.empty).nextOption()
+          .flatMap(e => cont(e, Vector(e)))
+
+      case AnyOne =>
+        // ANY relation: every candidate's branch is live in the
+        // reference NFA (ignore = true), so the committed pick is the
+        // earliest COMPLETION — the first enumerated branch
+        matchAll(evs, st +: rest, prev, deadline, anchorIdx, acc, hasCtx)
+          .nextOption()
 
       case Next =>
         // strict contiguity to the PREVIOUS binding: only the
@@ -1988,8 +2149,11 @@ object PatternNFA {
           .flatMap(e => cont(e, Vector(e)))
 
       case Optional =>
-        def bound = eligible(prev.idx + 1, Vector.empty)
-          .flatMap(e => cont(e, Vector(e))).nextOption()
+        // the bound branch takes the first TAKEABLE candidate (the
+        // take/proceed pair are the only NFA branches — a failing
+        // bound continuation does NOT retry later candidates)
+        def bound = eligible(prev.idx + 1, Vector.empty).nextOption()
+          .flatMap(e => cont(e, Vector(e)))
         def empty = matchFrom(evs, rest, prev, deadline, anchorIdx,
           acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
         if (trailing) empty.orElse(bound) else bound.orElse(empty)
@@ -2052,7 +2216,7 @@ object PatternNFA {
         // absorb semantics (bit-only patterns): first element binds
         // like One, the loop then absorbs every event of the kind
         // before the next step's binding / the horizon / the until stop
-        eligible(prev.idx + 1, Vector.empty).flatMap { first =>
+        eligible(prev.idx + 1, Vector.empty).nextOption().flatMap { first =>
           val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
             .find(e => hasBit(e, ub)).map(_.idx))
           if (stopIdx.exists(_ < first.idx)) None
@@ -2068,7 +2232,7 @@ object PatternNFA {
                 .filter(e => hasBit(e, st.bit)).toVector
             Vector(if (loop.isEmpty) Vector(first) else loop) ++ restB
           }
-        }.nextOption()
+        }
 
       case OneOrMore(_, _, _) =>
         // greedy-maximal run with shrink-from-the-end backtracking:
@@ -2107,8 +2271,10 @@ object PatternNFA {
           bindSuccessive(evs, st, prev, deadline, n, anchorIdx, acc)
             .flatMap(b => cont(b.last, b))
         else {
-          // strict contiguity: earliest run of n ADJACENT events
-          eligible(prev.idx + 1, Vector.empty).flatMap { s =>
+          // strict contiguity: the ADJACENT run from the first
+          // TAKEABLE entry — a broken run kills the attempt (no
+          // entry advance; the waiting state was consumed)
+          eligible(prev.idx + 1, Vector.empty).nextOption().flatMap { s =>
             val run = Vector.newBuilder[Ev]
             var ok = true
             var partial = Vector.empty[Ev]
@@ -2122,7 +2288,7 @@ object PatternNFA {
               }
             }
             if (ok) cont(partial.last, partial) else None
-          }.nextOption()
+          }
         }
         // times(n).optional(): greedy prefers the bound branch; a
         // trailing committed step prefers the empty one (it completes
@@ -2142,12 +2308,13 @@ object PatternNFA {
           else if (!consec)
             bindSuccessive(evs, st, prev, deadline, k, anchorIdx, acc)
               .flatMap(b => cont(b.last, b))
-          else eligible(prev.idx + 1, Vector.empty).flatMap { s0 =>
-            val run = consecutiveRun(evs, st, s0, deadline, anchorIdx,
-              acc, None)
-            if (run.size >= k) cont(run(k - 1), run.take(k)).iterator
-            else Iterator.empty
-          }.nextOption()
+          else eligible(prev.idx + 1, Vector.empty).nextOption()
+            .flatMap { s0 =>
+              val run = consecutiveRun(evs, st, s0, deadline, anchorIdx,
+                acc, None)
+              if (run.size >= k) cont(run(k - 1), run.take(k))
+              else None
+            }
         // valid extents: [max(lo,1), hi] plus 0 when zero-allowed
         // (times(2,3).optional() is {0, 2, 3} — NOT 0..3)
         val ks = (math.max(lo, 1) to hi) ++
@@ -2226,32 +2393,32 @@ object PatternNFA {
         }.nextOption()
 
       case LoopAny(lo, hi, zeroOk, entryNext, _, _) =>
-        // committed single-match door: the greedy maximal SUBSET is
-        // the successive run itself (every eligible taken in order;
-        // the entryAny branch set collapses to its earliest member) —
-        // shrink-from-the-end like the non-ANY greedy loop. All
-        // subsets complete on the same downstream event, so the
-        // reference's pick is queue-order-arbitrary — this engine
-        // pins the maximal; the full branch set rides NoSkip
-        // (matchAll), where reference parity is pinned.
-        def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
-          acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
-        val entry =
-          if (entryNext) adjacentEligible(evs, st, prev, deadline,
-            anchorIdx, acc)
-          else eligible(prev.idx + 1, Vector.empty).nextOption()
-        def laBound = entry.flatMap { first =>
-          val full = successiveRunFrom(evs, st, first, deadline,
-            anchorIdx, acc, hi, stopAfter(evs, st, first))
-          val order = if (trailing) lo to math.min(full.size, hi)
-                      else math.min(full.size, hi) to lo by -1
-          order.iterator.flatMap { k =>
-            val rk = full.take(k)
-            cont(rk.last, rk)
-          }.nextOption()
+        // ANY interior: every in-order subset is a live branch in the
+        // reference NFA. tMin (the committed MATCH scan): the pick is
+        // the first enumerated completion (ties between subsets
+        // completing on one event are queue-order-arbitrary in the
+        // reference). !tMin (the timeout digest): the GREEDY maximal
+        // successive run — the content the partial-match buffer
+        // actually held (the ClearingBuffer digest pins).
+        if (tMin)
+          matchAll(evs, st +: rest, prev, deadline, anchorIdx, acc, hasCtx)
+            .nextOption()
+        else {
+          def zeroB = matchFrom(evs, rest, prev, deadline, anchorIdx,
+            acc :+ Vector.empty, hasCtx, tMin).map(Vector(Vector.empty[Ev]) ++ _)
+          val entry =
+            if (entryNext) adjacentEligible(evs, st, prev, deadline,
+              anchorIdx, acc)
+            else eligible(prev.idx + 1, Vector.empty).nextOption()
+          entry.flatMap { first =>
+            val full = successiveRunFrom(evs, st, first, deadline,
+              anchorIdx, acc, hi, stopAfter(evs, st, first))
+            (math.min(full.size, hi) to lo by -1).iterator.flatMap { k =>
+              val rk = full.take(k)
+              cont(rk.last, rk)
+            }.nextOption()
+          }.orElse(if (zeroOk) zeroB else None)
         }
-        if (trailing && zeroOk) zeroB.orElse(laBound)
-        else laBound.orElse(if (zeroOk) zeroB else None)
 
       case NextEntry(inner) =>
         val (lo0, hi0, zeroOk, consec) = loopShape(inner)
@@ -2275,10 +2442,14 @@ object PatternNFA {
         else neBound.orElse(if (zeroOk) zeroB else None)
 
       case AnyEntry(inner) =>
-        // committed single-match door: the ANY entry's branch set
-        // collapses to its earliest member (One-step determinism) —
-        // exactly the inner quantifier's committed behavior
-        matchLeaf(evs, st.copy(quant = inner), rest, prev, deadline,
+        // ANY entry: every entry's branch is live — the committed
+        // pick is the first enumerated completion. Digest mode
+        // (!tMin) keeps the inner quantifier's greedy binding from
+        // the earliest entry (the buffer's content).
+        if (tMin)
+          matchAll(evs, st +: rest, prev, deadline, anchorIdx, acc, hasCtx)
+            .nextOption()
+        else matchLeaf(evs, st.copy(quant = inner), rest, prev, deadline,
           anchorIdx, acc, hasCtx, tMin)
 
       case Greedy(inner) =>
@@ -2306,7 +2477,8 @@ object PatternNFA {
             else None
         }
 
-      case GroupTimes(_, _, _) =>
+      case _: GroupTimes | AnyEntry(_: GroupTimes) |
+           NextEntry(_: GroupTimes) =>
         sys.error("unreachable: groups are compiled to IGroup")
     }
   }
@@ -2324,15 +2496,28 @@ object PatternNFA {
         .map(Vector(bound) ++ _)
     steps.head match {
       case g: IGroup =>
-        (g.lo to g.hi).iterator.flatMap { k =>
-          val expanded = Seq.fill(k)(g.sub).flatten ++ steps.tail
-          matchAll(evs, expanded, prev, deadline, anchorIdx, acc, hasCtx)
-            .map { all =>
-              val m = g.sub.size * k
-              val (grp, rst) = all.splitAt(m)
-              Vector(grp.flatten.toVector) ++ rst
-            }
-        }
+        val stopIdx = g.untilBit.flatMap(ub =>
+          evs.iteratorFrom(prev.idx + 1).find(e => hasBit(e, ub)).map(_.idx))
+        def groupOk(gb: Vector[Ev]): Boolean =
+          stopIdx.forall(si => gb.forall(_.idx < si))
+        def feasibleAlone(k: Int): Boolean =
+          matchFrom(evs, expandGroup(g, k), prev, deadline, anchorIdx,
+            acc, hasCtx, tMin = false).exists(gb => groupOk(gb.flatten))
+        val loB = math.max(g.lo, 1)
+        val zero = g.zeroOk || g.lo == 0
+        val boundKs: Iterator[Int] =
+          if (g.hi != Int.MaxValue) (loB to g.hi).iterator
+          else Iterator.from(loB).takeWhile(feasibleAlone)
+        ((if (zero) Iterator.single(0) else Iterator.empty[Int]) ++ boundKs)
+          .flatMap { k =>
+            matchAll(evs, expandGroup(g, k) ++ steps.tail, prev, deadline,
+                anchorIdx, acc, hasCtx)
+              .map { all =>
+                val m = g.sub.size * k
+                val (grp, rst) = all.splitAt(m)
+                Vector(grp.flatten.toVector) ++ rst
+              }.filter(r => groupOk(r.head))
+          }
       case st: ILeaf =>
         def eligible(partial: Vector[Ev]): Iterator[Ev] =
           evs.iteratorFrom(prev.idx + 1).filter(e => hasBit(e, st.bit) &&
@@ -2340,9 +2525,10 @@ object PatternNFA {
             ctxOk(st, evs, e, anchorIdx, acc, partial))
         st.quant match {
           case One =>
-            // commit to the earliest candidate with any completion
-            eligible(Vector.empty).map(e => enumAfter(e, Vector(e)))
-              .find(_.hasNext).getOrElse(Iterator.empty)
+            // first TAKEABLE candidate (the waiting state is consumed
+            // by a takeable event — no retry at later candidates)
+            eligible(Vector.empty).nextOption()
+              .map(e => enumAfter(e, Vector(e))).getOrElse(Iterator.empty)
           case AnyOne =>
             // followedByAny: EVERY candidate branches into its own match
             eligible(Vector.empty).flatMap(e => enumAfter(e, Vector(e)))
@@ -2355,8 +2541,8 @@ object PatternNFA {
             val unbound = matchAll(evs, steps.tail, prev, deadline, anchorIdx,
                 acc :+ Vector.empty, hasCtx)
               .map(Vector(Vector.empty[Ev]) ++ _)
-            val bound = eligible(Vector.empty).map(e => enumAfter(e, Vector(e)))
-              .find(_.hasNext).getOrElse(Iterator.empty)
+            val bound = eligible(Vector.empty).nextOption()
+              .map(e => enumAfter(e, Vector(e))).getOrElse(Iterator.empty)
             unbound ++ bound
           case Not =>
             if (notPoisoned(st, evs, acc, prev, deadline, anchorIdx))
@@ -2564,7 +2750,8 @@ object PatternNFA {
                   else Iterator.empty
               }
             }
-          case GroupTimes(_, _, _) =>
+          case _: GroupTimes | AnyEntry(_: GroupTimes) |
+               NextEntry(_: GroupTimes) =>
             sys.error("unreachable: groups are compiled to IGroup")
         }
     }
@@ -2669,21 +2856,24 @@ object PatternNFA {
       : Option[Vector[Vector[Ev]]] = {
     val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
       .find(e => hasBit(e, ub)).map(_.idx))
+    // first TAKEABLE entry only — the reference's waiting state is
+    // consumed by a takeable event (no entry advance); extent
+    // backtracking over the run stays (take/proceed branches)
     eligible(prev.idx + 1, Vector.empty)
-      .filter(e => stopIdx.forall(e.idx < _))
+      .filter(e => stopIdx.forall(e.idx < _)).nextOption()
       .flatMap { entry =>
         val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
           stopIdx)
-        if (run.size < minK) Iterator.empty
+        if (run.size < minK) None
         else {
           val order = if (reluctant) minK to run.size
             else run.size to minK by -1
           order.iterator.flatMap { k =>
             val rk = run.take(k)
             cont(rk.last, rk)
-          }
+          }.nextOption()
         }
-      }.nextOption()
+      }
   }
 
   /** NoSkip enumeration of a consecutive loop: commits to the EARLIEST
@@ -2700,8 +2890,11 @@ object PatternNFA {
       : Iterator[Vector[Vector[Ev]]] = {
     val stopIdx = st.untilBit.flatMap(ub => evs.iteratorFrom(prev.idx + 1)
       .find(e => hasBit(e, ub)).map(_.idx))
+    // first TAKEABLE entry only (committed followedBy relation — the
+    // waiting state is consumed by a takeable event; entry branching
+    // rides AnyEntry); extents are branches
     eligible(Vector.empty)
-      .filter(e => stopIdx.forall(e.idx < _))
+      .filter(e => stopIdx.forall(e.idx < _)).nextOption()
       .map { entry =>
         val run = consecutiveRun(evs, st, entry, deadline, anchorIdx, acc,
           stopIdx)
@@ -2709,7 +2902,7 @@ object PatternNFA {
           val rk = run.take(k)
           enumAfter(rk.last, rk)
         }
-      }.find(_.hasNext).getOrElse(Iterator.empty)
+      }.getOrElse(Iterator.empty)
   }
 
   /** Earliest n successive events matching the step after prev
@@ -2774,7 +2967,7 @@ object PatternNFA {
     case TimesRange(_, _, _, _, true) => true
     case TimesOrMore(_, _, _, true) => true
     case Times(_, _, true) => true
-    case GroupTimes(_, 0, _) => true
+    case g: GroupTimes => g.lo == 0 || g.zeroOk
     case _ => false
   }
 

@@ -204,23 +204,22 @@ object CepExtras extends QueryGroup {
     },
 
     // times(2).consecutive(): the two clicks must be ADJACENT in the
-    // per-user event sequence (strict contiguity — any intervening
-    // event of any kind breaks the run).
+    // per-user event sequence (strict contiguity). r14: the entry is
+    // the FIRST click after the anchor — the reference's waiting
+    // state is consumed by a takeable event (ignore = NOT(take)), so
+    // a broken first pair kills the anchor, it does not advance.
     q("cep9_consecutive",
       s"""WITH $evSql,
         |m AS (
-        |  SELECT a.user_id, a.a_id, cc.c1_id, cc.c2_id, cc.c2_us
+        |  SELECT a.user_id, a.a_id, c1.event_id AS c1_id,
+        |    c2.event_id AS c2_id, c2.ts_us AS c2_us
         |  FROM a
-        |  JOIN LATERAL (
-        |    SELECT e1.event_id AS c1_id, e2.event_id AS c2_id, e2.ts_us AS c2_us
-        |    FROM ev e1 JOIN ev e2
-        |      ON e2.user_id = e1.user_id AND e2.rn = e1.rn + 1
-        |    WHERE e1.user_id = a.user_id
-        |      AND e1.event_type = 'click' AND e2.event_type = 'click'
-        |      AND e1.ts_us > a.a_us AND e1.ts_us < a.a_us + $H72
-        |      AND e2.ts_us < a.a_us + $H72
-        |    ORDER BY e1.ts_us, e1.event_id LIMIT 1) cc ON true
-        |  WHERE true)
+        |  JOIN LATERAL (SELECT e.event_id, e.rn FROM ev e
+        |    WHERE e.user_id = a.user_id AND e.event_type = 'click'
+        |      AND e.ts_us > a.a_us AND e.ts_us < a.a_us + $H72
+        |    ORDER BY e.ts_us, e.event_id LIMIT 1) c1 ON true
+        |  JOIN ev c2 ON c2.user_id = a.user_id AND c2.rn = c1.rn + 1
+        |    AND c2.event_type = 'click' AND c2.ts_us < a.a_us + $H72)
         |SELECT m.user_id AS key, m.a_id AS anchor_id, p.event_id AS end_id,
         |  m.a_id || ',' || m.c1_id || ',' || m.c2_id || ',' || p.event_id AS chain,
         |  '' AS counts
@@ -752,15 +751,18 @@ object CepExtras extends QueryGroup {
         |UNION ALL
         |SELECT k1.user_id, k1.a_id, k1.p1_id,
         |  k1.a_id || ',' || k1.c1_id || ',' || k1.p1_id, 'G:1'
-        |FROM k1 WHERE NOT EXISTS (SELECT 1 FROM k2
-        |  WHERE k2.user_id = k1.user_id AND k2.a_id = k1.a_id)
-        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |FROM k1
+        |ORDER BY key, anchor_id, counts""".stripMargin) { (s, dir) =>
+      // r14: a TRAILING group under the committed scan binds the
+      // MINIMAL extent (the k=1 completion emits first and the
+      // prune discards the extension) — the every-extent shape rides
+      // NO SKIP: one row per extent k = 1, 2
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
           Step("G", "", GroupTimes(
             Seq(Step("C", "click"), Step("P", "purchase")), 1, 2))),
-        withinMicros = H72)
-        .orderBy("key", "anchor_id")
+        withinMicros = H72, afterMatch = NoSkip)
+        .orderBy("key", "anchor_id", "counts")
     },
 
     // NO SKIP (AfterMatchSkipStrategy.noSkip()): EVERY match is
@@ -1526,9 +1528,10 @@ object CepExtras extends QueryGroup {
     // Oracle: gaps-and-islands on the per-user rn — the committed
     // match is the FIRST island after the anchor that lies fully
     // inside the window and is followed by an in-window purchase
-    // (suffix entries of a failed island share its end, so they can
-    // never succeed where it failed — the island enumeration is
-    // exactly the engine's entry-advance).
+    // r14: the run starts at the FIRST island after the anchor (the
+    // reference's waiting state is consumed by the first takeable
+    // click — no advance to later islands when the purchase is
+    // missing); the purchase requirement applies to THAT island.
     q("cep22_consecutive_run",
       s"""WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
@@ -1545,18 +1548,22 @@ object CepExtras extends QueryGroup {
         |a AS (SELECT user_id, event_id AS a_id, ts_us AS a_us, rn AS a_rn
         |      FROM ev WHERE event_type = 'signup'),
         |cand AS (
-        |  SELECT a.user_id, a.a_id, i.s_rn, i.s_id, i.n, p.p_id
+        |  SELECT a.user_id, a.a_id, a.a_us, i.s_rn, i.e_rn, i.s_id, i.n,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY i.s_rn) AS pick
         |  FROM a JOIN isl i ON i.user_id = a.user_id AND i.s_rn > a.a_rn
-        |    AND i.s_us < a.a_us + $H72 AND i.e_us < a.a_us + $H72
+        |    AND i.s_us < a.a_us + $H72 AND i.e_us < a.a_us + $H72),
+        |m AS (
+        |  SELECT c.user_id, c.a_id, c.s_id, c.n, p.p_id
+        |  FROM cand c
         |  JOIN LATERAL (SELECT e.event_id AS p_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.rn > i.e_rn AND e.ts_us < a.a_us + $H72
-        |    ORDER BY e.rn LIMIT 1) p ON true),
-        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id, a_id
-        |        ORDER BY s_rn) AS pick FROM cand)
+        |    WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        |      AND e.rn > c.e_rn AND e.ts_us < c.a_us + $H72
+        |    ORDER BY e.rn LIMIT 1) p ON true
+        |  WHERE c.pick = 1)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || s_id || ',' || p_id AS chain, 'B:' || n AS counts
-        |FROM m WHERE pick = 1 ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       PatternNFA.run(s, events(s, dir), Seq(
           Step("A", "signup"),
           Step("B", "click", OneOrMore(consecutive = true)),

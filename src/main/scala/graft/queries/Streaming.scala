@@ -1332,18 +1332,18 @@ object Streaming extends QueryGroup {
         |UNION ALL
         |SELECT k1.user_id, k1.a_id, k1.p1_id,
         |  k1.a_id || ',' || k1.c1_id || ',' || k1.p1_id, 'G:1'
-        |FROM k1 WHERE NOT EXISTS (SELECT 1 FROM k2
-        |  WHERE k2.user_id = k1.user_id AND k2.a_id = k1.a_id)
-        |ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
-      import graft.operators.PatternNFA.{GroupTimes, Step}
+        |FROM k1
+        |ORDER BY key, anchor_id, counts""".stripMargin) { (s, dir) =>
+      import graft.operators.PatternNFA.{GroupTimes, NoSkip, Step}
       val out = graft.streaming.StreamingMatchRecognize.pattern(
         s, asGEvents(s, dir).toDF(),
         Seq(Step("A", "signup"),
           Step("G", "", GroupTimes(
             Seq(Step("C", "click"), Step("P", "purchase")), 1, 2))),
-        withinMicros = H72, watermarkDelay = "1 minute")
+        withinMicros = H72, afterMatch = NoSkip,
+        watermarkDelay = "1 minute")
       StreamRunner.toTable(s, out.toDF(), OutputMode.Append, "st39_out")
-        .orderBy("key", "anchor_id")
+        .orderBy("key", "anchor_id", "counts")
     },
 
     // STREAMING NO SKIP through the CEP API door (the reference's CEP
@@ -2037,7 +2037,8 @@ object Streaming extends QueryGroup {
     // cep22's streaming twin (r11; Pattern.java oneOrMore()
     // .consecutive() through the streaming CEP door): the adjacent
     // click run binds inside keyed state at anchor maturity. Oracle =
-    // cep22's islands cut at the final watermark.
+    // cep22's islands cut at the final watermark (r14: the FIRST
+    // island after the anchor, no advance — see cep22).
     q("st56_stream_consecutive_run",
       s"""WITH wm AS (SELECT (epoch_ms(max(ts)) - 60000) * 1000 AS wm_us FROM events),
         |ev AS (
@@ -2056,18 +2057,22 @@ object Streaming extends QueryGroup {
         |       FROM ev WHERE event_type = 'signup'),
         |a AS (SELECT a0.* FROM a0 JOIN wm ON a0.a_us + $H72 <= wm.wm_us),
         |cand AS (
-        |  SELECT a.user_id, a.a_id, i.s_rn, i.s_id, i.n, p.p_id
+        |  SELECT a.user_id, a.a_id, a.a_us, i.s_rn, i.e_rn, i.s_id, i.n,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY i.s_rn) AS pick
         |  FROM a JOIN isl i ON i.user_id = a.user_id AND i.s_rn > a.a_rn
-        |    AND i.s_us < a.a_us + $H72 AND i.e_us < a.a_us + $H72
+        |    AND i.s_us < a.a_us + $H72 AND i.e_us < a.a_us + $H72),
+        |m AS (
+        |  SELECT c.user_id, c.a_id, c.s_id, c.n, p.p_id
+        |  FROM cand c
         |  JOIN LATERAL (SELECT e.event_id AS p_id FROM ev e
-        |    WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
-        |      AND e.rn > i.e_rn AND e.ts_us < a.a_us + $H72
-        |    ORDER BY e.rn LIMIT 1) p ON true),
-        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id, a_id
-        |        ORDER BY s_rn) AS pick FROM cand)
+        |    WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        |      AND e.rn > c.e_rn AND e.ts_us < c.a_us + $H72
+        |    ORDER BY e.rn LIMIT 1) p ON true
+        |  WHERE c.pick = 1)
         |SELECT user_id AS key, a_id AS anchor_id, p_id AS end_id,
         |  a_id || ',' || s_id || ',' || p_id AS chain, 'B:' || n AS counts
-        |FROM m WHERE pick = 1 ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
+        |FROM m ORDER BY key, anchor_id""".stripMargin) { (s, dir) =>
       import graft.operators.PatternNFA.{OneOrMore, Step}
       val out = graft.streaming.StreamingMatchRecognize.pattern(
         s, asGEvents(s, dir).toDF(),

@@ -180,7 +180,8 @@ object StreamingMatchRecognize {
     import spark.implicits._
     def kindsOf(ss: Seq[PatternNFA.Step]): Seq[String] = ss.flatMap { st =>
       st.quant match {
-        case PatternNFA.GroupTimes(sub, _, _) => kindsOf(sub)
+        case g: PatternNFA.GroupTimes =>
+          kindsOf(g.sub) ++ g.untilKind.toSeq
         case PatternNFA.OneOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case PatternNFA.ZeroOrMore(Some(uk), _, _) => Seq(st.kind, uk)
         case _ => Seq(st.kind)

@@ -261,12 +261,18 @@ class BatchOpsSpec extends AnyFunSuite {
         (1L, 30L, 4L, "C"), (1L, 40L, 5L, "B")), tr)
       == Seq(("1,2,3,4", ""))) // binds 2 Bs (3rd B is after C)
 
-    // consecutive requires adjacency in the event sequence
+    // consecutive requires adjacency in the event sequence. r14: the
+    // entry is the FIRST takeable B — the broken (B, X) run kills the
+    // attempt (the reference's waiting state is consumed, no entry
+    // advance); the advance is the ANY entry's branch set
+    val consEv = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 15L, 9L, "X"),
+      (1L, 20L, 3L, "B"), (1L, 25L, 6L, "B"), (1L, 30L, 4L, "C"))
     val cons = Seq(Step("a", "A"), Step("bs", "B", Times(2, consecutive = true)),
       Step("c", "C"))
-    assert(run(Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 15L, 9L, "X"),
-        (1L, 20L, 3L, "B"), (1L, 25L, 6L, "B"), (1L, 30L, 4L, "C")), cons)
-      == Seq(("1,3,6,4", ""))) // X breaks the first run; 3,6 are adjacent
+    assert(run(consEv, cons) == Seq.empty)
+    val consAny = Seq(Step("a", "A"),
+      Step("bs", "B", AnyEntry(Times(2, consecutive = true))), Step("c", "C"))
+    assert(run(consEv, consAny) == Seq(("1,3,6,4", "bs:2")))
 
     // SkipPastLastEvent re-arms only past the previous match's end
     val two = Seq(Step("a", "A"), Step("c", "C"))
@@ -697,12 +703,23 @@ class BatchOpsSpec extends AnyFunSuite {
           r.getAs[String]("counts"))).toSeq.sorted
     val g = Seq(Step("a", "A"),
       Step("G", "", GroupTimes(Seq(Step("b", "B"), Step("c", "C")), 1, 2)))
-    // key 1 supports two (B C) repeats → greedy k=2; key 2 only one
+    // r14: a TRAILING group under the committed scan binds the
+    // MINIMAL extent — the k=1 completion emits first and the
+    // reference's skipToNext prune discards the extension (the
+    // trailing-loop discipline at group granularity)
     val got = run(Seq(
       (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "C"),
       (1L, 30L, 4L, "B"), (1L, 40L, 5L, "C"),
       (2L, 0L, 6L, "A"), (2L, 10L, 7L, "B"), (2L, 20L, 8L, "C")), g)
-    assert(got == Seq((1L, "1,2,3,4,5", "G:2"), (2L, "6,7,8", "G:1")), got)
+    assert(got == Seq((1L, "1,2,3", "G:1"), (2L, "6,7,8", "G:1")), got)
+    // the greedy maximal extent shows when the pattern CONTINUES
+    val gMid = Seq(Step("a", "A"),
+      Step("G", "", GroupTimes(Seq(Step("b", "B"), Step("c", "C")), 1, 2)),
+      Step("d", "D"))
+    val gotMid = run(Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "C"),
+      (1L, 30L, 4L, "B"), (1L, 40L, 5L, "C"), (1L, 50L, 9L, "D")), gMid)
+    assert(gotMid == Seq((1L, "1,2,3,4,5,9", "G:2")), gotMid)
 
     // zero-repeat lower bound makes the whole group optional
     val g0 = Seq(Step("a", "A"),
@@ -716,11 +733,12 @@ class BatchOpsSpec extends AnyFunSuite {
       graft.operators.PatternNFA.run(spark, ev1, Seq(Step("a", "A"),
         Step("G", "", GroupTimes(Seq(Step("b", "B", Optional)), 1, 2))), 1000L)
     }
-    // a pattern cannot START with a group (the anchor defines the window)
-    intercept[Exception] {
-      graft.operators.PatternNFA.run(spark, ev1, Seq(
-        Step("G", "", GroupTimes(Seq(Step("b", "B")), 1, 2))), 1000L)
-    }
+    // r14: group-FIRST patterns anchor on the head leaf (GroupITCase
+    // testGroupBegin) — every first-repetition start anchors its run
+    val gf = run(Seq((1L, 0L, 2L, "B"), (1L, 10L, 3L, "C"),
+      (1L, 20L, 4L, "B"), (1L, 30L, 5L, "C")),
+      Seq(Step("G", "", GroupTimes(Seq(Step("b", "B"), Step("c", "C")), 1, 2))))
+    assert(gf == Seq((1L, "2,3", "G:1"), (1L, "4,5", "G:1")), gf)
   }
 
   test("AFTER MATCH SKIP TO FIRST/LAST: clause parse, semantics, loud failure modes") {

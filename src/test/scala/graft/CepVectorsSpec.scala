@@ -178,15 +178,22 @@ class CepVectorsSpec extends AnyFunSuite {
     assert(got == Set(("1,5,6", ""), ("1,6", "")), got)
   }
 
-  test("NFAITCase testTimesStrict:2976 — times(2).consecutive() advances past a broken pair") {
+  test("NFAITCase testTimesStrict:2976 — followedByAny times(2).consecutive() branches past a broken pair") {
+    // r14 correction: the reference's entry is followedByANY
+    // (NFAITCase:2990) — the advance past the broken (m1, f) pair is
+    // the ANY entry's m2 BRANCH, not an entry slide; a committed
+    // followedBy entry is CONSUMED by its first takeable candidate
+    // (ignore = NOT(take)) and the broken pair kills the attempt
     val df = ev(1 -> "c", 2 -> "f", 3 -> "a", 4 -> "f", 5 -> "a",
       6 -> "a", 7 -> "b")
     val got = matches(df, Seq(Step("S", "c"),
+      Step("M", "a", AnyEntry(Times(2, consecutive = true))),
+      Step("E", "b")))
+    assert(got == Set(("1,5,6,7", "M:2")), got)
+    // the committed followedBy form: the broken first pair is fatal
+    val committed = matches(df, Seq(Step("S", "c"),
       Step("M", "a", Times(2, consecutive = true)), Step("E", "b")))
-    // the pair from m@3 is broken by f@4; the committed entry advances
-    // to m@5 — exactly the reference's single (start, m2, m3, end);
-    // bounded Times chains every bound id (no counts entry)
-    assert(got == Set(("1,5,6,7", "")), got)
+    assert(committed.isEmpty, committed)
   }
 
   test("NFAITCase testTimesNonStrict:3039 — times(2).allowCombinations() emits every pair") {
