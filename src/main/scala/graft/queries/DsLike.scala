@@ -1145,5 +1145,86 @@ object DsLike extends QueryGroup {
         .select(col("channel"), col("p_brand"), col("n"),
           col("amt_dec").cast(DoubleType).as("amount"))
         .orderBy("channel", "p_brand")
+    },
+
+    // TPC-DS Q23-flavored (r14): frequently-sold items × best
+    // customers. Frequent = parts sold on >4 distinct ship dates in
+    // 1996; best = customers whose lifetime order spend exceeds half
+    // the TOP spender's (Q23's max-csales threshold); the target sum
+    // is 1997-H1 revenue restricted to both sets. The spend threshold
+    // is a ONE-ROW aggregate broadcast against the per-customer
+    // totals (not a global max() OVER () — a single-partition window
+    // over every customer is the wrong plan at 100 TB; the broadcast
+    // scalar is the same value with no serial stage).
+    q("d32_frequent_best_spend",
+      """WITH freq AS (
+        |  SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+        |  GROUP BY l_partkey HAVING count(DISTINCT l_shipdate) > 4),
+        |spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(total) AS m FROM spend),
+        |best AS (SELECT o_custkey FROM spend, mx WHERE total > 0.5 * m)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS amount
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 6
+        |  AND l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val freq = li.filter(year(col("l_shipdate")) === 1996)
+        .groupBy("l_partkey")
+        .agg(countDistinct(col("l_shipdate")).as("nd"))
+        .filter(col("nd") > 4).select("l_partkey")
+      val spend = o.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(dec18_2)).cast(DoubleType)
+          .as("total"))
+        .persist() // feeds the scalar max AND the threshold probe
+      val mx = spend.agg(max(col("total")).as("m"))
+      val best = spend.crossJoin(broadcast(mx))
+        .filter(col("total") > lit(0.5) * col("m")).select("o_custkey")
+      li.filter(year(col("l_shipdate")) === 1997 &&
+          month(col("l_shipdate")) <= 6)
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(freq, Seq("l_partkey"), "left_semi")
+        .join(best, Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"), sum(rev).cast(DoubleType).as("amount"))
+    },
+
+    // TPC-DS Q95-flavored (r14): orders shipped from MORE THAN ONE
+    // supplier with NO returned line, in one quarter — Q95's
+    // multi-warehouse / no-return web-sales refinement. Both order
+    // gates come from ONE aggregation over lineitem (distinct-supplier
+    // count + a max-flag for returns — no second scan, no EXISTS
+    // self-joins), then a semi join prunes the date-filtered orders.
+    q("d33_multi_supplier_orders",
+      """WITH gates AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS nsupp,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+        |  FROM lineitem GROUP BY l_orderkey),
+        |ok AS (SELECT l_orderkey FROM gates WHERE nsupp > 1 AND ret = 0)
+        |SELECT count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-04-01'
+        |  AND o_orderkey IN (SELECT l_orderkey FROM ok)""".stripMargin) { (s, dir) =>
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val ok = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+        .filter(col("nsupp") > 1 && col("ret") === 0)
+        .select("l_orderkey")
+      o.filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_orderdate") < lit(java.sql.Date.valueOf("1996-04-01")))
+        .join(ok, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("o_totalprice").cast(dec18_2)).cast(DoubleType)
+            .as("total_price"))
     })
 }
