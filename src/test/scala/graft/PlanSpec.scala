@@ -379,7 +379,9 @@ class PlanSpec extends AnyFunSuite {
       "x30_dsir_importance" ->
         "single-row corpus-totals broadcast (the two model denominators)",
       "d31_cross_channel_intersect" ->
-        "single-row avg-sales-threshold broadcast (the Q14 scalar gate)")
+        "single-row avg-sales-threshold broadcast (the Q14 scalar gate)",
+      "d32_frequent_best_spend" ->
+        "single-row max-spend-threshold broadcast (the Q23 scalar gate)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if name.startsWith("st") => None // streaming: runs, not plans
       case (name, fn) =>
