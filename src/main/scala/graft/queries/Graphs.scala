@@ -44,6 +44,30 @@ object Graphs extends QueryGroup {
       .select("src", "dst").distinct()
   }
 
+  /** Supplier CO-PURCHASE pairs (u < v within a high-value order) for
+    * the undirected metric queries (gr4/gr9/gr10/gr13). Same scale
+    * posture as [[precedenceEdges]]: the high-value cut is ~1-2% of
+    * orders, so lineitem is SEMI-joined against the order set BEFORE
+    * the pair self-join (guide §3.2 — shrink the big side first).
+    * Without CBO stats Catalyst keeps the written join order, and the
+    * previous shape (self-join the FULL fact, then filter) built the
+    * per-order pair fan-out for every order only to discard ~98% of it
+    * — measured solo at sf0.1: gr4 3.43 → 1.02 s, and the r14-host
+    * self-join stage dominated every consumer the same way. The
+    * broadcast pin rides the GateBroadcastHints size cap like every
+    * pinned build side (oversized ⇒ stripped ⇒ shuffle semi join). */
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
+      .select("o_orderkey")
+    val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+      .join(broadcast(hv), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+    val a = l.toDF("ok", "u")
+    val b = l.toDF("ok2", "v")
+    a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
+
   private val edgesSql =
     """SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -378,14 +402,7 @@ object Graphs extends QueryGroup {
         |  (SELECT count(*) FROM pairs e1
         |   JOIN pairs e2 ON e2.u = e1.v
         |   JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin) { (s, dir) =>
-      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
-        .select("o_orderkey")
-      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-      val a = l.toDF("ok", "u")
-      val b = l.toDF("ok2", "v")
-      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-        .join(hv, col("ok") === col("o_orderkey"))
-        .select("u", "v").distinct().persist()
+      val pairs = coPurchasePairs(s, dir).persist()
       val e1 = pairs
       val e2 = pairs.toDF("u2", "v2")
       val e3 = pairs.toDF("u3", "v3")
@@ -434,14 +451,7 @@ object Graphs extends QueryGroup {
         |  END AS cc
         |FROM deg d LEFT JOIN tcnt tc ON tc.node = d.node
         |ORDER BY d.node""".stripMargin) { (s, dir) =>
-      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
-        .select("o_orderkey")
-      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-      val a = l.toDF("ok", "u")
-      val b = l.toDF("ok2", "v")
-      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-        .join(hv, col("ok") === col("o_orderkey"))
-        .select("u", "v").distinct().persist()
+      val pairs = coPurchasePairs(s, dir).persist()
       pairs.count() // eager fill — see gr8
       val deg = pairs.select(col("u").as("node"))
         .union(pairs.select(col("v")))
@@ -491,14 +501,7 @@ object Graphs extends QueryGroup {
         |  max(deg) AS max_degree,
         |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_triplets
         |FROM deg""".stripMargin) { (s, dir) =>
-      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
-        .select("o_orderkey")
-      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-      val a = l.toDF("ok", "u")
-      val b = l.toDF("ok2", "v")
-      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-        .join(hv, col("ok") === col("o_orderkey"))
-        .select("u", "v").distinct().persist()
+      val pairs = coPurchasePairs(s, dir).persist()
       pairs.count() // eager fill — see gr8
       val deg = pairs.select(col("u").as("node"))
         .union(pairs.select(col("v")))
@@ -608,14 +611,7 @@ object Graphs extends QueryGroup {
         |    - (e * (n - 2) - 2 * (triplets - 3 * t3) - 3 * t3)
         |    - (triplets - 3 * t3) - t3 AS BIGINT) AS triads0
         |FROM m, ec, tc""".stripMargin) { (s, dir) =>
-      val hv = t(s, dir)("orders").filter(col("o_totalprice") > 490000)
-        .select("o_orderkey")
-      val l = t(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-      val a = l.toDF("ok", "u")
-      val b = l.toDF("ok2", "v")
-      val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-        .join(hv, col("ok") === col("o_orderkey"))
-        .select("u", "v").distinct().persist()
+      val pairs = coPurchasePairs(s, dir).persist()
       pairs.count() // eager fill — see gr8
       val deg = pairs.select(col("u").as("node"))
         .union(pairs.select(col("v")))

@@ -484,6 +484,39 @@ object StreamingCEP {
   * return the collected table — the MemoryStream/parquet harness used
   * by both the specs and the oracle-checked st* queries. */
 object StreamRunner {
+  /** Scratch root for the BOUNDED drives' checkpoint trees (offset/
+    * commit WALs, file-source log, state-store deltas). These drives
+    * are correctness harnesses, not durability claims — the queries
+    * that DO claim durable recovery (st33's offline state read, st54's
+    * exactly-once channel, ty17's keyed store) pass their own explicit
+    * on-disk locations and are unaffected. For pure scratch, a RAM-
+    * backed dir is the right default where one exists (guide §6:
+    * checkpoint placement is an I/O-placement knob; measured warm
+    * min-of-2 solos st1 1.63→1.54, st3 2.51→2.34, st11 3.12→2.83,
+    * st14 1.55→1.51 s — ~6% per bounded drive from the offset/commit/
+    * state-delta writes). Parameterised: SPARK_GRAFT_STREAM_CKPT_ROOT
+    * overrides (a cluster deployment would point checkpoints at
+    * HDFS/object storage instead).
+    */
+  private lazy val scratchRoot: Option[java.nio.file.Path] = {
+    val root = sys.env.get("SPARK_GRAFT_STREAM_CKPT_ROOT")
+      .orElse(Option(java.nio.file.Paths.get("/dev/shm"))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.isWritable(p)).map(_.toString))
+    root.map { r =>
+      val d = java.nio.file.Paths.get(r,
+        s"graft_ckpt_${ProcessHandle.current().pid()}")
+      java.nio.file.Files.createDirectories(d)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d.toFile)
+      }))
+      d
+    }
+  }
+
   def toTable(spark: SparkSession, df: DataFrame, mode: OutputMode,
               name: String, checkpointDir: Option[String] = None): DataFrame = {
     spark.catalog.dropTempView(name)
@@ -496,12 +529,27 @@ object StreamRunner {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    // explicit caller dir wins (durable-claim queries); otherwise a
+    // fresh scratch tree per drive, deleted as soon as the drive ends
+    // (Spark's own temp-checkpoint path would land on java.io.tmpdir
+    // and be cleaned the same way — this just picks the faster medium)
+    val scratch = if (checkpointDir.isDefined) None
+      else scratchRoot.map(r => java.nio.file.Files.createTempDirectory(r, name))
     try {
       val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+      val w = checkpointDir.orElse(scratch.map(_.toString))
+        .fold(w0)(d => w0.option("checkpointLocation", d))
       val q = w.start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      scratch.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d.toFile)
+      }
+    }
     spark.table(name)
   }
 }
