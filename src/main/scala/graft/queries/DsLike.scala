@@ -1057,31 +1057,32 @@ object DsLike extends QueryGroup {
         |ORDER BY custkey""".stripMargin) { (s, dir) =>
       val li = t(s, dir)("lineitem")
       val o = t(s, dir)("orders")
-      // the four consumers re-scan year_total; Catalyst does not
-      // reuse the exchange across differently-filtered consumers, so
-      // persist the per-(customer, year, channel) aggregate once —
-      // the expensive orders⋈lineitem join beneath it runs once
-      val yearTotal = o
-        .join(li, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"),
-          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "store")
-            .otherwise("web").as("channel"))
-        .agg(sum(rev).as("amt"))
-        .persist()
-      def slice(ch: String, yr: Int, amtAs: String) =
-        yearTotal.filter(col("channel") === ch && col("yr") === yr)
-          .select(col("o_custkey").as(s"k_$amtAs"),
-            col("amt").cast(DoubleType).as(amtAs))
-      slice("store", 1997, "store_y1")
-        .join(slice("store", 1998, "store_y2"),
-          col("k_store_y2") === col("k_store_y1"))
-        .join(slice("web", 1997, "web_y1"),
-          col("k_web_y1") === col("k_store_y1"))
-        .join(slice("web", 1998, "web_y2"),
-          col("k_web_y2") === col("k_store_y1"))
+      // Q4/Q11's year_total self-join chain collapsed to ONE pass
+      // (r14, guide §2.4 "remove shuffles outright"): each (customer,
+      // year, channel) group is unique, so the four inner-joined
+      // slices are exactly four conditional sums of the SAME grouped
+      // aggregate — pivot them in a single groupBy(custkey) over the
+      // fact join (decimal sums stay exact under regrouping; a slice
+      // with no rows sums to NULL, and the IS NOT NULL gates are the
+      // inner-join existence requirement). Plan: 4 persisted-slice
+      // scans + 3 custkey joins (7 exchanges) → 1 aggregation
+      // (2 exchanges: join + groupBy), no persist — strictly fewer
+      // shuffles at every scale. Solo sf0.1: 2.08 → 1.35 s.
+      val yr = year(col("o_orderdate"))
+      val isStore = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      def sl(store: Boolean, y: Int) =
+        sum(when((if (store) isStore else !isStore) && yr === y, rev))
+      o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sl(store = true, 1997).cast(DoubleType).as("store_y1"),
+          sl(store = true, 1998).cast(DoubleType).as("store_y2"),
+          sl(store = false, 1997).cast(DoubleType).as("web_y1"),
+          sl(store = false, 1998).cast(DoubleType).as("web_y2"))
+        .filter(col("store_y1").isNotNull && col("store_y2").isNotNull &&
+          col("web_y1").isNotNull && col("web_y2").isNotNull)
         .filter(col("store_y1") > 0 && col("web_y1") > 0 &&
           col("web_y2") / col("web_y1") > col("store_y2") / col("store_y1"))
-        .select(col("k_store_y1").as("custkey"), col("store_y1"),
+        .select(col("o_custkey").as("custkey"), col("store_y1"),
           col("store_y2"), col("web_y1"), col("web_y2"))
         .orderBy("custkey")
     },
