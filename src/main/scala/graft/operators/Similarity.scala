@@ -99,19 +99,47 @@ object Similarity {
     * partitioned by cluster; centroids are a broadcast table. */
   def ivfFit(vectors: DataFrame, idCol: String, vecCol: String,
              seedIds: Seq[Long], iterations: Int): (DataFrame, DataFrame) = {
+    val (assigned, centroids) = ivfFitAssigned(vectors, idCol, vecCol,
+      seedIds, iterations)
+    (assigned.select(col(idCol), col("cluster")), centroids)
+  }
+
+  /** [[ivfFit]] variant that keeps the VECTOR on each assignment row —
+    * the consumers that need it (search re-scoring, SemDeDup pair
+    * verification) then skip a corpus⋈assignments re-join entirely
+    * (r14, guide §2.4: that join shuffled the whole corpus twice on
+    * the id just to re-attach a column the assignment pass already
+    * had in hand). */
+  def ivfFitAssigned(vectors: DataFrame, idCol: String, vecCol: String,
+                     seedIds: Seq[Long], iterations: Int): (DataFrame, DataFrame) = {
     var centroids: DataFrame = vectors
       .filter(col(idCol).isin(seedIds: _*))
       .select(col(idCol).as("_cid"), transform(col(vecCol),
         x => round(x.cast(DoubleType), 6)).as("_cv"))
+    // Assignment is a MAP-ONLY argmax (r14): the k centroids are
+    // packed into one broadcast row as a cid-sorted array and each
+    // vector takes the lexicographic max of (cos, −cid) scored structs
+    // — no corpus shuffle, no per-row window. The previous shape
+    // (crossJoin(broadcast(centroids)) + a row_number window
+    // partitioned by the id) shuffled and sorted the whole corpus
+    // ONCE PER ASSIGN — three times per 2-iteration fit — purely to
+    // reduce k candidate rows per vector. max(cos, −cid) reproduces
+    // the window's (cos DESC, cid ASC) tiebreak exactly; the cosine
+    // expression tree (zip_with·fold, rounded to 6dp) is unchanged
+    // and evaluated once per centroid, so assignments are
+    // bit-identical (oracle-gated v4/v5/v7).
     def assign(v: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(idCol).orderBy(col("_cos").desc, col("_cid").asc)
-      v.crossJoin(broadcast(centroids))
-        .select(col(idCol), col(vecCol), col("_cid"),
-          round(cosine(col(vecCol), col("_cv")), 6).as("_cos"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col(idCol), col(vecCol), col("_cid").as("cluster"))
+      // k rows → 1 partition first: the pack agg then runs in one
+      // stage (no partial/final Exchange before the broadcast)
+      val packed = centroids.coalesce(1)
+        .agg(array_sort(collect_list(struct(col("_cid"), col("_cv"))))
+          .as("_cents"))
+      val scored = transform(col("_cents"), c =>
+        struct(round(cosine(col(vecCol), c.getField("_cv")), 6).as("_cos"),
+          (-c.getField("_cid")).as("_ncid")))
+      v.crossJoin(broadcast(packed))
+        .select(col(idCol), col(vecCol),
+          (-array_max(scored).getField("_ncid")).as("cluster"))
     }
     for (_ <- 1 to iterations) {
       val assigned = assign(vectors)
@@ -124,7 +152,7 @@ object Similarity {
         .select(col("_cid"), transform(col("_pairs"), p => p.getField("_m")).as("_cv"))
         .localCheckpoint(true)
     }
-    (assign(vectors).select(col(idCol), col("cluster")), centroids)
+    (assign(vectors), centroids)
   }
 
   /** IVF top-k search — the ANN query path over a fitted coarse
@@ -140,8 +168,8 @@ object Similarity {
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, seedIds: Seq[Long], iterations: Int,
                 nProbe: Int, k: Int): DataFrame = {
-    val (assignments, centroids) =
-      ivfFit(corpus, idCol, vecCol, seedIds, iterations)
+    val (assigned, centroids) =
+      ivfFitAssigned(corpus, idCol, vecCol, seedIds, iterations)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       norm(col(vecCol)).as("_qn"))
     val pw = Window.partitionBy("query_id")
@@ -152,11 +180,11 @@ object Similarity {
       .withColumn("_rn", row_number().over(pw))
       .filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("_qv"), col("_qn"), col("_cid"))
-    val corpusA = corpus
+    // the assignment pass kept the vector — scan-side cost is one
+    // projection, not a corpus⋈assignments shuffle join (r14)
+    val corpusA = assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
-        norm(col(vecCol)).as("_nn"))
-      .join(assignments.select(col(idCol).as("neighbor_id"), col("cluster")),
-        "neighbor_id")
+        norm(col(vecCol)).as("_nn"), col("cluster"))
     val scored = corpusA.join(broadcast(probes),
         col("cluster") === col("_cid") && col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -187,9 +215,9 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     seedIds: Seq[Long], iterations: Int,
                     threshold: Double): DataFrame = {
-    val (assigned, _) = ivfFit(vectors, idCol, vecCol, seedIds, iterations)
-    val wc = vectors.select(col(idCol), col(vecCol))
-      .join(assigned, idCol)
+    val (assigned, _) = ivfFitAssigned(vectors, idCol, vecCol, seedIds, iterations)
+    // assignment carries the vector — no corpus⋈assignments re-join (r14)
+    val wc = assigned
       .select(col(idCol), col(vecCol), col("cluster"),
         norm(col(vecCol)).as("_n"))
       .persist() // both sides of the in-cluster self-join probe this
