@@ -742,13 +742,19 @@ object DsLike extends QueryGroup {
       val best = spend.crossJoin(broadcast(mx))
         .filter(col("amt").cast(DoubleType) >= lit(0.5) * col("m"))
         .select("o_custkey")
-      def chan(name: String, cond: org.apache.spark.sql.Column) =
-        o.filter(cond).join(li, col("l_orderkey") === col("o_orderkey"))
-          .select(lit(name).as("channel"), col("l_partkey"),
-            col("o_custkey"), rev.as("amt"))
-      chan("catalog", col("o_orderpriority") === "3-MEDIUM")
-        .unionAll(chan("web",
-          col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")))
+      // r14: the two channel branches unioned two separate fact joins
+      // over DISJOINT priority slices — one join over the combined
+      // slice with a CASE channel produces the identical rows and
+      // halves the join/scan count (same bytes read either way, since
+      // the priority filters push to the scan; one fewer join at any
+      // scale).
+      val ch = o.filter(col("o_orderpriority")
+          .isin("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(when(col("o_orderpriority") === "3-MEDIUM", "catalog")
+            .otherwise("web").as("channel"),
+          col("l_partkey"), col("o_custkey"), rev.as("amt"))
+      ch
         .join(freq, Seq("l_partkey"), "left_semi")
         .join(best, Seq("o_custkey"), "left_semi")
         .groupBy("channel")
@@ -1132,10 +1138,27 @@ object DsLike extends QueryGroup {
       val chParts = base.groupBy("channel", "l_partkey")
         .agg(sum(col("amt")).as("amt"), count(lit(1)).as("n"))
         .persist()
+      chParts.count() // eager fill: three consumers (threshold
+      // broadcast, intersect, rollup) probe a warm cache instead of
+      // racing to fill it inside the broadcast-build job
       val crossParts = chParts.groupBy("l_partkey")
         .agg(countDistinct(col("channel")).as("nch"))
         .filter(col("nch") === 3).select("l_partkey")
-      val threshold = base.agg(avg(col("amt").cast(DoubleType)).as("threshold"))
+      // r14: the global average re-ran the fact join just to re-sum
+      // what chParts already holds — Σamt/Σn over the persisted
+      // partials is the same average computed exactly (decimal total,
+      // one double division; the previous double-summed avg was
+      // already partial-order jitter at the ulp level, which the
+      // strict > gate tolerates by construction), and the fact join
+      // now runs ONCE for the whole query at any scale. Local trade,
+      // same as d24/d25's documented persists: solo A/B 2.24 → 3.13 s
+      // at sf0.1 (the old independent threshold subtree overlapped its
+      // duplicate fact join with the main pipeline on idle cores; the
+      // shared-cache shape serializes the fill) — kept anyway: at
+      // 100 TB a second full fact scan+join to produce one scalar
+      // dwarfs any pipeline-overlap gain.
+      val threshold = chParts.agg(
+        (sum(col("amt")).cast(DoubleType) / sum(col("n"))).as("threshold"))
       chParts
         .join(crossParts, Seq("l_partkey"), "left_semi")
         .join(p, col("p_partkey") === col("l_partkey"))

@@ -48,6 +48,19 @@ object Prof {
       }
     })
 
+    // optional per-job trace: SPARK_GRAFT_PROF_JOBS=1
+    if (sys.env.contains("SPARK_GRAFT_PROF_JOBS")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          t0.put(e.jobId, System.nanoTime())
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val dt = (System.nanoTime() - t0.getOrDefault(e.jobId, System.nanoTime())) / 1e6
+          batches.add(f"  job=${e.jobId} ${dt}%.0f ms")
+        }
+      })
+    }
+
     SparkEntry.entry(spark).count() // warmup, as in Bench
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
