@@ -105,6 +105,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.ElementBuilder.getClass.getName, "element"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ElementBuilder(es)))
+    // Σ aᵢ·bᵢ over float/double arrays as one codegen'd kernel — the
+    // similarity family's hot loop (the HOF zip_with·aggregate form is
+    // interpreted per element; see functions/VectorExpressions.scala).
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(es(0), es(1))))
     e.injectFunction((
       FunctionIdentifier("rand_integer"),
       new ExpressionInfo(graft.functions.RandIntegerBuilder.getClass.getName,

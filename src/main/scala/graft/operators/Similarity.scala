@@ -18,10 +18,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Σ a_i·b_i as double. */
+  /** Σ a_i·b_i as double — a native codegen expression (r14): the HOF
+    * form (`aggregate(zip_with(...))`) interpreted its lambda per
+    * element with boxing in the hottest similarity loops; the kernel
+    * keeps the identical left-to-right double fold (bit-identical
+    * output, oracle-gated) at a fraction of the per-pair cost
+    * (v3 solo 2.25 → 0.94 s at sf0.1). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("dot_product", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -241,8 +245,9 @@ object Similarity {
   def bucketExpr(vec: Column, numPlanes: Int, dims: Int): Column =
     (0 until numPlanes).map { p =>
       val comp = typedLit(planeVector(p, dims))
-      val proj = aggregate(zip_with(vec, comp, (x, c) => x.cast(DoubleType) * c),
-        lit(0.0), (acc, x) => acc + x)
+      // same codegen'd kernel as `dot` (identical fold; the literal
+      // plane components are already double)
+      val proj = dot(vec, comp)
       when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
     }.reduce(_ + _)
 }
