@@ -113,6 +113,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProduct(es(0), es(1))))
+    // word n-gram shingles in one pass (see VectorExpressions.scala);
+    // n must be a plan-time integer literal
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.WordNGrams].getName, "word_ngrams"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          graft.functions.WordNGrams(es(0), n)
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: n must be an integer literal, got $other")
+      }))
     e.injectFunction((
       FunctionIdentifier("rand_integer"),
       new ExpressionInfo(graft.functions.RandIntegerBuilder.getClass.getName,

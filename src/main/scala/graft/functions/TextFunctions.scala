@@ -21,10 +21,7 @@ object TextFunctions {
     * split per element_at, turning shingling O(tokens²) per row.
     * (Spark's sequence(1, 0) counts DOWN, so guard the 1-token case.) */
   def bigramShinglesFromTokens(t: Column): Column =
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    nGramShinglesFromTokens(t, 2)
 
   /** Convenience form over raw text — fine for small inputs/tests;
     * hot paths should pre-project tokens (see above). */
@@ -35,10 +32,12 @@ object TextFunctions {
     * the contamination screen, where published LM pipelines compare
     * held-out benchmarks against training text on word n-grams. */
   def nGramShinglesFromTokens(t: Column, n: Int): Column =
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // r14: one codegen'd pass (functions/WordNGrams) — the HOF form
+    // (transform(sequence(...), i => concat_ws(...element_at...)))
+    // interpreted a lambda per shingle under every shingle-based
+    // dedup operator; output bit-identical (concat_ws semantics
+    // preserved, < n tokens → empty array)
+    call_function("word_ngrams", t, lit(n))
 
   /** Deterministic 32-bit token hash: first 8 hex chars of md5 as uint. */
   def hash32(token: Column): Column =

@@ -30,6 +30,59 @@ object GraftVectors {
   }
 }
 
+/** Runtime kernel for [[WordNGrams]]: all word n-grams of a token
+  * array in one pass. Bit-identical to the HOF form
+  * `transform(sequence(1, size−n+1), i => concat_ws(" ", t[i..i+n−1]))`
+  * — UTF8String.concatWs IS concat_ws (null elements skipped), and
+  * fewer than n tokens yields the empty array. */
+object GraftText {
+  private val SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  def ngrams(t: ArrayData, n: Int): ArrayData = {
+    val sz = t.numElements()
+    if (sz < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val out = new Array[Any](sz - n + 1)
+    var i = 0
+    while (i <= sz - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (t.isNullAt(i + j)) null else t.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(SEP,
+        parts.toIndexedSeq: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Word n-gram shingles of a token-array column as ONE codegen-
+  * friendly expression (r14, same motivation as [[DotProduct]]): the
+  * HOF form interpreted a concat_ws lambda per shingle and sat under
+  * every shingle-based dedup operator (x6/x7/x10/x11/x21/x25/x31 —
+  * the widest scans of the text family). `n` is a plan-time constant.
+  * Output is bit-identical (oracle-gated across the x-family). */
+case class WordNGrams(child: Expression, n: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams needs array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(t: Any): Any =
+    GraftText.ngrams(t.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.GraftText.ngrams($t, $n);")
+  override protected def withNewChildInternal(c: Expression): WordNGrams =
+    copy(child = c)
+}
+
 /** Σ aᵢ·bᵢ over two float/double array columns as ONE expression with
   * an unboxed loop (r14, guide/task §"expressions and codegen"): the
   * previous `aggregate(zip_with(a, b, (x, y) => x·y), 0.0, +)` form is
