@@ -122,7 +122,15 @@ object GraphOps {
                     ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     // persist a DERIVED projection — never the caller's own frame,
     // whose cache entry the final unpersist would silently drop
-    val e = edges.select(edges.columns.map(col).toIndexedSeq: _*).persist()
+    // r14: cluster the static edge table on src ONCE at cache fill —
+    // every superstep joins state on (node = src), and an unclustered
+    // cached edge table re-enters an Exchange in EVERY superstep's
+    // job (exchange reuse does not cross jobs). One shuffle up front
+    // replaces one full-edge shuffle per superstep, at every scale —
+    // the Pregel static-graph partitioning the reference's iteration
+    // runtime also keeps.
+    val e = edges.select(edges.columns.map(col).toIndexedSeq: _*)
+      .repartition(col("src")).persist()
     val mat = new StepMaterializer(ckpt, vertices.sparkSession)
     var state = mat.step(vertices.select(col("node"), col("value")), 0)
     for (i <- 1 to iterations) {
@@ -143,7 +151,7 @@ object GraphOps {
                        ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .persist()
+      .repartition(col("src")).persist() // src-clustered once — see vertexCentric
     val mat = new StepMaterializer(ckpt, nodes.sparkSession)
     var labels = mat.step(
       nodes.select(col("node"), col("node").as("label")), 0)
@@ -179,7 +187,7 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .union(nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0L).as("w")))
-      .persist()
+      .repartition(col("src")).persist() // src-clustered once — see vertexCentric
     val mat = new StepMaterializer(ckpt, nodes.sparkSession)
     // only reached nodes carry a row (the frontier representation the
     // reference's scatter-gather uses); unreached nodes are absent
@@ -213,7 +221,8 @@ object GraphOps {
                                 iterations: Int,
                                 ckpt: IterationCheckpointing = IterationCheckpointing()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col("src"), col("dst")).persist()
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist() // src-clustered once — see vertexCentric
     val mat = new StepMaterializer(ckpt, nodes.sparkSession)
     var labels = mat.step(
       nodes.select(col("node"), col("node").as("label")), 0)
@@ -242,7 +251,8 @@ object GraphOps {
   def labelPropagationDelta(nodes: DataFrame, edges: DataFrame, maxIterations: Int,
                             ckpt: IterationCheckpointing = IterationCheckpointing(),
                             seed: Option[DataFrame] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist() // src-clustered once — see vertexCentric
     val mat = new StepMaterializer(ckpt, nodes.sparkSession)
     // seed: carry labels from a previous converged state (the
     // streaming-iteration feedback edge) — absent, every node starts
@@ -298,7 +308,8 @@ object GraphOps {
     // of pr⋈deg⋈edges — one fewer shuffle of the rank table per
     // iteration, at every scale.
     val edgesW = edges.join(deg, edges("src") === col("_degkey"))
-      .select(col("src"), col("dst"), col("deg")).persist()
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).persist() // src-clustered once — see vertexCentric
     val mat = new StepMaterializer(ckpt, nodes.sparkSession)
     var pr = mat.step(
       nodes.select(col("node"), lit(1.0 / n).as("pr")), 0)
