@@ -141,15 +141,15 @@ object Bench {
     // a timestamped side artifact and bench_out.json (the committed
     // quiet record) is left untouched; the stdout line still prints so
     // the driver's capture is never empty, tagged contaminated=true.
-    // Full-corpus records stay double-gated. Subset/solo runs judge
-    // load_end_ext ONLY (VERDICT r12 #2: a back-to-back JVM inflates
-    // load_start ~1.4-1.6 by loadavg decay even on an idle host, which
-    // mislabeled provably-idle solo artifacts as contaminated and cost
-    // r12 four refused attempts; load_start is still recorded for
-    // transparency but a short solo's verdict comes from the end gate).
-    val contaminated =
-      if (only.isDefined) loadEndExt > 1.5
-      else loadStart > 1.5 || loadEndExt > 1.5
+    // ALL runs judge load_end_ext ONLY (VERDICT r12 #2 for solos, r14
+    // "what's wrong" #1 for full runs: a back-to-back JVM inflates
+    // load_start ~1.4-3.7 by loadavg decay even on an idle host — the
+    // r14 driver's own full runs started at 3.69/3.05 yet ended quiet
+    // at 0.22/−0.36, so the start gate was flagging the PREVIOUS JVM's
+    // decay tail, not outside load. A ~600 s full run's last-60 s
+    // self-load-adjusted end gate covers the signal; load_start stays
+    // recorded for transparency but carries no verdict).
+    val contaminated = loadEndExt > 1.5
     // Full per-query detail goes to a file; the stdout line must stay
     // SHORT. The driver keeps only the last ~2000 chars of output
     // ("tail"), so a 173-query JSON line gets its opening brace cut off
