@@ -37,7 +37,13 @@ object GraftVectors {
   * fewer than n tokens yields the empty array. */
 object GraftText {
   private val SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  /** The empty shingle array — also the NULL-input result, matching the
+    * replaced HOF (`when(size(t) >= n, ...).otherwise(empty)`: size(NULL)
+    * is NULL, so a NULL token array fell through to the empty branch). */
+  def empty(): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
   def ngrams(t: ArrayData, n: Int): ArrayData = {
+    if (t == null) return empty()
     val sz = t.numElements()
     if (sz < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
       new Array[Any](0))
@@ -73,12 +79,26 @@ case class WordNGrams(child: Expression, n: Int) extends
       s"word_ngrams needs array<string> input, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override protected def nullSafeEval(t: Any): Any =
-    GraftText.ngrams(t.asInstanceOf[ArrayData], n)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.GraftText.ngrams($t, $n);")
+  // NULL tokens → empty shingle array, like the HOF this replaced
+  // (r14 verdict flagged the null-preserving default as a latent
+  // divergence) — so the expression itself never returns null.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    GraftText.ngrams(child.eval(input).asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+          |$javaType ${ev.value} = ${childGen.isNull}
+          |  ? graft.functions.GraftText.empty()
+          |  : graft.functions.GraftText.ngrams(${childGen.value}, $n);
+          |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
   override protected def withNewChildInternal(c: Expression): WordNGrams =
     copy(child = c)
 }

@@ -105,6 +105,20 @@ object TextDedup {
       .select(col("_id"),
         explode(array_distinct(bigramShinglesFromTokens(col("_toks")))).as("_sh"))
 
+  /** [[shingleTable]] plus the per-doc set size `_n` on every posting
+    * row. `size()` of the distinct array before the explode is free —
+    * no shuffle, no window — and consumers that carry it through their
+    * joins skip the whole "aggregate sizes, join them back onto the
+    * pair table" phase (r15, guide §2.3/§2.4). `explode` drops
+    * empty-set docs in both formulations, so row sets are identical. */
+  def shingleSizedTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("_id"),
+        array_distinct(bigramShinglesFromTokens(col("_toks"))).as("_arr"))
+      .select(col("_id"), size(col("_arr")).cast(LongType).as("_n"),
+        explode(col("_arr")).as("_sh"))
+
   /** Exact Jaccard for given pairs over an (already materialized)
     * shingle table — probed three times (both pair sides + sizes). */
   def jaccardOnShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -134,7 +148,7 @@ object TextDedup {
     // ONE persisted shingle table feeds both signatures and the exact
     // verification (tokenize+explode is the pipeline's widest scan —
     // doing it twice doubled the dominant cost).
-    val sh = shingleTable(docs, idCol, textCol).persist()
+    val sh = shingleSizedTable(docs, idCol, textCol).persist()
     sh.count() // materialize before the multi-consumer fan-out
     // persist: the bucket table is self-joined (both sides would
     // otherwise recompute the whole signature pipeline).
@@ -142,7 +156,12 @@ object TextDedup {
       idCol, bands, numHashes / bands).persist()
     buckets.count() // materialize once; self-join probes the cache
     val pairs = candidatePairs(buckets, idCol)
-    jaccardOnShingles(pairs, sh).filter(col("jaccard") >= threshold)
+    // positive threshold → the size-carrying verify (no sizes agg, no
+    // size joins, no pair-preserving left join); threshold ≤ 0 keeps
+    // zero-intersection pairs and needs the general path.
+    if (threshold > 0) jaccardVerify(pairs, sh).filter(col("jaccard") >= threshold)
+    else jaccardOnShingles(pairs, sh.select("_id", "_sh"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash per doc over whitespace tokens (with multiplicity):
@@ -217,7 +236,13 @@ object TextDedup {
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, threshold: Double): DataFrame = {
     val blocks = docs.select(col(idCol).as("_id"), col(blockCol).as("_blk"))
-    val sh = shingleTable(docs, idCol, textCol).join(blocks, "_id").persist()
+    // r15 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    // carry the per-doc shingle-set size ON the posting row — it is
+    // free at build time (size of the distinct array pre-explode) and
+    // it replaces a whole post-aggregation size-attach phase: one
+    // groupBy(_id) shuffle over Σdf posting rows plus TWO pair-table
+    // joins drop out of the plan, for +16 bytes per posting row.
+    val sh = shingleSizedTable(docs, idCol, textCol).join(blocks, "_id").persist()
     sh.count() // one tokenization pass shared by index and verify
     if (threshold >= 0.5) jaccardNearDupsPrefix(sh, threshold)
     else {
@@ -227,17 +252,18 @@ object TextDedup {
       // counts — so no distinct-candidates pass and no re-probe of the
       // shingle table per pair. Cost is Σ df² over postings (never
       // block²·|shingles|), the exact-similarity-join lower bound when
-      // most co-shingle pairs must be scored anyway.
-      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
-      val inter = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
+      // most co-shingle pairs must be scored anyway. Set sizes ride the
+      // posting rows (max() of a per-doc constant = the constant), so
+      // the pair aggregate already holds everything the score needs.
+      val pairs = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"),
+          col("_n").as("_na"))
         .join(sh.select(col("_blk").as("_blk_b"), col("_sh").as("_sh_b"),
-            col("_id").as("id_b")),
+            col("_id").as("id_b"), col("_n").as("_nb")),
           col("_blk") === col("_blk_b") && col("_sh") === col("_sh_b") &&
             col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
-      inter
-        .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
-        .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"),
+          max("_na").as("_na"), max("_nb").as("_nb"))
+      pairs
         .select(col("id_a"), col("id_b"),
           round(col("_inter").cast(DoubleType) /
             (col("_na") + col("_nb") - col("_inter")), 6).as("jaccard"))
@@ -254,10 +280,10 @@ object TextDedup {
   private def jaccardNearDupsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_id").orderBy(md5(col("_sh").cast(BinaryType)))
+    // `_n` rides the posting rows (shingleSizedTable), so the prefix
+    // bound needs only the rank window, not a second count window.
     val prefix = sh
       .withColumn("_pos", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_id")))
       .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select("_id", "_blk", "_sh")
     val cands = prefix.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
@@ -266,7 +292,27 @@ object TextDedup {
         col("_blk") === col("_blk_b") && col("_sh") === col("_sh_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    jaccardOnShingles(cands, sh.select("_id", "_sh"))
-      .filter(col("jaccard") >= threshold)
+    // threshold ≥ 0.5 > 0: empty-intersection candidates can never
+    // pass the filter, so the size-carrying verify applies.
+    jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)
   }
+
+  /** Exact Jaccard for candidate pairs over a size-carrying posting
+    * table ([[shingleSizedTable]]). Only for consumers that then filter
+    * `jaccard >= t` with `t > 0`: pairs with an empty intersection
+    * produce no aggregate row here (they would score 0 and be dropped
+    * anyway), which is what lets the pair-preserving left join AND the
+    * sizes aggregation + two size joins of [[jaccardOnShingles]]
+    * disappear (r15, guide §2.4). */
+  private def jaccardVerify(pairs: DataFrame, shN: DataFrame): DataFrame =
+    pairs
+      .join(shN.select(col("_id").as("id_a"), col("_n").as("_na"), col("_sh")),
+        "id_a")
+      .join(shN.select(col("_id").as("id_b"), col("_n").as("_nb"), col("_sh")),
+        Seq("id_b", "_sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"),
+        max("_na").as("_na"), max("_nb").as("_nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("_inter").cast(DoubleType) /
+          (col("_na") + col("_nb") - col("_inter")), 6).as("jaccard"))
 }

@@ -62,6 +62,7 @@ object UpsertSink {
           checkpointDir: Option[String] = None): Unit = {
     require(changelog.isStreaming, "UpsertSink.run takes a streaming changelog")
     require(keyCols.nonEmpty && seqCols.nonEmpty)
+    graft.streaming.LocalCheckpointFileManager.install(spark)
     val w0 = changelog.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(spark, batch, tablePath, keyCols, seqCols, flagCol,

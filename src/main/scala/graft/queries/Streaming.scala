@@ -1965,6 +1965,7 @@ object Streaming extends QueryGroup {
         System.getProperty("java.io.tmpdir"),
         s"graft_st54_channel_${ProcessHandle.current().pid()}").toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirc))
+      graft.streaming.LocalCheckpointFileManager.install(s)
       val q1 = matches.writeStream.outputMode(OutputMode.Append)
         .format("parquet").option("path", s"$dirc/matches")
         .option("checkpointLocation", s"$dirc/chk").start()

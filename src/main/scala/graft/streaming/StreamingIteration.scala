@@ -152,6 +152,7 @@ object StreamingGraphCC {
   def run(spark: SparkSession, edgeStream: DataFrame,
           maxIterationsPerBatch: Int = 10): DataFrame = {
     val cc = new StreamingGraphCC(maxIterationsPerBatch)
+    LocalCheckpointFileManager.install(spark)
     val q = edgeStream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())

@@ -536,6 +536,7 @@ object StreamRunner {
     val scratch = if (checkpointDir.isDefined) None
       else scratchRoot.map(r => java.nio.file.Files.createTempDirectory(r, name))
     try {
+      LocalCheckpointFileManager.install(spark)
       val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
       val w = checkpointDir.orElse(scratch.map(_.toString))
         .fold(w0)(d => w0.option("checkpointLocation", d))

@@ -52,6 +52,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sh("a", 5) == Seq.empty)
   }
 
+  test("nGramShingles: NULL token array → empty array (HOF parity)") {
+    // the HOF this kernel replaced mapped a NULL token array to the
+    // EMPTY array (size(NULL) >= n is NULL → otherwise branch); the
+    // kernel must never silently diverge on a nullable token column.
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val rows = Seq((1, Seq("a", "b", "c")), (2, null))
+      .toDF("id", "toks")
+      .select(col("id"),
+        TextFunctions.nGramShinglesFromTokens(col("toks"), 2).as("s"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) == Seq("a b", "b c"))
+    assert(!rows(1).isNullAt(1) && rows(1).getSeq[String](1).isEmpty)
+  }
+
   test("SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
