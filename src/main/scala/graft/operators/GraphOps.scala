@@ -55,7 +55,18 @@ object GraphOps {
       val want = d.stripSuffix("/")
       if (!sc.getCheckpointDir.exists(_.contains(want))) sc.setCheckpointDir(want)
     }
-    def step(df: DataFrame, i: Int): DataFrame = {
+    /** Compose-without-materializing: for LINEAR superstep chains
+      * (state referenced exactly once by the next step) skipping the
+      * materialization of every odd step halves the job count — the
+      * skipped step's plan is simply folded into its successor's job.
+      * NOT safe for steps that reference state twice (pageRank,
+      * vertexCentric): an unmaterialized state would be recomputed per
+      * reference, doubling work per skipped step. Callers opt in via
+      * `stride`; the final step must pass `last = true` so the loop
+      * never returns a lazy plan over an unpersisted edge table. */
+    def step(df: DataFrame, i: Int, stride: Int = 1,
+             last: Boolean = false): DataFrame = {
+      if (stride > 1 && i % stride != 0 && !last) return df
       val out = ckpt.dir match {
         case Some(_) if i % ckpt.every == 0 => df.checkpoint(eager = true)
         case _ => df.localCheckpoint(true)
@@ -158,12 +169,14 @@ object GraphOps {
     for (i <- 1 to iterations) {
       // eager materialization truncates lineage — plain persist keeps
       // the ever-growing logical plan and the optimizer cost per
-      // superstep grows superlinearly.
+      // superstep grows superlinearly. Linear chain (labels referenced
+      // once per step) → stride-2 materialization halves job count.
       val next = mat.step(
         labels.join(e, labels("node") === e("src"))
           .groupBy(col("dst").as("node_n"))
           .agg(min("label").as("label"))
-          .withColumnRenamed("node_n", "node"), i)
+          .withColumnRenamed("node_n", "node"), i,
+        stride = 2, last = i == iterations)
       labels = next
     }
     e.unpersist()
@@ -199,7 +212,8 @@ object GraphOps {
         dist.join(e, dist("node") === e("src"))
           .groupBy(col("dst").as("node_n"))
           .agg(min(col("dist") + col("w")).as("dist"))
-          .withColumnRenamed("node_n", "node"), i)
+          .withColumnRenamed("node_n", "node"), i,
+        stride = 2, last = i == iterations) // linear chain — see step()
     }
     e.unpersist()
     dist
@@ -235,7 +249,8 @@ object GraphOps {
       labels = mat.step(
         votes.withColumn("_rn", row_number().over(rank))
           .where(col("_rn") === 1)
-          .select(col("node_n").as("node"), col("label")), i)
+          .select(col("node_n").as("node"), col("label")), i,
+        stride = 2, last = i == iterations) // linear chain — see step()
     }
     e.unpersist()
     labels
