@@ -236,12 +236,13 @@ object TextDedup {
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, threshold: Double): DataFrame = {
     val blocks = docs.select(col(idCol).as("_id"), col(blockCol).as("_blk"))
-    // r15 (guide §2.3 "shuffle keys and metadata instead of payloads"):
-    // carry the per-doc shingle-set size ON the posting row — it is
-    // free at build time (size of the distinct array pre-explode) and
-    // it replaces a whole post-aggregation size-attach phase: one
-    // groupBy(_id) shuffle over Σdf posting rows plus TWO pair-table
-    // joins drop out of the plan, for +16 bytes per posting row.
+    // `_n` on the posting rows feeds the PREFIX path's bound for free;
+    // the low-threshold path deliberately does NOT thread it through
+    // its Σdf² self-join: measured at 32c solo, widening those join
+    // rows costs more than the sizes-attach phase it would remove
+    // (2.34 s → 3.14 s carried-as-aggregate, 3.43 s carried-as-key),
+    // because the self-join's shuffle+hash dominate this path and the
+    // pair table the sizes attach to is comparatively small.
     val sh = shingleSizedTable(docs, idCol, textCol).join(blocks, "_id").persist()
     sh.count() // one tokenization pass shared by index and verify
     if (threshold >= 0.5) jaccardNearDupsPrefix(sh, threshold)
@@ -252,18 +253,17 @@ object TextDedup {
       // counts — so no distinct-candidates pass and no re-probe of the
       // shingle table per pair. Cost is Σ df² over postings (never
       // block²·|shingles|), the exact-similarity-join lower bound when
-      // most co-shingle pairs must be scored anyway. Set sizes ride the
-      // posting rows (max() of a per-doc constant = the constant), so
-      // the pair aggregate already holds everything the score needs.
-      val pairs = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"),
-          col("_n").as("_na"))
+      // most co-shingle pairs must be scored anyway.
+      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n2"))
+      val inter = sh.select(col("_blk"), col("_sh"), col("_id").as("id_a"))
         .join(sh.select(col("_blk").as("_blk_b"), col("_sh").as("_sh_b"),
-            col("_id").as("id_b"), col("_n").as("_nb")),
+            col("_id").as("id_b")),
           col("_blk") === col("_blk_b") && col("_sh") === col("_sh_b") &&
             col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"),
-          max("_na").as("_na"), max("_nb").as("_nb"))
-      pairs
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+      inter
+        .join(sizes.select(col("_id").as("id_a"), col("_n2").as("_na")), "id_a")
+        .join(sizes.select(col("_id").as("id_b"), col("_n2").as("_nb")), "id_b")
         .select(col("id_a"), col("id_b"),
           round(col("_inter").cast(DoubleType) /
             (col("_na") + col("_nb") - col("_inter")), 6).as("jaccard"))
