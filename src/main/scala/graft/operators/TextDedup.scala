@@ -165,18 +165,27 @@ object TextDedup {
   }
 
   /** 32-bit SimHash per doc over whitespace tokens (with multiplicity):
-    * bit i of the signature is the sign of Σ_tokens (2·bit_i(h32)−1). */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * bit i of the signature is the sign of Σ_tokens (2·bit_i(h32)−1).
+    *
+    * r15 reshape (guide §2.3/§2.4): the previous form exploded every
+    * token row 32× (one row per bit) and aggregated twice — shuffling
+    * 32·|tokens| rows, then |docs|·32 rows again. All 32 bit-sums are
+    * independent aggregates of the SAME token row, so ONE
+    * groupBy(doc) with 32 conditional sums computes them in a single
+    * shuffle of |docs| rows with 32 long buffers. Integer sums group
+    * order-free, so the signature is bit-identical. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 32).map(b =>
+      sum(expr(s"2 * ((_h >> $b) & 1) - 1")).as(s"_s$b"))
+    val sig = (0 until 32).map(b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
     docs.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_tok"))
       .select(col("_id"), hash32(col("_tok")).as("_h"))
-      .select(col("_id"), col("_h"), explode(sequence(lit(0), lit(31))).as("_bit"))
-      .groupBy("_id", "_bit")
-      .agg(sum(expr("2 * ((_h >> _bit) & 1) - 1")).as("_s"))
-      .select(col("_id"), col("_bit"),
-        when(col("_s") > 0, 1L).otherwise(0L).as("_sgn"))
       .groupBy("_id")
-      .agg(sum(expr("shiftleft(_sgn, CAST(_bit AS INT))")).as("simhash"))
-      .select(col("_id").as(idCol), col("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id").as(idCol), sig.as("simhash"))
+  }
 
   /** SimHash near-dup pairs within a blocking column (hamming ≤ k).
     *
