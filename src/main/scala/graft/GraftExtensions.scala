@@ -125,6 +125,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"word_ngrams: n must be an integer literal, got $other")
       }))
+    // r15 interpreted-HOF tail kernels (VERDICT item 6)
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RollingHash(es(0))))
+    e.injectFunction((
+      FunctionIdentifier("token_len_sum"),
+      new ExpressionInfo(classOf[graft.functions.TokenLengthSum].getName, "token_len_sum"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TokenLengthSum(es(0))))
     e.injectFunction((
       FunctionIdentifier("rand_integer"),
       new ExpressionInfo(graft.functions.RandIntegerBuilder.getClass.getName,

@@ -56,8 +56,11 @@ object TextFunctions {
   /** Order-sensitive Rabin–Karp rolling fingerprint over the token
     * stream: fold (acc·31 + hash32(token)) mod 2³², so ws-equal but
     * reordered documents fingerprint differently (unlike
-    * [[fingerprint]], which normalizes). Pure codegen'd fold. */
-  def rollingHash(toks: Column): Column =
-    aggregate(transform(toks, t => hash32(t)), lit(0L),
-      (acc, x) => pmod(acc * lit(31L) + x, lit(4294967296L)))
+    * [[fingerprint]], which normalizes). One codegen'd kernel (r15;
+    * was an interpreted aggregate·transform HOF pair). */
+  def rollingHash(toks: Column): Column = call_function("rolling_hash", toks)
+
+  /** Σ length(token) as one codegen'd kernel (r15; was an interpreted
+    * aggregate·transform HOF pair under x3's mean token length). */
+  def tokenLengthSum(toks: Column): Column = call_function("token_len_sum", toks)
 }

@@ -90,8 +90,8 @@ object TextOps extends QueryGroup {
           size(tk).as("n_tokens"),
           size(array_distinct(tk)).as("n_unique"),
           round(size(array_distinct(tk)).cast(DoubleType) / size(tk), 6).as("ttr"),
-          round(aggregate(transform(tk, x => length(x)), lit(0),
-            (acc, x) => acc + x).cast(DoubleType) / size(tk), 6).as("mean_len"))
+          round(tokenLengthSum(tk).cast(DoubleType) / size(tk), 6)
+            .as("mean_len"))
         .orderBy("doc_id")
     },
 

@@ -67,6 +67,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!rows(1).isNullAt(1) && rows(1).getSeq[String](1).isEmpty)
   }
 
+  test("rolling_hash kernel: HOF parity incl. empty and null") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // reference = the exact HOF the kernel replaced
+    def hofRoll(toks: org.apache.spark.sql.Column) =
+      aggregate(transform(toks, t => TextFunctions.hash32(t)), lit(0L),
+        (acc, x) => pmod(acc * lit(31L) + x, lit(4294967296L)))
+    val df = Seq("a b c", "hello", "", "x y z w v u t s").toDF("t")
+      .select(TextFunctions.tokens(col("t")).as("tk"))
+      .select(TextFunctions.rollingHash(col("tk")).as("k"),
+        hofRoll(col("tk")).as("h"))
+    assert(df.collect().forall(r => r.get(0) == r.get(1)))
+    // null array → null, like aggregate(null, ...)
+    val nr = Seq((1, null: Seq[String])).toDF("id", "tk")
+      .select(TextFunctions.rollingHash(col("tk"))).head
+    assert(nr.isNullAt(0))
+  }
+
+  test("token_len_sum kernel: HOF parity incl. empty and null") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val df = Seq(Seq("ab", "c", "défg"), Seq.empty[String], null)
+      .toDF("tk")
+      .select(TextFunctions.tokenLengthSum(col("tk")).as("k"),
+        aggregate(transform(col("tk"), x => length(x)), lit(0),
+          (acc, x) => acc + x).as("h"))
+    assert(df.collect().forall(r => r.get(0) == r.get(1)))
+  }
+
   test("SQL registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
