@@ -137,6 +137,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TokenLengthSum(es(0))))
     e.injectFunction((
+      FunctionIdentifier("quant_abs_err_sum"),
+      new ExpressionInfo(classOf[graft.functions.QuantAbsErrSum].getName,
+        "quant_abs_err_sum"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.QuantAbsErrSum(es(0), es(1))))
+    e.injectFunction((
       FunctionIdentifier("rand_integer"),
       new ExpressionInfo(graft.functions.RandIntegerBuilder.getClass.getName,
         "rand_integer"),

@@ -109,6 +109,78 @@ object GraftTokens {
   }
 }
 
+/** Runtime kernel for [[QuantAbsErrSum]]. */
+object GraftQuant {
+  /** Σ |x − floor(x·sc)/sc| over a float/double array, left-to-right —
+    * bit-identical to `aggregate(transform(v, x => abs(cast(x as
+    * double) − floor(cast(x as double)·sc)/sc)), 0.0, +)`: the HOF
+    * folds an empty array to the 0.0 init even when sc is NULL, and a
+    * null element poisons the fold to null. */
+  def sum(v: ArrayData, vFloat: Boolean, sc: java.lang.Double): java.lang.Double = {
+    val n = v.numElements()
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    if (sc == null) return null
+    val s = sc.doubleValue()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += math.abs(x - math.floor(x * s) / s)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** int8-quantization absolute-error sum as ONE codegen'd expression
+  * (r15, VERDICT item 6): replaces v6's interpreted
+  * aggregate·transform fold (abs/floor per element under an
+  * interpreted lambda). */
+case class QuantAbsErrSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elemFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"quant_abs_err_sum needs (array<float|double>, double), got " +
+        s"${l.simpleString} / ${r.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  // custom eval: the empty-array → 0.0 case must win over a NULL scale,
+  // so the scale side cannot go through null-intercepting nullSafeEval
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    GraftQuant.sum(v.asInstanceOf[ArrayData], elemFloat,
+      right.eval(input).asInstanceOf[java.lang.Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = l.code + r.code +
+      code"""
+        |boolean ${ev.isNull} = ${l.isNull};
+        |double ${ev.value} = 0.0;
+        |if (!${ev.isNull}) {
+        |  java.lang.Double ${ev.value}_r = graft.functions.GraftQuant.sum(
+        |    ${l.value}, $elemFloat,
+        |    ${r.isNull} ? null : (java.lang.Double) ${r.value});
+        |  if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        |  else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+        |}
+        |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): QuantAbsErrSum = copy(left = l, right = r)
+}
+
 /** Rabin–Karp rolling fingerprint of a token array as ONE codegen'd
   * expression (r15, VERDICT item 6 — the interpreted-HOF tail): the HOF
   * form interpreted an md5+conv lambda per token under x12. */

@@ -247,10 +247,10 @@ object SimilarityQ extends QueryGroup {
       t(s, dir)("embeddings")
         .select(col("vec_id"), col("embedding"), sc.as("sc"))
         .select(col("vec_id"), round(col("sc"), 6).as("scale"),
-          round(aggregate(
-              transform(col("embedding"),
-                x => abs(x.cast("double") - floor(x.cast("double") * col("sc")) / col("sc"))),
-              lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6)
+          // one codegen'd kernel (r15): the aggregate·transform fold
+          // interpreted its abs/floor lambda per element
+          round(call_function("quant_abs_err_sum", col("embedding"),
+            col("sc")) / size(col("embedding")), 6)
             .as("mean_abs_err"))
         .orderBy("vec_id")
     },
