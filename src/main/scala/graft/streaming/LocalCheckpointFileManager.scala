@@ -1,10 +1,10 @@
 package graft.streaming
 
-import java.io.{EOFException, File, FileNotFoundException, FileOutputStream, InputStream, RandomAccessFile}
+import java.io.{EOFException, File, FileNotFoundException, FileOutputStream, RandomAccessFile}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{BufferedFSInputStream, FileAlreadyExistsException, FileStatus, FSDataInputStream, Path, PathFilter, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.{BufferedFSInputStream, FileAlreadyExistsException, FileStatus, FSDataInputStream, Path, PathFilter}
 import org.apache.spark.sql.execution.streaming.checkpointing.{CheckpointFileManager, FileContextBasedCheckpointFileManager}
 import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager.CancellableFSDataOutputStream
 
@@ -99,18 +99,17 @@ class LocalCheckpointFileManager(root: Path, hadoopConf: Configuration)
         if (terminated) return
         terminated = true
         fout.close()
-        try {
-          if (overwriteIfPossible)
-            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-          else
-            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(tmp)
-            throw new FileAlreadyExistsException(
-              s"Failed to rename temp file $tmp to $path because file exists")
+        // POSIX rename(2) (what ATOMIC_MOVE maps to) replaces silently,
+        // so the no-overwrite contract needs an explicit existence
+        // check — the same check-then-rename Hadoop's local FileContext
+        // performs for Options.Rename.NONE.
+        if (!overwriteIfPossible && Files.exists(dst)) {
+          Files.deleteIfExists(tmp)
+          throw new FileAlreadyExistsException(
+            s"Failed to rename temp file $tmp to $path because file exists")
         }
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
       }
       override def cancel(): Unit = synchronized {
         if (terminated) return
