@@ -137,6 +137,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TokenLengthSum(es(0))))
     e.injectFunction((
+      FunctionIdentifier("gauss_log_sum"),
+      new ExpressionInfo(classOf[graft.functions.GaussLogSum].getName,
+        "gauss_log_sum"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GaussLogSum(es(0), es(1))))
+    e.injectFunction((
       FunctionIdentifier("quant_abs_err_sum"),
       new ExpressionInfo(classOf[graft.functions.QuantAbsErrSum].getName,
         "quant_abs_err_sum"),

@@ -297,11 +297,24 @@ object SimilarityQ extends QueryGroup {
       // way (flink-ml MultivariateGaussian.java's epsilon floor)
       val stats = e.groupBy("label", "dim")
         .agg(avg("x").as("mu"), greatest(var_pop("x"), lit(1e-9)).as("v"))
-      val scored = e.join(broadcast(stats), Seq("label", "dim"))
-        .groupBy("label", "vec_id")
-        .agg(round(lit(-0.5) * sum(log(lit(2.0) * lit(math.Pi) * col("v"))
-          + (col("x") - col("mu")) * (col("x") - col("mu")) / col("v")), 6)
-          .as("score"))
+      // r15 (guide §2.3/§2.4 + kernel): the stats table is labels×64
+      // rows at ANY scale, so pivot it to one sorted (dim, mu, v)
+      // array per label and score each vector MAP-ONLY against the
+      // broadcast array — the 64×|vectors| explode-join-reaggregate
+      // (a second pass over e plus a |vectors|-row shuffle) drops out.
+      // array_sort fixes the fold order by dim; the replaced form
+      // summed in join-emission order and leaned on the same 6-dp
+      // round to be order-free.
+      val statsArr = stats
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu"), col("v"))))
+          .as("_st"))
+      val scored = t(s, dir)("embeddings")
+        .join(broadcast(statsArr), "label")
+        .select(col("label"), col("vec_id"),
+          round(lit(-0.5) *
+            call_function("gauss_log_sum", col("embedding"), col("_st")), 6)
+            .as("score"))
       scored
         .withColumn("rn", row_number().over(
           Window.partitionBy("label").orderBy(col("score"), col("vec_id"))))
